@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{CdcQueries, LlmQueries, Q, RelationalQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query groups:
+  *  - RelationalQueries: the relational operator surface (SURVEY.md §2.2)
+  *  - CdcQueries: the CDC pipeline stages end-to-end in batch form
+  *    (SURVEY.md §2.1 — wal2json decode, tx assembly, normalize/event-id,
+  *    routing, dedup, DLQ, batching, checkpointing, timestamp parsing)
+  *  - LlmQueries: training-data pipeline ops (dedup exact/MinHash-LSH/
+  *    SimHash/n-gram-Jaccard/embedding-cosine, ANN search, text analysis,
+  *    multimodal plumbing)
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  val all: Map[String, Q.Def] =
+    RelationalQueries.defs ++ CdcQueries.defs ++ LlmQueries.defs
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full CDC pipeline (serialize -> wal2json decode -> tx assembly ->
+    * normalize) over the events table.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CdcQueries.normalized(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (k, d) => k -> d.fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    all.collect { case (k, Q.Def(_, Some(sql))) => k -> sql }
 }

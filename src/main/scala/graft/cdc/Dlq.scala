@@ -1,0 +1,62 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Poison-message quarantine / dead-letter queue (reference E5:
+  * internal/publisher/errors.go:13-31, internal/publisher/dlq.go,
+  * internal/engine/engine.go:229-351).
+  *
+  * The reference classifies publish errors as permanent (max payload, bad
+  * subject, JetStream 10054) vs transient; permanent failures are routed by
+  * policy `dlq|skip|crash` (default dlq, config.go:101). Here the classifier
+  * is a column predicate evaluated batch-wide; failed rows become a side
+  * DataFrame written to the DLQ sink, successful rows continue — one scan,
+  * two outputs, no per-row control flow.
+  */
+object Dlq {
+
+  /** Failure policies (reference config.go:101). */
+  sealed trait Policy
+  case object PolicyDlq extends Policy
+  case object PolicySkip extends Policy
+  case object PolicyCrash extends Policy
+
+  /** Payload prefix cap — 64 KiB in the reference (dlq.go:15). */
+  val MaxPayloadPrefix: Int = 64 * 1024
+
+  /** Permanent-error classification for a payload column, mirroring
+    * errors.go:13-31: payload over the sink's max size, or an unroutable
+    * (empty/invalid) subject. Returns a nullable error-message column —
+    * null = publishable.
+    */
+  def classify(payload: Column, subject: Column, maxPayloadBytes: Long): Column =
+    when(length(payload) > maxPayloadBytes,
+        concat(lit("maximum payload exceeded: "), length(payload).cast("string")))
+      .when(subject.isNull || subject === "" || subject.contains(" ") ||
+            subject.contains("*") || subject.contains(">"),
+        lit("invalid subject"))
+      .otherwise(lit(null).cast("string"))
+
+  /** Split normalized events into (publishable, quarantined) by the given
+    * error column; quarantined rows carry DeadLetterRecord fields
+    * (dlq.go:19-33): truncated payload prefix, dlq-routed subject.
+    */
+  def quarantine(events: DataFrame, errorCol: Column, payloadCol: Column,
+      database: String, dlqPrefix: String = "dlq"): (DataFrame, DataFrame) = {
+    val tagged = events.withColumn("_error", errorCol)
+    val ok = tagged.filter(col("_error").isNull).drop("_error")
+    val dlq = tagged.filter(col("_error").isNotNull)
+      .select(
+        col("event_id"),
+        Transform.dlqSubject(dlqPrefix, database, col("schema"), col("table")).as("subject"),
+        lit(database).as("database"),
+        col("schema"), col("table"), col("operation"), col("lsn"), col("txid"),
+        col("_error").as("error"),
+        length(payloadCol).cast("long").as("payload_size"),
+        (length(payloadCol) > MaxPayloadPrefix).as("truncated"),
+        substring(payloadCol, 1, MaxPayloadPrefix).as("payload_prefix"),
+        current_timestamp().as("quarantined_at"))
+    (ok, dlq)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** wal2json format-version-2 decoder, re-expressed with Spark built-ins
+  * (`from_json` + map construction) instead of the reference's row-at-a-time
+  * Go loop (reference: internal/parser/wal2json.go:112-170, schema at
+  * wal2json.go:225-240).
+  *
+  * One JSON document per action: B(egin) / C(ommit) / I(nsert) / U(pdate) /
+  * D(elete) / T(runcate). I/U/D carry `columns` (new image) and/or `identity`
+  * (old image); T becomes a DDL event with empty images
+  * (reference: tests/integration/cdc_truncate_test.go:35-48). Unknown actions
+  * are dropped, mirroring wal2json.go:166-168.
+  *
+  * Everything here stays inside whole-stage codegen: `from_json`,
+  * `map_from_entries`, `transform` — no UDFs, so at 100 TB the decode is a
+  * pure narrow map stage with no shuffle.
+  */
+object Wal2Json {
+
+  /** Spark read schema for a wal2json v2 action document.
+    * `value` is StringType on purpose: wal2json emits numbers/bools/strings;
+    * the reference degrades everything to its string form
+    * (internal/parser/wal2json.go:236-240), and Jackson keeps the raw token
+    * text when the target type is string.
+    */
+  val actionSchema: StructType = {
+    val col = StructType(Seq(
+      StructField("name", StringType),
+      StructField("type", StringType),
+      StructField("value", StringType)
+    ))
+    StructType(Seq(
+      StructField("action", StringType),
+      StructField("xid", LongType),
+      StructField("timestamp", StringType),
+      StructField("schema", StringType),
+      StructField("table", StringType),
+      StructField("columns", ArrayType(col)),
+      StructField("identity", ArrayType(col))
+    ))
+  }
+
+  /** Multi-format PostgreSQL timestamp parse — the 8 layout fallbacks of the
+    * reference (internal/parser/wal2json.go:186-221) as a `coalesce` of
+    * `to_timestamp` attempts (SURVEY.md P6). All built-in, codegen'd.
+    */
+  def parsePgTimestamp(c: Column): Column = {
+    val fmts = Seq(
+      "yyyy-MM-dd HH:mm:ss.SSSSSSXXX",
+      "yyyy-MM-dd HH:mm:ss.SSSSSSX",
+      "yyyy-MM-dd HH:mm:ssXXX",
+      "yyyy-MM-dd HH:mm:ssX",
+      "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+      "yyyy-MM-dd'T'HH:mm:ssXXX",
+      "yyyy-MM-dd HH:mm:ss.SSSSSS",
+      "yyyy-MM-dd HH:mm:ss"
+    )
+    coalesce(fmts.map(f => try_to_timestamp(c, lit(f))): _*)
+  }
+
+  /** columns/identity array<struct<name,type,value>> -> map<name,value>.
+    * Null array stays null (not an empty map) — the reference distinguishes
+    * "no image" from "empty image".
+    */
+  private def colsToMap(c: Column): Column =
+    when(c.isNotNull, map_from_entries(transform(c, x => struct(x("name"), x("value")))))
+
+  /** Decode a DataFrame of raw wal2json lines into WalEvent-shaped rows.
+    *
+    * @param raw         input with `walStartCol` (long carrier position,
+    *                    reference internal/parser/parser.go:21-26) and
+    *                    `dataCol` (the JSON document text)
+    * @return columns: operation, is_begin, is_commit, schema_name, table_name,
+    *         old_values, new_values, txid, action_time, wal_start
+    */
+  def decode(raw: DataFrame, walStartCol: String = "wal_start", dataCol: String = "data"): DataFrame = {
+    val j = from_json(col(dataCol), actionSchema)
+    raw
+      .withColumn("_a", j)
+      .select(
+        col(s"$walStartCol").as("wal_start"),
+        col("_a.action").as("action"),
+        coalesce(col("_a.xid"), lit(0L)).as("txid"),
+        parsePgTimestamp(col("_a.timestamp")).as("action_time"),
+        col("_a.schema").as("schema_name"),
+        col("_a.table").as("table_name"),
+        colsToMap(col("_a.identity")).as("old_values"),
+        colsToMap(col("_a.columns")).as("new_values")
+      )
+      // unknown/unsupported actions dropped (wal2json.go:166-168)
+      .filter(col("action").isin("B", "C", "I", "U", "D", "T"))
+      .select(
+        col("wal_start"),
+        expr("""CASE action WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE'
+                            WHEN 'D' THEN 'DELETE' WHEN 'T' THEN 'DDL'
+                            ELSE action END""").as("operation"),
+        (col("action") === "B").as("is_begin"),
+        (col("action") === "C").as("is_commit"),
+        col("schema_name"), col("table_name"),
+        // TRUNCATE: empty before AND after (cdc_truncate_test.go:35-48)
+        when(col("action") === "T", map().cast(MapType(StringType, StringType)))
+          .otherwise(col("old_values")).as("old_values"),
+        when(col("action") === "T", map().cast(MapType(StringType, StringType)))
+          .otherwise(col("new_values")).as("new_values"),
+        col("txid"), col("action_time")
+      )
+  }
+
+  /** Table-allowlist filter (reference F1: internal/parser/wal2json.go:173-179;
+    * empty allowlist = pass-all). Applied as a plain Catalyst predicate so it
+    * pushes through the projection; at the source level the same restriction
+    * belongs in the Postgres publication (SURVEY.md §4 pushdown row).
+    */
+  def filterTables(df: DataFrame, allow: Seq[String]): DataFrame =
+    if (allow.isEmpty) df
+    else df.filter(
+      col("is_begin") || col("is_commit") ||
+      concat_ws(".", col("schema_name"), col("table_name")).isin(allow: _*))
+}

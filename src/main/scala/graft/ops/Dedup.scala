@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextAnalysis.{hash48, hash31, tokens, P31}
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and exact n-gram Jaccard.
+  *
+  * Scale design (100 TB):
+  *  - every stage is a map + a keyed aggregation/join — no driver-side
+  *    collection, no cross join anywhere;
+  *  - candidate generation is always index-based (LSH band buckets /
+  *    SimHash blocks / shingle inverted index), so the shuffle volume is
+  *    proportional to corpus size + candidate pairs, never to n²;
+  *  - hashing is portable integer arithmetic (see TextAnalysis.hash48), so
+  *    signatures computed in different jobs/rounds can be joined for
+  *    incremental dedup.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup by content hash: one shuffle on the 128-bit digest.
+    * Output: one row per distinct content — representative id (min), dup
+    * count. `keep = df.join(exact(...), "content_hash", "left_semi")` style
+    * usage keeps the survivors.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_dups"))
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct word n-gram shingles per document: (id, shingle).
+    * Built with sequence+transform (codegen) rather than an exploding UDF.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(col(idCol).as("id"),
+        explode(shingleArray(toks, n)).as("shingle"))
+      .distinct()
+  }
+
+  /** Array of word n-gram shingles of `toks` (strings joined by a space). */
+  def shingleArray(toks: Column, n: Int): Column = {
+    // positions 0 .. size-n (empty when size < n; sequence() would descend)
+    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(array().cast("array<int>"))
+    transform(idx, i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** Affine permutation parameters for minhash j (1-based): deterministic,
+    * engine-portable. a_j ∈ (0, P31), b_j ∈ [0, P31).
+    */
+  def mhA(j: Int): Long = { val a = (2654435761L * j) % P31; if (a == 0L) 1L else a }
+  def mhB(j: Int): Long = (40503L * j * j + 2531011L) % P31
+
+  /** Per-document MinHash signatures: k min-aggregations over the shingle
+    * hash — one shuffle on id with full map-side partial aggregation (each
+    * mapper emits one k-wide partial row per doc).
+    * Output: (id, mh_1 .. mh_k).
+    */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val base = hash31(col("shingle"))
+    val aggs = (1 to k).map(j => min((base * mhA(j) + mhB(j)) % P31).as(s"mh_$j"))
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: signature rows -> (band, h1..hr key) buckets -> candidate
+    * pairs via a self-equi-join on the bucket key. rowsPerBand=2 keeps recall
+    * ≥ 1-1e-18 at J≥0.8 with k=32 (16 bands): P(miss) = (1-J²)^16.
+    * Output: distinct (id_a, id_b) with id_a < id_b.
+    */
+  def lshCandidates(sig: DataFrame, k: Int, rowsPerBand: Int = 2): DataFrame = {
+    val bands = k / rowsPerBand
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (1 to rowsPerBand).map(r =>
+        col(s"mh_${b * rowsPerBand + r}").as(s"h$r"))
+      struct(lit(b).as("band") +: cols: _*)
+    }
+    val bucketed = sig
+      .select(col("id"), explode(array(bandStructs: _*)).as("bucket"))
+    bucketed.as("l").join(bucketed.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for given candidate pairs, via the shingle inverted
+    * index: |A∩B| from a join on shingle restricted to candidates, |A|,|B|
+    * from per-doc counts. Exact integer arithmetic; the final similarity is
+    * one IEEE division.
+    */
+  def verifyJaccard(sh: DataFrame, candidates: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .join(candidates, Seq("id_a", "id_b"), "left_semi")
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs ≥ threshold, via the shingle
+    * inverted index (no LSH, no cross join): candidate pairs are pairs
+    * sharing ≥1 shingle. At scale prefer [[lshCandidates]]; this is the
+    * exact baseline/oracle path.
+    */
+  def ngramJaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  val SimhashBits = 48
+
+  /** 48-bit SimHash over unigram token hashes: for each bit, sum +1/-1 by
+    * the token-hash bit, take the sign. Implemented as one aggregate of a
+    * 48-wide bit-count vector (map-side combinable — one shuffle on id).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", hash48(col("t")))
+    val bitAggs = (0 until SimhashBits).map { b =>
+      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"bit_$b")
+    }
+    tok.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("id"),
+        (0 until SimhashBits).map(b =>
+          when(col(s"bit_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-dup pairs with hamming(simhash) <= maxHamming, found by pigeonhole
+    * blocking: split the 48 bits into (maxHamming+1) blocks; any pair within
+    * the hamming radius must agree on at least one block (exact, not
+    * approximate). Join on (block_idx, block_value) — shuffle volume is
+    * corpus × blocks, never n².
+    */
+  def simhashPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val width = SimhashBits / nBlocks + (if (SimhashBits % nBlocks == 0) 0 else 1)
+    val blocks = (0 until nBlocks).map { i =>
+      val mask = ((1L << math.min(width, SimhashBits - i * width)) - 1)
+      struct(lit(i).as("blk"),
+        shiftrightunsigned(col("simhash"), i * width).bitwiseAND(lit(mask)).as("v"))
+    }
+    val blocked = sig.select(col("id"), col("simhash"), explode(array(blocks: _*)).as("b"))
+    blocked.as("l").join(blocked.as("r"),
+        col("l.b") === col("r.b") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.simhash").as("sh_a"), col("r.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Numeric portability: embeddings are quantized to integers
+  * (round(x * 10000)) before any arithmetic, so dot products and norms are
+  * exact BIGINT sums — identical regardless of engine, partitioning or
+  * summation order. Only the final cosine is one IEEE double division —
+  * deterministic. This also makes results reproducible across cluster sizes,
+  * which float accumulation would not be.
+  *
+  * Scale paths:
+  *  - brute force: one broadcast of the (small) query set against the corpus
+  *    — a narrow map + per-query top-k aggregation; corpus is never
+  *    self-joined;
+  *  - sign-LSH bucketing: candidates restricted to equal random-hyperplane
+  *    sign buckets — shuffle on bucket key, volume ∝ corpus + candidates.
+  */
+object Similarity {
+
+  /** Quantize an array<float> to array<bigint> at 1e-4 resolution.
+    * Half-away-from-zero rounding spelled out with floor/ceil — `round` /
+    * integer CAST semantics differ across engines, floor/ceil do not.
+    */
+  def quantize(vec: Column, scale: Int = 10000): Column =
+    transform(vec, x => {
+      val d = x.cast("double") * scale
+      when(x >= 0, floor(d + 0.5)).otherwise(ceil(d - 0.5)).cast("long")
+    })
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact integer squared norm. */
+  def normSqQ(a: Column): Column = dotQ(a, a)
+
+  /** Cosine similarity of two quantized vectors: exact integer dot / exact
+    * integer norms, one double division + sqrt at the end.
+    */
+  def cosineQ(a: Column, b: Column): Column =
+    dotQ(a, b).cast("double") /
+      sqrt(normSqQ(a).cast("double") * normSqQ(b).cast("double"))
+
+  /** Add quantized vector + precomputed squared norm columns (compute once,
+    * reuse across all comparisons — at 100 TB norms are a scan-time map, not
+    * per-pair work).
+    */
+  def prepare(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("qvec", quantize(col(vecCol)))
+      .withColumn("norm_sq", normSqQ(col("qvec")))
+
+  private def pairCosine: Column =
+    col("dot").cast("double") /
+      sqrt(col("q.norm_sq").cast("double") * col("c.norm_sq").cast("double"))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors by (cosine desc, id asc). The query side is broadcast (small);
+    * ranking is a window per query id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = queries.alias("q")
+      .join(corpus.alias("c"), col("q.id") =!= col("c.id"))
+      .withColumn("dot", dotQ(col("q.qvec"), col("c.qvec")))
+      .withColumn("cosine", pairCosine)
+    val w = Window.partitionBy(col("q.id")).orderBy(col("cosine").desc, col("c.id"))
+    joined
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
+  /** Random-hyperplane sign-LSH bucket from the first `bits` dimensions:
+    * bit j = (vec[j] >= 0). With unit-ish embeddings this is an 2^bits-way
+    * partitioner whose collision probability rises with cosine similarity.
+    * (For production, project onto `bits` fixed pseudo-random hyperplanes;
+    * axis-aligned planes keep the arithmetic engine-portable here.)
+    */
+  def signBucket(vec: Column, bits: Int = 12): Column =
+    (0 until bits).map { j =>
+      when(element_at(vec, j + 1) >= 0f, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed ANN top-k: candidates share the sign-LSH bucket; ranking as in
+    * brute force. Recall < 1 by construction (that is the scale trade-off);
+    * the bucket join replaces the n² pair space with per-bucket blocks.
+    */
+  def bucketedTopK(prepared: DataFrame, queryPred: Column, bits: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = prepared.withColumn("bucket", signBucket(col("embedding"), bits))
+    val queries = bucketed.filter(queryPred)
+    val joined = queries.alias("q")
+      .join(bucketed.alias("c"),
+        col("q.bucket") === col("c.bucket") && col("q.id") =!= col("c.id"))
+      .withColumn("dot", dotQ(col("q.qvec"), col("c.qvec")))
+      .withColumn("cosine", pairCosine)
+    val w = Window.partitionBy(col("q.id")).orderBy(col("cosine").desc, col("c.id"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
+  /** All near-duplicate pairs with cosine >= threshold, via sign-LSH
+    * bucketing (near-identical vectors agree on sign buckets with high
+    * probability; exact near-dup pairs additionally verified by the exact
+    * integer cosine).
+    */
+  def cosineNearDupPairs(prepared: DataFrame, threshold: Double, bits: Int = 8): DataFrame = {
+    val bucketed = prepared.withColumn("bucket", signBucket(col("embedding"), bits))
+    bucketed.alias("q").join(bucketed.alias("c"),
+        col("q.bucket") === col("c.bucket") && col("q.id") < col("c.id"))
+      .withColumn("dot", dotQ(col("q.qvec"), col("c.qvec")))
+      .withColumn("cosine", pairCosine)
+      .filter(col("cosine") >= threshold)
+      .select(col("q.id").as("id_a"), col("c.id").as("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Design constraints:
+  *  - pure `org.apache.spark.sql.functions` column expressions (codegen'd,
+  *    no UDFs) so the hot path stays inside whole-stage codegen and scales
+  *    as a narrow map stage at 100 TB;
+  *  - all hashing is engine-portable arithmetic (md5-derived 48-bit integer
+  *    base hash + affine mixing mod a prime), so results are reproducible
+  *    bit-for-bit across engines and cluster sizes — a requirement for
+  *    incremental dedup over a growing corpus.
+  */
+object TextAnalysis {
+
+  /** Large primes for portable integer hashing. */
+  val P31: Long = 2147483647L   // 2^31 - 1 (Mersenne)
+  val P9: Long  = 1000000007L
+
+  /** Whitespace tokenization on single spaces (keeps empties, like a strict
+    * split — normalize text first if collapsing runs is wanted).
+    */
+  def tokens(text: Column): Column = split(text, " ", -1)
+
+  /** Portable 48-bit integer hash: first 12 hex chars of md5. Stable across
+    * engines, JVMs and partitions (unlike murmur-with-seed variants whose
+    * implementations differ between engines).
+    */
+  def hash48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  /** hash48 reduced mod 2^31-1 — the base for affine minhash permutations. */
+  def hash31(c: Column): Column = hash48(c) % P31
+
+  /** Canonical text normalization for fingerprinting: lower, strip
+    * non-alphanumerics (keep spaces), collapse whitespace runs, trim.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Content fingerprint = md5 of normalized text (exact near-canonical
+    * dedup key).
+    */
+  def fingerprintMd5(text: Column): Column = md5(normalize(text))
+
+  /** Order-sensitive rolling polynomial fingerprint over tokens:
+    * fold(0, (acc, t) => (acc * 31 + hash48(t)) % P9). Detects permuted
+    * copies that set-based (Jaccard) measures miss.
+    */
+  def fingerprintRolling(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => hash48(t)),
+      lit(0L),
+      (acc, h) => (acc * 31 + h) % P9)
+
+  /** Token count (single-space tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword count heuristic: words are split into ~4-char units;
+    * count = sum(ceil(len(word)/4)) ≈ byte-pair-encoded token count.
+    */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Stopword fraction of tokens (quality signal). Exact integer counts;
+    * the single final division is IEEE double — deterministic.
+    */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isInCollection(stopwords)))
+    hits.cast("double") / size(toks)
+  }
+
+  /** Mean token length: exact integer sum / count. */
+  def meanTokenLen(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / tokenCount(text)
+
+  /** Quality score in [0,1]: combines length band, stopword presence and
+    * mean-word-length band — the shape of a C4/Gopher-style filter with
+    * deterministic arithmetic.
+    */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val lenOk  = (nChars >= 100 && nChars <= 20000).cast("int")
+    val stopOk = (stopwordRatio(text) > 0.001).cast("int")
+    val mwl    = meanTokenLen(text)
+    val mwlOk  = (mwl >= lit(3.0) && mwl <= lit(12.0)).cast("int")
+    (lenOk + stopOk + mwlOk).cast("double") / 3
+  }
+
+  /** Language-ID marker vocabularies (function-word heuristic). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "es" -> Seq("el", "la", "los", "que", "es", "de"),
+    "fr" -> Seq("le", "la", "les", "est", "une", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "不")
+  )
+
+  /** N-gram/function-word language ID: score each language by marker-token
+    * hits; argmax wins, ties broken by language-code order (the seq above is
+    * sorted), zero hits => "und". Pure integer comparisons — deterministic.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = langMarkers.map { case (code, markers) =>
+      (code, size(filter(toks, t => t.isInCollection(markers))))
+    }
+    // strict > keeps the earlier (alphabetically smaller) code on ties
+    val (bestCode, bestScore) = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((cAcc, sAcc), (code, s)) =>
+        (when(s > sAcc, lit(code)).otherwise(cAcc),
+         when(s > sAcc, s).otherwise(sAcc))
+    }
+    when(bestScore > 0, bestCode).otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc.{Dlq, Transform, TxAssembly, Wal2Json}
+import Q.{Def, t}
+
+/** The CDC operator surface, exercised end-to-end in batch form.
+  *
+  * The driver's oracle can only check SQL over the given parquet tables, so
+  * these queries synthesize a deterministic wal2json v2 change stream FROM
+  * the `events` table (each row becomes an INSERT on table
+  * `public.{event_type}` inside transaction xid = user_id, WAL position =
+  * event_id*10, plus per-transaction Begin/Commit marker actions), push it
+  * through the real engine stages — Wal2Json.decode, TxAssembly.assemble,
+  * Transform.normalize, Dlq.quarantine — and the oracle recomputes the
+  * expected output directly from `events` in SQL. The Spark side never
+  * shortcuts past the JSON: it serializes and re-parses for real.
+  */
+object CdcQueries {
+
+  val Db = "testdb"
+
+  /** Synthetic wal2json v2 stream from `events`: (wal_start, data). */
+  def walStream(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+    val tsFmt = date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    val dataRows = e.select(
+      (col("event_id") * 10).as("wal_start"),
+      to_json(struct(
+        lit("I").as("action"),
+        col("user_id").as("xid"),
+        concat(tsFmt, lit("+00")).as("timestamp"),
+        lit("public").as("schema"),
+        col("event_type").as("table"),
+        array(
+          struct(lit("src_event_id").as("name"), lit("bigint").as("type"),
+            col("event_id").cast("string").as("value")),
+          struct(lit("value").as("name"), lit("double precision").as("type"),
+            col("value").cast("string").as("value")),
+          struct(lit("props").as("name"), lit("jsonb").as("type"),
+            col("props").as("value"))
+        ).as("columns"))).as("data"))
+    val perTx = e.groupBy(col("user_id"))
+      .agg((min(col("event_id")) * 10 - 5).as("begin_ws"),
+           (max(col("event_id")) * 10 + 5).as("commit_ws"),
+           date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("commit_ts"))
+    val begins = perTx.select(col("begin_ws").as("wal_start"),
+      to_json(struct(lit("B").as("action"), col("user_id").as("xid"),
+        concat(col("commit_ts"), lit("+00")).as("timestamp"))).as("data"))
+    val commits = perTx.select(col("commit_ws").as("wal_start"),
+      to_json(struct(lit("C").as("action"), col("user_id").as("xid"),
+        concat(col("commit_ts"), lit("+00")).as("timestamp"))).as("data"))
+    dataRows.unionByName(begins).unionByName(commits)
+  }
+
+  /** decode -> assemble -> normalize, the full batch pipeline. */
+  def normalized(s: SparkSession, d: String): DataFrame =
+    Transform.normalize(TxAssembly.assemble(Wal2Json.decode(walStream(s, d))), Db)
+
+  /** Oracle building blocks (kept in one place so every query agrees). */
+  private val oLsn = "printf('%x/%x', (event_id*10) >> 32, (event_id*10) & 4294967295)"
+  private val oSeq = "(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1)"
+  private val oEventId =
+    s"$oLsn || ':' || user_id || ':INSERT:public.' || event_type || ':' || $oSeq"
+
+  val defs: Map[String, Def] = Map(
+
+    // P5: wal2json v2 decode (from_json path) — envelope fields + payload
+    // map contents round-trip through real JSON.
+    "c01_wal2json_decode" -> Def(
+      (s, d) => Wal2Json.decode(walStream(s, d))
+        .filter(col("operation") === "INSERT")
+        .select(col("wal_start"), col("operation"),
+          col("schema_name"), col("table_name"), col("txid"),
+          col("action_time").as("action_ts"),
+          size(col("new_values")).as("n_cols"),
+          element_at(col("new_values"), "src_event_id").as("v_src"),
+          element_at(col("new_values"), "value").as("v_value"))
+        .orderBy(col("wal_start")),
+      Some("""SELECT event_id*10 AS wal_start, 'INSERT' AS operation,
+        'public' AS schema_name, event_type AS table_name, user_id AS txid,
+        ts AS action_ts, 3 AS n_cols,
+        CAST(event_id AS VARCHAR) AS v_src, CAST(value AS VARCHAR) AS v_value
+        FROM events ORDER BY wal_start""")),
+
+    // P3: transaction assembly — WAL-order seq_in_tx ordinals + commit
+    // marker metadata propagated onto every event of the transaction.
+    "c02_tx_assembly" -> Def(
+      (s, d) => TxAssembly.assemble(Wal2Json.decode(walStream(s, d)))
+        .select(element_at(col("new_values"), "src_event_id").cast("long").as("src_event_id"),
+          col("txid"), col("seq_in_tx"), col("commit_lsn"), col("commit_time"))
+        .orderBy(col("src_event_id")),
+      Some(s"""SELECT event_id AS src_event_id, user_id AS txid,
+        $oSeq AS seq_in_tx,
+        (MAX(event_id*10) OVER (PARTITION BY user_id)) + 5 AS commit_lsn,
+        MAX(ts) OVER (PARTITION BY user_id) AS commit_time
+        FROM events ORDER BY src_event_id""")),
+
+    // T1+T2+T3: normalize to the CdcEvent envelope with deterministic
+    // event_id (lsn:txid:op:schema.table:seq) and subject routing.
+    "c03_normalize" -> Def(
+      (s, d) => normalized(s, d)
+        .select(col("event_id"), col("event_type"), col("source"),
+          col("lsn"), col("txid"), col("schema").as("schema_name"),
+          col("table").as("table_name"),
+          col("operation"), col("subject"),
+          col("commit_time"),
+          element_at(col("after"), "value").as("after_value"))
+        .orderBy(col("lsn"), col("event_id")),
+      Some(s"""SELECT $oEventId AS event_id,
+        'cdc.insert' AS event_type, 'postgres' AS source,
+        $oLsn AS lsn, user_id AS txid, 'public' AS schema_name,
+        event_type AS table_name, 'INSERT' AS operation,
+        'cdc.$Db.public.' || event_type AS subject,
+        MAX(ts) OVER (PARTITION BY user_id) AS commit_time,
+        CAST(value AS VARCHAR) AS after_value
+        FROM events ORDER BY lsn, event_id""")),
+
+    // T3 as a routing aggregate: events per subject (Kafka-topic fanout).
+    "c04_subject_route" -> Def(
+      (s, d) => normalized(s, d)
+        .groupBy(col("subject"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("txid")).as("n_txs"))
+        .orderBy(col("subject")),
+      Some(s"""SELECT 'cdc.$Db.public.' || event_type AS subject,
+        COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_txs
+        FROM events GROUP BY 1 ORDER BY subject""")),
+
+    // E7: effectively-once via deterministic event_id — a replayed stream
+    // (union with itself) collapses back to exactly the original events.
+    "c05_dedup_replay" -> Def(
+      (s, d) => {
+        val n = normalized(s, d)
+        n.unionByName(n)   // at-least-once replay
+          .dropDuplicates("event_id")
+          .groupBy(col("table").as("table_name"))
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy(col("table_name"))
+      },
+      Some("""SELECT event_type AS table_name, COUNT(*) AS n_events
+        FROM events GROUP BY 1 ORDER BY table_name""")),
+
+    // E5: permanent-error classification + DLQ record build (payload-size
+    // poison rows quarantined with truncated payload prefix).
+    "c06_dlq_quarantine" -> Def(
+      (s, d) => {
+        val events = normalized(s, d)
+        val payload = element_at(col("after"), "props")
+        val err = when(element_at(col("after"), "props").isNull, "missing payload")
+          .when(get_json_object(element_at(col("after"), "props"), "$.k").cast("long") >= 90,
+            "maximum payload exceeded")
+          .otherwise(lit(null).cast("string"))
+        val (_, dlq) = Dlq.quarantine(events, err, payload, Db)
+        dlq.select(col("event_id"), col("subject"),
+            col("table").as("table_name"),
+            col("error"), col("payload_size"),
+            substring(col("payload_prefix"), 1, 6).as("payload_6"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""SELECT printf('%x/%x', (src*10) >> 32, (src*10) & 4294967295)
+          || ':' || txid || ':INSERT:public.' || tbl || ':' || seq AS event_id,
+        'dlq.$Db.public.' || tbl AS subject,
+        tbl AS table_name,
+        'maximum payload exceeded' AS error,
+        LENGTH(props) AS payload_size,
+        SUBSTR(props, 1, 6) AS payload_6
+        FROM (SELECT event_id AS src, user_id AS txid, event_type AS tbl,
+                props, $oSeq AS seq FROM events)
+        WHERE CAST(json_extract_string(props, '$$.k') AS BIGINT) >= 90
+        ORDER BY event_id""")),
+
+    // E1: deterministic micro-batch assignment within each transaction
+    // (batch = seq_in_tx / BATCH_SIZE; commit boundaries implicit).
+    "c07_batcher" -> Def(
+      (s, d) => TxAssembly.assignBatches(
+          TxAssembly.assemble(Wal2Json.decode(walStream(s, d))), batchSize = 100)
+        .groupBy(col("txid"), col("batch_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("seq_in_tx")).as("min_seq"), max(col("seq_in_tx")).as("max_seq"))
+        .orderBy(col("txid"), col("batch_no")),
+      Some(s"""SELECT user_id AS txid, seq // 100 AS batch_no, COUNT(*) AS n_events,
+        MIN(seq) AS min_seq, MAX(seq) AS max_seq
+        FROM (SELECT user_id, $oSeq AS seq FROM events)
+        GROUP BY 1, 2 ORDER BY txid, batch_no""")),
+
+    // E2/C1: contiguous-ack checkpoint position — the highest seq such that
+    // every earlier event of the tx acked (reference WaitForAcks
+    // contiguous-success position, jetstream.go:459-474; partial success
+    // never advances the checkpoint, engine.go:399-417).
+    "c08_checkpoint_contiguous" -> Def(
+      (s, d) => {
+        val seq = TxAssembly.assemble(Wal2Json.decode(walStream(s, d)))
+          .select(col("txid"), col("seq_in_tx"),
+            (element_at(col("new_values"), "value").cast("double") < 195.0).as("acked"))
+        seq.groupBy(col("txid"))
+          .agg(max(col("seq_in_tx")).as("max_seq"),
+            coalesce(min(when(!col("acked"), col("seq_in_tx"))), lit(-1L)).as("first_nack"),
+            count(when(col("acked"), lit(1))).as("n_acked"))
+          .withColumn("checkpoint_seq",
+            when(col("first_nack") === -1L, col("max_seq"))
+              .otherwise(col("first_nack") - 1))
+          .orderBy(col("txid"))
+      },
+      Some(s"""SELECT txid, MAX(seq) AS max_seq,
+        COALESCE(MIN(CASE WHEN NOT acked THEN seq END), -1) AS first_nack,
+        COUNT(CASE WHEN acked THEN 1 END) AS n_acked,
+        CASE WHEN COALESCE(MIN(CASE WHEN NOT acked THEN seq END), -1) = -1
+             THEN MAX(seq)
+             ELSE MIN(CASE WHEN NOT acked THEN seq END) - 1 END AS checkpoint_seq
+        FROM (SELECT user_id AS txid, $oSeq AS seq, value < 195.0 AS acked FROM events)
+        GROUP BY txid ORDER BY txid""")),
+
+    // P6: multi-format timestamp parsing — four of the reference's eight
+    // layouts generated per row, parsed back by the coalesce chain.
+    "c09_ts_multiformat" -> Def(
+      (s, d) => {
+        val e = t(s, d, "events")
+        val fmtId = (col("event_id") % 4)
+        val rendered = when(fmtId === 0,
+            concat(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"), lit("+00")))
+          .when(fmtId === 1,
+            concat(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), lit("+00")))
+          .when(fmtId === 2,
+            concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), lit("+00:00")))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        e.select(col("event_id"), fmtId.as("fmt_id"),
+            Wal2Json.parsePgTimestamp(rendered).as("parsed_ts"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, event_id % 4 AS fmt_id,
+        CASE WHEN event_id % 4 = 1 THEN date_trunc('second', ts) ELSE ts END AS parsed_ts
+        FROM events ORDER BY event_id"""))
+  )
+}

@@ -1,0 +1,340 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import Q.{Def, t}
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`:
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+  * cosine), similarity search (brute-force + LSH-bucketed ANN), text
+  * analysis (language ID, quality, token stats, fingerprints) and
+  * multimodal column plumbing.
+  *
+  * Oracle parity: all hashing is md5-derived integer arithmetic
+  * (TextAnalysis.hash48) and all similarity arithmetic is exact-integer
+  * (Similarity.quantize) so DuckDB reproduces results bit-for-bit; the SQL
+  * below is generated from the same constants the Spark operators use.
+  */
+object LlmQueries {
+
+  import Dedup.{mhA, mhB}
+  import TA.{P31, P9}
+
+  // ------------------------------------------------------- oracle helpers
+
+  /** DuckDB equivalent of TextAnalysis.hash48. */
+  private def oH48(e: String) = s"CAST(('0x' || substr(md5($e), 1, 12)) AS BIGINT)"
+  private val oToks = "string_split(text, ' ')"
+
+  /** DuckDB distinct 3-gram shingle CTE over documents. */
+  private val oShingles =
+    s"""sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       FROM (SELECT doc_id, $oToks AS t FROM documents),
+       UNNEST(generate_series(1, GREATEST(len(t) - 2, 0))) AS g(i))"""
+
+  /** DuckDB per-shingle base hash (mod P31) CTE (depends on sh). */
+  private val oShingleHash =
+    s"hh AS (SELECT doc_id, ${oH48("shingle")} % $P31 AS hb FROM sh)"
+
+  /** DuckDB exact-Jaccard pair CTE chain (depends on sh). */
+  private val oJaccard =
+    s"""sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       jac AS (SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)"""
+
+  /** DuckDB simhash CTE (48-bit, token-frequency weighted). */
+  private val oSimhash =
+    s"""tok AS (SELECT doc_id, UNNEST($oToks) AS tk FROM documents),
+       th AS (SELECT doc_id, ${oH48("tk")} AS hv FROM tok),
+       bits AS (SELECT doc_id, b,
+           SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM th, UNNEST(generate_series(0, 47)) AS g(b) GROUP BY doc_id, b),
+       sim AS (SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         FROM bits GROUP BY doc_id)"""
+
+  /** DuckDB quantized-embedding CTE: exact half-away-from-zero at 1e-4. */
+  private val oQuant =
+    """qe AS (SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(CASE WHEN x >= 0
+           THEN FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5)
+           ELSE CEIL(CAST(x AS DOUBLE) * 10000 - 0.5) END AS BIGINT)) AS q
+       FROM embeddings),
+       qn AS (SELECT vec_id, label, q,
+         CAST(list_sum(list_transform(generate_series(1, 64), i -> q[i] * q[i])) AS BIGINT) AS norm_sq
+       FROM qe)"""
+
+  /** DuckDB exact dot product between two quantized vectors qa/qb. */
+  private def oDot(a: String, b: String) =
+    s"CAST(list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  /** DuckDB sign-LSH bucket over the first `bits` dims. */
+  private def oBucket(bits: Int, vec: String = "embedding") =
+    (0 until bits).map(j =>
+      s"(CASE WHEN $vec[${j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+
+  val defs: Map[String, Def] = Map(
+
+    // Exact dedup: one shuffle on the content digest. Representative = min
+    // id, survivors derivable by semi join.
+    "l01_dedup_exact" -> Def(
+      (s, d) => Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")
+        .select(col("content_hash"), col("rep_id"), col("n_dups"))
+        .orderBy(col("rep_id")),
+      Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS rep_id,
+        COUNT(*) AS n_dups FROM documents GROUP BY md5(text) ORDER BY rep_id""")),
+
+    // Document fingerprints: canonical-md5 + order-sensitive rolling hash.
+    "l02_fingerprint" -> Def(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TA.fingerprintMd5(col("text")).as("fp_md5"),
+          TA.fingerprintRolling(col("text")).as("fp_rolling"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp_md5,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform($oToks, tk -> ${oH48("tk")})),
+          (a, b) -> (a * 31 + b) % $P9) AS fp_rolling
+        FROM documents ORDER BY doc_id""")),
+
+    // Token statistics (whitespace + BPE-ish subword estimate).
+    "l03_token_stats" -> Def(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TA.tokenCount(col("text")).cast("long").as("n_tokens"),
+          col("n_chars"),
+          TA.subwordCount(col("text")).as("n_subwords"),
+          TA.meanTokenLen(col("text")).as("mean_token_len"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, len($oToks) AS n_tokens, n_chars,
+        CAST(list_sum(list_transform($oToks, tk -> CAST(CEIL(LENGTH(tk) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords,
+        CAST(list_sum(list_transform($oToks, tk -> LENGTH(tk))) AS DOUBLE) / len($oToks) AS mean_token_len
+        FROM documents ORDER BY doc_id""")),
+
+    // Quality scoring (C4/Gopher-style bands, deterministic arithmetic).
+    "l04_quality" -> Def(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TA.stopwordRatio(col("text")).as("stopword_ratio"),
+          TA.qualityScore(col("text"), col("n_chars")).as("quality"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+        CAST(len(list_filter($oToks, tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len($oToks) AS stopword_ratio,
+        CAST((CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(len(list_filter($oToks, tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len($oToks) > 0.001 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(list_sum(list_transform($oToks, tk -> LENGTH(tk))) AS DOUBLE) / len($oToks) BETWEEN 3.0 AND 12.0 THEN 1 ELSE 0 END)
+           AS DOUBLE) / 3 AS quality
+        FROM documents ORDER BY doc_id""")),
+
+    // Language ID: function-word marker scoring, first-max-wins.
+    "l05_langid" -> Def(
+      (s, d) => {
+        val toks = TA.tokens(col("text"))
+        val scores = TA.langMarkers.map { case (code, ms) =>
+          code -> size(filter(toks, tk => tk.isInCollection(ms))).cast("long")
+        }
+        t(s, d, "documents")
+          .select(col("doc_id") +: TA.langId(col("text")).as("lang_pred") +:
+            scores.map { case (c, e) => e.as(s"s_$c") }: _*)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val scoreExprs = TA.langMarkers.map { case (code, ms) =>
+          code -> s"len(list_filter($oToks, tk -> tk IN (${ms.map(m => s"'$m'").mkString(",")})))"
+        }
+        val all = scoreExprs.map(e => s"s_${e._1}").mkString(", ")
+        val firstMax = scoreExprs.map { case (c, _) =>
+          s"WHEN s_$c >= GREATEST($all) THEN '$c'"
+        }.mkString(" ")
+        s"""SELECT doc_id,
+          CASE WHEN GREATEST($all) = 0 THEN 'und' $firstMax END AS lang_pred,
+          ${scoreExprs.map { case (c, _) => s"s_$c" }.mkString(", ")}
+          FROM (SELECT doc_id,
+            ${scoreExprs.map { case (c, e) => s"$e AS s_$c" }.mkString(", ")}
+          FROM documents) ORDER BY doc_id"""
+      }),
+
+    // MinHash signatures (affine permutations over portable shingle hash).
+    "l06_minhash_sig" -> Def(
+      (s, d) => {
+        val sig = Dedup.minhashSignatures(
+          Dedup.shingles(t(s, d, "documents"), "doc_id", "text"), k = 32)
+        sig.select(col("id").as("doc_id"), col("mh_1"), col("mh_8"),
+            col("mh_16"), col("mh_32"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val mins = Seq(1, 8, 16, 32).map(j =>
+          s"MIN((hb * ${mhA(j)} + ${mhB(j)}) % $P31) AS mh_$j").mkString(", ")
+        s"""WITH $oShingles, $oShingleHash
+          SELECT doc_id, $mins FROM hh GROUP BY doc_id ORDER BY doc_id"""
+      }),
+
+    // MinHash+LSH near-dup pairs, exact-Jaccard verified. 16 bands × 2 rows
+    // on k=32 gives recall 1-(1-J²)^16 (≈1-4e-23 at the planted J≈0.98), so
+    // the LSH output equals the exact-Jaccard oracle.
+    "l07_minhash_lsh_pairs" -> Def(
+      (s, d) => {
+        val sh = Dedup.shingles(t(s, d, "documents"), "doc_id", "text")
+        val sig = Dedup.minhashSignatures(sh, k = 32)
+        val cand = Dedup.lshCandidates(sig, k = 32, rowsPerBand = 2)
+        Dedup.verifyJaccard(sh, cand)
+          .filter(col("jaccard") >= 0.8)
+          .select(col("id_a"), col("id_b"), col("inter"), col("n_a"),
+            col("n_b"), col("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $oShingles, $oJaccard
+        SELECT id_a, id_b, inter, n_a, n_b, jaccard FROM jac
+        WHERE jaccard >= 0.8 ORDER BY id_a, id_b""")),
+
+    // Exact n-gram Jaccard pairs via the shingle inverted index (the
+    // no-approximation baseline of l07).
+    "l08_ngram_jaccard_pairs" -> Def(
+      (s, d) => Dedup.ngramJaccardPairs(
+          Dedup.shingles(t(s, d, "documents"), "doc_id", "text"), 0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $oShingles, $oJaccard
+        SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+        ORDER BY id_a, id_b""")),
+
+    // SimHash signatures (48-bit).
+    "l09_simhash" -> Def(
+      (s, d) => Dedup.simhash(t(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("simhash"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $oSimhash SELECT doc_id, simhash FROM sim ORDER BY doc_id""")),
+
+    // SimHash near-dup pairs by pigeonhole blocking (exact for the hamming
+    // radius — blocking changes cost, not results; oracle is the naive
+    // all-pairs filter).
+    "l10_simhash_pairs" -> Def(
+      (s, d) => Dedup.simhashPairs(
+          Dedup.simhash(t(s, d, "documents"), "doc_id", "text"), maxHamming = 8)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $oSimhash
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        ORDER BY id_a, id_b""")),
+
+    // Embedding near-dup pairs: sign-LSH bucket candidates + exact-integer
+    // cosine threshold. The bucket predicate is part of the contract (and of
+    // the oracle), so results are deterministic — no recall gap to reason
+    // about in the check.
+    "l11_embed_neardup" -> Def(
+      (s, d) => {
+        val prep = Similarity.prepare(
+          t(s, d, "embeddings").withColumnRenamed("vec_id", "id"), "embedding")
+        Similarity.cosineNearDupPairs(prep, 0.2, bits = 8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $oQuant,
+        b AS (SELECT vec_id, q, norm_sq, ${oBucket(8, "embedding")} AS bucket
+              FROM qn JOIN embeddings USING (vec_id))
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+          CAST(${oDot("a.q", "c.q")} AS DOUBLE) /
+            sqrt(CAST(a.norm_sq AS DOUBLE) * CAST(c.norm_sq AS DOUBLE)) AS cosine
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        WHERE CAST(${oDot("a.q", "c.q")} AS DOUBLE) /
+            sqrt(CAST(a.norm_sq AS DOUBLE) * CAST(c.norm_sq AS DOUBLE)) >= 0.2
+        ORDER BY id_a, id_b""")),
+
+    // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
+    "l12_ann_bruteforce" -> Def(
+      (s, d) => {
+        val prep = Similarity.prepare(
+          t(s, d, "embeddings").withColumnRenamed("vec_id", "id"), "embedding")
+        Similarity.bruteForceTopK(prep, prep.filter(col("id") < 8), k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $oQuant
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            CAST(${oDot("q.q", "c.q")} AS DOUBLE) /
+              sqrt(CAST(q.norm_sq AS DOUBLE) * CAST(c.norm_sq AS DOUBLE)) AS cosine,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY CAST(${oDot("q.q", "c.q")} AS DOUBLE) /
+                sqrt(CAST(q.norm_sq AS DOUBLE) * CAST(c.norm_sq AS DOUBLE)) DESC,
+              c.vec_id) AS BIGINT) AS rank
+          FROM qn q JOIN qn c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // LSH-bucketed ANN top-k (the scale path: candidates share a 12-bit
+    // sign bucket; recall < 1 by design and the bucket is part of the
+    // contract/oracle).
+    "l13_ann_lsh" -> Def(
+      (s, d) => {
+        val prep = Similarity.prepare(
+          t(s, d, "embeddings").withColumnRenamed("vec_id", "id"), "embedding")
+        Similarity.bucketedTopK(prep, col("id") < 50, bits = 12, k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $oQuant,
+        b AS (SELECT vec_id, q, norm_sq, ${oBucket(12, "embedding")} AS bucket
+              FROM qn JOIN embeddings USING (vec_id))
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            CAST(${oDot("q.q", "c.q")} AS DOUBLE) /
+              sqrt(CAST(q.norm_sq AS DOUBLE) * CAST(c.norm_sq AS DOUBLE)) AS cosine,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY CAST(${oDot("q.q", "c.q")} AS DOUBLE) /
+                sqrt(CAST(q.norm_sq AS DOUBLE) * CAST(c.norm_sq AS DOUBLE)) DESC,
+              c.vec_id) AS BIGINT) AS rank
+          FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 50 AND q.vec_id <> c.vec_id)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // Embedding stats per label (count, exact-integer norm stats, centroid
+    // first component).
+    "l14_embed_label_stats" -> Def(
+      (s, d) => {
+        val prep = Similarity.prepare(t(s, d, "embeddings"), "embedding")
+        prep.groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            min(col("norm_sq")).as("min_norm_sq"),
+            max(col("norm_sq")).as("max_norm_sq"),
+            (sum(element_at(col("qvec"), 1)).cast("double") / count(lit(1))).as("centroid_d1"))
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH $oQuant
+        SELECT label, COUNT(*) AS n, MIN(norm_sq) AS min_norm_sq,
+          MAX(norm_sq) AS max_norm_sq,
+          CAST(CAST(SUM(q[1]) AS BIGINT) AS DOUBLE) / COUNT(*) AS centroid_d1
+        FROM qn GROUP BY label ORDER BY label""")),
+
+    // Multimodal plumbing: binary payload envelope + [STUB] decode through
+    // the real mapPartitions path (dims derive deterministically from byte
+    // length, so the oracle replicates the formula from n_chars).
+    "l15_multimodal" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("payload", encode(col("text"), "UTF-8"))
+          .withColumn("kind",
+            when(col("doc_id") % 3 === 0, "image")
+              .when(col("doc_id") % 3 === 1, "audio").otherwise("video"))
+        val media = Multimodal.withMediaMeta(docs, "doc_id", "payload", col("kind"))
+        val decoded = Multimodal.decode(s, media).toDF()
+        decoded.select(col("media_id"), col("kind"), col("width"),
+            col("height"), col("sample_rate"), col("n_frames"))
+          .join(media.select(col("media_id"), col("byte_len"), col("content_md5")), "media_id")
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        CAST(CASE WHEN doc_id % 3 = 2 OR doc_id % 3 = 0 THEN 64 + LENGTH(text) % 640 ELSE 0 END AS INTEGER) AS width,
+        CAST(CASE WHEN doc_id % 3 = 2 OR doc_id % 3 = 0 THEN 64 + LENGTH(text) % 480 ELSE 0 END AS INTEGER) AS height,
+        CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INTEGER) AS sample_rate,
+        CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + LENGTH(text) % 30 WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER) AS n_frames,
+        LENGTH(text) AS byte_len, md5(text) AS content_md5
+        FROM documents ORDER BY media_id"""))
+  )
+}

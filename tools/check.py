@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local correctness checker mirroring the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify] [names...]
+
+Runs graft.Verify (sbt) to dump each SparkEntry query to parquet + the
+oracle SQL json, then for each query: registers every table of the sf dir
+as a DuckDB view, runs the oracle SQL, and compares to the Spark parquet —
+column names (sorted), row count, dtypes, and cell values (exact; row
+order-insensitive via sorted hash like the driver).
+"""
+import json, os, subprocess, sys
+
+import duckdb
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith('--')]
+    sfdir = args[0] if len(args) > 0 else '/root/testdata/sf0.001'
+    outdir = args[1] if len(args) > 1 else '/tmp/verify_out'
+    only = set(args[2:])
+    if '--skip-verify' not in sys.argv:
+        r = subprocess.run(
+            ['sbt', '-batch', f'runMain graft.Verify {sfdir} {outdir}'],
+            capture_output=True, text=True, cwd='/root/repo')
+        tail = '\n'.join((r.stdout + r.stderr).splitlines()[-30:])
+        if r.returncode != 0:
+            print('VERIFY FAILED:\n', tail); sys.exit(1)
+        for line in (r.stdout + r.stderr).splitlines():
+            if '[verify]' in line:
+                print(line)
+
+    oracle = json.load(open(f'{outdir}/oracle_sql.json'))
+    con = duckdb.connect()
+    for t in ['region','nation','customer','supplier','part','orders',
+              'lineitem','events','documents','embeddings']:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        pq = f'{outdir}/{name}'
+        if not os.path.isdir(pq):
+            print(f'FAIL {name}: no spark output'); n_fail += 1; continue
+        try:
+            got = con.sql(f"SELECT * FROM '{pq}/*.parquet'")
+            want = con.sql(oracle[name])
+            gcols, wcols = list(got.columns), list(want.columns)
+            if sorted(gcols) != sorted(wcols):
+                print(f'FAIL {name}: columns {sorted(gcols)} != {sorted(wcols)}')
+                n_fail += 1; continue
+            sel_g = ', '.join(f'"{c}"' for c in sorted(gcols))
+            sel_w = ', '.join(f'"{c}"' for c in sorted(wcols))
+            gt = [tuple(str(x) for x in row) for row in
+                  con.sql(f"SELECT {sel_g} FROM got").fetchall()]
+            wt = [tuple(str(x) for x in row) for row in
+                  con.sql(f"SELECT {sel_w} FROM want").fetchall()]
+            gtypes = dict(zip(got.columns, [str(t) for t in got.types]))
+            wtypes = dict(zip(want.columns, [str(t) for t in want.types]))
+            tmis = {c: (gtypes[c], wtypes[c]) for c in gtypes
+                    if gtypes[c] != wtypes[c]}
+            if len(gt) != len(wt):
+                print(f'FAIL {name}: rows {len(gt)} != {len(wt)}'); n_fail += 1
+            elif sorted(gt) != sorted(wt):
+                bad = [(a, b) for a, b in zip(sorted(gt), sorted(wt)) if a != b]
+                print(f'FAIL {name}: {len(bad)} value diffs; first: got={bad[0][0]} want={bad[0][1]}')
+                print(f'     cols={sorted(gcols)}')
+                n_fail += 1
+            elif tmis:
+                print(f'WARN {name}: dtype mismatch {tmis} (values match)')
+                n_pass += 1
+            else:
+                print(f'pass {name} ({len(gt)} rows)'); n_pass += 1
+        except Exception as e:
+            print(f'FAIL {name}: {type(e).__name__}: {str(e)[:300]}')
+            n_fail += 1
+    # queries without oracle: rows-only
+    for name in sorted(os.listdir(outdir)):
+        if name.endswith('.json') or name in oracle or (only and name not in only):
+            continue
+        try:
+            n = con.sql(f"SELECT count(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0]
+            print(f'rows-only {name}: {n} rows')
+        except Exception as e:
+            print(f'rows-only {name}: ERR {e}')
+    print(f'== {n_pass} pass, {n_fail} fail')
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == '__main__':
+    main()
