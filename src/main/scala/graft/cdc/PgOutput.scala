@@ -1,0 +1,180 @@
+package graft.cdc
+
+import java.nio.charset.StandardCharsets
+import java.nio.ByteBuffer
+import java.sql.Timestamp
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.streaming.DecodedWalEvent
+
+/** pgoutput binary decoder (reference P1/P2:
+  * internal/parser/pgoutput.go:156-347, 594-642), implemented against the
+  * public PostgreSQL logical-replication protocol (message formats
+  * documented in the PostgreSQL "Logical Replication Message Formats"
+  * chapter): Relation / Begin / Commit / Insert / Update / Delete /
+  * Truncate, with text-format tuple data.
+  *
+  * Semantics preserved from the reference:
+  *  - a per-stream relation registry updated by Relation messages at any
+  *    point (pgoutput.go:216-230) — schema can change mid-stream and only
+  *    affects later events (SURVEY.md §7.4.4);
+  *  - tuple kinds: 'n' = NULL (map value null), 'u' = unchanged TOAST —
+  *    key ABSENT from the map, distinct from null (pgoutput.go:608-617);
+  *    't' = text-format value decoded as UTF-8;
+  *  - Insert/Update/Delete inherit the txid of the enclosing Begin
+  *    (pgoutput carries xid only on Begin);
+  *  - Truncate emits one DDL event per affected relation with empty
+  *    before/after images (pgoutput.go:306-331).
+  *
+  * Execution shape: the decoder is necessarily stateful ACROSS messages
+  * (registry + current xid), so it runs as `mapPartitions` over a stream
+  * that is partition-ordered — which a replication slot's output inherently
+  * is (a WAL stream is serial; parallelism comes from downstream stages,
+  * not the decode of one slot). Multiple slots/sources parallelize as
+  * multiple partitions.
+  */
+object PgOutput {
+
+  /** Relation registry entry (reference relationInfo, pgoutput.go:20-26). */
+  case class RelationInfo(id: Int, schema: String, table: String,
+      columns: Array[String], columnTypes: Array[Int])
+
+  /** PostgreSQL epoch (2000-01-01) offset from Unix epoch, in micros. */
+  private val PgEpochMicros = 946684800000000L
+
+  private def pgTimestamp(micros: Long): Timestamp = {
+    val unixMicros = micros + PgEpochMicros
+    val ts = new Timestamp(Math.floorDiv(unixMicros, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(unixMicros, 1000000L) * 1000L).toInt)
+    ts
+  }
+
+  private def readCString(b: ByteBuffer): String = {
+    val sb = new java.io.ByteArrayOutputStream()
+    var c = b.get()
+    while (c != 0) { sb.write(c.toInt); c = b.get() }
+    new String(sb.toByteArray, StandardCharsets.UTF_8)
+  }
+
+  /** TupleData -> column name -> value map. Returns (map, n columns read).
+    * Unchanged-TOAST columns ('u') are omitted; NULLs ('n') map to null.
+    */
+  private def readTuple(b: ByteBuffer, rel: RelationInfo): Map[String, String] = {
+    val n = b.getShort().toInt
+    val m = Map.newBuilder[String, String]
+    var i = 0
+    while (i < n) {
+      val name = if (i < rel.columns.length) rel.columns(i) else s"col_$i"
+      b.get().toChar match {
+        case 'n' => m += name -> null
+        case 'u' => // unchanged TOAST: key absent (≠ null)
+        case 't' =>
+          val len = b.getInt()
+          val bytes = new Array[Byte](len)
+          b.get(bytes)
+          m += name -> new String(bytes, StandardCharsets.UTF_8)
+        case 'b' => // binary format (not requested by the reference; skip value)
+          val len = b.getInt()
+          b.position(b.position() + len)
+          m += name -> null
+        case other =>
+          throw new IllegalArgumentException(s"unknown tuple kind '$other'")
+      }
+      i += 1
+    }
+    m.result()
+  }
+
+  /** Streaming decode of one partition's ordered pgoutput messages.
+    * Registry and current-transaction id persist across the iterator.
+    */
+  def decodePartition(it: Iterator[(Long, Array[Byte])]): Iterator[DecodedWalEvent] = {
+    val registry = mutable.Map[Int, RelationInfo]()
+    var currentXid = 0L
+    var currentTs: Timestamp = null
+    it.flatMap { case (walStart, data) =>
+      val b = ByteBuffer.wrap(data)
+      b.get().toChar match {
+        case 'R' =>
+          val id = b.getInt()
+          val schema0 = readCString(b)
+          val schema = if (schema0.isEmpty) "pg_catalog" else schema0
+          val table = readCString(b)
+          b.get() // replica identity
+          val ncols = b.getShort().toInt
+          val names = new Array[String](ncols)
+          val oids = new Array[Int](ncols)
+          var i = 0
+          while (i < ncols) {
+            b.get() // flags
+            names(i) = readCString(b)
+            oids(i) = b.getInt()
+            b.getInt() // typmod
+            i += 1
+          }
+          registry(id) = RelationInfo(id, schema, table, names, oids)
+          Nil
+        case 'B' =>
+          b.getLong() // final LSN
+          currentTs = pgTimestamp(b.getLong())
+          currentXid = b.getInt().toLong & 0xffffffffL
+          Seq(DecodedWalEvent(walStart, "B", is_begin = true, is_commit = false,
+            null, null, null, null, currentXid, currentTs))
+        case 'C' =>
+          b.get() // flags
+          b.getLong() // commit LSN
+          b.getLong() // end LSN
+          val ts = pgTimestamp(b.getLong())
+          Seq(DecodedWalEvent(walStart, "C", is_begin = false, is_commit = true,
+            null, null, null, null, currentXid, ts))
+        case 'I' =>
+          val rel = registry(b.getInt())
+          require(b.get().toChar == 'N', "INSERT expects new tuple")
+          val nv = readTuple(b, rel)
+          Seq(DecodedWalEvent(walStart, "INSERT", is_begin = false, is_commit = false,
+            rel.schema, rel.table, null, nv, currentXid, currentTs))
+        case 'U' =>
+          val rel = registry(b.getInt())
+          var old: Map[String, String] = null
+          var kind = b.get().toChar
+          if (kind == 'K' || kind == 'O') {
+            old = readTuple(b, rel)
+            kind = b.get().toChar
+          }
+          require(kind == 'N', "UPDATE expects new tuple")
+          val nv = readTuple(b, rel)
+          Seq(DecodedWalEvent(walStart, "UPDATE", is_begin = false, is_commit = false,
+            rel.schema, rel.table, old, nv, currentXid, currentTs))
+        case 'D' =>
+          val rel = registry(b.getInt())
+          val kind = b.get().toChar
+          require(kind == 'K' || kind == 'O', "DELETE expects key/old tuple")
+          val ov = readTuple(b, rel)
+          Seq(DecodedWalEvent(walStart, "DELETE", is_begin = false, is_commit = false,
+            rel.schema, rel.table, ov, null, currentXid, currentTs))
+        case 'T' =>
+          val nrels = b.getInt()
+          b.get() // options (cascade/restart identity)
+          (0 until nrels).flatMap { _ =>
+            registry.get(b.getInt()).map { rel =>
+              // truncate -> DDL with empty before AND after images
+              DecodedWalEvent(walStart, "DDL", is_begin = false, is_commit = false,
+                rel.schema, rel.table, Map.empty, Map.empty, currentXid, currentTs)
+            }
+          }
+        case _ => Nil // origin/message/type messages: ignored (as reference)
+      }
+    }
+  }
+
+  /** Decode a DataFrame of (wal_start: long, data: binary) pgoutput frames
+    * into the same shape as Wal2Json.decode.
+    */
+  def decode(spark: SparkSession, raw: DataFrame,
+      walStartCol: String = "wal_start", dataCol: String = "data"): DataFrame = {
+    import spark.implicits._
+    raw.select(walStartCol, dataCol).as[(Long, Array[Byte])]
+      .mapPartitions(decodePartition)
+      .toDF()
+  }
+}

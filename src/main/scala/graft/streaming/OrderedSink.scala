@@ -1,0 +1,34 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered, idempotent batch sink (reference E2/E6:
+  * internal/engine/engine.go:447-534, internal/publisher/jetstream.go).
+  *
+  * The reference serializes publishes per subject and acks one-by-one to
+  * preserve CDC order through retries. The Spark restatement:
+  *  - repartition by `subject` so each subject's events land in a single
+  *    task (per-key order is preservable; global order would need one
+  *    partition — the documented trade-off, SURVEY.md §7.4.1);
+  *  - sortWithinPartitions (subject, lsn, seq-bearing event_id) so rows are
+  *    written in commit order per subject;
+  *  - write under `batch_id=<id>` with overwrite: re-running a failed
+  *    micro-batch (at-least-once redelivery) replaces rather than appends —
+  *    the sink-side idempotence the reference gets from Nats-Msg-Id dedup
+  *    (E7). A Kafka-backed deployment would instead use the idempotent
+  *    producer with max.in.flight=1 per partition.
+  */
+object OrderedSink {
+
+  def writeBatch(batch: DataFrame, batchId: Long, outPath: String,
+      numPartitions: Int = 0): Unit = {
+    val parts = if (numPartitions > 0) numPartitions
+      else batch.sparkSession.sessionState.conf.numShufflePartitions
+    batch
+      .repartition(parts, col("subject"))
+      .sortWithinPartitions(col("subject"), col("commit_time"), col("lsn"), col("event_id"))
+      .write.mode("overwrite")
+      .parquet(s"$outPath/batch_id=$batchId")
+  }
+}

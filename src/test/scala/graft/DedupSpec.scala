@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextAnalysis => TA}
+
+/** Dedup/similarity operator semantics on hand-built fixtures. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "completely different content with other words here"),
+    (4L, "the quick brown fox jumps over the lazy dog"))   // exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts with min-id representative") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    val dupGroup = g.find(_.getAs[Long]("n_dups") == 2).get
+    assert(dupGroup.getAs[Long]("rep_id") == 1L)
+    assert(g.length == 3)
+  }
+
+  test("exact n-gram jaccard finds near-dup and exact-dup pairs") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
+    val pairs = Dedup.ngramJaccardPairs(sh, 0.5)
+      .select($"id_a", $"id_b", $"jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)).toList == List((1L, 2L), (1L, 4L), (2L, 4L)))
+    val exact = pairs.find(p => (p._1, p._2) == (1L, 4L)).get
+    assert(exact._3 == 1.0)
+  }
+
+  test("minhash LSH candidates cover all high-jaccard pairs here") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
+    val sig = Dedup.minhashSignatures(sh, k = 32)
+    val cand = Dedup.lshCandidates(sig, k = 32, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 4L)), "exact dup must collide in every band")
+    assert(cand.contains((1L, 2L)), "J≈0.7 pair collides with 16 bands of 2")
+    val verified = Dedup.verifyJaccard(sh, Dedup.lshCandidates(sig, 32, 2))
+    assert(verified.filter($"jaccard" >= 0.99).count() == 1)
+  }
+
+  test("simhash: identical texts get identical hashes; near-dups are close") {
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(2L)) < ham(sig(1L), sig(3L)))
+    // pigeonhole blocking returns exactly the naive radius result
+    val blocked = Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "text"), maxHamming = 8)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = (for {
+      a <- sig.keys; b <- sig.keys if a < b && ham(sig(a), sig(b)) <= 8
+    } yield (a, b)).toSet
+    assert(blocked == naive)
+  }
+
+  test("quantized cosine is exact: identical vectors give exactly 1.0") {
+    val vecs = Seq(
+      (1L, Array(0.5f, 0.5f, 0.0f, 0.03125f)),
+      (2L, Array(0.5f, 0.5f, 0.0f, 0.03125f)),
+      (3L, Array(-0.5f, 0.5f, 0.0f, 0.0f)))
+      .toDF("id", "embedding")
+    val prep = Similarity.prepare(vecs, "embedding")
+    val pairs = prep.as("a").join(prep.as("b"), $"a.id" < $"b.id")
+      .select($"a.id", $"b.id",
+        Similarity.cosineQ($"a.qvec", $"b.qvec").as("cos"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(math.abs(pairs((1L, 3L))) < 1e-9)
+  }
+
+  test("portable hash48 is stable (matches DuckDB's md5-prefix arithmetic)") {
+    // DuckDB: SELECT ('0x'||substr(md5('abc'),1,12))::BIGINT = 158335321521362
+    val h = Seq("abc").toDF("s").select(TA.hash48($"s")).as[Long].collect()(0)
+    assert(h == 158335321521362L)
+  }
+
+  test("langid picks marker-dominant language, und when no markers") {
+    val df = Seq(
+      (1L, "the cat is on the mat and it is fine"),
+      (2L, "der hund ist nicht das problem und alles"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+      .select($"doc_id", TA.langId($"text").as("lang"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.cdc.PgOutput
+import graft.streaming.DecodedWalEvent
+
+/** pgoutput binary decoder semantics (reference invariants from
+  * internal/parser/pgoutput_test.go and FIXTURES.md §3).
+  */
+class PgOutputSpec extends SparkSpec {
+
+  val relUsers = 100
+  val t0 = 1705314600123456L // 2024-01-15T10:30:00.123456Z in unix micros
+
+  def decode(msgs: Seq[Array[Byte]]): List[DecodedWalEvent] =
+    PgOutput.decodePartition(
+      msgs.zipWithIndex.map { case (m, i) => (i.toLong * 10, m) }.iterator).toList
+
+  val relMsg = PgWire.relation(relUsers, "public", "users",
+    Seq("id" -> 20, "name" -> 25, "bio" -> 25))
+
+  test("insert decodes registry-named columns with txid from Begin") {
+    val out = decode(Seq(
+      relMsg,
+      PgWire.begin(1000, t0, 12345),
+      PgWire.insert(relUsers, Seq(Some("1"), Some("Test User"), Some("hello"))),
+      PgWire.commit(1000, 1001, t0)))
+    assert(out.map(_.operation) == List("B", "INSERT", "C"))
+    val ins = out(1)
+    assert(ins.schema_name == "public" && ins.table_name == "users")
+    assert(ins.txid == 12345L)
+    assert(ins.new_values == Map("id" -> "1", "name" -> "Test User", "bio" -> "hello"))
+    assert(ins.action_time.toInstant.toString == "2024-01-15T10:30:00.123456Z")
+  }
+
+  test("empty string is not NULL (pgoutput_test.go:245)") {
+    val out = decode(Seq(relMsg, PgWire.begin(1, t0, 1),
+      PgWire.insert(relUsers, Seq(Some("1"), Some(""), None))))
+    val nv = out(1).new_values
+    assert(nv("name") == "")
+    assert(nv.contains("bio") && nv("bio") == null)
+  }
+
+  test("unchanged TOAST column is absent, not null (pgoutput.go:613-614)") {
+    val out = decode(Seq(relMsg, PgWire.begin(1, t0, 1),
+      PgWire.update(relUsers, Some(Seq(Some("1"), None, None)),
+        Seq(Some("1"), Some("New"), PgWire.Toast))))
+    val upd = out(1)
+    assert(upd.operation == "UPDATE")
+    assert(!upd.new_values.contains("bio"), "TOAST column must be absent")
+    assert(upd.new_values == Map("id" -> "1", "name" -> "New"))
+    assert(upd.old_values("id") == "1")
+  }
+
+  test("delete carries key tuple as old values only") {
+    val out = decode(Seq(relMsg, PgWire.begin(1, t0, 7),
+      PgWire.delete(relUsers, Seq(Some("9"), None, None))))
+    val del = out(1)
+    assert(del.operation == "DELETE")
+    assert(del.old_values("id") == "9")
+    assert(del.new_values == null)
+  }
+
+  test("truncate emits DDL per relation with empty images (cdc_truncate_test.go:35-48)") {
+    val relOrders = 101
+    val out = decode(Seq(relMsg,
+      PgWire.relation(relOrders, "public", "orders", Seq("id" -> 20)),
+      PgWire.begin(1, t0, 3),
+      PgWire.truncate(Seq(relUsers, relOrders))))
+    val ddl = out.filter(_.operation == "DDL")
+    assert(ddl.map(_.table_name) == List("users", "orders"))
+    assert(ddl.forall(e => e.old_values.isEmpty && e.new_values.isEmpty))
+  }
+
+  test("relation replacement mid-stream affects only later events (pgoutput.go:216-230)") {
+    val out = decode(Seq(
+      relMsg, PgWire.begin(1, t0, 1),
+      PgWire.insert(relUsers, Seq(Some("1"), Some("a"), Some("b"))),
+      PgWire.relation(relUsers, "public", "users", Seq("id" -> 20, "email" -> 25)),
+      PgWire.insert(relUsers, Seq(Some("2"), Some("x@y.z")))))
+    assert(out(1).new_values.keySet == Set("id", "name", "bio"))
+    assert(out(2).new_values.keySet == Set("id", "email"))
+  }
+
+  test("distributed decode through the DataFrame API") {
+    import spark.implicits._
+    val msgs = Seq(relMsg, PgWire.begin(1000, t0, 42),
+      PgWire.insert(relUsers, Seq(Some("5"), Some("n"), None)),
+      PgWire.commit(1000, 1001, t0))
+      .zipWithIndex.map { case (m, i) => (i.toLong, m) }
+    val df = PgOutput.decode(spark, msgs.toDF("wal_start", "data").coalesce(1))
+    val rows = df.filter($"operation" === "INSERT").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Map[String, String]]("new_values")("id") == "5")
+    assert(rows(0).getAs[Long]("txid") == 42L)
+  }
+}
