@@ -32,15 +32,22 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Distinct word n-gram shingles per document: (id, shingle).
-    * Built with sequence+transform (codegen) rather than an exploding UDF.
+  /** All word n-gram shingles per document, duplicates included: (id,
+    * shingle). Built with sequence+transform (codegen) rather than an
+    * exploding UDF. Sufficient for MinHash (min is duplicate-insensitive)
+    * without the distinct shuffle.
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  def shinglesAll(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val toks = tokens(col(textCol))
     df.select(col(idCol).as("id"),
-        explode(shingleArray(toks, n)).as("shingle"))
-      .distinct()
+      explode(shingleArray(toks, n)).as("shingle"))
   }
+
+  /** Distinct word n-gram shingles per document — the set form required by
+    * Jaccard intersection counting.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    shinglesAll(df, idCol, textCol, n).distinct()
 
   /** Array of word n-gram shingles of `toks` (strings joined by a space). */
   def shingleArray(toks: Column, n: Int): Column = {
@@ -61,12 +68,17 @@ object Dedup {
   /** Per-document MinHash signatures: k min-aggregations over the shingle
     * hash — one shuffle on id with full map-side partial aggregation (each
     * mapper emits one k-wide partial row per doc).
+    *
+    * The md5-derived base hash is projected ONCE per shingle before the
+    * aggregation — putting it inside each min() would evaluate the digest
+    * k times per row. min() is duplicate-insensitive, so the input needs no
+    * distinct() pass either.
     * Output: (id, mh_1 .. mh_k).
     */
   def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
-    val base = hash31(col("shingle"))
-    val aggs = (1 to k).map(j => min((base * mhA(j) + mhB(j)) % P31).as(s"mh_$j"))
-    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val hashed = sh.select(col("id"), hash31(col("shingle")).as("h"))
+    val aggs = (1 to k).map(j => min((col("h") * mhA(j) + mhB(j)) % P31).as(s"mh_$j"))
+    hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: signature rows -> (band, h1..hr key) buckets -> candidate

@@ -164,7 +164,7 @@ object LlmQueries {
     "l06_minhash_sig" -> Def(
       (s, d) => {
         val sig = Dedup.minhashSignatures(
-          Dedup.shingles(t(s, d, "documents"), "doc_id", "text"), k = 32)
+          Dedup.shinglesAll(t(s, d, "documents"), "doc_id", "text"), k = 32)
         sig.select(col("id").as("doc_id"), col("mh_1"), col("mh_8"),
             col("mh_16"), col("mh_32"))
           .orderBy(col("doc_id"))
@@ -178,7 +178,9 @@ object LlmQueries {
 
     // MinHash+LSH near-dup pairs, exact-Jaccard verified. 16 bands × 2 rows
     // on k=32 gives recall 1-(1-J²)^16 (≈1-4e-23 at the planted J≈0.98), so
-    // the LSH output equals the exact-Jaccard oracle.
+    // the LSH output equals the exact-Jaccard oracle. (At production scale
+    // the shingle frame would be written out once as a materialized index;
+    // a .persist() here measured slower than recompute at bench scale.)
     "l07_minhash_lsh_pairs" -> Def(
       (s, d) => {
         val sh = Dedup.shingles(t(s, d, "documents"), "doc_id", "text")
