@@ -401,6 +401,66 @@ object RelationalQueries {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         ORDER BY event_id""")),
 
+    // Full outer join: per-nation customer vs supplier presence (keys
+    // coalesced so nulls never reach the ORDER BY).
+    "q21_outer_join" -> Def(
+      (s, d) => {
+        val c = t(s, d, "customer").groupBy(col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sup = t(s, d, "supplier").filter(col("s_acctbal") > 4000)
+          .groupBy(col("s_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.withColumnRenamed("nk", "c_nk")
+          .join(sup.withColumnRenamed("nk", "s_nk"),
+            col("c_nk") === col("s_nk"), "full_outer")
+          .select(coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy(col("nationkey"))
+      },
+      Some("""SELECT COALESCE(c.nk, s.nk) AS nationkey,
+        COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp
+        FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+        FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier
+          WHERE s_acctbal > 4000 GROUP BY 1) s ON c.nk = s.nk
+        ORDER BY nationkey""")),
+
+    // GROUPING SETS through the SQL surface (spark.sql on a registered
+    // view) — distinct from rollup/cube, arbitrary set list.
+    "q22_groupingsets" -> Def(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+            COALESCE(o_orderstatus, 'ALL') AS status,
+            CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+            COALESCE(o_orderpriority, 'ALL') AS priority,
+            COUNT(*) AS n
+          FROM orders_v
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+            (o_orderstatus, o_orderpriority))
+          ORDER BY g_status, status, g_prio, priority""")
+      },
+      Some("""SELECT CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        COALESCE(o_orderstatus, 'ALL') AS status,
+        CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+          (o_orderstatus, o_orderpriority))
+        ORDER BY g_status, status, g_prio, priority""")),
+
+    // HLL sketch aggregation (approx_count_distinct). Sketch internals are
+    // engine-specific, so no SQL oracle — the driver records a rows-only
+    // check; exactness is bounded by the relative-error parameter.
+    "q23_approx_distinct" -> Def(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .orderBy(col("l_returnflag")),
+      None),
+
     // Sessionization (30-min gap): lag + cumulative flag sum — the batch
     // analog of session_window, one sort per user.
     "q20_sessionize" -> Def(

@@ -52,7 +52,10 @@ object CdcStream {
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        OrderedSink.writeBatch(batch.toDF(), batchId, outPath)
+        // E4: transient sink failures retried with capped backoff; fatal
+        // errors propagate and fail the batch (at-least-once redelivery +
+        // the sink's batch_id idempotence make the retry safe).
+        Reliability.withRetry()(() => OrderedSink.writeBatch(batch.toDF(), batchId, outPath))
       }
       .start()
   }
