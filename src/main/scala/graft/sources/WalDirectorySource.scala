@@ -1,0 +1,149 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Structured Streaming source for a growing directory of wal2json
+  * line files — the replication-scan analog (reference S1/S2/S3:
+  * internal/wal/reader.go). This is SURVEY.md §7.3's "custom streaming
+  * Source committing standby feedback", built on the public DataSource V2
+  * micro-batch API:
+  *
+  *  - rows are `(wal_start LONG, data STRING)`, with
+  *    `wal_start = fileIndex << 32 | lineNumber` — the same high/low split
+  *    as a PostgreSQL LSN, so positions are totally ordered and stable;
+  *  - `latestOffset` scans the directory (sorted file names = WAL segment
+  *    order); each micro-batch reads the files between two offsets;
+  *  - `commit(end)` is the standby-feedback analog (reader.go:594-605): the
+  *    durably-processed position is appended to an `_acked` file next to
+  *    the data — the role `confirmed_flush_lsn` plays in the reference
+  *    (slot_store.go:14-17). A real Postgres source would send
+  *    StandbyStatusUpdate here;
+  *  - recovery: Spark persists offsets in the checkpoint; on restart the
+  *    stream resumes from the last committed offset (deserializeOffset).
+  *
+  * Usage: spark.readStream.format("graft.sources.WalDirectorySource")
+  *          .option("path", dir).load()
+  */
+class WalDirectorySource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WalDirectorySource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new WalTable(properties.get("path"))
+}
+
+object WalDirectorySource {
+  val schema: StructType = StructType(Seq(
+    StructField("wal_start", LongType, nullable = false),
+    StructField("data", StringType, nullable = false)))
+
+  /** Sorted data files of the directory (name order = segment order). */
+  def segmentFiles(path: String): Seq[File] = {
+    val d = new File(path)
+    Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+  }
+
+  /** Standby-feedback ledger: the last acked position, appended per commit. */
+  def ackedPositions(path: String): Seq[String] = {
+    val f = Paths.get(path, "_acked")
+    if (Files.exists(f)) Files.readAllLines(f).asScala.toSeq else Nil
+  }
+}
+
+final class WalTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"wal:$path"
+  override def schema(): StructType = WalDirectorySource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new WalScan(path)
+    }
+}
+
+final class WalScan(path: String) extends Scan {
+  override def readSchema(): StructType = WalDirectorySource.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new WalMicroBatchStream(path)
+}
+
+/** Offset = number of whole files consumed (files are immutable segments,
+  * append happens by adding new files — the WAL model).
+  */
+final case class WalOffset(fileCount: Int) extends Offset {
+  override def json(): String = s"""{"fileCount":$fileCount}"""
+}
+
+final class WalMicroBatchStream(path: String) extends MicroBatchStream {
+  override def initialOffset(): Offset = WalOffset(0)
+
+  override def latestOffset(): Offset =
+    WalOffset(WalDirectorySource.segmentFiles(path).size)
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = """"fileCount"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+    WalOffset(m.map(_.group(1).toInt).getOrElse(0))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[WalOffset].fileCount
+    val e = end.asInstanceOf[WalOffset].fileCount
+    val files = WalDirectorySource.segmentFiles(path)
+    (s until math.min(e, files.size)).map { i =>
+      WalFilePartition(i, files(i).getAbsolutePath): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new WalFileReader(p.asInstanceOf[WalFilePartition])
+    }
+
+  /** Standby feedback (reader.go:594-605): record the durably-processed
+    * position. Append-only so the ledger doubles as an audit of ack
+    * progression; the last line is the current `confirmed_flush_lsn` analog.
+    */
+  override def commit(end: Offset): Unit = {
+    val line = s"${end.json()}\n"
+    Files.write(Paths.get(path, "_acked"), line.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  override def stop(): Unit = ()
+}
+
+final case class WalFilePartition(fileIndex: Int, filePath: String) extends InputPartition
+
+final class WalFileReader(p: WalFilePartition) extends PartitionReader[InternalRow] {
+  private val lines = Files.readAllLines(Paths.get(p.filePath)).iterator()
+  private var lineNo = -1L
+  private var current: String = _
+
+  override def next(): Boolean = {
+    if (!lines.hasNext) false
+    else { current = lines.next(); lineNo += 1; true }
+  }
+
+  override def get(): InternalRow = {
+    val walStart = (p.fileIndex.toLong << 32) | lineNo
+    new GenericInternalRow(Array[Any](walStart, UTF8String.fromString(current)))
+  }
+
+  override def close(): Unit = ()
+}
