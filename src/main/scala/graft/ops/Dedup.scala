@@ -175,11 +175,12 @@ object Dedup {
     val blocked = sig.select(col("id"), col("simhash"), explode(array(blocks: _*)).as("b"))
     blocked.as("l").join(blocked.as("r"),
         col("l.b") === col("r.b") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.simhash").as("sh_a"), col("r.simhash").as("sh_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      // hamming filter BEFORE the pair-dedup: xor+popcount per candidate is
+      // cheap map-side work, while distinct() is a shuffle — filtering first
+      // shrinks that shuffle from |candidates| to |matches|.
+      .withColumn("hamming", bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("hamming"))
+      .distinct()
   }
 }

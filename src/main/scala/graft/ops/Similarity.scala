@@ -106,6 +106,55 @@ object Similarity {
         col("cosine"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN top-k — the classic coarse-quantizer scale
+    * path: KMeans centroids partition the corpus into cells; each query
+    * probes its `nProbe` nearest cells and ranks candidates by exact
+    * quantized cosine. Recall rises with nProbe; cost is |corpus|/nCells ×
+    * nProbe per query instead of |corpus|.
+    *
+    * The cell assignment is one MLlib KMeans fit (seeded — deterministic
+    * within Spark, but not engine-portable, so IVF queries get rows-only
+    * driver checks).
+    */
+  def ivfTopK(prepared: DataFrame, queryPred: Column, nCells: Int, nProbe: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+    val withVec = prepared.withColumn("fvec",
+      array_to_vector(transform(col("embedding"), _.cast("double"))))
+    val km = new KMeans().setK(nCells).setSeed(42L)
+      .setFeaturesCol("fvec").setPredictionCol("cell")
+    val model = km.fit(withVec)
+    val assigned = model.transform(withVec).drop("fvec")
+    // query -> nProbe nearest cells by centroid distance (driver-side
+    // centroid list is tiny: nCells × dim)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    val centroidDf = prepared.sparkSession.createDataFrame(centroids)
+      .toDF("cell", "centroid")
+    val qToCell = assigned.filter(queryPred).select(col("id").as("qid"), col("qvec"), col("norm_sq"))
+      .crossJoin(broadcast(centroidDf))
+      .withColumn("dist", aggregate(
+        zip_with(col("qvec"), col("centroid"), (a, b) => (a.cast("double") / 10000 - b) * (a.cast("double") / 10000 - b)),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col("cell"))))
+      .filter(col("rk") <= nProbe)
+      .select(col("qid"), col("qvec").as("q_qvec"), col("norm_sq").as("q_norm"), col("cell"))
+    val joined = qToCell.join(assigned.select(col("id").as("cid"), col("qvec").as("c_qvec"),
+        col("norm_sq").as("c_norm"), col("cell")), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine", dotQ(col("q_qvec"), col("c_qvec")).cast("double") /
+        sqrt(col("q_norm").cast("double") * col("c_norm").cast("double")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
   /** All near-duplicate pairs with cosine >= threshold, via sign-LSH
     * bucketing (near-identical vectors agree on sign buckets with high
     * probability; exact near-dup pairs additionally verified by the exact

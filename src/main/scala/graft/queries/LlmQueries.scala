@@ -295,6 +295,36 @@ object LlmQueries {
           FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 50 AND q.vec_id <> c.vec_id)
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // IVF ANN (KMeans coarse quantizer + probe): the third ANN strategy
+    // beside brute force and sign-LSH. KMeans isn't engine-portable, so
+    // this gets a rows-only driver check.
+    "l16_ann_ivf" -> Def(
+      (s, d) => {
+        val prep = Similarity.prepare(
+          t(s, d, "embeddings").withColumnRenamed("vec_id", "id"), "embedding")
+        Similarity.ivfTopK(prep, col("id") < 8, nCells = 8, nProbe = 2, k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // Salted aggregation: identical result to the plain GROUP BY (the
+    // oracle IS the unsalted query) with the hot-key shuffle spread over 8
+    // salt lanes — the skew pattern for aggregation state AQE can't split.
+    "q24_salted_agg" -> Def(
+      (s, d) => {
+        import graft.ops.Skew
+        val li = t(s, d, "lineitem")
+        Skew.saltedSumCount(li, Seq("l_returnflag"), col("l_orderkey"),
+            Q.dec(col("l_quantity")), salts = 8)
+          .select(col("l_returnflag"),
+            col("sum_value").cast("double").as("sum_qty"), col("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Embedding stats per label (count, exact-integer norm stats, centroid
     // first component).
     "l14_embed_label_stats" -> Def(

@@ -1,0 +1,89 @@
+package graft
+
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, Skew}
+
+/** Scale-pattern semantics: salting is result-invisible, bucketed joins
+  * avoid shuffles, simhash blocking is exact, IVF returns ranked neighbors.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregation result equals the unsalted plan") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val salted = Skew.saltedSumCount(li, Seq("l_returnflag"), col("l_orderkey"),
+        col("l_quantity").cast("decimal(12,2)"), salts = 8)
+      .orderBy($"l_returnflag").collect()
+    val plain = li.groupBy($"l_returnflag")
+      .agg(sum($"l_quantity".cast("decimal(12,2)")).as("sum_value"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag").collect()
+    assert(salted.map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toList ==
+      plain.map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toList)
+  }
+
+  test("salted join result equals the plain join") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_orderkey", $"l_quantity")
+    val dim = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderstatus")
+    val salted = Skew.saltedJoin(li, dim, "l_orderkey", col("l_orderkey"), salts = 4)
+    val plain = li.join(dim, "l_orderkey")
+    assert(salted.count() == plain.count())
+    assert(salted.agg(sum($"l_quantity")).collect()(0).getDouble(0) ==
+      plain.agg(sum($"l_quantity")).collect()(0).getDouble(0))
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    // (warehouse dir is a static conf; the default ./spark-warehouse is
+    // used and the tables are dropped — cleaned up — at the end)
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_orderkey", $"l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+    spark.read.parquet(s"$sf0001/orders.parquet")
+      .select($"o_orderkey", $"o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("o_b")
+    val joined = spark.table("li_b")
+      .join(spark.table("o_b"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("n"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    val shuffles = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(shuffles == 0, s"bucketed join+agg should shuffle nothing:\n$plan")
+    spark.sql("DROP TABLE li_b"); spark.sql("DROP TABLE o_b")
+  }
+
+  test("simhash pigeonhole blocking still exact after early-filter reorder") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g x"),
+      (3L, "p q r s t u v w"), (4L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val naive = (for {
+      a <- sig.keys; b <- sig.keys if a < b && ham(sig(a), sig(b)) <= 8
+    } yield (a, b)).toSet
+    val blocked = Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "text"), 8)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == naive)
+  }
+
+  test("IVF top-k ranks by exact cosine within probed cells") {
+    val prep = Similarity.prepare(
+      spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .withColumnRenamed("vec_id", "id"), "embedding")
+    val res = Similarity.ivfTopK(prep, col("id") < 3, nCells = 4, nProbe = 4, k = 5)
+    val rows = res.orderBy($"query_id", $"rank").collect()
+    assert(rows.nonEmpty)
+    // nProbe = nCells probes everything -> must equal brute force
+    val brute = Similarity.bruteForceTopK(prep, prep.filter(col("id") < 3), 5)
+      .orderBy($"query_id", $"rank").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toList ==
+      brute.map(r => (r.getLong(0), r.getLong(1))).toList)
+  }
+}
