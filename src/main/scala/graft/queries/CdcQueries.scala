@@ -212,6 +212,45 @@ object CdcQueries {
         FROM (SELECT user_id AS txid, $oSeq AS seq, value < 195.0 AS acked FROM events)
         GROUP BY txid ORDER BY txid""")),
 
+    // Mixed-operation stream: UPDATE carries both images, DELETE only the
+    // old image (FIXTURES.md §3 invariants), exercised through the full
+    // decode -> assemble -> normalize chain and checked via oracle.
+    "c10_mixed_ops" -> Def(
+      (s, d) => {
+        val e = t(s, d, "events")
+        val tsFmt = concat(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"), lit("+00"))
+        val op = when(col("event_type") === "error", "D")
+          .when(col("event_type") === "signup", "U").otherwise("I")
+        val cols = array(struct(
+          lit("src_event_id").as("name"), lit("bigint").as("type"),
+          col("event_id").cast("string").as("value")))
+        val ident = array(struct(
+          lit("src_event_id").as("name"), lit("bigint").as("type"),
+          col("event_id").cast("string").as("value")))
+        val lines = e.select((col("event_id") * 10).as("wal_start"),
+          to_json(struct(
+            op.as("action"), col("user_id").as("xid"), tsFmt.as("timestamp"),
+            lit("public").as("schema"), col("event_type").as("table"),
+            when(op =!= "D", cols).as("columns"),
+            when(op =!= "I", ident).as("identity"))).as("data"))
+        Transform.normalize(TxAssembly.assemble(Wal2Json.decode(lines)), Db)
+          .select(col("event_id"), col("event_type"), col("operation"),
+            when(col("before").isNull, -1).otherwise(size(col("before"))).as("n_before"),
+            when(col("after").isNull, -1).otherwise(size(col("after"))).as("n_after"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""SELECT
+        printf('%x/%x', (src*10) >> 32, (src*10) & 4294967295)
+          || ':' || txid || ':' || op || ':public.' || tbl || ':' || seq AS event_id,
+        'cdc.' || lower(op) AS event_type, op AS operation,
+        CASE WHEN op = 'INSERT' THEN -1 ELSE 1 END AS n_before,
+        CASE WHEN op = 'DELETE' THEN -1 ELSE 1 END AS n_after
+        FROM (SELECT event_id AS src, user_id AS txid, event_type AS tbl,
+          CASE WHEN event_type = 'error' THEN 'DELETE'
+               WHEN event_type = 'signup' THEN 'UPDATE' ELSE 'INSERT' END AS op,
+          $oSeq AS seq FROM events)
+        ORDER BY event_id""")),
+
     // P6: multi-format timestamp parsing — four of the reference's eight
     // layouts generated per row, parsed back by the coalesce chain.
     "c09_ts_multiformat" -> Def(

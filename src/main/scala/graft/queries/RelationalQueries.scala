@@ -461,6 +461,51 @@ object RelationalQueries {
         .orderBy(col("l_returnflag")),
       None),
 
+    // Exact percentiles (sort-based linear interpolation — deterministic,
+    // unlike the approx sketch) per group.
+    "q25_percentiles" -> Def(
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, array(0.25, 0.9))").getItem(0).as("p25"),
+          expr("percentile(o_totalprice, array(0.25, 0.9))").getItem(1).as("p90"))
+        .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus,
+        quantile_cont(o_totalprice, 0.5) AS p50,
+        quantile_cont(o_totalprice, 0.25) AS p25,
+        quantile_cont(o_totalprice, 0.9) AS p90
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Statistical aggregates with exact arithmetic: mean/variance/stddev
+    // from decimal power sums (Σx, Σx²) — built-in stddev/var use running
+    // float accumulation whose result depends on partition order, so the
+    // deterministic form is the power-sum identity evaluated in decimals
+    // with one final double conversion.
+    "q26_stats_exact" -> Def(
+      (s, d) => t(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("c_acctbal"))).as("s1"),
+          sum(dec(col("c_acctbal")) * dec(col("c_acctbal"))).as("s2"))
+        .select(col("c_mktsegment"), col("n"),
+          (col("s1").cast("double") / col("n")).as("mean_bal"),
+          ((col("n").cast("double") * col("s2").cast("double")
+            - col("s1").cast("double") * col("s1").cast("double")) /
+            (col("n").cast("double") * (col("n") - 1).cast("double"))).as("var_bal"))
+        .orderBy(col("c_mktsegment")),
+      // sums are exact decimals; the variance algebra is then pure-double
+      // (s1*s1 in decimals would exceed the 38-digit cap at large n and
+      // engines diverge on precision-loss handling)
+      Some("""SELECT c_mktsegment, n,
+        CAST(s1 AS DOUBLE) / n AS mean_bal,
+        (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_bal
+        FROM (SELECT c_mktsegment, COUNT(*) AS n,
+          SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS s1,
+          SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2))) AS s2
+          FROM customer GROUP BY c_mktsegment)
+        ORDER BY c_mktsegment""")),
+
     // Sessionization (30-min gap): lag + cumulative flag sum — the batch
     // analog of session_window, one sort per user.
     "q20_sessionize" -> Def(
