@@ -29,9 +29,14 @@ object TextAnalysis {
   /** Portable 48-bit integer hash: first 12 hex chars of md5. Stable across
     * engines, JVMs and partitions (unlike murmur-with-seed variants whose
     * implementations differ between engines).
+    *
+    * Evaluated by the native codegen'd expression
+    * [[graft.functions.Md5Prefix48]] — numerically identical to
+    * `conv(substring(md5(c), 1, 12), 16, 10).cast("long")` but with no hex
+    * string materialization / base-16 re-parse per value (this sits in the
+    * per-shingle hot path of every minhash/simhash query).
     */
-  def hash48(c: Column): Column =
-    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+  def hash48(c: Column): Column = graft.functions.NativeHash.hash48Native(c)
 
   /** hash48 reduced mod 2^31-1 — the base for affine minhash permutations. */
   def hash31(c: Column): Column = hash48(c) % P31

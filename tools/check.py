@@ -39,7 +39,7 @@ def main():
     for name in sorted(oracle):
         if only and name not in only:
             continue
-        pq = f'{outdir}/{name}'
+        pq = f'{outdir}/{name}.parquet'
         if not os.path.isdir(pq):
             print(f'FAIL {name}: no spark output'); n_fail += 1; continue
         try:
@@ -76,10 +76,12 @@ def main():
             n_fail += 1
     # queries without oracle: rows-only
     for name in sorted(os.listdir(outdir)):
-        if name.endswith('.json') or name in oracle or (only and name not in only):
+        base = name[:-8] if name.endswith('.parquet') else name
+        if name.endswith('.json') or base in oracle or (only and base not in only):
             continue
         try:
             n = con.sql(f"SELECT count(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0]
+            name = base
             print(f'rows-only {name}: {n} rows')
         except Exception as e:
             print(f'rows-only {name}: ERR {e}')
