@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CdcQueries, LlmQueries, Q, RelationalQueries}
+import graft.queries.{CdcQueries, LlmQueries, Q, RelationalQueries, SurfaceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,8 @@ import graft.queries.{CdcQueries, LlmQueries, Q, RelationalQueries}
 object SparkEntry {
 
   val all: Map[String, Q.Def] =
-    RelationalQueries.defs ++ CdcQueries.defs ++ LlmQueries.defs
+    RelationalQueries.defs ++ SurfaceQueries.defs ++ CdcQueries.defs ++
+      LlmQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full CDC pipeline (serialize -> wal2json decode -> tx assembly ->

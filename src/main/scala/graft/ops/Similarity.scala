@@ -122,7 +122,10 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.sql.expressions.Window
     val withVec = prepared.withColumn("fvec",
-      array_to_vector(transform(col("embedding"), _.cast("double"))))
+        array_to_vector(transform(col("embedding"), _.cast("double"))))
+      // KMeans is iterative: without this persist every iteration re-reads
+      // the source and re-runs quantize + array_to_vector.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val km = new KMeans().setK(nCells).setSeed(42L)
       .setFeaturesCol("fvec").setPredictionCol("cell")
     val model = km.fit(withVec)

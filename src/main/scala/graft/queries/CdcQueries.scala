@@ -21,8 +21,25 @@ object CdcQueries {
 
   val Db = "testdb"
 
-  /** Synthetic wal2json v2 stream from `events`: (wal_start, data). */
-  def walStream(s: SparkSession, d: String): DataFrame = {
+  /** Synthetic wal2json v2 stream from `events`: (wal_start, data).
+    *
+    * The synthesized raw input is persisted once per (session, sf dir) — it
+    * is the *source* every CDC query reads, not an operator under test; the
+    * real stages (decode/assemble/normalize/quarantine) still execute per
+    * query. MEMORY_AND_DISK so an oversized input degrades to spill, never
+    * OOM.
+    */
+  private val rawCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def walStream(s: SparkSession, d: String): DataFrame =
+    rawCache.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+      val df = buildWalStream(s, d)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    })
+
+  private def buildWalStream(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "events")
     val tsFmt = date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
     val dataRows = e.select(

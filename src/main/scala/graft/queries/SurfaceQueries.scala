@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Q.{Def, dec, t}
+
+/** Second tranche of the relational surface (SURVEY.md §2.2): pivot,
+  * generator/UDTF-shape (explode with ordinality), JSON functions, the
+  * ranking/distribution window battery, multiset set-ops, date/regex scalar
+  * functions, and array aggregation.
+  *
+  * Same scale principles as RelationalQueries: single-shuffle aggregations
+  * with map-side partials, windows shuffle once on their partition key,
+  * generators are narrow (no shuffle), and every query's filter/projection
+  * reaches the parquet scan.
+  */
+object SurfaceQueries {
+
+  val defs: Map[String, Def] = Map(
+
+    // PIVOT with an explicit value list (pivot on unknown values would need
+    // a driver-side distinct pass — the explicit list keeps it one job).
+    "q27_pivot" -> Def(
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+        COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Generator / UDTF shape: posexplode = explode with ordinality — a
+    // narrow per-row fan-out, no shuffle (the reference's pgoutput decode
+    // P1 is the same bytes -> 0..n rows shape).
+    "q28_explode_tokens" -> Def(
+      (s, d) => t(s, d, "documents").filter(col("doc_id") < 10)
+        .select(col("doc_id"), posexplode(split(col("text"), " ", -1)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("token"))
+        .orderBy(col("doc_id"), col("pos")),
+      Some("""SELECT doc_id, i - 1 AS pos, t[i] AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents WHERE doc_id < 10),
+        UNNEST(generate_series(1, len(t))) AS g(i)
+        ORDER BY doc_id, pos""")),
+
+    // JSON functions: path extraction, typed parse, and envelope
+    // construction (to_json omits nulls, so the constructed payload uses a
+    // coalesced value — same rule in the oracle).
+    "q29_json_funcs" -> Def(
+      (s, d) => {
+        val kStr = get_json_object(col("props"), "$.k")
+        val kNum = coalesce(kStr.cast("long"), lit(-1L))
+        t(s, d, "events")
+          .select(col("event_id"), kStr.as("k_str"), kNum.as("k_num"),
+            to_json(struct(col("event_id"), kNum.as("k"))).as("payload_json"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+        json_extract_string(props, '$.k') AS k_str,
+        COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k_num,
+        '{"event_id":' || event_id || ',"k":' ||
+          COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) || '}' AS payload_json
+        FROM events ORDER BY event_id""")),
+
+    // Ranking/distribution window battery: dense_rank, percent_rank,
+    // cume_dist, ntile, first/nth_value over an explicit full frame. The
+    // unique tie-breaker in the ORDER BY makes peer groups single rows, so
+    // the distribution functions are deterministic.
+    "q30_window_battery" -> Def(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "orders").filter(col("o_orderkey") <= 3000)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            dense_rank().over(w).cast("long").as("drank"),
+            percent_rank().over(w).as("prank"),
+            cume_dist().over(w).as("cdist"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            first(col("o_orderkey")).over(full).as("top_key"),
+            nth_value(col("o_orderkey"), 3).over(full).as("third_key"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+        DENSE_RANK() OVER w AS drank,
+        PERCENT_RANK() OVER w AS prank,
+        CUME_DIST() OVER w AS cdist,
+        CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        FIRST_VALUE(o_orderkey) OVER wf AS top_key,
+        NTH_VALUE(o_orderkey, 3) OVER wf AS third_key
+        FROM orders WHERE o_orderkey <= 3000
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey),
+          wf AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_orderkey""")),
+
+    // Multiset set-ops (INTERSECT ALL / EXCEPT ALL keep duplicates —
+    // different operator than q10's distinct-semantics set ops).
+    "q31_multiset_ops" -> Def(
+      (s, d) => {
+        val a = t(s, d, "orders").select(col("o_custkey").as("k"))
+        val b = t(s, d, "customer").filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("k"))
+        val mk = (op: String, df: org.apache.spark.sql.DataFrame) =>
+          df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+        mk("except_all", a.exceptAll(b))
+          .union(mk("intersect_all", a.intersectAll(b)))
+          .orderBy(col("op"))
+      },
+      Some("""SELECT op, n FROM (
+        SELECT 'except_all' AS op, COUNT(*) AS n FROM
+          (SELECT o_custkey AS k FROM orders EXCEPT ALL
+           SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+        UNION ALL
+        SELECT 'intersect_all' AS op, COUNT(*) AS n FROM
+          (SELECT o_custkey AS k FROM orders INTERSECT ALL
+           SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+        ) ORDER BY op""")),
+
+    // Date arithmetic + regex/string-split scalar battery.
+    "q32_dates_regex" -> Def(
+      (s, d) => t(s, d, "orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          date_add(col("o_orderdate"), 30).as("d_plus30"),
+          add_months(col("o_orderdate"), 2).as("d_plus2mo"),
+          last_day(col("o_orderdate")).as("d_month_end"),
+          datediff(lit(java.sql.Date.valueOf("1995-06-15")), col("o_orderdate"))
+            .cast("long").as("days_to_ref"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          regexp_extract(col("o_orderpriority"), "(\\d+)", 1).as("prio_num"),
+          expr("split_part(o_orderpriority, '-', 2)").as("prio_word"))
+        .orderBy(col("o_orderkey")),
+      // DuckDB dayofweek() is 0=Sunday; Spark's is 1=Sunday -> +1.
+      Some("""SELECT o_orderkey,
+        CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS d_plus30,
+        CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS d_plus2mo,
+        last_day(o_orderdate) AS d_month_end,
+        date_diff('day', o_orderdate, DATE '1995-06-15') AS days_to_ref,
+        dayofweek(o_orderdate) + 1 AS dow,
+        regexp_extract(o_orderpriority, '(\d+)', 1) AS prio_num,
+        split_part(o_orderpriority, '-', 2) AS prio_word
+        FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""")),
+
+    // Array aggregation: per-customer sorted order-key list (collect_list
+    // is unordered across partitions — sort_array canonicalizes, which is
+    // the deterministic form at any parallelism).
+    "q33_array_agg" -> Def(
+      (s, d) => t(s, d, "orders").filter(col("o_custkey") < 200)
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_custkey"), col("order_keys"), col("n_orders"),
+          element_at(col("order_keys"), 1).as("first_key"))
+        .orderBy(col("o_custkey")),
+      Some("""SELECT o_custkey,
+        list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+        COUNT(*) AS n_orders,
+        MIN(o_orderkey) AS first_key
+        FROM orders WHERE o_custkey < 200
+        GROUP BY o_custkey ORDER BY o_custkey"""))
+  )
+}
