@@ -100,6 +100,30 @@ object TextAnalysis {
     (lenOk + stopOk + mwlOk).cast("double") / 3
   }
 
+  /** Duplicate-2-gram fraction (Gopher-style repetition signal): 1 -
+    * distinct(2grams)/count(2grams). 0 = no repetition; rises toward 1 for
+    * boilerplate/spam. Exact integer counts, one final IEEE division.
+    */
+  def repetitionRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val grams = when(n >= 2, sequence(lit(0), n - 2))
+      .otherwise(array().cast("array<int>"))
+    val g = transform(grams, i =>
+      concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+    when(size(g) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+  }
+
+  /** Deterministic PII-shaped redaction: emails and long digit runs replaced
+    * by fixed tokens (the masking pass of a training-data pipeline; the
+    * regexes are the contract, so results are engine-portable).
+    */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "[0-9]{7,}", "<NUM>")
+
   /** Language-ID marker vocabularies (function-word heuristic). */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),

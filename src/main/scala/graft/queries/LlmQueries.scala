@@ -343,6 +343,35 @@ object LlmQueries {
           CAST(CAST(SUM(q[1]) AS BIGINT) AS DOUBLE) / COUNT(*) AS centroid_d1
         FROM qn GROUP BY label ORDER BY label""")),
 
+    // Gopher-style repetition signal: duplicate-2-gram fraction per doc.
+    "l17_repetition" -> Def(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TA.repetitionRatio(col("text")).as("rep_ratio"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+        CASE WHEN len(t) < 2 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g) END AS rep_ratio
+        FROM (SELECT doc_id, t,
+                list_transform(generate_series(1, GREATEST(len(t) - 1, 0)),
+                  i -> t[i] || ' ' || t[i+1]) AS g
+              FROM (SELECT doc_id, $oToks AS t FROM documents))
+        ORDER BY doc_id""")),
+
+    // Deterministic PII-shaped redaction (mask emails / long digit runs) —
+    // the text-cleaning pass; regexes are part of the contract.
+    "l18_redact" -> Def(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TA.redact(concat(col("text"), lit(" reach me at user"),
+            col("doc_id"), lit("@example.com or 12345678901"))).as("clean_text"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        regexp_replace(
+          regexp_replace(text || ' reach me at user' || doc_id || '@example.com or 12345678901',
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '[0-9]{7,}', '<NUM>', 'g') AS clean_text
+        FROM documents ORDER BY doc_id""")),
+
     // Multimodal plumbing: binary payload envelope + [STUB] decode through
     // the real mapPartitions path (dims derive deterministically from byte
     // length, so the oracle replicates the formula from n_chars).

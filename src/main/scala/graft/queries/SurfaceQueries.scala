@@ -149,6 +149,44 @@ object SurfaceQueries {
         split_part(o_orderpriority, '-', 2) AS prio_word
         FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""")),
 
+    // Custom typed Aggregator (UDAF surface): exact bounded top-k — the
+    // map-side-combinable alternative to the q08 window top-k (each
+    // partition ships at most k entries per group instead of every row).
+    "q34_topk_aggregator" -> Def(
+      (s, d) => {
+        val topk = udaf(new graft.functions.TopKAggregator(3))
+        t(s, d, "customer")
+          .groupBy(col("c_nationkey"))
+          .agg(topk(col("c_acctbal"), col("c_custkey")).as("top3"))
+          .select(col("c_nationkey"), col("top3"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""SELECT c_nationkey,
+        list({'bal': c_acctbal, 'key': c_custkey}
+             ORDER BY c_acctbal DESC, c_custkey)[1:3] AS top3
+        FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // Correlated scalar subquery through the SQL front-end (Catalyst
+    // decorrelates it to an aggregate + join — no per-row re-execution).
+    "q35_correlated_subquery" -> Def(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders_q35")
+        s.sql("""SELECT o_orderkey, o_custkey,
+            CAST(o_totalprice AS DOUBLE) AS price
+          FROM orders_q35 o
+          WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                                    FROM orders_q35 i
+                                    WHERE i.o_custkey = o.o_custkey)
+          ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+        CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders o
+        WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                                  FROM orders i
+                                  WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")),
+
     // Array aggregation: per-customer sorted order-key list (collect_list
     // is unordered across partitions — sort_array canonicalizes, which is
     // the deterministic form at any parallelism).
