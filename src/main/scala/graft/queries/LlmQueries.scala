@@ -183,6 +183,10 @@ object LlmQueries {
     // a .persist() here measured slower than recompute at bench scale.)
     "l07_minhash_lsh_pairs" -> Def(
       (s, d) => {
+        // One distinct shingle frame feeds signatures, sizes and the
+        // intersection self-join — its distinct-shuffle is materialized
+        // once by ReuseExchange (see verifyJaccard plan-shape note; persist
+        // variants measured slower).
         val sh = Dedup.shingles(t(s, d, "documents"), "doc_id", "text")
         val sig = Dedup.minhashSignatures(sh, k = 32)
         val cand = Dedup.lshCandidates(sig, k = 32, rowsPerBand = 2)

@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -42,7 +42,8 @@ class WalDirectorySource extends TableProvider {
     WalDirectorySource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new WalTable(properties.get("path"))
+    new WalTable(properties.get("path"),
+      Option(properties.get("maxFilesPerTrigger")).map(_.toInt))
 }
 
 object WalDirectorySource {
@@ -65,21 +66,22 @@ object WalDirectorySource {
   }
 }
 
-final class WalTable(path: String) extends Table with SupportsRead {
+final class WalTable(path: String, maxFilesPerTrigger: Option[Int])
+    extends Table with SupportsRead {
   override def name(): String = s"wal:$path"
   override def schema(): StructType = WalDirectorySource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new WalScan(path)
+      override def build(): Scan = new WalScan(path, maxFilesPerTrigger)
     }
 }
 
-final class WalScan(path: String) extends Scan {
+final class WalScan(path: String, maxFilesPerTrigger: Option[Int]) extends Scan {
   override def readSchema(): StructType = WalDirectorySource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new WalMicroBatchStream(path)
+    new WalMicroBatchStream(path, maxFilesPerTrigger)
 }
 
 /** Offset = number of whole files consumed (files are immutable segments,
@@ -89,11 +91,33 @@ final case class WalOffset(fileCount: Int) extends Offset {
   override def json(): String = s"""{"fileCount":$fileCount}"""
 }
 
-final class WalMicroBatchStream(path: String) extends MicroBatchStream {
+final class WalMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = WalOffset(0)
 
-  override def latestOffset(): Offset =
+  /** Rate limiting (the reference's bounded-channel backpressure analog,
+    * reader.go:361-366 / RAW_MESSAGE_BUFFER_SIZE): with
+    * `.option("maxFilesPerTrigger", n)` each micro-batch admits at most n
+    * new segments; the remainder stays queued for later triggers.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val total = WalDirectorySource.segmentFiles(path).size
+    val s = start.asInstanceOf[WalOffset].fileCount
+    limit match {
+      case mf: ReadMaxFiles => WalOffset(math.min(total, s + mf.maxFiles()))
+      case _ => WalOffset(total)
+    }
+  }
+
+  override def reportLatestOffset(): Offset =
     WalOffset(WalDirectorySource.segmentFiles(path).size)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
 
   override def deserializeOffset(json: String): Offset = {
     val m = """"fileCount"\s*:\s*(\d+)""".r.findFirstMatchIn(json)

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions must register the native functions into a session built
+  * with extensions — the no-code-import deployment path
+  * (`--conf spark.sql.extensions=graft.functions.GraftExtensions`).
+  *
+  * Extensions apply at session construction, so the test builds a fresh
+  * SparkSession (sharing the JVM's SparkContext) rather than reusing the
+  * suite-shared one, and restores the previous default session after.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("session built with GraftExtensions resolves graft_hash48_native in SQL") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val got = spark.sql("SELECT graft_hash48_native('abc') AS h").head.getLong(0)
+      val want = spark.sql(
+        "SELECT CAST(conv(substring(md5('abc'), 1, 12), 16, 10) AS BIGINT) AS h")
+        .head.getLong(0)
+      assert(got === want)
+    } finally {
+      // do NOT stop(): that would kill the shared SparkContext
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}

@@ -100,4 +100,24 @@ class SourcesSpec extends SparkSpec {
     assert(r.getAs[String]("et") == "cdc.delete")
     assert(r.getAs[String]("tok") == "a_b_c_d")
   }
+
+  test("maxFilesPerTrigger rate-limits admission (backpressure analog)") {
+    val dir = Files.createTempDirectory("wallimit").toString
+    (0 until 5).foreach(i =>
+      writeSegment(dir, f"seg$i%03d", Seq(wal("I", i.toLong, i))))
+    val q = spark.readStream.format("graft.sources.WalDirectorySource")
+      .option("path", dir).option("maxFilesPerTrigger", "2").load()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wallimit_out").start()
+    try {
+      q.processAllAvailable()
+      val sq = q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
+      val batches = sq.recentProgress.filter(_.numInputRows > 0)
+      assert(spark.table("wallimit_out").count() == 5)
+      // 5 segments at <=2 per trigger -> at least 3 non-empty micro-batches
+      assert(batches.length >= 3,
+        s"expected >=3 rate-limited batches, got ${batches.length}")
+      assert(batches.forall(_.numInputRows <= 2))
+    } finally q.stop()
+  }
 }
