@@ -166,6 +166,28 @@ object SurfaceQueries {
              ORDER BY c_acctbal DESC, c_custkey)[1:3] AS top3
         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
 
+    // TPC-H Q14 shape: LIKE-filtered broadcast dimension join + conditional
+    // ratio aggregate over the fact table (part is broadcast; lineitem
+    // never shuffles — the aggregation is a map-side partial + 1-row final).
+    "q36_promo_revenue" -> Def(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val p = t(s, d, "part")
+        val rev = dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount")))
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type").like("PROMO%"), rev)).cast("double").as("promo_rev"),
+            sum(rev).cast("double").as("total_rev"),
+            (lit(100.0) * sum(when(col("p_type").like("PROMO%"), rev)).cast("double") /
+              sum(rev).cast("double")).as("promo_pct"))
+      },
+      Some("""SELECT
+        CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) END) AS DOUBLE) AS promo_rev,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_rev,
+        100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) END) AS DOUBLE)
+          / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey""")),
+
     // Correlated scalar subquery through the SQL front-end (Catalyst
     // decorrelates it to an aggregate + join — no per-row re-execution).
     "q35_correlated_subquery" -> Def(
