@@ -347,6 +347,27 @@ object LlmQueries {
           CAST(CAST(SUM(q[1]) AS BIGINT) AS DOUBLE) / COUNT(*) AS centroid_d1
         FROM qn GROUP BY label ORDER BY label""")),
 
+    // Frame-sampling plan over the decoded video metadata (every 5th frame
+    // index, metadata-only — no payload bytes move).
+    "l19_frame_sample" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("payload", encode(col("text"), "UTF-8"))
+          .withColumn("kind",
+            when(col("doc_id") % 3 === 0, "image")
+              .when(col("doc_id") % 3 === 1, "audio").otherwise("video"))
+        val media = Multimodal.withMediaMeta(docs, "doc_id", "payload", col("kind"))
+        val decoded = Multimodal.decode(s, media).toDF()
+        Multimodal.sampleFrames(decoded, stride = 5)
+          .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      Some("""SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx
+        FROM (SELECT doc_id, 1 + LENGTH(text) % 30 AS n_frames
+              FROM documents WHERE doc_id % 3 = 2),
+        UNNEST(generate_series(0, n_frames - 1, 5)) AS g(f)
+        ORDER BY media_id, frame_idx""")),
+
     // Gopher-style repetition signal: duplicate-2-gram fraction per doc.
     "l17_repetition" -> Def(
       (s, d) => t(s, d, "documents")
