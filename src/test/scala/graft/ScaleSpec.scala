@@ -86,4 +86,42 @@ class ScaleSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toList ==
       brute.map(r => (r.getLong(0), r.getLong(1))).toList)
   }
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // let AQE settle on the final physical plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q36 dimension join broadcasts part (no shuffle join at any scale)") {
+    val plan = finalPlan(SparkEntry.all("q36_promo_revenue").fn(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), "part join must not shuffle-sort")
+  }
+
+  test("q34 TopK aggregator does map-side partial aggregation") {
+    val plan = finalPlan(SparkEntry.all("q34_topk_aggregator").fn(spark, sf0001))
+    // typed Aggregator -> ObjectHashAggregate with a partial pass before the
+    // exchange: each partition ships at most k entries per group
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
+      "expected partial + final aggregate passes")
+  }
+
+  test("q35 correlated subquery is decorrelated (no per-row subplan)") {
+    val plan = finalPlan(SparkEntry.all("q35_correlated_subquery").fn(spark, sf0001))
+    assert(!plan.contains("Subquery"), "should decorrelate to a join")
+    assert(plan.contains("Join") || plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("q28 generator stays narrow: no exchange before the explode") {
+    val df = SparkEntry.all("q28_explode_tokens").fn(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val genIdx = plan.indexOf("Generate")
+    assert(genIdx >= 0, plan.take(400))
+    // the only exchange is the final global orderBy, after the generate
+    val preGenerate = plan.substring(genIdx)
+    assert(!preGenerate.contains("Exchange") || plan.indexOf("Exchange") < genIdx,
+      "explode must run on the scan side without a prior shuffle")
+  }
 }
