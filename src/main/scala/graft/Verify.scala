@@ -34,7 +34,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Emit every oracle under BOTH the bare name and the `<name>.parquet`
+    // output-dir form — CORRECTNESS_r01 showed the driver looks up oracle
+    // SQL by the output-dir name including the suffix (all 65 rows came
+    // back `no_oracle` with bare keys). Double-keying satisfies either
+    // lookup convention.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

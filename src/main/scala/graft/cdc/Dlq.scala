@@ -31,8 +31,11 @@ object Dlq {
     * null = publishable.
     */
   def classify(payload: Column, subject: Column, maxPayloadBytes: Long): Column =
-    when(length(payload) > maxPayloadBytes,
-        concat(lit("maximum payload exceeded: "), length(payload).cast("string")))
+    // octet_length, not length: the reference's max-payload limit is BYTES
+    // (server-side message cap) — a multi-byte UTF-8 payload can be ~4x
+    // over the sink limit while its character count stays under it.
+    when(octet_length(payload) > maxPayloadBytes,
+        concat(lit("maximum payload exceeded: "), octet_length(payload).cast("string")))
       .when(subject.isNull || subject === "" || subject.contains(" ") ||
             subject.contains("*") || subject.contains(">"),
         lit("invalid subject"))
@@ -53,9 +56,14 @@ object Dlq {
         lit(database).as("database"),
         col("schema"), col("table"), col("operation"), col("lsn"), col("txid"),
         col("_error").as("error"),
-        length(payloadCol).cast("long").as("payload_size"),
-        (length(payloadCol) > MaxPayloadPrefix).as("truncated"),
-        substring(payloadCol, 1, MaxPayloadPrefix).as("payload_prefix"),
+        octet_length(payloadCol).cast("long").as("payload_size"),
+        (octet_length(payloadCol) > MaxPayloadPrefix).as("truncated"),
+        // byte-accurate 64 KiB cap (dlq.go:15 truncates bytes): encode ->
+        // binary substring -> decode. A multi-byte char split at the
+        // boundary decodes to U+FFFD — same data loss the reference's byte
+        // slice has.
+        decode(substring(encode(payloadCol, "UTF-8"), 1, MaxPayloadPrefix), "UTF-8")
+          .as("payload_prefix"),
         current_timestamp().as("quarantined_at"))
     (ok, dlq)
   }

@@ -73,10 +73,13 @@ object PgOutput {
           val bytes = new Array[Byte](len)
           b.get(bytes)
           m += name -> new String(bytes, StandardCharsets.UTF_8)
-        case 'b' => // binary format (not requested by the reference; skip value)
+        case 'b' => // binary format: preserve raw bytes as postgres-style
+          // hex (`\x…`) — degraded-but-present, like the reference's
+          // default arm (pgoutput.go:608-617), never silently null.
           val len = b.getInt()
-          b.position(b.position() + len)
-          m += name -> null
+          val bytes = new Array[Byte](len)
+          b.get(bytes)
+          m += name -> bytes.map("%02x".format(_)).mkString("\\x", "", "")
         case other =>
           throw new IllegalArgumentException(s"unknown tuple kind '$other'")
       }

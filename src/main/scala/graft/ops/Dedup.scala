@@ -179,11 +179,23 @@ object Dedup {
     */
   def simhashPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
     val nBlocks = maxHamming + 1
-    val width = SimhashBits / nBlocks + (if (SimhashBits % nBlocks == 0) 0 else 1)
+    // Pigeonhole soundness needs every block non-empty: split the 48 bits
+    // into nBlocks spans of base/base+1 bits (remainder spread over the
+    // first blocks). The previous ceil-width split let the last block
+    // degenerate to width 0 (e.g. maxHamming=8 -> 9 blocks of ceil 6 = 54
+    // bits -> block 8 masked nothing), which funneled every doc through one
+    // (blk, 0) bucket — a full n² join that only the hamming filter saved.
+    require(nBlocks >= 2 && nBlocks <= SimhashBits,
+      s"maxHamming must be in [1, ${SimhashBits - 1}], got $maxHamming")
+    val base = SimhashBits / nBlocks
+    val rem = SimhashBits % nBlocks
+    val widths = (0 until nBlocks).map(i => base + (if (i < rem) 1 else 0))
+    assert(widths.forall(_ >= 1) && widths.sum == SimhashBits)
+    val offsets = widths.scanLeft(0)(_ + _)
     val blocks = (0 until nBlocks).map { i =>
-      val mask = ((1L << math.min(width, SimhashBits - i * width)) - 1)
+      val mask = (1L << widths(i)) - 1
       struct(lit(i).as("blk"),
-        shiftrightunsigned(col("simhash"), i * width).bitwiseAND(lit(mask)).as("v"))
+        shiftrightunsigned(col("simhash"), offsets(i)).bitwiseAND(lit(mask)).as("v"))
     }
     val blocked = sig.select(col("id"), col("simhash"), explode(array(blocks: _*)).as("b"))
     blocked.as("l").join(blocked.as("r"),

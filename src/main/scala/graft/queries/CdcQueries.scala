@@ -197,7 +197,7 @@ object CdcQueries {
         'dlq.$Db.public.' || tbl AS subject,
         tbl AS table_name,
         'maximum payload exceeded' AS error,
-        LENGTH(props) AS payload_size,
+        STRLEN(props) AS payload_size,
         SUBSTR(props, 1, 6) AS payload_6
         FROM (SELECT event_id AS src, user_id AS txid, event_type AS tbl,
                 props, $oSeq AS seq FROM events)

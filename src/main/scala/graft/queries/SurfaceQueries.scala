@@ -155,15 +155,23 @@ object SurfaceQueries {
     "q34_topk_aggregator" -> Def(
       (s, d) => {
         val topk = udaf(new graft.functions.TopKAggregator(3))
+        // Serialized to one string per group: the driver's canonicalizer
+        // hashes cells with pandas and can't sort array<struct> values.
+        // %.2f on both sides avoids Jackson-vs-DuckDB double rendering.
         t(s, d, "customer")
           .groupBy(col("c_nationkey"))
           .agg(topk(col("c_acctbal"), col("c_custkey")).as("top3"))
-          .select(col("c_nationkey"), col("top3"))
+          .select(col("c_nationkey"),
+            concat_ws("|", transform(col("top3"), e =>
+              concat(format_string("%.2f", e.getField("bal")), lit(":"),
+                e.getField("key").cast("string")))).as("top3_str"))
           .orderBy(col("c_nationkey"))
       },
       Some("""SELECT c_nationkey,
-        list({'bal': c_acctbal, 'key': c_custkey}
-             ORDER BY c_acctbal DESC, c_custkey)[1:3] AS top3
+        array_to_string(list_transform(
+          (list({'bal': c_acctbal, 'key': c_custkey}
+                ORDER BY c_acctbal DESC, c_custkey))[1:3],
+          e -> printf('%.2f', e.bal) || ':' || CAST(e.key AS VARCHAR)), '|') AS top3_str
         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
 
     // TPC-H Q14 shape: LIKE-filtered broadcast dimension join + conditional
@@ -213,15 +221,20 @@ object SurfaceQueries {
     // is unordered across partitions — sort_array canonicalizes, which is
     // the deterministic form at any parallelism).
     "q33_array_agg" -> Def(
+      // The array itself is JSON-serialized for the driver compare (pandas
+      // can't hash ndarray cells); both engines render array<bigint> as
+      // compact `[1,2,3]`. The collect_list/sort_array operator stays under
+      // test — only the final rendering changed.
       (s, d) => t(s, d, "orders").filter(col("o_custkey") < 200)
         .groupBy(col("o_custkey"))
         .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
           count(lit(1)).as("n_orders"))
-        .select(col("o_custkey"), col("order_keys"), col("n_orders"),
+        .select(col("o_custkey"), to_json(col("order_keys")).as("order_keys_json"),
+          col("n_orders"),
           element_at(col("order_keys"), 1).as("first_key"))
         .orderBy(col("o_custkey")),
       Some("""SELECT o_custkey,
-        list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+        CAST(to_json(list(o_orderkey ORDER BY o_orderkey)) AS VARCHAR) AS order_keys_json,
         COUNT(*) AS n_orders,
         MIN(o_orderkey) AS first_key
         FROM orders WHERE o_custkey < 200

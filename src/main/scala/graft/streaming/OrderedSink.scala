@@ -21,13 +21,33 @@ import org.apache.spark.sql.functions._
   */
 object OrderedSink {
 
+  import org.apache.spark.sql.Column
+
+  /** Numeric WAL position from the canonical `X/Y` lower-hex rendering.
+    * Sorting on the hex STRING is not numeric order for variable-width hex
+    * ('2' > '10' lexicographically), so within a transaction (equal
+    * commit_time) rows could be written out of WAL order whenever the hex
+    * digit count changes. Decoding back to the 64-bit position restores
+    * true commit order without widening the normalize schema.
+    */
+  private[graft] def lsnNumeric(lsn: Column): Column =
+    conv(split(lsn, "/").getItem(0), 16, 10).cast("long") * lit(4294967296L) +
+      conv(split(lsn, "/").getItem(1), 16, 10).cast("long")
+
+  /** seq_in_tx from the event-id tail (`lsn:txid:op:schema.table:seq`) —
+    * decimal, so the string form of the id does not sort numerically either.
+    */
+  private[graft] def seqNumeric(eventId: Column): Column =
+    element_at(split(eventId, ":"), -1).cast("long")
+
   def writeBatch(batch: DataFrame, batchId: Long, outPath: String,
       numPartitions: Int = 0): Unit = {
     val parts = if (numPartitions > 0) numPartitions
       else batch.sparkSession.sessionState.conf.numShufflePartitions
     batch
       .repartition(parts, col("subject"))
-      .sortWithinPartitions(col("subject"), col("commit_time"), col("lsn"), col("event_id"))
+      .sortWithinPartitions(col("subject"), col("commit_time"),
+        lsnNumeric(col("lsn")), seqNumeric(col("event_id")))
       .write.mode("overwrite")
       .parquet(s"$outPath/batch_id=$batchId")
   }

@@ -29,7 +29,12 @@ def main():
             if '[verify]' in line:
                 print(line)
 
-    oracle = json.load(open(f'{outdir}/oracle_sql.json'))
+    # Verify emits each oracle under both `<name>` and `<name>.parquet`
+    # (the driver looks up by output-dir name, suffix included) — collapse
+    # to bare names here.
+    oracle = {}
+    for k, v in json.load(open(f'{outdir}/oracle_sql.json')).items():
+        oracle[k[:-8] if k.endswith('.parquet') else k] = v
     con = duckdb.connect()
     for t in ['region','nation','customer','supplier','part','orders',
               'lineitem','events','documents','embeddings']:
