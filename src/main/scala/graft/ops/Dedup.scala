@@ -81,24 +81,58 @@ object Dedup {
     hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Drop bucket keys holding more than `maxBucket` members before a
+    * bucket self-join. A degenerate corpus (boilerplate, empty docs, spam
+    * runs) can collapse into one bucket and turn the "never n²" candidate
+    * join quadratic; capping bounds any bucket's pair contribution at
+    * maxBucket² at the cost of recall ON that degenerate mass (its members
+    * are mutual near-dups of each other anyway — production pipelines
+    * handle such clusters by exact-hash dedup first). The size aggregate
+    * shares the self-join's exchange on the bucket key (ReuseExchange).
+    */
+  private def capBuckets(bucketed: DataFrame, keyCol: String, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) bucketed
+    else {
+      val ok = bucketed.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") <= maxBucket).select(col(keyCol))
+      bucketed.join(ok, Seq(keyCol), "left_semi")
+    }
+
   /** LSH banding: signature rows -> (band, h1..hr key) buckets -> candidate
     * pairs via a self-equi-join on the bucket key. rowsPerBand=2 keeps recall
     * ≥ 1-1e-18 at J≥0.8 with k=32 (16 bands): P(miss) = (1-J²)^16.
+    * `maxBucket` > 0 guards the self-join against degenerate buckets (see
+    * [[capBuckets]]); 0 = unbounded (exact-recall mode).
     * Output: distinct (id_a, id_b) with id_a < id_b.
     */
-  def lshCandidates(sig: DataFrame, k: Int, rowsPerBand: Int = 2): DataFrame = {
+  def lshCandidates(sig: DataFrame, k: Int, rowsPerBand: Int = 2,
+      maxBucket: Int = 0): DataFrame = {
     val bands = k / rowsPerBand
     val bandStructs = (0 until bands).map { b =>
       val cols = (1 to rowsPerBand).map(r =>
         col(s"mh_${b * rowsPerBand + r}").as(s"h$r"))
       struct(lit(b).as("band") +: cols: _*)
     }
-    val bucketed = sig
-      .select(col("id"), explode(array(bandStructs: _*)).as("bucket"))
+    val bucketed = capBuckets(
+      sig.select(col("id"), explode(array(bandStructs: _*)).as("bucket")),
+      "bucket", maxBucket)
     bucketed.as("l").join(bucketed.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
+  }
+
+  /** Drop shingles that appear in more than `maxDf` documents. High-df
+    * shingles ("of the …") carry no discriminative signal but dominate the
+    * cost of any inverted-index self-join — a single shingle present in m
+    * docs contributes m² candidate pairs. Standard MinHash practice; NOTE
+    * this changes Jaccard values (it is an approximation), so callers that
+    * are oracle-checked against exact Jaccard must not enable it there.
+    */
+  def dfCapped(sh: DataFrame, maxDf: Long): DataFrame = {
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select(col("shingle"))
+    sh.join(rare, Seq("shingle"), "left_semi")
   }
 
   /** Exact Jaccard for given candidate pairs, via the shingle inverted
@@ -109,19 +143,24 @@ object Dedup {
     * `sh` must carry set semantics (distinct (id, shingle) rows, i.e.
     * [[shingles]] output).
     *
-    * Plan-shape note (measured at sf0.1): this formulation references
-    * `candidates` exactly ONCE and `sh` through subtrees that share the
-    * same distinct-shuffle — Catalyst's ReuseExchange then materializes the
-    * shingle index a single time for the sizes aggregate, both self-join
-    * sides and the signature chain of the caller. Variants that referenced
-    * the candidate set twice (candidate-doc pre-restriction) or persisted
-    * intermediates measured 1.5-3x slower: the double reference re-ran the
-    * whole LSH chain, and persists split the plan into jobs that defeat
-    * exchange reuse entirely.
+    * Scale shape: BOTH sides of the intersection self-join are first
+    * semi-joined to the distinct candidate doc-ids, so the join input is
+    * |shingles of candidate docs|, not the whole corpus — without this, one
+    * hot shingle makes the self-join quadratic in corpus size regardless of
+    * how few candidates LSH produced. The candidate-id frame is tiny
+    * relative to the corpus (it IS the near-dup set), so Spark broadcasts
+    * it and the restriction is a narrow scan-side filter; the candidate
+    * subtree behind it is materialized once by ReuseExchange (three
+    * references, identical exchange). Per-doc sizes still come from the
+    * unrestricted `sh` aggregate — same values, and that aggregate shares
+    * the signature chain's shuffle.
     */
   def verifyJaccard(sh: DataFrame, candidates: DataFrame): DataFrame = {
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val shc = sh.join(candIds, Seq("id"), "left_semi")
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+    val inter = shc.as("a").join(shc.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .join(candidates, Seq("id_a", "id_b"), "left_semi")
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
@@ -177,7 +216,8 @@ object Dedup {
     * approximate). Join on (block_idx, block_value) — shuffle volume is
     * corpus × blocks, never n².
     */
-  def simhashPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashPairs(sig: DataFrame, maxHamming: Int,
+      maxBucket: Int = 0): DataFrame = {
     val nBlocks = maxHamming + 1
     // Pigeonhole soundness needs every block non-empty: split the 48 bits
     // into nBlocks spans of base/base+1 bits (remainder spread over the
@@ -197,7 +237,9 @@ object Dedup {
       struct(lit(i).as("blk"),
         shiftrightunsigned(col("simhash"), offsets(i)).bitwiseAND(lit(mask)).as("v"))
     }
-    val blocked = sig.select(col("id"), col("simhash"), explode(array(blocks: _*)).as("b"))
+    val blocked = capBuckets(
+      sig.select(col("id"), col("simhash"), explode(array(blocks: _*)).as("b")),
+      "b", maxBucket)
     blocked.as("l").join(blocked.as("r"),
         col("l.b") === col("r.b") && col("l.id") < col("r.id"))
       // hamming filter BEFORE the pair-dedup: xor+popcount per candidate is

