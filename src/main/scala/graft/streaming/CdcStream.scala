@@ -38,15 +38,21 @@ object CdcStream {
       .dropDuplicatesWithinWatermark("event_id")
   }
 
-  /** Start the pipeline into an ordered parquet sink with checkpointed
-    * recovery. `trigger` mirrors the reference's BATCH_TIMEOUT micro-batch
-    * cadence (E1).
+  /** Start the pipeline into a parquet sink with checkpointed recovery.
+    * `trigger` mirrors the reference's BATCH_TIMEOUT micro-batch cadence
+    * (E1). `unsafeUnorderedAsyncPublish` selects the reference's explicit
+    * E3 unordered mode ([[UnorderedSink]]) — same flag name, same default
+    * (ordered), same trade-off (throughput for order).
     */
   def start(spark: SparkSession, raw: DataFrame, database: String,
       outPath: String, checkpointPath: String,
       tableAllowlist: Seq[String] = Nil,
-      trigger: Trigger = Trigger.ProcessingTime("100 milliseconds")): StreamingQuery = {
-    val events = pipeline(spark, raw, database, tableAllowlist)
+      trigger: Trigger = Trigger.ProcessingTime("100 milliseconds"),
+      unsafeUnorderedAsyncPublish: Boolean = false,
+      maxPublishRetries: Int = 3,
+      dedupWatermark: String = "2 minutes",
+      metrics: Option[CdcMetrics.Registry] = None): StreamingQuery = {
+    val events = pipeline(spark, raw, database, tableAllowlist, dedupWatermark)
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
@@ -55,8 +61,33 @@ object CdcStream {
         // E4: transient sink failures retried with capped backoff; fatal
         // errors propagate and fail the batch (at-least-once redelivery +
         // the sink's batch_id idempotence make the retry safe).
-        Reliability.withRetry()(() => OrderedSink.writeBatch(batch.toDF(), batchId, outPath))
+        val df = batch.toDF()
+        if (metrics.isDefined) df.persist() // one materialization for write + count
+        try {
+          Reliability.withRetry(maxPublishRetries,
+              onRetry = () => metrics.foreach(_.publishRetries.inc()))(() =>
+            if (unsafeUnorderedAsyncPublish)
+              UnorderedSink.writeBatch(df, batchId, outPath)
+            else OrderedSink.writeBatch(df, batchId, outPath))
+          metrics.foreach(_.published.add(df.count()))
+        } finally if (metrics.isDefined) df.unpersist()
       }
       .start()
+  }
+
+  /** Start from a validated [[graft.config.GraftConfig]]: batch cadence,
+    * table filters, dedup window, publish mode and retry budget all come
+    * from the config surface instead of per-call-site constants.
+    */
+  def startFromConfig(spark: SparkSession, raw: DataFrame,
+      cfg: graft.config.GraftConfig, outPath: String,
+      checkpointPath: String): StreamingQuery = {
+    cfg.validate.foreach(err => throw new IllegalArgumentException(err))
+    start(spark, raw, cfg.database, outPath, checkpointPath,
+      tableAllowlist = cfg.tableFilters,
+      trigger = Trigger.ProcessingTime(cfg.batchTimeout.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS),
+      unsafeUnorderedAsyncPublish = cfg.unsafeUnorderedAsyncPublish,
+      maxPublishRetries = cfg.maxPublishRetries,
+      dedupWatermark = s"${cfg.duplicateWindow.toSeconds} seconds")
   }
 }

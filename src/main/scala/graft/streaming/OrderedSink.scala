@@ -52,3 +52,23 @@ object OrderedSink {
       .parquet(s"$outPath/batch_id=$batchId")
   }
 }
+
+/** Explicitly-unsafe unordered publish (reference E3:
+  * `UNSAFE_UNORDERED_ASYNC_PUBLISH`, internal/engine/engine.go:539-661).
+  *
+  * The reference's unordered path publishes the whole batch async and
+  * retries ONLY the failed items, so later events can commit before
+  * earlier failed ones — maximum throughput, no order guarantee. The
+  * Spark restatement drops the subject repartition and the in-partition
+  * sort entirely: every input partition writes concurrently with no
+  * shuffle, and Spark's task-level retry re-executes only failed
+  * partitions (the retry-only-failed semantics at partition granularity)
+  * while the parquet job commit keeps redelivered batches idempotent via
+  * the `batch_id=` overwrite. Opt-in only — [[CdcStream.start]] selects it
+  * from the same config flag name the reference uses.
+  */
+object UnorderedSink {
+
+  def writeBatch(batch: DataFrame, batchId: Long, outPath: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+}

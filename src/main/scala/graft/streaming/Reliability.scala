@@ -50,14 +50,16 @@ object Reliability {
     */
   @tailrec
   def withRetry[A](maxRetries: Int = 3, attempt: Int = 1,
-      sleep: Long => Unit = Thread.sleep)(op: () => A): A = {
+      sleep: Long => Unit = Thread.sleep,
+      onRetry: () => Unit = () => ())(op: () => A): A = {
     val r = try Right(op()) catch { case e: Throwable => Left(e) }
     r match {
       case Right(a) => a
       case Left(e) if attempt > maxRetries || isFatal(e) => throw e
       case Left(_) =>
+        onRetry() // publish_retries_total in the reference (engine.go:566)
         sleep(backoffMillis(attempt))
-        withRetry(maxRetries, attempt + 1, sleep)(op)
+        withRetry(maxRetries, attempt + 1, sleep, onRetry)(op)
     }
   }
 
@@ -66,8 +68,15 @@ object Reliability {
     * last progress timestamp, terminal-state capture for the restart policy.
     * Register with `spark.streams.addListener(listener)`; the same numbers
     * surface in the Spark metrics system / UI in a real deployment.
+    *
+    * Pass a [[CdcMetrics.Registry]] to additionally publish under the
+    * reference's Prometheus metric names (events_total,
+    * batches_published_total, batch_latency_microseconds,
+    * events_per_second, replication_errors_total) — scrapable via
+    * [[HealthServer]]'s /metrics.
     */
-  final class CdcMetricsListener extends StreamingQueryListener {
+  final class CdcMetricsListener(registry: Option[CdcMetrics.Registry] = None)
+      extends StreamingQueryListener {
     val batches = new AtomicLong(0)
     val inputRows = new AtomicLong(0)
     val starts = new AtomicLong(0)
@@ -79,11 +88,20 @@ object Reliability {
     override def onQueryProgress(event: QueryProgressEvent): Unit = {
       batches.incrementAndGet()
       inputRows.addAndGet(event.progress.numInputRows)
+      registry.foreach { r =>
+        r.eventsTotal.add(event.progress.numInputRows)
+        r.batchesPublished.inc()
+        Option(event.progress.durationMs.get("triggerExecution"))
+          .foreach(ms => r.batchLatency.observe(ms * 1000L)) // micros
+        r.eventsPerSecond.set(event.progress.processedRowsPerSecond.toLong)
+      }
     }
     override def onQueryIdle(event: QueryIdleEvent): Unit = ()
     override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
       terminations.incrementAndGet()
       lastError.set(event.exception)
+      if (event.exception.isDefined)
+        registry.foreach(_.replicationErrors.inc())
     }
 
     def snapshot: Map[String, Long] = Map(

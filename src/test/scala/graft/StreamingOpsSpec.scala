@@ -96,7 +96,8 @@ class StreamingOpsSpec extends SparkSpec {
 
   test("metrics listener counts batches/rows and terminations (M1)") {
     implicit val sctx = spark.sqlContext
-    val listener = new Reliability.CdcMetricsListener
+    val registry = new graft.streaming.CdcMetrics.Registry
+    val listener = new Reliability.CdcMetricsListener(Some(registry))
     spark.streams.addListener(listener)
     try {
       val input = MemoryStream[Long]
@@ -115,6 +116,10 @@ class StreamingOpsSpec extends SparkSpec {
       assert(snap("starts") >= 1)
       assert(snap("input_rows") >= 3)
       assert(snap("batches") >= 1)
+      // the same progress feeds the Prometheus-named registry
+      assert(registry.eventsTotal.get >= 3)
+      assert(registry.batchesPublished.get >= 1)
+      assert(registry.batchLatency.count >= 1)
     } finally spark.streams.removeListener(listener)
   }
 }

@@ -4,7 +4,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
-import graft.streaming.{CdcStream, OrderedSink}
+import graft.streaming.{CdcStream, OrderedSink, UnorderedSink}
 
 /** Streaming pipeline semantics: commit-gated emission from stateful tx
   * assembly, effectively-once via dedup, and checkpointed recovery
@@ -105,5 +105,64 @@ class StreamingSpec extends SparkSpec {
     OrderedSink.writeBatch(batch, 7, dir, numPartitions = 2) // redelivery: overwrite, not append
     val written = spark.read.parquet(s"$dir/batch_id=7")
     assert(written.count() == 3, "batch rewrite is idempotent")
+  }
+
+  test("E3 unordered mode: same rows, zero shuffle; ordered mode shuffles by subject") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val batch = (1 to 100).map(i =>
+      (s"0/${i.toHexString}:1:INSERT:public.t:$i", s"cdc.db.public.t${i % 7}",
+        s"0/${i.toHexString}", java.sql.Timestamp.valueOf("2024-01-15 10:30:00")))
+      .toDF("event_id", "subject", "lsn", "commit_time").repartition(4)
+      .cache()
+    batch.count() // materialize: the input repartition must not count as sink shuffle
+
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shuffleRecords.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    def shuffledRows(op: => Unit): Long = {
+      shuffleRecords.set(0)
+      spark.sparkContext.addSparkListener(listener)
+      // listener delivery is async: poll until the counter is stable
+      try { op
+        val deadline = System.currentTimeMillis() + 5000
+        var last = -1L
+        while (System.currentTimeMillis() < deadline && shuffleRecords.get != last) {
+          last = shuffleRecords.get; Thread.sleep(300)
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      shuffleRecords.get
+    }
+
+    val dir = Files.createTempDirectory("graft_unordered").toString
+    val unorderedShuffle = shuffledRows(UnorderedSink.writeBatch(batch, 1, dir))
+    val orderedShuffle = shuffledRows(OrderedSink.writeBatch(batch, 2, dir, numPartitions = 2))
+    assert(unorderedShuffle == 0, "unordered publish must not repartition")
+    assert(orderedShuffle == 100, "ordered publish shuffles every row to its subject partition")
+    // both modes publish the same row set — only ordering differs
+    val a = spark.read.parquet(s"$dir/batch_id=1").select($"event_id").as[String].collect().toSet
+    val b = spark.read.parquet(s"$dir/batch_id=2").select($"event_id").as[String].collect().toSet
+    assert(a == b && a.size == 100)
+    batch.unpersist()
+  }
+
+  test("startFromConfig wires the E3 flag + batch cadence from the env surface (config round trip)") {
+    val cfg = graft.config.GraftConfig.load(Map(
+      "UNSAFE_UNORDERED_ASYNC_PUBLISH" -> "true",
+      "BATCH_TIMEOUT" -> "50ms",
+      "CDC_DATABASE_NAME" -> "db")).toOption.get
+    assert(cfg.unsafeUnorderedAsyncPublish && cfg.batchTimeout.toMillis == 50)
+    implicit val sctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    input.addData(Seq(walLine(5, "B", 1)) ++
+      (1 to 3).map(i => walLine(i * 10L, "I", 1, id = i)) :+ walLine(40, "C", 1): _*)
+    val out = Files.createTempDirectory("graft_cfg_out").toString
+    val ckpt = Files.createTempDirectory("graft_cfg_ckpt").toString
+    val q = CdcStream.startFromConfig(spark, input.toDF()
+      .toDF("wal_start", "data"), cfg, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val written = spark.read.parquet(out)
+    assert(written.count() == 3, "commit-gated events land through the unordered sink")
   }
 }
