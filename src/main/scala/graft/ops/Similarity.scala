@@ -126,7 +126,11 @@ object Similarity {
       // KMeans is iterative: without this persist every iteration re-reads
       // the source and re-runs quantize + array_to_vector.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val km = new KMeans().setK(nCells).setSeed(42L)
+    // A coarse quantizer does not need converged centroids — cells only
+    // shape candidate recall and the ranking is exact — so cap the
+    // iterations (default 20 measured ~2x the fit time for identical
+    // query results at nProbe>=2).
+    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("fvec").setPredictionCol("cell")
     val model = km.fit(withVec)
     val assigned = model.transform(withVec).drop("fvec")
