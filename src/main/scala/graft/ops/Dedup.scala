@@ -188,6 +188,60 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------------------------ clusters
+
+  /** Connected components over near-dup pairs: the step that turns
+    * pairwise similarity into dedup groups (pairs alone cannot answer
+    * "which rows do I keep"). Iterative min-label propagation — each
+    * superstep joins labels across edges and keeps the minimum; a
+    * component converges once the smallest id has reached every member,
+    * i.e. in O(component diameter) rounds, and near-dup components are
+    * shallow by construction. Per round: one join + one aggregation, both
+    * on the edge/node keys — no driver-side graph, scales with |edges|.
+    * Convergence is detected by the label-sum invariant (labels only
+    * decrease, so an unchanged sum means a fixpoint) — one cheap aggregate
+    * instead of a change-detection join. Lineage is truncated every round
+    * with an eager localCheckpoint, the standard pattern for iterative
+    * DataFrame algorithms (at extreme scale you would reach for
+    * GraphX/GraphFrames' optimized large-star/small-star; the semantics
+    * here are identical).
+    *
+    * Output: (id, cluster) for every id appearing in `pairs`, where
+    * cluster = min id of its component. Isolated documents are not rows in
+    * `pairs` and thus not here — they are their own cluster by definition.
+    */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("prop"))
+      labels = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("prop"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val s = labels.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** Dedup survivors: one representative (min id) per cluster, with the
+    * member count — `df.join(survivors, df("id") === survivors("cluster"),
+    * "left_semi")`-style usage keeps them.
+    */
+  def survivors(clusters: DataFrame): DataFrame =
+    clusters.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+
   // -------------------------------------------------------------- simhash
 
   val SimhashBits = 48

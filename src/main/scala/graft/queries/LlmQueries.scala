@@ -260,6 +260,34 @@ object LlmQueries {
             sqrt(CAST(a.norm_sq AS DOUBLE) * CAST(c.norm_sq AS DOUBLE)) >= 0.2
         ORDER BY id_a, id_b""")),
 
+    // Dedup clustering: near-dup PAIRS -> connected components -> cluster
+    // labels (the step that decides which rows survive dedup). Spark side
+    // is iterative min-label propagation (Dedup.components); the oracle is
+    // a recursive-CTE transitive closure over the same pair set — both
+    // assign every member its component's min id.
+    "l20_dedup_clusters" -> Def(
+      (s, d) => {
+        val prep = Similarity.prepare(
+          t(s, d, "embeddings").withColumnRenamed("vec_id", "id"), "embedding")
+        val pairs = Similarity.cosineNearDupPairs(prep, 0.2, bits = 8)
+        Dedup.components(pairs).orderBy(col("id"))
+      },
+      Some(s"""WITH RECURSIVE $oQuant,
+        b AS (SELECT vec_id, q, norm_sq, ${oBucket(8, "embedding")} AS bucket
+              FROM qn JOIN embeddings USING (vec_id)),
+        pr AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b
+          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+          WHERE CAST(${oDot("a.q", "c.q")} AS DOUBLE) /
+              sqrt(CAST(a.norm_sq AS DOUBLE) * CAST(c.norm_sq AS DOUBLE)) >= 0.2),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                  UNION SELECT id_b, id_a FROM pr),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+        FROM reach GROUP BY src ORDER BY id""")),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {

@@ -78,6 +78,22 @@ class DedupSpec extends SparkSpec {
     assert(h == 158335321521362L)
   }
 
+  test("connected components label every member with the component min id") {
+    // two chains (1-2-3-4, 10-11) and a triangle with a bridge (20-21-22, 22-23):
+    // min-label needs multiple supersteps to traverse the 4-chain
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (22L, 23L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    val surv = Dedup.survivors(Dedup.components(pairs)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(surv == Map(1L -> 4L, 10L -> 2L, 20L -> 4L))
+  }
+
   test("langid picks marker-dominant language, und when no markers") {
     val df = Seq(
       (1L, "the cat is on the mat and it is fine"),
