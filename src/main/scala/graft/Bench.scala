@@ -47,7 +47,15 @@ object Bench {
     val errors = results.flatMap(_._3)
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // Headline CDC throughput in the reference load-test's unit (ops/sec,
+    // scripts/e2e-load-test.sh): events pushed through the full
+    // decode -> tx-assemble -> normalize chain (c03) per second. At sf0.1
+    // the events table is ~100k rows — the reference harness's default op
+    // count.
+    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val opsSec = results.find(_._1 == "c03_normalize").map(_._2)
+      .filter(_ > 0).map(t => (nEvents / t).round).getOrElse(0L)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"cdc_ops_sec":$opsSec,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

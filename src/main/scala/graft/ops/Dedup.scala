@@ -253,9 +253,10 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
       .withColumn("h", hash48(col("t")))
+    // branch-free ±1: 2·bit−1, summed — same value as the when() form
+    // without a conditional per (row × bit) in the generated code
     val bitAggs = (0 until SimhashBits).map { b =>
-      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"bit_$b")
+      sum(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"bit_$b")
     }
     tok.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("id"),
