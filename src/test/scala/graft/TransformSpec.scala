@@ -48,6 +48,23 @@ class TransformSpec extends SparkSpec {
       List("0/0", "0/1", "0/ffffffff", "1/0", "1a2b/3c4d5e6f"))
   }
 
+  test("sink sort key decodes the hex LSN back to the exact numeric position") {
+    // round-trip property over positions whose hex width varies — the bug
+    // class the numeric sort key exists to prevent ('2' > '10' as strings)
+    import graft.streaming.OrderedSink
+    val gen = new scala.util.Random(7)
+    val positions = Seq(0L, 1L, 0xfL, 0x10L, 0xffffffffL, 0x100000000L, Long.MaxValue) ++
+      Seq.fill(200)(gen.nextLong() & Long.MaxValue)
+    val df = positions.toDF("pos")
+      .select($"pos", OrderedSink.lsnNumeric(Transform.lsnString($"pos")).as("rt"))
+    assert(df.filter($"pos" =!= $"rt").count() == 0)
+    // and seq extraction from the event-id tail
+    val seq = Seq(("a/b:7:INSERT:public.users:12345", 12345L))
+      .toDF("event_id", "want")
+      .select(OrderedSink.seqNumeric($"event_id").as("got"), $"want").head()
+    assert(seq.getLong(0) == seq.getLong(1))
+  }
+
   test("subject routing and DLQ sanitization (publisher.go:196-210, dlq.go:56-63)") {
     val df = Seq(("public", "users"), ("bad schema", "a*b>c"))
       .toDF("schema", "table")
