@@ -87,15 +87,20 @@ object Dedup {
     * join quadratic; capping bounds any bucket's pair contribution at
     * maxBucket² at the cost of recall ON that degenerate mass (its members
     * are mutual near-dups of each other anyway — production pipelines
-    * handle such clusters by exact-hash dedup first). The size aggregate
-    * shares the self-join's exchange on the bucket key (ReuseExchange).
+    * handle such clusters by exact-hash dedup first).
+    *
+    * Shape: a window count over the bucket key, not groupBy+semi-join —
+    * the window shuffles the frame onto the bucket key ONCE and the
+    * filtered output keeps that partitioning, so the self-join that
+    * follows adds no further exchange (the agg+semi variant measured a
+    * second full exchange of the exploded frame, ~40% slower on l10).
     */
   private def capBuckets(bucketed: DataFrame, keyCol: String, maxBucket: Int): DataFrame =
     if (maxBucket <= 0) bucketed
     else {
-      val ok = bucketed.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
-        .filter(col("_n") <= maxBucket).select(col(keyCol))
-      bucketed.join(ok, Seq(keyCol), "left_semi")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      bucketed.withColumn("_n", count(lit(1)).over(w))
+        .filter(col("_n") <= maxBucket).drop("_n")
     }
 
   /** LSH banding: signature rows -> (band, h1..hr key) buckets -> candidate
