@@ -433,6 +433,43 @@ object LlmQueries {
     // Multimodal plumbing: binary payload envelope + [STUB] decode through
     // the real mapPartitions path (dims derive deterministically from byte
     // length, so the oracle replicates the formula from n_chars).
+    // REAL image codec under the gate: render a PNG per document (dims a
+    // deterministic function of doc_id), push it through the envelope +
+    // mapPartitions decode, and verify ImageIO returned the exact
+    // dimensions — the oracle recomputes the dimension formulas in SQL, so
+    // a broken codec (or a silent fallback) fails the hash compare.
+    "l21_image_decode" -> Def(
+      (s, d) => {
+        import s.implicits._
+        val rendered = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            javax.imageio.ImageIO.setUseCache(false)
+            it.map { id =>
+              val w = 8 + (id % 24).toInt
+              val h = 6 + (id % 18).toInt
+              val img = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = img.createGraphics()
+              try { g.setColor(new java.awt.Color((id % 255).toInt, 64, 128)); g.fillRect(0, 0, w, h) }
+              finally g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              (id, bos.toByteArray)
+            }
+          }.toDF("doc_id", "payload")
+        val media = Multimodal.withMediaMeta(rendered, "doc_id", "payload", lit("image"))
+        Multimodal.decode(s, media).toDF()
+          .select(col("media_id"), col("width"), col("height"),
+            col("n_frames"), col("decoded"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+        CAST(8 + doc_id % 24 AS INTEGER) AS width,
+        CAST(6 + doc_id % 18 AS INTEGER) AS height,
+        CAST(1 AS INTEGER) AS n_frames,
+        TRUE AS decoded
+        FROM documents ORDER BY media_id""")),
+
     "l15_multimodal" -> Def(
       (s, d) => {
         val docs = t(s, d, "documents")

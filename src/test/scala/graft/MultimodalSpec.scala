@@ -1,0 +1,79 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+
+/** Real-codec multimodal decode: JDK ImageIO / javax.sound parse actual
+  * payload bytes; unparseable payloads degrade to the deterministic
+  * descriptor the l15 oracle recomputes.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def png(w: Int, h: Int, rgb: Int = 0x336699): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def wav(sampleRate: Float, nFrames: Int): Array[Byte] = {
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val data = new Array[Byte](nFrames * fmt.getFrameSize)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real PNG decode: exact dimensions + normalized luminance histogram") {
+    val d = Multimodal.decodeBytes(1L, "image", png(37, 21))
+    assert(d.decoded && d.width == 37 && d.height == 21 && d.n_frames == 1)
+    assert(math.abs(d.feature.sum - 1.0f) < 1e-4, "histogram must normalize to 1")
+    // a uniform image puts all mass in one luminance bin
+    assert(d.feature.count(_ > 0.99f) == 1)
+  }
+
+  test("real WAV decode: sample rate and frame count from the header") {
+    val d = Multimodal.decodeBytes(2L, "audio", wav(22050f, 4410))
+    assert(d.decoded && d.sample_rate == 22050 && d.n_frames == 4410)
+  }
+
+  test("corrupt payloads degrade to the deterministic descriptor, never throw") {
+    val bytes = "not a media file".getBytes("UTF-8")
+    val img = Multimodal.decodeBytes(3L, "image", bytes)
+    assert(!img.decoded && img.width == 64 + bytes.length % 640 && img.n_frames == 1)
+    val aud = Multimodal.decodeBytes(4L, "audio", bytes)
+    assert(!aud.decoded && aud.sample_rate == 16000)
+  }
+
+  test("distributed decode handles mixed real + degraded payloads in one pass") {
+    val media = Seq(
+      (1L, "image", png(10, 8)),
+      (2L, "audio", wav(8000f, 100)),
+      (3L, "image", "garbage".getBytes("UTF-8")),
+      (4L, "video", "novideo".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.decode(spark, media).collect().map(d => d.media_id -> d).toMap
+    assert(out(1L).decoded && out(1L).width == 10 && out(1L).height == 8)
+    assert(out(2L).decoded && out(2L).sample_rate == 8000)
+    assert(!out(3L).decoded && !out(4L).decoded)
+  }
+
+  test("real resize re-encodes to the target dims; round-trips through decode") {
+    val media = Seq((1L, png(64, 64)), (2L, "junk".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val resized = Multimodal.resize(spark, media, 16, 12).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Array[Byte]]("payload"), r.getBoolean(2))).toMap
+    assert(resized(1L)._2, "real image resizes")
+    val rt = Multimodal.decodeBytes(1L, "image", resized(1L)._1)
+    assert(rt.decoded && rt.width == 16 && rt.height == 12)
+    assert(!resized(2L)._2 && new String(resized(2L)._1) == "junk",
+      "non-image passes through unchanged")
+  }
+}
