@@ -86,6 +86,20 @@ class ScaleSpec extends SparkSpec {
     assert(Dedup.simhashPairs(sim, maxHamming = 8).count() == 60L * 59 / 2)
   }
 
+  test("bucket-cap guard adds no second exchange: self-join reuses the window shuffle") {
+    // the cap is a window count over the bucket key; the filtered frame
+    // keeps that hash partitioning, so the candidate self-join must reuse
+    // the one exchange rather than reshuffling the exploded frame
+    val docs = (1L to 50L).map(i => (i, s"tok$i alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "text"),
+      maxHamming = 8, maxBucket = 1000)
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"expected the self-join to reuse the window exchange:\n${plan.take(1200)}")
+  }
+
   test("shingle df-cap drops hot shingles but keeps discriminative ones") {
     val docs = Seq((1L, "x y z common a"), (2L, "p q r common b"),
       (3L, "k l m common c")).toDF("doc_id", "text")
