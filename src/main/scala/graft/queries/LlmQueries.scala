@@ -189,6 +189,13 @@ object LlmQueries {
         // plan-shape note). maxBucket guards the band self-join against
         // degenerate buckets; 10000 is >=10x any bucket observed at bench
         // scale, so results are unchanged on real data.
+        // NOTE (measured twice, rounds 1 and 2): do NOT materialize `cand`
+        // or `sh` here. A localCheckpoint of the candidate set halved the
+        // plan's scan count but DOUBLED l07's wall time at sf0.1 — the
+        // split into separate jobs breaks the ReuseExchange that otherwise
+        // shares the shingle distinct-shuffle across the signature chain,
+        // the sizes aggregate and both intersection sides. Single-plan,
+        // single-reference shapes win.
         val sh = Dedup.shingles(t(s, d, "documents"), "doc_id", "text")
         val sig = Dedup.minhashSignatures(sh, k = 32)
         val cand = Dedup.lshCandidates(sig, k = 32, rowsPerBand = 2, maxBucket = 10000)
