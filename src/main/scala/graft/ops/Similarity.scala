@@ -31,9 +31,15 @@ object Similarity {
       when(x >= 0, floor(d + 0.5)).otherwise(ceil(d - 0.5)).cast("long")
     })
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — a native codegen
+    * Expression ([[graft.functions.DotProductQ]]): the equivalent
+    * `aggregate(zip_with(...))` formulation evaluates interpreted lambdas
+    * per element and allocates the product array; this is the hottest
+    * scalar kernel in the similarity family (|candidates| × dim per
+    * query).
+    */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.NativeDot.dotQNative(a, b)
 
   /** Exact integer squared norm. */
   def normSqQ(a: Column): Column = dotQ(a, a)
