@@ -18,5 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hash48_native"),
       new ExpressionInfo(classOf[Md5Prefix48].getName, "graft_hash48_native"),
       (args: Seq[Expression]) => Md5Prefix48(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dotq"),
+      new ExpressionInfo(classOf[DotProductQ].getName, "graft_dotq"),
+      (args: Seq[Expression]) => DotProductQ(args.head, args(1))))
   }
 }

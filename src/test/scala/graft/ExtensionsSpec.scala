@@ -30,6 +30,9 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT CAST(conv(substring(md5('abc'), 1, 12), 16, 10) AS BIGINT) AS h")
         .head.getLong(0)
       assert(got === want)
+      val dot = spark.sql(
+        "SELECT graft_dotq(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").head.getLong(0)
+      assert(dot === 32L)
     } finally {
       // do NOT stop(): that would kill the shared SparkContext
       SparkSession.clearDefaultSession()
