@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import TextAnalysis.hash48
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * sampling / source mixing, sequence packing (concat-then-chunk), and
+  * benchmark decontamination.
+  *
+  * Everything is deterministic and engine-portable: sampling decisions are
+  * md5-derived hash arithmetic (no RNG state, reproducible across runs,
+  * cluster sizes and engines — the property that makes a 100 TB pipeline
+  * re-runnable), packing is a prefix-sum over a total order, and
+  * decontamination rides the shingle inverted index (never n²).
+  */
+object Curation {
+
+  /** Deterministic per-row sampling decision: keep a row iff
+    * `hash48(id) % 10000 < rate * 10000`. One narrow filter — reaches the
+    * scan, no shuffle, reproducible (same id → same decision in every
+    * run/engine).
+    */
+  def hashSampled(df: DataFrame, idCol: Column, rate: Double): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    df.filter(hash48(idCol.cast("string")) % 10000L < math.round(rate * 10000).toInt)
+  }
+
+  /** Weighted mixture across sources: per-source sampling rates (a
+    * training-mix recipe, e.g. web 0.6 / code 0.9 / books 1.0). Rows of
+    * unlisted sources are dropped. Single scan, no shuffle: the rate
+    * lookup is a broadcast-free CASE expression compiled from the map.
+    */
+  def mixture(df: DataFrame, sourceCol: Column, idCol: Column,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must name at least one source")
+    val rate = weights.foldLeft(lit(-1.0)) { case (acc, (src, w)) =>
+      when(sourceCol === src, lit(w)).otherwise(acc)
+    }
+    df.withColumn("_rate", rate)
+      .filter(col("_rate") >= 0 &&
+        hash48(idCol.cast("string")) % 10000L < (col("_rate") * 10000).cast("long"))
+      .drop("_rate")
+  }
+
+  /** Deterministic global shuffle: a total order by content hash. The
+    * standard pre-training randomization — orderBy is a range-partitioned
+    * sort (one exchange), reproducible, and stable under re-runs.
+    */
+  def globalShuffle(df: DataFrame, idCol: Column): DataFrame =
+    df.orderBy(hash48(idCol.cast("string")), idCol)
+
+  /** Sequence packing, concat-then-chunk semantics (how pre-training data
+    * becomes fixed-length sequences): documents are laid out contiguously
+    * in a deterministic order (`orderCol`), and each document is assigned
+    * the chunk containing its first token: seq_id = cum_start / seqLen,
+    * plus its offset within that chunk and how many chunk boundaries it
+    * spans. One window prefix-sum over the total order — a single
+    * range-partitioned exchange; at 100 TB the same computation runs
+    * per-shard (group the window by a shard column) to avoid one global
+    * sort.
+    *
+    * Output: orderCol, token_count, cum_start, seq_id, seq_offset, n_spans.
+    */
+  def packSequences(df: DataFrame, orderCol: Column, tokenCountCol: Column,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val w = Window.orderBy(orderCol)
+    df.withColumn("token_count", tokenCountCol.cast("long"))
+      .withColumn("cum_start",
+        coalesce(sum(col("token_count")).over(w) - col("token_count"), lit(0L)))
+      .withColumn("seq_id", (col("cum_start") / seqLen).cast("long"))
+      .withColumn("seq_offset", col("cum_start") % seqLen)
+      .withColumn("n_spans",
+        (((col("cum_start") + col("token_count") - 1) / seqLen).cast("long")
+          - col("seq_id") + 1))
+  }
+
+  /** Benchmark decontamination: training docs sharing at least `minShared`
+    * distinct word n-gram shingles with ANY eval doc. Rides the shingle
+    * inverted index — the eval side is tiny (a benchmark), so its shingle
+    * set broadcasts and the check is a semi-join-shaped aggregation, never
+    * a train×eval cross product. Returns (id, shared_shingles) for flagged
+    * training docs; `train.join(result, Seq("id"), "left_anti")` is the
+    * cleaned corpus.
+    */
+  def contaminated(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minShared: Int = 2): DataFrame = {
+    val trainSh = Dedup.shingles(train, idCol, textCol, n)
+    val evalSh = Dedup.shingles(eval, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    trainSh.join(evalSh, Seq("shingle"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+  }
+}

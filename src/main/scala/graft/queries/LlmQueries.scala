@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis => TA}
 import Q.{Def, t}
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`:
@@ -440,6 +440,67 @@ object LlmQueries {
     // Multimodal plumbing: binary payload envelope + [STUB] decode through
     // the real mapPartitions path (dims derive deterministically from byte
     // length, so the oracle replicates the formula from n_chars).
+    // Deterministic weighted source mixing (the training-mix recipe op):
+    // md5-derived per-row decisions — reproducible across runs/engines,
+    // single narrow filter.
+    "l22_mixture_sample" -> Def(
+      (s, d) => Curation.mixture(t(s, d, "documents"), col("source"), col("doc_id"),
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, source FROM documents
+        WHERE (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+               WHEN 'src2' THEN 0.25 ELSE -1 END) >= 0
+          AND ${oH48("CAST(doc_id AS VARCHAR)")} % 10000 <
+              CAST((CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                    WHEN 'src2' THEN 0.25 ELSE -1 END) * 10000 AS BIGINT)
+        ORDER BY doc_id""")),
+
+    // Sequence packing, concat-then-chunk (how documents become
+    // fixed-length training sequences): one prefix-sum window over the
+    // doc order; chunk id / offset / span count all derive from it.
+    "l23_pack_sequences" -> Def(
+      (s, d) => Curation.packSequences(t(s, d, "documents"),
+          col("doc_id"), size(split(col("text"), " ", -1)), seqLen = 512)
+        .select(col("doc_id"), col("token_count"), col("cum_start"),
+          col("seq_id"), col("seq_offset"), col("n_spans"))
+        .orderBy(col("doc_id")),
+      // every windowed sum is CAST back to BIGINT: DuckDB widens SUM(BIGINT)
+      // to HUGEINT, which would fail the driver's schema compare
+      Some("""SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count,
+        CAST(COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+          OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_start,
+        CAST(FLOOR(COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+          OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS seq_id,
+        CAST(COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+          OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 512 AS BIGINT) AS seq_offset,
+        CAST(FLOOR((COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+            OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + CAST(len(string_split(text, ' ')) AS BIGINT) - 1) / 512) AS BIGINT)
+          - CAST(FLOOR(COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+            OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) + 1 AS n_spans
+        FROM documents ORDER BY doc_id""")),
+
+    // Benchmark decontamination: training docs (doc_id >= 25) sharing >= 2
+    // distinct 3-gram shingles with any "benchmark" doc (doc_id < 25) —
+    // the shingle inverted index keeps it semi-join-shaped, never
+    // train x eval.
+    "l24_decontaminate" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Curation.contaminated(docs.filter(col("doc_id") >= 25),
+            docs.filter(col("doc_id") < 25), "doc_id", "text",
+            n = 3, minShared = 2)
+          .orderBy(col("id"))
+      },
+      Some(s"""WITH $oShingles,
+        ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 25),
+        tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 25)
+        SELECT tr.doc_id AS id, COUNT(*) AS shared_shingles
+        FROM tr JOIN ev USING (shingle)
+        GROUP BY tr.doc_id HAVING COUNT(*) >= 2 ORDER BY id""")),
+
     // REAL image codec under the gate: render a PNG per document (dims a
     // deterministic function of doc_id), push it through the envelope +
     // mapPartitions decode, and verify ImageIO returned the exact

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Curation
+
+/** Corpus-curation semantics: deterministic sampling/mixing, sequence
+  * packing invariants, decontamination via the shingle index.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (1L to 400L)
+    .map(i => (i, s"tok$i alpha beta gamma", s"src${i % 4}"))
+    .toDF("doc_id", "text", "source")
+
+  test("hash sampling is deterministic, rate-accurate, and monotone in rate") {
+    val r30 = Curation.hashSampled(docs, $"doc_id", 0.3)
+      .select($"doc_id").as[Long].collect().toSet
+    val r60 = Curation.hashSampled(docs, $"doc_id", 0.6)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(r30 == Curation.hashSampled(docs, $"doc_id", 0.3)
+      .select($"doc_id").as[Long].collect().toSet, "same rate -> same set")
+    assert(r30.subsetOf(r60), "raising the rate only adds rows")
+    assert(math.abs(r30.size - 120) < 40, s"~30% of 400, got ${r30.size}")
+    assert(Curation.hashSampled(docs, $"doc_id", 1.0).count() == 400)
+    assert(Curation.hashSampled(docs, $"doc_id", 0.0).count() == 0)
+  }
+
+  test("mixture applies per-source rates and drops unlisted sources") {
+    val mixed = Curation.mixture(docs, $"source", $"doc_id",
+      Map("src0" -> 1.0, "src1" -> 0.5))
+    val bySrc = mixed.groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("src0") == 100, "rate 1.0 keeps every row")
+    assert(bySrc.get("src2").isEmpty && bySrc.get("src3").isEmpty, "unlisted sources dropped")
+    assert(bySrc("src1") > 20 && bySrc("src1") < 80, s"rate 0.5 of 100, got ${bySrc.get("src1")}")
+  }
+
+  test("packing: contiguous chunks, exact offsets, span counts") {
+    val d = Seq((1L, 300), (2L, 300), (3L, 600), (4L, 50))
+      .toDF("doc_id", "n")
+    val packed = Curation.packSequences(d, $"doc_id", $"n", seqLen = 512)
+      .select($"doc_id", $"cum_start", $"seq_id", $"seq_offset", $"n_spans")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(packed(1L) == ((0L, 0L, 0L, 1L)))
+    assert(packed(2L) == ((300L, 0L, 300L, 2L)), "doc 2 straddles the 512 boundary")
+    assert(packed(3L) == ((600L, 1L, 88L, 2L)), "600 tokens from offset 88 spans chunks 1-2")
+    assert(packed(4L) == ((1200L, 2L, 176L, 1L)))
+    // invariant: cum_start is the prefix sum of token counts in doc order
+    val cums = Curation.packSequences(d, $"doc_id", $"n", 512)
+      .orderBy($"doc_id").select($"cum_start").as[Long].collect().toList
+    assert(cums == List(0L, 300L, 600L, 1200L))
+  }
+
+  test("decontamination flags exactly the docs sharing enough shingles") {
+    val eval = Seq((1L, "the quick brown fox jumps over")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "the quick brown fox sat still"),     // shares 2 shingles
+      (11L, "quick brown dog runs away now"),     // shares 0 3-gram shingles
+      (12L, "a b the quick brown fox jumps"))     // shares 3 shingles
+      .toDF("doc_id", "text")
+    val flagged = Curation.contaminated(train, eval, "doc_id", "text", n = 3, minShared = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet == Set(10L, 12L), s"got $flagged")
+    assert(flagged(10L) == 2 && flagged(12L) == 3)
+  }
+
+  test("global shuffle is a deterministic total order") {
+    val a = Curation.globalShuffle(docs, $"doc_id").select($"doc_id").as[Long].collect().toList
+    val b = Curation.globalShuffle(docs, $"doc_id").select($"doc_id").as[Long].collect().toList
+    assert(a == b && a.toSet.size == 400 && a != (1L to 400L).toList)
+  }
+}
