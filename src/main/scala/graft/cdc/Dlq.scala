@@ -41,6 +41,37 @@ object Dlq {
         lit("invalid subject"))
       .otherwise(lit(null).cast("string"))
 
+  /** Apply the publish-failure policy to a batch
+    * (engine.go:229-351, engine_failure_policy_test.go):
+    *  - [[PolicyDlq]]: failed rows become dead-letter records (the second
+    *    frame) and the batch continues;
+    *  - [[PolicySkip]]: failed rows are dropped — the count is surfaced
+    *    through `onSkip` (the reference logs + counts them);
+    *  - [[PolicyCrash]]: any permanent failure fails the batch — Spark
+    *    retries/replays the micro-batch, the analog of the reference's
+    *    process exit + WAL replay.
+    * Transient failures never reach this path: they stay inside the
+    * retry/backoff loop regardless of policy (Reliability.withRetry), so
+    * an outage cannot cause skips — the same invariant the reference
+    * documents at config.go:50-55.
+    */
+  def applyPolicy(events: DataFrame, errorCol: Column, payloadCol: Column,
+      database: String, policy: Policy, dlqPrefix: String = "dlq",
+      onSkip: Long => Unit = _ => ()): (DataFrame, DataFrame) = {
+    val (ok, dlq) = quarantine(events, errorCol, payloadCol, database, dlqPrefix)
+    policy match {
+      case PolicyDlq => (ok, dlq)
+      case PolicySkip =>
+        onSkip(dlq.count())
+        (ok, dlq.limit(0))
+      case PolicyCrash =>
+        val n = dlq.count()
+        if (n > 0) throw new IllegalStateException(
+          s"$n events failed with permanent errors under PUBLISH_FAILURE_POLICY=crash")
+        (ok, dlq.limit(0))
+    }
+  }
+
   /** Split normalized events into (publishable, quarantined) by the given
     * error column; quarantined rows carry DeadLetterRecord fields
     * (dlq.go:19-33): truncated payload prefix, dlq-routed subject.

@@ -62,6 +62,36 @@ class ReliabilitySpec extends SparkSpec {
     assert(e.getSQLState == "42704" && calls == 1)
   }
 
+  test("failure policies: dlq quarantines, skip drops+counts, crash fails the batch") {
+    import org.apache.spark.sql.functions._
+    import graft.cdc.Dlq
+    import spark.implicits._
+    val events = Seq(
+      ("e1", "ok-payload", "public", "users", "INSERT", "0/1", 1L),
+      ("e2", "x" * 100, "public", "users", "INSERT", "0/2", 1L))
+      .toDF("event_id", "payload", "schema", "table", "operation", "lsn", "txid")
+    val err = Dlq.classify(col("payload"), lit("cdc.db.public.users"), maxPayloadBytes = 50)
+
+    val (ok1, dlq1) = Dlq.applyPolicy(events, err, col("payload"), "db", Dlq.PolicyDlq)
+    assert(ok1.count() == 1 && dlq1.count() == 1)
+    assert(dlq1.select($"error").as[String].head().startsWith("maximum payload exceeded"))
+
+    var skipped = 0L
+    val (ok2, dlq2) = Dlq.applyPolicy(events, err, col("payload"), "db",
+      Dlq.PolicySkip, onSkip = skipped = _)
+    assert(ok2.count() == 1 && dlq2.count() == 0 && skipped == 1)
+
+    val e = intercept[IllegalStateException] {
+      Dlq.applyPolicy(events, err, col("payload"), "db", Dlq.PolicyCrash)
+    }
+    assert(e.getMessage.contains("crash"))
+    // a clean batch passes under crash
+    val clean = events.filter($"event_id" === "e1")
+    val (ok3, _) = Dlq.applyPolicy(clean, Dlq.classify(col("payload"),
+      lit("cdc.db.public.users"), 50), col("payload"), "db", Dlq.PolicyCrash)
+    assert(ok3.count() == 1)
+  }
+
   test("withRetry: retries exhaust then rethrow (engine_test.go:325)") {
     var calls = 0
     intercept[SQLException] {
