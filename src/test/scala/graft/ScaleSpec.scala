@@ -100,6 +100,24 @@ class ScaleSpec extends SparkSpec {
       s"expected the self-join to reuse the window exchange:\n${plan.take(1200)}")
   }
 
+  test("mixture sampling stays narrow: zero exchanges, decision at the scan") {
+    val df = SparkEntry.all("l22_mixture_sample").fn(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the only allowed exchange is the final global orderBy's range
+    // partitioning — the sampling decision itself must not shuffle
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 0, s"sampling must not hash-shuffle:\n${plan.take(800)}")
+  }
+
+  test("decontamination broadcasts the benchmark side (never train x eval shuffle)") {
+    val df = SparkEntry.all("l24_decontaminate").fn(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"eval shingles should broadcast:\n${plan.take(800)}")
+  }
+
   test("shingle df-cap drops hot shingles but keeps discriminative ones") {
     val docs = Seq((1L, "x y z common a"), (2L, "p q r common b"),
       (3L, "k l m common c")).toDF("doc_id", "text")
