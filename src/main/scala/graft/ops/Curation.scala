@@ -77,6 +77,34 @@ object Curation {
           - col("seq_id") + 1))
   }
 
+  /** Corpus-statistics quality signal: per-document token counts against
+    * the corpus document-frequency table — total tokens, tokens whose df
+    * is below `minDf` ("rare"; hapax-heavy documents are noise/garble in
+    * quality-filtering pipelines), and the rare ratio. The CCNet-style
+    * LM-score shape without transcendentals: all-integer arithmetic until
+    * one final division, so results hash-match across engines (libm `ln`
+    * differs in the last ulp between runtimes — unusable for an exact
+    * gate).
+    *
+    * Two shuffles: the df aggregation (distinct (token, doc) then count)
+    * and the per-doc aggregation; the occurrence->df join shuffles on the
+    * token key. At 100 TB the df table is Zipf-shaped — AQE's skew join
+    * handles the head tokens, or pre-cap with [[Dedup.dfCapped]]-style
+    * filtering when only the rare tail matters.
+    */
+  def rareTokenStats(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("t"))
+    val docFreq = tok.distinct().groupBy(col("t")).agg(count(lit(1)).as("df"))
+    tok.join(docFreq, "t")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("df") < minDf, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_ratio",
+        col("n_rare").cast("double") / col("n_tokens"))
+  }
+
   /** Benchmark decontamination: training docs sharing at least `minShared`
     * distinct word n-gram shingles with ANY eval doc. Rides the shingle
     * inverted index — the eval side is tiny (a benchmark), so its shingle

@@ -501,6 +501,24 @@ object LlmQueries {
         FROM tr JOIN ev USING (shingle)
         GROUP BY tr.doc_id HAVING COUNT(*) >= 2 ORDER BY id""")),
 
+    // Corpus-statistics quality signal: rare-token ratio against the
+    // corpus df table — integer arithmetic until the final division, so
+    // the oracle hash-matches exactly (no transcendentals).
+    "l25_rare_tokens" -> Def(
+      (s, d) => Curation.rareTokenStats(t(s, d, "documents"), "doc_id", "text",
+          minDf = 3)
+        .select(col("id"), col("n_tokens"), col("n_rare"), col("rare_ratio"))
+        .orderBy(col("id")),
+      Some("""WITH tok AS (SELECT doc_id AS id, UNNEST(string_split(text, ' ')) AS t
+          FROM documents),
+        docfreq AS (SELECT t, COUNT(*) AS df
+          FROM (SELECT DISTINCT id, t FROM tok) GROUP BY t)
+        SELECT id, COUNT(*) AS n_tokens,
+          CAST(SUM(CASE WHEN df < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+          CAST(SUM(CASE WHEN df < 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rare_ratio
+        FROM tok JOIN docfreq USING (t)
+        GROUP BY id ORDER BY id""")),
+
     // REAL image codec under the gate: render a PNG per document (dims a
     // deterministic function of doc_id), push it through the envelope +
     // mapPartitions decode, and verify ImageIO returned the exact

@@ -64,6 +64,21 @@ class CurationSpec extends SparkSpec {
     assert(flagged(10L) == 2 && flagged(12L) == 3)
   }
 
+  test("rare-token stats count df-below-threshold occurrences exactly") {
+    val d = Seq(
+      (1L, "common common unique1"),   // 'common' df=3, unique1 df=1
+      (2L, "common unique2 unique2"),  // dup occurrences count twice
+      (3L, "common shared"),
+      (4L, "shared x")).toDF("doc_id", "text")
+    val stats = graft.ops.Curation.rareTokenStats(d, "doc_id", "text", minDf = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // df: common=3, shared=2, unique1=1, unique2=1, x=1
+    assert(stats(1L) == ((3L, 1L)), "unique1 is rare; both 'common' occurrences are not")
+    assert(stats(2L) == ((3L, 2L)), "both unique2 OCCURRENCES count as rare")
+    assert(stats(3L) == ((2L, 0L)), "shared has df=2 -> not rare at minDf=2")
+    assert(stats(4L) == ((2L, 1L)))
+  }
+
   test("global shuffle is a deterministic total order") {
     val a = Curation.globalShuffle(docs, $"doc_id").select($"doc_id").as[Long].collect().toList
     val b = Curation.globalShuffle(docs, $"doc_id").select($"doc_id").as[Long].collect().toList
