@@ -105,6 +105,56 @@ object Curation {
         col("n_rare").cast("double") / col("n_tokens"))
   }
 
+  /** Span-level exact dedup (the C4 "line dedup" pass at paragraph
+    * granularity): each document is chunked into fixed-width token spans,
+    * every span is content-hashed, and any span whose hash already appeared
+    * earlier in the corpus order (first occurrence = min (id, span_idx)) is
+    * flagged as a duplicate. Removing flagged spans (or docs above a
+    * flagged-span ratio) is the standard boilerplate-removal step.
+    *
+    * One shuffle: the window over span_hash. The explode is narrow, output
+    * carries only duplicate spans (tiny vs corpus), and the hash is
+    * md5-based — engine-portable and incremental-friendly (new data can be
+    * checked against an existing hash index without recompute).
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 10): DataFrame = {
+    require(spanTokens > 0, "spanTokens must be positive")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nSpans = ceil(size(toks) / lit(spanTokens.toDouble)).cast("int")
+    val spans = transform(sequence(lit(0), nSpans - 1),
+      i => array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " "))
+    val exploded = df
+      .select(col(idCol).as("id"), posexplode(spans).as(Seq("span_idx", "span_text")))
+      .select(col("id"), col("span_idx").cast("long").as("span_idx"),
+        md5(col("span_text")).as("span_hash"))
+    val w = Window.partitionBy(col("span_hash")).orderBy(col("id"), col("span_idx"))
+    exploded
+      .withColumn("first_id", first(col("id")).over(w))
+      .withColumn("first_span", first(col("span_idx")).over(w))
+      .filter(col("id") =!= col("first_id") || col("span_idx") =!= col("first_span"))
+  }
+
+  /** Per-document distinctive terms: the k tokens with the lowest corpus
+    * document frequency (the TF-IDF "most informative terms" shape with
+    * integer-only arithmetic — df ranks replace the log-idf weight, so the
+    * result is engine-exact with no transcendentals). Ties break by token
+    * text. Two shuffles (df aggregation, per-doc top-k window) — both on
+    * keys that scale with vocabulary/doc count, never n².
+    */
+  def distinctiveTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tok = df.select(col(idCol).as("id"),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
+    val docFreq = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("term"))
+    tok.join(docFreq, "term")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("term"), col("df"), col("rank"))
+  }
+
   /** Benchmark decontamination: training docs sharing at least `minShared`
     * distinct word n-gram shingles with ANY eval doc. Rides the shingle
     * inverted index — the eval side is tiny (a benchmark), so its shingle

@@ -115,6 +115,24 @@ object TextAnalysis {
       lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
   }
 
+  /** Gopher-style rule flags: the composite quality filter as individual
+    * boolean signals plus the conjunctive keep decision — the form a real
+    * curation pipeline wants (per-rule rejection stats, not just a score).
+    * All rules are exact integer/ratio comparisons over codegen'd column
+    * expressions: a narrow map stage, no shuffle, thresholds are the
+    * contract.
+    */
+  def gopherFlags(text: Column): Seq[(String, Column)] = {
+    val n = tokenCount(text)
+    val mwl = meanTokenLen(text)
+    val flags = Seq(
+      "f_len"  -> (n >= 5 && n <= 10000),
+      "f_mwl"  -> (mwl >= 2.0 && mwl <= 10.0),
+      "f_stop" -> (stopwordRatio(text) >= 0.01),
+      "f_rep"  -> (repetitionRatio(text) < 0.3))
+    flags :+ ("kept" -> flags.map(_._2).reduce(_ && _))
+  }
+
   /** Deterministic PII-shaped redaction: emails and long digit runs replaced
     * by fixed tokens (the masking pass of a training-data pipeline; the
     * regexes are the contract, so results are engine-portable).

@@ -519,6 +519,73 @@ object LlmQueries {
         FROM tok JOIN docfreq USING (t)
         GROUP BY id ORDER BY id""")),
 
+    // Span-level exact dedup (C4 line-dedup at paragraph granularity):
+    // 10-token spans content-hashed; any span seen earlier in corpus order
+    // is flagged with its first occurrence. One shuffle on span_hash.
+    "l26_span_dedup" -> Def(
+      (s, d) => Curation.spanDedup(t(s, d, "documents"), "doc_id", "text",
+          spanTokens = 10)
+        .select(col("id"), col("span_idx"), col("span_hash"),
+          col("first_id"), col("first_span"))
+        .orderBy(col("id"), col("span_idx")),
+      Some(s"""WITH spans AS (
+          SELECT doc_id AS id, CAST(i - 1 AS BIGINT) AS span_idx,
+            md5(array_to_string(t[(i-1)*10+1:(i-1)*10+10], ' ')) AS span_hash
+          FROM (SELECT doc_id, $oToks AS t FROM documents),
+            UNNEST(generate_series(1, CAST(CEIL(len(t) / 10.0) AS BIGINT))) AS g(i)),
+        flagged AS (
+          SELECT id, span_idx, span_hash,
+            FIRST_VALUE(id) OVER w AS first_id,
+            FIRST_VALUE(span_idx) OVER w AS first_span
+          FROM spans
+          WINDOW w AS (PARTITION BY span_hash ORDER BY id, span_idx))
+        SELECT id, span_idx, span_hash, first_id, first_span FROM flagged
+        WHERE id <> first_id OR span_idx <> first_span
+        ORDER BY id, span_idx""")),
+
+    // Gopher-style rule flags: per-rule boolean signals + the conjunctive
+    // keep decision (per-rule rejection accounting, the form a curation
+    // pipeline reports). Pure narrow map stage.
+    "l27_gopher_filter" -> Def(
+      (s, d) => {
+        val flags = graft.ops.TextAnalysis.gopherFlags(col("text"))
+        t(s, d, "documents")
+          .select(col("doc_id") +: flags.map { case (n, c) => c.as(n) }: _*)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+          n_tok BETWEEN 5 AND 10000 AS f_len,
+          mwl >= 2.0 AND mwl <= 10.0 AS f_mwl,
+          stop_ratio >= 0.01 AS f_stop,
+          rep_ratio < 0.3 AS f_rep,
+          (n_tok BETWEEN 5 AND 10000) AND (mwl >= 2.0 AND mwl <= 10.0)
+            AND stop_ratio >= 0.01 AND rep_ratio < 0.3 AS kept
+        FROM (SELECT doc_id, len(t) AS n_tok,
+            CAST(list_sum(list_transform(t, tk -> LENGTH(tk))) AS DOUBLE) / len(t) AS mwl,
+            CAST(len(list_filter(t, tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(t) AS stop_ratio,
+            CASE WHEN len(t) < 2 THEN 0.0
+                 ELSE 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g) END AS rep_ratio
+          FROM (SELECT doc_id, t,
+                  list_transform(generate_series(1, GREATEST(len(t) - 1, 0)),
+                    i -> t[i] || ' ' || t[i+1]) AS g
+                FROM (SELECT doc_id, $oToks AS t FROM documents)))
+        ORDER BY doc_id""")),
+
+    // Per-document distinctive terms: k lowest-df tokens (TF-IDF's
+    // "informative terms" with integer-only df ranks — engine-exact).
+    "l28_distinctive_terms" -> Def(
+      (s, d) => Curation.distinctiveTerms(t(s, d, "documents"), "doc_id",
+          "text", k = 3)
+        .orderBy(col("id"), col("rank")),
+      Some("""WITH tok AS (SELECT DISTINCT doc_id AS id,
+            UNNEST(string_split(text, ' ')) AS term FROM documents),
+          dfreq AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term)
+        SELECT id, term, df, rank FROM (
+          SELECT id, term, df,
+            CAST(ROW_NUMBER() OVER (PARTITION BY id ORDER BY df, term) AS BIGINT) AS rank
+          FROM tok JOIN dfreq USING (term))
+        WHERE rank <= 3 ORDER BY id, rank""")),
+
     // REAL image codec under the gate: render a PNG per document (dims a
     // deterministic function of doc_id), push it through the envelope +
     // mapPartitions decode, and verify ImageIO returned the exact

@@ -238,6 +238,111 @@ object SurfaceQueries {
         COUNT(*) AS n_orders,
         MIN(o_orderkey) AS first_key
         FROM orders WHERE o_custkey < 200
-        GROUP BY o_custkey ORDER BY o_custkey"""))
+        GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // LATERAL correlated subquery: top-2 customers per nation. Catalyst
+    // decorrelates the lateral into a ranked window join — verified in
+    // ScaleSpec (no per-row subplan execution).
+    "q37_lateral_join" -> Def(
+      (s, d) => {
+        t(s, d, "nation").createOrReplaceTempView("g_nation")
+        t(s, d, "customer").createOrReplaceTempView("g_customer")
+        s.sql("""SELECT n.n_name, c.c_name, CAST(c.c_acctbal AS DOUBLE) AS acctbal
+          FROM g_nation n,
+          LATERAL (SELECT c_name, c_acctbal FROM g_customer
+                   WHERE c_nationkey = n.n_nationkey
+                   ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+          ORDER BY n.n_name, acctbal DESC, c.c_name""")
+      },
+      Some("""SELECT n_name, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+        FROM nation n, LATERAL (SELECT c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        ORDER BY n_name, acctbal DESC, c_name""")),
+
+    // Regression/correlation aggregates computed from exact decimal moment
+    // sums (n, Sx, Sy, Sxy, Sxx, Syy) — one shuffle with map-side partials;
+    // the only floating-point work is the final closed-form formula, same
+    // expression both engines, rendered at fixed precision (%.6f) for the
+    // hash compare. (Built-in corr/regr_* accumulate doubles in partition
+    // order — not reproducible across engines, unusable under an exact
+    // gate.)
+    "q38_stats_corr" -> Def(
+      (s, d) => {
+        val x = dec(col("l_quantity")); val y = dec(col("l_extendedprice"))
+        val agg = t(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+          count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+        val nD = col("n").cast("double")
+        def D(c: String) = col(c).cast("double")
+        val cov = nD * D("sxy") - D("sx") * D("sy")
+        val varX = nD * D("sxx") - D("sx") * D("sx")
+        val varY = nD * D("syy") - D("sy") * D("sy")
+        agg.select(col("l_returnflag"), col("n"),
+            format_string("%.6f", cov / varX).as("slope"),
+            format_string("%.6f", cov / sqrt(varX * varY)).as("corr"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH a AS (SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+          printf('%.6f', (n*sxy - sx*sy) / (n*sxx - sx*sx)) AS slope,
+          printf('%.6f', (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))) AS corr
+        FROM a ORDER BY l_returnflag""")),
+
+    // Ordered string aggregation (listagg/string_agg): sort inside the
+    // collected array so the result is deterministic under any partitioning
+    // (collect_list order is partition-dependent; array_sort removes that).
+    "q39_listagg" -> Def(
+      (s, d) => {
+        val n = t(s, d, "nation"); val r = t(s, d, "region")
+        n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+            count(lit(1)).as("n_nations"))
+          .orderBy(col("r_name"))
+      },
+      Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        COUNT(*) AS n_nations FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""")),
+
+    // UNPIVOT (wide -> long relational reshape), the inverse of q27's
+    // pivot: metrics computed with exact decimal sums, then melted.
+    "q40_unpivot" -> Def(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price")), "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric")),
+      Some("""SELECT l_returnflag, metric, value
+        FROM (SELECT l_returnflag,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+          FROM lineitem GROUP BY l_returnflag)
+          UNPIVOT (value FOR metric IN (sum_qty, sum_price))
+        ORDER BY l_returnflag, metric""")),
+
+    // Tumbling time-bucket aggregation (the batch analog of the streaming
+    // window aggregate): date_trunc bucket + count/distinct/min/max — all
+    // order-independent aggregates, one shuffle.
+    "q41_time_bucket" -> Def(
+      (s, d) => t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        .orderBy(col("bucket"), col("event_type")),
+      Some("""SELECT date_trunc('hour', ts) AS bucket, event_type,
+        COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+        MIN(value) AS min_value, MAX(value) AS max_value
+        FROM events GROUP BY 1, 2 ORDER BY bucket, event_type"""))
   )
 }

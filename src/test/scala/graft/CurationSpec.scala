@@ -79,6 +79,49 @@ class CurationSpec extends SparkSpec {
     assert(stats(4L) == ((2L, 1L)))
   }
 
+  test("span dedup flags later occurrences only, keyed to the first") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j x y z"),    // spans: [a..j], [x y z]
+      (2L, "a b c d e f g h i j q r s"),    // first span duplicates doc 1's
+      (3L, "x y z"))                        // whole doc = doc 1's 2nd span
+      .toDF("doc_id", "text")
+    val dups = Curation.spanDedup(d, "doc_id", "text", spanTokens = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(dups.keySet == Set((2L, 0L), (3L, 0L)), s"got ${dups.keySet}")
+    assert(dups((2L, 0L)) == ((1L, 0L)), "doc2 span0 points at doc1 span0")
+    assert(dups((3L, 0L)) == ((1L, 1L)), "doc3's text equals doc1's second span")
+  }
+
+  test("distinctive terms rank lowest-df tokens first with text tie-break") {
+    val d = Seq(
+      (1L, "apple banana common common"),  // distinct: apple banana common
+      (2L, "banana common zebra"),
+      (3L, "common common common")).toDF("doc_id", "text")
+    // df: apple=1, zebra=1, banana=2, common=3
+    val terms = Curation.distinctiveTerms(d, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getString(1)).toMap
+    assert(terms((1L, 1L)) == "apple" && terms((1L, 2L)) == "banana")
+    assert(terms((2L, 1L)) == "zebra" && terms((2L, 2L)) == "banana")
+    assert(terms((3L, 1L)) == "common", "k caps at available distinct terms")
+  }
+
+  test("gopher flags: each rule independently rejects, kept is the conjunction") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over it lazily today"), // passes all
+      (2L, "a b"),                                            // too few tokens
+      (3L, "the the the the the the the the the the"),        // repetition
+      (4L, "quick brown fox jumps high today well done ok"))  // no stopword
+      .toDF("doc_id", "text")
+    val flags = graft.ops.TextAnalysis.gopherFlags(col("text"))
+    val out = d.select(col("doc_id") +: flags.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(out(1L)._5, "clean doc is kept")
+    assert(!out(2L)._1 && !out(2L)._5, "short doc fails f_len")
+    assert(!out(3L)._4 && !out(3L)._5, "repeated 2-grams fail f_rep")
+    assert(!out(4L)._3 && !out(4L)._5, "no stopwords fails f_stop")
+  }
+
   test("global shuffle is a deterministic total order") {
     val a = Curation.globalShuffle(docs, $"doc_id").select($"doc_id").as[Long].collect().toList
     val b = Curation.globalShuffle(docs, $"doc_id").select($"doc_id").as[Long].collect().toList

@@ -181,6 +181,30 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("Join") || plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("q37 lateral subquery is decorrelated into a ranked window join") {
+    val plan = finalPlan(SparkEntry.all("q37_lateral_join").fn(spark, sf0001))
+    assert(!plan.contains("Subquery"),
+      "lateral must not execute a per-outer-row subplan")
+    assert(plan.contains("Window") || plan.contains("Join"), plan.take(800))
+  }
+
+  test("q38 moment sums do map-side partial aggregation") {
+    val plan = finalPlan(SparkEntry.all("q38_stats_corr").fn(spark, sf0001))
+    // partial+final hash aggregate around one exchange: the six moment
+    // sums ship as per-partition partials, not raw rows
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
+  }
+
+  test("l26 span dedup shuffles once (window on span_hash), explode is narrow") {
+    val df = SparkEntry.all("l26_span_dedup").fn(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val genIdx = plan.indexOf("Generate")
+    assert(genIdx >= 0, plan.take(400))
+    assert(plan.indexOf("Exchange") < genIdx || !plan.substring(genIdx).contains("Exchange"),
+      "the span explode must run on the scan side without a prior shuffle")
+  }
+
   test("q28 generator stays narrow: no exchange before the explode") {
     val df = SparkEntry.all("q28_explode_tokens").fn(spark, sf0001)
     df.collect()
