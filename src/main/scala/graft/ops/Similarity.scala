@@ -92,13 +92,43 @@ object Similarity {
       when(element_at(vec, j + 1) >= 0f, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Bucketed ANN top-k: candidates share the sign-LSH bucket; ranking as in
-    * brute force. Recall < 1 by construction (that is the scale trade-off);
-    * the bucket join replaces the n² pair space with per-bucket blocks.
+  /** Deterministic ±1 pseudo-random hyperplane signs: sign(j,i) is the
+    * parity of the portable 48-bit md5 hash of "rp_<j>_<i>". The table is
+    * computable in any engine (the oracle embeds it as literals), unlike
+    * RNG-seeded planes. Random hyperplanes make bucket collisions a
+    * function of the angle alone — the axis-aligned [[signBucket]] depends
+    * on the coordinate basis and degrades when mass concentrates on few
+    * dimensions.
     */
-  def bucketedTopK(prepared: DataFrame, queryPred: Column, bits: Int, k: Int): DataFrame = {
+  def rpSigns(bits: Int, dims: Int): Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(bits, dims) { (j, i) =>
+      val hex = md.digest(s"rp_${j}_$i".getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+    }
+  }
+
+  /** Random-hyperplane sign-LSH bucket over the QUANTIZED vector: bit j =
+    * (qvec · signs(j) >= 0). Exact integer dots — engine-portable, and the
+    * ±1 planes need no multiplication beyond sign flips.
+    */
+  def rpBucket(qvec: Column, bits: Int, dims: Int = 64): Column = {
+    val signs = rpSigns(bits, dims)
+    signs.zipWithIndex.map { case (cs, j) =>
+      val dot = aggregate(zip_with(qvec, lit(cs), (x, c) => x * c),
+        lit(0L), (a, v) => a + v)
+      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Shared per-bucket exact-cosine ranking used by both bucketing
+    * strategies. One shuffle on the bucket key; volume ∝ corpus +
+    * candidate blocks, never n².
+    */
+  private def topKWithinBucket(bucketed: DataFrame, queryPred: Column,
+      k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bucketed = prepared.withColumn("bucket", signBucket(col("embedding"), bits))
     val queries = bucketed.filter(queryPred)
     val joined = queries.alias("q")
       .join(bucketed.alias("c"),
@@ -111,6 +141,24 @@ object Similarity {
       .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
         col("cosine"), col("rank"))
   }
+
+  /** Bucketed ANN top-k: candidates share the sign-LSH bucket; ranking as in
+    * brute force. Recall < 1 by construction (that is the scale trade-off);
+    * the bucket join replaces the n² pair space with per-bucket blocks.
+    */
+  def bucketedTopK(prepared: DataFrame, queryPred: Column, bits: Int, k: Int): DataFrame =
+    topKWithinBucket(
+      prepared.withColumn("bucket", signBucket(col("embedding"), bits)),
+      queryPred, k)
+
+  /** ANN top-k with random-hyperplane buckets (the production variant of
+    * [[bucketedTopK]] — basis-independent collision probability).
+    */
+  def rpBucketedTopK(prepared: DataFrame, queryPred: Column, bits: Int,
+      k: Int, dims: Int = 64): DataFrame =
+    topKWithinBucket(
+      prepared.withColumn("bucket", rpBucket(col("qvec"), bits, dims)),
+      queryPred, k)
 
   /** IVF (inverted-file) ANN top-k — the classic coarse-quantizer scale
     * path: KMeans centroids partition the corpus into cells; each query

@@ -623,6 +623,76 @@ object LlmQueries {
         TRUE AS decoded
         FROM documents ORDER BY media_id""")),
 
+    // REAL audio codec under the gate (the WAV sibling of l21): synthesize
+    // a PCM16 mono WAV per document with header fields derived from doc_id,
+    // decode through the javax.sound path, and check the parsed sample rate
+    // and frame count against the formulas in SQL — a silent fallback
+    // (decoded=false, rate 16000) would fail the hash compare.
+    "l29_audio_decode" -> Def(
+      (s, d) => {
+        import s.implicits._
+        val rendered = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val rate = 8000 + (id % 8).toInt * 1000
+              val nFrames = 100 + (id % 400).toInt
+              val dataSize = nFrames * 2 // 16-bit mono
+              val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+                .put("WAVE".getBytes("US-ASCII"))
+                .put("fmt ".getBytes("US-ASCII")).putInt(16)
+                .putShort(1).putShort(1) // PCM, mono
+                .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+                .put("data".getBytes("US-ASCII")).putInt(dataSize)
+              var i = 0
+              while (i < nFrames) { bb.putShort(((id + i) % 4096).toShort); i += 1 }
+              (id, bb.array())
+            }
+          }.toDF("doc_id", "payload")
+        val media = Multimodal.withMediaMeta(rendered, "doc_id", "payload", lit("audio"))
+        Multimodal.decode(s, media).toDF()
+          .select(col("media_id"), col("sample_rate"), col("n_frames"),
+            col("decoded"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+        CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+        CAST(100 + doc_id % 400 AS INTEGER) AS n_frames,
+        TRUE AS decoded
+        FROM documents ORDER BY media_id""")),
+
+    // ANN with random-hyperplane sign-LSH (the basis-independent variant of
+    // l13): ±1 plane coefficients derived from the portable md5 hash, so
+    // the oracle recomputes the same buckets from embedded literal tables.
+    "l30_ann_rplsh" -> Def(
+      (s, d) => {
+        val prep = Similarity.prepare(
+          t(s, d, "embeddings").withColumnRenamed("vec_id", "id"), "embedding")
+        Similarity.rpBucketedTopK(prep, col("id") < 50, bits = 12, k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        val signs = Similarity.rpSigns(12, 64)
+        val bucketExpr = signs.zipWithIndex.map { case (cs, j) =>
+          val lits = cs.mkString("[", ", ", "]")
+          s"""(CASE WHEN CAST(list_sum(list_transform(generate_series(1, 64),
+             i -> q[i] * ($lits)[i])) AS BIGINT) >= 0 THEN ${1L << j} ELSE 0 END)"""
+        }.mkString(" + ")
+        s"""WITH $oQuant,
+          b AS (SELECT vec_id, q, norm_sq, $bucketExpr AS bucket FROM qn)
+          SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              CAST(${oDot("q.q", "c.q")} AS DOUBLE) /
+                sqrt(CAST(q.norm_sq AS DOUBLE) * CAST(c.norm_sq AS DOUBLE)) AS cosine,
+              CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                ORDER BY CAST(${oDot("q.q", "c.q")} AS DOUBLE) /
+                  sqrt(CAST(q.norm_sq AS DOUBLE) * CAST(c.norm_sq AS DOUBLE)) DESC,
+                c.vec_id) AS BIGINT) AS rank
+            FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 50 AND q.vec_id <> c.vec_id)
+          WHERE rank <= 5 ORDER BY query_id, rank"""
+      }),
+
     "l15_multimodal" -> Def(
       (s, d) => {
         val docs = t(s, d, "documents")

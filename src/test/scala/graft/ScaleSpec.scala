@@ -160,6 +160,27 @@ class ScaleSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("rp-LSH: deterministic ±1 planes; ranking within buckets is exact cosine") {
+    val s1 = Similarity.rpSigns(12, 64)
+    val s2 = Similarity.rpSigns(12, 64)
+    assert(s1.map(_.toList).toList == s2.map(_.toList).toList, "plane table is deterministic")
+    assert(s1.flatten.forall(v => v == 1L || v == -1L))
+    assert(s1.flatten.count(_ == 1L) > 300 && s1.flatten.count(_ == -1L) > 300,
+      "signs are roughly balanced")
+    val prep = Similarity.prepare(
+      spark.read.parquet(s"$sf0001/embeddings.parquet").withColumnRenamed("vec_id", "id"),
+      "embedding")
+    val out = Similarity.rpBucketedTopK(prep, col("id") < 10, bits = 6, k = 3)
+      .collect()
+    // within each query the ranks are 1..n by non-increasing cosine
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getLong(3))
+      assert(byRank.map(_.getLong(3)).toList == (1L to byRank.length).toList)
+      val cosines = byRank.map(_.getDouble(2))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("q36 dimension join broadcasts part (no shuffle join at any scale)") {
     val plan = finalPlan(SparkEntry.all("q36_promo_revenue").fn(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
