@@ -116,8 +116,10 @@ object Similarity {
   def rpBucket(qvec: Column, bits: Int, dims: Int = 64): Column = {
     val signs = rpSigns(bits, dims)
     signs.zipWithIndex.map { case (cs, j) =>
-      val dot = aggregate(zip_with(qvec, lit(cs), (x, c) => x * c),
-        lit(0L), (a, v) => a + v)
+      // native codegen'd dot (DotProductQ) against the literal plane —
+      // the HOF formulation (aggregate∘zip_with) runs interpreted lambdas
+      // per element: bits × dims evals per row on the scan hot path
+      val dot = dotQ(qvec, lit(cs))
       when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
