@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues}
+
+/** Transaction assembly on `transformWithState` (Spark 4's arbitrary-state
+  * v2 API) — the modern sibling of [[StreamingTxAssembly]] with identical
+  * semantics (reference P3+P4, internal/parser/pgoutput.go:247-304,
+  * 467-531): buffer per-txid until the Commit marker, then emit each event
+  * stamped with commitTime/commitLSN and a WAL-order `seq_in_tx`.
+  *
+  * What the v2 API buys at scale vs `flatMapGroupsWithState`:
+  *  - `ListState` appends are per-element RocksDB writes — an arriving
+  *    micro-batch appends its rows without rewriting the whole buffered
+  *    transaction (fMGWS round-trips the entire `TxState` value per batch:
+  *    O(tx size) per batch vs O(arrivals) here — the difference dominates
+  *    for the reference's 100k-event spill-class transactions);
+  *  - abandoned-tx eviction is a declarative state TTL instead of
+  *    hand-managed timeout callbacks.
+  *
+  * Requires the RocksDB state-store provider (the only provider
+  * implementing transformWithState).
+  */
+class TxAssemblyProcessor(ttlMs: Long)
+    extends StatefulProcessor[Long, DecodedWalEvent, SequencedWalEvent] {
+
+  @transient private var buf: ListState[DecodedWalEvent] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    val ttl = if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+      else TTLConfig.NONE
+    buf = getHandle.getListState[DecodedWalEvent]("txbuf",
+      Encoders.product[DecodedWalEvent], ttl)
+  }
+
+  override def handleInputRows(txid: Long, rows: Iterator[DecodedWalEvent],
+      timers: TimerValues): Iterator[SequencedWalEvent] = {
+    val arrived = rows.toList
+    val commit = arrived.find(_.is_commit)
+    val data = arrived.filterNot(e => e.is_begin || e.is_commit)
+    commit match {
+      case Some(c) =>
+        val all = (buf.get().toList ++ data).sortBy(_.wal_start)
+        buf.clear()
+        all.iterator.zipWithIndex.map { case (e, i) =>
+          SequencedWalEvent(e.wal_start, e.operation, e.schema_name,
+            e.table_name, e.old_values, e.new_values, txid,
+            i.toLong, c.action_time, c.wal_start)
+        }
+      case None =>
+        // append-only state write: O(arrivals), not O(buffered tx)
+        data.foreach(buf.appendValue)
+        Iterator.empty
+    }
+  }
+}
+
+object TxAssemblyProcessor {
+
+  /** [[StreamingTxAssembly.assemble]] on the v2 API. `txTtlMs <= 0`
+    * disables abandoned-tx eviction.
+    */
+  def assemble(spark: SparkSession, decoded: DataFrame,
+      txTtlMs: Long = 0L): Dataset[SequencedWalEvent] = {
+    import spark.implicits._
+    decoded.select("wal_start", "operation", "is_begin", "is_commit",
+        "schema_name", "table_name", "old_values", "new_values", "txid",
+        "action_time")
+      .as[DecodedWalEvent]
+      .groupByKey(_.txid)
+      .transformWithState(new TxAssemblyProcessor(txTtlMs),
+        if (txTtlMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append(),
+        Encoders.product[SequencedWalEvent])
+  }
+}

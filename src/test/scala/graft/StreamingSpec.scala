@@ -50,6 +50,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState tx assembly matches fMGWS semantics (commit-gated, ordered)") {
+    implicit val sctx = spark.sqlContext
+    // the v2 state API only runs on the RocksDB provider
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[graft.streaming.DecodedWalEvent]
+    val q = graft.streaming.TxAssemblyProcessor.assemble(spark, input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tws_out").start()
+    def ev(ws: Long, op: String, xid: Long, begin: Boolean = false, commit: Boolean = false) =
+      graft.streaming.DecodedWalEvent(ws, op, begin, commit, "public", "users",
+        Map.empty, Map("id" -> ws.toString), xid,
+        java.sql.Timestamp.valueOf("2024-01-15 10:30:00"))
+    try {
+      // tx 7 spans two micro-batches (ListState appends without a commit);
+      // tx 8 never commits
+      input.addData(ev(1, "B", 7, begin = true), ev(3, "I", 7), ev(2, "I", 7),
+        ev(10, "B", 8, begin = true), ev(11, "I", 8))
+      q.processAllAvailable()
+      assert(spark.table("tws_out").count() == 0, "no commit -> no emit")
+      input.addData(ev(4, "U", 7), ev(5, "C", 7, commit = true))
+      q.processAllAvailable()
+      val out = spark.table("tws_out").orderBy($"seq_in_tx")
+        .select($"wal_start", $"seq_in_tx", $"commit_lsn", $"txid")
+        .as[(Long, Long, Long, Long)].collect().toList
+      // WAL order restored across batches (3 arrived before 2), commit LSN stamped
+      assert(out == List((2L, 0L, 5L, 7L), (3L, 1L, 5L, 7L), (4L, 2L, 5L, 7L)))
+      assert(spark.table("tws_out").filter($"txid" === 8).count() == 0)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("replayed events dedup within the watermark (effectively-once, E7)") {
     implicit val sctx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
