@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized dedup index for a GROWING corpus — the incremental path
+  * SCALE.md prescribes: at 100 TB you do not re-shingle the whole corpus
+  * per ingest batch; you build the shingle inverted index ONCE as a
+  * bucketed table and check each new batch against it.
+  *
+  * Index layout (`build`):
+  *  - `<name>`       : distinct (id, shingle), bucketed+sorted by shingle —
+  *                     the new batch's shingle join needs no corpus-side
+  *                     exchange (only the small new side shuffles into the
+  *                     bucket layout);
+  *  - `<name>_sizes` : (id, n) per-doc distinct-shingle counts, so exact
+  *                     Jaccard needs no corpus re-aggregation.
+  *
+  * All hashing upstream is md5-derived (TextAnalysis.hash48), so an index
+  * written by one engine/cluster remains valid for any other — the property
+  * that makes incremental dedup auditable.
+  */
+object DedupIndex {
+
+  /** Materialize the shingle index for `docs`. `buckets` sizes the layout:
+    * at 100 TB pick buckets so each holds ~128-256 MB of shingle rows.
+    */
+  def build(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, name: String, n: Int = 3, buckets: Int = 8): Unit = {
+    val sh = Dedup.shingles(docs, idCol, textCol, n)
+    sh.write.mode("overwrite")
+      .bucketBy(buckets, "shingle").sortBy("shingle").saveAsTable(name)
+    // sizes ride the same shuffle shape as any per-doc aggregate; tiny table
+    sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").saveAsTable(s"${name}_sizes")
+  }
+
+  /** Near-duplicate pairs between a NEW batch and the indexed corpus:
+    * exact Jaccard >= threshold, computed as one shingle join against the
+    * bucketed index + the stored size table. Returns
+    * (new_id, old_id, inter, n_new, n_old, jaccard).
+    *
+    * Scale shape: the intersection join's corpus side is the bucketed
+    * index (no exchange); only the new batch (small by definition of
+    * incremental ingest) shuffles. `maxDf > 0` drops shingles whose
+    * CORPUS document frequency exceeds it from the candidate/intersection
+    * stage — the standard hot-shingle ("of the …") guard; it makes Jaccard
+    * a lower-bound approximation, so leave 0 where exactness is required.
+    */
+  def incrementalNearDups(spark: SparkSession, newDocs: DataFrame,
+      idCol: String, textCol: String, name: String, threshold: Double,
+      n: Int = 3, maxDf: Long = 0L): DataFrame = {
+    val newSh = Dedup.shingles(newDocs, idCol, textCol, n)
+    val idx0 = spark.table(name)
+    val idx = if (maxDf > 0) Dedup.dfCapped(idx0, maxDf) else idx0
+    val newSizes = newSh.groupBy(col("id")).agg(count(lit(1)).as("n_new"))
+      .withColumnRenamed("id", "new_id")
+    val oldSizes = spark.table(s"${name}_sizes")
+      .select(col("id").as("old_id"), col("n").as("n_old"))
+    newSh.as("nw").join(idx.as("ix"), col("nw.shingle") === col("ix.shingle"))
+      .groupBy(col("nw.id").as("new_id"), col("ix.id").as("old_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(newSizes, "new_id")
+      .join(oldSizes, "old_id")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_new") + col("n_old") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("old_id"), col("inter"), col("n_new"),
+        col("n_old"), col("jaccard"))
+  }
+
+  /** Fold a verified new batch into the index (append both tables) — the
+    * ingest loop's closing step. The append re-declares the bucket spec
+    * (must match `build`'s) so the new files land in the same layout.
+    */
+  def append(spark: SparkSession, newDocs: DataFrame, idCol: String,
+      textCol: String, name: String, n: Int = 3, buckets: Int = 8): Unit = {
+    val sh = Dedup.shingles(newDocs, idCol, textCol, n)
+    sh.write.mode("append")
+      .bucketBy(buckets, "shingle").sortBy("shingle").saveAsTable(name)
+    sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .write.mode("append").saveAsTable(s"${name}_sizes")
+  }
+}
