@@ -162,6 +162,49 @@ object Similarity {
       prepared.withColumn("bucket", rpBucket(col("qvec"), bits, dims)),
       queryPred, k)
 
+  /** Multi-probe rp-LSH ANN top-k: each query probes its own bucket PLUS
+    * the `nProbe-1` neighbor buckets reached by flipping its lowest-margin
+    * plane bits (margin = |qvec · plane|: the planes the query sits closest
+    * to are the ones most likely to split it from near neighbors). The
+    * standard production recall/cost dial — multi-probe recovers most of
+    * the recall lost to bucket boundaries at a cost of nProbe× candidate
+    * volume, WITHOUT growing the index (vs more tables/bits).
+    *
+    * Everything stays integer-exact (dots, margins, buckets), so results
+    * are engine-reproducible; ties in margin break by plane index.
+    */
+  def multiProbeTopK(prepared: DataFrame, queryPred: Column, bits: Int,
+      nProbe: Int, k: Int, dims: Int = 64): DataFrame = {
+    require(nProbe >= 1 && nProbe <= bits + 1, s"nProbe must be in [1, bits+1]")
+    val signs = rpSigns(bits, dims)
+    val corpus = prepared.withColumn("bucket", rpBucket(col("qvec"), bits, dims))
+    val pow2 = lit((0 until bits).map(1L << _).toArray)
+    val withDots = prepared.filter(queryPred)
+      .withColumns((0 until bits).map(j => s"dot_$j" -> dotQ(col("qvec"), lit(signs(j)))).toMap)
+    val bucket = (0 until bits).map(j =>
+      when(col(s"dot_$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val margins = sort_array(array((0 until bits).map(j =>
+      struct(abs(col(s"dot_$j")).as("m"), lit(j).as("j"))): _*))
+    val queries = withDots
+      .withColumn("bucket", bucket)
+      .withColumn("probe_bucket", explode(concat(
+        array(col("bucket")),
+        transform(slice(margins, 1, nProbe - 1), s =>
+          col("bucket").bitwiseXOR(element_at(pow2, s.getField("j") + 1))))))
+      .select(col("id"), col("qvec"), col("norm_sq"), col("probe_bucket"))
+    import org.apache.spark.sql.expressions.Window
+    val joined = queries.alias("q")
+      .join(corpus.alias("c"),
+        col("q.probe_bucket") === col("c.bucket") && col("q.id") =!= col("c.id"))
+      .withColumn("dot", dotQ(col("q.qvec"), col("c.qvec")))
+      .withColumn("cosine", pairCosine)
+    val w = Window.partitionBy(col("q.id")).orderBy(col("cosine").desc, col("c.id"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
   /** IVF (inverted-file) ANN top-k — the classic coarse-quantizer scale
     * path: KMeans centroids partition the corpus into cells; each query
     * probes its `nProbe` nearest cells and ranks candidates by exact

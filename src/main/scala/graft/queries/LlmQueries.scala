@@ -693,6 +693,48 @@ object LlmQueries {
           WHERE rank <= 5 ORDER BY query_id, rank"""
       }),
 
+    // Multi-probe rp-LSH ANN: own bucket + 2 lowest-margin bit flips per
+    // query — the production recall dial. Margins/buckets are integer-
+    // exact, so the probe set (and thus the result) is oracle-exact.
+    "l31_ann_multiprobe" -> Def(
+      (s, d) => {
+        val prep = Similarity.prepare(
+          t(s, d, "embeddings").withColumnRenamed("vec_id", "id"), "embedding")
+        Similarity.multiProbeTopK(prep, col("id") < 50, bits = 12, nProbe = 3, k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        val signs = Similarity.rpSigns(12, 64)
+        val dotExprs = signs.map { cs =>
+          val lits = cs.mkString("[", ", ", "]")
+          s"""CAST(list_sum(list_transform(generate_series(1, 64),
+             i -> q[i] * ($lits)[i])) AS BIGINT)"""
+        }
+        val dotsList = dotExprs.mkString("[", ",\n", "]")
+        val bucketFromDots = (0 until 12).map(j =>
+          s"(CASE WHEN dots[${j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        s"""WITH $oQuant,
+          d AS (SELECT vec_id, q, norm_sq, $dotsList AS dots FROM qn),
+          bq AS (SELECT vec_id, q, norm_sq, dots, $bucketFromDots AS bucket FROM d),
+          pr AS (SELECT vec_id, q, norm_sq, bucket,
+              list_transform(list_sort(list_transform(generate_series(1, 12),
+                j -> [abs(dots[j]), CAST(j - 1 AS BIGINT)]))[1:2],
+                p -> xor(bucket, CAST(1 AS BIGINT) << CAST(p[2] AS INTEGER))) AS flips
+            FROM bq WHERE vec_id < 50),
+          probes AS (SELECT vec_id, q, norm_sq, UNNEST(list_prepend(bucket, flips)) AS probe_bucket
+            FROM pr)
+          SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+              CAST(${oDot("p.q", "c.q")} AS DOUBLE) /
+                sqrt(CAST(p.norm_sq AS DOUBLE) * CAST(c.norm_sq AS DOUBLE)) AS cosine,
+              CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                ORDER BY CAST(${oDot("p.q", "c.q")} AS DOUBLE) /
+                  sqrt(CAST(p.norm_sq AS DOUBLE) * CAST(c.norm_sq AS DOUBLE)) DESC,
+                c.vec_id) AS BIGINT) AS rank
+            FROM probes p JOIN bq c ON p.probe_bucket = c.bucket AND p.vec_id <> c.vec_id)
+          WHERE rank <= 5 ORDER BY query_id, rank"""
+      }),
+
     "l15_multimodal" -> Def(
       (s, d) => {
         val docs = t(s, d, "documents")

@@ -181,6 +181,21 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH recall >= single-probe, both subsets of brute force") {
+    val prep = Similarity.prepare(
+      spark.read.parquet(s"$sf0001/embeddings.parquet").withColumnRenamed("vec_id", "id"),
+      "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(prep, prep.filter(col("id") < 30), k = 3))
+    val single = pairs(Similarity.rpBucketedTopK(prep, col("id") < 30, bits = 8, k = 3))
+    val multi = pairs(Similarity.multiProbeTopK(prep, col("id") < 30, bits = 8, nProbe = 4, k = 3))
+    assert((single intersect exact).size <= (multi intersect exact).size,
+      s"multi-probe recall ${multi.size} must not trail single-probe ${single.size}")
+    assert(multi.size >= single.size, "probing more buckets never returns fewer candidates")
+  }
+
   test("q36 dimension join broadcasts part (no shuffle join at any scale)") {
     val plan = finalPlan(SparkEntry.all("q36_promo_revenue").fn(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
