@@ -135,6 +135,44 @@ object Curation {
       .filter(col("id") =!= col("first_id") || col("span_idx") =!= col("first_span"))
   }
 
+  /** The cleaning pass over [[spanDedup]]'s detection: drop every span
+    * that is a duplicate of an earlier occurrence and rebuild each
+    * document's text from its surviving spans (in original order) — the
+    * operation C4 applies corpus-wide at line granularity. Documents whose
+    * spans were all duplicates disappear. Same single shuffle as
+    * spanDedup (the window on span_hash) plus the per-doc rebuild
+    * aggregation.
+    *
+    * Output: (id, clean_text, n_spans, n_kept).
+    */
+  def cleanSpans(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 10): DataFrame = {
+    require(spanTokens > 0, "spanTokens must be positive")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nSpans = ceil(size(toks) / lit(spanTokens.toDouble)).cast("int")
+    val spans = transform(sequence(lit(0), nSpans - 1),
+      i => array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " "))
+    val exploded = df
+      .select(col(idCol).as("id"), posexplode(spans).as(Seq("span_idx", "span_text")))
+      .select(col("id"), col("span_idx").cast("long").as("span_idx"),
+        col("span_text"), md5(col("span_text")).as("span_hash"))
+    val w = Window.partitionBy(col("span_hash")).orderBy(col("id"), col("span_idx"))
+    exploded
+      .withColumn("first_id", first(col("id")).over(w))
+      .withColumn("first_span", first(col("span_idx")).over(w))
+      .withColumn("kept",
+        col("id") === col("first_id") && col("span_idx") === col("first_span"))
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("span_idx"), col("span_text"))))),
+          s => s.getField("span_text")), " ").as("clean_text"),
+        count(lit(1)).as("n_spans"),
+        sum(col("kept").cast("long")).as("n_kept"))
+      .filter(col("n_kept") > 0)
+  }
+
   /** Per-document distinctive terms: the k tokens with the lowest corpus
     * document frequency (the TF-IDF "most informative terms" shape with
     * integer-only arithmetic — df ranks replace the log-idf weight, so the

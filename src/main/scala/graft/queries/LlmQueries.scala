@@ -543,6 +543,32 @@ object LlmQueries {
         WHERE id <> first_id OR span_idx <> first_span
         ORDER BY id, span_idx""")),
 
+    // The cleaning pass over l26: duplicate spans removed, text rebuilt
+    // from surviving spans in order (C4's line-dedup applied, not just
+    // detected).
+    "l32_clean_spans" -> Def(
+      (s, d) => Curation.cleanSpans(t(s, d, "documents"), "doc_id", "text",
+          spanTokens = 10)
+        .select(col("id"), col("clean_text"), col("n_spans"), col("n_kept"))
+        .orderBy(col("id")),
+      Some(s"""WITH spans AS (
+          SELECT doc_id AS id, CAST(i - 1 AS BIGINT) AS span_idx,
+            array_to_string(t[(i-1)*10+1:(i-1)*10+10], ' ') AS span_text
+          FROM (SELECT doc_id, $oToks AS t FROM documents),
+            UNNEST(generate_series(1, CAST(CEIL(len(t) / 10.0) AS BIGINT))) AS g(i)),
+        flagged AS (
+          SELECT id, span_idx, span_text,
+            FIRST_VALUE(id) OVER w AS first_id,
+            FIRST_VALUE(span_idx) OVER w AS first_span
+          FROM (SELECT *, md5(span_text) AS span_hash FROM spans)
+          WINDOW w AS (PARTITION BY span_hash ORDER BY id, span_idx))
+        SELECT id,
+          string_agg(span_text, ' ' ORDER BY span_idx)
+            FILTER (WHERE id = first_id AND span_idx = first_span) AS clean_text,
+          COUNT(*) AS n_spans,
+          CAST(SUM(CASE WHEN id = first_id AND span_idx = first_span THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM flagged GROUP BY id HAVING n_kept > 0 ORDER BY id""")),
+
     // Gopher-style rule flags: per-rule boolean signals + the conjunctive
     // keep decision (per-rule rejection accounting, the form a curation
     // pipeline reports). Pure narrow map stage.

@@ -92,6 +92,19 @@ class CurationSpec extends SparkSpec {
     assert(dups((3L, 0L)) == ((1L, 1L)), "doc3's text equals doc1's second span")
   }
 
+  test("cleanSpans removes duplicate spans, rebuilds text, drops empty docs") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j x y z"),    // both spans original
+      (2L, "a b c d e f g h i j q r s"),    // first span is doc1's -> dropped
+      (3L, "x y z"))                        // whole doc duplicates doc1 span 1 -> doc gone
+      .toDF("doc_id", "text")
+    val out = Curation.cleanSpans(d, "doc_id", "text", spanTokens = 10)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set(1L, 2L), s"doc 3 fully deduped away, got ${out.keySet}")
+    assert(out(1L) == (("a b c d e f g h i j x y z", 2L, 2L)), "untouched doc round-trips")
+    assert(out(2L) == (("q r s", 2L, 1L)), "only the novel tail span survives")
+  }
+
   test("distinctive terms rank lowest-df tokens first with text tie-break") {
     val d = Seq(
       (1L, "apple banana common common"),  // distinct: apple banana common
