@@ -284,6 +284,29 @@ object CdcQueries {
           $oSeq AS seq FROM events)
         ORDER BY event_id""")),
 
+    // The canonical CDC consumer query: snapshot materialization — latest
+    // state per (table, key) from the change stream via a ranked window
+    // (row_number desc = 1), the compaction every CDC-fed table performs.
+    // One shuffle on the (table, key) grain; the oracle derives the same
+    // per-key last event from the source rows.
+    "c11_snapshot_materialize" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val n = normalizedCached(s, d)
+        val src = element_at(col("after"), "src_event_id").cast("long")
+        val wAll = Window.partitionBy(col("table"), col("txid"))
+        val w = wAll.orderBy(src.desc)
+        n.withColumn("rn", row_number().over(w))
+          .withColumn("n_changes", count(lit(1)).over(wAll))
+          .filter(col("rn") === 1)
+          .select(col("table").as("table_name"), col("txid").as("user_id"),
+            src.as("last_src_event"), col("n_changes"))
+          .orderBy(col("table_name"), col("user_id"))
+      },
+      Some("""SELECT event_type AS table_name, user_id,
+        MAX(event_id) AS last_src_event, COUNT(*) AS n_changes
+        FROM events GROUP BY 1, 2 ORDER BY table_name, user_id""")),
+
     // P6: multi-format timestamp parsing — four of the reference's eight
     // layouts generated per row, parsed back by the coalesce chain.
     "c09_ts_multiformat" -> Def(

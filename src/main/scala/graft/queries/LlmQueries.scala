@@ -597,6 +597,52 @@ object LlmQueries {
                 FROM (SELECT doc_id, $oToks AS t FROM documents)))
         ORDER BY doc_id""")),
 
+    // The composed curation pipeline (the way the ops run in production):
+    // Gopher rule filter AND exact-dedup survivorship AND language gate,
+    // in one plan — the filters fuse into the scan, the dedup survivor
+    // check is one semi-join against the (small) representative set.
+    "l33_curation_pipeline" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val kept = TA.gopherFlags(col("text")).last._2
+        val reps = Dedup.exactGroups(docs, "doc_id", "text")
+          .select(col("rep_id").as("doc_id"))
+        docs.select(col("doc_id"), col("source"),
+            TA.langId(col("text")).as("lang_pred"), kept.as("kept"))
+          .filter(col("kept") && col("lang_pred") =!= "und")
+          .join(reps, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("source"), col("lang_pred"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val scoreExprs = TA.langMarkers.map { case (code, ms) =>
+          code -> s"len(list_filter(t, tk -> tk IN (${ms.map(m => s"'$m'").mkString(",")})))"
+        }
+        val all = scoreExprs.map(e => s"s_${e._1}").mkString(", ")
+        val firstMax = scoreExprs.map { case (c, _) =>
+          s"WHEN s_$c >= GREATEST($all) THEN '$c'"
+        }.mkString(" ")
+        s"""WITH f AS (SELECT doc_id, source,
+            len(t) AS n_tok,
+            CAST(list_sum(list_transform(t, tk -> LENGTH(tk))) AS DOUBLE) / len(t) AS mwl,
+            CAST(len(list_filter(t, tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(t) AS stop_ratio,
+            CASE WHEN len(t) < 2 THEN 0.0
+                 ELSE 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g) END AS rep_ratio,
+            ${scoreExprs.map { case (c, e) => s"$e AS s_$c" }.mkString(", ")}
+          FROM (SELECT doc_id, source, t,
+                  list_transform(generate_series(1, GREATEST(len(t) - 1, 0)),
+                    i -> t[i] || ' ' || t[i+1]) AS g
+                FROM (SELECT doc_id, source, $oToks AS t FROM documents)))
+        SELECT doc_id, source,
+          CASE WHEN GREATEST($all) = 0 THEN 'und' $firstMax END AS lang_pred
+        FROM f
+        WHERE (n_tok BETWEEN 5 AND 10000) AND (mwl >= 2.0 AND mwl <= 10.0)
+          AND stop_ratio >= 0.01 AND rep_ratio < 0.3
+          AND (CASE WHEN GREATEST($all) = 0 THEN 'und' $firstMax END) <> 'und'
+          AND doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+        ORDER BY doc_id"""
+      }),
+
     // Per-document distinctive terms: k lowest-df tokens (TF-IDF's
     // "informative terms" with integer-only df ranks — engine-exact).
     "l28_distinctive_terms" -> Def(
