@@ -103,17 +103,13 @@ object TextAnalysis {
   /** Duplicate-2-gram fraction (Gopher-style repetition signal): 1 -
     * distinct(2grams)/count(2grams). 0 = no repetition; rises toward 1 for
     * boilerplate/spam. Exact integer counts, one final IEEE division.
+    * Evaluated by the native codegen'd kernel
+    * [[graft.functions.RepetitionRatio]] — the HOF formulation
+    * (transform + array_distinct) is interpreted-per-element and measured
+    * 20× slower in filter position (see the expression's scaladoc).
     */
-  def repetitionRatio(text: Column): Column = {
-    val toks = tokens(text)
-    val n = size(toks)
-    val grams = when(n >= 2, sequence(lit(0), n - 2))
-      .otherwise(array().cast("array<int>"))
-    val g = transform(grams, i =>
-      concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
-    when(size(g) === 0, lit(0.0)).otherwise(
-      lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
-  }
+  def repetitionRatio(text: Column): Column =
+    graft.functions.NativeTextStats.repetitionRatioNative(text)
 
   /** Gopher-style rule flags: the composite quality filter as individual
     * boolean signals plus the conjunctive keep decision — the form a real
@@ -154,18 +150,25 @@ object TextAnalysis {
   /** N-gram/function-word language ID: score each language by marker-token
     * hits; argmax wins, ties broken by language-code order (the seq above is
     * sorted), zero hits => "und". Pure integer comparisons — deterministic.
+    *
+    * Shape note: each score is computed ONCE into an array of (score,
+    * reversed-index) structs and `array_max` picks the winner — struct
+    * ordering is (score, then reversed index), so ties resolve to the
+    * EARLIEST language, matching "first max wins". The natural
+    * when/otherwise foldLeft duplicates every prior score expression inside
+    * each comparison level: exponential expression growth that measured 7×
+    * on the composed l33 pipeline.
     */
   def langId(text: Column): Column = {
     val toks = tokens(text)
-    val scored = langMarkers.map { case (code, markers) =>
-      (code, size(filter(toks, t => t.isInCollection(markers))))
+    val n = langMarkers.size
+    val entries = langMarkers.zipWithIndex.map { case ((_, markers), i) =>
+      struct(size(filter(toks, t => t.isInCollection(markers))).as("s"),
+        lit(n - 1 - i).as("ri"))
     }
-    // strict > keeps the earlier (alphabetically smaller) code on ties
-    val (bestCode, bestScore) = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((cAcc, sAcc), (code, s)) =>
-        (when(s > sAcc, lit(code)).otherwise(cAcc),
-         when(s > sAcc, s).otherwise(sAcc))
-    }
-    when(bestScore > 0, bestCode).otherwise(lit("und"))
+    val best = array_max(array(entries: _*))
+    val codes = lit(langMarkers.map(_._1).toArray)
+    when(best.getField("s") > 0,
+      element_at(codes, lit(n) - best.getField("ri"))).otherwise(lit("und"))
   }
 }
