@@ -81,6 +81,32 @@ object Dedup {
     hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-document MinHash signatures as a NARROW map stage — zero shuffle.
+    * The native one-pass kernel [[graft.functions.MinHashSig]] computes all
+    * k permutation minima per document directly from the text; output
+    * schema and values are bit-identical to [[minhashSignatures]] over
+    * [[shinglesAll]] (documents with fewer than n tokens are absent from
+    * both). Prefer this form whenever the shingle inverted index is not
+    * ALSO needed downstream: at 100 TB it removes the exchange of the
+    * exploded shingle corpus (~n× the text volume) entirely. When the
+    * index is needed anyway (e.g. exact-Jaccard verification), the
+    * aggregate form can share the index's shuffle via ReuseExchange —
+    * measure both (see l07's plan-shape note).
+    */
+  def minhashSignaturesNarrow(df: DataFrame, idCol: String, textCol: String,
+      k: Int, n: Int = 3): DataFrame = {
+    // pre-filter on the CHEAP shingle-existence condition (>= n tokens),
+    // not on isNotNull(kernel): the latter puts the kernel into the filter
+    // condition too and doubles the md5 work per row (measured in the plan:
+    // Filter[isnotnull(graft_minhash)] + Project[graft_minhash])
+    val sig = df
+      .filter(size(split(col(textCol), " ", -1)) >= n)
+      .select(col(idCol).as("id"),
+        graft.functions.NativeMinHash.minhashNative(col(textCol), n, k).as("_mh"))
+    sig.select(col("id") +:
+      (1 to k).map(j => element_at(col("_mh"), j).as(s"mh_$j")): _*)
+  }
+
   /** Drop bucket keys holding more than `maxBucket` members before a
     * bucket self-join. A degenerate corpus (boilerplate, empty docs, spam
     * runs) can collapse into one bucket and turn the "never n²" candidate

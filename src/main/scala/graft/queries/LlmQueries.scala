@@ -161,10 +161,13 @@ object LlmQueries {
       }),
 
     // MinHash signatures (affine permutations over portable shingle hash).
+    // Narrow native kernel: zero-shuffle signature computation; values are
+    // bit-identical to the explode+groupBy form (NativeMinHashSpec), so
+    // the oracle below is the aggregate formulation, unchanged.
     "l06_minhash_sig" -> Def(
       (s, d) => {
-        val sig = Dedup.minhashSignatures(
-          Dedup.shinglesAll(t(s, d, "documents"), "doc_id", "text"), k = 32)
+        val sig = Dedup.minhashSignaturesNarrow(
+          t(s, d, "documents"), "doc_id", "text", k = 32)
         sig.select(col("id").as("doc_id"), col("mh_1"), col("mh_8"),
             col("mh_16"), col("mh_32"))
           .orderBy(col("doc_id"))
