@@ -186,21 +186,25 @@ object LlmQueries {
     // a .persist() here measured slower than recompute at bench scale.)
     "l07_minhash_lsh_pairs" -> Def(
       (s, d) => {
-        // One distinct shingle frame feeds signatures, sizes and the
-        // (candidate-restricted) intersection self-join — shared subtrees
-        // are materialized once by ReuseExchange (see verifyJaccard
-        // plan-shape note). maxBucket guards the band self-join against
-        // degenerate buckets; 10000 is >=10x any bucket observed at bench
-        // scale, so results are unchanged on real data.
+        // Signatures come from the narrow native kernel (no shuffle); the
+        // distinct shingle frame feeds sizes and the candidate-restricted
+        // intersection self-join, materialized once by ReuseExchange (see
+        // verifyJaccard plan-shape note). Measured at sf0.1: narrow sig
+        // 4.4-5.3s vs sig-shares-the-shingle-exchange 5.1-10.1s over 3
+        // reps — dropping the 32-wide groupBy(id) agg beats sharing the
+        // exchange. maxBucket guards the band self-join against degenerate
+        // buckets; 10000 is >=10x any bucket observed at bench scale, so
+        // results are unchanged on real data.
         // NOTE (measured twice, rounds 1 and 2): do NOT materialize `cand`
         // or `sh` here. A localCheckpoint of the candidate set halved the
         // plan's scan count but DOUBLED l07's wall time at sf0.1 — the
         // split into separate jobs breaks the ReuseExchange that otherwise
-        // shares the shingle distinct-shuffle across the signature chain,
-        // the sizes aggregate and both intersection sides. Single-plan,
-        // single-reference shapes win.
-        val sh = Dedup.shingles(t(s, d, "documents"), "doc_id", "text")
-        val sig = Dedup.minhashSignatures(sh, k = 32)
+        // shares the shingle distinct-shuffle across the sizes aggregate
+        // and both intersection sides. Single-plan, single-reference
+        // shapes win.
+        val docs = t(s, d, "documents")
+        val sh = Dedup.shingles(docs, "doc_id", "text")
+        val sig = Dedup.minhashSignaturesNarrow(docs, "doc_id", "text", k = 32)
         val cand = Dedup.lshCandidates(sig, k = 32, rowsPerBand = 2, maxBucket = 10000)
         Dedup.verifyJaccard(sh, cand)
           .filter(col("jaccard") >= 0.8)
