@@ -296,6 +296,18 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** 48-bit SimHash as a NARROW map stage — zero shuffle. The native
+    * one-pass kernel [[graft.functions.SimHash48]] folds the per-bit ±1
+    * counters per document directly from the text; values are bit-identical
+    * to [[simhash]] (asserted in NativeSimHashSpec). Documents with null
+    * text are absent from both forms (explode of null emits no rows there;
+    * the cheap isNotNull filter here).
+    */
+  def simhashNarrow(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.functions.NativeSimHash.simhashNative(col(textCol)).as("simhash"))
+
   /** Near-dup pairs with hamming(simhash) <= maxHamming, found by pigeonhole
     * blocking: split the 48 bits into (maxHamming+1) blocks; any pair within
     * the hamming radius must agree on at least one block (exact, not

@@ -229,7 +229,7 @@ object LlmQueries {
 
     // SimHash signatures (48-bit).
     "l09_simhash" -> Def(
-      (s, d) => Dedup.simhash(t(s, d, "documents"), "doc_id", "text")
+      (s, d) => Dedup.simhashNarrow(t(s, d, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("simhash"))
         .orderBy(col("doc_id")),
       Some(s"""WITH $oSimhash SELECT doc_id, simhash FROM sim ORDER BY doc_id""")),
@@ -241,7 +241,7 @@ object LlmQueries {
     // sf0.1 (1900) — guard present, results unchanged on real data.
     "l10_simhash_pairs" -> Def(
       (s, d) => Dedup.simhashPairs(
-          Dedup.simhash(t(s, d, "documents"), "doc_id", "text"), maxHamming = 8,
+          Dedup.simhashNarrow(t(s, d, "documents"), "doc_id", "text"), maxHamming = 8,
           maxBucket = 20000)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_a"), col("id_b")),
