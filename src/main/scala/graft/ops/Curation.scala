@@ -206,7 +206,7 @@ object Curation {
     val trainSh = Dedup.shingles(train, idCol, textCol, n)
     val evalSh = Dedup.shingles(eval, idCol, textCol, n)
       .select(col("shingle")).distinct()
-    trainSh.join(evalSh, Seq("shingle"), "left_semi")
+    trainSh.join(broadcast(evalSh), Seq("shingle"), "left_semi")
       .groupBy(col("id")).agg(count(lit(1)).as("shared_shingles"))
       .filter(col("shared_shingles") >= minShared)
   }

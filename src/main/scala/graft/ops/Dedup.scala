@@ -45,9 +45,21 @@ object Dedup {
 
   /** Distinct word n-gram shingles per document — the set form required by
     * Jaccard intersection counting.
+    *
+    * Distinctness of (id, shingle) is per-document, i.e. ROW-LOCAL:
+    * `array_distinct` before the explode produces the identical row set as
+    * a global `.distinct()` with ZERO shuffle — the downstream consumer
+    * (inverted-index join, df-cap, bucket join) then pays the only
+    * exchange, on ITS key. The previous `.distinct()` form shuffled the
+    * whole exploded shingle corpus on (id, shingle) first, immediately
+    * followed by the consumer's re-shuffle on shingle — double exchange of
+    * the largest frame in every Jaccard/decontamination pipeline.
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    shinglesAll(df, idCol, textCol, n).distinct()
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(col(idCol).as("id"),
+      explode(array_distinct(shingleArray(toks, n))).as("shingle"))
+  }
 
   /** Array of word n-gram shingles of `toks` (strings joined by a space). */
   def shingleArray(toks: Column, n: Int): Column = {
