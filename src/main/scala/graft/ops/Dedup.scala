@@ -61,6 +61,20 @@ object Dedup {
       explode(array_distinct(shingleArray(toks, n))).as("shingle"))
   }
 
+  /** [[shingles]] hash-partitioned on the shingle — the INVERTED-INDEX form
+    * for pipelines that reference the shingle frame more than once (Jaccard
+    * verification: sizes + both self-join sides). The explicit exchange is
+    * the frame's single materialization point: ReuseExchange computes the
+    * (interpreted, expensive) shingle transform once and every consumer
+    * reads the shuffle files, already partitioned on the self-join key so
+    * the join adds no further exchange. Without it the narrow [[shingles]]
+    * subtree is recomputed per consumer — measured 25-40% slower on l07/l08
+    * at sf0.1. Single-consumer or broadcast-join pipelines (e.g.
+    * decontamination) should use the narrow [[shingles]] instead.
+    */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    shingles(df, idCol, textCol, n).repartition(col("shingle"))
+
   /** Array of word n-gram shingles of `toks` (strings joined by a space). */
   def shingleArray(toks: Column, n: Int): Column = {
     // positions 0 .. size-n (empty when size < n; sequence() would descend)

@@ -203,7 +203,7 @@ object LlmQueries {
         // and both intersection sides. Single-plan, single-reference
         // shapes win.
         val docs = t(s, d, "documents")
-        val sh = Dedup.shingles(docs, "doc_id", "text")
+        val sh = Dedup.shingleIndex(docs, "doc_id", "text")
         val sig = Dedup.minhashSignaturesNarrow(docs, "doc_id", "text", k = 32)
         val cand = Dedup.lshCandidates(sig, k = 32, rowsPerBand = 2, maxBucket = 10000)
         Dedup.verifyJaccard(sh, cand)
@@ -220,7 +220,7 @@ object LlmQueries {
     // no-approximation baseline of l07).
     "l08_ngram_jaccard_pairs" -> Def(
       (s, d) => Dedup.ngramJaccardPairs(
-          Dedup.shingles(t(s, d, "documents"), "doc_id", "text"), 0.5)
+          Dedup.shingleIndex(t(s, d, "documents"), "doc_id", "text"), 0.5)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b")),
       Some(s"""WITH $oShingles, $oJaccard
