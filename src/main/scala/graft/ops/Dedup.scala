@@ -55,11 +55,10 @@ object Dedup {
     * followed by the consumer's re-shuffle on shingle — double exchange of
     * the largest frame in every Jaccard/decontamination pipeline.
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val toks = tokens(col(textCol))
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     df.select(col(idCol).as("id"),
-      explode(array_distinct(shingleArray(toks, n))).as("shingle"))
-  }
+      explode(graft.functions.NativeShingles.distinctShinglesNative(
+        col(textCol), n)).as("shingle"))
 
   /** [[shingles]] hash-partitioned on the shingle — the INVERTED-INDEX form
     * for pipelines that reference the shingle frame more than once (Jaccard
