@@ -33,6 +33,19 @@ class ExtensionsSpec extends AnyFunSuite {
       val dot = spark.sql(
         "SELECT graft_dotq(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").head.getLong(0)
       assert(dot === 32L)
+      // text kernels: values must match their declarative formulations
+      val rep = spark.sql("SELECT graft_rep_ratio('a b a b a b') AS r").head.getDouble(0)
+      assert(rep === 1.0 - 2.0 / 5.0)
+      val sim = spark.sql("SELECT graft_simhash('a b c') AS s").head.getLong(0)
+      val simWant = spark.sql(
+        """SELECT graft_simhash(text) AS s FROM (SELECT 'a b c' AS text)""").head.getLong(0)
+      assert(sim === simWant && sim >= 0L && sim < (1L << 48))
+      val mh = spark.sql("SELECT graft_minhash('a b c d', 3, 4) AS m")
+        .head.getSeq[Long](0)
+      assert(mh.length === 4 && mh.forall(v => v >= 0L && v < 2147483647L))
+      val shi = spark.sql("SELECT graft_shingles('x y z x y z x y', 3) AS a")
+        .head.getSeq[String](0)
+      assert(shi === Seq("x y z", "y z x", "z x y"))
     } finally {
       // do NOT stop(): that would kill the shared SparkContext
       SparkSession.clearDefaultSession()
