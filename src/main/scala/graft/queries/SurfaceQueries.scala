@@ -343,6 +343,28 @@ object SurfaceQueries {
       Some("""SELECT date_trunc('hour', ts) AS bucket, event_type,
         COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
         MIN(value) AS min_value, MAX(value) AS max_value
-        FROM events GROUP BY 1, 2 ORDER BY bucket, event_type"""))
+        FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""")),
+
+    // Higher-order-function battery over array columns: lambda filter,
+    // fold (aggregate), transform+slice, and existential — the declared
+    // HOF surface (used pervasively by the text operators) as its own
+    // oracle-checked row. All narrow: one scan, zero shuffles.
+    "q42_hof_battery" -> Def(
+      (s, d) => {
+        val arr = split(col("text"), " ", -1)
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(filter(arr, tk => length(tk) > 5)).cast("long").as("n_long"),
+            aggregate(arr, lit(0L), (a, tk) => a + length(tk)).as("total_len"),
+            array_join(transform(slice(arr, 1, 3), tk => upper(tk)), "|").as("head_upper"),
+            exists(arr, tk => tk === "the").as("has_the"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        len(list_filter(string_split(text, ' '), tk -> LENGTH(tk) > 5)) AS n_long,
+        CAST(list_sum(list_transform(string_split(text, ' '), tk -> LENGTH(tk))) AS BIGINT) AS total_len,
+        array_to_string(list_transform(string_split(text, ' ')[1:3], tk -> upper(tk)), '|') AS head_upper,
+        list_contains(string_split(text, ' '), 'the') AS has_the
+        FROM documents ORDER BY doc_id"""))
   )
 }
