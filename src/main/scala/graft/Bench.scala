@@ -54,7 +54,6 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errors = results.flatMap(_._3)
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // Headline CDC throughput in the reference load-test's unit (ops/sec,
     // scripts/e2e-load-test.sh): events pushed through the full
@@ -64,8 +63,76 @@ object Bench {
     val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
     val opsSec = results.find(_._1 == "c03_normalize").map(_._2)
       .filter(_ > 0).map(t => (nEvents / t).round).getOrElse(0L)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"cdc_ops_sec":$opsSec,"sf":"$sfDir"}""")
+
+    // Streaming throughput — the reference's actual operating mode: a real
+    // Structured Streaming query (file source -> decode -> commit-gated
+    // fMGWS tx assembly -> normalize -> watermarked dedup -> ordered
+    // foreachBatch sink with checkpointing), multi-micro-batch via
+    // maxFilesPerTrigger. Input files are range-partitioned on wal_start so
+    // file admission order ≈ WAL order (commit markers never precede their
+    // events). Wall time includes query startup + state store — the honest
+    // end-to-end number.
+    val (streamOpsSec, streamErr) = try {
+      import org.apache.spark.sql.functions.{col, ntile}
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_stream")
+      val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+      val outDir = s"$tmp/out"; val ckDir = s"$tmp/ck"
+      // The file source admits files in modification-time order — tied
+      // mtimes (one parallel write) make admission order nondeterministic
+      // and a commit marker admitted before its events strands that tx in
+      // state (a real WAL can never deliver post-commit events, so the
+      // operator rightly assumes order). Write the input as 8 WAL-ordered
+      // slices with strictly increasing mtimes instead — admission order
+      // IS WAL order, like segment files of an archived WAL.
+      val win = org.apache.spark.sql.expressions.Window.orderBy(col("wal_start"))
+      val filed = graft.queries.CdcQueries.walStream(spark, sfDir)
+        .withColumn("_f", ntile(8).over(win))
+      for (f <- 1 to 8) {
+        val sliceDir = s"$tmp/slice$f"
+        filed.filter(col("_f") === f).drop("_f")
+          .coalesce(1).sortWithinPartitions("wal_start")
+          .write.mode("overwrite").parquet(sliceDir)
+        val part = new java.io.File(sliceDir).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(inDir, f"wal-$f%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(1700000000000L + f * 60000L)
+      }
+      // State-store partition count is fixed at the query's first
+      // checkpoint from spark.sql.shuffle.partitions; 32 partitions × 2
+      // stateful operators is pure per-batch task overhead at this state
+      // size. 8 is the production-shaped setting for a per-key-state
+      // stream this size (scale UP with key cardinality, not core count).
+      // Best-of-2 like the batch queries (same ±45% scheduler-noise
+      // rationale); each rep gets fresh sink/checkpoint dirs.
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val reps = try {
+        (1 to 2).map { rep =>
+          val raw = spark.readStream.schema("wal_start LONG, data STRING")
+            .option("maxFilesPerTrigger", "2").parquet(inDir.toString)
+          val t0 = System.nanoTime()
+          val q = graft.streaming.CdcStream.start(spark, raw, "bench",
+            s"$outDir-$rep", s"$ckDir-$rep",
+            trigger = Trigger.AvailableNow(), dedupWatermark = "3650 days")
+          q.awaitTermination()
+          val wall = (System.nanoTime() - t0) / 1e9
+          (spark.read.parquet(s"$outDir-$rep").count(), wall)
+        }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val badRows = reps.map(_._1).find(_ != nEvents)
+      if (badRows.isDefined)
+        (0L, Some(s"stream_rows_mismatch:${badRows.get}/$nEvents"))
+      else ((nEvents / reps.map(_._2).min).round, None)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming FAILED: $e")
+      (0L, Some("streaming_pipeline"))
+    }
+    val allErrors = errors ++ streamErr
+    val allErrJson = allErrors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$allErrJson,"cdc_ops_sec":$opsSec,"stream_ops_sec":$streamOpsSec,"sf":"$sfDir"}""")
     spark.stop()
-    if (errors.nonEmpty) sys.exit(1)
+    if (allErrors.nonEmpty) sys.exit(1)
   }
 }
