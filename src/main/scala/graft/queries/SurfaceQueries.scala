@@ -365,6 +365,34 @@ object SurfaceQueries {
         CAST(list_sum(list_transform(string_split(text, ' '), tk -> LENGTH(tk))) AS BIGINT) AS total_len,
         array_to_string(list_transform(string_split(text, ' ')[1:3], tk -> upper(tk)), '|') AS head_upper,
         list_contains(string_split(text, ' '), 'the') AS has_the
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // Map-function battery: per-user event-type histogram as a MAP column
+    // (map_from_entries over a collected struct list), then map lookups /
+    // key introspection. The map machinery is Spark-side; the oracle is the
+    // semantically-equal flat SQL — which is exactly the point: map ops
+    // must not change the answers. Two shuffles (pre-agg + per-user
+    // collect), both with map-side partials.
+    "q43_map_funcs" -> Def(
+      (s, d) => {
+        val perType = t(s, d, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        perType.groupBy(col("user_id"))
+          .agg(map_from_entries(collect_list(struct(col("event_type"), col("cnt"))))
+            .as("m"))
+          .select(col("user_id"),
+            size(map_keys(col("m"))).cast("long").as("n_types"),
+            coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+            coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"),
+            array_min(map_keys(col("m"))).as("first_type"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+        COUNT(DISTINCT event_type) AS n_types,
+        CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS n_click,
+        CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS n_purchase,
+        MIN(event_type) AS first_type
+        FROM events GROUP BY user_id ORDER BY user_id"""))
   )
 }
