@@ -279,10 +279,14 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("prop"))
+      // LAZY localCheckpoint: the label-sum action below materializes it,
+      // so each round runs ONE job (the eager form ran checkpoint + sum as
+      // two jobs per round — pure fixed-latency overhead on shallow
+      // components, where the loop is 2-3 rounds of tiny frames)
       labels = labels.join(prop, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("prop"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s = labels.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
