@@ -835,6 +835,36 @@ object LlmQueries {
         CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INTEGER) AS sample_rate,
         CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + LENGTH(text) % 30 WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER) AS n_frames,
         LENGTH(text) AS byte_len, md5(text) AS content_md5
-        FROM documents ORDER BY media_id"""))
+        FROM documents ORDER BY media_id""")),
+
+    // The SCALE PATH for exact n-gram Jaccard (l08 is the exact baseline;
+    // this is how the same pipeline survives 100 TB): shingles whose
+    // document frequency exceeds maxDf are dropped from the inverted index
+    // BEFORE the self-join — a hot shingle ("of the ...") contributes df²
+    // candidate pairs, so capping df bounds any single shingle's join
+    // contribution while dropping only non-discriminative mass. Jaccard is
+    // then computed on the capped sets (a documented approximation); the
+    // oracle applies the identical cap, so the result is still
+    // hash-checked exactly.
+    "l34_ngram_jaccard_dfcap" -> Def(
+      (s, d) => Dedup.ngramJaccardPairs(
+          Dedup.dfCapped(
+            Dedup.shingleIndex(t(s, d, "documents"), "doc_id", "text"),
+            maxDf = 5),
+          0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $oShingles,
+        keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 5),
+        shc AS (SELECT doc_id, shingle FROM sh WHERE shingle IN (SELECT shingle FROM keep)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jac AS (SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b,
+            CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+          FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
+        SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+        ORDER BY id_a, id_b"""))
   )
 }
