@@ -77,6 +77,31 @@ object Curation {
           - col("seq_id") + 1))
   }
 
+  /** Fixed-window chunking with overlap (the RAG / context-window prep
+    * step): each document's token stream is cut into `window`-token chunks
+    * every `stride` tokens (overlap = window - stride), the final chunk
+    * clamped at the document end. Pure narrow compute — split, an integer
+    * chunk-count formula, one generator explode, a bounded array slice per
+    * chunk: ZERO shuffles, so it scales linearly with corpus bytes and
+    * pipelines into whatever sink partitioning follows.
+    *
+    * Output: id, chunk_id, n_chunk_tokens, chunk_text.
+    */
+  def chunkOverlap(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 32, stride: Int = 24): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+      .withColumn("n_chunks",
+        expr(s"1 + (GREATEST(size(t) - $window, 0) + ${stride - 1}) DIV $stride"))
+      .select(col("id"), col("t"),
+        explode(sequence(lit(0L), col("n_chunks") - lit(1L))).as("ci"))
+      .withColumn("ck", slice(col("t"), col("ci") * stride + 1, lit(window)))
+      .select(col("id"), col("ci").cast("long").as("chunk_id"),
+        size(col("ck")).cast("long").as("n_chunk_tokens"),
+        array_join(col("ck"), " ").as("chunk_text"))
+  }
+
   /** Corpus-statistics quality signal: per-document token counts against
     * the corpus document-frequency table — total tokens, tokens whose df
     * is below `minDf` ("rare"; hapax-heavy documents are noise/garble in

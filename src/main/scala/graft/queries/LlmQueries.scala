@@ -78,6 +78,13 @@ object LlmQueries {
     (0 until bits).map(j =>
       s"(CASE WHEN $vec[${j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
 
+  /** The BM25 query workload (terms drawn from the corpus vocabulary). */
+  val bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "window", "agg"),
+    2 -> Seq("customer", "join", "merge"),
+    3 -> Seq("slow", "filter", "scan"),
+    4 -> Seq("vector", "stream", "batch"))
+
   val defs: Map[String, Def] = Map(
 
     // Exact dedup: one shuffle on the content digest. Representative = min
@@ -865,6 +872,60 @@ object LlmQueries {
             CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
           FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
         SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // BM25 top-k retrieval (rational-idf variant — see ops/Retrieval):
+    // inverted-index postings restricted to the query vocabulary, df stats
+    // off the same exchange, integer-exact scores so ranking (incl. the
+    // top-k cutoff) is bit-identical across engines.
+    "l35_bm25_topk" -> Def(
+      (s, d) => graft.ops.Retrieval.bm25TopK(t(s, d, "documents"),
+          "doc_id", "text", bm25Queries, k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("qid"), col("rank")),
+      Some(s"""WITH q(qid, term) AS (VALUES ${bm25Queries.flatMap {
+            case (qid, ts) => ts.map(t0 => s"($qid, '$t0')")
+          }.mkString(", ")}),
+        tk AS (SELECT doc_id, $oToks AS t FROM documents),
+        dls AS (SELECT doc_id, len(t) AS dl FROM tk),
+        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dls),
+        tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+          FROM (SELECT doc_id, UNNEST(t) AS tok FROM tk)
+          WHERE tok IN (SELECT term FROM q) GROUP BY 1, 2),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        scored AS (SELECT q.qid, tf.doc_id,
+            CAST(FLOOR(
+              (((2 * s.n_docs - 2 * d.df + 1) * 1000000.0) / (2 * d.df + 1))
+              * (22 * s.sum_dl * tf.tf)
+              / (10 * s.sum_dl * tf.tf + 3 * s.sum_dl + 9 * dls.dl * s.n_docs)
+            ) AS BIGINT) AS score_i
+          FROM tf JOIN q ON tf.term = q.term
+          JOIN dfreq d ON tf.term = d.term
+          JOIN dls ON tf.doc_id = dls.doc_id
+          CROSS JOIN stats s),
+        tot AS (SELECT qid, doc_id, CAST(SUM(score_i) AS BIGINT) AS score_scaled,
+            COUNT(*) AS n_terms FROM scored GROUP BY 1, 2)
+        SELECT qid, rank, doc_id, score_scaled, n_terms FROM (
+          SELECT qid, doc_id, score_scaled, n_terms,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS rank
+          FROM tot)
+        WHERE rank <= 10 ORDER BY qid, rank""")),
+
+    // Fixed-window chunking with overlap (RAG / context-window prep):
+    // zero-shuffle narrow generator — window 32 tokens, stride 24.
+    "l36_chunk_overlap" -> Def(
+      (s, d) => Curation.chunkOverlap(t(s, d, "documents"), "doc_id",
+          "text", window = 32, stride = 24)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some(s"""WITH tk AS (SELECT doc_id, $oToks AS t FROM documents),
+        c AS (SELECT doc_id, t,
+            1 + (GREATEST(len(t) - 32, 0) + 23) // 24 AS n_chunks FROM tk)
+        SELECT doc_id, i AS chunk_id,
+          len(list_slice(t, i * 24 + 1, i * 24 + 32)) AS n_chunk_tokens,
+          array_to_string(list_slice(t, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text
+        FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)
+        ORDER BY doc_id, chunk_id"""))
   )
 }
