@@ -130,6 +130,60 @@ object Curation {
         col("n_rare").cast("double") / col("n_tokens"))
   }
 
+  /** Bigram language-model fluency score: each document's bigrams are
+    * scored by the corpus-level conditional probability
+    * p(v|u) = C(u,v)/C(u·), scaled to `floor(scale·C(u,v)/C(u·))` —
+    * integer-exact, no transcendentals — and averaged per document (one
+    * final IEEE division). Low scores = locally-implausible token
+    * sequences (garbled text, boilerplate soup): the CCNet/KenLM
+    * perplexity-filter shape with an engine-portable scoring rule.
+    *
+    * Scale shape: bigram occurrences are repartitioned ONCE on (u,v),
+    * *below* the per-doc (id,u,v) pre-aggregation — because grouping keys
+    * can't be pruned, both consumers (the corpus count aggregation and
+    * the per-doc join) see an identical exchange subtree, so ReuseExchange
+    * materializes it once (a repartition above the aggregation gets
+    * pruned differently per branch and re-scans the corpus per consumer).
+    * C(u,v) and the join are then co-partitioned, and the join carries
+    * per-doc *distinct* bigrams with multiplicity, not raw occurrences.
+    * The left-context totals C(u·) derive from the already-aggregated
+    * counts (Σ_v C(u,v) = C(u·)) as a window over the vocabulary-sized
+    * count table — never a second corpus pass, and no broadcast branch
+    * (a separate c1 aggregate joined back defeats AQE stage reuse and
+    * re-scans the corpus). Every exchange except the shared one carries
+    * vocabulary-sized data. Docs with fewer than 2 tokens carry no
+    * bigrams and are absent from the output.
+    *
+    * Output: id, n_bigrams, sum_scaled, lm_score.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    val occ = df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(element_at(t, i + 1) AS u, element_at(t, i + 2) AS v))"))
+        .as("b"))
+      .select(col("id"), col("b.u").as("u"), col("b.v").as("v"))
+      // explicit non-null guard (tokens are never null) so BOTH consumers
+      // see the same inferred constraints below the shared exchange — the
+      // join branch infers isnotnull(u,v) and the count branch only
+      // isnotnull(u); without this the subtrees canonicalize differently
+      // and ReuseExchange can't fire.
+      .filter(col("u").isNotNull && col("v").isNotNull)
+      .repartition(col("u"), col("v"))
+    val docBg = occ.groupBy("id", "u", "v").agg(count(lit(1)).as("k"))
+    val c2 = docBg.groupBy("u", "v").agg(sum("k").as("c2"))
+      .withColumn("c1", sum(col("c2")).over(Window.partitionBy(col("u"))))
+    docBg.join(c2, Seq("u", "v"))
+      .withColumn("p", expr(s"($scale * c2) DIV c1"))
+      .groupBy("id")
+      .agg(sum("k").as("n_bigrams"), sum(col("k") * col("p")).as("sum_scaled"))
+      .withColumn("lm_score",
+        col("sum_scaled").cast("double") / col("n_bigrams"))
+  }
+
   /** Span-level exact dedup (the C4 "line dedup" pass at paragraph
     * granularity): each document is chunked into fixed-width token spans,
     * every span is content-hashed, and any span whose hash already appeared

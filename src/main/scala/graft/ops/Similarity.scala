@@ -59,6 +59,57 @@ object Similarity {
     df.withColumn("qvec", quantize(col(vecCol)))
       .withColumn("norm_sq", normSqQ(col("qvec")))
 
+  /** Per-label centroids in exact integer form: member count `n`, the
+    * elementwise sum vector `sv` (the centroid scaled by n — kept as
+    * BIGINTs so no division happens until comparison time) and the sum
+    * vector's squared norm `ss`. Two aggregations: (label, dim) partial
+    * sums — map-side combinable, at most |labels|·dims groups — then
+    * reassembly of the ordered sum vector per label. The result is tiny
+    * (|labels| rows) and meant to be broadcast.
+    */
+  def labelCentroids(prepared: DataFrame, labelCol: String): DataFrame =
+    prepared.select(col(labelCol).as("clabel"),
+        posexplode(col("qvec")).as(Seq("j", "qj")))
+      .groupBy(col("clabel"), col("j"))
+      .agg(sum(col("qj")).as("sj"), count(lit(1)).as("n"))
+      .groupBy(col("clabel"))
+      .agg(max(col("n")).as("n"),
+        transform(array_sort(collect_list(struct(col("j"), col("sj")))),
+          s => s.getField("sj")).as("sv"),
+        sum(col("sj") * col("sj")).as("ss"))
+
+  /** Nearest-centroid label assignment (Rocchio classification — the
+    * label-quality / mislabel-detection pass over an embedding corpus).
+    *
+    * Exactness: with centroid = sv/n, squared distance scaled by n² is
+    * integer: n²·|x|² − 2n·(x·sv) + |sv|² — all BIGINT via the native dot
+    * kernel; the cross-label comparison divides by n² once in IEEE double
+    * (deterministic), with the label id as tie-break. Scale shape: one
+    * broadcast of |labels| centroids against the corpus (narrow map +
+    * native dot per (vector, label)), one window per vector over |labels|
+    * rows. No self-join, no collect.
+    *
+    * Output: id, label (true), pred, d2_num, n (pred centroid's member
+    * count) — d2_num/n² is the squared distance ×10⁸ (quantized units).
+    */
+  def centroidClassify(prepared: DataFrame, idCol: String,
+      labelCol: String): DataFrame = {
+    val cents = labelCentroids(prepared, labelCol)
+    val pairs = prepared
+      .select(col(idCol).as("id"), col(labelCol).as("label"),
+        col("qvec"), col("norm_sq"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2_num",
+        col("n") * col("n") * col("norm_sq")
+          - lit(2L) * col("n") * dotQ(col("qvec"), col("sv")) + col("ss"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy((col("d2_num").cast("double") / (col("n") * col("n"))).asc,
+        col("clabel"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("id"), col("label"), col("clabel").as("pred"),
+        col("d2_num"), col("n"))
+  }
+
   private def pairCosine: Column =
     col("dot").cast("double") /
       sqrt(col("q.norm_sq").cast("double") * col("c.norm_sq").cast("double"))

@@ -926,6 +926,55 @@ object LlmQueries {
           len(list_slice(t, i * 24 + 1, i * 24 + 32)) AS n_chunk_tokens,
           array_to_string(list_slice(t, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text
         FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)
-        ORDER BY doc_id, chunk_id"""))
+        ORDER BY doc_id, chunk_id""")),
+
+    // Nearest-centroid label assignment (Rocchio) over quantized
+    // embeddings: integer-exact scaled distances (n²|x|² − 2n·x·sv + |sv|²
+    // via the native dot kernel), one |labels|-row broadcast, confusion
+    // matrix as output.
+    "l37_centroid_classify" -> Def(
+      (s, d) => Similarity.centroidClassify(
+          Similarity.prepare(t(s, d, "embeddings"), "embedding"),
+          "vec_id", "label")
+        .groupBy(col("label"), col("pred"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy(col("label"), col("pred")),
+      Some(s"""WITH $oQuant,
+        cs AS (SELECT label, j, CAST(SUM(q[j]) AS BIGINT) AS sj, COUNT(*) AS n
+          FROM qe, UNNEST(generate_series(1, 64)) AS g(j) GROUP BY 1, 2),
+        cent AS (SELECT label AS clabel, MAX(n) AS n, list(sj ORDER BY j) AS sv,
+          CAST(SUM(sj * sj) AS BIGINT) AS ss FROM cs GROUP BY 1),
+        pairs AS (SELECT qn.vec_id, qn.label, cent.clabel, cent.n,
+            cent.n * cent.n * qn.norm_sq
+              - 2 * cent.n * ${oDot("qn.q", "cent.sv")}
+              + cent.ss AS d2_num
+          FROM qn CROSS JOIN cent),
+        ranked AS (SELECT vec_id, label, clabel,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY CAST(d2_num AS DOUBLE) / (n * n), clabel) AS rk
+          FROM pairs)
+        SELECT label, clabel AS pred, COUNT(*) AS n_vecs FROM ranked
+        WHERE rk = 1 GROUP BY 1, 2 ORDER BY label, pred""")),
+
+    // Bigram LM fluency score (CCNet/KenLM-shape, engine-portable):
+    // corpus conditional probabilities floor(1e6·C(u,v)/C(u·)), averaged
+    // per doc. Single corpus pass; the occurrence->count join is
+    // co-partitioned off the shared (u,v) exchange.
+    "l38_bigram_lm_score" -> Def(
+      (s, d) => Curation.bigramLmScore(t(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tk AS (SELECT doc_id, $oToks AS t FROM documents),
+        bg AS (SELECT doc_id, t[i] AS u, t[i+1] AS v
+          FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+          WHERE len(t) >= 2),
+        c2 AS (SELECT u, v, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        c1 AS (SELECT u, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        sc AS (SELECT bg.doc_id, (1000000 * c2.c2) // c1.c1 AS p
+          FROM bg JOIN c2 USING (u, v) JOIN c1 USING (u))
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          CAST(SUM(p) AS BIGINT) AS sum_scaled,
+          CAST(SUM(p) AS DOUBLE) / COUNT(*) AS lm_score
+        FROM sc GROUP BY 1 ORDER BY doc_id"""))
   )
 }

@@ -135,6 +135,48 @@ class CurationSpec extends SparkSpec {
     assert(!out(4L)._3 && !out(4L)._5, "no stopwords fails f_stop")
   }
 
+  test("bigram LM score: hand-computed conditional probabilities") {
+    // C(a,b)=2, C(b,c)=1, C(b,b)=1; C(a.)=2, C(b.)=2
+    // d1 "a b c": p=1e6*2/2 + 1e6*1/2 = 1500000, avg 750000
+    // d2 "a b b": same sum; d3 single token -> no bigrams, absent
+    val d = Seq((1L, "a b c"), (2L, "a b b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = Curation.bigramLmScore(d, "doc_id", "text")
+      .orderBy($"id").collect()
+    assert(out.length == 2, "single-token doc carries no bigrams")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") == 2L)
+      assert(r.getAs[Long]("sum_scaled") == 1500000L)
+      assert(r.getAs[Double]("lm_score") == 750000.0)
+    }
+  }
+
+  test("bigram LM plan: count join co-partitioned off the shared exchange") {
+    // at toy size AQE rightly broadcasts c2; pin the at-scale shape (c2
+    // above the broadcast threshold) by disabling auto-broadcast
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val d = (1L to 50L).map(i => (i, s"a b c d$i e")).toDF("doc_id", "text")
+      val q = Curation.bigramLmScore(d, "doc_id", "text")
+      q.collect()
+      // AQE's toString appends the pre-adaptive "Initial Plan" — count
+      // exchanges in the final plan only
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("ReusedExchange"),
+        s"c2 must reuse the (u,v) occurrence exchange:\n${plan.take(1200)}")
+      // exactly ONE materialized repartition of the corpus-scale
+      // occurrence set (the shared exchange both consumers read); AQE
+      // prints reused stages at every reference, so count distinct keys
+      val repartitions =
+        """Exchange hashpartitioning\(([^)]*)\), REPARTITION_BY_COL""".r
+          .findAllMatchIn(plan).map(_.group(1)).toSet
+      assert(repartitions.size == 1,
+        s"occurrences must materialize once, got $repartitions:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("global shuffle is a deterministic total order") {
     val a = Curation.globalShuffle(docs, $"doc_id").select($"doc_id").as[Long].collect().toList
     val b = Curation.globalShuffle(docs, $"doc_id").select($"doc_id").as[Long].collect().toList

@@ -241,6 +241,27 @@ class ScaleSpec extends SparkSpec {
       "the span explode must run on the scan side without a prior shuffle")
   }
 
+  test("centroid classify: integer-exact distances, broadcast centroids") {
+    // label 0: (0,0),(0,2e-4) -> n=2, sv=(0,2), ss=4
+    // label 1: (1e-3,1e-3)    -> n=1, sv=(10,10), ss=200
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 2e-4f), 0),
+      (3L, Array(1e-3f, 1e-3f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidClassify(
+      Similarity.prepare(vecs, "embedding"), "vec_id", "label")
+    val rows = out.orderBy($"id").collect()
+    assert(rows.map(r => (r.getAs[Long]("id"), r.getAs[Int]("pred"))).toList ==
+      List((1L, 0), (2L, 0), (3L, 1)))
+    // id3 lies exactly on its own centroid: d2_num = 1*200 - 2*200 + 200 = 0
+    assert(rows(2).getAs[Long]("d2_num") == 0L)
+    // id1 vs label-0 centroid: 4*0 - 0 + 4 = 4
+    assert(rows(0).getAs[Long]("d2_num") == 4L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"centroids must broadcast:\n${plan.take(800)}")
+  }
+
   test("q28 generator stays narrow: no exchange before the explode") {
     val df = SparkEntry.all("q28_explode_tokens").fn(spark, sf0001)
     df.collect()
