@@ -272,6 +272,49 @@ object Curation {
       .select(col("id"), col("term"), col("df"), col("rank"))
   }
 
+  /** Corpus-level adjacent-character pair counts within tokens — the
+    * counting step of one BPE merge iteration (vocabulary induction). The
+    * per-document generator is fully narrow (pairs are flattened per doc
+    * before the explode, so there is no intermediate per-token row
+    * blow-up); the only exchange is ONE aggregation over a tiny
+    * (≤ |alphabet|²) key space, so map-side partials collapse the corpus
+    * to a few thousand rows per task before the shuffle.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(expr(
+        s"flatten(transform(filter(split($textCol, ' '), tk -> length(tk) >= 2), " +
+          "tk -> transform(sequence(1, length(tk) - 1), i -> substring(tk, i, 2))))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+
+  /** Rank-based per-source quota: keep at most `n` documents per source,
+    * best-first by `rankCol` with a deterministic `idCol` tie-break. The
+    * rate-based [[mixture]] hits a target FRACTION; this hits a target
+    * COUNT ("at most N docs per domain" — the governance cap that stops a
+    * single crawl domain from dominating a mix).
+    *
+    * Scale shape: a single window per source would funnel each source's
+    * entire row set through one task — a straggler when one domain holds
+    * billions of rows. Instead rank hierarchically: (1) rows are ranked
+    * within (source, salt-bucket) — `buckets`-way parallel, each task
+    * emits at most n rows per source — then (2) the surviving ≤ n·buckets
+    * rows per source are ranked globally. Both passes use the same total
+    * order, so the result is bit-identical to the single-window form while
+    * the big shuffle stays salt-spread.
+    */
+  def sourceQuota(df: DataFrame, sourceCol: Column, idCol: Column,
+      rankCol: Column, n: Int, buckets: Int = 32): DataFrame = {
+    require(n > 0 && buckets > 0, s"n and buckets must be positive")
+    val order: Seq[Column] = Seq(rankCol.desc, idCol.asc)
+    val pre = Window.partitionBy(sourceCol,
+        pmod(hash48(idCol.cast("string")), lit(buckets.toLong)))
+      .orderBy(order: _*)
+    val fin = Window.partitionBy(sourceCol).orderBy(order: _*)
+    df.withColumn("_rk", row_number().over(pre)).filter(col("_rk") <= n)
+      .withColumn("_rk", row_number().over(fin)).filter(col("_rk") <= n)
+      .drop("_rk")
+  }
+
   /** Benchmark decontamination: training docs sharing at least `minShared`
     * distinct word n-gram shingles with ANY eval doc. Rides the shingle
     * inverted index — the eval side is tiny (a benchmark), so its shingle

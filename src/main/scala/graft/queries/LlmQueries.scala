@@ -27,6 +27,13 @@ object LlmQueries {
   private def oH48(e: String) = s"CAST(('0x' || substr(md5($e), 1, 12)) AS BIGINT)"
   private val oToks = "string_split(text, ' ')"
 
+  /** DuckDB equivalent of TextAnalysis.qualityScore (the l04 expression). */
+  private val oQuality =
+    s"""CAST((CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1 ELSE 0 END)
+       + (CASE WHEN CAST(len(list_filter($oToks, tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len($oToks) > 0.001 THEN 1 ELSE 0 END)
+       + (CASE WHEN CAST(list_sum(list_transform($oToks, tk -> LENGTH(tk))) AS DOUBLE) / len($oToks) BETWEEN 3.0 AND 12.0 THEN 1 ELSE 0 END)
+       AS DOUBLE) / 3"""
+
   /** DuckDB distinct 3-gram shingle CTE over documents. */
   private val oShingles =
     s"""sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
@@ -975,6 +982,42 @@ object LlmQueries {
         SELECT doc_id, COUNT(*) AS n_bigrams,
           CAST(SUM(p) AS BIGINT) AS sum_scaled,
           CAST(SUM(p) AS DOUBLE) / COUNT(*) AS lm_score
-        FROM sc GROUP BY 1 ORDER BY doc_id"""))
+        FROM sc GROUP BY 1 ORDER BY doc_id""")),
+
+    // BPE vocabulary induction, first merge iteration: corpus-wide
+    // adjacent-character pair counts within tokens. Narrow per-doc
+    // generator (pairs flattened before the explode), one map-side-
+    // combinable aggregation over a <= |alphabet|^2 key space, total
+    // ORDER BY so the top-100 cutoff is deterministic.
+    "l39_bpe_pairs" -> Def(
+      (s, d) => Curation.bpePairCounts(t(s, d, "documents"), "text")
+        .orderBy(col("cnt").desc, col("pair")).limit(100),
+      Some(s"""WITH p AS (SELECT UNNEST(flatten(list_transform(
+            list_filter($oToks, tk -> LENGTH(tk) >= 2),
+            tk -> list_transform(generate_series(1, LENGTH(tk) - 1),
+              i -> substring(tk, i, 2))))) AS pair
+          FROM documents)
+        SELECT pair, COUNT(*) AS cnt FROM p GROUP BY 1
+        ORDER BY cnt DESC, pair LIMIT 100""")),
+
+    // Rank-based per-source quota (governance cap: at most N docs per
+    // domain, best-quality-first). Spark side ranks hierarchically —
+    // (source, salt-bucket) pre-prune then a final <= N*buckets rank — so
+    // one giant domain never funnels through a single task; the oracle is
+    // the plain single-window form, asserting the two are identical.
+    "l40_source_quota" -> Def(
+      (s, d) => Curation.sourceQuota(
+          t(s, d, "documents").withColumn("quality",
+            TA.qualityScore(col("text"), col("n_chars"))),
+          col("source"), col("doc_id"), col("quality"), 10)
+        .select(col("doc_id"), col("source"), col("quality"))
+        .orderBy(col("source"), col("doc_id")),
+      Some(s"""WITH scored AS (SELECT doc_id, source, $oQuality AS quality
+          FROM documents),
+        ranked AS (SELECT doc_id, source, quality,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY quality DESC, doc_id) AS rk FROM scored)
+        SELECT doc_id, source, quality FROM ranked WHERE rk <= 10
+        ORDER BY source, doc_id"""))
   )
 }

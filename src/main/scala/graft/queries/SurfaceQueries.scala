@@ -393,6 +393,48 @@ object SurfaceQueries {
         CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS n_click,
         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS n_purchase,
         MIN(event_type) AS first_type
-        FROM events GROUP BY user_id ORDER BY user_id"""))
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // Time-series gap fill: densify each priority's sparse daily
+    // high-value revenue onto a full calendar (sequence generator over the
+    // observed min..max span) and carry the last observed value forward
+    // (last-IGNORE-NULLS running window). Scale shape: the calendar derives
+    // from the already-aggregated daily frame (tiny), the left join and the
+    // window both partition on the same key, and revenue is decimal-exact
+    // until one final cast. The oracle emulates IGNORE NULLS portably via
+    // the non-null-prefix-count group trick.
+    "q44_gap_fill" -> Def(
+      (s, d) => {
+        val daily = t(s, d, "orders")
+          .filter(col("o_totalprice") > 400000)
+          .groupBy(col("o_orderpriority").as("pri"),
+            to_date(col("o_orderdate")).as("dt"))
+          .agg(sum(dec(col("o_totalprice"))).as("rev_dec"))
+        val cal = daily.groupBy(col("pri"))
+          .agg(min(col("dt")).as("d0"), max(col("dt")).as("d1"))
+          .select(col("pri"),
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("dt"))
+        val w = Window.partitionBy(col("pri")).orderBy(col("dt"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cal.join(daily, Seq("pri", "dt"), "left")
+          .select(col("pri"), col("dt"), col("rev_dec").isNull.as("is_gap"),
+            last(col("rev_dec"), ignoreNulls = true).over(w)
+              .cast("double").as("rev_filled"))
+          .orderBy(col("pri"), col("dt"))
+      },
+      Some("""WITH daily AS (SELECT o_orderpriority AS pri,
+            CAST(o_orderdate AS DATE) AS dt,
+            SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+          FROM orders WHERE o_totalprice > 400000 GROUP BY 1, 2),
+        span AS (SELECT pri, MIN(dt) AS d0, MAX(dt) AS d1 FROM daily GROUP BY 1),
+        cal AS (SELECT pri, CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+            CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS dt FROM span),
+        j AS (SELECT cal.pri, cal.dt, daily.rev_dec FROM cal
+          LEFT JOIN daily ON cal.pri = daily.pri AND cal.dt = daily.dt),
+        g AS (SELECT pri, dt, rev_dec,
+            COUNT(rev_dec) OVER (PARTITION BY pri ORDER BY dt) AS grp FROM j)
+        SELECT pri, dt, rev_dec IS NULL AS is_gap,
+          CAST(MAX(rev_dec) OVER (PARTITION BY pri, grp) AS DOUBLE) AS rev_filled
+        FROM g ORDER BY pri, dt"""))
   )
 }

@@ -177,6 +177,30 @@ class CurationSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("BPE pair counts: hand-computed adjacent-char pairs") {
+    // "ab ab cde x": ab->ab twice, cde->cd,de; single-char x carries none
+    val d = Seq((1L, "ab ab cde x")).toDF("doc_id", "text")
+    val out = Curation.bpePairCounts(d, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("ab" -> 2L, "cd" -> 1L, "de" -> 1L))
+  }
+
+  test("sourceQuota: hierarchical rank identical to single window, cap held") {
+    val d = (1L to 40L)
+      .map(i => (i, if (i <= 20) "a" else "b", (i % 7).toDouble))
+      .toDF("id", "src", "score")
+    val out = Curation.sourceQuota(d, $"src", $"id", $"score", 3, buckets = 4)
+      .select($"id").as[Long].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"src").orderBy($"score".desc, $"id")
+    val ref = d.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .select($"id").as[Long].collect().toSet
+    assert(out == ref, s"hierarchical $out != single-window $ref")
+    assert(out.size == 6, "3 per source x 2 sources")
+    // n larger than any source: everything survives both passes
+    assert(Curation.sourceQuota(d, $"src", $"id", $"score", 100).count() == 40)
+  }
+
   test("global shuffle is a deterministic total order") {
     val a = Curation.globalShuffle(docs, $"doc_id").select($"doc_id").as[Long].collect().toList
     val b = Curation.globalShuffle(docs, $"doc_id").select($"doc_id").as[Long].collect().toList
