@@ -27,6 +27,21 @@ object LlmQueries {
   private def oH48(e: String) = s"CAST(('0x' || substr(md5($e), 1, 12)) AS BIGINT)"
   private val oToks = "string_split(text, ' ')"
 
+  /** DuckDB bigram-LM per-doc aggregate CTE chain (Curation.bigramLmScore):
+    * corpus conditional counts floor-scaled by 1e6, summed per document.
+    */
+  private val oLmAgg =
+    s"""tk AS (SELECT doc_id, $oToks AS t FROM documents),
+       bg AS (SELECT doc_id, t[i] AS u, t[i+1] AS v
+         FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+         WHERE len(t) >= 2),
+       c2 AS (SELECT u, v, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+       c1 AS (SELECT u, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       sc AS (SELECT bg.doc_id, (1000000 * c2.c2) // c1.c1 AS p
+         FROM bg JOIN c2 USING (u, v) JOIN c1 USING (u)),
+       lm AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(p) AS BIGINT) AS sum_scaled FROM sc GROUP BY 1)"""
+
   /** DuckDB equivalent of TextAnalysis.qualityScore (the l04 expression). */
   private val oQuality =
     s"""CAST((CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1 ELSE 0 END)
@@ -971,18 +986,39 @@ object LlmQueries {
       (s, d) => Curation.bigramLmScore(t(s, d, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id")),
-      Some(s"""WITH tk AS (SELECT doc_id, $oToks AS t FROM documents),
-        bg AS (SELECT doc_id, t[i] AS u, t[i+1] AS v
-          FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
-          WHERE len(t) >= 2),
-        c2 AS (SELECT u, v, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
-        c1 AS (SELECT u, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
-        sc AS (SELECT bg.doc_id, (1000000 * c2.c2) // c1.c1 AS p
-          FROM bg JOIN c2 USING (u, v) JOIN c1 USING (u))
-        SELECT doc_id, COUNT(*) AS n_bigrams,
-          CAST(SUM(p) AS BIGINT) AS sum_scaled,
-          CAST(SUM(p) AS DOUBLE) / COUNT(*) AS lm_score
-        FROM sc GROUP BY 1 ORDER BY doc_id""")),
+      Some(s"""WITH $oLmAgg
+        SELECT doc_id, n_bigrams, sum_scaled,
+          CAST(sum_scaled AS DOUBLE) / n_bigrams AS lm_score
+        FROM lm ORDER BY doc_id""")),
+
+    // Distribution-based quality gate (the CCNet cutoff move): drop the
+    // bottom 20% of documents by bigram-LM fluency. The cutoff is a
+    // DISCRETE percentile over an integer score — an actual data value,
+    // no interpolation — so threshold and membership are engine-exact.
+    // Scale note: exact percentile_disc funnels the doc-level score
+    // column through one reducer; at 100 TB swap in approx_percentile
+    // (same plan shape, cutoff moves by the sketch's epsilon).
+    "l41_lm_quantile_gate" -> Def(
+      (s, d) => {
+        val scored = Curation.bigramLmScore(t(s, d, "documents"),
+            "doc_id", "text")
+          .withColumn("score10k", expr("(10000 * sum_scaled) DIV n_bigrams"))
+        // percentile_disc returns double; the disc cutoff is an actual
+        // integer data value, so the cast back to long is lossless
+        val thr = scored.agg(expr(
+          "percentile_disc(0.2) WITHIN GROUP (ORDER BY score10k)")
+          .cast("long").as("threshold"))
+        scored.join(broadcast(thr))
+          .filter(col("score10k") >= col("threshold"))
+          .select(col("id").as("doc_id"), col("score10k"), col("threshold"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $oLmAgg,
+        scored AS (SELECT doc_id,
+          (10000 * sum_scaled) // n_bigrams AS score10k FROM lm),
+        thr AS (SELECT quantile_disc(score10k, 0.2) AS threshold FROM scored)
+        SELECT doc_id, score10k, threshold FROM scored, thr
+        WHERE score10k >= threshold ORDER BY doc_id""")),
 
     // BPE vocabulary induction, first merge iteration: corpus-wide
     // adjacent-character pair counts within tokens. Narrow per-doc

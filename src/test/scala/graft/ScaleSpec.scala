@@ -262,6 +262,33 @@ class ScaleSpec extends SparkSpec {
       s"centroids must broadcast:\n${plan.take(800)}")
   }
 
+  test("l39 BPE pairs: one tiny-key aggregation, top-k without a global sort") {
+    val df = SparkEntry.all("l39_bpe_pairs").fn(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected exactly the pair aggregation exchange:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "the limit must be TakeOrdered, never a global sort")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k missing:\n$plan")
+  }
+
+  test("l40 quota ranks twice: salted pre-prune window then final window") {
+    val df = SparkEntry.all("l40_source_quota").fn(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 2,
+      s"hierarchical quota needs exactly two window passes:\n$plan")
+    // the pre-prune exchange must spread each source over salt buckets:
+    // its partitioning has 2 keys (source, pmod-salt), the final has 1
+    val keys = """Exchange hashpartitioning\(([^)]*), \d+\)""".r
+      .findAllMatchIn(plan).map(_.group(1).split(", ").length).toList
+    assert(keys.contains(2) && keys.contains(1),
+      s"want a (source, salt) exchange and a (source) exchange, got $keys:\n$plan")
+  }
+
   test("q28 generator stays narrow: no exchange before the explode") {
     val df = SparkEntry.all("q28_explode_tokens").fn(spark, sf0001)
     df.collect()
