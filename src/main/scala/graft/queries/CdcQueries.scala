@@ -326,6 +326,43 @@ object CdcQueries {
       },
       Some("""SELECT event_id, event_id % 4 AS fmt_id,
         CASE WHEN event_id % 4 = 1 THEN date_trunc('second', ts) ELSE ts END AS parsed_ts
-        FROM events ORDER BY event_id"""))
+        FROM events ORDER BY event_id""")),
+
+    // Schema drift: a third of the rows carry an extra column appearing
+    // mid-stream (the Relation-message evolution case — reference
+    // pgoutput.go relation registry). The map-typed envelope absorbs new
+    // columns without a schema change; this query is the drift AUDIT:
+    // per (table, column) first-appearance + frequency, the signal a
+    // 100 TB CDC consumer watches to detect upstream DDL.
+    "c12_schema_drift" -> Def(
+      (s, d) => {
+        val e = t(s, d, "events")
+        val tsFmt = concat(
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"), lit("+00"))
+        val base = struct(lit("src_event_id").as("name"),
+          lit("bigint").as("type"), col("event_id").cast("string").as("value"))
+        val extra = struct(lit("extra_payload").as("name"),
+          lit("text").as("type"), col("event_type").as("value"))
+        val lines = e.select((col("event_id") * 10).as("wal_start"),
+          to_json(struct(
+            lit("I").as("action"), col("user_id").as("xid"),
+            tsFmt.as("timestamp"), lit("public").as("schema"),
+            col("event_type").as("table"),
+            when(col("event_id") % 3 === 0, array(base, extra))
+              .otherwise(array(base)).as("columns"))).as("data"))
+        Transform.normalize(TxAssembly.assemble(Wal2Json.decode(lines)), Db)
+          .select(col("table").as("tbl"),
+            explode(map_keys(col("after"))).as("col_name"),
+            element_at(col("after"), "src_event_id").cast("long").as("src_id"))
+          .groupBy(col("tbl"), col("col_name"))
+          .agg(min(col("src_id")).as("first_src_id"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("tbl"), col("col_name"))
+      },
+      Some("""SELECT event_type AS tbl, c.col_name,
+        MIN(event_id) AS first_src_id, COUNT(*) AS n_events
+        FROM events, (SELECT UNNEST(['src_event_id','extra_payload']) AS col_name) c
+        WHERE col_name = 'src_event_id' OR event_id % 3 = 0
+        GROUP BY 1, 2 ORDER BY tbl, col_name"""))
   )
 }
