@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.cdc.{Dlq, Transform, TxAssembly, Wal2Json}
+import graft.streaming.SnapshotBootstrap
 import Q.{Def, t}
 
 /** The CDC operator surface, exercised end-to-end in batch form.
@@ -363,6 +364,68 @@ object CdcQueries {
         MIN(event_id) AS first_src_id, COUNT(*) AS n_events
         FROM events, (SELECT UNNEST(['src_event_id','extra_payload']) AS col_name) c
         WHERE col_name = 'src_event_id' OR event_id % 3 = 0
-        GROUP BY 1, 2 ORDER BY tbl, col_name"""))
+        GROUP BY 1, 2 ORDER BY tbl, col_name""")),
+
+    // Snapshot bootstrap handoff invariant, driver-gated: a consistent
+    // snapshot of one table at LSN k (latest row image per key among
+    // events <= k, rendered through SnapshotBootstrap.snapshotEvents)
+    // unioned with the incremental chain decoding STRICTLY-after-k WAL
+    // must materialize to exactly the latest-state of the full history —
+    // no dupes, no gaps — with per-key provenance (did the snapshot or
+    // the stream win).
+    "c13_snapshot_handoff" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, d, "events")
+        val mid = e.agg((max(col("event_id")) * 19 / 20).cast("long").as("k"))
+        val clicks = e.filter(col("event_type") === "click")
+          .crossJoin(broadcast(mid))
+        // consistent snapshot at k: latest row image per user among <= k
+        val wSnap = Window.partitionBy(col("user_id"))
+          .orderBy(col("event_id").desc)
+        val snapDf = clicks.filter(col("event_id") <= col("k"))
+          .withColumn("rn", row_number().over(wSnap)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("src_event_id"))
+        val snapshot = SnapshotBootstrap.snapshotEvents(snapDf, Db, "public",
+          "click", snapshotLsn = 0L, keyCols = Seq("user_id"),
+          snapshotTime = java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+        // incremental: decode WAL strictly after the snapshot LSN
+        val tsFmt = concat(
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"), lit("+00"))
+        val lines = clicks.filter(col("event_id") > col("k"))
+          .select((col("event_id") * 10).as("wal_start"),
+            to_json(struct(
+              lit("I").as("action"), col("user_id").as("xid"),
+              tsFmt.as("timestamp"), lit("public").as("schema"),
+              lit("click").as("table"),
+              array(struct(lit("src_event_id").as("name"),
+                lit("bigint").as("type"),
+                col("event_id").cast("string").as("value"))).as("columns")))
+              .as("data"))
+        val stream = Transform.normalize(
+          TxAssembly.assemble(Wal2Json.decode(lines)), Db)
+        // snapshot rows key by after.user_id; stream rows by xid->txid —
+        // recover a uniform key from the envelope
+        val keyed = snapshot.select(
+            element_at(col("after"), "user_id").cast("long").as("user_id"),
+            element_at(col("after"), "src_event_id").cast("long").as("src_id"),
+            col("operation"))
+          .unionByName(stream.select(
+            col("txid").cast("long").as("user_id"),
+            element_at(col("after"), "src_event_id").cast("long").as("src_id"),
+            col("operation")))
+        val wFin = Window.partitionBy(col("user_id")).orderBy(col("src_id").desc)
+        keyed.withColumn("rn", row_number().over(wFin)).filter(col("rn") === 1)
+          .select(col("user_id"), col("src_id").as("last_src_event"),
+            col("operation").as("origin"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH k AS (SELECT MAX(event_id) * 19 // 20 AS k FROM events),
+        latest AS (SELECT user_id, MAX(event_id) AS last_src_event
+          FROM events WHERE event_type = 'click' GROUP BY 1)
+        SELECT user_id, last_src_event,
+          CASE WHEN last_src_event <= (SELECT k FROM k)
+            THEN 'SNAPSHOT' ELSE 'INSERT' END AS origin
+        FROM latest ORDER BY user_id"""))
   )
 }
