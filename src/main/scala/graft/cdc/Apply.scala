@@ -1,0 +1,46 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** CDC apply — the MERGE shape (reference readme "Delivery semantics":
+  * consumers materialize the stream into table state; SURVEY E7 names
+  * Delta/Iceberg `MERGE` on `event_id` as the Spark analog — this is that
+  * operator without the table format).
+  *
+  * Folds a change batch onto a base table state, per key:
+  *  - the highest-WAL-position change wins (WAL order, not arrival order),
+  *  - a winning DELETE removes the key,
+  *  - a winning INSERT/UPDATE replaces the row image,
+  *  - keys the batch never touches keep their base image.
+  *
+  * Scale shape: the ranking window runs over the CHANGE BATCH only (small
+  * relative to the table), then one key-partitioned full-outer join against
+  * the base. At 100 TB keep the base bucketed on the key (see
+  * `ops/DedupIndex` for the pattern) so only the batch shuffles; the base
+  * side reads co-located.
+  */
+object Apply {
+
+  /** `base`: one row per key, row image under `baseImage`
+    * (map<string,string>). `changes`: CdcEvent-shaped rows carrying
+    * `operation`, an image column (`after`; null for DELETEs) and a
+    * numeric WAL-order column `seq`. Returns keys + `image`.
+    */
+  def applyChanges(base: DataFrame, baseImage: Column, changes: DataFrame,
+      changeImage: Column, seq: Column, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must name the table key")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col("_seq").desc)
+    val winner = changes
+      .select(keys :+ col("operation").as("_op") :+ changeImage.as("_new")
+        :+ seq.as("_seq"): _*)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .drop("_rn", "_seq")
+    base.select(keys :+ baseImage.as("_base"): _*)
+      .join(winner, keyCols, "full_outer")
+      .filter(col("_op").isNull || col("_op") =!= "DELETE")
+      .select(keys :+ coalesce(col("_new"), col("_base")).as("image"): _*)
+  }
+}

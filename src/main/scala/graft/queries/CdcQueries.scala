@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.cdc.{Dlq, Transform, TxAssembly, Wal2Json}
+import graft.cdc.{Apply, Dlq, Transform, TxAssembly, Wal2Json}
 import graft.streaming.SnapshotBootstrap
 import Q.{Def, t}
 
@@ -426,6 +426,69 @@ object CdcQueries {
         SELECT user_id, last_src_event,
           CASE WHEN last_src_event <= (SELECT k FROM k)
             THEN 'SNAPSHOT' ELSE 'INSERT' END AS origin
-        FROM latest ORDER BY user_id"""))
+        FROM latest ORDER BY user_id""")),
+
+    // CDC apply (the MERGE shape, Apply.applyChanges): fold a mixed
+    // I/U/D change batch — decoded through the real wal2json chain —
+    // onto a base table state. Winning DELETEs remove keys, winning
+    // INSERT/UPDATEs replace images, untouched keys keep their base
+    // image. Ops are assigned by event_id % 3 so every table carries all
+    // three verbs and some keys exist only in the batch.
+    "c14_apply_changes" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, d, "events")
+        val mid = e.agg((max(col("event_id")) * 19 / 20).cast("long").as("k"))
+        val ek = e.crossJoin(broadcast(mid))
+        // base: latest image per (table, user) among events <= k
+        val wB = Window.partitionBy(col("event_type"), col("user_id"))
+          .orderBy(col("event_id").desc)
+        val base = ek.filter(col("event_id") <= col("k"))
+          .withColumn("rn", row_number().over(wB)).filter(col("rn") === 1)
+          .select(col("event_type").as("tbl"), col("user_id").as("uid"),
+            map(lit("src_event_id"), col("event_id").cast("string")).as("img"))
+        // change batch: I/U/D by event_id % 3 through the real chain
+        val tsFmt = concat(
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"), lit("+00"))
+        val op = when(col("event_id") % 3 === 0, "I")
+          .when(col("event_id") % 3 === 1, "U").otherwise("D")
+        val idCols = array(struct(lit("src_event_id").as("name"),
+          lit("bigint").as("type"), col("event_id").cast("string").as("value")))
+        val lines = ek.filter(col("event_id") > col("k"))
+          .select((col("event_id") * 10).as("wal_start"),
+            to_json(struct(
+              op.as("action"), col("user_id").as("xid"),
+              tsFmt.as("timestamp"), lit("public").as("schema"),
+              col("event_type").as("table"),
+              when(op =!= "D", idCols).as("columns"),
+              when(op =!= "I", idCols).as("identity"))).as("data"))
+        val changes = Transform.normalize(
+            TxAssembly.assemble(Wal2Json.decode(lines)), Db)
+          .select(col("table").as("tbl"), col("txid").cast("long").as("uid"),
+            col("operation"), col("after"),
+            coalesce(element_at(col("after"), "src_event_id"),
+              element_at(col("before"), "src_event_id")).cast("long").as("seq"))
+        Apply.applyChanges(base, col("img"), changes, col("after"),
+            col("seq"), Seq("tbl", "uid"))
+          .select(col("tbl"), col("uid"),
+            element_at(col("image"), "src_event_id").cast("long").as("last_src"))
+          .orderBy(col("tbl"), col("uid"))
+      },
+      Some("""WITH k AS (SELECT MAX(event_id) * 19 // 20 AS k FROM events),
+        base AS (SELECT event_type AS tbl, user_id AS uid,
+            MAX(event_id) AS src FROM events, k
+          WHERE event_id <= k.k GROUP BY 1, 2),
+        win AS (SELECT event_type AS tbl, user_id AS uid,
+            MAX(event_id) AS src,
+            CASE MAX(event_id) % 3 WHEN 0 THEN 'INSERT'
+              WHEN 1 THEN 'UPDATE' ELSE 'DELETE' END AS op
+          FROM events, k WHERE event_id > k.k GROUP BY 1, 2),
+        m AS (SELECT COALESCE(b.tbl, w.tbl) AS tbl,
+            COALESCE(b.uid, w.uid) AS uid, w.op,
+            COALESCE(w.src, b.src) AS last_src
+          FROM base b FULL OUTER JOIN win w
+            ON b.tbl = w.tbl AND b.uid = w.uid)
+        SELECT tbl, uid, last_src FROM m
+        WHERE op IS NULL OR op <> 'DELETE' ORDER BY tbl, uid"""))
   )
 }
