@@ -43,4 +43,32 @@ object Apply {
       .filter(col("_op").isNull || col("_op") =!= "DELETE")
       .select(keys :+ coalesce(col("_new"), col("_base")).as("image"): _*)
   }
+
+  /** The inverse of [[applyChanges]]: diff two table versions into a CDC
+    * change set — INSERT for keys only in `newDf`, DELETE for keys only in
+    * `oldDf`, UPDATE where both exist and the image changed; unchanged
+    * keys emit nothing. This is the backfill / bootstrap-without-a-slot
+    * move: two consistent snapshots stand in for the WAL between them.
+    *
+    * Images are compared as canonical JSON (Spark cannot order/compare
+    * map columns directly; both images must be built with a deterministic
+    * key order, as every producer in this codebase does). One
+    * key-partitioned full-outer join, no window. Output: keys, operation,
+    * before, after.
+    */
+  def diff(oldDf: DataFrame, oldImage: Column, newDf: DataFrame,
+      newImage: Column, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must name the table key")
+    val keys = keyCols.map(col)
+    val o = oldDf.select(keys :+ oldImage.as("_old"): _*)
+    val n = newDf.select(keys :+ newImage.as("_new"): _*)
+    o.join(n, keyCols, "full_outer")
+      .withColumn("operation",
+        when(col("_old").isNull, "INSERT")
+          .when(col("_new").isNull, "DELETE")
+          .when(to_json(col("_old")) =!= to_json(col("_new")), "UPDATE"))
+      .filter(col("operation").isNotNull)
+      .select(keys :+ col("operation")
+        :+ col("_old").as("before") :+ col("_new").as("after"): _*)
+  }
 }

@@ -489,6 +489,40 @@ object CdcQueries {
           FROM base b FULL OUTER JOIN win w
             ON b.tbl = w.tbl AND b.uid = w.uid)
         SELECT tbl, uid, last_src FROM m
-        WHERE op IS NULL OR op <> 'DELETE' ORDER BY tbl, uid"""))
+        WHERE op IS NULL OR op <> 'DELETE' ORDER BY tbl, uid""")),
+
+    // Snapshot diff -> CDC (Apply.diff, the applyChanges inverse): two
+    // consistent table versions (latest image per key over the even- vs
+    // odd-WAL halves of the history) diffed into a change set. Keys only
+    // in the even half -> DELETE, only in the odd half -> INSERT, in both
+    // -> UPDATE (their max ids always differ). All three verbs carry rows.
+    "c15_table_diff" -> Def(
+      (s, d) => {
+        val e = t(s, d, "events")
+        def state(pred: org.apache.spark.sql.Column) =
+          e.filter(pred)
+            .groupBy(col("event_type").as("tbl"), col("user_id").as("uid"))
+            .agg(max(col("event_id")).as("src"))
+            .select(col("tbl"), col("uid"),
+              map(lit("src_event_id"), col("src").cast("string")).as("img"))
+        val oldV = state(col("event_id") % 2 === 0)
+        val newV = state(col("event_id") % 2 === 1)
+        Apply.diff(oldV, col("img"), newV, col("img"), Seq("tbl", "uid"))
+          .select(col("tbl"), col("uid"), col("operation"),
+            element_at(col("before"), "src_event_id").cast("long").as("old_src"),
+            element_at(col("after"), "src_event_id").cast("long").as("new_src"))
+          .orderBy(col("tbl"), col("uid"))
+      },
+      Some("""WITH oldv AS (SELECT event_type AS tbl, user_id AS uid,
+            MAX(event_id) AS src FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+        newv AS (SELECT event_type AS tbl, user_id AS uid,
+            MAX(event_id) AS src FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2)
+        SELECT COALESCE(o.tbl, n.tbl) AS tbl, COALESCE(o.uid, n.uid) AS uid,
+          CASE WHEN o.src IS NULL THEN 'INSERT'
+            WHEN n.src IS NULL THEN 'DELETE' ELSE 'UPDATE' END AS operation,
+          o.src AS old_src, n.src AS new_src
+        FROM oldv o FULL OUTER JOIN newv n
+          ON o.tbl = n.tbl AND o.uid = n.uid
+        ORDER BY tbl, uid"""))
   )
 }

@@ -36,6 +36,26 @@ class ApplySpec extends SparkSpec {
     assert(out == Map(2L -> "b2", 3L -> "c", 4L -> "d"))
   }
 
+  test("diff emits I/U/D and round-trips through applyChanges") {
+    val oldV = Seq(("t", 1L, "a"), ("t", 2L, "b"), ("t", 3L, "c"))
+      .toDF("tbl", "uid", "v")
+      .select($"tbl", $"uid", map(lit("v"), $"v").as("img"))
+    val newV = Seq(("t", 2L, "b2"), ("t", 3L, "c"), ("t", 4L, "d"))
+      .toDF("tbl", "uid", "v")
+      .select($"tbl", $"uid", map(lit("v"), $"v").as("img"))
+    val changes = Apply.diff(oldV, $"img", newV, $"img", Seq("tbl", "uid"))
+    val ops = changes.collect()
+      .map(r => r.getAs[Long]("uid") -> r.getAs[String]("operation")).toMap
+    // key 1 dropped, key 2 changed, key 3 unchanged (no row), key 4 born
+    assert(ops == Map(1L -> "DELETE", 2L -> "UPDATE", 4L -> "INSERT"))
+    // round-trip: applying the diff to old reproduces new exactly
+    val applied = Apply.applyChanges(oldV, $"img",
+        changes.withColumn("seq", lit(1L)), $"after", $"seq", Seq("tbl", "uid"))
+      .select($"uid", element_at($"image", "v").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(applied == Map(2L -> "b2", 3L -> "c", 4L -> "d"))
+  }
+
   test("applyChanges plan: ranking window runs over the batch side only") {
     val base = (1L to 100L).map(i => ("t", i, s"v$i")).toDF("tbl", "uid", "v")
       .select($"tbl", $"uid", map(lit("v"), $"v").as("img"))
