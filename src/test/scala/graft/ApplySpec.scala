@@ -1,7 +1,10 @@
 package graft
 
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.cdc.Apply
+import org.apache.spark.sql.streaming.Trigger
+import graft.cdc.{Apply, Transform, TxAssembly, Wal2Json}
 
 /** CDC apply (MERGE-shape) semantics: WAL-order winner, DELETE removes,
   * INSERT/UPDATE replaces, untouched keys keep their base image, keys can
@@ -54,6 +57,67 @@ class ApplySpec extends SparkSpec {
       .select($"uid", element_at($"image", "v").as("v"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(applied == Map(2L -> "b2", 3L -> "c", 4L -> "d"))
+  }
+
+  test("incremental materialized view: foreachBatch + applyChanges across restart") {
+    // the table-format-free IVM pattern: each micro-batch folds onto the
+    // latest state VERSION (v<batchId>); replaying a batch overwrites its
+    // own version (idempotent), restart resumes from the checkpoint
+    val dir = Files.createTempDirectory("graft_ivm").toString
+    val src = s"$dir/in"; val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def line(ws: Long, action: String, key: Long, v: String): (Long, String) = {
+      val ts = "2024-01-15 10:30:00.123456+00"
+      val cols = s"""[{"name":"id","type":"bigint","value":"$key"},{"name":"v","type":"text","value":"$v"}]"""
+      val arms = action match {
+        case "D" => s""""identity":$cols"""
+        case _   => s""""columns":$cols"""
+      }
+      (ws, s"""{"action":"$action","xid":$key,"timestamp":"$ts","schema":"public","table":"kv",$arms}""")
+    }
+    def tx(ws: Long, action: String, key: Long, v: String) = Seq(
+      (ws, s"""{"action":"B","xid":$key,"timestamp":"2024-01-15 10:30:00.123456+00"}"""),
+      line(ws + 1, action, key, v),
+      (ws + 2, s"""{"action":"C","xid":$key,"timestamp":"2024-01-15 10:30:00.123456+00"}"""))
+
+    def latestBase(below: Long): DataFrame = {
+      val versions = Option(new java.io.File(state).listFiles()).toSeq.flatten
+        .map(_.getName).filter(_.startsWith("v")).map(_.drop(1).toLong)
+        .filter(_ < below)
+      if (versions.isEmpty)
+        Seq.empty[(Long, Map[String, String])].toDF("id", "image")
+      else spark.read.parquet(s"$state/v${versions.max}")
+    }
+    def startQuery() = spark.readStream
+      .schema("wal_start LONG, data STRING").json(s"$src/*.json")
+      .writeStream.trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val changes = Transform.normalize(
+            TxAssembly.assemble(Wal2Json.decode(batch)), "testdb")
+          .select(coalesce(element_at(col("after"), "id"),
+              element_at(col("before"), "id")).cast("long").as("id"),
+            col("operation"), col("after"),
+            col("txid").as("seq"))
+        Apply.applyChanges(latestBase(id), col("image"), changes,
+            col("after"), col("seq"), Seq("id"))
+          .write.mode("overwrite").parquet(s"$state/v$id")
+        ()
+      }.start()
+
+    (tx(10, "I", 1, "a") ++ tx(20, "I", 2, "b") ++ tx(30, "I", 3, "c"))
+      .toDF("wal_start", "data").write.json(s"$src/b0.json")
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+
+    (tx(40, "U", 2, "b2") ++ tx(50, "D", 3, "") ++ tx(60, "I", 4, "d"))
+      .toDF("wal_start", "data").write.json(s"$src/b1.json")
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+    val finalState = latestBase(Long.MaxValue)
+      .select($"id", element_at($"image", "v").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(finalState == Map(1L -> "a", 2L -> "b2", 4L -> "d"),
+      s"update applied, delete removed, insert born, untouched kept: $finalState")
   }
 
   test("applyChanges plan: ranking window runs over the batch side only") {
