@@ -1020,6 +1020,72 @@ object LlmQueries {
         SELECT doc_id, score10k, threshold FROM scored, thr
         WHERE score10k >= threshold ORDER BY doc_id""")),
 
+    // Curation funnel: stage-by-stage doc/token survival through the l33
+    // pipeline (raw -> gopher -> exact-dedup -> language gate) — the
+    // observability report every production curation run publishes. ONE
+    // corpus scan computes all stage flags; the cumulative stages explode
+    // from an inline array, so adding a stage never adds a scan.
+    "l42_curation_funnel" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val kept = TA.gopherFlags(col("text")).last._2
+        val reps = Dedup.exactGroups(docs, "doc_id", "text")
+          .select(col("rep_id").as("doc_id"), lit(true).as("is_rep"))
+        val flagged = docs.join(reps, Seq("doc_id"), "left")
+          .select(size(TA.tokens(col("text"))).cast("long").as("n_tok"),
+            kept.as("g"), coalesce(col("is_rep"), lit(false)).as("r"),
+            (TA.langId(col("text")) =!= "und").as("l"))
+        flagged.select(col("n_tok"), explode(array(
+            struct(lit(0L).as("stage"), lit("raw").as("stage_name"),
+              lit(true).as("keep")),
+            struct(lit(1L).as("stage"), lit("gopher").as("stage_name"),
+              col("g").as("keep")),
+            struct(lit(2L).as("stage"), lit("exact_dedup").as("stage_name"),
+              (col("g") && col("r")).as("keep")),
+            struct(lit(3L).as("stage"), lit("lang").as("stage_name"),
+              (col("g") && col("r") && col("l")).as("keep"))))
+            .as("st"))
+          .filter(col("st.keep"))
+          .groupBy(col("st.stage").as("stage"),
+            col("st.stage_name").as("stage_name"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+          .orderBy(col("stage"))
+      },
+      Some {
+        val scoreExprs = TA.langMarkers.map { case (code, ms) =>
+          code -> s"len(list_filter(t, tk -> tk IN (${ms.map(m => s"'$m'").mkString(",")})))"
+        }
+        val all = scoreExprs.map(e => s"s_${e._1}").mkString(", ")
+        val firstMax = scoreExprs.map { case (c, _) =>
+          s"WHEN s_$c >= GREATEST($all) THEN '$c'"
+        }.mkString(" ")
+        s"""WITH f AS (SELECT doc_id, len(t) AS n_tok,
+            CAST(list_sum(list_transform(t, tk -> LENGTH(tk))) AS DOUBLE) / len(t) AS mwl,
+            CAST(len(list_filter(t, tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(t) AS stop_ratio,
+            CASE WHEN len(t) < 2 THEN 0.0
+                 ELSE 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g) END AS rep_ratio,
+            ${scoreExprs.map { case (c, e) => s"$e AS s_$c" }.mkString(", ")}
+          FROM (SELECT doc_id, t,
+                  list_transform(generate_series(1, GREATEST(len(t) - 1, 0)),
+                    i -> t[i] || ' ' || t[i+1]) AS g
+                FROM (SELECT doc_id, $oToks AS t FROM documents))),
+        fl AS (SELECT n_tok,
+            (n_tok BETWEEN 5 AND 10000) AND (mwl >= 2.0 AND mwl <= 10.0)
+              AND stop_ratio >= 0.01 AND rep_ratio < 0.3 AS g,
+            doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text)) AS r,
+            (CASE WHEN GREATEST($all) = 0 THEN 'und' $firstMax END) <> 'und' AS l
+          FROM f)
+        SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name, COUNT(*) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM fl
+        UNION ALL SELECT 1, 'gopher', COUNT(*),
+          CAST(SUM(n_tok) AS BIGINT) FROM fl WHERE g
+        UNION ALL SELECT 2, 'exact_dedup', COUNT(*),
+          CAST(SUM(n_tok) AS BIGINT) FROM fl WHERE g AND r
+        UNION ALL SELECT 3, 'lang', COUNT(*),
+          CAST(SUM(n_tok) AS BIGINT) FROM fl WHERE g AND r AND l
+        ORDER BY stage"""
+      }),
+
     // BPE vocabulary induction, first merge iteration: corpus-wide
     // adjacent-character pair counts within tokens. Narrow per-doc
     // generator (pairs flattened before the explode), one map-side-

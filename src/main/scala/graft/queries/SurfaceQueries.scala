@@ -435,6 +435,42 @@ object SurfaceQueries {
             COUNT(rev_dec) OVER (PARTITION BY pri ORDER BY dt) AS grp FROM j)
         SELECT pri, dt, rev_dec IS NULL AS is_gap,
           CAST(MAX(rev_dec) OVER (PARTITION BY pri, grp) AS DOUBLE) AS rev_filled
-        FROM g ORDER BY pri, dt"""))
+        FROM g ORDER BY pri, dt""")),
+
+    // TPC-H Q22 shape (global sales opportunity): scalar aggregate
+    // threshold + NOT EXISTS anti join + grouped report. The "above
+    // average balance" test runs as an exact-decimal cross-multiplication
+    // (bal*n > sum) — no floating division anywhere, so the qualifying
+    // set is engine-exact. The 1-row threshold broadcasts; the anti join
+    // builds on orders' custkey.
+    "q45_sales_opportunity" -> Def(
+      (s, d) => {
+        val c = t(s, d, "customer")
+          .withColumn("cntrycode", col("c_nationkey") % 10)
+          .filter(col("cntrycode").isin(1, 2, 3, 4, 5))
+        val thr = c.filter(col("c_acctbal") > 0)
+          .agg(sum(dec(col("c_acctbal"))).as("s"), count(lit(1)).as("n"))
+        val o = t(s, d, "orders").filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey"))
+        c.join(broadcast(thr))
+          .filter(dec(col("c_acctbal")) * col("n") > col("s"))
+          .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("cntrycode"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+          .orderBy(col("cntrycode"))
+      },
+      Some("""WITH c AS (SELECT c_custkey, c_acctbal,
+            c_nationkey % 10 AS cntrycode FROM customer
+          WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5)),
+        thr AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS s,
+            COUNT(*) AS n FROM c WHERE c_acctbal > 0)
+        SELECT cntrycode, COUNT(*) AS numcust,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        FROM c, thr
+        WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n > s
+          AND NOT EXISTS (SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        GROUP BY 1 ORDER BY cntrycode"""))
   )
 }
