@@ -191,6 +191,33 @@ object Dedup {
     sh.join(rare, Seq("shingle"), "left_semi")
   }
 
+  /** Asymmetric containment C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| over the
+    * (df-capped) shingle inverted index — catches partial duplication
+    * (quotes, wrapped reposts, doc-inside-doc) that symmetric Jaccard
+    * misses: a 100-line file pasted into a 10 000-line one has tiny
+    * Jaccard but containment 1.0.
+    *
+    * The threshold is a rational `minNum/minDen` compared as
+    * `inter·minDen >= sz·minNum` — integer-exact, so set membership is
+    * engine-portable; only the reported `containment` value divides (one
+    * IEEE division of identical integers). Directional: both (a→b) and
+    * (b→a) rows emit when both qualify. Pass the index through
+    * [[dfCapped]] first — the self-join cost is bounded by shingle df
+    * exactly as in [[ngramJaccardPairs]].
+    */
+  def containmentPairs(sh: DataFrame, minNum: Long = 1, minDen: Long = 2): DataFrame = {
+    require(minDen > 0 && minNum >= 0, "threshold must be a valid rational")
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("src_sz"))
+    val inter = sh.join(sh.select(col("shingle"), col("id").as("dst")),
+        Seq("shingle"))
+      .filter(col("id") =!= col("dst"))
+      .groupBy(col("id"), col("dst")).agg(count(lit(1)).as("inter"))
+    inter.join(sizes, Seq("id"))
+      .filter(col("inter") * minDen >= col("src_sz") * minNum)
+      .select(col("id").as("src"), col("dst"), col("inter"), col("src_sz"),
+        (col("inter").cast("double") / col("src_sz")).as("containment"))
+  }
+
   /** Exact Jaccard for given candidate pairs, via the shingle inverted
     * index: |A∩B| from a join on shingle restricted to candidates, |A|,|B|
     * from per-doc counts. Exact integer arithmetic; the final similarity is

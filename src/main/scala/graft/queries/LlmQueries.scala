@@ -896,6 +896,29 @@ object LlmQueries {
         SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
         ORDER BY id_a, id_b""")),
 
+    // Asymmetric containment (doc-inside-doc detection): directional
+    // |A∩B|/|A| over the df-capped shingle index; integer-exact rational
+    // threshold (inter*2 >= sz) so membership is engine-portable.
+    "l43_containment_pairs" -> Def(
+      (s, d) => Dedup.containmentPairs(
+          Dedup.dfCapped(
+            Dedup.shingleIndex(t(s, d, "documents"), "doc_id", "text"),
+            maxDf = 5))
+        .orderBy(col("src"), col("dst")),
+      Some(s"""WITH $oShingles,
+        keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 5),
+        shc AS (SELECT doc_id, shingle FROM sh
+          WHERE shingle IN (SELECT shingle FROM keep)),
+        sizes AS (SELECT doc_id, COUNT(*) AS src_sz FROM shc GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS inter
+          FROM shc a JOIN shc b ON a.shingle = b.shingle
+            AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+        SELECT src, dst, inter, src_sz,
+          CAST(inter AS DOUBLE) / src_sz AS containment
+        FROM inter JOIN sizes ON src = sizes.doc_id
+        WHERE inter * 2 >= src_sz ORDER BY src, dst""")),
+
     // BM25 top-k retrieval (rational-idf variant — see ops/Retrieval):
     // inverted-index postings restricted to the query vocabulary, df stats
     // off the same exchange, integer-exact scores so ranking (incl. the

@@ -31,6 +31,22 @@ class DedupSpec extends SparkSpec {
     assert(exact._3 == 1.0)
   }
 
+  test("containment is asymmetric: a doc pasted into a bigger one scores 1.0 outbound") {
+    // doc 6 = doc 5 plus a long tail: every shingle of 5 appears in 6
+    val d = Seq(
+      (5L, "alpha beta gamma delta epsilon"),
+      (6L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (7L, "unrelated words entirely someplace else altogether now"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(
+        Dedup.shingleIndex(d, "doc_id", "text"), minNum = 1, minDen = 2)
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"),
+        r.getAs[Double]("containment"))).toList
+    assert(out == List((5L, 6L, 1.0)),
+      s"5->6 fully contained; 6->5 (3/18) and doc 7 below threshold: $out")
+  }
+
   test("minhash LSH candidates cover all high-jaccard pairs here") {
     val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
     val sig = Dedup.minhashSignatures(sh, k = 32)
