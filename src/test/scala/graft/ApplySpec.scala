@@ -1,10 +1,10 @@
 package graft
 
 import java.nio.file.Files
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import graft.cdc.{Apply, Transform, TxAssembly, Wal2Json}
+import graft.cdc.Apply
+import graft.streaming.{CdcStream, MaterializedView}
 
 /** CDC apply (MERGE-shape) semantics: WAL-order winner, DELETE removes,
   * INSERT/UPDATE replaces, untouched keys keep their base image, keys can
@@ -80,30 +80,14 @@ class ApplySpec extends SparkSpec {
       line(ws + 1, action, key, v),
       (ws + 2, s"""{"action":"C","xid":$key,"timestamp":"2024-01-15 10:30:00.123456+00"}"""))
 
-    def latestBase(below: Long): DataFrame = {
-      val versions = Option(new java.io.File(state).listFiles()).toSeq.flatten
-        .map(_.getName).filter(_.startsWith("v")).map(_.drop(1).toLong)
-        .filter(_ < below)
-      if (versions.isEmpty)
-        Seq.empty[(Long, Map[String, String])].toDF("id", "image")
-      else spark.read.parquet(s"$state/v${versions.max}")
+    def startQuery() = {
+      val raw = spark.readStream
+        .schema("wal_start LONG, data STRING").json(s"$src/*.json")
+      MaterializedView.start(spark,
+        CdcStream.pipeline(spark, raw, "testdb"), state, ckpt,
+        keyCols = Seq("id"), seq = col("txid"),
+        trigger = Trigger.ProcessingTime("50 milliseconds"))
     }
-    def startQuery() = spark.readStream
-      .schema("wal_start LONG, data STRING").json(s"$src/*.json")
-      .writeStream.trigger(Trigger.ProcessingTime("50 milliseconds"))
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        val changes = Transform.normalize(
-            TxAssembly.assemble(Wal2Json.decode(batch)), "testdb")
-          .select(coalesce(element_at(col("after"), "id"),
-              element_at(col("before"), "id")).cast("long").as("id"),
-            col("operation"), col("after"),
-            col("txid").as("seq"))
-        Apply.applyChanges(latestBase(id), col("image"), changes,
-            col("after"), col("seq"), Seq("id"))
-          .write.mode("overwrite").parquet(s"$state/v$id")
-        ()
-      }.start()
 
     (tx(10, "I", 1, "a") ++ tx(20, "I", 2, "b") ++ tx(30, "I", 3, "c"))
       .toDF("wal_start", "data").write.json(s"$src/b0.json")
@@ -113,8 +97,8 @@ class ApplySpec extends SparkSpec {
       .toDF("wal_start", "data").write.json(s"$src/b1.json")
     val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
 
-    val finalState = latestBase(Long.MaxValue)
-      .select($"id", element_at($"image", "v").as("v"))
+    val finalState = MaterializedView.currentState(spark, state, Seq("id"))
+      .select($"id".cast("long").as("id"), element_at($"image", "v").as("v"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(finalState == Map(1L -> "a", 2L -> "b2", 4L -> "d"),
       s"update applied, delete removed, insert born, untouched kept: $finalState")
