@@ -329,6 +329,24 @@ object Dedup {
   def survivors(clusters: DataFrame): DataFrame =
     clusters.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
 
+  /** Survivor selection by rank: keep the best-ranked member of each
+    * near-dup cluster — the production policy (keep the longest / highest
+    * quality / canonical doc), as opposed to [[components]]' min-id label.
+    * `ranked` maps `idCol` to the rank; ties break on id. Docs in no pair
+    * are absent from `clusters` and survive by default. One window over
+    * the clustered set (pairs-bearing docs only — far smaller than the
+    * corpus).
+    */
+  def survivorsBy(clusters: DataFrame, ranked: DataFrame, idCol: String,
+      rankCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(rankCol.desc, col(idCol).asc)
+    clusters.join(ranked, clusters("id") === ranked(idCol))
+      .withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
+      .select(col("cluster"), col(idCol).as("survivor"),
+        rankCol.as("rank_val"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   val SimhashBits = 48

@@ -331,6 +331,42 @@ object LlmQueries {
         SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
         FROM reach GROUP BY src ORDER BY id""")),
 
+    // Quality-aware survivor selection: per near-dup cluster keep the
+    // best-ranked member (here: largest quantized norm, tie on id) — the
+    // production "keep the canonical doc" policy vs l20's min-id label.
+    "l44_survivor_by_rank" -> Def(
+      (s, d) => {
+        val prep = Similarity.prepare(
+          t(s, d, "embeddings").withColumnRenamed("vec_id", "id"), "embedding")
+        val pairs = Similarity.cosineNearDupPairs(prep, 0.2, bits = 8)
+        Dedup.survivorsBy(Dedup.components(pairs),
+            prep.select(col("id").as("vec_id"), col("norm_sq")),
+            "vec_id", col("norm_sq"))
+          .select(col("cluster"), col("survivor"), col("rank_val"))
+          .orderBy(col("cluster"))
+      },
+      Some(s"""WITH RECURSIVE $oQuant,
+        b AS (SELECT vec_id, q, norm_sq, ${oBucket(8, "embedding")} AS bucket
+              FROM qn JOIN embeddings USING (vec_id)),
+        pr AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b
+          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+          WHERE CAST(${oDot("a.q", "c.q")} AS DOUBLE) /
+              sqrt(CAST(a.norm_sq AS DOUBLE) * CAST(c.norm_sq AS DOUBLE)) >= 0.2),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                  UNION SELECT id_b, id_a FROM pr),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        cl AS (SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+          FROM reach GROUP BY src),
+        j AS (SELECT cl.cluster, cl.id, qn.norm_sq FROM cl
+          JOIN qn ON cl.id = qn.vec_id),
+        r AS (SELECT cluster, id, norm_sq, ROW_NUMBER() OVER (
+            PARTITION BY cluster ORDER BY norm_sq DESC, id) AS rk FROM j)
+        SELECT cluster, id AS survivor, norm_sq AS rank_val FROM r
+        WHERE rk = 1 ORDER BY cluster""")),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {
