@@ -523,6 +523,22 @@ object CdcQueries {
           o.src AS old_src, n.src AS new_src
         FROM oldv o FULL OUTER JOIN newv n
           ON o.tbl = n.tbl AND o.uid = n.uid
-        ORDER BY tbl, uid"""))
+        ORDER BY tbl, uid""")),
+
+    // F1 under the driver gate: table allowlist (the publication analog)
+    // applied mid-decode — markers pass, filtered tables vanish before
+    // assembly ever buffers them.
+    "c16_table_allowlist" -> Def(
+      (s, d) => Wal2Json.filterTables(Wal2Json.decode(walStream(s, d)),
+          Seq("public.click", "public.error"))
+        .filter(col("operation") === "INSERT")
+        .groupBy(col("table_name"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("txid")).as("n_txs"))
+        .orderBy(col("table_name")),
+      Some("""SELECT event_type AS table_name, COUNT(*) AS n_events,
+        COUNT(DISTINCT user_id) AS n_txs FROM events
+        WHERE event_type IN ('click', 'error')
+        GROUP BY 1 ORDER BY table_name"""))
   )
 }
