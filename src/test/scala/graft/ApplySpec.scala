@@ -39,6 +39,41 @@ class ApplySpec extends SparkSpec {
     assert(out == Map(2L -> "b2", 3L -> "c", 4L -> "d"))
   }
 
+  test("property: applyChanges equals a naive per-key fold (seeded random)") {
+    val rnd = new scala.util.Random(42)
+    val keys = (1L to 60L)
+    val base = keys.filter(_ => rnd.nextBoolean())
+      .map(k => ("t", k, s"base$k")).toList
+    val ops = Array("INSERT", "UPDATE", "DELETE")
+    val changes = (1 to 300).map { i =>
+      val k = keys(rnd.nextInt(keys.size))
+      val op = ops(rnd.nextInt(3))
+      ("t", k, op, if (op == "DELETE") None else Some(s"v$i"), i.toLong)
+    }.toList
+    // naive reference: per key, the highest-seq change decides
+    val expected: Map[Long, String] = {
+      val winners = changes.groupBy(_._2).map { case (k, cs) => k -> cs.maxBy(_._5) }
+      val baseMap = base.map(t => t._2 -> t._3).toMap
+      val born = winners.collect {
+        case (k, (_, _, op, Some(v), _)) if op != "DELETE" => k -> v
+      }
+      val survivingBase = baseMap.filter { case (k, _) =>
+        winners.get(k).forall(_._3 != "DELETE") }
+      (survivingBase ++ born).toMap
+    }
+    val baseDf = base.toDF("tbl", "uid", "v")
+      .select($"tbl", $"uid", map(lit("v"), $"v").as("img"))
+    val chDf = changes.toDF("tbl", "uid", "operation", "v", "seq")
+      .select($"tbl", $"uid", $"operation",
+        when($"v".isNotNull, map(lit("v"), $"v")).as("after"), $"seq")
+    val got = Apply.applyChanges(baseDf, $"img", chDf, $"after", $"seq",
+        Seq("tbl", "uid"))
+      .select($"uid", element_at($"image", "v").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expected,
+      s"diff: extra=${got.toSet -- expected.toSet} missing=${expected.toSet -- got.toSet}")
+  }
+
   test("diff emits I/U/D and round-trips through applyChanges") {
     val oldV = Seq(("t", 1L, "a"), ("t", 2L, "b"), ("t", 3L, "c"))
       .toDF("tbl", "uid", "v")
