@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.cdc.{Apply, Dlq, Transform, TxAssembly, Wal2Json}
+import graft.cdc.{Apply, Dlq, PgOutput, PgWire, Transform, TxAssembly, Wal2Json}
 import graft.streaming.SnapshotBootstrap
 import Q.{Def, t}
 
@@ -539,6 +539,42 @@ object CdcQueries {
       Some("""SELECT event_type AS table_name, COUNT(*) AS n_events,
         COUNT(DISTINCT user_id) AS n_txs FROM events
         WHERE event_type IN ('click', 'error')
-        GROUP BY 1 ORDER BY table_name"""))
+        GROUP BY 1 ORDER BY table_name""")),
+
+    // P1/P2 under the driver gate: every event round-trips through REAL
+    // pgoutput binary wire format (Relation/Begin/Insert/Commit messages
+    // encoded per event — self-contained groups, so any partitioning
+    // decodes identically) and the full decode -> assemble -> normalize
+    // chain; the oracle recomputes the expectation from `events` directly.
+    "c17_pgoutput_roundtrip" -> Def(
+      (s, d) => {
+        import s.implicits._
+        val src = t(s, d, "events").select(col("event_id"), col("user_id"),
+            col("event_type"), unix_micros(col("ts")).as("us"))
+          .as[(Long, Long, String, Long)]
+        val raw = src.flatMap { case (id, uid, tbl, us) =>
+          val relId = tbl.hashCode & 0x7fffffff
+          val ws = id * 10
+          Seq(
+            (ws, PgWire.relation(relId, "public", tbl,
+              Seq("src_event_id" -> 20, "value" -> 25))),
+            (ws + 1, PgWire.begin(ws + 3, us, id.toInt)),
+            (ws + 2, PgWire.insert(relId,
+              Seq(Some(id.toString), Some(s"v$id")))),
+            (ws + 3, PgWire.commit(ws + 3, ws + 4, us)))
+        }.toDF("wal_start", "data")
+        val dec = PgOutput.decode(s, raw)
+        Transform.normalize(TxAssembly.assemble(dec), Db)
+          .select(
+            element_at(col("after"), "src_event_id").cast("long")
+              .as("src_event_id"),
+            col("table").as("tbl"), col("txid"), col("operation"),
+            col("commit_time"),
+            element_at(col("after"), "value").as("v"))
+          .orderBy(col("src_event_id"))
+      },
+      Some("""SELECT event_id AS src_event_id, event_type AS tbl,
+        event_id AS txid, 'INSERT' AS operation, ts AS commit_time,
+        'v' || event_id AS v FROM events ORDER BY src_event_id"""))
   )
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.cdc.PgOutput
+import graft.cdc.{PgOutput, PgWire}
 import graft.streaming.DecodedWalEvent
 
 /** pgoutput binary decoder semantics (reference invariants from

@@ -22,9 +22,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   /** localCheckpoint-based lineage truncation surfaces as `Scan
     * ExistingRDD` but keeps data distributed on executors — it is the
     * documented pattern for iterative algorithms, not a driver round-trip.
-    * Only the iterative connected-components query may carry it.
+    * Only the iterative connected-components queries may carry it.
     */
-  private val rddAllowlist = Set("l20_dedup_clusters")
+  private val rddAllowlist = Set("l20_dedup_clusters", "l44_survivor_by_rank")
 
   test("no query plan contains a CartesianProduct or driver RDD round-trip") {
     val offenders = SparkEntry.all.toSeq.sortBy(_._1).flatMap { case (name, d) =>
