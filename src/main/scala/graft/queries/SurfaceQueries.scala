@@ -471,6 +471,31 @@ object SurfaceQueries {
         WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n > s
           AND NOT EXISTS (SELECT 1 FROM orders
             WHERE o_custkey = c_custkey AND o_totalprice > 400000)
-        GROUP BY 1 ORDER BY cntrycode"""))
+        GROUP BY 1 ORDER BY cntrycode""")),
+
+    // Data profiling (the ingest-time audit): per-column null/distinct/
+    // min/max in ONE aggregation pass, unpivoted to a row per column.
+    // Exact distincts here (oracle-checkable); approx_count_distinct is
+    // the documented 100 TB swap.
+    "q46_profile" -> Def(
+      (s, d) => graft.ops.Profile.profile(t(s, d, "orders"),
+          Seq("o_orderstatus", "o_orderpriority", "o_totalprice"))
+        .orderBy(col("col_name")),
+      Some("""SELECT 'o_orderstatus' AS col_name,
+          COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS n_nulls,
+          COUNT(DISTINCT o_orderstatus) AS n_distinct,
+          CAST(MIN(o_orderstatus) AS VARCHAR) AS min_s,
+          CAST(MAX(o_orderstatus) AS VARCHAR) AS max_s FROM orders
+        UNION ALL SELECT 'o_orderpriority',
+          COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+          COUNT(DISTINCT o_orderpriority),
+          CAST(MIN(o_orderpriority) AS VARCHAR),
+          CAST(MAX(o_orderpriority) AS VARCHAR) FROM orders
+        UNION ALL SELECT 'o_totalprice',
+          COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END),
+          COUNT(DISTINCT o_totalprice),
+          CAST(MIN(o_totalprice) AS VARCHAR),
+          CAST(MAX(o_totalprice) AS VARCHAR) FROM orders
+        ORDER BY col_name"""))
   )
 }
