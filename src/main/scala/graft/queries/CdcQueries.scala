@@ -575,6 +575,57 @@ object CdcQueries {
       },
       Some("""SELECT event_id AS src_event_id, event_type AS tbl,
         event_id AS txid, 'INSERT' AS operation, ts AS commit_time,
-        'v' || event_id AS v FROM events ORDER BY src_event_id"""))
+        'v' || event_id AS v FROM events ORDER BY src_event_id""")),
+
+    // P2's subtle invariant under the gate: in pgoutput tuples, NULL ('n')
+    // keeps its key with a null value, while unchanged TOAST ('u') drops
+    // the key entirely (absent != null — consumers must merge, not
+    // overwrite). Ops rotate by event_id % 3: INSERT carries all 3
+    // columns, UPDATE's new image TOASTs the blob (2 keys) with a
+    // full-null old image (3 keys), DELETE carries the key tuple (3 keys,
+    // 2 null) and no new image.
+    "c18_pgoutput_toast" -> Def(
+      (s, d) => {
+        import s.implicits._
+        val src = t(s, d, "events").select(col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .as[(Long, String, Long)]
+        val raw = src.flatMap { case (id, tbl, us) =>
+          val relId = tbl.hashCode & 0x7fffffff
+          val ws = id * 10
+          val rel = PgWire.relation(relId, "public", tbl,
+            Seq("src_event_id" -> 20, "value" -> 25, "blob" -> 25))
+          val op = (id % 3) match {
+            case 0 => PgWire.insert(relId,
+              Seq(Some(id.toString), Some(s"v$id"), Some(s"b$id")))
+            case 1 => PgWire.update(relId,
+              Some(Seq(Some(id.toString), None, None)),
+              Seq(Some(id.toString), Some(s"v$id"), PgWire.Toast))
+            case _ => PgWire.delete(relId,
+              Seq(Some(id.toString), None, None))
+          }
+          Seq((ws, rel), (ws + 1, PgWire.begin(ws + 3, us, id.toInt)),
+            (ws + 2, op), (ws + 3, PgWire.commit(ws + 3, ws + 4, us)))
+        }.toDF("wal_start", "data")
+        Transform.normalize(TxAssembly.assemble(PgOutput.decode(s, raw)), Db)
+          .select(
+            coalesce(element_at(col("after"), "src_event_id"),
+              element_at(col("before"), "src_event_id")).cast("long")
+              .as("src_event_id"),
+            col("operation"),
+            when(col("before").isNull, -1).otherwise(size(col("before")))
+              .as("n_before"),
+            when(col("after").isNull, -1).otherwise(size(col("after")))
+              .as("n_after"),
+            element_at(col("after"), "blob").as("blob_after"))
+          .orderBy(col("src_event_id"))
+      },
+      Some("""SELECT event_id AS src_event_id,
+        CASE event_id % 3 WHEN 0 THEN 'INSERT' WHEN 1 THEN 'UPDATE'
+          ELSE 'DELETE' END AS operation,
+        CASE event_id % 3 WHEN 0 THEN -1 ELSE 3 END AS n_before,
+        CASE event_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE -1 END AS n_after,
+        CASE WHEN event_id % 3 = 0 THEN 'b' || event_id END AS blob_after
+        FROM events ORDER BY src_event_id"""))
   )
 }
