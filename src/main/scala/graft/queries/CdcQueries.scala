@@ -626,6 +626,41 @@ object CdcQueries {
         CASE event_id % 3 WHEN 0 THEN -1 ELSE 3 END AS n_before,
         CASE event_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE -1 END AS n_after,
         CASE WHEN event_id % 3 = 0 THEN 'b' || event_id END AS blob_after
-        FROM events ORDER BY src_event_id"""))
+        FROM events ORDER BY src_event_id""")),
+
+    // TRUNCATE -> DDL event (wal2json T action): empty before AND after
+    // images (not null — the reference's cdc_truncate_test invariant),
+    // cdc.ddl event type, routed like any change. One truncate tx per
+    // table, synthesized after that table's last change.
+    "c19_truncate_ddl" -> Def(
+      (s, d) => {
+        val e = t(s, d, "events")
+        val per = e.groupBy(col("event_type")).agg(
+          max(col("event_id")).as("mid"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("mts"))
+        def marker(act: String, off: Int) = per.select(
+          (col("mid") * 10 + off).as("wal_start"),
+          to_json(struct(lit(act).as("action"),
+            (col("mid") + 1000000).as("xid"),
+            concat(col("mts"), lit("+00")).as("timestamp"))).as("data"))
+        val truncs = per.select((col("mid") * 10 + 7).as("wal_start"),
+          to_json(struct(lit("T").as("action"),
+            (col("mid") + 1000000).as("xid"),
+            concat(col("mts"), lit("+00")).as("timestamp"),
+            lit("public").as("schema"),
+            col("event_type").as("table"))).as("data"))
+        val lines = marker("B", 6).unionByName(truncs)
+          .unionByName(marker("C", 8))
+        Transform.normalize(TxAssembly.assemble(Wal2Json.decode(lines)), Db)
+          .select(col("table").as("tbl"), col("operation"),
+            col("event_type").as("etype"),
+            size(col("before")).as("n_before"),
+            size(col("after")).as("n_after"), col("subject"))
+          .orderBy(col("tbl"))
+      },
+      Some(s"""SELECT event_type AS tbl, 'DDL' AS operation,
+        'cdc.ddl' AS etype, 0 AS n_before, 0 AS n_after,
+        'cdc.$Db.public.' || event_type AS subject
+        FROM events GROUP BY event_type ORDER BY tbl"""))
   )
 }
