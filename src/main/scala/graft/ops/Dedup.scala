@@ -322,6 +322,67 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the 100 TB path next to [[components]]' label
+    * propagation. Label propagation needs O(component diameter) rounds; a
+    * pathological chain of pairwise near-dups (common in boilerplate-heavy
+    * web corpora: A~B~C~… without A~C) makes that linear. Large/small-star
+    * converges in O(log n) rounds on ANY topology:
+    *
+    *  - large-star: per node u over its symmetric neighborhood, connect
+    *    every strictly-larger neighbor to m = min(N(u) ∪ {u});
+    *  - small-star: per node u over its smaller-or-equal neighbors,
+    *    connect them (and u) to the minimum.
+    *
+    * Each half-round is one groupBy + one join on the edge key — no
+    * driver-side graph. The edge set only shrinks toward stars, and the
+    * fixpoint is detected by an (edge count, xxhash64 checksum) pair in a
+    * single aggregate action per round. At the fixpoint every edge is
+    * (member → component-min root), which IS the label assignment.
+    *
+    * Identical output contract to [[components]] (asserted by a seeded
+    * random-graph equivalence property in DedupSpec): (id, cluster) for
+    * every id appearing in `pairs`, cluster = min id of the component.
+    */
+  def componentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      sym.filter(col("dst") > col("src")).join(mins, "src")
+        .select(col("dst").as("src"), col("m").as("dst")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("src"), col("dst")).as("hi"),
+          least(col("src"), col("dst")).as("lo"))
+        .filter(col("hi") =!= col("lo"))
+      val mins = dir.groupBy("hi").agg(min(col("lo")).as("m"))
+      dir.join(mins, "hi")
+        .select(col("lo").as("src"), col("m").as("dst"))
+        .union(mins.select(col("hi").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+    }
+    var edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var prev: (Long, String) = (-1L, "")
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      edges = smallStar(largeStar(edges)).localCheckpoint(false)
+      // decimal(38,0) checksum: ANSI mode would overflow a raw long sum
+      val r = edges.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head()
+      val sig = (r.getLong(0), String.valueOf(r.getDecimal(1)))
+      converged = sig == prev
+      prev = sig
+      iter += 1
+    }
+    edges.select(col("src").as("id"), col("dst").as("cluster"))
+      .union(edges.select(col("dst"), col("dst")).distinct())
+  }
+
   /** Dedup survivors: one representative (min id) per cluster, with the
     * member count — `df.join(survivors, df("id") === survivors("cluster"),
     * "left_semi")`-style usage keeps them.

@@ -367,6 +367,33 @@ object LlmQueries {
         SELECT cluster, id AS survivor, norm_sq AS rank_val FROM r
         WHERE rk = 1 ORDER BY cluster""")),
 
+    // Large-star/small-star connected components (Kiveris et al. SoCC'14)
+    // — the O(log n)-round 100 TB path next to l20's label propagation
+    // (O(diameter): linear on a chain of pairwise near-dups). Same pair
+    // graph, same oracle, bit-identical clusters (DedupSpec property).
+    "l45_dedup_clusters_star" -> Def(
+      (s, d) => {
+        val prep = Similarity.prepare(
+          t(s, d, "embeddings").withColumnRenamed("vec_id", "id"), "embedding")
+        val pairs = Similarity.cosineNearDupPairs(prep, 0.2, bits = 8)
+        Dedup.componentsStar(pairs).orderBy(col("id"))
+      },
+      Some(s"""WITH RECURSIVE $oQuant,
+        b AS (SELECT vec_id, q, norm_sq, ${oBucket(8, "embedding")} AS bucket
+              FROM qn JOIN embeddings USING (vec_id)),
+        pr AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b
+          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+          WHERE CAST(${oDot("a.q", "c.q")} AS DOUBLE) /
+              sqrt(CAST(a.norm_sq AS DOUBLE) * CAST(c.norm_sq AS DOUBLE)) >= 0.2),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                  UNION SELECT id_b, id_a FROM pr),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+        FROM reach GROUP BY src ORDER BY id""")),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {

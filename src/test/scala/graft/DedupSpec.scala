@@ -110,6 +110,34 @@ class DedupSpec extends SparkSpec {
     assert(surv == Map(1L -> 4L, 10L -> 2L, 20L -> 4L))
   }
 
+  test("large/small-star components ≡ label propagation on seeded random graphs") {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 30
+      // sparse random graph: ~n edges → a mix of chains, small trees, and
+      // a few denser blobs; ids sparse so min-id ≠ index
+      val pairs = (0 until n).map { _ =>
+        val a = rnd.nextInt(n) * 7L
+        val b = rnd.nextInt(n) * 7L + 3L
+        (math.min(a, b), math.max(a, b))
+      }.distinct.toDF("id_a", "id_b")
+      val viaProp = Dedup.components(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+      val viaStar = Dedup.componentsStar(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(viaStar == viaProp, s"trial $trial")
+    }
+  }
+
+  test("large/small-star converges on a long chain (diameter >> log n)") {
+    // 1-2-3-…-64: label propagation needs ~diameter rounds; star needs
+    // O(log n). Also the worst case for the fixpoint detector.
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.componentsStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 64L).map(_ -> 1L).toMap)
+  }
+
   test("langid picks marker-dominant language, und when no markers") {
     val df = Seq(
       (1L, "the cat is on the mat and it is fine"),
