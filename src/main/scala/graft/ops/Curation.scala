@@ -315,6 +315,37 @@ object Curation {
       .drop("_rk")
   }
 
+  /** Exact-count stratified sample: exactly min(n_s, |stratum|) documents
+    * per stratum, chosen uniformly and deterministically — rank by
+    * ascending content hash (uniform in hash space, so rank ≤ n is a
+    * uniform without-replacement draw), id tie-break. [[mixture]] hits a
+    * target FRACTION per source; this hits a target COUNT per stratum
+    * (eval-set construction, per-language quotas, balanced fine-tuning
+    * mixes). Strata absent from `counts` are dropped.
+    *
+    * Same hierarchical two-pass window as [[sourceQuota]]: rank within
+    * (stratum, salt-bucket) first — each task emits ≤ n rows — then rank
+    * the ≤ n·buckets survivors per stratum; bit-identical to the single
+    * window, no single-stratum task funnel.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: Column, idCol: Column,
+      counts: Map[String, Int], buckets: Int = 32): DataFrame = {
+    require(counts.nonEmpty, "counts must name at least one stratum")
+    require(counts.values.forall(_ > 0), "per-stratum counts must be positive")
+    val cap = counts.foldLeft(lit(0)) { case (acc, (s, n)) =>
+      when(stratumCol === s, lit(n)).otherwise(acc)
+    }
+    val order: Seq[Column] = Seq(hash48(idCol.cast("string")).asc, idCol.asc)
+    val pre = Window.partitionBy(stratumCol,
+        pmod(hash48(idCol.cast("string")), lit(buckets.toLong)))
+      .orderBy(order: _*)
+    val fin = Window.partitionBy(stratumCol).orderBy(order: _*)
+    df.withColumn("_cap", cap).filter(col("_cap") > 0)
+      .withColumn("_rk", row_number().over(pre)).filter(col("_rk") <= col("_cap"))
+      .withColumn("_rk", row_number().over(fin)).filter(col("_rk") <= col("_cap"))
+      .drop("_rk", "_cap")
+  }
+
   /** Benchmark decontamination: training docs sharing at least `minShared`
     * distinct word n-gram shingles with ANY eval doc. Rides the shingle
     * inverted index — the eval side is tiny (a benchmark), so its shingle

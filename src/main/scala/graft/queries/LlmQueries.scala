@@ -394,6 +394,54 @@ object LlmQueries {
         SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
         FROM reach GROUP BY src ORDER BY id""")),
 
+    // Exact-count stratified sample: uniform without-replacement draw of
+    // exactly n docs per source via ascending-hash rank (vs l22's
+    // rate-based mixture). Hierarchical two-pass window — bit-identical
+    // to the oracle's single window (see Curation.stratifiedSample).
+    "l46_stratified_sample" -> Def(
+      (s, d) => Curation.stratifiedSample(t(s, d, "documents"), col("source"),
+          col("doc_id"), Map("src0" -> 20, "src1" -> 12, "src2" -> 5))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH ranked AS (
+        SELECT doc_id, source,
+          CASE source WHEN 'src0' THEN 20 WHEN 'src1' THEN 12
+            WHEN 'src2' THEN 5 ELSE 0 END AS cap,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY ${oH48("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+        FROM documents)
+        SELECT doc_id, source FROM ranked WHERE rk <= cap
+        ORDER BY doc_id""")),
+
+    // Edit-distance verification of near-dup candidates: character-level
+    // Levenshtein over 200-char prefixes, computed ONLY on the LSH-found,
+    // Jaccard-verified pair set (never all-pairs — levenshtein is O(L²)
+    // per pair, so the candidate restriction is what makes it runnable at
+    // corpus scale). The fuzzy-match primitive shingle Jaccard misses:
+    // distance 0 here separates true byte-dups from paraphrase-near-dups.
+    "l47_edit_distance_pairs" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sh = Dedup.shingleIndex(docs, "doc_id", "text")
+        val sig = Dedup.minhashSignaturesNarrow(docs, "doc_id", "text", k = 32)
+        val cand = Dedup.lshCandidates(sig, k = 32, rowsPerBand = 2, maxBucket = 10000)
+        val near = Dedup.verifyJaccard(sh, cand).filter(col("jaccard") >= 0.8)
+        val prefA = docs.select(col("doc_id").as("id_a"),
+          substring(col("text"), 1, 200).as("_ta"))
+        val prefB = docs.select(col("doc_id").as("id_b"),
+          substring(col("text"), 1, 200).as("_tb"))
+        near.join(prefA, "id_a").join(prefB, "id_b")
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("_ta"), col("_tb")).cast("long").as("edit_dist"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $oShingles, $oJaccard
+        SELECT id_a, id_b,
+          levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200)) AS edit_dist
+        FROM jac JOIN documents a ON jac.id_a = a.doc_id
+                 JOIN documents b ON jac.id_b = b.doc_id
+        WHERE jaccard >= 0.8 ORDER BY id_a, id_b""")),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {

@@ -496,6 +496,31 @@ object SurfaceQueries {
           COUNT(DISTINCT o_totalprice),
           CAST(MIN(o_totalprice) AS VARCHAR),
           CAST(MAX(o_totalprice) AS VARCHAR) FROM orders
-        ORDER BY col_name"""))
+        ORDER BY col_name""")),
+
+    // Bitwise + boolean aggregate battery: bit_and/bit_or/bit_xor over
+    // integer keys (bitmap/flag-set folding), bool_and/bool_or predicates,
+    // count_if. All commutative-associative single-pass aggregates —
+    // map-side partials, one shuffle on the group key, integer-exact in
+    // any engine.
+    "q47_bitwise_bool_agg" -> Def(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("bit_and(l_linenumber)").as("flags_and"),
+          expr("bit_or(l_linenumber)").as("flags_or"),
+          expr("bit_xor(l_orderkey)").as("keys_xor"),
+          expr("bool_and(l_quantity > 0)").as("all_positive"),
+          expr("bool_or(l_discount > 0.05)").as("any_discounted"),
+          expr("count_if(l_tax > 0.04)").as("n_taxed"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+          bit_and(l_linenumber) AS flags_and,
+          bit_or(l_linenumber) AS flags_or,
+          bit_xor(l_orderkey) AS keys_xor,
+          bool_and(l_quantity > 0) AS all_positive,
+          bool_or(l_discount > 0.05) AS any_discounted,
+          CAST(count_if(l_tax > 0.04) AS BIGINT) AS n_taxed
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

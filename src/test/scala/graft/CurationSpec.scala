@@ -201,6 +201,26 @@ class CurationSpec extends SparkSpec {
     assert(Curation.sourceQuota(d, $"src", $"id", $"score", 100).count() == 40)
   }
 
+  test("stratifiedSample: exact per-stratum counts, hierarchical ≡ single window") {
+    val d = (1L to 60L)
+      .map(i => (i, if (i <= 30) "a" else if (i <= 50) "b" else "c"))
+      .toDF("id", "src")
+    val out = Curation.stratifiedSample(d, $"src", $"id",
+      Map("a" -> 5, "b" -> 8), buckets = 4)
+    val got = out.select($"src", $"id").as[(String, Long)].collect()
+    assert(got.count(_._1 == "a") == 5 && got.count(_._1 == "b") == 8)
+    assert(!got.exists(_._1 == "c"), "unlisted stratum dropped")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"src")
+      .orderBy(graft.ops.TextAnalysis.hash48($"id".cast("string")), $"id")
+    val ref = d.withColumn("rk", row_number().over(w))
+      .filter($"src" === "a" && $"rk" <= 5 || $"src" === "b" && $"rk" <= 8)
+      .select($"src", $"id").as[(String, Long)].collect()
+    assert(got.toSet == ref.toSet, "hierarchical != single-window")
+    // cap above stratum size: whole stratum survives
+    assert(Curation.stratifiedSample(d, $"src", $"id", Map("c" -> 99))
+      .count() == 10)
+  }
+
   test("global shuffle is a deterministic total order") {
     val a = Curation.globalShuffle(docs, $"doc_id").select($"doc_id").as[Long].collect().toList
     val b = Curation.globalShuffle(docs, $"doc_id").select($"doc_id").as[Long].collect().toList
