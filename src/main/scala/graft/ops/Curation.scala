@@ -252,6 +252,52 @@ object Curation {
       .filter(col("n_kept") > 0)
   }
 
+  /** Frequency-based boilerplate removal: token spans occurring in at
+    * least `minDf` DISTINCT documents are dropped from EVERY document —
+    * vs [[cleanSpans]]' first-occurrence-wins. This is the crawl-cleaning
+    * rule for content that repeats across pages (navigation chrome,
+    * cookie banners, license headers): a span frequent enough to be
+    * boilerplate carries no training signal anywhere, including its first
+    * occurrence.
+    *
+    * Scale shape: span df comes from a groupBy(span_hash) COUNTER
+    * aggregation joined back on span_hash — deliberately NOT a
+    * collect_set window, whose per-group state would be O(df) and explode
+    * on exactly the hot boilerplate spans this op exists to remove. Both
+    * sides hash-partition on span_hash, so the join reuses the
+    * aggregation's exchange (ReuseExchange); per-doc rebuild is the same
+    * single aggregation as cleanSpans.
+    *
+    * Output: (id, clean_text, n_spans, n_kept); fully-boilerplate docs
+    * disappear.
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 10, minDf: Int = 2): DataFrame = {
+    require(spanTokens > 0, "spanTokens must be positive")
+    require(minDf > 1, "minDf must be at least 2")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nSpans = ceil(size(toks) / lit(spanTokens.toDouble)).cast("int")
+    val spans = transform(sequence(lit(0), nSpans - 1),
+      i => array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " "))
+    val exploded = df
+      .select(col(idCol).as("id"), posexplode(spans).as(Seq("span_idx", "span_text")))
+      .select(col("id"), col("span_idx").cast("long").as("span_idx"),
+        col("span_text"), md5(col("span_text")).as("span_hash"))
+    val spanDf = exploded.groupBy(col("span_hash"))
+      .agg(countDistinct(col("id")).as("span_df"))
+    exploded.join(spanDf, "span_hash")
+      .withColumn("kept", col("span_df") < minDf)
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("span_idx"), col("span_text"))))),
+          s => s.getField("span_text")), " ").as("clean_text"),
+        count(lit(1)).as("n_spans"),
+        sum(col("kept").cast("long")).as("n_kept"))
+      .filter(col("n_kept") > 0)
+  }
+
   /** Per-document distinctive terms: the k tokens with the lowest corpus
     * document frequency (the TF-IDF "most informative terms" shape with
     * integer-only arithmetic — df ranks replace the log-idf weight, so the

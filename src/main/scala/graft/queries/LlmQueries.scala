@@ -442,6 +442,31 @@ object LlmQueries {
                  JOIN documents b ON jac.id_b = b.doc_id
         WHERE jaccard >= 0.8 ORDER BY id_a, id_b""")),
 
+    // Frequency-based boilerplate strip: spans in >= 2 distinct docs
+    // removed from EVERY doc (navigation chrome / license headers), vs
+    // l32's first-occurrence-wins. Counter-aggregation df, never a
+    // collect_set window (see Curation.stripBoilerplate scale note).
+    "l48_strip_boilerplate" -> Def(
+      (s, d) => Curation.stripBoilerplate(t(s, d, "documents"), "doc_id",
+          "text", spanTokens = 10, minDf = 2)
+        .select(col("id"), col("clean_text"), col("n_spans"), col("n_kept"))
+        .orderBy(col("id")),
+      Some(s"""WITH spans AS (
+          SELECT doc_id AS id, CAST(i - 1 AS BIGINT) AS span_idx,
+            array_to_string(t[(i-1)*10+1:(i-1)*10+10], ' ') AS span_text
+          FROM (SELECT doc_id, $oToks AS t FROM documents),
+            UNNEST(generate_series(1, CAST(CEIL(len(t) / 10.0) AS BIGINT))) AS g(i)),
+        h AS (SELECT *, md5(span_text) AS span_hash FROM spans),
+        sdf AS (SELECT span_hash, COUNT(DISTINCT id) AS span_df
+                FROM h GROUP BY span_hash)
+        SELECT id,
+          string_agg(span_text, ' ' ORDER BY span_idx)
+            FILTER (WHERE span_df < 2) AS clean_text,
+          COUNT(*) AS n_spans,
+          CAST(SUM(CASE WHEN span_df < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM h JOIN sdf USING (span_hash)
+        GROUP BY id HAVING n_kept > 0 ORDER BY id""")),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {

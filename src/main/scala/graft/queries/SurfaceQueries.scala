@@ -521,6 +521,28 @@ object SurfaceQueries {
           bool_and(l_quantity > 0) AS all_positive,
           bool_or(l_discount > 0.05) AS any_discounted,
           CAST(count_if(l_tax > 0.04) AS BIGINT) AS n_taxed
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Relational division ("FOR ALL"): customers whose orders span EVERY
+    // priority. Classic operator with no SQL keyword — expressed as
+    // count-distinct-per-group == global count-distinct. One grouped agg
+    // + a 1-row broadcast (never a per-row scalar-subquery re-scan);
+    // both sides are map-side-partial count-distincts.
+    "q48_division" -> Def(
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val total = orders.agg(countDistinct(col("o_orderpriority")).as("n_total"))
+        orders.groupBy(col("o_custkey"))
+          .agg(countDistinct(col("o_orderpriority")).as("n_used"))
+          .crossJoin(broadcast(total))
+          .filter(col("n_used") === col("n_total"))
+          .select(col("o_custkey"), col("n_used"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_used
+        FROM orders GROUP BY o_custkey
+        HAVING COUNT(DISTINCT o_orderpriority) =
+          (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+        ORDER BY o_custkey"""))
   )
 }

@@ -201,6 +201,26 @@ class CurationSpec extends SparkSpec {
     assert(Curation.sourceQuota(d, $"src", $"id", $"score", 100).count() == 40)
   }
 
+  test("stripBoilerplate removes every occurrence of frequent spans") {
+    // span width 2: "nav bar" opens docs 1,2,3 (df=3 → boilerplate);
+    // doc bodies are unique. Doc 4 is pure boilerplate → disappears.
+    val d = Seq(
+      (1L, "nav bar alpha beta"),
+      (2L, "nav bar gamma delta"),
+      (3L, "nav bar epsilon zeta"),
+      (4L, "nav bar"),
+      (5L, "solo text here too")).toDF("doc_id", "text")
+    val out = Curation.stripBoilerplate(d, "doc_id", "text",
+        spanTokens = 2, minDf = 2)
+      .select($"id", $"clean_text", $"n_spans", $"n_kept")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toList == List(
+      (1L, "alpha beta", 2L, 1L),
+      (2L, "gamma delta", 2L, 1L),
+      (3L, "epsilon zeta", 2L, 1L),
+      (5L, "solo text here too", 2L, 2L)))
+  }
+
   test("stratifiedSample: exact per-stratum counts, hierarchical ≡ single window") {
     val d = (1L to 60L)
       .map(i => (i, if (i <= 30) "a" else if (i <= 50) "b" else "c"))
