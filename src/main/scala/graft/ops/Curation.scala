@@ -263,10 +263,8 @@ object Curation {
     * Scale shape: span df comes from a groupBy(span_hash) COUNTER
     * aggregation joined back on span_hash — deliberately NOT a
     * collect_set window, whose per-group state would be O(df) and explode
-    * on exactly the hot boilerplate spans this op exists to remove. Both
-    * sides hash-partition on span_hash, so the join reuses the
-    * aggregation's exchange (ReuseExchange); per-doc rebuild is the same
-    * single aggregation as cleanSpans.
+    * on exactly the hot boilerplate spans this op exists to remove.
+    * Per-doc rebuild is the same single aggregation as cleanSpans.
     *
     * Output: (id, clean_text, n_spans, n_kept); fully-boilerplate docs
     * disappear.
@@ -279,10 +277,20 @@ object Curation {
     val nSpans = ceil(size(toks) / lit(spanTokens.toDouble)).cast("int")
     val spans = transform(sequence(lit(0), nSpans - 1),
       i => array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " "))
+    // the explicit span_hash repartition lets the distinct-aggregation
+    // ride it — HashPartitioning(span_hash) satisfies the (span_hash, id)
+    // clustering (subset rule), so the df branch needs NO further
+    // exchange. Catalyst prunes that branch's scan to (id, span_hash)
+    // only — a deliberate second pass over hash-width columns, far
+    // cheaper at corpus scale than forcing both consumers through one
+    // wide (span_text-bearing) exchange. Both the pruned shape and the
+    // absence of a (span_hash, id)-keyed exchange are pinned in
+    // CurationSpec.
     val exploded = df
       .select(col(idCol).as("id"), posexplode(spans).as(Seq("span_idx", "span_text")))
       .select(col("id"), col("span_idx").cast("long").as("span_idx"),
         col("span_text"), md5(col("span_text")).as("span_hash"))
+      .repartition(col("span_hash"))
     val spanDf = exploded.groupBy(col("span_hash"))
       .agg(countDistinct(col("id")).as("span_df"))
     exploded.join(spanDf, "span_hash")

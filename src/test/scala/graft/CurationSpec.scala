@@ -221,6 +221,34 @@ class CurationSpec extends SparkSpec {
       (5L, "solo text here too", 2L, 2L)))
   }
 
+  test("stripBoilerplate plan: df agg joined back without a second span scan") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val d = (1L to 50L).map(i => (i, s"x y doc $i body")).toDF("doc_id", "text")
+      val q = Curation.stripBoilerplate(d, "doc_id", "text", spanTokens = 2)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // every explicit corpus repartition is keyed on span_hash alone —
+      // the distinct-agg rides it (subset rule), so no exchange is ever
+      // keyed (span_hash, id)
+      val keys =
+        """Exchange hashpartitioning\(([^)]*)\),""".r
+          .findAllMatchIn(plan)
+          .map(_.group(1).split(", ").map(_.takeWhile(_ != '#')).toList
+            .filterNot(_.forall(_.isDigit))).toList
+      assert(keys.count(_ == List("id")) == 1,
+        s"exactly one per-doc rebuild exchange expected, got $keys")
+      assert(keys.filterNot(_ == List("id")).forall(_ == List("span_hash")),
+        s"all other exchanges must be keyed on span_hash alone, got $keys")
+      // and never a collect_set of doc ids per span (O(df) state on hot
+      // spans); the only list aggregation is the per-doc rebuild
+      assert(!plan.contains("collect_set"),
+        "span df must be a counter aggregation, not a collected id set")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("stratifiedSample: exact per-stratum counts, hierarchical ≡ single window") {
     val d = (1L to 60L)
       .map(i => (i, if (i <= 30) "a" else if (i <= 50) "b" else "c"))

@@ -24,7 +24,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     * documented pattern for iterative algorithms, not a driver round-trip.
     * Only the iterative connected-components queries may carry it.
     */
-  private val rddAllowlist = Set("l20_dedup_clusters", "l44_survivor_by_rank")
+  private val rddAllowlist =
+    Set("l20_dedup_clusters", "l44_survivor_by_rank", "l45_dedup_clusters_star")
 
   test("no query plan contains a CartesianProduct or driver RDD round-trip") {
     val offenders = SparkEntry.all.toSeq.sortBy(_._1).flatMap { case (name, d) =>
