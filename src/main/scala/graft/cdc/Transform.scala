@@ -86,4 +86,21 @@ object Transform {
       col("event_id"), col("event_type"), col("source"), col("timestamp"),
       col("commit_time"), col("lsn"), col("txid"), col("schema"), col("table"),
       col("operation"), col("before"), col("after"), col("metadata")))
+
+  /** Relation-registry-driven typed projection — SURVEY §1.2's mapping
+    * (b): the envelope deliberately keeps payloads dynamic
+    * (map<string,string>, mirroring the reference's map[string]interface{}
+    * rows, events.go:32-33), and a consumer materializes TYPED columns at
+    * the table boundary with one cast per registered column. `registry` is
+    * (column name -> Catalyst type DDL), the analog of the pgoutput
+    * relation registry's name/OID pairs (pgoutput.go:20-26). Keys absent
+    * from the payload come out null; values that fail their cast degrade
+    * to null rather than failing the stream — the counterpart of the
+    * reference's decode-error degrade-to-string arm (pgoutput.go:636-638).
+    * Pure codegen cast chain: no UDF, no shuffle.
+    */
+  def typedPayload(payload: Column, registry: Seq[(String, String)]): Seq[Column] =
+    registry.map { case (name, ddl) =>
+      element_at(payload, name).try_cast(ddl).as(name)
+    }
 }

@@ -661,6 +661,30 @@ object CdcQueries {
       Some(s"""SELECT event_type AS tbl, 'DDL' AS operation,
         'cdc.ddl' AS etype, 0 AS n_before, 0 AS n_after,
         'cdc.$Db.public.' || event_type AS subject
-        FROM events GROUP BY event_type ORDER BY tbl"""))
+        FROM events GROUP BY event_type ORDER BY tbl""")),
+
+    // Relation-registry typed materialization (SURVEY §1.2 mapping (b)):
+    // the envelope stays map<string,string> end-to-end; at the table
+    // boundary Transform.typedPayload casts registered columns to their
+    // Catalyst types (bigint/double/json-derived) in one codegen'd
+    // projection. The double survives the serialize->decode->cast
+    // roundtrip bit-exactly (shortest-roundtrip rendering), checked
+    // against the original typed events row.
+    "c20_typed_payload" -> Def(
+      (s, d) => {
+        val n = normalizedCached(s, d)
+        n.select(Transform.typedPayload(col("after"), Seq(
+            "src_event_id" -> "bigint",
+            "value" -> "double",
+            "props" -> "string")) :+
+            get_json_object(element_at(col("after"), "props"), "$.k")
+              .cast("long").as("prop_k"): _*)
+          .select(col("src_event_id"), col("value").as("value_d"),
+            col("prop_k"))
+          .orderBy(col("src_event_id"))
+      },
+      Some("""SELECT event_id AS src_event_id, value AS value_d,
+        CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+        FROM events ORDER BY src_event_id"""))
   )
 }

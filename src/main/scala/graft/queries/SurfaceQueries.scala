@@ -543,6 +543,59 @@ object SurfaceQueries {
         FROM orders GROUP BY o_custkey
         HAVING COUNT(DISTINCT o_orderpriority) =
           (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
-        ORDER BY o_custkey"""))
+        ORDER BY o_custkey""")),
+
+    // Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    // match each other — the semantics CDC key-matching needs when a
+    // nullable column participates in identity. Planned as a hash join
+    // like any equi-join (null-safe keys are join keys, not filters).
+    "q49_nullsafe_join" -> Def(
+      (s, d) => {
+        val o = t(s, d, "orders").withColumn("k",
+          when(col("o_orderstatus") === "P", lit(null)).otherwise(col("o_orderstatus")))
+        val dim = o.groupBy(col("k").as("dk")).agg(count(lit(1)).as("dim_n"))
+        o.join(dim, col("k") <=> col("dk"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), max(col("dim_n")).as("dim_n"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH o AS (SELECT o_orderstatus,
+          CASE WHEN o_orderstatus = 'P' THEN NULL
+               ELSE o_orderstatus END AS k FROM orders),
+        dim AS (SELECT k AS dk, COUNT(*) AS dim_n FROM o GROUP BY k)
+        SELECT o_orderstatus, COUNT(*) AS n, MAX(dim_n) AS dim_n
+        FROM o JOIN dim ON o.k IS NOT DISTINCT FROM dim.dk
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Schema-evolution union (unionByName + allowMissingColumns): two
+    // snapshots of a table with different column sets merge by NAME, the
+    // missing column null-filled — how heterogeneous-schema eras of a
+    // CDC/crawl corpus combine without positional-union corruption.
+    "q50_union_by_name" -> Def(
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val eraA = o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val eraB = o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"))
+        eraA.unionByName(eraB, allowMissingColumns = true)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            count(col("o_totalprice")).as("n_priced"),
+            count(col("o_orderpriority")).as("n_prioritized"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH u AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+            CAST(NULL AS VARCHAR) AS o_orderpriority
+          FROM orders WHERE o_orderkey % 2 = 0
+          UNION ALL BY NAME
+          SELECT o_orderkey, o_orderpriority, o_orderstatus,
+            CAST(NULL AS DECIMAL(15,2)) AS o_totalprice
+          FROM orders WHERE o_orderkey % 2 = 1)
+        SELECT o_orderstatus, COUNT(*) AS n,
+          COUNT(o_totalprice) AS n_priced,
+          COUNT(o_orderpriority) AS n_prioritized
+        FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }
