@@ -467,6 +467,37 @@ object LlmQueries {
         FROM h JOIN sdf USING (span_hash)
         GROUP BY id HAVING n_kept > 0 ORDER BY id""")),
 
+    // Cross-source duplication matrix: verified near-dup pairs rolled up
+    // by unordered source pair — the governance report ("which crawl
+    // mirrors which") that decides source-level dedup priorities. Rides
+    // the same LSH->Jaccard pipeline as l07; the matrix rollup adds one
+    // tiny aggregation over the pair set (|sources|²-bounded output).
+    "l49_crosssource_matrix" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sh = Dedup.shingleIndex(docs, "doc_id", "text")
+        val sig = Dedup.minhashSignaturesNarrow(docs, "doc_id", "text", k = 32)
+        val cand = Dedup.lshCandidates(sig, k = 32, rowsPerBand = 2, maxBucket = 10000)
+        val near = Dedup.verifyJaccard(sh, cand).filter(col("jaccard") >= 0.8)
+        val srcs = docs.select(col("doc_id"), col("source"))
+        near
+          .join(srcs.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+          .join(srcs.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(s"""WITH $oShingles, $oJaccard
+        SELECT LEAST(a.source, b.source) AS source_a,
+               GREATEST(a.source, b.source) AS source_b,
+               COUNT(*) AS n_pairs
+        FROM jac JOIN documents a ON jac.id_a = a.doc_id
+                 JOIN documents b ON jac.id_b = b.doc_id
+        WHERE jaccard >= 0.8
+        GROUP BY 1, 2 ORDER BY source_a, source_b""")),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {
