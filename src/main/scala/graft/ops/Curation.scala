@@ -400,6 +400,23 @@ object Curation {
       .drop("_rk", "_cap")
   }
 
+  /** Epoch replication: repeat each source's documents `epochs(source)`
+    * times (default 1), tagging each copy with its epoch ordinal — the
+    * "high-quality sources get N epochs" half of a training-mix recipe
+    * (the other half, rate-downsampling, is [[mixture]]). A narrow
+    * generator (explode of a per-row sequence): zero shuffles, output
+    * scales with the replicated row count and nothing else. Downstream,
+    * [[globalShuffle]] on (id, epoch) interleaves the copies
+    * deterministically.
+    */
+  def replicate(df: DataFrame, sourceCol: Column, epochs: Map[String, Int]): DataFrame = {
+    require(epochs.values.forall(_ >= 1), "epoch counts must be >= 1")
+    val n = epochs.foldLeft(lit(1)) { case (acc, (s, e)) =>
+      when(sourceCol === s, lit(e)).otherwise(acc)
+    }
+    df.withColumn("epoch", explode(sequence(lit(1L), n.cast("long"))))
+  }
+
   /** Benchmark decontamination: training docs sharing at least `minShared`
     * distinct word n-gram shingles with ANY eval doc. Rides the shingle
     * inverted index — the eval side is tiny (a benchmark), so its shingle

@@ -498,6 +498,64 @@ object LlmQueries {
         WHERE jaccard >= 0.8
         GROUP BY 1, 2 ORDER BY source_a, source_b""")),
 
+    // Epoch replication: per-source repeat counts (the "N epochs for
+    // high-quality sources" half of a training mix), each copy tagged
+    // with its ordinal — narrow generator, zero shuffles.
+    "l50_epoch_replicate" -> Def(
+      (s, d) => Curation.replicate(t(s, d, "documents"), col("source"),
+          Map("src0" -> 3, "src1" -> 2))
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch")),
+      Some("""SELECT doc_id, source, epoch FROM documents,
+          UNNEST(generate_series(1, CASE source WHEN 'src0' THEN 3
+            WHEN 'src1' THEN 2 ELSE 1 END)) AS g(epoch)
+        ORDER BY doc_id, epoch""")),
+
+    // MinHash calibration: per LSH-candidate pair, the signature-agreement
+    // ESTIMATE (n_match/32 ≈ Jaccard) next to the exact truth — the QA
+    // report that validates a dedup index's parameters (k, band shape)
+    // before trusting it corpus-wide. Integer-exact output: agreement
+    // count + exact intersection/sizes, no floating error term. The
+    // oracle re-derives the FULL candidate set (16 band predicates over
+    // per-permutation minima), not just the high-J survivors.
+    "l51_minhash_calibration" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sh = Dedup.shingleIndex(docs, "doc_id", "text")
+        val sig = Dedup.minhashSignaturesNarrow(docs, "doc_id", "text", k = 32)
+        val cand = Dedup.lshCandidates(sig, k = 32, rowsPerBand = 2, maxBucket = 10000)
+        val truth = Dedup.verifyJaccard(sh, cand)
+        val a = sig.select(col("id").as("id_a") +:
+          (1 to 32).map(j => col(s"mh_$j").as(s"a_$j")): _*)
+        val b = sig.select(col("id").as("id_b") +:
+          (1 to 32).map(j => col(s"mh_$j").as(s"b_$j")): _*)
+        val nMatch = (1 to 32).map(j =>
+          when(col(s"a_$j") === col(s"b_$j"), 1L).otherwise(0L)).reduce(_ + _)
+        truth.join(a, "id_a").join(b, "id_b")
+          .select(col("id_a"), col("id_b"), nMatch.as("n_match"),
+            col("inter"), col("n_a"), col("n_b"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val minCols = (1 to 32).map(j =>
+          s"MIN((hb * ${mhA(j)} + ${mhB(j)}) % $P31) AS mh_$j").mkString(", ")
+        val bandPred = (0 until 16).map { bnd =>
+          val j1 = bnd * 2 + 1; val j2 = bnd * 2 + 2
+          s"(a.mh_$j1 = b.mh_$j1 AND a.mh_$j2 = b.mh_$j2)"
+        }.mkString(" OR ")
+        val matchSum = (1 to 32).map(j =>
+          s"(CASE WHEN a.mh_$j = b.mh_$j THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH $oShingles, $oShingleHash, $oJaccard,
+          sigs AS (SELECT doc_id, $minCols FROM hh GROUP BY doc_id),
+          cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST($matchSum AS BIGINT) AS n_match
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE $bandPred)
+          SELECT c.id_a, c.id_b, c.n_match, j.inter, j.n_a, j.n_b
+          FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+          ORDER BY c.id_a, c.id_b"""
+      }),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {

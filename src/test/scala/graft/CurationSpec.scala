@@ -269,6 +269,13 @@ class CurationSpec extends SparkSpec {
       .count() == 10)
   }
 
+  test("replicate repeats per-source with 1-based epoch ordinals") {
+    val d = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "src")
+    val out = Curation.replicate(d, $"src", Map("a" -> 3, "b" -> 2))
+      .select($"id", $"epoch").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (3L, 1L)))
+  }
+
   test("global shuffle is a deterministic total order") {
     val a = Curation.globalShuffle(docs, $"doc_id").select($"doc_id").as[Long].collect().toList
     val b = Curation.globalShuffle(docs, $"doc_id").select($"doc_id").as[Long].collect().toList
