@@ -129,6 +129,15 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("large/small-star handles empty and single-pair inputs") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.componentsStar(empty).count() == 0)
+    val one = Seq((7L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.componentsStar(one).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 3L, 7L -> 3L))
+  }
+
   test("large/small-star converges on a long chain (diameter >> log n)") {
     // 1-2-3-…-64: label propagation needs ~diameter rounds; star needs
     // O(log n). Also the worst case for the fixpoint detector.

@@ -77,6 +77,17 @@ class TransformSpec extends SparkSpec {
     assert(rows(1).getString(1) == "dlq.mydb.bad_schema.a_b_c")
   }
 
+  test("typedPayload: registry casts, absent keys and bad values go null") {
+    val d = Seq(Map("a" -> "42", "b" -> "1.5", "c" -> "not-a-number"))
+      .toDF("after")
+    val row = d.select(Transform.typedPayload(col("after"), Seq(
+      "a" -> "bigint", "b" -> "double", "c" -> "bigint",
+      "missing" -> "string")): _*).head()
+    assert(row.getLong(0) == 42L && row.getDouble(1) == 1.5)
+    assert(row.isNullAt(2), "uncastable value degrades to null, not a throw")
+    assert(row.isNullAt(3), "absent key is null")
+  }
+
   test("operation -> event type mapping (transformer.go:61-73)") {
     val df = Seq("INSERT", "UPDATE", "DELETE", "DDL").toDF("op")
       .select(Transform.eventType($"op").as("t"))
