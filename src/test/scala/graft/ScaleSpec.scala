@@ -23,6 +23,24 @@ class ScaleSpec extends SparkSpec {
       plain.map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toList)
   }
 
+  test("bloom-prefiltered join equals the plain join, filter before the exchange") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_orderkey", $"l_quantity")
+    val dim = spark.read.parquet(s"$sf0001/orders.parquet")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey".as("l_orderkey"), $"o_totalprice")
+    val got = graft.ops.JoinOpt
+      .bloomPrefilteredJoin(li, dim, "l_orderkey", expectedItems = 10000L)
+    val plain = li.join(dim, Seq("l_orderkey"))
+    assert(got.count() == plain.count() &&
+      got.select(sum($"l_quantity".cast("decimal(18,2)"))).head().getDecimal(0) ==
+        plain.select(sum($"l_quantity".cast("decimal(18,2)"))).head().getDecimal(0),
+      "bloom pre-filter must not change the join result")
+    // the might_contain filter sits below the join in the probe branch
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "probe side must be bloom-filtered")
+  }
+
   test("salted join result equals the plain join") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select($"l_orderkey", $"l_quantity")
