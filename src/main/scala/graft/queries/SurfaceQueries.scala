@@ -596,6 +596,29 @@ object SurfaceQueries {
         SELECT o_orderstatus, COUNT(*) AS n,
           COUNT(o_totalprice) AS n_priced,
           COUNT(o_orderpriority) AS n_prioritized
-        FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+        FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Bloom-prefiltered fact-dim join under the driver gate: the filter
+    // is result-invisible (false positives only, real join restores
+    // exactness), so the oracle is the PLAIN join — like q24's salting,
+    // the scale technique must not change the answer.
+    "q51_bloom_join" -> Def(
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+        val dim = t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+        graft.ops.JoinOpt.bloomPrefilteredJoin(li, dim, "l_orderkey",
+            expectedItems = 100000L)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }
