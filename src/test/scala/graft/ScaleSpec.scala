@@ -41,6 +41,16 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("might_contain"), "probe side must be bloom-filtered")
   }
 
+  test("bloom-prefiltered join with an empty build side yields the empty join") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_orderkey")
+    val none = spark.read.parquet(s"$sf0001/orders.parquet")
+      .filter($"o_orderpriority" === "no-such-priority")
+      .select($"o_orderkey".as("l_orderkey"))
+    assert(graft.ops.JoinOpt.bloomPrefilteredJoin(li, none, "l_orderkey")
+      .count() == 0)
+  }
+
   test("salted join result equals the plain join") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select($"l_orderkey", $"l_quantity")
