@@ -458,6 +458,27 @@ object Dedup {
     // degenerate to width 0 (e.g. maxHamming=8 -> 9 blocks of ceil 6 = 54
     // bits -> block 8 masked nothing), which funneled every doc through one
     // (blk, 0) bucket — a full n² join that only the hamming filter saved.
+    val blocked = capBuckets(
+      sig.select(col("id"), col("simhash"),
+        explode(array(simhashBlocks(maxHamming): _*)).as("b")),
+      "b", maxBucket)
+    blocked.as("l").join(blocked.as("r"),
+        col("l.b") === col("r.b") && col("l.id") < col("r.id"))
+      // hamming filter BEFORE the pair-dedup: xor+popcount per candidate is
+      // cheap map-side work, while distinct() is a shuffle — filtering first
+      // shrinks that shuffle from |candidates| to |matches|.
+      .withColumn("hamming", bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("hamming"))
+      .distinct()
+  }
+
+  /** The pigeonhole block structs for radius `maxHamming`: maxHamming+1
+    * non-empty bit spans of the 48-bit simhash — any pair within the
+    * radius agrees exactly on at least one whole block.
+    */
+  private def simhashBlocks(maxHamming: Int): Seq[Column] = {
+    val nBlocks = maxHamming + 1
     require(nBlocks >= 2 && nBlocks <= SimhashBits,
       s"maxHamming must be in [1, ${SimhashBits - 1}], got $maxHamming")
     val base = SimhashBits / nBlocks
@@ -465,19 +486,31 @@ object Dedup {
     val widths = (0 until nBlocks).map(i => base + (if (i < rem) 1 else 0))
     assert(widths.forall(_ >= 1) && widths.sum == SimhashBits)
     val offsets = widths.scanLeft(0)(_ + _)
-    val blocks = (0 until nBlocks).map { i =>
+    (0 until nBlocks).map { i =>
       val mask = (1L << widths(i)) - 1
       struct(lit(i).as("blk"),
         shiftrightunsigned(col("simhash"), offsets(i)).bitwiseAND(lit(mask)).as("v"))
     }
-    val blocked = capBuckets(
-      sig.select(col("id"), col("simhash"), explode(array(blocks: _*)).as("b")),
+  }
+
+  /** Cross-set simhash radius join: (a, b) pairs with one id from `sigA`
+    * and one from `sigB` within `maxHamming` — NEVER an A×B product. The
+    * near-dup form of benchmark decontamination: exact-shingle overlap
+    * (Curation.contaminated) misses paraphrased eval leakage; a simhash
+    * radius catches it. Same exact pigeonhole blocking as [[simhashPairs]]
+    * — each side explodes into maxHamming+1 block keys and only bucket
+    * collisions are compared, so the join cost is candidate-proportional.
+    * With an asymmetric workload (|eval| ≪ |train|) Catalyst broadcasts
+    * the eval side's blocks: a map-side radius probe of the whole corpus.
+    */
+  def simhashCrossPairs(sigA: DataFrame, sigB: DataFrame, maxHamming: Int,
+      maxBucket: Int = 0): DataFrame = {
+    val blocks = simhashBlocks(maxHamming)
+    def blocked(sig: DataFrame) = capBuckets(
+      sig.select(col("id"), col("simhash"),
+        explode(array(blocks: _*)).as("b")),
       "b", maxBucket)
-    blocked.as("l").join(blocked.as("r"),
-        col("l.b") === col("r.b") && col("l.id") < col("r.id"))
-      // hamming filter BEFORE the pair-dedup: xor+popcount per candidate is
-      // cheap map-side work, while distinct() is a shuffle — filtering first
-      // shrinks that shuffle from |candidates| to |matches|.
+    blocked(sigA).as("l").join(blocked(sigB).as("r"), col("l.b") === col("r.b"))
       .withColumn("hamming", bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("hamming"))

@@ -556,6 +556,29 @@ object LlmQueries {
           ORDER BY c.id_a, c.id_b"""
       }),
 
+    // Near-dup decontamination: train-vs-eval simhash radius join — the
+    // paraphrase-level leakage check exact-shingle overlap (l24) misses.
+    // Cross-set pigeonhole blocking, never a train × eval product; the
+    // small eval side's blocks broadcast.
+    "l52_neardup_decontam" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sig = Dedup.simhashNarrow(docs, "doc_id", "text")
+        val ev = sig.filter(col("id") % 17 === 3)
+        val tr = sig.filter(col("id") % 17 =!= 3)
+        Dedup.simhashCrossPairs(tr, ev, maxHamming = 8, maxBucket = 20000)
+          .select(col("id_a"), col("id_b"),
+            col("hamming").cast("long").as("hamming"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $oSimhash
+        SELECT t.doc_id AS id_a, e.doc_id AS id_b,
+          CAST(bit_count(xor(t.simhash, e.simhash)) AS BIGINT) AS hamming
+        FROM sim t JOIN sim e
+          ON t.doc_id % 17 != 3 AND e.doc_id % 17 = 3
+          AND bit_count(xor(t.simhash, e.simhash)) <= 8
+        ORDER BY id_a, id_b""")),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {

@@ -129,6 +129,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhashCrossPairs equals the brute-force cross radius join") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val sig = Dedup.simhashNarrow(docs, "doc_id", "text")
+    val ev = sig.filter($"id" % 17 === 3)
+    val tr = sig.filter($"id" % 17 =!= 3)
+    val got = Dedup.simhashCrossPairs(tr, ev, maxHamming = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val brute = tr.as("t").join(ev.as("e"),
+        bit_count($"t.simhash".bitwiseXOR($"e.simhash")) <= 8)
+      .select($"t.id", $"e.id").as[(Long, Long)].collect().toSet
+    assert(got == brute, "pigeonhole blocking must be exact across sets")
+    assert(got.nonEmpty)
+  }
+
   test("large/small-star handles empty and single-pair inputs") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.componentsStar(empty).count() == 0)
