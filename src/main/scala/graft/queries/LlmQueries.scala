@@ -579,6 +579,32 @@ object LlmQueries {
           AND bit_count(xor(t.simhash, e.simhash)) <= 8
         ORDER BY id_a, id_b""")),
 
+    // Embedding mean-pooling: chunk vectors -> one document vector (the
+    // retrieval-index build step after chunked embedding). Exact integer
+    // form — component SUMS plus chunk count, mean = sums/n left to the
+    // consumer so no engine-specific float division; the sum vector is
+    // JSON-serialized for the driver compare (arrays are unhashable
+    // there). Reuses the labelCentroids two-level aggregation keyed by
+    // synthetic doc id = vec_id DIV 5.
+    "l53_mean_pool" -> Def(
+      (s, d) => {
+        val prep = Similarity.prepare(t(s, d, "embeddings"), "embedding")
+          .withColumn("did", expr("vec_id DIV 5"))
+        Similarity.labelCentroids(prep, "did")
+          .select(col("clabel").as("doc_id"), col("n").as("n_chunks"),
+            to_json(col("sv")).as("pooled_sums"), col("ss"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $oQuant,
+        px AS (SELECT vec_id // 5 AS did, i AS pos, q[i] AS v
+          FROM qn, UNNEST(generate_series(1, 64)) AS g(i)),
+        sums AS (SELECT did, pos, CAST(SUM(v) AS BIGINT) AS s,
+            COUNT(*) AS cnt FROM px GROUP BY 1, 2)
+        SELECT did AS doc_id, CAST(MAX(cnt) AS BIGINT) AS n_chunks,
+          CAST(to_json(list(s ORDER BY pos)) AS VARCHAR) AS pooled_sums,
+          CAST(SUM(s * s) AS BIGINT) AS ss
+        FROM sums GROUP BY did ORDER BY doc_id""")),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {
