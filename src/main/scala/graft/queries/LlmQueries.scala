@@ -605,6 +605,29 @@ object LlmQueries {
           CAST(SUM(s * s) AS BIGINT) AS ss
         FROM sums GROUP BY did ORDER BY doc_id""")),
 
+    // Shingle novelty: per document, how many of its distinct shingles
+    // appear NOWHERE else in the corpus — the informativeness/templated-
+    // ness signal dual to dedup (novelty 0 = fully boilerplate, high
+    // novelty = unique content worth keeping). Integer pair output
+    // (n_shingles, n_unique); rides the shingle inverted index + its df
+    // aggregation, both shuffles on the shingle key.
+    "l54_shingle_novelty" -> Def(
+      (s, d) => {
+        val sh = Dedup.shingleIndex(t(s, d, "documents"), "doc_id", "text")
+        val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
+        sh.join(df, "shingle")
+          .groupBy(col("id").as("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("sdf") === 1, 1L).otherwise(0L)).as("n_unique"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $oShingles,
+        sdf AS (SELECT shingle, COUNT(*) AS sdf FROM sh GROUP BY shingle)
+        SELECT doc_id, COUNT(*) AS n_shingles,
+          CAST(SUM(CASE WHEN sdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+        FROM sh JOIN sdf USING (shingle)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {
