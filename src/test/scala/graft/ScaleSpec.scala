@@ -23,6 +23,23 @@ class ScaleSpec extends SparkSpec {
       plain.map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toList)
   }
 
+  test("hive-partitioned layout prunes partitions at the scan") {
+    // the 100 TB layout contract: corpus written partitioned by a
+    // governance column (lang) makes per-language jobs touch only their
+    // partition directories — the filter becomes a PartitionFilter, not
+    // a post-scan predicate
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    val q = spark.read.parquet(tmp).filter($"lang" === "en")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter must prune partitions:\n${plan.take(800)}")
+    val full = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"lang" === "en").count()
+    assert(q.count() == full)
+  }
+
   test("bloom-prefiltered join equals the plain join, filter before the exchange") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select($"l_orderkey", $"l_quantity")

@@ -94,6 +94,37 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation: gopher filter + exact dedup + langid on a doc stream") {
+    // the LLM curation ops are narrow codegen expressions, so the same
+    // pipeline runs unchanged over a stream; exact dedup becomes
+    // dropDuplicates on the content fingerprint (state-backed)
+    implicit val sctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val good = "the quick brown fox jumps over a lazy dog while many other " +
+      "animals watch from far away and the sun sets slowly behind tall " +
+      "green hills of this quiet valley near an old stone bridge"
+    val curated = input.toDF().toDF("doc_id", "text")
+      .withColumn("kept", graft.ops.TextAnalysis.gopherFlags($"text")
+        .collectFirst { case ("kept", c) => c }.get)
+      .filter($"kept")
+      .withColumn("fp", graft.ops.TextAnalysis.fingerprintMd5($"text"))
+      .dropDuplicates("fp")
+      .withColumn("lang", graft.ops.TextAnalysis.langId($"text"))
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curated_out").start()
+    try {
+      input.addData((1L, good), (2L, "tiny"), (3L, good))
+      q.processAllAvailable()
+      input.addData((4L, good + "unique tail here"))
+      q.processAllAvailable()
+      val rows = spark.table("curated_out")
+        .select($"doc_id", $"lang").as[(Long, String)].collect().sortBy(_._1)
+      // doc 2 fails gopher min-length; doc 3 is an exact dup of doc 1
+      assert(rows.map(_._1).toList == List(1L, 4L))
+      assert(rows.forall(_._2 == "en"))
+    } finally q.stop()
+  }
+
   test("metrics listener counts batches/rows and terminations (M1)") {
     implicit val sctx = spark.sqlContext
     val registry = new graft.streaming.CdcMetrics.Registry
