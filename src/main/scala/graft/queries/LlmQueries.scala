@@ -628,6 +628,50 @@ object LlmQueries {
         FROM sh JOIN sdf USING (shingle)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Tokenizer fertility by language: exact corpus sums of chars and
+    // whitespace/subword token counts per language tag — the metric that
+    // decides per-language token budgets (a fertile language eats budget
+    // faster). Single map-side-partial aggregation; consumer divides.
+    "l55_fertility_by_lang" -> Def(
+      (s, d) => t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(graft.ops.TextAnalysis.tokenCount(col("text"))).as("sum_tokens"),
+          sum(graft.ops.TextAnalysis.subwordCount(col("text"))).as("sum_subwords"))
+        .orderBy(col("lang")),
+      Some(s"""SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+          CAST(SUM(len($oToks)) AS BIGINT) AS sum_tokens,
+          CAST(SUM(list_sum(list_transform($oToks,
+            tk -> CAST(CEIL(LENGTH(tk) / 4.0) AS BIGINT)))) AS BIGINT) AS sum_subwords
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // Leakage-safe train/test split: deterministic hash split (≈10% held
+    // out), then train docs within simhash radius of ANY held-out doc are
+    // evicted — the split you actually want before fine-tune/eval, where
+    // hash disjointness alone still leaks paraphrases. Composition of
+    // hash-split + cross-set pigeonhole radius join + anti join.
+    "l56_leakage_safe_split" -> Def(
+      (s, d) => {
+        val sig = Dedup.simhashNarrow(t(s, d, "documents"), "doc_id", "text")
+        val isTest = graft.ops.TextAnalysis
+          .hash48(col("id").cast("string")) % 10L === 7L
+        val leaky = Dedup.simhashCrossPairs(sig.filter(!isTest),
+            sig.filter(isTest), maxHamming = 8, maxBucket = 20000)
+          .select(col("id_a").as("id")).distinct()
+        sig.filter(!isTest).select(col("id"))
+          .join(leaky, Seq("id"), "left_anti")
+          .orderBy(col("id"))
+      },
+      Some(s"""WITH $oSimhash
+        SELECT t.doc_id AS id FROM sim t
+        WHERE ${oH48("CAST(t.doc_id AS VARCHAR)")} % 10 != 7
+          AND NOT EXISTS (SELECT 1 FROM sim e
+            WHERE ${oH48("CAST(e.doc_id AS VARCHAR)")} % 10 = 7
+              AND bit_count(xor(t.simhash, e.simhash)) <= 8)
+        ORDER BY id""")),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {
