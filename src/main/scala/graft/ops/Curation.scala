@@ -196,17 +196,28 @@ object Curation {
     * md5-based — engine-portable and incremental-friendly (new data can be
     * checked against an existing hash index without recompute).
     */
-  def spanDedup(df: DataFrame, idCol: String, textCol: String,
-      spanTokens: Int = 10): DataFrame = {
+  /** The shared span decomposition: each document's token stream chunked
+    * into fixed-width spans, one output row per (id, span_idx, span_text,
+    * span_hash). Single source for span boundaries — spanDedup,
+    * cleanSpans, and stripBoilerplate must never disagree on where a
+    * span starts.
+    */
+  private def spanExploded(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
     require(spanTokens > 0, "spanTokens must be positive")
     val toks = TextAnalysis.tokens(col(textCol))
     val nSpans = ceil(size(toks) / lit(spanTokens.toDouble)).cast("int")
     val spans = transform(sequence(lit(0), nSpans - 1),
       i => array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " "))
-    val exploded = df
-      .select(col(idCol).as("id"), posexplode(spans).as(Seq("span_idx", "span_text")))
+    df.select(col(idCol).as("id"), posexplode(spans).as(Seq("span_idx", "span_text")))
       .select(col("id"), col("span_idx").cast("long").as("span_idx"),
-        md5(col("span_text")).as("span_hash"))
+        col("span_text"), md5(col("span_text")).as("span_hash"))
+  }
+
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 10): DataFrame = {
+    val exploded = spanExploded(df, idCol, textCol, spanTokens)
+      .drop("span_text")
     val w = Window.partitionBy(col("span_hash")).orderBy(col("id"), col("span_idx"))
     exploded
       .withColumn("first_id", first(col("id")).over(w))
@@ -226,15 +237,7 @@ object Curation {
     */
   def cleanSpans(df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int = 10): DataFrame = {
-    require(spanTokens > 0, "spanTokens must be positive")
-    val toks = TextAnalysis.tokens(col(textCol))
-    val nSpans = ceil(size(toks) / lit(spanTokens.toDouble)).cast("int")
-    val spans = transform(sequence(lit(0), nSpans - 1),
-      i => array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " "))
-    val exploded = df
-      .select(col(idCol).as("id"), posexplode(spans).as(Seq("span_idx", "span_text")))
-      .select(col("id"), col("span_idx").cast("long").as("span_idx"),
-        col("span_text"), md5(col("span_text")).as("span_hash"))
+    val exploded = spanExploded(df, idCol, textCol, spanTokens)
     val w = Window.partitionBy(col("span_hash")).orderBy(col("id"), col("span_idx"))
     exploded
       .withColumn("first_id", first(col("id")).over(w))
@@ -271,12 +274,7 @@ object Curation {
     */
   def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int = 10, minDf: Int = 2): DataFrame = {
-    require(spanTokens > 0, "spanTokens must be positive")
     require(minDf > 1, "minDf must be at least 2")
-    val toks = TextAnalysis.tokens(col(textCol))
-    val nSpans = ceil(size(toks) / lit(spanTokens.toDouble)).cast("int")
-    val spans = transform(sequence(lit(0), nSpans - 1),
-      i => array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " "))
     // the explicit span_hash repartition lets the distinct-aggregation
     // ride it — HashPartitioning(span_hash) satisfies the (span_hash, id)
     // clustering (subset rule), so the df branch needs NO further
@@ -286,10 +284,7 @@ object Curation {
     // wide (span_text-bearing) exchange. Both the pruned shape and the
     // absence of a (span_hash, id)-keyed exchange are pinned in
     // CurationSpec.
-    val exploded = df
-      .select(col(idCol).as("id"), posexplode(spans).as(Seq("span_idx", "span_text")))
-      .select(col("id"), col("span_idx").cast("long").as("span_idx"),
-        col("span_text"), md5(col("span_text")).as("span_hash"))
+    val exploded = spanExploded(df, idCol, textCol, spanTokens)
       .repartition(col("span_hash"))
     val spanDf = exploded.groupBy(col("span_hash"))
       .agg(countDistinct(col("id")).as("span_df"))

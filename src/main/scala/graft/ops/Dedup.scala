@@ -340,10 +340,16 @@ object Dedup {
     * fixpoint is detected by an (edge count, xxhash64 checksum) pair in a
     * single aggregate action per round. At the fixpoint every edge is
     * (member → component-min root), which IS the label assignment.
+    * (Worst-case round bound for plain alternation is O(log² n); observed
+    * round counts are small single digits — the point is independence
+    * from component DIAMETER, which is what breaks label propagation.)
+    * If `maxIter` rounds pass without a fixpoint the method THROWS rather
+    * than return a non-star edge set as if it were a labeling.
     *
     * Identical output contract to [[components]] (asserted by a seeded
     * random-graph equivalence property in DedupSpec): (id, cluster) for
-    * every id appearing in `pairs`, cluster = min id of the component.
+    * every id appearing in `pairs` — including ids whose only rows are
+    * self-pairs — cluster = min id of the component.
     */
   def componentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     def largeStar(e: DataFrame): DataFrame = {
@@ -363,6 +369,9 @@ object Dedup {
         .union(mins.select(col("hi").as("src"), col("m").as("dst")))
         .filter(col("src") =!= col("dst")).distinct()
     }
+    val nodes = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct().localCheckpoint(true)
     var edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
     var prev: (Long, String) = (-1L, "")
@@ -379,8 +388,15 @@ object Dedup {
       prev = sig
       iter += 1
     }
-    edges.select(col("src").as("id"), col("dst").as("cluster"))
-      .union(edges.select(col("dst"), col("dst")).distinct())
+    if (!converged)
+      throw new IllegalStateException(
+        s"componentsStar did not reach a fixpoint in $maxIter rounds — " +
+          "a truncated edge set is not a labeling; raise maxIter")
+    val labels = edges.select(col("src").as("id"), col("dst").as("cluster"))
+    // roots label themselves; nodes whose only rows were self-pairs have
+    // no star edge at all and are their own cluster (components() parity)
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
   /** Dedup survivors: one representative (min id) per cluster, with the
@@ -502,6 +518,12 @@ object Dedup {
     * collisions are compared, so the join cost is candidate-proportional.
     * With an asymmetric workload (|eval| ≪ |train|) Catalyst broadcasts
     * the eval side's blocks: a map-side radius probe of the whole corpus.
+    *
+    * NOTE: there is deliberately no `id_a =!= id_b` guard — an id present
+    * in BOTH sets yields its (x, x, hamming 0) pair, which for the
+    * decontamination use is exactly right (a doc sitting in train AND
+    * eval is the worst leak). Pass disjoint sets if self-matches are not
+    * wanted.
     */
   def simhashCrossPairs(sigA: DataFrame, sigB: DataFrame, maxHamming: Int,
       maxBucket: Int = 0): DataFrame = {

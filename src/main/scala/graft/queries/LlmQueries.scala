@@ -21,6 +21,20 @@ object LlmQueries {
   import Dedup.{mhA, mhB}
   import TA.{P31, P9}
 
+  /** The shared near-dup pipeline (l07's parameters are the single
+    * source: k=32, 16 bands × 2 rows, maxBucket 10000): MinHash
+    * signatures plus LSH-candidate pairs with exact-Jaccard stats.
+    * l47/l49/l51 all consume this; a parameter change lands in one
+    * place or their candidate sets would silently diverge.
+    */
+  private def verifiedNearDups(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = t(s, d, "documents")
+    val sh = Dedup.shingleIndex(docs, "doc_id", "text")
+    val sig = Dedup.minhashSignaturesNarrow(docs, "doc_id", "text", k = 32)
+    val cand = Dedup.lshCandidates(sig, k = 32, rowsPerBand = 2, maxBucket = 10000)
+    (sig, Dedup.verifyJaccard(sh, cand))
+  }
+
   // ------------------------------------------------------- oracle helpers
 
   /** DuckDB equivalent of TextAnalysis.hash48. */
@@ -422,10 +436,7 @@ object LlmQueries {
     "l47_edit_distance_pairs" -> Def(
       (s, d) => {
         val docs = t(s, d, "documents")
-        val sh = Dedup.shingleIndex(docs, "doc_id", "text")
-        val sig = Dedup.minhashSignaturesNarrow(docs, "doc_id", "text", k = 32)
-        val cand = Dedup.lshCandidates(sig, k = 32, rowsPerBand = 2, maxBucket = 10000)
-        val near = Dedup.verifyJaccard(sh, cand).filter(col("jaccard") >= 0.8)
+        val near = verifiedNearDups(s, d)._2.filter(col("jaccard") >= 0.8)
         val prefA = docs.select(col("doc_id").as("id_a"),
           substring(col("text"), 1, 200).as("_ta"))
         val prefB = docs.select(col("doc_id").as("id_b"),
@@ -475,10 +486,7 @@ object LlmQueries {
     "l49_crosssource_matrix" -> Def(
       (s, d) => {
         val docs = t(s, d, "documents")
-        val sh = Dedup.shingleIndex(docs, "doc_id", "text")
-        val sig = Dedup.minhashSignaturesNarrow(docs, "doc_id", "text", k = 32)
-        val cand = Dedup.lshCandidates(sig, k = 32, rowsPerBand = 2, maxBucket = 10000)
-        val near = Dedup.verifyJaccard(sh, cand).filter(col("jaccard") >= 0.8)
+        val near = verifiedNearDups(s, d)._2.filter(col("jaccard") >= 0.8)
         val srcs = docs.select(col("doc_id"), col("source"))
         near
           .join(srcs.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
@@ -520,11 +528,7 @@ object LlmQueries {
     // per-permutation minima), not just the high-J survivors.
     "l51_minhash_calibration" -> Def(
       (s, d) => {
-        val docs = t(s, d, "documents")
-        val sh = Dedup.shingleIndex(docs, "doc_id", "text")
-        val sig = Dedup.minhashSignaturesNarrow(docs, "doc_id", "text", k = 32)
-        val cand = Dedup.lshCandidates(sig, k = 32, rowsPerBand = 2, maxBucket = 10000)
-        val truth = Dedup.verifyJaccard(sh, cand)
+        val (sig, truth) = verifiedNearDups(s, d)
         val a = sig.select(col("id").as("id_a") +:
           (1 to 32).map(j => col(s"mh_$j").as(s"a_$j")): _*)
         val b = sig.select(col("id").as("id_b") +:
@@ -660,7 +664,13 @@ object LlmQueries {
         val leaky = Dedup.simhashCrossPairs(sig.filter(!isTest),
             sig.filter(isTest), maxHamming = 8, maxBucket = 20000)
           .select(col("id_a").as("id")).distinct()
-        sig.filter(!isTest).select(col("id"))
+        // enumerate train ids straight off the table — only the two
+        // cross-join branches need the simhash kernel; a third reference
+        // to `sig` here would re-run it over the whole corpus
+        t(s, d, "documents")
+          .select(col("doc_id").as("id"))
+          .filter(!(graft.ops.TextAnalysis
+            .hash48(col("id").cast("string")) % 10L === 7L))
           .join(leaky, Seq("id"), "left_anti")
           .orderBy(col("id"))
       },

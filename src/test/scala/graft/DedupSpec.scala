@@ -143,13 +143,19 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
-  test("large/small-star handles empty and single-pair inputs") {
+  test("large/small-star handles empty, single-pair, and self-pair inputs") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.componentsStar(empty).count() == 0)
     val one = Seq((7L, 3L)).toDF("id_a", "id_b")
     val got = Dedup.componentsStar(one).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(3L -> 3L, 7L -> 3L))
+    // a node whose only row is a self-pair is its own cluster — the
+    // components() contract, not silently dropped
+    val selfy = Seq((5L, 5L), (7L, 3L)).toDF("id_a", "id_b")
+    val got2 = Dedup.componentsStar(selfy).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(3L -> 3L, 5L -> 5L, 7L -> 3L))
   }
 
   test("large/small-star converges on a long chain (diameter >> log n)") {

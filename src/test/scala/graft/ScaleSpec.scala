@@ -28,16 +28,23 @@ class ScaleSpec extends SparkSpec {
     // governance column (lang) makes per-language jobs touch only their
     // partition directories — the filter becomes a PartitionFilter, not
     // a post-scan predicate
-    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
-    spark.read.parquet(s"$sf0001/documents.parquet")
-      .write.mode("overwrite").partitionBy("lang").parquet(tmp)
-    val q = spark.read.parquet(tmp).filter($"lang" === "en")
-    val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
-      s"lang filter must prune partitions:\n${plan.take(800)}")
-    val full = spark.read.parquet(s"$sf0001/documents.parquet")
-      .filter($"lang" === "en").count()
-    assert(q.count() == full)
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft_part")
+    try {
+      val tmp = tmpPath.toString
+      spark.read.parquet(s"$sf0001/documents.parquet")
+        .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+      val q = spark.read.parquet(tmp).filter($"lang" === "en")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+        s"lang filter must prune partitions:\n${plan.take(800)}")
+      val full = spark.read.parquet(s"$sf0001/documents.parquet")
+        .filter($"lang" === "en").count()
+      assert(q.count() == full)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("bloom-prefiltered join equals the plain join, filter before the exchange") {
