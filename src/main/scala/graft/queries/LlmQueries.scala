@@ -682,6 +682,38 @@ object LlmQueries {
               AND bit_count(xor(t.simhash, e.simhash)) <= 8)
         ORDER BY id""")),
 
+    // KMV distinct-count sketch: estimate the corpus's distinct-shingle
+    // cardinality from the k smallest hash values (order-statistics
+    // estimator, (k-1)·2^48 / h_k). Unlike HLL (q23, rows-only check)
+    // KMV over a fixed hash is a DETERMINISTIC function of the data, so
+    // the estimate itself is oracle-exact — the engine-portable sketch
+    // you can checkpoint, merge across corpora (union = merge the k-min
+    // sets), and regression-test. TakeOrdered top-k: per-partition heaps,
+    // never a global sort.
+    "l57_kmv_distinct" -> Def(
+      (s, d) => {
+        val k = 64
+        val hs = Dedup.shingleIndex(t(s, d, "documents"), "doc_id", "text")
+          .select(TA.hash48(col("shingle")).as("h")).distinct()
+        val kth = hs.orderBy(col("h")).limit(k)
+          .agg(max(col("h")).as("h_k"), count(lit(1)).as("k_actual"))
+        val tot = hs.agg(count(lit(1)).as("true_distinct"))
+        kth.crossJoin(broadcast(tot))
+          .select(col("k_actual"), col("h_k"),
+            expr(s"CAST((${k - 1} * 281474976710656) DIV h_k AS BIGINT)")
+              .as("est_distinct"),
+            col("true_distinct"))
+      },
+      Some(s"""WITH $oShingles,
+        hs AS (SELECT DISTINCT ${oH48("shingle")} AS h FROM sh),
+        kth AS (SELECT h FROM hs ORDER BY h LIMIT 64),
+        agg AS (SELECT MAX(h) AS h_k, CAST(COUNT(*) AS BIGINT) AS k_actual FROM kth),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_distinct FROM hs)
+        SELECT k_actual, h_k,
+          CAST((63 * 281474976710656) // h_k AS BIGINT) AS est_distinct,
+          true_distinct
+        FROM agg, tot""")),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {
