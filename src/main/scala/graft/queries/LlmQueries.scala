@@ -714,6 +714,48 @@ object LlmQueries {
           true_distinct
         FROM agg, tot""")),
 
+    // KMV mergeability, driver-gated: per-source k-min sketches merged
+    // (union → re-cut to k smallest) give EXACTLY the direct global
+    // sketch — any global k-min hash is within its own source's k-min.
+    // This is the property that lets 1000 executors sketch partitions
+    // independently and a coordinator merge them without touching rows.
+    "l58_kmv_merge" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 64
+        val docs = t(s, d, "documents")
+        val sh = Dedup.shingleIndex(docs, "doc_id", "text")
+        val hsrc = sh.join(docs.select(col("doc_id").as("id"), col("source")), "id")
+          .select(col("source"), TA.hash48(col("shingle")).as("h")).distinct()
+        val w = Window.partitionBy(col("source")).orderBy(col("h"))
+        val merged = hsrc.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .select(col("h")).distinct().orderBy(col("h")).limit(k)
+          .agg(max(col("h")).as("hk_m"))
+        val direct = sh.select(TA.hash48(col("shingle")).as("h")).distinct()
+          .orderBy(col("h")).limit(k)
+          .agg(max(col("h")).as("hk_d"))
+        merged.crossJoin(broadcast(direct))
+          .select(
+            expr(s"CAST((${k - 1} * 281474976710656) DIV hk_m AS BIGINT)")
+              .as("merged_est"),
+            expr(s"CAST((${k - 1} * 281474976710656) DIV hk_d AS BIGINT)")
+              .as("direct_est"))
+      },
+      Some(s"""WITH $oShingles,
+        hs AS (SELECT DISTINCT ${oH48("shingle")} AS h FROM sh),
+        hsrc AS (SELECT DISTINCT d.source, ${oH48("shingle")} AS h
+          FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
+        ps AS (SELECT h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+          FROM hsrc),
+        mk AS (SELECT DISTINCT h FROM ps WHERE rk <= 64 ORDER BY h LIMIT 64),
+        m AS (SELECT MAX(h) AS hk FROM mk),
+        dk AS (SELECT h FROM hs ORDER BY h LIMIT 64),
+        dd AS (SELECT MAX(h) AS hk FROM dk)
+        SELECT CAST((63 * 281474976710656) // m.hk AS BIGINT) AS merged_est,
+               CAST((63 * 281474976710656) // dd.hk AS BIGINT) AS direct_est
+        FROM m, dd""")),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {
