@@ -319,6 +319,11 @@ object Dedup {
       prevSum = s
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"components did not converge in $maxIter rounds (component " +
+          s"diameter exceeds the label-propagation budget) — raise maxIter " +
+          "or use componentsStar, whose round count is diameter-independent")
     labels.select(col("id"), col("label").as("cluster"))
   }
 
