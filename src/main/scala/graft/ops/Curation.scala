@@ -202,7 +202,7 @@ object Curation {
     * cleanSpans, and stripBoilerplate must never disagree on where a
     * span starts.
     */
-  private def spanExploded(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def spanExploded(df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int): DataFrame = {
     require(spanTokens > 0, "spanTokens must be positive")
     val toks = TextAnalysis.tokens(col(textCol))

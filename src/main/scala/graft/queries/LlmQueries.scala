@@ -756,6 +756,34 @@ object LlmQueries {
                CAST((63 * 281474976710656) // dd.hk AS BIGINT) AS direct_est
         FROM m, dd""")),
 
+    // Top boilerplate spans: the most-repeated spans corpus-wide with
+    // their document frequency and example text — the triage report an
+    // operator reads before setting stripBoilerplate's minDf. One
+    // aggregation on span_hash + a bounded top-k.
+    "l59_top_boilerplate" -> Def(
+      (s, d) => Curation.spanExploded(t(s, d, "documents"), "doc_id", "text",
+          spanTokens = 10)
+        .groupBy(col("span_hash"))
+        .agg(countDistinct(col("id")).as("span_df"),
+          min(col("id")).as("example_doc"),
+          min(col("span_text")).as("span_text"))
+        .filter(col("span_df") >= 2)
+        .orderBy(col("span_df").desc, col("span_hash"))
+        .limit(20)
+        .select(col("span_hash"), col("span_df"), col("example_doc"),
+          col("span_text")),
+      Some("""WITH spans AS (
+          SELECT doc_id AS id, array_to_string(t[(i-1)*10+1:(i-1)*10+10], ' ') AS span_text
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            UNNEST(generate_series(1, CAST(CEIL(len(t) / 10.0) AS BIGINT))) AS g(i)),
+        agg AS (SELECT md5(span_text) AS span_hash,
+            COUNT(DISTINCT id) AS span_df,
+            MIN(id) AS example_doc, MIN(span_text) AS span_text
+          FROM spans GROUP BY 1)
+        SELECT span_hash, span_df, example_doc, span_text FROM agg
+        WHERE span_df >= 2
+        ORDER BY span_df DESC, span_hash LIMIT 20""")),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {
