@@ -25,6 +25,17 @@ class Wal2JsonSpec extends SparkSpec {
     assert(ops.toList == List("B", "INSERT", "UPDATE", "DELETE", "DDL", "C"))
   }
 
+  test("malformed JSON lines drop instead of failing the stream") {
+    val noisy = fixture ++ Seq(
+      (8L, "this is not json"),
+      (9L, """{"truncated": """),
+      (10L, """[]"""))
+    val ops = Wal2Json.decode(noisy.toDF("wal_start", "data"))
+      .orderBy($"wal_start").select($"operation").as[String].collect()
+    assert(ops.toList == List("B", "INSERT", "UPDATE", "DELETE", "DDL", "C"),
+      "garbage lines must not surface as events or errors")
+  }
+
   test("JSON scalar values degrade to strings (wal2json.go:236-240)") {
     val ins = decoded.filter($"operation" === "INSERT").collect()(0)
     val nv = ins.getAs[Map[String, String]]("new_values")
