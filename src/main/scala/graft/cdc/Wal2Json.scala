@@ -74,11 +74,30 @@ object Wal2Json {
     * @param raw         input with `walStartCol` (long carrier position,
     *                    reference internal/parser/parser.go:21-26) and
     *                    `dataCol` (the JSON document text)
+    * @param strict      reference parity for unparseable documents: the
+    *                    reference classifies a wal2json decode error as
+    *                    FATAL and stops the stream (wal2json.go:67-74,
+    *                    DecodeErrors metric + setFatalError). strict=true
+    *                    reproduces that — the first malformed line raises,
+    *                    failing the query. The default (false) drops
+    *                    malformed lines, the lenient mode a batch backfill
+    *                    over dirty archives usually wants.
     * @return columns: operation, is_begin, is_commit, schema_name, table_name,
     *         old_values, new_values, txid, action_time, wal_start
     */
-  def decode(raw: DataFrame, walStartCol: String = "wal_start", dataCol: String = "data"): DataFrame = {
-    val j = from_json(col(dataCol), actionSchema)
+  def decode(raw: DataFrame, walStartCol: String = "wal_start",
+      dataCol: String = "data", strict: Boolean = false): DataFrame = {
+    // strict = FAILFAST JSON parsing: the first malformed document fails
+    // the query, mirroring the reference's fatal decode-error
+    // classification (wal2json.go:67-74). A valid JSON object merely
+    // MISSING fields is not an error in either engine (Go unmarshal
+    // leaves action empty -> dropped as unknown action; PERMISSIVE-shape
+    // missing fields -> null action -> same filter). Default is lenient:
+    // malformed lines drop — what a batch backfill over dirty archives
+    // wants.
+    val j =
+      if (strict) from_json(col(dataCol), actionSchema, Map("mode" -> "FAILFAST"))
+      else from_json(col(dataCol), actionSchema)
     raw
       .withColumn("_a", j)
       .select(

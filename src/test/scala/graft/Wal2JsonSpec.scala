@@ -25,15 +25,27 @@ class Wal2JsonSpec extends SparkSpec {
     assert(ops.toList == List("B", "INSERT", "UPDATE", "DELETE", "DDL", "C"))
   }
 
-  test("malformed JSON lines drop instead of failing the stream") {
+  test("malformed JSON: lenient default drops, strict is fatal (wal2json.go:67-74)") {
     val noisy = fixture ++ Seq(
       (8L, "this is not json"),
-      (9L, """{"truncated": """),
-      (10L, """[]"""))
+      (9L, """{"truncated": """))
     val ops = Wal2Json.decode(noisy.toDF("wal_start", "data"))
       .orderBy($"wal_start").select($"operation").as[String].collect()
     assert(ops.toList == List("B", "INSERT", "UPDATE", "DELETE", "DDL", "C"),
-      "garbage lines must not surface as events or errors")
+      "garbage lines must not surface as events or errors by default")
+    // strict mode mirrors the reference's fatal decode-error classification
+    val e = intercept[Exception] {
+      Wal2Json.decode(noisy.toDF("wal_start", "data"), strict = true)
+        .select($"operation").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("Malformed records") ||
+      m.contains("MALFORMED_RECORD")), messages(e))
+    // and a fully-valid stream decodes identically under strict
+    val strictOps = Wal2Json.decode(fixture.toDF("wal_start", "data"), strict = true)
+      .orderBy($"wal_start").select($"operation").as[String].collect()
+    assert(strictOps.toList == List("B", "INSERT", "UPDATE", "DELETE", "DDL", "C"))
   }
 
   test("JSON scalar values degrade to strings (wal2json.go:236-240)") {
