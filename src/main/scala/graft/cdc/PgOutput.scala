@@ -165,7 +165,15 @@ object PgOutput {
                 rel.schema, rel.table, Map.empty, Map.empty, currentXid, currentTs)
             }
           }
-        case _ => Nil // origin/message/type messages: ignored (as reference)
+        // parseable-but-unhandled message types are ignored like the
+        // reference's switch without a default arm (origin 'O', logical
+        // message 'M', type metadata 'Y'); anything else is an unparseable
+        // frame — the reference's pglogrepl.Parse would error and the
+        // stream would classify it fatal, so we throw (task failure)
+        case 'O' | 'M' | 'Y' => Nil
+        case other => throw new IllegalArgumentException(
+          s"unparseable pgoutput frame at wal_start=$walStart: " +
+            s"message type 0x${other.toInt.toHexString}")
       }
     }
   }

@@ -81,6 +81,23 @@ class PgOutputSpec extends SparkSpec {
     assert(out(2).new_values.keySet == Set("id", "email"))
   }
 
+  test("unhandled-but-valid message types ignored; garbage frames fatal") {
+    // 'O' (origin) and 'M' (logical message) frames flow through a real
+    // stream when publications enable them — the reference's dispatch has
+    // no arm for them and silently continues; garbage is a parse error
+    // and fatal
+    val origin = Array[Byte]('O'.toByte, 1, 2, 3)
+    val logical = Array[Byte]('M'.toByte, 9, 9)
+    val evts = decode(Seq(relMsg, PgWire.begin(10L, t0, 777), origin, logical,
+      PgWire.commit(11L, 12L, t0)))
+    assert(evts.map(_.operation) == List("B", "C"))
+    val garbage = Array[Byte]('z'.toByte, 0, 0)
+    val e = intercept[IllegalArgumentException] {
+      decode(Seq(garbage))
+    }
+    assert(e.getMessage.contains("unparseable pgoutput frame"))
+  }
+
   test("distributed decode through the DataFrame API") {
     import spark.implicits._
     val msgs = Seq(relMsg, PgWire.begin(1000, t0, 42),
