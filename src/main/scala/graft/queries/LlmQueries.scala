@@ -784,6 +784,41 @@ object LlmQueries {
         WHERE span_df >= 2
         ORDER BY span_df DESC, span_hash LIMIT 20""")),
 
+    // Language-ID confidence margin: top marker score minus runner-up —
+    // the routing signal for "low-confidence docs go to review / a
+    // heavier classifier". Integer-exact; same marker vocabularies as
+    // l05, so the two queries can never disagree on the scores.
+    "l60_langid_margin" -> Def(
+      (s, d) => {
+        val toks = TA.tokens(col("text"))
+        val scores = TA.langMarkers.map { case (_, ms) =>
+          size(filter(toks, tk => tk.isInCollection(ms))).cast("long")
+        }
+        val arr = sort_array(array(scores: _*), asc = false)
+        t(s, d, "documents")
+          .select(col("doc_id"), TA.langId(col("text")).as("lang_pred"),
+            arr.getItem(0).as("top_score"),
+            (arr.getItem(0) - arr.getItem(1)).as("margin"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val scoreExprs = TA.langMarkers.map { case (code, ms) =>
+          code -> s"CAST(len(list_filter($oToks, tk -> tk IN (${ms.map(m => s"'$m'").mkString(",")}))) AS BIGINT)"
+        }
+        val all = scoreExprs.map(e => s"s_${e._1}").mkString(", ")
+        val firstMax = scoreExprs.map { case (c, _) =>
+          s"WHEN s_$c >= GREATEST($all) THEN '$c'"
+        }.mkString(" ")
+        s"""SELECT doc_id,
+          CASE WHEN GREATEST($all) = 0 THEN 'und' $firstMax END AS lang_pred,
+          srt[1] AS top_score, srt[1] - srt[2] AS margin
+          FROM (SELECT doc_id, $all,
+            list_sort([$all], 'DESC') AS srt
+          FROM (SELECT doc_id,
+            ${scoreExprs.map { case (c, e) => s"$e AS s_$c" }.mkString(", ")}
+          FROM documents)) ORDER BY doc_id"""
+      }),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {

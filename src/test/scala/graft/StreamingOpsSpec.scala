@@ -94,6 +94,38 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: null-padded rows emit after watermark") {
+    implicit val sctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val c = clicks.toDF().toDF("user_id", "click_ts").withWatermark("click_ts", "10 minutes")
+    val b = buys.toDF().toDF("buy_user", "buy_ts").withWatermark("buy_ts", "10 minutes")
+    val joined = c.join(b,
+      $"user_id" === $"buy_user" &&
+        $"buy_ts" >= $"click_ts" && $"buy_ts" <= $"click_ts" + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssoj_out").start()
+    try {
+      clicks.addData((1L, ts("2024-01-15 10:00:00")), (2L, ts("2024-01-15 10:00:00")))
+      buys.addData((1L, ts("2024-01-15 10:10:00"))) // user 2 never buys
+      q.processAllAvailable()
+      // user 2's null-padded row may not emit until the watermark passes
+      // its join window — advance both watermarks far beyond it
+      clicks.addData((9L, ts("2024-01-15 13:00:00")))
+      buys.addData((9L, ts("2024-01-15 13:00:00")))
+      q.processAllAvailable()
+      clicks.addData((10L, ts("2024-01-15 15:00:00")))
+      buys.addData((10L, ts("2024-01-15 15:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("ssoj_out")
+        .filter($"user_id".isin(1L, 2L))
+        .select($"user_id", $"buy_user").as[(Long, Option[Long])].collect().toSet
+      assert(rows == Set((1L, Some(1L)), (2L, None)),
+        "matched row joins; unmatched row emits null-padded after eviction")
+    } finally q.stop()
+  }
+
   test("streaming curation: gopher filter + exact dedup + langid on a doc stream") {
     // the LLM curation ops are narrow codegen expressions, so the same
     // pipeline runs unchanged over a stream; exact dedup becomes
