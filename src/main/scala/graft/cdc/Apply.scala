@@ -56,6 +56,45 @@ object Apply {
     * key-partitioned full-outer join, no window. Output: keys, operation,
     * before, after.
     */
+  /** Net-change compaction: collapse a batch's per-key change SEQUENCE to
+    * the minimal equivalent change SET before shipping it downstream —
+    * the standard pre-aggregation in CDC fan-out (a row inserted and
+    * deleted inside one batch never leaves the pipeline; ten updates
+    * become one). Per key, with ops in WAL order:
+    *
+    *  - first INSERT … last DELETE  → nothing (net no-op)
+    *  - first INSERT … last other   → one INSERT with the final image
+    *  - first other  … last DELETE  → one DELETE
+    *  - otherwise                   → one UPDATE with the final image
+    *
+    * Sound when the batch is a contiguous WAL slice over consistent base
+    * state (a key's first in-batch op being UPDATE/DELETE implies the row
+    * pre-existed). ONE map-side-combinable aggregation — min_by/max_by
+    * partials, a single shuffle on the key, no window sort.
+    *
+    * Output: key columns + (net_op, last_image, n_changes); last_image is
+    * null for DELETE.
+    */
+  def netChanges(changes: DataFrame, keyCols: Seq[Column], opCol: Column,
+      orderCol: Column, imageCol: Column): DataFrame =
+    changes.groupBy(keyCols: _*)
+      .agg(
+        min_by(opCol, orderCol).as("_first_op"),
+        max_by(opCol, orderCol).as("_last_op"),
+        max_by(imageCol, orderCol).as("_last_image"),
+        count(lit(1)).as("n_changes"))
+      .withColumn("net_op",
+        when(col("_first_op") === "INSERT" && col("_last_op") === "DELETE",
+          lit(null).cast("string"))
+          .when(col("_first_op") === "INSERT", lit("INSERT"))
+          .when(col("_last_op") === "DELETE", lit("DELETE"))
+          .otherwise(lit("UPDATE")))
+      .filter(col("net_op").isNotNull)
+      .withColumn("last_image",
+        when(col("net_op") === "DELETE", lit(null).cast("string"))
+          .otherwise(col("_last_image")))
+      .drop("_first_op", "_last_op", "_last_image")
+
   def diff(oldDf: DataFrame, oldImage: Column, newDf: DataFrame,
       newImage: Column, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must name the table key")

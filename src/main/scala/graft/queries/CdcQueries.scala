@@ -685,6 +685,63 @@ object CdcQueries {
       },
       Some("""SELECT event_id AS src_event_id, value AS value_d,
         CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
-        FROM events ORDER BY src_event_id"""))
+        FROM events ORDER BY src_event_id""")),
+
+    // Net-change compaction under the driver gate: a keyed I/U/D stream
+    // (key = user_id, op from event_type) runs the full decode → assemble
+    // → normalize chain, then Apply.netChanges collapses each key's
+    // change sequence to the minimal equivalent set (insert+delete
+    // vanishes, update runs fold to one) — the pre-aggregation every CDC
+    // fan-out applies before shipping a batch downstream.
+    "c21_net_changes" -> Def(
+      (s, d) => {
+        val e = t(s, d, "events")
+        val tsFmt = concat(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"), lit("+00"))
+        val op = when(col("event_type") === "error", "D")
+          .when(col("event_type") === "signup", "U").otherwise("I")
+        val cols = array(
+          struct(lit("id").as("name"), lit("bigint").as("type"),
+            col("user_id").cast("string").as("value")),
+          struct(lit("v").as("name"), lit("bigint").as("type"),
+            col("event_id").cast("string").as("value")))
+        val ident = array(struct(lit("id").as("name"), lit("bigint").as("type"),
+          col("user_id").cast("string").as("value")))
+        val lines = e.select((col("event_id") * 10).as("wal_start"),
+          to_json(struct(op.as("action"), col("user_id").as("xid"),
+            tsFmt.as("timestamp"), lit("public").as("schema"),
+            lit("accounts").as("table"),
+            when(op =!= "D", cols).as("columns"),
+            when(op =!= "I", ident).as("identity"))).as("data"))
+        val n = Transform.normalize(TxAssembly.assemble(Wal2Json.decode(lines)), Db)
+        val keyed = n.withColumn("k",
+          coalesce(element_at(col("after"), "id"),
+            element_at(col("before"), "id")).cast("long"))
+        Apply.netChanges(keyed, Seq(col("k")), col("operation"),
+            graft.streaming.OrderedSink.lsnNumeric(col("lsn")),
+            element_at(col("after"), "v"))
+          .select(col("k"), col("net_op"),
+            col("last_image").cast("long").as("last_v"), col("n_changes"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH ops AS (SELECT user_id AS k, event_id,
+          CASE WHEN event_type = 'error' THEN 'DELETE'
+               WHEN event_type = 'signup' THEN 'UPDATE'
+               ELSE 'INSERT' END AS op
+        FROM events),
+        m AS (SELECT k, arg_min(op, event_id) AS first_op,
+            arg_max(op, event_id) AS last_op,
+            arg_max(event_id, event_id) AS last_v,
+            COUNT(*) AS n_changes
+          FROM ops GROUP BY k),
+        net AS (SELECT k,
+            CASE WHEN first_op = 'INSERT' AND last_op = 'DELETE' THEN NULL
+                 WHEN first_op = 'INSERT' THEN 'INSERT'
+                 WHEN last_op = 'DELETE' THEN 'DELETE'
+                 ELSE 'UPDATE' END AS net_op,
+            CASE WHEN last_op = 'DELETE' THEN NULL ELSE last_v END AS last_v,
+            n_changes
+          FROM m)
+        SELECT k, net_op, last_v, n_changes FROM net
+        WHERE net_op IS NOT NULL ORDER BY k"""))
   )
 }

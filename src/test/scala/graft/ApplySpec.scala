@@ -74,6 +74,27 @@ class ApplySpec extends SparkSpec {
       s"diff: extra=${got.toSet -- expected.toSet} missing=${expected.toSet -- got.toSet}")
   }
 
+  test("netChanges: all four compaction arms, one agg, final images") {
+    // key 1: I,U,U -> INSERT w/ last image; key 2: I,D -> vanishes;
+    // key 3: U,U -> UPDATE w/ last; key 4: U,D -> DELETE, null image;
+    // key 5: single I -> INSERT
+    val ch = Seq(
+      (1L, "INSERT", 1L, "a1"), (1L, "UPDATE", 2L, "a2"), (1L, "UPDATE", 3L, "a3"),
+      (2L, "INSERT", 4L, "b1"), (2L, "DELETE", 5L, null),
+      (3L, "UPDATE", 6L, "c1"), (3L, "UPDATE", 7L, "c2"),
+      (4L, "UPDATE", 8L, "d1"), (4L, "DELETE", 9L, null),
+      (5L, "INSERT", 10L, "e1"))
+      .toDF("k", "op", "pos", "img")
+    val got = Apply.netChanges(ch, Seq($"k"), $"op", $"pos", $"img")
+      .select($"k", $"net_op", $"last_image", $"n_changes")
+      .as[(Long, String, Option[String], Long)].collect().sortBy(_._1)
+    assert(got.toList == List(
+      (1L, "INSERT", Some("a3"), 3L),
+      (3L, "UPDATE", Some("c2"), 2L),
+      (4L, "DELETE", None, 2L),
+      (5L, "INSERT", Some("e1"), 1L)))
+  }
+
   test("diff emits I/U/D and round-trips through applyChanges") {
     val oldV = Seq(("t", 1L, "a"), ("t", 2L, "b"), ("t", 3L, "c"))
       .toDF("tbl", "uid", "v")
