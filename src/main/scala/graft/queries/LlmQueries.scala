@@ -819,6 +819,58 @@ object LlmQueries {
           FROM documents)) ORDER BY doc_id"""
       }),
 
+    // Dedup savings report: the headline numbers a dedup run publishes —
+    // how many documents and tokens near-dup clustering removes with
+    // min-id survivorship. Single-row corpus report off the shared
+    // near-dup pipeline + connected components.
+    "l61_dedup_savings" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val near = verifiedNearDups(s, d)._2.filter(col("jaccard") >= 0.8)
+          .select(col("id_a"), col("id_b"))
+        val clusters = Dedup.components(near)
+        val toks = docs.select(col("doc_id").as("id"),
+          TA.tokenCount(col("text")).cast("long").as("n_tok"))
+        val clustered = clusters.join(toks, "id")
+          .withColumn("is_surv", col("id") === col("cluster"))
+        val cAgg = clustered.agg(
+          count(lit(1)).as("n_clustered"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(col("n_tok")).as("tok_clustered"),
+          sum(when(col("is_surv"), col("n_tok")).otherwise(0L)).as("tok_surv"))
+        val tAgg = toks.agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tok_total"))
+        tAgg.crossJoin(broadcast(cAgg))
+          .select(col("n_docs"), col("tok_total"), col("n_clustered"),
+            col("n_clusters"),
+            (col("n_clustered") - col("n_clusters")).as("docs_dropped"),
+            (col("tok_clustered") - col("tok_surv")).as("tokens_dropped"))
+      },
+      Some(s"""WITH RECURSIVE $oShingles, $oJaccard,
+        pr AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                  UNION SELECT id_b, id_a FROM pr),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        cl AS (SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+          FROM reach GROUP BY src),
+        toks AS (SELECT doc_id AS id, CAST(len($oToks) AS BIGINT) AS n_tok
+          FROM documents),
+        cagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_clustered,
+            CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+            CAST(SUM(n_tok) AS BIGINT) AS tok_clustered,
+            CAST(SUM(CASE WHEN id = cluster THEN n_tok ELSE 0 END) AS BIGINT)
+              AS tok_surv
+          FROM cl JOIN toks USING (id)),
+        tagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n_tok) AS BIGINT) AS tok_total FROM toks)
+        SELECT n_docs, tok_total, n_clustered, n_clusters,
+          n_clustered - n_clusters AS docs_dropped,
+          tok_clustered - tok_surv AS tokens_dropped
+        FROM tagg, cagg""")),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {
