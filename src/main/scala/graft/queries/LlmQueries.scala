@@ -871,6 +871,77 @@ object LlmQueries {
           tok_clustered - tok_surv AS tokens_dropped
         FROM tagg, cagg""")),
 
+    // RAG retrieval end-to-end: BM25 top-1 document per query, then the
+    // best chunk within it by query-term hit count — document-level
+    // retrieval then chunk-level drill-down, the full context-window prep
+    // path. Composes bm25TopK (integer-exact scores) with chunkOverlap;
+    // chunk scoring and tie-breaks are integer, so the winning chunk is
+    // engine-exact.
+    "l62_rag_retrieve_chunk" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+        val top1 = graft.ops.Retrieval.bm25TopK(docs, "doc_id", "text",
+            bm25Queries, k = 1)
+          .select(col("qid").as("t_qid"), col("id").as("t_id"))
+        val chunks = Curation.chunkOverlap(docs, "doc_id", "text",
+          window = 32, stride = 24)
+        val qdf = s.createDataFrame(
+          bm25Queries.flatMap { case (q, ts) => ts.map(t0 => (q, t0)) })
+          .toDF("q_qid", "term")
+        val hits = top1.join(chunks, col("t_id") === col("id"))
+          .select(col("t_qid"), col("id"), col("chunk_id"),
+            explode(split(col("chunk_text"), " ")).as("tok"))
+          .join(qdf, col("tok") === col("term") && col("t_qid") === col("q_qid"))
+          .groupBy(col("t_qid").as("qid"), col("id"), col("chunk_id"))
+          .agg(count(lit(1)).as("term_hits"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("term_hits").desc, col("chunk_id").asc)
+        hits.withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
+          .select(col("qid"), col("id").as("doc_id"), col("chunk_id"),
+            col("term_hits"))
+          .orderBy(col("qid"))
+      },
+      Some(s"""WITH q(qid, term) AS (VALUES ${bm25Queries.flatMap {
+            case (qid, ts) => ts.map(t0 => s"($qid, '$t0')")
+          }.mkString(", ")}),
+        tk AS (SELECT doc_id, $oToks AS t FROM documents),
+        dls AS (SELECT doc_id, len(t) AS dl FROM tk),
+        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dls),
+        tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+          FROM (SELECT doc_id, UNNEST(t) AS tok FROM tk)
+          WHERE tok IN (SELECT term FROM q) GROUP BY 1, 2),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        scored AS (SELECT q.qid, tf.doc_id,
+            CAST(FLOOR(
+              (((2 * s.n_docs - 2 * d.df + 1) * 1000000.0) / (2 * d.df + 1))
+              * (22 * s.sum_dl * tf.tf)
+              / (10 * s.sum_dl * tf.tf + 3 * s.sum_dl + 9 * dls.dl * s.n_docs)
+            ) AS BIGINT) AS score_i
+          FROM tf JOIN q ON tf.term = q.term
+          JOIN dfreq d ON tf.term = d.term
+          JOIN dls ON tf.doc_id = dls.doc_id
+          CROSS JOIN stats s),
+        tot AS (SELECT qid, doc_id, CAST(SUM(score_i) AS BIGINT) AS sc
+          FROM scored GROUP BY 1, 2),
+        top1 AS (SELECT qid, doc_id FROM (
+          SELECT qid, doc_id, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY sc DESC, doc_id) AS rk FROM tot) WHERE rk = 1),
+        ch AS (SELECT tk.doc_id, i AS chunk_id,
+            list_slice(t, i * 24 + 1, i * 24 + 32) AS ck
+          FROM tk JOIN (SELECT doc_id, 1 + (GREATEST(len(t) - 32, 0) + 23) // 24
+              AS n_chunks FROM tk) nc ON tk.doc_id = nc.doc_id,
+            UNNEST(generate_series(0, n_chunks - 1)) AS g(i)),
+        ctoks AS (SELECT t1.qid, ch.doc_id, ch.chunk_id, UNNEST(ch.ck) AS tok
+          FROM top1 t1 JOIN ch ON t1.doc_id = ch.doc_id),
+        hits AS (SELECT c2.qid, c2.doc_id, c2.chunk_id, COUNT(*) AS term_hits
+          FROM ctoks c2 JOIN q ON c2.tok = q.term AND q.qid = c2.qid
+          GROUP BY 1, 2, 3)
+        SELECT qid, doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, term_hits
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY term_hits DESC, chunk_id) AS rk FROM hits)
+        WHERE rk = 1 ORDER BY qid""")),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {
