@@ -942,6 +942,48 @@ object LlmQueries {
             ORDER BY term_hits DESC, chunk_id) AS rk FROM hits)
         WHERE rk = 1 ORDER BY qid""")),
 
+    // Incremental ingest dedup: an arriving batch (doc_id % 10 == 0)
+    // checked for exact n-gram Jaccard against the EXISTING corpus — the
+    // per-batch gate of a continuous ingest loop. Same join shape as
+    // DedupIndex.incrementalNearDups (whose bucketed stored-table variant
+    // DedupIndexSpec covers); batch-side shingles join the corpus
+    // inverted index, never batch × corpus.
+    "l63_incremental_neardup" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val batch = docs.filter(col("doc_id") % 10 === 0)
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        val newSh = Dedup.shingleIndex(batch, "doc_id", "text")
+        val oldSh = Dedup.shingleIndex(corpus, "doc_id", "text")
+        val newSizes = newSh.groupBy(col("id").as("new_id"))
+          .agg(count(lit(1)).as("n_new"))
+        val oldSizes = oldSh.groupBy(col("id").as("old_id"))
+          .agg(count(lit(1)).as("n_old"))
+        newSh.as("nw").join(oldSh.as("ix"), col("nw.shingle") === col("ix.shingle"))
+          .groupBy(col("nw.id").as("new_id"), col("ix.id").as("old_id"))
+          .agg(count(lit(1)).as("inter"))
+          .join(newSizes, "new_id").join(oldSizes, "old_id")
+          .withColumn("jaccard", col("inter").cast("double") /
+            (col("n_new") + col("n_old") - col("inter")))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("new_id"), col("old_id"), col("inter"),
+            col("n_new"), col("n_old"), col("jaccard"))
+          .orderBy(col("new_id"), col("old_id"))
+      },
+      Some(s"""WITH $oShingles,
+        nw AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+        ix AS (SELECT * FROM sh WHERE doc_id % 10 != 0),
+        ns AS (SELECT doc_id AS new_id, COUNT(*) AS n_new FROM nw GROUP BY 1),
+        os AS (SELECT doc_id AS old_id, COUNT(*) AS n_old FROM ix GROUP BY 1),
+        iv AS (SELECT nw.doc_id AS new_id, ix.doc_id AS old_id,
+            COUNT(*) AS inter
+          FROM nw JOIN ix ON nw.shingle = ix.shingle GROUP BY 1, 2)
+        SELECT new_id, old_id, inter, n_new, n_old,
+          CAST(inter AS DOUBLE) / (n_new + n_old - inter) AS jaccard
+        FROM iv JOIN ns USING (new_id) JOIN os USING (old_id)
+        WHERE CAST(inter AS DOUBLE) / (n_new + n_old - inter) >= 0.8
+        ORDER BY new_id, old_id""")),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {
