@@ -742,6 +742,32 @@ object CdcQueries {
             n_changes
           FROM m)
         SELECT k, net_op, last_v, n_changes FROM net
-        WHERE net_op IS NOT NULL ORDER BY k"""))
+        WHERE net_op IS NOT NULL ORDER BY k""")),
+
+    // T4 wire format under the driver gate: every normalized event is
+    // serialized through envelopeJson (the sink payload) and re-parsed —
+    // what a downstream consumer actually receives. The re-parse uses an
+    // independent DDL schema, so a field rename/omission in the envelope
+    // breaks this query even if the in-memory frame is fine.
+    "c22_envelope_roundtrip" -> Def(
+      (s, d) => {
+        val n = normalizedCached(s, d)
+        val js = n.select(Transform.envelopeJson(n).as("j"))
+        js.select(from_json(col("j"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "event_id string, event_type string, source string, " +
+              "lsn string, txid string, `table` string, operation string, " +
+              "after map<string,string>")).as("e"))
+          .select(col("e.event_id").as("event_id"),
+            col("e.event_type").as("event_type"),
+            col("e.lsn").as("lsn"), col("e.txid").cast("long").as("txid"),
+            col("e.table").as("tbl"), col("e.operation").as("operation"),
+            element_at(col("e.after"), "value").as("after_value"))
+          .orderBy(col("lsn"), col("event_id"))
+      },
+      Some(s"""SELECT $oEventId AS event_id, 'cdc.insert' AS event_type,
+        $oLsn AS lsn, user_id AS txid, event_type AS tbl,
+        'INSERT' AS operation, CAST(value AS VARCHAR) AS after_value
+        FROM events ORDER BY lsn, event_id"""))
   )
 }
