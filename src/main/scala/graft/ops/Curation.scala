@@ -27,6 +27,17 @@ object Curation {
     df.filter(hash48(idCol.cast("string")) % 10000L < math.round(rate * 10000).toInt)
   }
 
+  /** Row-level weighted sampling: keep each row with probability equal to
+    * its own `weight10k` (an INTEGER threshold out of 10000 — callers
+    * derive it from quality scores with integer arithmetic so the
+    * decision is engine-exact). The row-granular generalization of
+    * [[mixture]]'s per-source rates: quality-weighted corpus sampling
+    * ("better docs survive more often") in one narrow filter, zero
+    * shuffles, reproducible per id.
+    */
+  def weightedSample(df: DataFrame, idCol: Column, weight10k: Column): DataFrame =
+    df.filter(hash48(idCol.cast("string")) % 10000L < weight10k)
+
   /** Weighted mixture across sources: per-source sampling rates (a
     * training-mix recipe, e.g. web 0.6 / code 0.9 / books 1.0). Rows of
     * unlisted sources are dropped. Single scan, no shuffle: the rate

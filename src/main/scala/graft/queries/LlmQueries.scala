@@ -984,6 +984,20 @@ object LlmQueries {
         WHERE CAST(inter AS DOUBLE) / (n_new + n_old - inter) >= 0.8
         ORDER BY new_id, old_id""")),
 
+    // Quality-weighted sampling: per-row keep probability proportional to
+    // document length (capped), integer threshold out of 10000 — "better
+    // docs survive more often", deterministically. Narrow filter at the
+    // scan, zero shuffles.
+    "l64_weighted_sample" -> Def(
+      (s, d) => Curation.weightedSample(t(s, d, "documents"), col("doc_id"),
+          least(col("n_chars"), lit(2000L)) * 5L)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, n_chars FROM documents
+        WHERE ${oH48("CAST(doc_id AS VARCHAR)")} % 10000 <
+          LEAST(n_chars, 2000) * 5
+        ORDER BY doc_id""")),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {
