@@ -998,6 +998,31 @@ object LlmQueries {
           LEAST(n_chars, 2000) * 5
         ORDER BY doc_id""")),
 
+    // Label-disagreement audit: near-duplicate pairs whose language tags
+    // differ — two texts this similar cannot be different languages, so
+    // at least one tag is wrong. The metadata-QA dual of dedup; rides the
+    // shared near-dup pipeline.
+    "l65_lang_disagreement" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val near = verifiedNearDups(s, d)._2.filter(col("jaccard") >= 0.8)
+        val langs = docs.select(col("doc_id"), col("lang"))
+        near
+          .join(langs.select(col("doc_id").as("id_a"), col("lang").as("lang_a")), "id_a")
+          .join(langs.select(col("doc_id").as("id_b"), col("lang").as("lang_b")), "id_b")
+          .filter(col("lang_a") =!= col("lang_b"))
+          .select(col("id_a"), col("id_b"), col("lang_a"), col("lang_b"),
+            col("inter"), col("n_a"), col("n_b"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $oShingles, $oJaccard
+        SELECT id_a, id_b, a.lang AS lang_a, b.lang AS lang_b,
+          inter, n_a, n_b
+        FROM jac JOIN documents a ON jac.id_a = a.doc_id
+                 JOIN documents b ON jac.id_b = b.doc_id
+        WHERE jaccard >= 0.8 AND a.lang != b.lang
+        ORDER BY id_a, id_b""")),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {
