@@ -1023,6 +1023,51 @@ object LlmQueries {
         WHERE jaccard >= 0.8 AND a.lang != b.lang
         ORDER BY id_a, id_b""")),
 
+    // Source health scorecard: per source, document count, Gopher-rule
+    // pass count, exact-duplicate membership, and token mass — the
+    // one-page comparison that decides which sources earn mix share.
+    // One scan computes the row-level flags; the dup flag joins the
+    // content-hash counter (one extra aggregation on the digest).
+    "l66_source_scorecard" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val kept = TA.gopherFlags(col("text"))
+          .collectFirst { case ("kept", c) => c }.get
+        val digests = docs.select(col("doc_id"), md5(col("text")).as("dg"))
+        val dupDg = digests.groupBy(col("dg")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).select(col("dg"))
+        val dupFlag = digests.join(dupDg, Seq("dg"), "left_semi")
+          .select(col("doc_id")).withColumn("is_dup", lit(true))
+        docs.join(dupFlag, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(kept, 1L).otherwise(0L)).as("n_quality"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_exact_dup"),
+            sum(TA.tokenCount(col("text")).cast("long")).as("n_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH flags AS (SELECT source, doc_id, n_tok,
+          (n_tok BETWEEN 5 AND 10000) AND (mwl >= 2.0 AND mwl <= 10.0)
+            AND stop_ratio >= 0.01 AND rep_ratio < 0.3 AS kept
+        FROM (SELECT source, doc_id, len(t) AS n_tok,
+            CAST(list_sum(list_transform(t, tk -> LENGTH(tk))) AS DOUBLE) / len(t) AS mwl,
+            CAST(len(list_filter(t, tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(t) AS stop_ratio,
+            CASE WHEN len(t) < 2 THEN 0.0
+                 ELSE 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g) END AS rep_ratio
+          FROM (SELECT source, doc_id, t,
+                  list_transform(generate_series(1, GREATEST(len(t) - 1, 0)),
+                    i -> t[i] || ' ' || t[i+1]) AS g
+                FROM (SELECT source, doc_id, $oToks AS t FROM documents)))),
+        dups AS (SELECT doc_id, 1 AS is_dup FROM documents
+          WHERE md5(text) IN (SELECT md5(text) FROM documents
+            GROUP BY 1 HAVING COUNT(*) > 1))
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+          CAST(SUM(COALESCE(is_dup, 0)) AS BIGINT) AS n_exact_dup,
+          CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM flags LEFT JOIN dups USING (doc_id)
+        GROUP BY source ORDER BY source""")),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {
