@@ -619,6 +619,39 @@ object SurfaceQueries {
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderpriority = '1-URGENT'
-        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Bounded-time self-join via bucket blocking: event pairs on the same
+    // user within 60 s. The join key is (user, minute-bucket) with the
+    // left side exploded into its bucket and the next (any ≤60 s pair
+    // spans at most one boundary), so candidate volume is
+    // per-(user,bucket)-bounded — never a per-user t×t product. The exact
+    // |Δt| filter runs after the equi-join; the oracle brute-forces the
+    // same pairs.
+    "q53_interval_selfjoin" -> Def(
+      (s, d) => {
+        val e = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val bucket = (unix_micros(col("ts")) / lit(60000000L)).cast("long")
+        val left = e.select(col("event_id").as("id_a"),
+            col("user_id").as("u"), col("ts").as("ts_a"),
+            explode(array(bucket, bucket + 1)).as("bk"))
+        val right = e.select(col("event_id").as("id_b"),
+          col("user_id").as("u"), col("ts").as("ts_b"),
+          bucket.as("bk"))
+        left.join(right, Seq("u", "bk"))
+          .filter(col("id_a") < col("id_b") &&
+            abs(unix_micros(col("ts_a")) - unix_micros(col("ts_b"))) <= 60000000L)
+          .select(col("u").as("user_id"), col("id_a"), col("id_b"),
+            (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("delta_us"))
+          .distinct()
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+          CAST(date_diff('microsecond', a.ts, b.ts) AS BIGINT) AS delta_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+          AND abs(date_diff('microsecond', a.ts, b.ts)) <= 60000000
+        ORDER BY id_a, id_b"""))
   )
 }
