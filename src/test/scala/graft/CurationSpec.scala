@@ -269,6 +269,16 @@ class CurationSpec extends SparkSpec {
       .count() == 10)
   }
 
+  test("weightedSample: deterministic, monotone in weight, exact bounds") {
+    val d = (1L to 400L).toDF("id")
+    def keep(w: Long) =
+      Curation.weightedSample(d, $"id", lit(w)).as[Long].collect().toSet
+    assert(keep(0L).isEmpty && keep(10000L).size == 400)
+    val lo = keep(2000L); val hi = keep(7000L)
+    assert(lo.subsetOf(hi), "raising the weight only adds rows")
+    assert(keep(2000L) == lo, "same weight, same rows")
+  }
+
   test("replicate repeats per-source with 1-based epoch ordinals") {
     val d = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "src")
     val out = Curation.replicate(d, $"src", Map("a" -> 3, "b" -> 2))
