@@ -1068,6 +1068,58 @@ object LlmQueries {
         FROM flags LEFT JOIN dups USING (doc_id)
         GROUP BY source ORDER BY source""")),
 
+    // KMV cross-corpus resemblance: estimate the shingle-set Jaccard
+    // between two corpus halves from their k-min sketches alone
+    // (|kmin(A∪B) ∩ kmin(A) ∩ kmin(B)| / k — Broder's resemblance
+    // estimator), next to the exact truth. Sketches are a few KB per
+    // corpus vs the full shingle sets; deterministic given the hash, so
+    // estimator AND truth are oracle-exact.
+    "l67_kmv_resemblance" -> Def(
+      (s, d) => {
+        val k = 64
+        val docs = t(s, d, "documents")
+        val hs = Dedup.shingleIndex(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id").as("id"),
+            (col("source").substr(4, 10).cast("long") < 10).as("in_a")), "id")
+          .select(TA.hash48(col("shingle")).as("h"), col("in_a"))
+        val hA = hs.filter(col("in_a")).select(col("h")).distinct()
+        val hB = hs.filter(!col("in_a")).select(col("h")).distinct()
+        val mA = hA.orderBy(col("h")).limit(k)
+        val mB = hB.orderBy(col("h")).limit(k)
+        val mU = mA.union(mB).distinct().orderBy(col("h")).limit(k)
+        val estInter = mU.join(mA, Seq("h"), "left_semi")
+          .join(mB, Seq("h"), "left_semi")
+          .agg(count(lit(1)).as("kmin_inter"))
+        val truth = hA.withColumn("a", lit(1))
+          .join(hB.withColumn("b", lit(1)), Seq("h"), "full_outer")
+          .agg(sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+            .as("true_inter"), count(lit(1)).as("true_union"))
+        estInter.crossJoin(broadcast(truth))
+          .select(lit(k.toLong).as("k"), col("kmin_inter"),
+            col("true_inter"), col("true_union"))
+      },
+      Some(s"""WITH $oShingles,
+        hs AS (SELECT DISTINCT ${oH48("shingle")} AS h,
+            CAST(substr(d.source, 4) AS BIGINT) < 10 AS in_a
+          FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
+        ha AS (SELECT DISTINCT h FROM hs WHERE in_a),
+        hb AS (SELECT DISTINCT h FROM hs WHERE NOT in_a),
+        ma AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+        mb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+        mu AS (SELECT DISTINCT h FROM (SELECT h FROM ma UNION SELECT h FROM mb)
+               ORDER BY h LIMIT 64),
+        est AS (SELECT CAST(COUNT(*) AS BIGINT) AS kmin_inter FROM mu
+          WHERE h IN (SELECT h FROM ma) AND h IN (SELECT h FROM mb)),
+        tr AS (SELECT
+            CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS true_inter,
+            CAST(COUNT(*) AS BIGINT) AS true_union
+          FROM (SELECT h, MAX(CASE WHEN in_a THEN 1 ELSE 0 END) AS ina,
+              MAX(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS inb
+            FROM hs GROUP BY h))
+        SELECT CAST(64 AS BIGINT) AS k, kmin_inter, true_inter, true_union
+        FROM est, tr""")),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {
