@@ -652,6 +652,44 @@ object SurfaceQueries {
         FROM events a JOIN events b
           ON a.user_id = b.user_id AND a.event_id < b.event_id
           AND abs(date_diff('microsecond', a.ts, b.ts)) <= 60000000
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // Ratio-to-report: each nation's share of its region's revenue — the
+    // share-of-total window over a grouped aggregate. Numerator and
+    // denominator stay exact decimals; the one share division is IEEE
+    // double (deterministic). Two shuffles: the group-by and the
+    // region-partitioned window over the tiny aggregate.
+    "q54_ratio_to_report" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = t(s, d, "customer")
+          .join(t(s, d, "orders"),
+            col("c_custkey") === col("o_custkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+        val w = Window.partitionBy(col("r_name"))
+        rev.withColumn("region_total", sum(col("revenue")).over(w))
+          .withColumn("share",
+            col("revenue").cast("double") / col("region_total").cast("double"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""WITH rev AS (SELECT r_name, n_name,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name)
+        SELECT r_name, n_name, revenue,
+          CAST(SUM(revenue) OVER (PARTITION BY r_name) AS DECIMAL(38,2))
+            AS region_total,
+          CAST(revenue AS DOUBLE) /
+            CAST(CAST(SUM(revenue) OVER (PARTITION BY r_name) AS DECIMAL(38,2))
+              AS DOUBLE) AS share
+        FROM rev ORDER BY r_name, n_name"""))
   )
 }
