@@ -768,6 +768,20 @@ object CdcQueries {
       Some(s"""SELECT $oEventId AS event_id, 'cdc.insert' AS event_type,
         $oLsn AS lsn, user_id AS txid, event_type AS tbl,
         'INSERT' AS operation, CAST(value AS VARCHAR) AS after_value
-        FROM events ORDER BY lsn, event_id"""))
+        FROM events ORDER BY lsn, event_id""")),
+
+    // Transaction-size distribution: how many transactions carry N events
+    // — the sizing input for the reference's MaxTxBufferSize/spill
+    // threshold (config.go:94) and for our state-store TTL budget. Two
+    // tiny aggregations over the assembled stream (per-tx count, then
+    // count-of-counts).
+    "c23_tx_size_histogram" -> Def(
+      (s, d) => normalizedCached(s, d)
+        .groupBy(col("txid")).agg(count(lit(1)).as("tx_events"))
+        .groupBy(col("tx_events")).agg(count(lit(1)).as("n_txs"))
+        .orderBy(col("tx_events")),
+      Some("""SELECT tx_events, COUNT(*) AS n_txs FROM (
+          SELECT user_id, COUNT(*) AS tx_events FROM events GROUP BY user_id)
+        GROUP BY tx_events ORDER BY tx_events"""))
   )
 }
