@@ -1120,6 +1120,38 @@ object LlmQueries {
         SELECT CAST(64 AS BIGINT) AS k, kmin_inter, true_inter, true_union
         FROM est, tr""")),
 
+    // Cluster source purity: for each near-dup cluster, member count and
+    // distinct sources — multi-source clusters are syndicated/mirrored
+    // content (dedup them ACROSS sources before computing mix shares, or
+    // the same text is counted once per mirror). Runs the O(log n)
+    // componentsStar path over the text pair graph.
+    "l68_cluster_purity" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val near = verifiedNearDups(s, d)._2.filter(col("jaccard") >= 0.8)
+          .select(col("id_a"), col("id_b"))
+        val cl = Dedup.componentsStar(near)
+        cl.join(docs.select(col("doc_id").as("id"), col("source")), "id")
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_members"),
+            countDistinct(col("source")).as("n_sources"))
+          .orderBy(col("cluster"))
+      },
+      Some(s"""WITH RECURSIVE $oShingles, $oJaccard,
+        pr AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                  UNION SELECT id_b, id_a FROM pr),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        cl AS (SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+          FROM reach GROUP BY src)
+        SELECT cluster, COUNT(*) AS n_members,
+          COUNT(DISTINCT d.source) AS n_sources
+        FROM cl JOIN documents d ON cl.id = d.doc_id
+        GROUP BY cluster ORDER BY cluster""")),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {
