@@ -1152,6 +1152,31 @@ object LlmQueries {
         FROM cl JOIN documents d ON cl.id = d.doc_id
         GROUP BY cluster ORDER BY cluster""")),
 
+    // Training-mix composition table: rate-sample per source (mixture),
+    // replicate per-source epochs, then report docs/tokens per (source,
+    // epoch) — the mix table a pretraining run publishes. Narrow filter +
+    // narrow generator + one aggregation.
+    "l69_mix_composition" -> Def(
+      (s, d) => Curation.replicate(
+          Curation.mixture(t(s, d, "documents"), col("source"), col("doc_id"),
+            Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)),
+          col("source"), Map("src0" -> 2))
+        .groupBy(col("source"), col("epoch"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TA.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .orderBy(col("source"), col("epoch")),
+      Some(s"""SELECT source, epoch, COUNT(*) AS n_docs,
+          CAST(SUM(len($oToks)) AS BIGINT) AS n_tokens
+        FROM (SELECT * FROM documents,
+            UNNEST(generate_series(1, CASE source WHEN 'src0' THEN 2
+              ELSE 1 END)) AS g(epoch)
+          WHERE (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                 WHEN 'src2' THEN 0.25 ELSE -1 END) >= 0
+            AND ${oH48("CAST(doc_id AS VARCHAR)")} % 10000 <
+              CAST((CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                WHEN 'src2' THEN 0.25 ELSE -1 END) * 10000 AS BIGINT))
+        GROUP BY source, epoch ORDER BY source, epoch""")),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {
