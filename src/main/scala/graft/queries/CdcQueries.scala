@@ -782,6 +782,33 @@ object CdcQueries {
         .orderBy(col("tx_events")),
       Some("""SELECT tx_events, COUNT(*) AS n_txs FROM (
           SELECT user_id, COUNT(*) AS tx_events FROM events GROUP BY user_id)
-        GROUP BY tx_events ORDER BY tx_events"""))
+        GROUP BY tx_events ORDER BY tx_events""")),
+
+    // E2's publish-order key as DATA: each event's per-subject ordinal
+    // under the sink's sort key (commit_time, numeric LSN, numeric
+    // seq-in-tx). The numeric-LSN decode is what a lexicographic hex sort
+    // silently breaks (round-1 advice finding) — this query regresses it
+    // against the oracle's arithmetic ordering.
+    "c24_sink_order_key" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val n = normalizedCached(s, d)
+        val w = Window.partitionBy(col("subject"))
+          .orderBy(col("commit_time"),
+            graft.streaming.OrderedSink.lsnNumeric(col("lsn")),
+            graft.streaming.OrderedSink.seqNumeric(col("event_id")))
+        n.withColumn("publish_ord", row_number().over(w).cast("long"))
+          .select(col("subject"), col("publish_ord"), col("event_id"))
+          .orderBy(col("subject"), col("publish_ord"))
+      },
+      Some(s"""SELECT subject,
+        CAST(ROW_NUMBER() OVER (PARTITION BY subject
+          ORDER BY commit_ts, ws, seq) AS BIGINT) AS publish_ord,
+        event_id
+        FROM (SELECT 'cdc.$Db.public.' || event_type AS subject,
+          MAX(ts) OVER (PARTITION BY user_id) AS commit_ts,
+          event_id * 10 AS ws, $oSeq AS seq, $oEventId AS event_id
+        FROM events)
+        ORDER BY subject, publish_ord"""))
   )
 }
