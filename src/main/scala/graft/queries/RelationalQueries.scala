@@ -32,7 +32,11 @@ object RelationalQueries {
               .cast("double").as("sum_disc_price"),
             sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount")))
               * (dec(lit(1)) + dec(col("l_tax")))).cast("double").as("sum_charge"),
-            (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+            // avg via exact integral division at micro resolution, then ONE
+            // bigint→double cast + division — never a decimal-cast double
+            // fed into arithmetic (the q54-class cross-engine ulp hazard).
+            (expr("CAST((sum(CAST(l_quantity AS DECIMAL(12,2))) * 1000000) div count(1) AS BIGINT)")
+              .cast("double") / lit(1e6)).as("avg_qty"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
@@ -41,7 +45,7 @@ object RelationalQueries {
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        CAST((CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(30,2)) * 100 AS HUGEINT) * 10000) // COUNT(*) AS BIGINT) / 1000000.0 AS avg_qty,
         COUNT(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus""")),
@@ -305,15 +309,19 @@ object RelationalQueries {
     "q15_scalar_subquery" -> Def(
       (s, d) => {
         val c = t(s, d, "customer")
-        val avgBal = c.agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
-          .as("avg_bal"))
+        // the threshold is a micro-resolution exact integral division (trunc
+        // toward zero in BOTH engines — Spark `div` and DuckDB `//` agree on
+        // negatives) so the row membership is bit-deterministic.
+        val avgBal = c.agg(
+          expr("CAST((sum(CAST(c_acctbal AS DECIMAL(12,2))) * 1000000) div count(1) AS BIGINT)")
+            .cast("double").divide(lit(1e6)).as("avg_bal"))
         c.crossJoin(broadcast(avgBal))
           .filter(col("c_acctbal") > col("avg_bal"))
           .select(col("c_custkey"), col("c_acctbal"))
           .orderBy(col("c_custkey"))
       },
       Some("""SELECT c_custkey, c_acctbal FROM customer
-        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM customer)
+        WHERE c_acctbal > (SELECT CAST((CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(30,2)) * 100 AS HUGEINT) * 10000) // COUNT(*) AS BIGINT) / 1000000.0 FROM customer)
         ORDER BY c_custkey""")),
 
     // Conditional aggregation (manual pivot — exact integer counts).
@@ -487,19 +495,29 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           sum(dec(col("c_acctbal"))).as("s1"),
           sum(dec(col("c_acctbal")) * dec(col("c_acctbal"))).as("s2"))
+        // mean and variance via exact decimal algebra + integral division at
+        // micro resolution: the numerator n·s2 − s1² stays inside the
+        // 38-digit cap via the down-casts (values have huge headroom — s1
+        // ≤ 1e15, n ≤ 1e10 documented bounds), and both engines truncate
+        // integral division toward zero, so the result is bit-deterministic
+        // — no decimal-cast double ever enters arithmetic (q54-class ulp
+        // hazard).
         .select(col("c_mktsegment"), col("n"),
-          (col("s1").cast("double") / col("n")).as("mean_bal"),
-          ((col("n").cast("double") * col("s2").cast("double")
-            - col("s1").cast("double") * col("s1").cast("double")) /
-            (col("n").cast("double") * (col("n") - 1).cast("double"))).as("var_bal"))
+          (expr("CAST((s1 * 1000000) div n AS BIGINT)")
+            .cast("double") / lit(1e6)).as("mean_bal"),
+          (expr("""CAST((CAST(CAST(n AS DECIMAL(10,0)) * CAST(s2 AS DECIMAL(27,4))
+                 - CAST(s1 AS DECIMAL(17,2)) * CAST(s1 AS DECIMAL(17,2)) AS DECIMAL(27,4))
+                 * 1000000) div (n * (n - 1)) AS BIGINT)""")
+            .cast("double") / lit(1e6)).as("var_bal"))
         .orderBy(col("c_mktsegment")),
-      // sums are exact decimals; the variance algebra is then pure-double
-      // (s1*s1 in decimals would exceed the 38-digit cap at large n and
-      // engines diverge on precision-loss handling)
+      // sums are exact decimals; mean/var are exact integral divisions at
+      // micro resolution mirrored below via HUGEINT cent/1e-4 units
+      // (trunc-toward-zero in both engines)
       Some("""SELECT c_mktsegment, n,
-        CAST(s1 AS DOUBLE) / n AS mean_bal,
-        (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_bal
+        CAST((CAST(CAST(s1 AS DECIMAL(30,2)) * 100 AS HUGEINT) * 10000) // n AS BIGINT) / 1000000.0 AS mean_bal,
+        CAST(((n * CAST(CAST(s2 AS DECIMAL(30,4)) * 10000 AS HUGEINT)
+              - CAST(CAST(s1 AS DECIMAL(30,2)) * 100 AS HUGEINT) * CAST(CAST(s1 AS DECIMAL(30,2)) * 100 AS HUGEINT))
+             * 100) // (n * (n - 1)) AS BIGINT) / 1000000.0 AS var_bal
         FROM (SELECT c_mktsegment, COUNT(*) AS n,
           SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS s1,
           SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2))) AS s2

@@ -186,14 +186,21 @@ object SurfaceQueries {
           .agg(
             sum(when(col("p_type").like("PROMO%"), rev)).cast("double").as("promo_rev"),
             sum(rev).cast("double").as("total_rev"),
-            (lit(100.0) * sum(when(col("p_type").like("PROMO%"), rev)).cast("double") /
-              sum(rev).cast("double")).as("promo_pct"))
+            // pct at micro resolution via exact integral division of the two
+            // decimal sums (q54-class hazard if done as double/double) —
+            // trunc(promo·1e8/total)/1e6 ≡ 100·promo/total to 1e-6.
+            (expr("""CAST((CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) END)
+                     AS DECIMAL(27,4)) * 100000000)
+                   div sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                   AS BIGINT)""")
+              .cast("double") / lit(1e6)).as("promo_pct"))
       },
       Some("""SELECT
         CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) END) AS DOUBLE) AS promo_rev,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_rev,
-        100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) END) AS DOUBLE)
-          / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS promo_pct
+        CAST((CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) END) AS DECIMAL(30,4)) * 10000 AS HUGEINT) * 100000000)
+          // CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(30,4)) * 10000 AS HUGEINT) AS BIGINT) / 1000000.0 AS promo_pct
         FROM lineitem JOIN part ON l_partkey = p_partkey""")),
 
     // Correlated scalar subquery through the SQL front-end (Catalyst
@@ -201,10 +208,13 @@ object SurfaceQueries {
     "q35_correlated_subquery" -> Def(
       (s, d) => {
         t(s, d, "orders").createOrReplaceTempView("orders_q35")
+        // per-customer avg threshold as an exact micro-resolution integral
+        // division (q54-class hazard if done as a decimal-cast double
+        // division) — row membership is bit-deterministic in both engines.
         s.sql("""SELECT o_orderkey, o_custkey,
             CAST(o_totalprice AS DOUBLE) AS price
           FROM orders_q35 o
-          WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+          WHERE o_totalprice > 2 * (SELECT CAST((SUM(CAST(i.o_totalprice AS DECIMAL(12,2))) * 1000000) div COUNT(*) AS BIGINT) / 1e6
                                     FROM orders_q35 i
                                     WHERE i.o_custkey = o.o_custkey)
           ORDER BY o_orderkey""")
@@ -212,7 +222,7 @@ object SurfaceQueries {
       Some("""SELECT o_orderkey, o_custkey,
         CAST(o_totalprice AS DOUBLE) AS price
         FROM orders o
-        WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        WHERE o_totalprice > 2 * (SELECT CAST((CAST(CAST(SUM(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(30,2)) * 100 AS HUGEINT) * 10000) // COUNT(*) AS BIGINT) / 1000000.0
                                   FROM orders i
                                   WHERE i.o_custkey = o.o_custkey)
         ORDER BY o_orderkey""")),
@@ -623,11 +633,12 @@ object SurfaceQueries {
 
     // Bounded-time self-join via bucket blocking: event pairs on the same
     // user within 60 s. The join key is (user, minute-bucket) with the
-    // left side exploded into its bucket and the next (any ≤60 s pair
-    // spans at most one boundary), so candidate volume is
-    // per-(user,bucket)-bounded — never a per-user t×t product. The exact
-    // |Δt| filter runs after the equi-join; the oracle brute-forces the
-    // same pairs.
+    // left side exploded into its bucket and both neighbours — a ≤60 s
+    // pair has |bucket_a − bucket_b| ≤ 1 in EITHER direction (the pair
+    // condition is id_a < id_b, which says nothing about time order), so
+    // candidate volume stays per-(user,bucket)-bounded — never a per-user
+    // t×t product. The exact |Δt| filter runs after the equi-join; the
+    // oracle brute-forces the same pairs.
     "q53_interval_selfjoin" -> Def(
       (s, d) => {
         val e = t(s, d, "events")
@@ -635,7 +646,7 @@ object SurfaceQueries {
         val bucket = (unix_micros(col("ts")) / lit(60000000L)).cast("long")
         val left = e.select(col("event_id").as("id_a"),
             col("user_id").as("u"), col("ts").as("ts_a"),
-            explode(array(bucket, bucket + 1)).as("bk"))
+            explode(array(bucket - 1, bucket, bucket + 1)).as("bk"))
         val right = e.select(col("event_id").as("id_b"),
           col("user_id").as("u"), col("ts").as("ts_b"),
           bucket.as("bk"))
@@ -656,9 +667,12 @@ object SurfaceQueries {
 
     // Ratio-to-report: each nation's share of its region's revenue — the
     // share-of-total window over a grouped aggregate. Numerator and
-    // denominator stay exact decimals; the one share division is IEEE
-    // double (deterministic). Two shuffles: the group-by and the
-    // region-partitioned window over the tiny aggregate.
+    // denominator stay exact decimals end-to-end; the share is emitted as
+    // integer parts-per-billion via exact integral division (consumer
+    // divides by 1e9), never a wide-decimal→double cast — decimal(38,2)→
+    // double conversion is not bit-identical across engines (r2's one red
+    // row). Two shuffles: the group-by and the region-partitioned window
+    // over the tiny aggregate.
     "q54_ratio_to_report" -> Def(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -672,9 +686,13 @@ object SurfaceQueries {
           .groupBy(col("r_name"), col("n_name"))
           .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
         val w = Window.partitionBy(col("r_name"))
+        // decimal(24,2) * decimal(10,0) → decimal(35,2): exact, no 38-cap
+        // precision loss; `div` is exact integral division → BIGINT.
         rev.withColumn("region_total", sum(col("revenue")).over(w))
-          .withColumn("share",
-            col("revenue").cast("double") / col("region_total").cast("double"))
+          .withColumn("share_ppb",
+            expr("""CAST((CAST(revenue AS DECIMAL(24,2)) *
+                          CAST(1000000000 AS DECIMAL(10,0)))
+                    div region_total AS BIGINT)"""))
           .orderBy(col("r_name"), col("n_name"))
       },
       Some("""WITH rev AS (SELECT r_name, n_name,
@@ -687,9 +705,10 @@ object SurfaceQueries {
         SELECT r_name, n_name, revenue,
           CAST(SUM(revenue) OVER (PARTITION BY r_name) AS DECIMAL(38,2))
             AS region_total,
-          CAST(revenue AS DOUBLE) /
-            CAST(CAST(SUM(revenue) OVER (PARTITION BY r_name) AS DECIMAL(38,2))
-              AS DOUBLE) AS share
+          CAST((CAST(revenue * 100 AS HUGEINT) * 1000000000) //
+               CAST(CAST(SUM(revenue) OVER (PARTITION BY r_name)
+                    AS DECIMAL(30,2)) * 100 AS HUGEINT) AS BIGINT)
+            AS share_ppb
         FROM rev ORDER BY r_name, n_name"""))
   )
 }
