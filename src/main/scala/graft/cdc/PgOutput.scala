@@ -167,10 +167,22 @@ object PgOutput {
           }
         // parseable-but-unhandled message types are ignored like the
         // reference's switch without a default arm (origin 'O', logical
-        // message 'M', type metadata 'Y'); anything else is an unparseable
-        // frame — the reference's pglogrepl.Parse would error and the
-        // stream would classify it fatal, so we throw (task failure)
+        // message 'M', type metadata 'Y')
         case 'O' | 'M' | 'Y' => Nil
+        // protocol v2 streaming frames (Stream Start/Stop/Commit/Abort) are
+        // VALID pgoutput messages, but this decoder assumes proto_version 1
+        // — the version the reference pins in its START_REPLICATION options
+        // — because v2 interleaves in-progress transactions and prefixes
+        // in-stream DML with an extra xid this decoder does not read. Seeing
+        // one means the slot was opened with streaming=on: a configuration
+        // error, reported as such rather than as an unparseable frame.
+        case st @ ('S' | 'E' | 'c' | 'A') => throw new UnsupportedOperationException(
+          s"pgoutput protocol v2 streaming frame '$st' at " +
+            s"wal_start=$walStart: this decoder speaks proto_version 1 " +
+            "(no streaming) — open the slot with streaming=off")
+        // anything else is an unparseable frame — the reference's
+        // pglogrepl.Parse would error and the stream would classify it
+        // fatal, so we throw (task failure)
         case other => throw new IllegalArgumentException(
           s"unparseable pgoutput frame at wal_start=$walStart: " +
             s"message type 0x${other.toInt.toHexString}")

@@ -383,13 +383,19 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      val prevEdges = edges
       edges = smallStar(largeStar(edges)).localCheckpoint(false)
       // decimal(38,0) checksum: ANSI mode would overflow a raw long sum
       val r = edges.agg(count(lit(1)),
         coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
           lit(java.math.BigDecimal.ZERO))).head()
       val sig = (r.getLong(0), String.valueOf(r.getDecimal(1)))
-      converged = sig == prev
+      // the (count, hash-sum) signature is a cheap per-round probe; on a
+      // match, confirm with ONE exact set compare (both frames are
+      // checkpointed distinct sets, so equal counts + empty difference ⇒
+      // equal sets) — a signature collision must keep iterating, never
+      // declare a non-fixpoint edge set a labeling
+      converged = sig == prev && prevEdges.exceptAll(edges).isEmpty
       prev = sig
       iter += 1
     }

@@ -98,6 +98,19 @@ class PgOutputSpec extends SparkSpec {
     assert(e.getMessage.contains("unparseable pgoutput frame"))
   }
 
+  test("protocol v2 streaming frames are a config error, not garbage") {
+    // 'S' (Stream Start) is a VALID pgoutput message under proto_version 2
+    // — the decoder pins v1 (like the reference's START_REPLICATION
+    // options), so it reports a streaming=on misconfiguration rather than
+    // an unparseable frame
+    val streamStart = Array[Byte]('S'.toByte, 0, 0, 1, 0, 1)
+    val e = intercept[UnsupportedOperationException] {
+      decode(Seq(streamStart))
+    }
+    assert(e.getMessage.contains("proto_version 1"))
+    assert(e.getMessage.contains("streaming"))
+  }
+
   test("distributed decode through the DataFrame API") {
     import spark.implicits._
     val msgs = Seq(relMsg, PgWire.begin(1000, t0, 42),
