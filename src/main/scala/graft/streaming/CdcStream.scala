@@ -51,7 +51,8 @@ object CdcStream {
       unsafeUnorderedAsyncPublish: Boolean = false,
       maxPublishRetries: Int = 3,
       dedupWatermark: String = "2 minutes",
-      metrics: Option[CdcMetrics.Registry] = None): StreamingQuery = {
+      metrics: Option[CdcMetrics.Registry] = None,
+      sinkWriter: Option[() => SinkWriter] = None): StreamingQuery = {
     val events = pipeline(spark, raw, database, tableAllowlist, dedupWatermark)
     events.writeStream
       .outputMode("append")
@@ -60,15 +61,23 @@ object CdcStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         // E4: transient sink failures retried with capped backoff; fatal
         // errors propagate and fail the batch (at-least-once redelivery +
-        // the sink's batch_id idempotence make the retry safe).
+        // the sink's batch_id idempotence / broker Msg-Id dedup make the
+        // retry safe).
         val df = batch.toDF()
         if (metrics.isDefined) df.persist() // one materialization for write + count
         try {
-          Reliability.withRetry(maxPublishRetries,
-              onRetry = () => metrics.foreach(_.publishRetries.inc()))(() =>
-            if (unsafeUnorderedAsyncPublish)
-              UnorderedSink.writeBatch(df, batchId, outPath)
-            else OrderedSink.writeBatch(df, batchId, outPath))
+          sinkWriter match {
+            // broker-backed deployment (E6 seam): the per-item ordered /
+            // unordered publish loops own their retry policy
+            case Some(factory) => SinkPublisher.writeBatchVia(df, factory,
+              maxPublishRetries, ordered = !unsafeUnorderedAsyncPublish)
+            case None =>
+              Reliability.withRetry(maxPublishRetries,
+                  onRetry = () => metrics.foreach(_.publishRetries.inc()))(() =>
+                if (unsafeUnorderedAsyncPublish)
+                  UnorderedSink.writeBatch(df, batchId, outPath)
+                else OrderedSink.writeBatch(df, batchId, outPath))
+          }
           metrics.foreach(_.published.add(df.count()))
         } finally if (metrics.isDefined) df.unpersist()
       }
