@@ -258,10 +258,22 @@ object Dedup {
     * inverted index (no LSH, no cross join): candidate pairs are pairs
     * sharing ≥1 shingle. At scale prefer [[lshCandidates]]; this is the
     * exact baseline/oracle path.
+    *
+    * `maxDf` is REQUIRED: a shingle with document frequency df contributes
+    * df² candidate pairs to the self-join, so one hot shingle ("of the …")
+    * makes the plan quadratic in corpus size — the cap bounds every
+    * shingle's contribution to maxDf². There is deliberately no uncapped
+    * overload: pick a cap above the corpus's max df when exactness is
+    * required (a no-op cap — still the exact baseline) and a
+    * discriminative cap (e.g. 5) for the scale path. Jaccard is computed
+    * over the CAPPED sets (sizes included): with a no-op cap that IS the
+    * exact uncapped form; with a tight cap it is the documented df-capped
+    * approximation — callers' oracles apply the identical cap.
     */
-  def ngramJaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+  def ngramJaccardPairs(sh: DataFrame, threshold: Double, maxDf: Long): DataFrame = {
+    val shc = dfCapped(sh, maxDf)
+    val sizes = shc.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    shc.as("a").join(shc.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")

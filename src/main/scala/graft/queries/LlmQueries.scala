@@ -260,10 +260,16 @@ object LlmQueries {
         WHERE jaccard >= 0.8 ORDER BY id_a, id_b""")),
 
     // Exact n-gram Jaccard pairs via the shingle inverted index (the
-    // no-approximation baseline of l07).
+    // no-approximation baseline of l07). maxDf=1000 is ≥40× the corpus's
+    // max shingle df (7 at sf0.01, 25 at sf0.1) — a no-op cap, so the
+    // UNCAPPED oracle still matches bit-for-bit (and would fail loudly if
+    // the cap ever bit), while no registered query retains an uncapped
+    // inverted-index self-join: a hot shingle at 100× contributes at most
+    // maxDf² pairs instead of df².
     "l08_ngram_jaccard_pairs" -> Def(
       (s, d) => Dedup.ngramJaccardPairs(
-          Dedup.shingleIndex(t(s, d, "documents"), "doc_id", "text"), 0.5)
+          Dedup.shingleIndex(t(s, d, "documents"), "doc_id", "text"), 0.5,
+          maxDf = 1000)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b")),
       Some(s"""WITH $oShingles, $oJaccard
@@ -1723,10 +1729,8 @@ object LlmQueries {
     // hash-checked exactly.
     "l34_ngram_jaccard_dfcap" -> Def(
       (s, d) => Dedup.ngramJaccardPairs(
-          Dedup.dfCapped(
-            Dedup.shingleIndex(t(s, d, "documents"), "doc_id", "text"),
-            maxDf = 5),
-          0.5)
+          Dedup.shingleIndex(t(s, d, "documents"), "doc_id", "text"),
+          0.5, maxDf = 5)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b")),
       Some(s"""WITH $oShingles,

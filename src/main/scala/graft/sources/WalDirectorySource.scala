@@ -36,6 +36,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Usage: spark.readStream.format("graft.sources.WalDirectorySource")
   *          .option("path", dir).load()
+  *
+  * LIVE-SOURCE SEAM: a live replication-protocol source (CopyBoth socket,
+  * reader.go:311-489) swaps in behind the same `MicroBatchStream with
+  * SupportsAdmissionControl` surface — offsets become real LSNs, `commit`
+  * sends StandbyStatusUpdate instead of appending to `_acked`, and the
+  * source buffers unacked bytes so offset ranges stay replayable. The
+  * five properties any implementation must keep are pinned by
+  * `WalSourceContract` (WalSourceContractSpec) — extend it with a
+  * socket-backed fixture to qualify a live source.
   */
 class WalDirectorySource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

@@ -23,7 +23,7 @@ class DedupSpec extends SparkSpec {
 
   test("exact n-gram jaccard finds near-dup and exact-dup pairs") {
     val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
-    val pairs = Dedup.ngramJaccardPairs(sh, 0.5)
+    val pairs = Dedup.ngramJaccardPairs(sh, 0.5, maxDf = 1000000)
       .select($"id_a", $"id_b", $"jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
     assert(pairs.map(p => (p._1, p._2)).toList == List((1L, 2L), (1L, 4L), (2L, 4L)))
