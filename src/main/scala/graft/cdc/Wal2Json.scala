@@ -49,11 +49,16 @@ object Wal2Json {
     * `to_timestamp` attempts (SURVEY.md P6). All built-in, codegen'd.
     */
   def parsePgTimestamp(c: Column): Column = {
+    // hour-only offset ('X': "+00") first — it is what PostgreSQL actually
+    // emits; 'X' and 'XXX' ("+00:00") are mutually exclusive matchers
+    // (to_timestamp requires full consumption), so ordering within each
+    // pair is result-invariant and only affects how many fallbacks the
+    // common case pays.
     val fmts = Seq(
-      "yyyy-MM-dd HH:mm:ss.SSSSSSXXX",
       "yyyy-MM-dd HH:mm:ss.SSSSSSX",
-      "yyyy-MM-dd HH:mm:ssXXX",
+      "yyyy-MM-dd HH:mm:ss.SSSSSSXXX",
       "yyyy-MM-dd HH:mm:ssX",
+      "yyyy-MM-dd HH:mm:ssXXX",
       "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
       "yyyy-MM-dd'T'HH:mm:ssXXX",
       "yyyy-MM-dd HH:mm:ss.SSSSSS",
@@ -128,6 +133,67 @@ object Wal2Json {
         col("txid"), col("action_time")
       )
   }
+
+  /** Header-only parse for the streaming pipeline: just enough to drive
+    * transaction assembly and the table allowlist — (action, xid,
+    * timestamp, schema, table) — while the document rides along raw. The
+    * expensive part of the full parse (columns/identity arrays → maps) is
+    * deferred to [[decodePayload]] AFTER assembly, where begin/commit
+    * markers have already been consumed: fewer rows pay it, and the
+    * stateful operator's encoder/state carry one string instead of two
+    * maps.
+    *
+    * Output: wal_start, data, action, txid, action_time, schema_name,
+    * table_name; unknown/unsupported actions dropped (wal2json.go:166-168).
+    *
+    * `action_time` is parsed ONLY for commit markers: assembly stamps every
+    * event of a transaction with its COMMIT's time (the reference does the
+    * same, pgoutput.go:283-304), so data-row timestamps are never read —
+    * and the multi-layout parse is the expensive part of the header. With
+    * ~100 events/tx that is ~1% of the parse work.
+    */
+  def decodeHeader(raw: DataFrame, walStartCol: String = "wal_start",
+      dataCol: String = "data"): DataFrame = {
+    val headerSchema = StructType(Seq(
+      StructField("action", StringType),
+      StructField("xid", LongType),
+      StructField("timestamp", StringType),
+      StructField("schema", StringType),
+      StructField("table", StringType)))
+    raw
+      .withColumn("_h", from_json(col(dataCol), headerSchema))
+      .select(
+        col(s"$walStartCol").as("wal_start"),
+        col(dataCol).as("data"),
+        col("_h.action").as("action"),
+        coalesce(col("_h.xid"), lit(0L)).as("txid"),
+        when(col("_h.action") === "C", parsePgTimestamp(col("_h.timestamp")))
+          .as("action_time"),
+        col("_h.schema").as("schema_name"),
+        col("_h.table").as("table_name"))
+      .filter(col("action").isin("B", "C", "I", "U", "D", "T"))
+  }
+
+  /** Payload parse of assembled raw lines (StreamingTxAssembly.assembleRaw
+    * output): full wal2json decode of `data`, emitting the
+    * SequencedWalEvent column shape Transform.normalize expects. Only data
+    * rows reach here — markers were consumed by assembly.
+    */
+  def decodePayload(assembled: DataFrame, dataCol: String = "data"): DataFrame =
+    assembled
+      .withColumn("_a", from_json(col(dataCol), actionSchema))
+      .select(
+        col("wal_start"),
+        expr("""CASE _a.action WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE'
+                               WHEN 'D' THEN 'DELETE' WHEN 'T' THEN 'DDL'
+                               ELSE _a.action END""").as("operation"),
+        col("_a.schema").as("schema_name"),
+        col("_a.table").as("table_name"),
+        when(col("_a.action") === "T", map().cast(MapType(StringType, StringType)))
+          .otherwise(colsToMap(col("_a.identity"))).as("old_values"),
+        when(col("_a.action") === "T", map().cast(MapType(StringType, StringType)))
+          .otherwise(colsToMap(col("_a.columns"))).as("new_values"),
+        col("txid"), col("seq_in_tx"), col("commit_time"), col("commit_lsn"))
 
   /** Table-allowlist filter (reference F1: internal/parser/wal2json.go:173-179;
     * empty allowlist = pass-all). Applied as a plain Catalyst predicate so it

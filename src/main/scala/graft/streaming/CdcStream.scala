@@ -25,17 +25,39 @@ object CdcStream {
 
   /** Decode + assemble + normalize a streaming DataFrame of
     * (wal_start: long, data: string) wal2json lines.
+    *
+    * Parse is split around the stateful operator: a header-only parse
+    * (action/xid/timestamp/schema/table) feeds assembly and the allowlist,
+    * the raw document rides through state as ONE string, and the expensive
+    * payload parse (columns/identity → maps) runs after assembly on data
+    * rows only. Same output as full-decode-first (same event set, same
+    * seq_in_tx — the allowlist still applies before sequencing), but the
+    * state store carries strings instead of maps and markers never pay the
+    * full parse.
     */
   def pipeline(spark: SparkSession, raw: DataFrame, database: String,
       tableAllowlist: Seq[String] = Nil, dedupWatermark: String = "2 minutes",
       txTtl: Option[String] = None): DataFrame = {
-    val decoded = Wal2Json.filterTables(Wal2Json.decode(raw), tableAllowlist)
-    val sequenced = StreamingTxAssembly.assemble(spark, decoded, txTtl).toDF()
+    val header = Wal2Json.decodeHeader(raw)
+    val filtered =
+      if (tableAllowlist.isEmpty) header
+      else header.filter(
+        col("action").isin("B", "C") ||
+        concat_ws(".", col("schema_name"), col("table_name"))
+          .isin(tableAllowlist: _*))
+    // E7 dedup runs on the SLIM assembled rows, before the payload parse:
+    // event_id is a deterministic function of (wal_start, txid, seq, op,
+    // schema.table) and a WAL position never carries two different
+    // events, so the (wal_start, txid) key dedups exactly the rows
+    // event_id would — while the state/exchange carry one string instead
+    // of parsed maps, and replayed duplicates never pay the payload parse.
+    val deduped = StreamingTxAssembly.assembleRaw(spark, filtered, txTtl).toDF()
+      .withWatermark("commit_time", dedupWatermark)
+      .dropDuplicatesWithinWatermark("wal_start", "txid")
+    val sequenced = Wal2Json.decodePayload(deduped)
       .withColumn("is_begin", lit(false))
       .withColumn("is_commit", lit(false))
     Transform.normalize(sequenced, database)
-      .withWatermark("commit_time", dedupWatermark)
-      .dropDuplicatesWithinWatermark("event_id")
   }
 
   /** Start the pipeline into a parquet sink with checkpointed recovery.

@@ -35,6 +35,30 @@ case class SequencedWalEvent(
   */
 case class TxState(events: List[DecodedWalEvent])
 
+/** Header-parsed WAL line: action/txid/time known, payload still raw JSON
+  * (Wal2Json.decodeHeader output shape).
+  */
+case class RawWalLine(
+    wal_start: Long,
+    data: String,
+    action: String,
+    txid: Long,
+    action_time: Timestamp)
+
+/** Per-transaction buffer of raw (wal_start, document) lines. */
+case class RawTxState(lines: List[(Long, String)])
+
+/** Assembled raw line with commit metadata + deterministic ordinal; the
+  * payload parse happens downstream (Wal2Json.decodePayload).
+  */
+case class SequencedRawLine(
+    wal_start: Long,
+    data: String,
+    txid: Long,
+    seq_in_tx: Long,
+    commit_time: Timestamp,
+    commit_lsn: Long)
+
 /** Streaming transaction assembly (reference P3+P4:
   * internal/parser/pgoutput.go:247-304, 467-531): buffer each transaction's
   * events in keyed state until its Commit marker arrives, then emit every
@@ -99,5 +123,56 @@ object StreamingTxAssembly {
       .groupByKey(_.txid)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         assembleTx(txTtl.getOrElse("")))
+  }
+
+  /** Same commit-gated assembly over HEADER-parsed lines: only (action,
+    * txid, action_time) are known pre-assembly and the raw JSON document
+    * rides through state as one string. This is the production pipeline's
+    * shape ([[CdcStream.pipeline]]): the expensive payload parse
+    * (columns/identity arrays → maps) runs AFTER assembly, on data rows
+    * only — begin/commit markers never pay it — and the state encoder
+    * moves one string per buffered event instead of two maps, so both the
+    * per-batch encoder work and the state-store bytes shrink. Same
+    * emission semantics as [[assembleTx]] (commit-gated, WAL-order seq,
+    * TTL eviction of abandoned txs).
+    */
+  def assembleRawTx(txTimeout: String)(txid: Long, it: Iterator[RawWalLine],
+      state: GroupState[RawTxState]): Iterator[SequencedRawLine] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val prior = state.getOption.map(_.lines).getOrElse(Nil)
+      val arrived = it.toList
+      val commit = arrived.find(_.action == "C")
+      val data = prior ++ arrived.filterNot(l => l.action == "B" || l.action == "C")
+        .map(l => (l.wal_start, l.data))
+      commit match {
+        case Some(c) =>
+          state.remove()
+          data.sortBy(_._1).iterator.zipWithIndex.map { case ((ws, d), i) =>
+            SequencedRawLine(ws, d, txid, i.toLong, c.action_time, c.wal_start)
+          }
+        case None =>
+          state.update(RawTxState(data))
+          if (txTimeout.nonEmpty) state.setTimeoutDuration(txTimeout)
+          Iterator.empty
+      }
+    }
+  }
+
+  /** Apply raw-line stateful assembly ([[assembleRawTx]]) to a streaming
+    * DataFrame of header-parsed WAL rows (Wal2Json.decodeHeader output).
+    */
+  def assembleRaw(spark: SparkSession, header: DataFrame,
+      txTtl: Option[String] = None): Dataset[SequencedRawLine] = {
+    import spark.implicits._
+    val timeoutConf = if (txTtl.isEmpty) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.ProcessingTimeTimeout
+    header.select("wal_start", "data", "action", "txid", "action_time")
+      .as[RawWalLine]
+      .groupByKey(_.txid)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        assembleRawTx(txTtl.getOrElse("")))
   }
 }
