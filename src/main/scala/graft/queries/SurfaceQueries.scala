@@ -665,6 +665,52 @@ object SurfaceQueries {
           AND abs(date_diff('microsecond', a.ts, b.ts)) <= 60000000
         ORDER BY id_a, id_b""")),
 
+    // Recursive CTE (Spark 4.1 WITH RECURSIVE): generate the contiguous
+    // month calendar between the first and last order — zero-filled months
+    // included, which no non-recursive form can produce from the data
+    // alone — and left-join per-month order stats. Scale shape: recursion
+    // depth = #months (bounded, driver-side tiny frame); the only
+    // data-size work is one per-month aggregation shuffle; the month
+    // series broadcasts into the join.
+    "q55_recursive_calendar" -> Def(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders_q55")
+        s.sql("""WITH RECURSIVE bounds AS (
+            SELECT to_date(date_trunc('MONTH', MIN(o_orderdate))) AS lo,
+                   to_date(date_trunc('MONTH', MAX(o_orderdate))) AS hi
+            FROM orders_q55),
+          months(m) AS (
+            SELECT lo FROM bounds
+            UNION ALL
+            SELECT add_months(m, 1) FROM months JOIN bounds ON m < hi),
+          per_month AS (
+            SELECT to_date(date_trunc('MONTH', o_orderdate)) AS m,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS revenue
+            FROM orders_q55 GROUP BY 1)
+          SELECT months.m, COALESCE(n_orders, 0) AS n_orders,
+                 COALESCE(revenue, CAST(0 AS DECIMAL(28,2))) AS revenue
+          FROM months LEFT JOIN per_month ON months.m = per_month.m
+          ORDER BY months.m""")
+      },
+      Some("""WITH RECURSIVE bounds AS (
+          SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+                 CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+          FROM orders),
+        months(m) AS (
+          SELECT lo FROM bounds
+          UNION ALL
+          SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months JOIN bounds ON m < hi),
+        per_month AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS revenue
+          FROM orders GROUP BY 1)
+        SELECT months.m, COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(revenue, CAST(0 AS DECIMAL(28,2))) AS revenue
+        FROM months LEFT JOIN per_month ON months.m = per_month.m
+        ORDER BY months.m""")),
+
     // Ratio-to-report: each nation's share of its region's revenue — the
     // share-of-total window over a grouped aggregate. Numerator and
     // denominator stay exact decimals end-to-end; the share is emitted as
