@@ -512,24 +512,51 @@ object Dedup {
       .distinct()
   }
 
-  /** The pigeonhole block structs for radius `maxHamming`: maxHamming+1
-    * non-empty bit spans of the 48-bit simhash — any pair within the
-    * radius agrees exactly on at least one whole block.
+  /** The pigeonhole block structs for radius `maxHamming` over a
+    * `bits`-wide hash column: maxHamming+1 non-empty bit spans — any pair
+    * within the radius agrees exactly on at least one whole block.
     */
-  private def simhashBlocks(maxHamming: Int): Seq[Column] = {
+  private def hammingBlocks(hashCol: Column, bits: Int, maxHamming: Int): Seq[Column] = {
     val nBlocks = maxHamming + 1
-    require(nBlocks >= 2 && nBlocks <= SimhashBits,
-      s"maxHamming must be in [1, ${SimhashBits - 1}], got $maxHamming")
-    val base = SimhashBits / nBlocks
-    val rem = SimhashBits % nBlocks
+    require(nBlocks >= 2 && nBlocks <= bits,
+      s"maxHamming must be in [1, ${bits - 1}], got $maxHamming")
+    val base = bits / nBlocks
+    val rem = bits % nBlocks
     val widths = (0 until nBlocks).map(i => base + (if (i < rem) 1 else 0))
-    assert(widths.forall(_ >= 1) && widths.sum == SimhashBits)
+    assert(widths.forall(_ >= 1) && widths.sum == bits)
     val offsets = widths.scanLeft(0)(_ + _)
     (0 until nBlocks).map { i =>
-      val mask = (1L << widths(i)) - 1
-      struct(lit(i).as("blk"),
-        shiftrightunsigned(col("simhash"), offsets(i)).bitwiseAND(lit(mask)).as("v"))
+      // width-64 span: the mask shift would overflow; the span is the
+      // whole hash and masking is a no-op
+      val v =
+        if (widths(i) >= 64) shiftrightunsigned(hashCol, offsets(i))
+        else shiftrightunsigned(hashCol, offsets(i))
+          .bitwiseAND(lit((1L << widths(i)) - 1))
+      struct(lit(i).as("blk"), v.as("v"))
     }
+  }
+
+  private def simhashBlocks(maxHamming: Int): Seq[Column] =
+    hammingBlocks(col("simhash"), SimhashBits, maxHamming)
+
+  /** Generic hamming-radius self-pairs over ANY `bits`-wide long hash
+    * column (image perceptual hashes, 64-bit simhash variants, …): the
+    * same exact pigeonhole blocking as [[simhashPairs]] — shuffle volume
+    * is corpus × (maxHamming+1) block keys, never n².
+    * Input: (id, <hashCol>); output: (id_a, id_b, hamming), id_a < id_b.
+    */
+  def hammingPairs(sig: DataFrame, hashCol: String, bits: Int,
+      maxHamming: Int, maxBucket: Int = 0): DataFrame = {
+    val blocked = capBuckets(
+      sig.select(col("id"), col(hashCol).as("_hh"),
+        explode(array(hammingBlocks(col(hashCol), bits, maxHamming): _*)).as("b")),
+      "b", maxBucket)
+    blocked.as("l").join(blocked.as("r"),
+        col("l.b") === col("r.b") && col("l.id") < col("r.id"))
+      .withColumn("hamming", bit_count(col("l._hh").bitwiseXOR(col("r._hh"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("hamming"))
+      .distinct()
   }
 
   /** Cross-set simhash radius join: (a, b) pairs with one id from `sigA`

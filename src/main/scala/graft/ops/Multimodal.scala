@@ -182,6 +182,110 @@ object Multimodal {
       }.toDF("media_id", "payload", "resized")
   }
 
+  /** 64-bit average-hash (aHash) of an image: 8×8 box-average luminance
+    * grid, bit i set when cell i's mean exceeds the global mean. Pure
+    * integer pixel math over the real ImageIO decode — deterministic on
+    * any JVM (no resampling filter involved, unlike getScaledInstance).
+    * None when the bytes are not a decodable image.
+    */
+  def aHash64(bytes: Array[Byte]): Option[Long] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes))).flatMap { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w < 8 || h < 8) None
+      else {
+        val sums = new Array[Long](64)
+        val counts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val cy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val cx = x * 8 / w
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            sums(cy * 8 + cx) += lum
+            counts(cy * 8 + cx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        // compare cell means to the global mean in exact cross-multiplied
+        // integer form: no float division anywhere
+        var totalSum = 0L; var totalCnt = 0L
+        var i = 0
+        while (i < 64) { totalSum += sums(i); totalCnt += counts(i); i += 1 }
+        var hash = 0L
+        i = 0
+        while (i < 64) {
+          if (sums(i) * totalCnt > totalSum * counts(i)) hash |= (1L << i)
+          i += 1
+        }
+        Some(hash)
+      }
+    } catch { case NonFatal(_) => None }
+
+  /** Deterministic 64×64 synthetic picture (integer-mixed pixel function
+    * of `seed`; `flipCorner` overwrites an n×n corner block white) — the
+    * REAL-PNG fixture for the driver-gated image near-dup query and the
+    * specs: same seed ⇒ byte-identical PNG on any JVM (PNG encoding of
+    * TYPE_INT_RGB is deterministic), so gate row counts are stable.
+    */
+  def testPatternPng(seed: Int, flipCorner: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // cell-quantized binary pattern: each 8×8 cell is solid black or
+    // white from a hash of (seed, cell) — cell means are saturated (0 or
+    // 255), far from the ~127 global mean, so the aHash is a robust
+    // 64-bit code: different seeds are ~32 bits apart, and a corner flip
+    // moves exactly the covered cells (no borderline bits)
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 64) {
+        val cell = (y / 8) * 8 + (x / 8)
+        var v = (seed * 83492791L) ^ (cell * 73856093L)
+        v *= 2654435761L; v ^= v >>> 23; v *= 0x2127599bf4325c37L; v ^= v >>> 47
+        img.setRGB(x, y, if ((v & 1L) == 1L) 0xffffff else 0x000000)
+        x += 1
+      }
+      y += 1
+    }
+    var fy = 0
+    while (fy < flipCorner) {
+      var fx = 0
+      while (fx < flipCorner) { img.setRGB(fx, fy, 0xffffff); fx += 1 }
+      fy += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Distributed perceptual hashing: (media_id, payload) → (id, ahash) for
+    * every decodable image; undecodable payloads are absent (quarantine
+    * them via `decode`'s `decoded` flag, not here). Narrow map — payload
+    * bytes never shuffle.
+    */
+  def imageAHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) => aHash64(bytes).map(hh => (id, hh)) }
+      }.toDF("id", "ahash")
+  }
+
+  /** Near-duplicate image pairs within a hamming radius of the 64-bit
+    * aHash — crops/re-encodes/minor edits of the same picture. Exact
+    * pigeonhole blocking ([[Dedup.hammingPairs]]): shuffle volume is
+    * corpus × (radius+1) block keys, never n².
+    */
+  def imageNearDupPairs(hashed: DataFrame, maxHamming: Int,
+      maxBucket: Int = 0): DataFrame =
+    Dedup.hammingPairs(hashed, "ahash", bits = 64, maxHamming, maxBucket)
+
   /** Frame sampling plan for video payloads: every `stride`-th frame index.
     * Metadata-only (no byte shuffling); the decode of selected frames would
     * ride on `decode` above.

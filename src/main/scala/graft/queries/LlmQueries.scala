@@ -1183,6 +1183,30 @@ object LlmQueries {
                 WHEN 'src2' THEN 0.25 ELSE -1 END) * 10000 AS BIGINT))
         GROUP BY source, epoch ORDER BY source, epoch""")),
 
+    // Image perceptual-hash near-dup pairs over REAL PNGs (multimodal ×
+    // dedup crossover): deterministic synthetic pictures — doc pairs
+    // (2k, 2k+1) share a seed, the odd one perturbed in a corner — are
+    // ImageIO-decoded, aHash64-hashed (integer pixel math), and paired by
+    // exact pigeonhole blocking within hamming radius 8. Rows-only gate:
+    // the oracle engine cannot decode PNG, but the synthesis is
+    // deterministic so the row count is stable. Scale shape: narrow
+    // hash map (payload bytes never shuffle) + corpus × (radius+1)
+    // block-key exchange — never n².
+    "l70_image_phash_pairs" -> Def(
+      (s, d) => {
+        import s.implicits._
+        val media = t(s, d, "documents").select(col("doc_id")).filter(col("doc_id") < 400)
+          .as[Long]
+          .mapPartitions { it =>
+            javax.imageio.ImageIO.setUseCache(false)
+            it.map(id => (id,
+              Multimodal.testPatternPng((id / 2).toInt, flipCorner = if (id % 2 == 1) 16 else 0)))
+          }.toDF("media_id", "payload")
+        Multimodal.imageNearDupPairs(Multimodal.imageAHash(s, media), maxHamming = 8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {

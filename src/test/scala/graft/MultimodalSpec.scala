@@ -76,4 +76,33 @@ class MultimodalSpec extends SparkSpec {
     assert(!resized(2L)._2 && new String(resized(2L)._1) == "junk",
       "non-image passes through unchanged")
   }
+
+  /** The cell-quantized deterministic test picture (Multimodal
+    * .testPatternPng): a 16-px corner flip covers exactly 4 aHash cells.
+    */
+  private def patternPng(seed: Int, flip: Int = 0): Array[Byte] =
+    Multimodal.testPatternPng(seed, flip)
+
+  test("aHash64: deterministic, identical bytes hash equal, perturbation stays near") {
+    val a = Multimodal.aHash64(patternPng(1)).get
+    assert(Multimodal.aHash64(patternPng(1)).contains(a), "pure function of the pixels")
+    val aFlip = Multimodal.aHash64(patternPng(1, flip = 16)).get
+    val b = Multimodal.aHash64(patternPng(2)).get
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(a, aFlip) <= 4, s"corner flip moves few cells: ${ham(a, aFlip)}")
+    assert(ham(a, b) > 12, s"different pattern is far: ${ham(a, b)}")
+    assert(Multimodal.aHash64("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("image near-dup pairs: perturbed copy found within radius, distinct images not") {
+    val media = Seq(
+      (1L, patternPng(1)), (2L, patternPng(1, flip = 16)),
+      (3L, patternPng(2)), (4L, patternPng(3)),
+      (5L, "junk".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val hashed = Multimodal.imageAHash(spark, media)
+    assert(hashed.count() == 4, "undecodable payloads are absent, not hashed")
+    val pairs = Multimodal.imageNearDupPairs(hashed, maxHamming = 8)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"only the perturbed copy pairs up: $pairs")
+  }
 }
