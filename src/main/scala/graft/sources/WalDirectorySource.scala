@@ -151,11 +151,23 @@ final class WalMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int] = 
   /** Standby feedback (reader.go:594-605): record the durably-processed
     * position. Append-only so the ledger doubles as an audit of ack
     * progression; the last line is the current `confirmed_flush_lsn` analog.
+    *
+    * MONOTONIC like the reference's SetAckedPosition
+    * (reader_acked_test.go:20-37): an ack at or below the current position
+    * is ignored — a restarted/racing committer can never move
+    * confirmed_flush backward, which would re-deliver WAL the sink already
+    * acked past.
     */
   override def commit(end: Offset): Unit = {
-    val line = s"${end.json()}\n"
-    Files.write(Paths.get(path, "_acked"), line.getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    val cur = end.asInstanceOf[WalOffset].fileCount
+    val last = WalDirectorySource.ackedPositions(path).lastOption
+      .flatMap(l => """"fileCount"\s*:\s*(\d+)""".r.findFirstMatchIn(l))
+      .map(_.group(1).toInt)
+    if (!last.exists(_ >= cur)) {
+      val line = s"${end.json()}\n"
+      Files.write(Paths.get(path, "_acked"), line.getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
   }
 
   override def stop(): Unit = ()

@@ -59,6 +59,20 @@ class SourcesSpec extends SparkSpec {
     assert(acked.head.contains("\"fileCount\":1"))
   }
 
+  test("ack ledger is monotonic: a lower or equal ack is ignored (reader_acked_test.go:20-37)") {
+    val dir = Files.createTempDirectory("walackmono").toString
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    val stream = new graft.sources.WalMicroBatchStream(dir)
+    stream.commit(graft.sources.WalOffset(2))
+    stream.commit(graft.sources.WalOffset(4))
+    stream.commit(graft.sources.WalOffset(3)) // regression: ignored
+    stream.commit(graft.sources.WalOffset(4)) // duplicate: ignored
+    stream.commit(graft.sources.WalOffset(5))
+    val acked = WalDirectorySource.ackedPositions(dir)
+    assert(acked.map(l => """\d+""".r.findFirstIn(l).get.toInt) == Seq(2, 4, 5),
+      s"confirmed_flush can only advance: $acked")
+  }
+
   test("end-to-end: custom source -> CDC pipeline -> ordered sink, with restart") {
     val dir = Files.createTempDirectory("wale2e").toString
     val out = s"$dir/out"; val ckpt = s"$dir/ckpt"; val in = s"$dir/in"
