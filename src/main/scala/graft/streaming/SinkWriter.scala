@@ -155,6 +155,21 @@ object SinkPublisher {
     result(buf, acked, quarantined.toSeq, firstError)
   }
 
+  /** Map the reference's failure policy (engine_failure_policy_test.go) to
+    * a quarantine handler: `crash` = None (a poison message fails the
+    * batch), `skip` = handled-but-unrecorded, `dlq` = recorded via
+    * `record`. ONLY permanent failures consult the policy — transient
+    * exhaustion fails the batch under every policy (the reference's
+    * TransientExhaustionStillFailsUnderDLQPolicy).
+    */
+  def quarantineFor(policy: graft.cdc.Dlq.Policy,
+      record: (PublishItem, Throwable) => Unit): Option[(PublishItem, Throwable) => Unit] =
+    policy match {
+      case graft.cdc.Dlq.PolicyCrash => None
+      case graft.cdc.Dlq.PolicySkip => Some((_, _) => ())
+      case graft.cdc.Dlq.PolicyDlq => Some(record)
+    }
+
   private def result(buf: Vector[PublishItem], acked: Array[Boolean],
       quarantined: Seq[Int], firstError: Option[Throwable]): PublishBatchResult = {
     val lastSuccess = acked.takeWhile(identity).length match {

@@ -117,6 +117,34 @@ class SinkWriterSpec extends SparkSpec {
     assert(res.firstError.exists(_.isInstanceOf[PermanentPublishException]))
   }
 
+  test("skip policy: poison is handled without a DLQ record and the batch continues " +
+      "(engine_failure_policy_test.go:109)") {
+    val b = MockBroker.reset("poison-skip")
+    b.poison.add("ev1")
+    val dlq = ArrayBuffer[(String, String)]()
+    val res = SinkPublisher.publishOrdered(items(3).iterator,
+      new MockBrokerSinkWriter("poison-skip"), sleep = noSleep,
+      quarantine = SinkPublisher.quarantineFor(graft.cdc.Dlq.PolicySkip,
+        (item, e) => dlq += ((item.eventId, e.getMessage))))
+    assert(res.isComplete && res.quarantined == Seq(1))
+    assert(dlq.isEmpty, "skip policy records nothing")
+    assert(b.log.map(_.eventId) == Seq("ev0", "ev2"))
+  }
+
+  test("transient exhaustion still fails the batch under the DLQ policy " +
+      "(engine_failure_policy_test.go:133)") {
+    val b = MockBroker.reset("transient-dlq")
+    b.transientFails.put("ev1", new AtomicInteger(Int.MaxValue))
+    val dlq = ArrayBuffer[String]()
+    val res = SinkPublisher.publishOrdered(items(3).iterator,
+      new MockBrokerSinkWriter("transient-dlq"), maxRetries = 2, sleep = noSleep,
+      quarantine = SinkPublisher.quarantineFor(graft.cdc.Dlq.PolicyDlq,
+        (item, _) => dlq += item.eventId))
+    assert(!res.isComplete, "only PERMANENT failures consult the policy")
+    assert(dlq.isEmpty, "a transient failure never quarantines")
+    assert(res.failedItems == Seq(1, 2) && res.lastSuccessPosition.contains(0L))
+  }
+
   test("unordered mode retries ONLY the failed items (E3, engine.go:539-661)") {
     val b = MockBroker.reset("unordered")
     b.transientFails.put("ev1", new AtomicInteger(1))
