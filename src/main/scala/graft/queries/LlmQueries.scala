@@ -1207,6 +1207,52 @@ object LlmQueries {
       },
       None),
 
+    // Batch analog of the STREAMING ingest dedup (streaming/StreamingDedup
+    // .nearDupStream): with every document in one batch, the stateful
+    // bucket-membership semantics reduce to "for each doc, the minimum
+    // earlier doc sharing an LSH band whose signature agreement reaches
+    // 26/32" — SQL-expressible, so the streaming operator's MATH gets a
+    // bit-exact oracle here (and StreamingDedupSpec asserts the streaming
+    // op produces exactly these verdicts for a single-batch run).
+    "l71_ingest_dedup_batch" -> Def(
+      (s, d) => {
+        val sig = Dedup.minhashSignaturesNarrow(
+          t(s, d, "documents"), "doc_id", "text", k = 32)
+        val cand = Dedup.lshCandidates(sig, k = 32, rowsPerBand = 2,
+          maxBucket = 10000)
+        def side(tag: String) = sig.select(
+          col("id").as(s"id_$tag") +:
+            (1 to 32).map(j => col(s"mh_$j").as(s"${tag}_$j")): _*)
+        val matches = (1 to 32)
+          .map(j => when(col(s"a_$j") === col(s"b_$j"), 1).otherwise(0))
+          .reduce(_ + _)
+        cand.join(side("a"), "id_a").join(side("b"), "id_b")
+          .withColumn("matches", matches)
+          .filter(col("matches") >= 26) // = ceil(4/5 · 32), the stream's threshold
+          .groupBy(col("id_b").as("doc_id"))
+          .agg(min(col("id_a")).as("dup_of"),
+            count(lit(1)).as("n_matching_members"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val mins = (1 to 32).map(j =>
+          s"MIN((hb * ${mhA(j)} + ${mhB(j)}) % $P31) AS mh_$j").mkString(", ")
+        val bandCond = (0 until 16).map { b =>
+          s"(a.mh_${2 * b + 1} = b.mh_${2 * b + 1} AND a.mh_${2 * b + 2} = b.mh_${2 * b + 2})"
+        }.mkString(" OR ")
+        val agreeSum = (1 to 32).map(j =>
+          s"CASE WHEN a.mh_$j = b.mh_$j THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH $oShingles, $oShingleHash,
+          sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
+          agree AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              ($agreeSum) AS matches
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCond))
+          SELECT id_b AS doc_id, MIN(id_a) AS dup_of,
+            COUNT(*) AS n_matching_members
+          FROM agree WHERE matches >= 26
+          GROUP BY id_b ORDER BY doc_id"""
+      }),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {

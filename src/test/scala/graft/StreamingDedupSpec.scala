@@ -58,6 +58,32 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("single-batch streaming run ≡ the oracle-checked batch analog (l71) on real docs") {
+    implicit val sctx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.queries.Q.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingDedup.nearDupStream(spark,
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_equiv").start()
+    try {
+      input.addData(docs.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("sdedup_equiv")
+        .groupBy($"doc_id").agg(org.apache.spark.sql.functions.min($"dup_of").as("dup_of"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.SparkEntry.all("l71_ingest_dedup_batch").fn(spark, sfDir)
+        .select($"doc_id", $"dup_of")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.nonEmpty, "fixture must contain planted near-dups")
+      assert(streamed == batch,
+        s"streaming verdicts must equal the batch analog: " +
+          s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+    } finally q.stop()
+  }
+
   test("cross-batch state: a dup arriving many batches later still matches") {
     implicit val sctx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
