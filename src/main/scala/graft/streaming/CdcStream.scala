@@ -45,16 +45,25 @@ object CdcStream {
         col("action").isin("B", "C") ||
         concat_ws(".", col("schema_name"), col("table_name"))
           .isin(tableAllowlist: _*))
-    // E7 dedup runs on the SLIM assembled rows, before the payload parse:
-    // event_id is a deterministic function of (wal_start, txid, seq, op,
-    // schema.table) and a WAL position never carries two different
-    // events, so the (wal_start, txid) key dedups exactly the rows
-    // event_id would — while the state/exchange carry one string instead
-    // of parsed maps, and replayed duplicates never pay the payload parse.
-    val deduped = StreamingTxAssembly.assembleRaw(spark, filtered, txTtl).toDF()
-      .withWatermark("commit_time", dedupWatermark)
-      .dropDuplicatesWithinWatermark("wal_start", "txid")
-    val sequenced = Wal2Json.decodePayload(deduped)
+    // E7 replay suppression is INSIDE the assembly operator: a committed
+    // tx leaves a tombstone in state until the watermark passes
+    // commit_time + dedupWatermark (dropDuplicatesWithinWatermark's
+    // retention rule), so replayed WAL deliveries (offset-range, hence
+    // tx-granular) emit nothing — the reference's semantics (slot replay
+    // + Nats-Msg-Id sink dedup) with ONE stateful operator and one
+    // exchange instead of two. Within a tx, duplicate positions collapse
+    // at emission; sink redelivery is covered by the sink's own
+    // idempotence (batch_id overwrite / broker Msg-Id). The watermark on
+    // the commit-marker action_time is the timeout clock.
+    // a replay arriving BEYOND the window has its commit dropped by the
+    // watermark's late-row filter (no duplicate emission either way);
+    // the stranded data-row buffer that leaves behind is evicted by the
+    // abandoned-tx TTL, which therefore defaults to the same window
+    val sequenced = Wal2Json.decodePayload(
+        StreamingTxAssembly.assembleRaw(spark,
+          filtered.withWatermark("action_time", dedupWatermark),
+          txTtl.orElse(Some(dedupWatermark)),
+          dedupTtl = dedupWatermark).toDF())
       .withColumn("is_begin", lit(false))
       .withColumn("is_commit", lit(false))
     Transform.normalize(sequenced, database)

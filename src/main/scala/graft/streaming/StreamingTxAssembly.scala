@@ -45,8 +45,22 @@ case class RawWalLine(
     txid: Long,
     action_time: Timestamp)
 
-/** Per-transaction buffer of raw (wal_start, document) lines. */
-case class RawTxState(lines: List[(Long, String)])
+/** Per-transaction buffer of raw (wal_start, document) lines; after the
+  * commit emits, the state stays behind as a tombstone carrying the
+  * commit's event time AND WAL position, so a replayed delivery of the
+  * same transaction (source reconnect replaying unacked WAL — the
+  * at-least-once case) emits nothing. Suppression is POSITIONAL, not
+  * txid-based: only lines at or below the committed position are
+  * replays; higher positions under the same txid are a genuinely new
+  * transaction (PostgreSQL recycles txids at wraparound — the reference
+  * likewise keys event identity on lsn:txid, never txid alone). The
+  * tombstone is evicted when the WATERMARK passes commit_time + dedup
+  * window — exactly dropDuplicatesWithinWatermark's retention rule, the
+  * DUPLICATE_WINDOW analog.
+  */
+case class RawTxState(lines: List[(Long, String)],
+    committedAtMs: Option[Long] = None,
+    committedLsn: Long = 0L)
 
 /** Assembled raw line with commit metadata + deterministic ordinal; the
   * payload parse happens downstream (Wal2Json.decodePayload).
@@ -135,44 +149,124 @@ object StreamingTxAssembly {
     * per-batch encoder work and the state-store bytes shrink. Same
     * emission semantics as [[assembleTx]] (commit-gated, WAL-order seq,
     * TTL eviction of abandoned txs).
+    *
+    * E7 replay suppression lives HERE, at transaction granularity: after
+    * the commit emits, a tombstone (carrying the commit's event time)
+    * remains in state, and any replayed delivery of the same tx (WAL
+    * replays are offset-range, hence tx-granular) emits nothing — the
+    * reference's semantics (slot replay after reconnect + Nats-Msg-Id
+    * sink dedup) without a second stateful operator shuffling the whole
+    * stream on event_id. Duplicate lines WITHIN a buffered tx collapse by
+    * wal_start at emission (a WAL position never carries two events).
+    *
+    * Timeouts are EVENT-TIME (the stream must carry a watermark on
+    * action_time): the tombstone evicts when the watermark passes
+    * commit_time + dedupTtl — dropDuplicatesWithinWatermark's retention
+    * rule — and an abandoned (never-committed) tx evicts when the
+    * watermark advances txTtl past the batch that buffered it.
+    * Processing-time timeouts would busy-loop an ASAP-triggered query
+    * (every armed timeout schedules another no-data batch).
     */
-  def assembleRawTx(txTimeout: String)(txid: Long, it: Iterator[RawWalLine],
+  def assembleRawTx(txTtlMs: Long, dedupTtlMs: Long)(
+      txid: Long, it: Iterator[RawWalLine],
       state: GroupState[RawTxState]): Iterator[SequencedRawLine] = {
+    // setTimeoutTimestamp rejects timestamps at or behind the watermark —
+    // clamp (a tombstone whose window already passed evicts next batch)
+    def armAt(ms: Long): Unit =
+      state.setTimeoutTimestamp(math.max(ms, state.getCurrentWatermarkMs() + 1))
     if (state.hasTimedOut) {
       state.remove()
       Iterator.empty
     } else {
-      val prior = state.getOption.map(_.lines).getOrElse(Nil)
-      val arrived = it.toList
+      val st = state.getOption.getOrElse(RawTxState(Nil))
+      // positional replay drop: anything at or below the last committed
+      // position of this txid is a redelivery; higher positions are the
+      // NEXT transaction under a recycled txid
+      val arrived = it.filter(_.wal_start > st.committedLsn).toList
       val commit = arrived.find(_.action == "C")
-      val data = prior ++ arrived.filterNot(l => l.action == "B" || l.action == "C")
+      val data = st.lines ++ arrived
+        .filterNot(l => l.action == "B" || l.action == "C")
         .map(l => (l.wal_start, l.data))
       commit match {
         case Some(c) =>
-          state.remove()
-          data.sortBy(_._1).iterator.zipWithIndex.map { case ((ws, d), i) =>
-            SequencedRawLine(ws, d, txid, i.toLong, c.action_time, c.wal_start)
-          }
+          if (dedupTtlMs > 0) {
+            val at = c.action_time.getTime
+            state.update(RawTxState(Nil, Some(at), c.wal_start))
+            armAt(at + dedupTtlMs)
+          } else state.remove()
+          data.sortBy(_._1).distinctBy(_._1).iterator.zipWithIndex
+            .map { case ((ws, d), i) =>
+              SequencedRawLine(ws, d, txid, i.toLong, c.action_time, c.wal_start)
+            }
+        case None if data.isEmpty && st.committedAtMs.isDefined =>
+          // pure replay of a committed tx: keep the tombstone armed (an
+          // invocation clears any previously-set timeout)
+          if (dedupTtlMs > 0) armAt(st.committedAtMs.get + dedupTtlMs)
+          Iterator.empty
         case None =>
-          state.update(RawTxState(data))
-          if (txTimeout.nonEmpty) state.setTimeoutDuration(txTimeout)
+          state.update(st.copy(lines = data))
+          // abandoned-tx eviction clock = the watermark at buffering
+          // time; before any watermark exists (wm=0) arming would pin a
+          // 1970-epoch deadline that fires the moment real event times
+          // arrive — evicting freshly-buffered txs whose commit is
+          // merely in a later batch — so arm only once a watermark is
+          // established (an idle tx buffered before the first commit of
+          // the stream is the one shape that then relies on commit
+          // arrival rather than TTL). While a next-tx buffer coexists
+          // with a tombstone, the buffer deadline governs (firing drops
+          // both — a marginally shortened suppression window for the
+          // recycled-txid-in-flight corner, which sink Msg-Id dedup
+          // covers anyway).
+          if (txTtlMs > 0 && state.getCurrentWatermarkMs() > 0)
+            armAt(state.getCurrentWatermarkMs() + txTtlMs)
+          else if (dedupTtlMs > 0 && st.committedAtMs.isDefined)
+            armAt(st.committedAtMs.get + dedupTtlMs)
           Iterator.empty
       }
     }
   }
 
+  /** "N unit" duration → millis (unit: milliseconds/seconds/minutes/hours/
+    * days, singular or plural) — the subset of Spark's interval syntax the
+    * TTL surfaces use.
+    */
+  private[streaming] def durationMs(s: String): Long = s.trim match {
+    case "" => 0L
+    case d =>
+      val parts = d.toLowerCase.split("\\s+")
+      require(parts.length == 2, s"expected '<n> <unit>', got '$d'")
+      val n = parts(0).toLong
+      val unit = parts(1).stripSuffix("s") match {
+        case "millisecond" => 1L
+        case "second" => 1000L
+        case "minute" => 60000L
+        case "hour" => 3600000L
+        case "day" => 86400000L
+        case u => throw new IllegalArgumentException(s"unknown duration unit '$u'")
+      }
+      n * unit
+  }
+
   /** Apply raw-line stateful assembly ([[assembleRawTx]]) to a streaming
     * DataFrame of header-parsed WAL rows (Wal2Json.decodeHeader output).
+    * With either TTL set, `header` MUST carry a watermark on action_time
+    * (event-time timeouts).
+    * @param dedupTtl how long a committed tx's tombstone suppresses
+    *                 replayed deliveries past its commit_time (the
+    *                 DUPLICATE_WINDOW analog); empty = no suppression
+    *                 (state removed at commit).
     */
   def assembleRaw(spark: SparkSession, header: DataFrame,
-      txTtl: Option[String] = None): Dataset[SequencedRawLine] = {
+      txTtl: Option[String] = None, dedupTtl: String = ""): Dataset[SequencedRawLine] = {
     import spark.implicits._
-    val timeoutConf = if (txTtl.isEmpty) GroupStateTimeout.NoTimeout
-      else GroupStateTimeout.ProcessingTimeTimeout
+    val txMs = durationMs(txTtl.getOrElse(""))
+    val dedupMs = durationMs(dedupTtl)
+    val timeoutConf = if (txMs == 0 && dedupMs == 0) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.EventTimeTimeout
     header.select("wal_start", "data", "action", "txid", "action_time")
       .as[RawWalLine]
       .groupByKey(_.txid)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
-        assembleRawTx(txTtl.getOrElse("")))
+        assembleRawTx(txMs, dedupMs))
   }
 }

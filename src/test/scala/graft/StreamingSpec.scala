@@ -105,6 +105,78 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("recycled txid: a NEW tx under a previously-committed txid is not suppressed " +
+      "(replay suppression is positional, like the reference's lsn:txid identity)") {
+    implicit val sctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val events = CdcStream.pipeline(spark, input.toDF().toDF("wal_start", "data"), "testdb")
+    val q = events.writeStream.outputMode("append")
+      .format("memory").queryName("recycle_out").start()
+    try {
+      input.addData(walLine(10, "B", 5), walLine(11, "I", 5, id = 1), walLine(12, "C", 5))
+      q.processAllAvailable()
+      // same txid, HIGHER wal positions: a genuinely new transaction
+      input.addData(walLine(20, "B", 5), walLine(21, "I", 5, id = 2), walLine(22, "C", 5))
+      q.processAllAvailable()
+      assert(spark.table("recycle_out").count() == 2,
+        "higher-position tx under a recycled txid must emit")
+      // replaying the SECOND tx is still suppressed
+      input.addData(walLine(20, "B", 5), walLine(21, "I", 5, id = 2), walLine(22, "C", 5))
+      q.processAllAvailable()
+      assert(spark.table("recycle_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("replay state is BOUNDED: tombstones and stranded buffers evict with the watermark") {
+    implicit val sctx = spark.sqlContext
+    // wal line with a controllable timestamp so the watermark can advance
+    def at(ws: Long, action: String, xid: Long, ts: String, id: Int = 0): (Long, String) =
+      action match {
+        case "B" | "C" => (ws, s"""{"action":"$action","xid":$xid,"timestamp":"$ts"}""")
+        case a => (ws,
+          s"""{"action":"$a","xid":$xid,"timestamp":"$ts","schema":"public","table":"users","columns":[{"name":"id","type":"bigint","value":$id}]}""")
+      }
+    val t0 = "2024-01-15 10:00:00.000000+00"
+    val t1 = "2024-01-15 11:00:00.000000+00" // 1h later >> the 1-minute window
+    val t2 = "2024-01-15 12:00:00.000000+00"
+    val input = MemoryStream[(Long, String)]
+    val events = CdcStream.pipeline(spark,
+      input.toDF().toDF("wal_start", "data"), "testdb", dedupWatermark = "1 minute")
+    val q = events.writeStream.outputMode("append")
+      .format("memory").queryName("tombstone_out").start()
+    try {
+      val tx1 = Seq(at(10, "B", 5, t0), at(11, "I", 5, t0, id = 1), at(12, "C", 5, t0))
+      input.addData(tx1: _*)
+      q.processAllAvailable()
+      // advance the watermark far past tx1's window with later commits —
+      // tx1's tombstone evicts (numRowsRemoved in progress)
+      input.addData(at(20, "B", 6, t1), at(21, "I", 6, t1, id = 2), at(22, "C", 6, t1))
+      q.processAllAvailable()
+      val removedAfterB2 = q.lastProgress.stateOperators.map(_.numRowsRemoved).sum
+      assert(removedAfterB2 >= 1, "tx1's tombstone must evict once the watermark passes its window")
+
+      // a replay BEYOND the window: its commit is late (behind the
+      // watermark) and is filtered, so NOTHING re-emits — no duplicates
+      // ever from the stream — and the replayed data rows briefly strand
+      // as an uncommitted buffer
+      input.addData(tx1: _*)
+      q.processAllAvailable()
+      assert(spark.table("tombstone_out").count() == 2, "beyond-window replay emits nothing")
+
+      // the stranded buffer is evicted by the abandoned-tx TTL (defaulted
+      // to the dedup window) as the watermark advances further: total
+      // state collapses to just the newest commit's tombstone — bounded,
+      // never accumulating
+      input.addData(at(40, "B", 8, t2), at(41, "I", 8, t2, id = 3), at(42, "C", 8, t2))
+      q.processAllAvailable()
+      input.addData(at(50, "B", 9, t2), at(51, "C", 9, t2))
+      q.processAllAvailable()
+      assert(spark.table("tombstone_out").count() == 3)
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 2, s"stranded replay buffer + old tombstones must evict, state=$stateRows")
+    } finally q.stop()
+  }
+
   test("checkpointed recovery: restart resumes without reprocessing (C1/C2)") {
     val dir = Files.createTempDirectory("graft_stream").toString
     val src = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
