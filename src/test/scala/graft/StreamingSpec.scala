@@ -217,6 +217,17 @@ class StreamingSpec extends SparkSpec {
     assert(written.count() == 3, "batch rewrite is idempotent")
   }
 
+  test("pipeline plan shape: exactly ONE stateful operator (assembly+dedup fused), one exchange") {
+    implicit val sctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val events = CdcStream.pipeline(spark, input.toDF().toDF("wal_start", "data"), "testdb")
+    val plan = events.queryExecution.analyzed.toString
+    assert("FlatMapGroupsWithState".r.findAllIn(plan).size == 1,
+      s"one fused stateful operator, not assembly+dedup: $plan")
+    assert(!plan.contains("DeduplicateWithinWatermark") && !plan.contains("Deduplicate"),
+      "no separate dedup operator — suppression lives in assembly state")
+  }
+
   test("E3 unordered mode: same rows, zero shuffle; ordered mode shuffles by subject") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
     val batch = (1 to 100).map(i =>
