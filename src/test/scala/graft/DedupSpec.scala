@@ -73,6 +73,31 @@ class DedupSpec extends SparkSpec {
     assert(blocked == naive)
   }
 
+  test("hammingPairs at 64 bits matches the naive all-pairs filter (generalized pigeonhole)") {
+    // full-width 64-bit hashes exercise the block-span arithmetic at the
+    // word boundary — exactly where a degenerate/overflowing span would
+    // silently funnel everything into one bucket (the round-1 simhash bug
+    // class); seeded mixing keeps it deterministic
+    def mix(i: Long): Long = {
+      var v = i * 0x9e3779b97f4a7c15L
+      v ^= v >>> 32; v *= 0xbf58476d1ce4e5b9L; v ^= v >>> 29; v
+    }
+    val hashes = (1L to 40L).map(i =>
+      // clusters of 4 share a base hash with 0-3 bits flipped
+      (i, mix(i / 4) ^ ((1L << (i % 4).toInt * 13) * (i % 4).min(1)))).toMap
+    val sig = hashes.toSeq.toDF("id", "h")
+    for (radius <- Seq(1, 4, 8, 15)) {
+      val blocked = Dedup.hammingPairs(sig, "h", bits = 64, maxHamming = radius)
+        .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+      val naive = (for {
+        a <- hashes.keys; b <- hashes.keys
+        if a < b && ham(hashes(a), hashes(b)) <= radius
+      } yield (a, b)).toSet
+      assert(blocked == naive, s"radius $radius: ${blocked.size} vs ${naive.size}")
+    }
+  }
+
   test("quantized cosine is exact: identical vectors give exactly 1.0") {
     val vecs = Seq(
       (1L, Array(0.5f, 0.5f, 0.0f, 0.03125f)),
