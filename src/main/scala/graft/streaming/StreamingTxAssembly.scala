@@ -60,7 +60,9 @@ case class RawWalLine(
   */
 case class RawTxState(lines: List[(Long, String)],
     committedAtMs: Option[Long] = None,
-    committedLsn: Long = 0L)
+    // sentinel MinValue = nothing committed: 0 is a VALID carrier position
+    // (fileIndex 0, line 0) and must not be swallowed by the replay filter
+    committedLsn: Long = Long.MinValue)
 
 /** Assembled raw line with commit metadata + deterministic ordinal; the
   * payload parse happens downstream (Wal2Json.decodePayload).

@@ -127,6 +127,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("wal position 0 is a valid position, not the no-commit sentinel") {
+    // event_id 0 -> wal_start 0 in the carrier scheme; the replay filter's
+    // sentinel must not swallow it (regression: lost exactly one row at
+    // sf0.1 until the sentinel moved to Long.MinValue)
+    implicit val sctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val events = CdcStream.pipeline(spark, input.toDF().toDF("wal_start", "data"), "testdb")
+    val q = events.writeStream.outputMode("append")
+      .format("memory").queryName("pos0_out").start()
+    try {
+      input.addData(walLine(0, "I", 3, id = 7), walLine(1, "B", 3), walLine(2, "C", 3))
+      q.processAllAvailable()
+      assert(spark.table("pos0_out").count() == 1, "the position-0 event must emit")
+    } finally q.stop()
+  }
+
   test("replay state is BOUNDED: tombstones and stranded buffers evict with the watermark") {
     implicit val sctx = spark.sqlContext
     // wal line with a controllable timestamp so the watermark can advance
