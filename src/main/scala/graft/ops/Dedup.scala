@@ -525,14 +525,13 @@ object Dedup {
     val widths = (0 until nBlocks).map(i => base + (if (i < rem) 1 else 0))
     assert(widths.forall(_ >= 1) && widths.sum == bits)
     val offsets = widths.scanLeft(0)(_ + _)
+    // nBlocks >= 2 caps every width at <= ceil(bits/2) <= 32, so the mask
+    // shift below can never overflow a Long
+    assert(widths.forall(_ < 64))
     (0 until nBlocks).map { i =>
-      // width-64 span: the mask shift would overflow; the span is the
-      // whole hash and masking is a no-op
-      val v =
-        if (widths(i) >= 64) shiftrightunsigned(hashCol, offsets(i))
-        else shiftrightunsigned(hashCol, offsets(i))
-          .bitwiseAND(lit((1L << widths(i)) - 1))
-      struct(lit(i).as("blk"), v.as("v"))
+      struct(lit(i).as("blk"),
+        shiftrightunsigned(hashCol, offsets(i))
+          .bitwiseAND(lit((1L << widths(i)) - 1)).as("v"))
     }
   }
 

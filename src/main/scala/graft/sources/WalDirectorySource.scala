@@ -158,15 +158,25 @@ final class WalMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int] = 
     * confirmed_flush backward, which would re-deliver WAL the sink already
     * acked past.
     */
+  // last acked position, read from the ledger ONCE per stream instance
+  // (restart = new instance = one re-read) — re-reading the append-only
+  // ledger on every commit would be O(n²) I/O over the query lifetime
+  private var lastAcked: Option[Int] = None
+  private var lastAckedLoaded = false
+
   override def commit(end: Offset): Unit = {
     val cur = end.asInstanceOf[WalOffset].fileCount
-    val last = WalDirectorySource.ackedPositions(path).lastOption
-      .flatMap(l => """"fileCount"\s*:\s*(\d+)""".r.findFirstMatchIn(l))
-      .map(_.group(1).toInt)
-    if (!last.exists(_ >= cur)) {
+    if (!lastAckedLoaded) {
+      lastAcked = WalDirectorySource.ackedPositions(path).lastOption
+        .flatMap(l => """"fileCount"\s*:\s*(\d+)""".r.findFirstMatchIn(l))
+        .map(_.group(1).toInt)
+      lastAckedLoaded = true
+    }
+    if (!lastAcked.exists(_ >= cur)) {
       val line = s"${end.json()}\n"
       Files.write(Paths.get(path, "_acked"), line.getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      lastAcked = Some(cur)
     }
   }
 

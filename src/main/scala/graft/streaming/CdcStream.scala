@@ -7,14 +7,17 @@ import graft.cdc.{Transform, Wal2Json}
 
 /** The streaming CDC pipeline (SURVEY.md §3.4):
   *
-  * readStream (wal2json lines) -> Wal2Json.decode -> StreamingTxAssembly ->
-  * Transform.normalize -> dropDuplicatesWithinWatermark(event_id) ->
-  * foreachBatch OrderedSink, with checkpointLocation for recovery.
+  * readStream (wal2json lines) -> Wal2Json.decodeHeader ->
+  * StreamingTxAssembly.assembleRaw (commit-gated assembly + positional
+  * replay tombstones, ONE stateful operator) -> Wal2Json.decodePayload ->
+  * Transform.normalize -> foreachBatch OrderedSink, with
+  * checkpointLocation for recovery.
   *
   * Semantics vs the reference (SURVEY.md §7.4):
-  *  - at-least-once base + deterministic event_id dedup = effectively-once
-  *    (reference E7, DUPLICATE_WINDOW); here the window is the watermark
-  *    delay on commit_time.
+  *  - at-least-once base + tx-granular replay suppression in assembly
+  *    state + idempotent sink (batch_id overwrite / broker Msg-Id) =
+  *    effectively-once (reference E7, DUPLICATE_WINDOW); the window is
+  *    the watermark delay past each commit_time.
   *  - order preserved per subject (db.schema.table), the reference's E2
   *    guarantee; global order only with one partition — the analog of its
   *    explicitly-unsafe unordered mode (E3).
@@ -83,8 +86,14 @@ object CdcStream {
       maxPublishRetries: Int = 3,
       dedupWatermark: String = "2 minutes",
       metrics: Option[CdcMetrics.Registry] = None,
-      sinkWriter: Option[() => SinkWriter] = None): StreamingQuery = {
+      sinkWriter: Option[() => SinkWriter] = None,
+      sinkQuarantine: Option[(PublishItem, Throwable) => Unit] = None): StreamingQuery = {
     val events = pipeline(spark, raw, database, tableAllowlist, dedupWatermark)
+    // broker-path retry counting: the publish loops run on executors and
+    // the metrics registry does not serialize — retries flow through an
+    // accumulator, drained into the registry after each batch
+    val retryAcc = spark.sparkContext.longAccumulator("graft_publish_retries")
+    val drained = new java.util.concurrent.atomic.AtomicLong(0L)
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
@@ -99,9 +108,18 @@ object CdcStream {
         try {
           sinkWriter match {
             // broker-backed deployment (E6 seam): the per-item ordered /
-            // unordered publish loops own their retry policy
-            case Some(factory) => SinkPublisher.writeBatchVia(df, factory,
-              maxPublishRetries, ordered = !unsafeUnorderedAsyncPublish)
+            // unordered publish loops own their retry policy; the
+            // quarantine handler carries the dlq/skip/crash policy
+            // (SinkPublisher.quarantineFor)
+            case Some(factory) =>
+              SinkPublisher.writeBatchVia(df, factory,
+                maxPublishRetries, ordered = !unsafeUnorderedAsyncPublish,
+                quarantine = sinkQuarantine,
+                onRetry = () => retryAcc.add(1L))
+              metrics.foreach { m =>
+                val total = retryAcc.value
+                m.publishRetries.add(total - drained.getAndSet(total))
+              }
             case None =>
               Reliability.withRetry(maxPublishRetries,
                   onRetry = () => metrics.foreach(_.publishRetries.inc()))(() =>

@@ -172,10 +172,12 @@ object SinkPublisher {
 
   private def result(buf: Vector[PublishItem], acked: Array[Boolean],
       quarantined: Seq[Int], firstError: Option[Throwable]): PublishBatchResult = {
-    val lastSuccess = acked.takeWhile(identity).length match {
-      case 0 => None
-      case n => Some(buf(n - 1).position)
-    }
+    // contiguity is POSITIONAL, not iteration-order: a partition holds
+    // several subjects back-to-back, so the first unacked item need not
+    // precede later-iterated-but-earlier-positioned items. The safe
+    // checkpoint is the largest P with every item at position <= P acked.
+    val byPos = buf.indices.sortBy(buf(_).position)
+    val lastSuccess = byPos.takeWhile(acked(_)).lastOption.map(buf(_).position)
     PublishBatchResult(
       total = buf.size,
       succeeded = acked.count(identity),
@@ -197,7 +199,8 @@ object SinkPublisher {
   def writeBatchVia(batch: DataFrame, writerFactory: () => SinkWriter,
       maxRetries: Int = 3, numPartitions: Int = 0, ordered: Boolean = true,
       quarantine: Option[(PublishItem, Throwable) => Unit] = None,
-      sleep: Long => Unit = Thread.sleep): Unit = {
+      sleep: Long => Unit = Thread.sleep,
+      onRetry: () => Unit = () => ()): Unit = {
     val parts = if (numPartitions > 0) numPartitions
       else batch.sparkSession.sessionState.conf.numShufflePartitions
     val envelope = batch
@@ -213,8 +216,8 @@ object SinkPublisher {
         val items = rows.map(r => PublishItem(
           r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
         val res =
-          if (ordered) publishOrdered(items, writer, maxRetries, sleep, quarantine = quarantine)
-          else publishUnordered(items, writer, maxRetries, sleep, quarantine = quarantine)
+          if (ordered) publishOrdered(items, writer, maxRetries, sleep, onRetry, quarantine)
+          else publishUnordered(items, writer, maxRetries, sleep, onRetry, quarantine)
         res.firstError.foreach(e => throw new RuntimeException(
           s"publish failed at ${res.succeeded}/${res.total} " +
             s"(lastSuccessPosition=${res.lastSuccessPosition})", e))

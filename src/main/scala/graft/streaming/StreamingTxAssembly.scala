@@ -183,48 +183,61 @@ object StreamingTxAssembly {
       val st = state.getOption.getOrElse(RawTxState(Nil))
       // positional replay drop: anything at or below the last committed
       // position of this txid is a redelivery; higher positions are the
-      // NEXT transaction under a recycled txid
-      val arrived = it.filter(_.wal_start > st.committedLsn).toList
-      val commit = arrived.find(_.action == "C")
-      val data = st.lines ++ arrived
-        .filterNot(l => l.action == "B" || l.action == "C")
-        .map(l => (l.wal_start, l.data))
-      commit match {
-        case Some(c) =>
-          if (dedupTtlMs > 0) {
-            val at = c.action_time.getTime
-            state.update(RawTxState(Nil, Some(at), c.wal_start))
-            armAt(at + dedupTtlMs)
-          } else state.remove()
-          data.sortBy(_._1).distinctBy(_._1).iterator.zipWithIndex
-            .map { case ((ws, d), i) =>
-              SequencedRawLine(ws, d, txid, i.toLong, c.action_time, c.wal_start)
+      // NEXT transaction under a recycled txid. Arrivals are processed in
+      // WAL order so one batch may carry a commit AND the next tx's lines
+      // (even its commit) under the same txid — each commit emits only
+      // the buffered lines at or below its own position.
+      val arrived = it.filter(_.wal_start > st.committedLsn).toList.sortBy(_.wal_start)
+      var buf = st.lines
+      var tombAtMs = st.committedAtMs
+      var tombLsn = st.committedLsn
+      var committedThisBatch = false
+      val out = List.newBuilder[SequencedRawLine]
+      arrived.foreach { l =>
+        l.action match {
+          case "B" => ()
+          case "C" =>
+            val (emit, beyond) = buf.partition(_._1 <= l.wal_start)
+            emit.sortBy(_._1).distinctBy(_._1).zipWithIndex.foreach {
+              case ((ws, d), i) =>
+                out += SequencedRawLine(ws, d, txid, i.toLong, l.action_time, l.wal_start)
             }
-        case None if data.isEmpty && st.committedAtMs.isDefined =>
-          // pure replay of a committed tx: keep the tombstone armed (an
-          // invocation clears any previously-set timeout)
-          if (dedupTtlMs > 0) armAt(st.committedAtMs.get + dedupTtlMs)
-          Iterator.empty
-        case None =>
-          state.update(st.copy(lines = data))
-          // abandoned-tx eviction clock = the watermark at buffering
-          // time; before any watermark exists (wm=0) arming would pin a
-          // 1970-epoch deadline that fires the moment real event times
-          // arrive — evicting freshly-buffered txs whose commit is
-          // merely in a later batch — so arm only once a watermark is
-          // established (an idle tx buffered before the first commit of
-          // the stream is the one shape that then relies on commit
-          // arrival rather than TTL). While a next-tx buffer coexists
-          // with a tombstone, the buffer deadline governs (firing drops
-          // both — a marginally shortened suppression window for the
-          // recycled-txid-in-flight corner, which sink Msg-Id dedup
-          // covers anyway).
-          if (txTtlMs > 0 && state.getCurrentWatermarkMs() > 0)
-            armAt(state.getCurrentWatermarkMs() + txTtlMs)
-          else if (dedupTtlMs > 0 && st.committedAtMs.isDefined)
-            armAt(st.committedAtMs.get + dedupTtlMs)
-          Iterator.empty
+            buf = beyond
+            // a commit with an unparseable/missing timestamp still emits
+            // (null commit_time, the lenient-decode contract) but cannot
+            // anchor a tombstone window
+            tombAtMs = Option(l.action_time).map(_.getTime)
+            tombLsn = l.wal_start
+            committedThisBatch = true
+          case _ => buf = (l.wal_start, l.data) :: buf
+        }
       }
+      val tombstone = dedupTtlMs > 0 && tombAtMs.isDefined
+      if (buf.nonEmpty || tombstone) {
+        state.update(RawTxState(buf, if (tombstone) tombAtMs else None, tombLsn))
+        // abandoned-tx eviction clock = the watermark at buffering time;
+        // before any watermark exists (wm=0) arming would pin a
+        // 1970-epoch deadline that fires the moment real event times
+        // arrive — evicting freshly-buffered txs whose commit is merely
+        // in a later batch — so arm only once a watermark is established.
+        // While a next-tx buffer coexists with a tombstone, the buffer
+        // deadline governs (firing drops both — a marginally shortened
+        // suppression window for the recycled-txid-in-flight corner,
+        // which sink Msg-Id dedup covers anyway).
+        if (buf.nonEmpty && txTtlMs > 0 && state.getCurrentWatermarkMs() > 0)
+          armAt(state.getCurrentWatermarkMs() + txTtlMs)
+        else if (tombstone)
+          armAt(tombAtMs.get + dedupTtlMs)
+      } else if (committedThisBatch || st.lines.nonEmpty) {
+        // clean commit with no dedup window (or a no-timestamp commit):
+        // nothing left to keep
+        state.remove()
+      } else if (st.committedAtMs.isDefined && dedupTtlMs > 0) {
+        // pure replay of a committed tx: keep the tombstone armed (an
+        // invocation clears any previously-set timeout)
+        armAt(st.committedAtMs.get + dedupTtlMs)
+      }
+      out.result().iterator
     }
   }
 

@@ -117,6 +117,24 @@ class SinkWriterSpec extends SparkSpec {
     assert(res.firstError.exists(_.isInstanceOf[PermanentPublishException]))
   }
 
+  test("lastSuccessPosition is positional: a failed low-position item blocks the " +
+      "high-water mark even when later-iterated items acked (multi-subject partition)") {
+    val b = MockBroker.reset("positional")
+    // iteration order: subjA at positions 500/600, then subjB at 100/200 —
+    // subjB's first item fails permanently
+    val mixed = Vector(
+      PublishItem("cdc.db.a", "a1", "{}", 500L),
+      PublishItem("cdc.db.a", "a2", "{}", 600L),
+      PublishItem("cdc.db.b", "b1", "{}", 100L),
+      PublishItem("cdc.db.b", "b2", "{}", 200L))
+    b.poison.add("b1")
+    val res = SinkPublisher.publishOrdered(mixed.iterator,
+      new MockBrokerSinkWriter("positional"), sleep = noSleep)
+    assert(res.succeeded == 2 && res.failed == 2)
+    assert(res.lastSuccessPosition.isEmpty,
+      s"position 100 is unacked, so NO position may be checkpointed: $res")
+  }
+
   test("skip policy: poison is handled without a DLQ record and the batch continues " +
       "(engine_failure_policy_test.go:109)") {
     val b = MockBroker.reset("poison-skip")

@@ -127,6 +127,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("same-batch recycled txid: each commit stamps only its own positions") {
+    implicit val sctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val events = CdcStream.pipeline(spark, input.toDF().toDF("wal_start", "data"), "testdb")
+    val q = events.writeStream.outputMode("append")
+      .format("memory").queryName("samebatch_out").start()
+    try {
+      // ONE batch: tx under txid 5 commits at position 12, and the NEXT
+      // tx under the same txid has already begun (positions 20-21) — the
+      // commit must not consume the higher-positioned lines
+      input.addData(walLine(10, "B", 5), walLine(11, "I", 5, id = 1), walLine(12, "C", 5),
+        walLine(20, "B", 5), walLine(21, "I", 5, id = 2))
+      q.processAllAvailable()
+      assert(spark.table("samebatch_out").count() == 1,
+        "only the committed tx's event emits; the next tx stays buffered")
+      input.addData(walLine(22, "C", 5))
+      q.processAllAvailable()
+      val lsns = spark.table("samebatch_out")
+        .select($"lsn").collect().map(_.getString(0)).toSet
+      assert(lsns == Set("0/b", "0/15"),
+        s"both events, each from its own tx: $lsns")
+    } finally q.stop()
+  }
+
+  test("commit with an unparseable timestamp still emits (lenient decode), no NPE") {
+    implicit val sctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val events = CdcStream.pipeline(spark, input.toDF().toDF("wal_start", "data"), "testdb")
+    val q = events.writeStream.outputMode("append")
+      .format("memory").queryName("badts_out").start()
+    try {
+      input.addData(
+        (1L, """{"action":"B","xid":9}"""),
+        (2L, """{"action":"I","xid":9,"schema":"public","table":"users","columns":[{"name":"id","type":"bigint","value":1}]}"""),
+        (3L, """{"action":"C","xid":9,"timestamp":"not a timestamp"}"""))
+      q.processAllAvailable()
+      val out = spark.table("badts_out").collect()
+      assert(out.length == 1, "the event emits with a null commit_time instead of crashing")
+      assert(out.head.getAs[java.sql.Timestamp]("commit_time") == null)
+    } finally q.stop()
+  }
+
   test("wal position 0 is a valid position, not the no-commit sentinel") {
     // event_id 0 -> wal_start 0 in the carrier scheme; the replay filter's
     // sentinel must not swallow it (regression: lost exactly one row at
