@@ -245,7 +245,7 @@ object StreamingTxAssembly {
     * days, singular or plural) — the subset of Spark's interval syntax the
     * TTL surfaces use.
     */
-  private[streaming] def durationMs(s: String): Long = s.trim match {
+  private[graft] def durationMs(s: String): Long = s.trim match {
     case "" => 0L
     case d =>
       val parts = d.toLowerCase.split("\\s+")

@@ -275,6 +275,17 @@ class StreamingSpec extends SparkSpec {
     assert(written.count() == 3, "batch rewrite is idempotent")
   }
 
+  test("durationMs parses the TTL surface's interval subset") {
+    import graft.streaming.StreamingTxAssembly.durationMs
+    assert(durationMs("") == 0L)
+    assert(durationMs("500 milliseconds") == 500L)
+    assert(durationMs("1 second") == 1000L)
+    assert(durationMs("2 minutes") == 120000L)
+    assert(durationMs("3 hours") == 10800000L)
+    assert(durationMs("3650 days") == 3650L * 86400000L)
+    intercept[IllegalArgumentException] { durationMs("2 fortnights") }
+  }
+
   test("pipeline plan shape: exactly ONE stateful operator (assembly+dedup fused), one exchange") {
     implicit val sctx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
