@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   *    JDK): true width/height, an 8-bin luminance histogram feature, and a
   *    real Graphics2D resize + PNG re-encode.
   *  - **audio: REAL** for WAV/AIFF/AU — `javax.sound.sampled` parses the
-  *    header: true sample rate and frame count.
+  *    header (true sample rate and frame count) AND the 16-bit PCM sample
+  *    stream: integer-exact peak / RMS features (`audioPcmFeatures`).
   *  - **video: deterministic fallback** — the JDK has no container
   *    demuxer; a production deployment drops an FFmpeg-backed decoder into
   *    `decodeBytes`'s video arm without touching the pipeline shape.
@@ -224,6 +225,73 @@ object Multimodal {
         Some(hash)
       }
     } catch { case NonFatal(_) => None }
+
+  /** Integer-exact PCM features from a real audio decode: peak absolute
+    * sample and RMS (floor of the exact integer sqrt of mean square) over
+    * all channels of 16-bit PCM. Deterministic pure-integer math — the
+    * sum of squares is exact in a Long up to ~2^33 samples (59 h at
+    * 16-bit/44.1 kHz stereo). None when the bytes are not decodable audio
+    * or not 16-bit PCM.
+    */
+  def audioPcmFeatures(bytes: Array[Byte]): Option[(Int, Long, Int, Long)] =
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val big = fmt.isBigEndian
+          val buf = new Array[Byte](8192)
+          var peak = 0L
+          var sumSq = 0L
+          var n = 0L
+          var carry = -1 // odd trailing byte across reads
+          var read = ais.read(buf)
+          while (read > 0) {
+            var i = 0
+            if (carry >= 0 && read > 0) {
+              val s = if (big) (carry << 8) | (buf(0) & 0xff)
+                      else ((buf(0) & 0xff) << 8) | carry
+              val v = s.toShort.toLong
+              peak = math.max(peak, math.abs(v)); sumSq += v * v; n += 1
+              i = 1; carry = -1
+            }
+            while (i + 1 < read) {
+              val s = if (big) ((buf(i) & 0xff) << 8) | (buf(i + 1) & 0xff)
+                      else ((buf(i + 1) & 0xff) << 8) | (buf(i) & 0xff)
+              val v = s.toShort.toLong
+              peak = math.max(peak, math.abs(v)); sumSq += v * v; n += 1
+              i += 2
+            }
+            if (i < read) carry = buf(i) & 0xff
+            read = ais.read(buf)
+          }
+          if (n == 0) None
+          else {
+            val meanSq = sumSq / n
+            // floor integer sqrt — exact, no floating point
+            var r = math.max(0L, math.sqrt(meanSq.toDouble).toLong - 2)
+            while ((r + 1) * (r + 1) <= meanSq) r += 1
+            Some((fmt.getSampleRate.toInt, n, peak.toInt, r))
+          }
+        }
+      } finally ais.close()
+    } catch { case NonFatal(_) => None }
+
+  /** Distributed audio feature extraction: (media_id, payload) →
+    * (media_id, sample_rate, n_samples, peak_abs, rms) for every decodable
+    * 16-bit PCM payload; undecodable payloads are absent. Narrow map —
+    * payload bytes never shuffle.
+    */
+  def audioFeatureFrame(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        audioPcmFeatures(bytes).map { case (sr, n, peak, rms) =>
+          (id, sr, n, peak, rms) }
+      }).toDF("media_id", "sample_rate", "n_samples", "peak_abs", "rms")
+  }
 
   /** Deterministic 64×64 synthetic picture (integer-mixed pixel function
     * of `seed`; `flipCorner` overwrites an n×n corner block white) — the

@@ -77,6 +77,46 @@ class MultimodalSpec extends SparkSpec {
       "non-image passes through unchanged")
   }
 
+  /** 16-bit mono WAV with actual PCM content (square wave of amplitude
+    * `amp`: +amp, -amp alternating) — peak and RMS are exactly `amp`.
+    */
+  private def squareWav(sampleRate: Float, nFrames: Int, amp: Short): Array[Byte] = {
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false) // little-endian
+    val data = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val v: Short = if (i % 2 == 0) amp else (-amp).toShort
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio PCM features: integer-exact peak and RMS from real sample decode") {
+    // square wave: every sample is ±amp, so peak = rms = amp exactly
+    val (sr, n, peak, rms) = Multimodal.audioPcmFeatures(squareWav(16000f, 1000, 1234)).get
+    assert(sr == 16000 && n == 1000L)
+    assert(peak == 1234 && rms == 1234L, s"square wave: peak=$peak rms=$rms")
+    // silence: both zero
+    val (_, _, p0, r0) = Multimodal.audioPcmFeatures(wav(8000f, 100)).get
+    assert(p0 == 0 && r0 == 0L)
+    assert(Multimodal.audioPcmFeatures("not audio".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("distributed audio features: decodable payloads only, exact values") {
+    val media = Seq(
+      (1L, squareWav(22050f, 64, 100)),
+      (2L, "junk".getBytes("UTF-8")),
+      (3L, squareWav(8000f, 32, 32000))).toDF("media_id", "payload")
+    val out = Multimodal.audioFeatureFrame(spark, media).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4))).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L) == ((22050, 64L, 100, 100L)))
+    assert(out(3L) == ((8000, 32L, 32000, 32000L)))
+  }
+
   /** The cell-quantized deterministic test picture (Multimodal
     * .testPatternPng): a 16-px corner flip covers exactly 4 aHash cells.
     */
