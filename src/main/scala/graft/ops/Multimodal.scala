@@ -238,7 +238,10 @@ object Multimodal {
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       try {
         val fmt = ais.getFormat
-        if (fmt.getSampleSizeInBits != 16) None
+        // bit depth alone is not enough: 16-bit UNSIGNED (or compressed
+        // AIFC) bytes decoded as signed PCM yield plausible-looking garbage
+        if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
         else {
           val big = fmt.isBigEndian
           val buf = new Array[Byte](8192)
@@ -291,6 +294,28 @@ object Multimodal {
         audioPcmFeatures(bytes).map { case (sr, n, peak, rms) =>
           (id, sr, n, peak, rms) }
       }).toDF("media_id", "sample_rate", "n_samples", "peak_abs", "rms")
+  }
+
+  /** Deterministic 16-bit mono little-endian WAV with real PCM content — a
+    * square wave of amplitude `amp` (+amp/−amp alternating), so peak and
+    * RMS are exactly `amp`. The audio fixture for the driver-gated l72
+    * query and the specs (the WAV analog of [[testPatternPng]]).
+    */
+  def squareWav(sampleRate: Float, nFrames: Int, amp: Short): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v: Short = if (i % 2 == 0) amp else (-amp).toShort
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Deterministic 64×64 synthetic picture (integer-mixed pixel function

@@ -1219,23 +1219,8 @@ object LlmQueries {
         val media = t(s, d, "documents").select(col("doc_id"))
           .filter(col("doc_id") < 300).as[Long]
           .mapPartitions(_.map { id =>
-            val amp = (500 + (id % 1000) * 30).toShort
-            val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
-            val n = 64 + (id % 5).toInt * 16
-            val data = new Array[Byte](n * 2)
-            var i = 0
-            while (i < n) {
-              val v: Short = if (i % 2 == 0) amp else (-amp).toShort
-              data(2 * i) = (v & 0xff).toByte
-              data(2 * i + 1) = ((v >> 8) & 0xff).toByte
-              i += 1
-            }
-            val ais = new javax.sound.sampled.AudioInputStream(
-              new java.io.ByteArrayInputStream(data), fmt, n.toLong)
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.sound.sampled.AudioSystem.write(ais,
-              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-            (id, bos.toByteArray)
+            (id, Multimodal.squareWav(16000f, 64 + (id % 5).toInt * 16,
+              (500 + (id % 1000) * 30).toShort))
           }).toDF("media_id", "payload")
         Multimodal.audioFeatureFrame(s, media)
           .orderBy(col("media_id"))

@@ -175,9 +175,14 @@ object SinkPublisher {
     // contiguity is POSITIONAL, not iteration-order: a partition holds
     // several subjects back-to-back, so the first unacked item need not
     // precede later-iterated-but-earlier-positioned items. The safe
-    // checkpoint is the largest P with every item at position <= P acked.
-    val byPos = buf.indices.sortBy(buf(_).position)
-    val lastSuccess = byPos.takeWhile(acked(_)).lastOption.map(buf(_).position)
+    // checkpoint is the largest P with every item at position <= P acked —
+    // STRICTLY below the minimum unacked position, so an acked item tying
+    // an unacked one at the same position can never advance the mark past
+    // the failure.
+    val unackedMin = buf.indices.filterNot(acked(_)).map(buf(_).position)
+      .minOption
+    val lastSuccess = buf.indices.filter(acked(_)).map(buf(_).position)
+      .filter(p => unackedMin.forall(p < _)).maxOption
     PublishBatchResult(
       total = buf.size,
       succeeded = acked.count(identity),

@@ -191,7 +191,6 @@ object StreamingTxAssembly {
       var buf = st.lines
       var tombAtMs = st.committedAtMs
       var tombLsn = st.committedLsn
-      var committedThisBatch = false
       val out = List.newBuilder[SequencedRawLine]
       arrived.foreach { l =>
         l.action match {
@@ -204,38 +203,40 @@ object StreamingTxAssembly {
             }
             buf = beyond
             // a commit with an unparseable/missing timestamp still emits
-            // (null commit_time, the lenient-decode contract) but cannot
-            // anchor a tombstone window
+            // (null commit_time, the lenient-decode contract); its
+            // tombstone window is then clocked off the watermark instead
+            // of the commit's own event time
             tombAtMs = Option(l.action_time).map(_.getTime)
             tombLsn = l.wal_start
-            committedThisBatch = true
           case _ => buf = (l.wal_start, l.data) :: buf
         }
       }
-      val tombstone = dedupTtlMs > 0 && tombAtMs.isDefined
+      // the tombstone exists whenever suppression is on and ANY commit has
+      // ever been recorded for this txid — dropping it just because the
+      // commit's timestamp failed to parse would let a replayed delivery
+      // re-emit the whole transaction
+      val tombstone = dedupTtlMs > 0 && tombLsn != Long.MinValue
       if (buf.nonEmpty || tombstone) {
         state.update(RawTxState(buf, if (tombstone) tombAtMs else None, tombLsn))
-        // abandoned-tx eviction clock = the watermark at buffering time;
-        // before any watermark exists (wm=0) arming would pin a
-        // 1970-epoch deadline that fires the moment real event times
-        // arrive — evicting freshly-buffered txs whose commit is merely
-        // in a later batch — so arm only once a watermark is established.
-        // While a next-tx buffer coexists with a tombstone, the buffer
-        // deadline governs (firing drops both — a marginally shortened
-        // suppression window for the recycled-txid-in-flight corner,
-        // which sink Msg-Id dedup covers anyway).
-        if (buf.nonEmpty && txTtlMs > 0 && state.getCurrentWatermarkMs() > 0)
-          armAt(state.getCurrentWatermarkMs() + txTtlMs)
-        else if (tombstone)
-          armAt(tombAtMs.get + dedupTtlMs)
-      } else if (committedThisBatch || st.lines.nonEmpty) {
-        // clean commit with no dedup window (or a no-timestamp commit):
-        // nothing left to keep
+        if (buf.nonEmpty) {
+          // abandoned-tx eviction clock = the watermark at buffering
+          // time; before any watermark exists (wm=0) arming would pin a
+          // 1970-epoch deadline that fires the moment real event times
+          // arrive — evicting freshly-buffered txs whose commit is merely
+          // in a later batch — so arm only once a watermark is
+          // established. NEVER arm the tombstone deadline while a live
+          // buffer exists: firing would delete buffered lines of an
+          // in-flight transaction (event LOSS, not a duplicate). The
+          // tombstone outliving its window until the buffer resolves is
+          // safe — it only suppresses already-emitted positions.
+          if (txTtlMs > 0 && state.getCurrentWatermarkMs() > 0)
+            armAt(state.getCurrentWatermarkMs() + txTtlMs)
+        } else {
+          armAt(tombAtMs.getOrElse(state.getCurrentWatermarkMs()) + dedupTtlMs)
+        }
+      } else if (state.exists) {
+        // suppression disabled (dedupTtl=0) and nothing buffered
         state.remove()
-      } else if (st.committedAtMs.isDefined && dedupTtlMs > 0) {
-        // pure replay of a committed tx: keep the tombstone armed (an
-        // invocation clears any previously-set timeout)
-        armAt(st.committedAtMs.get + dedupTtlMs)
       }
       out.result().iterator
     }

@@ -77,22 +77,9 @@ class MultimodalSpec extends SparkSpec {
       "non-image passes through unchanged")
   }
 
-  /** 16-bit mono WAV with actual PCM content (square wave of amplitude
-    * `amp`: +amp, -amp alternating) — peak and RMS are exactly `amp`.
-    */
-  private def squareWav(sampleRate: Float, nFrames: Int, amp: Short): Array[Byte] = {
-    val fmt = new AudioFormat(sampleRate, 16, 1, true, false) // little-endian
-    val data = new Array[Byte](nFrames * 2)
-    for (i <- 0 until nFrames) {
-      val v: Short = if (i % 2 == 0) amp else (-amp).toShort
-      data(2 * i) = (v & 0xff).toByte
-      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
-    }
-    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
-    val bos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
-  }
+  /** Shared fixture (Multimodal.squareWav): peak = RMS = amp exactly. */
+  private def squareWav(sampleRate: Float, nFrames: Int, amp: Short): Array[Byte] =
+    Multimodal.squareWav(sampleRate, nFrames, amp)
 
   test("audio PCM features: integer-exact peak and RMS from real sample decode") {
     // square wave: every sample is ±amp, so peak = rms = amp exactly

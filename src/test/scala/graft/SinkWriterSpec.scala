@@ -135,6 +135,22 @@ class SinkWriterSpec extends SparkSpec {
       s"position 100 is unacked, so NO position may be checkpointed: $res")
   }
 
+  test("lastSuccessPosition never advances onto a position shared with an unacked item") {
+    val b = MockBroker.reset("ties")
+    // duplicate position 100: one acks, one is poison — the mark must stay
+    // strictly below 100
+    val tied = Vector(
+      PublishItem("cdc.db.a", "t0", "{}", 50L),
+      PublishItem("cdc.db.a", "t1", "{}", 100L),
+      PublishItem("cdc.db.b", "t2", "{}", 100L),
+      PublishItem("cdc.db.b", "t3", "{}", 200L))
+    b.poison.add("t2")
+    val res = SinkPublisher.publishOrdered(tied.iterator,
+      new MockBrokerSinkWriter("ties"), sleep = noSleep)
+    assert(res.lastSuccessPosition.contains(50L),
+      s"an acked item tying the unacked position must not advance the mark: $res")
+  }
+
   test("skip policy: poison is handled without a DLQ record and the batch continues " +
       "(engine_failure_policy_test.go:109)") {
     val b = MockBroker.reset("poison-skip")

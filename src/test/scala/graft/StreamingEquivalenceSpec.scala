@@ -80,10 +80,15 @@ class StreamingEquivalenceSpec extends SparkSpec {
         .writeStream.outputMode("append").format("memory").queryName(out).start()
       try {
         batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
-        val streamed = spark.table(out)
+        val streamedRows = spark.table(out)
           .select($"event_id", $"lsn", $"txid", $"commit_time")
           .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
-            String.valueOf(r.getTimestamp(3)))).toSet
+            String.valueOf(r.getTimestamp(3))))
+        val streamed = streamedRows.toSet
+        // multiplicity matters: a dedup regression re-emitting a replayed
+        // tx would survive a Set compare — row count must match too
+        assert(streamedRows.length == streamed.size,
+          s"seed=$seed: duplicate emissions: ${streamedRows.groupBy(identity).filter(_._2.length > 1).keys}")
 
         val batchExpected = Transform.normalize(
             TxAssembly.assemble(Wal2Json.decode(wal.toDF("wal_start", "data"))), "testdb")

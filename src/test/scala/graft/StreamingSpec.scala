@@ -158,14 +158,21 @@ class StreamingSpec extends SparkSpec {
     val q = events.writeStream.outputMode("append")
       .format("memory").queryName("badts_out").start()
     try {
-      input.addData(
+      val tx = Seq(
         (1L, """{"action":"B","xid":9}"""),
         (2L, """{"action":"I","xid":9,"schema":"public","table":"users","columns":[{"name":"id","type":"bigint","value":1}]}"""),
         (3L, """{"action":"C","xid":9,"timestamp":"not a timestamp"}"""))
+      input.addData(tx: _*)
       q.processAllAvailable()
       val out = spark.table("badts_out").collect()
       assert(out.length == 1, "the event emits with a null commit_time instead of crashing")
       assert(out.head.getAs[java.sql.Timestamp]("commit_time") == null)
+      // suppression must survive the missing anchor: a replayed delivery
+      // of the same tx emits nothing (watermark-clocked tombstone)
+      input.addData(tx: _*)
+      q.processAllAvailable()
+      assert(spark.table("badts_out").count() == 1,
+        "a no-timestamp commit still leaves a replay tombstone")
     } finally q.stop()
   }
 
