@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   *  - **audio: REAL** for WAV/AIFF/AU — `javax.sound.sampled` parses the
   *    header (true sample rate and frame count) AND the 16-bit PCM sample
   *    stream: integer-exact peak / RMS features (`audioPcmFeatures`).
-  *  - **video: deterministic fallback** — the JDK has no container
-  *    demuxer; a production deployment drops an FFmpeg-backed decoder into
+  *  - **video: REAL for MJPEG-in-AVI** — a pure-JDK RIFF container walk
+  *    (`aviMjpegFrames`) plus ImageIO per frame: true frame count, first-
+  *    frame dims/feature, and real frame-byte sampling
+  *    (`sampleFrameBytes`). Other codecs (H.264 etc.) degrade — a
+  *    production deployment drops an FFmpeg-backed decoder into
   *    `decodeBytes`'s video arm without touching the pipeline shape.
   *  - payloads the codec cannot parse (corrupt, or synthetic test bytes)
   *    degrade to a deterministic descriptor derived from the byte length —
@@ -90,6 +93,94 @@ object Multimodal {
       DecodedMedia(id, "image", w, h, 0, 1, feature, decoded = true)
     } catch { case NonFatal(_) => None }
 
+  /** Minimal RIFF/AVI walk: returns the MJPEG frame payloads — the
+    * '..dc'/'..db' chunks inside the 'movi' LIST — of an AVI container.
+    * Pure JDK byte scanning (RIFF is fourcc + little-endian size + data,
+    * padded to even); unknown chunks/LISTs (hdrl, idx1, …) are skipped
+    * structurally. None when the bytes are not RIFF/AVI.
+    */
+  def aviMjpegFrames(bytes: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") None
+    else {
+      val frames = Vector.newBuilder[Array[Byte]]
+      def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val id = fourcc(off)
+          val size = u32(off + 4).toInt
+          val dataStart = off + 8
+          val dataEnd = math.min(dataStart + size, to)
+          if (id == "LIST" && size >= 4) {
+            val listType = fourcc(dataStart)
+            walk(dataStart + 4, dataEnd, inMovi || listType == "movi")
+          } else if (inMovi && size > 0 && id.length == 4 &&
+              (id.endsWith("dc") || id.endsWith("db"))) {
+            frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+          }
+          off = dataStart + size + (size & 1) // chunks pad to even
+        }
+      }
+      walk(12, math.min(bytes.length, 8 + u32(4).toInt), inMovi = false)
+      val fs = frames.result()
+      if (fs.isEmpty) None else Some(fs)
+    }
+  }
+
+  /** Assemble an MJPEG AVI from pre-encoded JPEG frames — the video
+    * fixture generator (minimal but structurally correct RIFF: an avih
+    * header LIST the parser must skip, then the movi LIST). The video
+    * analog of [[testPatternPng]]/[[squareWav]].
+    */
+  def buildMjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      out.write(id.getBytes("US-ASCII")); out.write(le32(data.length))
+      out.write(data); if (data.length % 2 == 1) out.write(0)
+      out.toByteArray
+    }
+    def list(listType: String, content: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ content)
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    bos.write("RIFF".getBytes("US-ASCII")); bos.write(le32(body.length))
+    bos.write(body)
+    bos.toByteArray
+  }
+
+  /** Real video decode: MJPEG-in-AVI via the RIFF walk + ImageIO on the
+    * first frame (dims + luminance feature). None when not AVI/MJPEG.
+    */
+  private def decodeVideo(id: Long, bytes: Array[Byte]): Option[DecodedMedia] =
+    aviMjpegFrames(bytes).flatMap { frames =>
+      decodeImage(id, frames.head).map(first =>
+        first.copy(kind = "video", n_frames = frames.size))
+    }
+
+  /** Real frame sampling over MJPEG AVI payloads: every `stride`-th
+    * frame's actual JPEG bytes, (media_id, frame_idx, frame). Payloads
+    * that are not MJPEG AVIs are absent ([[sampleFrames]] remains the
+    * metadata-only plan over decode output). Narrow map.
+    */
+  def sampleFrameBytes(spark: SparkSession, media: DataFrame, stride: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        aviMjpegFrames(bytes).toSeq.flatMap(fs =>
+          fs.indices.by(stride).map(i => (id, i, fs(i))))
+      }).toDF("media_id", "frame_idx", "frame")
+  }
+
   /** Real audio header decode: WAV/AIFF/AU via javax.sound. */
   private def decodeAudio(id: Long, bytes: Array[Byte]): Option[DecodedMedia] =
     try {
@@ -128,7 +219,8 @@ object Multimodal {
     (kind match {
       case "image" => decodeImage(id, bytes)
       case "audio" => decodeAudio(id, bytes)
-      case _ => None // video: no JDK demuxer — degraded mode
+      case "video" => decodeVideo(id, bytes) // REAL for MJPEG-in-AVI
+      case _ => None
     }).getOrElse(fallback(id, kind, bytes))
 
   /** Real image resize: Graphics2D bilinear scale + PNG re-encode. None when

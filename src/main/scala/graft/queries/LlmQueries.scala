@@ -1227,6 +1227,45 @@ object LlmQueries {
       },
       None),
 
+    // Real MJPEG-AVI video decode + frame sampling over synthesized
+    // containers: deterministic JPEG frames (testPatternPng re-encoded)
+    // are packed into real RIFF/AVI files, demuxed back by the pure-JDK
+    // container walk, and every 2nd frame's actual bytes are emitted with
+    // its decoded dimensions. Rows-only gate (the oracle engine cannot
+    // demux AVI); frame counts are a deterministic function of doc_id so
+    // the row count is pinned. Narrow map — container bytes never shuffle.
+    "l73_video_frame_sample" -> Def(
+      (s, d) => {
+        import s.implicits._
+        val media = t(s, d, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 120).as[Long]
+          .mapPartitions { it =>
+            javax.imageio.ImageIO.setUseCache(false)
+            it.map { id =>
+              val nFrames = 2 + (id % 4).toInt
+              val frames = (0 until nFrames).map { f =>
+                val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+                  Multimodal.testPatternPng((id * 7 + f).toInt)))
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(img, "jpg", bos)
+                bos.toByteArray
+              }
+              (id, Multimodal.buildMjpegAvi(frames))
+            }
+          }.toDF("media_id", "payload")
+        val sampled = Multimodal.sampleFrameBytes(s, media, stride = 2)
+        sampled.as[(Long, Int, Array[Byte])]
+          .mapPartitions { it =>
+            javax.imageio.ImageIO.setUseCache(false)
+            it.map { case (id, idx, frame) =>
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+              (id, idx, img.getWidth, img.getHeight, frame.length > 0)
+            }
+          }.toDF("media_id", "frame_idx", "width", "height", "nonempty")
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      None),
+
     // Batch analog of the STREAMING ingest dedup (streaming/StreamingDedup
     // .nearDupStream): with every document in one batch, the stateful
     // bucket-membership semantics reduce to "for each doc, the minimum

@@ -77,6 +77,38 @@ class MultimodalSpec extends SparkSpec {
       "non-image passes through unchanged")
   }
 
+  private def jpeg(seed: Int): Array[Byte] = {
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(Multimodal.testPatternPng(seed)))
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("real MJPEG-AVI decode: frame count, first-frame dims, quarantine flag off") {
+    val avi = Multimodal.buildMjpegAvi((1 to 5).map(jpeg))
+    val d = Multimodal.decodeBytes(9L, "video", avi)
+    assert(d.decoded, "MJPEG AVI is REAL-decoded, not degraded")
+    assert(d.kind == "video" && d.n_frames == 5)
+    assert(d.width == 64 && d.height == 64)
+    assert(math.abs(d.feature.sum - 1.0f) < 1e-4)
+    // non-AVI video bytes still degrade deterministically, never throw
+    assert(!Multimodal.decodeBytes(10L, "video", "not a container".getBytes).decoded)
+  }
+
+  test("real frame sampling: every stride-th frame's actual JPEG bytes, each decodable") {
+    val media = Seq(
+      (1L, Multimodal.buildMjpegAvi((1 to 6).map(jpeg))),
+      (2L, "junk".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val sampled = Multimodal.sampleFrameBytes(spark, media, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2)))
+    assert(sampled.map(s => (s._1, s._2)).toSet == Set((1L, 0), (1L, 2), (1L, 4)),
+      "stride-2 sampling over 6 frames; undecodable payloads absent")
+    sampled.foreach { case (_, idx, bytes) =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth == 64, s"frame $idx must be a real JPEG")
+    }
+  }
+
   /** Shared fixture (Multimodal.squareWav): peak = RMS = amp exactly. */
   private def squareWav(sampleRate: Float, nFrames: Int, amp: Short): Array[Byte] =
     Multimodal.squareWav(sampleRate, nFrames, amp)
