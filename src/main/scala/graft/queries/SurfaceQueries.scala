@@ -672,6 +672,15 @@ object SurfaceQueries {
     // depth = #months (bounded, driver-side tiny frame); the only
     // data-size work is one per-month aggregation shuffle; the month
     // series broadcasts into the join.
+    //
+    // Oracle-parity: the compared output is all DATE/BIGINT — revenue is
+    // emitted as exact integer cents (sum of DECIMAL(12,2) is integral in
+    // cents by construction), never a wide DECIMAL, and the ORACLE builds
+    // the month spine with generate_series instead of a recursive CTE.
+    // Recursive-CTE evaluation and wide-DECIMAL rendering both varied
+    // across oracle-engine builds (r2/r3 red rows); the Spark side keeps
+    // WITH RECURSIVE — that is the operator under test — while the oracle
+    // only needs the same rows via the most boring constructs available.
     "q55_recursive_calendar" -> Def(
       (s, d) => {
         t(s, d, "orders").createOrReplaceTempView("orders_q55")
@@ -688,37 +697,46 @@ object SurfaceQueries {
           per_month AS (
             SELECT to_date(date_trunc('MONTH', o_orderdate)) AS m,
                    COUNT(*) AS n_orders,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS revenue
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2))
+                        * CAST(100 AS DECIMAL(3,0)) AS BIGINT) AS revenue_cents
             FROM orders_q55 GROUP BY 1)
-          SELECT months.m, COALESCE(n_orders, 0) AS n_orders,
-                 COALESCE(revenue, CAST(0 AS DECIMAL(28,2))) AS revenue
+          SELECT months.m, CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+                 CAST(COALESCE(revenue_cents, 0) AS BIGINT) AS revenue_cents
           FROM months LEFT JOIN per_month ON months.m = per_month.m
           ORDER BY months.m""")
       },
-      Some("""WITH RECURSIVE months(m, hi) AS (
-          SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE),
-                 CAST(date_trunc('month', MAX(o_orderdate)) AS DATE)
-          FROM orders
-          UNION ALL
-          SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi FROM months WHERE m < hi),
+      Some("""WITH bounds AS (
+          SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP) AS lo,
+                 CAST(date_trunc('month', MAX(o_orderdate)) AS TIMESTAMP) AS hi
+          FROM orders),
+        months AS (
+          SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS m
+          FROM bounds),
         per_month AS (
           SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
                  COUNT(*) AS n_orders,
-                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS revenue
+                 CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2))
+                      * CAST(100 AS DECIMAL(3,0)) AS BIGINT) AS revenue_cents
           FROM orders GROUP BY 1)
-        SELECT months.m, COALESCE(n_orders, 0) AS n_orders,
-               COALESCE(revenue, CAST(0 AS DECIMAL(28,2))) AS revenue
+        SELECT months.m, CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(COALESCE(revenue_cents, 0) AS BIGINT) AS revenue_cents
         FROM months LEFT JOIN per_month ON months.m = per_month.m
         ORDER BY months.m""")),
 
     // Ratio-to-report: each nation's share of its region's revenue — the
-    // share-of-total window over a grouped aggregate. Numerator and
-    // denominator stay exact decimals end-to-end; the share is emitted as
-    // integer parts-per-billion via exact integral division (consumer
-    // divides by 1e9), never a wide-decimal→double cast — decimal(38,2)→
-    // double conversion is not bit-identical across engines (r2's one red
-    // row). Two shuffles: the group-by and the region-partitioned window
-    // over the tiny aggregate.
+    // share-of-total window over a grouped aggregate. The compared output
+    // is all-BIGINT by design: revenue and the region total are exact
+    // integer cents (the decimal sum is integral in cents by
+    // construction), and the share is integer parts-per-MILLION via plain
+    // BIGINT integral division (Spark `div` ≡ oracle `//`, both truncate
+    // toward zero on positives). No wide DECIMALs, no HUGEINT, no
+    // decimal→double — every construct the r2/r3 oracle-build divergences
+    // fingerprinted is gone from both sides. ppm (not ppb) keeps
+    // revenue_cents*1e6 inside BIGINT through ~$9e10 of per-nation
+    // revenue (≈TPC-H sf10); past that Spark's ANSI overflow fails loudly
+    // rather than silently — widen to a two-step split division if a
+    // deployment ever needs ppb at that scale. Two shuffles: the group-by
+    // and the region-partitioned window over the tiny aggregate.
     "q54_ratio_to_report" -> Def(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -730,31 +748,31 @@ object SurfaceQueries {
           .join(broadcast(t(s, d, "region")),
             col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
-          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+          .agg(expr("""CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                AS DECIMAL(28,2))
+                            * CAST(100 AS DECIMAL(3,0)) AS BIGINT)""")
+            .as("revenue_cents"))
         val w = Window.partitionBy(col("r_name"))
-        // decimal(24,2) * decimal(10,0) → decimal(35,2): exact, no 38-cap
-        // precision loss; `div` is exact integral division → BIGINT.
-        rev.withColumn("region_total", sum(col("revenue")).over(w))
-          .withColumn("share_ppb",
-            expr("""CAST((CAST(revenue AS DECIMAL(24,2)) *
-                          CAST(1000000000 AS DECIMAL(10,0)))
-                    div region_total AS BIGINT)"""))
+        rev.withColumn("region_total_cents",
+            sum(col("revenue_cents")).over(w))
+          .withColumn("share_ppm",
+            expr("(revenue_cents * CAST(1000000 AS BIGINT)) div region_total_cents"))
           .orderBy(col("r_name"), col("n_name"))
       },
       Some("""WITH rev AS (SELECT r_name, n_name,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+               * CAST(100 AS DECIMAL(3,0)) AS BIGINT) AS revenue_cents
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name)
-        SELECT r_name, n_name, revenue,
-          CAST(SUM(revenue) OVER (PARTITION BY r_name) AS DECIMAL(38,2))
-            AS region_total,
-          CAST((CAST(revenue * 100 AS HUGEINT) * 1000000000) //
-               CAST(CAST(SUM(revenue) OVER (PARTITION BY r_name)
-                    AS DECIMAL(30,2)) * 100 AS HUGEINT) AS BIGINT)
-            AS share_ppb
+        SELECT r_name, n_name, revenue_cents,
+          CAST(SUM(revenue_cents) OVER (PARTITION BY r_name) AS BIGINT)
+            AS region_total_cents,
+          CAST((revenue_cents * CAST(1000000 AS BIGINT)) //
+               CAST(SUM(revenue_cents) OVER (PARTITION BY r_name) AS BIGINT)
+            AS BIGINT) AS share_ppm
         FROM rev ORDER BY r_name, n_name"""))
   )
 }
