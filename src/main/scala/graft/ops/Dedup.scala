@@ -543,9 +543,15 @@ object Dedup {
     * same exact pigeonhole blocking as [[simhashPairs]] — shuffle volume
     * is corpus × (maxHamming+1) block keys, never n².
     * Input: (id, <hashCol>); output: (id_a, id_b, hamming), id_a < id_b.
+    *
+    * `maxBucket` is deliberately NOT defaulted (same move as the
+    * mandatory df-cap on n-gram Jaccard): a degenerate block key on a
+    * near-duplicate-heavy corpus makes the block self-join quadratic, so
+    * every caller must consciously size the cap (0 = uncapped, for
+    * exact-baseline comparisons only).
     */
   def hammingPairs(sig: DataFrame, hashCol: String, bits: Int,
-      maxHamming: Int, maxBucket: Int = 0): DataFrame = {
+      maxHamming: Int, maxBucket: Int): DataFrame = {
     val blocked = capBuckets(
       sig.select(col("id"), col(hashCol).as("_hh"),
         explode(array(hammingBlocks(col(hashCol), bits, maxHamming): _*)).as("b")),

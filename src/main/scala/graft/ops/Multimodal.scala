@@ -465,10 +465,12 @@ object Multimodal {
   /** Near-duplicate image pairs within a hamming radius of the 64-bit
     * aHash — crops/re-encodes/minor edits of the same picture. Exact
     * pigeonhole blocking ([[Dedup.hammingPairs]]): shuffle volume is
-    * corpus × (radius+1) block keys, never n².
+    * corpus × (radius+1) block keys, never n². `maxBucket` is mandatory
+    * (see [[Dedup.hammingPairs]]) — an uncapped block self-join over a
+    * near-duplicate-heavy image corpus is quadratic in the worst block.
     */
   def imageNearDupPairs(hashed: DataFrame, maxHamming: Int,
-      maxBucket: Int = 0): DataFrame =
+      maxBucket: Int): DataFrame =
     Dedup.hammingPairs(hashed, "ahash", bits = 64, maxHamming, maxBucket)
 
   /** Frame sampling plan for video payloads: every `stride`-th frame index.

@@ -1202,7 +1202,8 @@ object LlmQueries {
             it.map(id => (id,
               Multimodal.testPatternPng((id / 2).toInt, flipCorner = if (id % 2 == 1) 16 else 0)))
           }.toDF("media_id", "payload")
-        Multimodal.imageNearDupPairs(Multimodal.imageAHash(s, media), maxHamming = 8)
+        Multimodal.imageNearDupPairs(Multimodal.imageAHash(s, media),
+            maxHamming = 8, maxBucket = 10000)
           .orderBy(col("id_a"), col("id_b"))
       },
       None),

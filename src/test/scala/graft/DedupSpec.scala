@@ -87,7 +87,7 @@ class DedupSpec extends SparkSpec {
       (i, mix(i / 4) ^ ((1L << (i % 4).toInt * 13) * (i % 4).min(1)))).toMap
     val sig = hashes.toSeq.toDF("id", "h")
     for (radius <- Seq(1, 4, 8, 15)) {
-      val blocked = Dedup.hammingPairs(sig, "h", bits = 64, maxHamming = radius)
+      val blocked = Dedup.hammingPairs(sig, "h", bits = 64, maxHamming = radius, maxBucket = 0)
         .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
       val naive = (for {

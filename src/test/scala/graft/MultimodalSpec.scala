@@ -160,7 +160,7 @@ class MultimodalSpec extends SparkSpec {
       (5L, "junk".getBytes("UTF-8"))).toDF("media_id", "payload")
     val hashed = Multimodal.imageAHash(spark, media)
     assert(hashed.count() == 4, "undecodable payloads are absent, not hashed")
-    val pairs = Multimodal.imageNearDupPairs(hashed, maxHamming = 8)
+    val pairs = Multimodal.imageNearDupPairs(hashed, maxHamming = 8, maxBucket = 10000)
       .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), s"only the perturbed copy pairs up: $pairs")
   }
