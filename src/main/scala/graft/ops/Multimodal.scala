@@ -106,29 +106,44 @@ object Multimodal {
       (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
         ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
     if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") None
-    else {
+    else try {
       val frames = Vector.newBuilder[Array[Byte]]
-      def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+      // All offset arithmetic stays in Long: a crafted u32 size near 2^32
+      // must not wrap to a negative Int (the wrap once allowed a
+      // non-advancing offset → infinite loop, or a backward walk →
+      // negative array indices). Offsets are clamped to `to`, the cursor
+      // must strictly advance every iteration, and LIST recursion is
+      // depth-bounded (real AVIs nest RIFF→LIST(hdrl/movi)→LIST(rec );
+      // anything deeper than 16 is a crafted payload, not a container).
+      def walk(from: Int, to: Int, inMovi: Boolean, depth: Int): Unit = {
+        if (depth > 16) return
         var off = from
-        while (off + 8 <= to) {
+        var corrupt = false
+        while (!corrupt && off + 8 <= to) {
           val id = fourcc(off)
-          val size = u32(off + 4).toInt
-          val dataStart = off + 8
-          val dataEnd = math.min(dataStart + size, to)
-          if (id == "LIST" && size >= 4) {
-            val listType = fourcc(dataStart)
-            walk(dataStart + 4, dataEnd, inMovi || listType == "movi")
-          } else if (inMovi && size > 0 && id.length == 4 &&
+          val size = u32(off + 4) // 0..2^32-1, never negative
+          val dataStart = off.toLong + 8
+          val dataEnd = math.min(dataStart + size, to.toLong)
+          if (id == "LIST" && size >= 4 && dataStart + 4 <= to) {
+            walk((dataStart + 4).toInt, dataEnd.toInt,
+              inMovi || fourcc(dataStart.toInt) == "movi", depth + 1)
+          } else if (inMovi && size > 0 && dataStart + size <= to &&
               (id.endsWith("dc") || id.endsWith("db"))) {
-            frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+            // only fully-present chunks: a size claim past the buffer end
+            // is a truncated/crafted tail, not a decodable frame
+            frames += java.util.Arrays.copyOfRange(
+              bytes, dataStart.toInt, dataEnd.toInt)
           }
-          off = dataStart + size + (size & 1) // chunks pad to even
+          val next = dataStart + size + (size & 1) // chunks pad to even
+          if (next <= off || next > to) corrupt = true // truncated/crafted
+          else off = next.toInt
         }
       }
-      walk(12, math.min(bytes.length, 8 + u32(4).toInt), inMovi = false)
+      walk(12, math.min(bytes.length.toLong, 8 + u32(4)).toInt,
+        inMovi = false, depth = 0)
       val fs = frames.result()
       if (fs.isEmpty) None else Some(fs)
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Assemble an MJPEG AVI from pre-encoded JPEG frames — the video

@@ -95,6 +95,39 @@ class MultimodalSpec extends SparkSpec {
     assert(!Multimodal.decodeBytes(10L, "video", "not a container".getBytes).decoded)
   }
 
+  test("corrupt RIFF payloads terminate without throwing (crafted sizes, deep nesting, truncation)") {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val hdr = "RIFF".getBytes("US-ASCII") ++ le32(0xffffffffL) ++ "AVI ".getBytes("US-ASCII")
+    // u32 size 0xFFFFFFF8 once wrapped to -8 → offset never advanced
+    val nonAdvancing = hdr ++ "00dc".getBytes ++ le32(0xfffffff8L) ++ Array[Byte](1, 2)
+    // size 0xFFFFFF00 walked the cursor backward → negative indices
+    val backward = hdr ++ "00dc".getBytes ++ le32(0xffffff00L) ++ Array[Byte](1, 2, 3, 4)
+    // size near Int.MaxValue: dataStart + size overflowed Int
+    val overflowing = hdr ++ "00dc".getBytes ++ le32(Int.MaxValue.toLong) ++ Array[Byte](1, 2)
+    // 10k nested LISTs: unbounded recursion once StackOverflowError'd
+    val deep = hdr ++ (1 to 10000).toArray.flatMap(_ =>
+      "LIST".getBytes ++ le32(0x7fffff0L) ++ "rec ".getBytes)
+    // truncated mid-header
+    val truncated = hdr ++ "00dc".getBytes
+    for (payload <- Seq(nonAdvancing, backward, overflowing, deep, truncated)) {
+      val t0 = System.nanoTime()
+      Multimodal.aviMjpegFrames(payload) // must return, not hang/throw
+      assert(System.nanoTime() - t0 < 5e9, "corrupt payload parse must terminate fast")
+      assert(!Multimodal.decodeBytes(1L, "video", payload).decoded,
+        "corrupt video degrades to the deterministic fallback descriptor")
+    }
+    // a frame already collected before a truncated trailing chunk is kept
+    val good = jpeg(1)
+    val partial = "RIFF".getBytes ++ le32(good.length * 2 + 100L) ++ "AVI ".getBytes ++
+      "LIST".getBytes ++ le32(good.length * 2 + 50L) ++ "movi".getBytes ++
+      "00dc".getBytes ++ le32(good.length.toLong) ++ good ++
+      "00dc".getBytes ++ le32(0xffffffffL) ++ Array[Byte](9)
+    assert(Multimodal.aviMjpegFrames(partial).exists(_.size == 1),
+      "frames before the corrupt tail survive")
+  }
+
   test("real frame sampling: every stride-th frame's actual JPEG bytes, each decodable") {
     val media = Seq(
       (1L, Multimodal.buildMjpegAvi((1 to 6).map(jpeg))),
