@@ -495,19 +495,30 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           sum(dec(col("c_acctbal"))).as("s1"),
           sum(dec(col("c_acctbal")) * dec(col("c_acctbal"))).as("s2"))
-        // mean and variance via exact decimal algebra + integral division at
-        // micro resolution: the numerator n·s2 − s1² stays inside the
-        // 38-digit cap via the down-casts (values have huge headroom — s1
-        // ≤ 1e15, n ≤ 1e10 documented bounds), and both engines truncate
-        // integral division toward zero, so the result is bit-deterministic
-        // — no decimal-cast double ever enters arithmetic (q54-class ulp
-        // hazard).
+        // mean and variance via exact decimal algebra + integral division
+        // at micro resolution, bit-deterministic in both engines (integral
+        // division truncates toward zero; no decimal-cast double ever
+        // enters arithmetic — the q54-class ulp hazard). The numerator
+        // n·s2 − s1² stays EXACT in DECIMAL(38,4) through the documented
+        // bounds (n < 1e10 via the DECIMAL(10,0) gate, s1 < 1e15, s2 <
+        // 1e23 ⇒ numerator < 1e33), and the ×1e6 micro scaling uses the
+        // split identity floor(num·1e6/d) = (num div d)·1e6 +
+        // ((num mod d)·1e6) div d so no intermediate needs more than 33
+        // digits — the naive num·1e6 would demand 39 and silently
+        // down-cast (overflow → null) past n ≈ 3e6. d = n(n−1) is built
+        // in DECIMAL(23,0): the BIGINT product would overflow at n > 3e9.
+        .withColumn("num",
+          expr("""CAST(CAST(n AS DECIMAL(10,0)) * CAST(s2 AS DECIMAL(27,4))
+                 - CAST(s1 AS DECIMAL(17,2)) * CAST(s1 AS DECIMAL(17,2))
+                 AS DECIMAL(38,4))"""))
+        .withColumn("d",
+          expr("CAST(n AS DECIMAL(11,0)) * CAST(n - 1 AS DECIMAL(11,0))"))
         .select(col("c_mktsegment"), col("n"),
           (expr("CAST((s1 * 1000000) div n AS BIGINT)")
             .cast("double") / lit(1e6)).as("mean_bal"),
-          (expr("""CAST((CAST(CAST(n AS DECIMAL(10,0)) * CAST(s2 AS DECIMAL(27,4))
-                 - CAST(s1 AS DECIMAL(17,2)) * CAST(s1 AS DECIMAL(17,2)) AS DECIMAL(27,4))
-                 * 1000000) div (n * (n - 1)) AS BIGINT)""")
+          (expr("""CAST((num div d) * 1000000
+                 + (CAST(num % d AS DECIMAL(25,4))
+                    * CAST(1000000 AS DECIMAL(7,0))) div d AS BIGINT)""")
             .cast("double") / lit(1e6)).as("var_bal"))
         .orderBy(col("c_mktsegment")),
       // sums are exact decimals; mean/var are exact integral divisions at
