@@ -62,7 +62,12 @@ case class RawTxState(lines: List[(Long, String)],
     committedAtMs: Option[Long] = None,
     // sentinel MinValue = nothing committed: 0 is a VALID carrier position
     // (fileIndex 0, line 0) and must not be swallowed by the replay filter
-    committedLsn: Long = Long.MinValue)
+    committedLsn: Long = Long.MinValue,
+    // true when the abandoned-tx deadline was armed before ANY watermark
+    // existed (first micro-batch, wm=0): that deadline fires the moment a
+    // real watermark establishes, and the handler must then START the TTL
+    // clock rather than evict a possibly-live buffer
+    provisionalTimeout: Boolean = false)
 
 /** Assembled raw line with commit metadata + deterministic ordinal; the
   * payload parse happens downstream (Wal2Json.decodePayload).
@@ -177,7 +182,15 @@ object StreamingTxAssembly {
     def armAt(ms: Long): Unit =
       state.setTimeoutTimestamp(math.max(ms, state.getCurrentWatermarkMs() + 1))
     if (state.hasTimedOut) {
-      state.remove()
+      val st = state.get
+      if (st.lines.nonEmpty && st.provisionalTimeout) {
+        // the pre-watermark sentinel deadline (armed at wm+1 in the first
+        // micro-batch) fired: a watermark now exists, so start the REAL
+        // abandoned-tx clock — evicting here would drop a transaction
+        // whose commit may simply sit in a later batch
+        state.update(st.copy(provisionalTimeout = false))
+        armAt(state.getCurrentWatermarkMs() + txTtlMs)
+      } else state.remove()
       Iterator.empty
     } else {
       val st = state.getOption.getOrElse(RawTxState(Nil))
@@ -217,20 +230,29 @@ object StreamingTxAssembly {
       // re-emit the whole transaction
       val tombstone = dedupTtlMs > 0 && tombLsn != Long.MinValue
       if (buf.nonEmpty || tombstone) {
-        state.update(RawTxState(buf, if (tombstone) tombAtMs else None, tombLsn))
+        // abandoned-tx eviction clock = the watermark at buffering time;
+        // before any watermark exists (wm=0) a wm+txTtl deadline would
+        // pin near the 1970 epoch and fire the moment real event times
+        // arrive — evicting freshly-buffered txs whose commit is merely
+        // in a later batch. Instead arm a PROVISIONAL sentinel at wm+1:
+        // when it fires (first real watermark) the timeout handler starts
+        // the true TTL clock. Without it, a first-batch txid that never
+        // receives another line would leak its buffer permanently (fMGWS
+        // only re-invokes a group on input or armed timeout). NEVER arm
+        // the tombstone deadline while a live buffer exists: firing would
+        // delete buffered lines of an in-flight transaction (event LOSS,
+        // not a duplicate). The tombstone outliving its window until the
+        // buffer resolves is safe — it only suppresses already-emitted
+        // positions.
+        val provisional =
+          buf.nonEmpty && txTtlMs > 0 && state.getCurrentWatermarkMs() <= 0
+        state.update(
+          RawTxState(buf, if (tombstone) tombAtMs else None, tombLsn, provisional))
         if (buf.nonEmpty) {
-          // abandoned-tx eviction clock = the watermark at buffering
-          // time; before any watermark exists (wm=0) arming would pin a
-          // 1970-epoch deadline that fires the moment real event times
-          // arrive — evicting freshly-buffered txs whose commit is merely
-          // in a later batch — so arm only once a watermark is
-          // established. NEVER arm the tombstone deadline while a live
-          // buffer exists: firing would delete buffered lines of an
-          // in-flight transaction (event LOSS, not a duplicate). The
-          // tombstone outliving its window until the buffer resolves is
-          // safe — it only suppresses already-emitted positions.
-          if (txTtlMs > 0 && state.getCurrentWatermarkMs() > 0)
-            armAt(state.getCurrentWatermarkMs() + txTtlMs)
+          if (txTtlMs > 0) {
+            if (provisional) armAt(1L) // clamps to wm+1
+            else armAt(state.getCurrentWatermarkMs() + txTtlMs)
+          }
         } else {
           armAt(tombAtMs.getOrElse(state.getCurrentWatermarkMs()) + dedupTtlMs)
         }

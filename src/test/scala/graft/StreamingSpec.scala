@@ -242,6 +242,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("first-batch stranded tx (no watermark yet) still evicts via the provisional timeout") {
+    implicit val sctx = spark.sqlContext
+    def at(ws: Long, action: String, xid: Long, ts: String, id: Int = 0): (Long, String) =
+      action match {
+        case "B" | "C" => (ws, s"""{"action":"$action","xid":$xid,"timestamp":"$ts"}""")
+        case a => (ws,
+          s"""{"action":"$a","xid":$xid,"timestamp":"$ts","schema":"public","table":"users","columns":[{"name":"id","type":"bigint","value":$id}]}""")
+      }
+    val t0 = "2024-01-15 10:00:00.000000+00"
+    val t1 = "2024-01-15 11:00:00.000000+00"
+    val t2 = "2024-01-15 12:00:00.000000+00"
+    val input = MemoryStream[(Long, String)]
+    val events = CdcStream.pipeline(spark,
+      input.toDF().toDF("wal_start", "data"), "testdb", dedupWatermark = "1 minute")
+    val q = events.writeStream.outputMode("append")
+      .format("memory").queryName("firstbatch_out").start()
+    try {
+      // batch 1: ONLY an uncommitted tx — buffered while the watermark is
+      // still 0, the one case where no real TTL deadline can be armed.
+      // fMGWS re-invokes a group only on new input or an armed timeout,
+      // so without the provisional sentinel this buffer would leak
+      // permanently.
+      input.addData(at(10, "B", 5, t0), at(11, "I", 5, t0, id = 1))
+      q.processAllAvailable()
+      // unrelated commits establish and then advance the watermark hours
+      // past the abandoned-tx TTL (defaulted to the 1-minute dedup window)
+      input.addData(at(20, "B", 6, t1), at(21, "I", 6, t1, id = 2), at(22, "C", 6, t1))
+      q.processAllAvailable()
+      input.addData(at(30, "B", 7, t2), at(31, "C", 7, t2))
+      q.processAllAvailable()
+      input.addData(at(40, "B", 8, t2), at(41, "C", 8, t2))
+      q.processAllAvailable()
+      assert(spark.table("firstbatch_out").count() == 1,
+        "only tx6's insert ever commits; the stranded tx5 must never emit")
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 2,
+        s"tx5's first-batch buffer must evict once a watermark exists, state=$stateRows")
+    } finally q.stop()
+  }
+
   test("checkpointed recovery: restart resumes without reprocessing (C1/C2)") {
     val dir = Files.createTempDirectory("graft_stream").toString
     val src = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
