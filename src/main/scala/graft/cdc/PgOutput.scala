@@ -88,14 +88,31 @@ object PgOutput {
     m.result()
   }
 
-  /** Streaming decode of one partition's ordered pgoutput messages.
-    * Registry and current-transaction id persist across the iterator.
+  /** Stateful decode core, shared by the batch `mapPartitions` path
+    * ([[decodePartition]]: registry in a local map, one archive partition)
+    * and the streaming keyed-state processor
+    * (graft.streaming.PgOutputStreamDecoder: registry in a per-slot
+    * MapState, persisted across micro-batches — the reference keeps its
+    * registry for the stream's lifetime and replaces entries on Relation
+    * messages at any point, pgoutput.go:216-230). The registry access is
+    * injected; transaction cursor (current xid + commit ts from the last
+    * Begin) is plain mutable fields the caller saves/restores around the
+    * session.
     */
-  def decodePartition(it: Iterator[(Long, Array[Byte])]): Iterator[DecodedWalEvent] = {
-    val registry = mutable.Map[Int, RelationInfo]()
-    var currentXid = 0L
+  final class DecodeSession(
+      getRel: Int => Option[RelationInfo],
+      putRel: RelationInfo => Unit) {
+    var currentXid: Long = 0L
     var currentTs: Timestamp = null
-    it.flatMap { case (walStart, data) =>
+
+    private def relation(b: ByteBuffer, walStart: Long): RelationInfo = {
+      val id = b.getInt()
+      getRel(id).getOrElse(throw new IllegalStateException(
+        s"pgoutput: data message at wal_start=$walStart references " +
+          s"relation $id with no prior Relation message"))
+    }
+
+    def decode(walStart: Long, data: Array[Byte]): Seq[DecodedWalEvent] = {
       val b = ByteBuffer.wrap(data)
       b.get().toChar match {
         case 'R' =>
@@ -115,7 +132,7 @@ object PgOutput {
             b.getInt() // typmod
             i += 1
           }
-          registry(id) = RelationInfo(id, schema, table, names, oids)
+          putRel(RelationInfo(id, schema, table, names, oids))
           Nil
         case 'B' =>
           b.getLong() // final LSN
@@ -131,13 +148,13 @@ object PgOutput {
           Seq(DecodedWalEvent(walStart, "C", is_begin = false, is_commit = true,
             null, null, null, null, currentXid, ts))
         case 'I' =>
-          val rel = registry(b.getInt())
+          val rel = relation(b, walStart)
           require(b.get().toChar == 'N', "INSERT expects new tuple")
           val nv = readTuple(b, rel)
           Seq(DecodedWalEvent(walStart, "INSERT", is_begin = false, is_commit = false,
             rel.schema, rel.table, null, nv, currentXid, currentTs))
         case 'U' =>
-          val rel = registry(b.getInt())
+          val rel = relation(b, walStart)
           var old: Map[String, String] = null
           var kind = b.get().toChar
           if (kind == 'K' || kind == 'O') {
@@ -149,7 +166,7 @@ object PgOutput {
           Seq(DecodedWalEvent(walStart, "UPDATE", is_begin = false, is_commit = false,
             rel.schema, rel.table, old, nv, currentXid, currentTs))
         case 'D' =>
-          val rel = registry(b.getInt())
+          val rel = relation(b, walStart)
           val kind = b.get().toChar
           require(kind == 'K' || kind == 'O', "DELETE expects key/old tuple")
           val ov = readTuple(b, rel)
@@ -159,7 +176,7 @@ object PgOutput {
           val nrels = b.getInt()
           b.get() // options (cascade/restart identity)
           (0 until nrels).flatMap { _ =>
-            registry.get(b.getInt()).map { rel =>
+            getRel(b.getInt()).map { rel =>
               // truncate -> DDL with empty before AND after images
               DecodedWalEvent(walStart, "DDL", is_begin = false, is_commit = false,
                 rel.schema, rel.table, Map.empty, Map.empty, currentXid, currentTs)
@@ -188,6 +205,15 @@ object PgOutput {
             s"message type 0x${other.toInt.toHexString}")
       }
     }
+  }
+
+  /** Streaming decode of one partition's ordered pgoutput messages.
+    * Registry and current-transaction id persist across the iterator.
+    */
+  def decodePartition(it: Iterator[(Long, Array[Byte])]): Iterator[DecodedWalEvent] = {
+    val registry = mutable.Map[Int, RelationInfo]()
+    val session = new DecodeSession(registry.get, r => registry(r.id) = r)
+    it.flatMap { case (walStart, data) => session.decode(walStart, data) }
   }
 
   /** Decode a DataFrame of (wal_start: long, data: binary) pgoutput frames

@@ -72,6 +72,38 @@ object CdcStream {
     Transform.normalize(sequenced, database)
   }
 
+  /** The pgoutput analog of [[pipeline]] — the reference's DEFAULT plugin
+    * (cmd/cdc-handler/main.go:59-74): binary replication frames
+    * (wal_start: long, data: binary[, slot]) → [[PgOutputStream.decode]]
+    * (per-slot keyed registry state, mid-stream Relation replacement) →
+    * [[TxAssemblyProcessor]] commit-gated assembly → Transform.normalize.
+    *
+    * Both stateful operators run on the arbitrary-state v2 API
+    * (transformWithState), so the query REQUIRES the RocksDB state-store
+    * provider. Unlike the wal2json path there is no header/payload parse
+    * split — pgoutput decode is a single cheap binary walk whose output
+    * maps feed assembly directly — and replay suppression rides on the
+    * sink's idempotence (batch_id overwrite / broker Msg-Id), the
+    * reference's own E7 shape for this plugin. `txTtlMs > 0` evicts
+    * abandoned transactions via state TTL.
+    */
+  def pipelinePgOutput(spark: SparkSession, raw: DataFrame, database: String,
+      tableAllowlist: Seq[String] = Nil, txTtlMs: Long = 0L,
+      slotCol: Option[String] = None): DataFrame = {
+    val decoded = PgOutputStream.decode(spark, raw, slotCol = slotCol).toDF()
+    val filtered =
+      if (tableAllowlist.isEmpty) decoded
+      else decoded.filter(
+        col("is_begin") || col("is_commit") ||
+        concat_ws(".", col("schema_name"), col("table_name"))
+          .isin(tableAllowlist: _*))
+    val assembled = TxAssemblyProcessor.assemble(spark, filtered, txTtlMs)
+      .toDF()
+      .withColumn("is_begin", lit(false))
+      .withColumn("is_commit", lit(false))
+    Transform.normalize(assembled, database)
+  }
+
   /** Start the pipeline into a parquet sink with checkpointed recovery.
     * `trigger` mirrors the reference's BATCH_TIMEOUT micro-batch cadence
     * (E1). `unsafeUnorderedAsyncPublish` selects the reference's explicit

@@ -88,6 +88,72 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("pgoutput streaming pipeline: keyed registry survives batches, mid-stream schema change, cross-batch tx") {
+    implicit val sctx = spark.sqlContext
+    import graft.cdc.PgWire
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val t0 = 1705314600123456L
+    val input = MemoryStream[(Long, Array[Byte])]
+    val events = CdcStream.pipelinePgOutput(spark,
+      input.toDF().toDF("wal_start", "data"), "testdb")
+    val q = events.writeStream.outputMode("append")
+      .format("memory").queryName("pgout_stream").start()
+    try {
+      // batch 1: Relation v1 (id, name) + one complete tx
+      input.addData(
+        (10L, PgWire.relation(100, "public", "users", Seq("id" -> 20, "name" -> 25))),
+        (20L, PgWire.begin(1000, t0, 7)),
+        (30L, PgWire.insert(100, Seq(Some("1"), Some("alice")))),
+        (40L, PgWire.commit(1000, 1001, t0)))
+      q.processAllAvailable()
+      // batch 2: NO Relation message — decode works only if the registry
+      // survived the batch boundary in keyed state
+      input.addData(
+        (50L, PgWire.begin(2000, t0, 8)),
+        (60L, PgWire.insert(100, Seq(Some("2"), Some("bob")))),
+        (70L, PgWire.commit(2000, 2001, t0)))
+      q.processAllAvailable()
+      // batch 3: mid-stream Relation REPLACEMENT (adds email), then a tx
+      // under the new shape — only later events see the new column
+      input.addData(
+        (80L, PgWire.relation(100, "public", "users",
+          Seq("id" -> 20, "name" -> 25, "email" -> 25))),
+        (90L, PgWire.begin(3000, t0, 9)),
+        (100L, PgWire.insert(100, Seq(Some("3"), Some("carol"), Some("c@x.y")))),
+        (110L, PgWire.commit(3000, 3001, t0)))
+      q.processAllAvailable()
+      // batches 4+5: one transaction SPLIT across the boundary — the tx
+      // cursor (xid from Begin) must carry over for the commit to release it
+      input.addData(
+        (120L, PgWire.begin(4000, t0, 11)),
+        (130L, PgWire.insert(100, Seq(Some("4"), Some("dan"), None))))
+      q.processAllAvailable()
+      assert(spark.table("pgout_stream").count() == 3, "uncommitted tx must not emit")
+      input.addData((140L, PgWire.commit(4000, 4001, t0)))
+      q.processAllAvailable()
+
+      val out = spark.table("pgout_stream")
+        .select($"txid", $"after", $"operation", $"subject")
+        .as[(Long, Map[String, String], String, String)].collect().sortBy(_._1)
+      assert(out.map(_._1).toList == List(7L, 8L, 9L, 11L))
+      assert(out(0)._2 == Map("id" -> "1", "name" -> "alice"))
+      assert(out(1)._2 == Map("id" -> "2", "name" -> "bob"),
+        "batch-2 decode must use the registry persisted from batch 1")
+      assert(out(2)._2 == Map("id" -> "3", "name" -> "carol", "email" -> "c@x.y"),
+        "the replaced relation schema applies to events after it")
+      assert(out(3)._2("id") == "4" && out(3)._2("email") == null)
+      assert(out.forall(e => e._3 == "INSERT" && e._4 == "cdc.testdb.public.users"))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("replayed events dedup within the watermark (effectively-once, E7)") {
     implicit val sctx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
