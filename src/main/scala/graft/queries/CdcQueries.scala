@@ -815,6 +815,55 @@ object CdcQueries {
     // seq-in-tx). The numeric-LSN decode is what a lexicographic hex sort
     // silently breaks (round-1 advice finding) — this query regresses it
     // against the oracle's arithmetic ordering.
+    // E6/E2 under the driver gate: where c24 pins the publish ORDER KEY as
+    // data, this drives the REAL ordered publish loop — the same
+    // repartition-by-subject + commit-order sort + per-partition
+    // SinkPublisher.publishOrdered(CollectingSinkWriter) path a broker
+    // deployment runs — and emits each item at the position the loop
+    // actually acked it. The per-subject ordinal is derived from the
+    // loop's own emission sequence (emit_seq), NOT recomputed from data
+    // columns, so an out-of-order ack would pair publish_ord with the
+    // wrong event_id and fail the oracle hash.
+    "c25_sink_publish_order" -> Def(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        import graft.streaming.{CollectingSinkWriter, PublishItem, SinkPublisher}
+        val n = normalizedCached(s, d)
+        val envelope = n
+          .repartition(8, col("subject"))
+          .sortWithinPartitions(col("subject"), col("commit_time"),
+            graft.streaming.OrderedSink.lsnNumeric(col("lsn")),
+            graft.streaming.OrderedSink.seqNumeric(col("event_id")))
+          .select(col("subject"), col("event_id"),
+            graft.cdc.Transform.envelopeJson(n).as("payload"),
+            graft.streaming.OrderedSink.lsnNumeric(col("lsn")).as("position"))
+          .as[(String, String, String, Long)]
+        val emitted = envelope.mapPartitions { rows =>
+          val writer = new CollectingSinkWriter
+          val res = SinkPublisher.publishOrdered(
+            rows.map(r => PublishItem(r._1, r._2, r._3, r._4)), writer)
+          res.firstError.foreach(e => throw new RuntimeException(e))
+          writer.published.iterator.zipWithIndex.map { case (it, i) =>
+            (it.subject, it.eventId, i.toLong)
+          }
+        }.toDF("subject", "event_id", "emit_seq")
+        emitted
+          .withColumn("publish_ord", row_number().over(
+            Window.partitionBy(col("subject")).orderBy(col("emit_seq"))).cast("long"))
+          .select(col("subject"), col("publish_ord"), col("event_id"))
+          .orderBy(col("subject"), col("publish_ord"))
+      },
+      Some(s"""SELECT subject,
+        CAST(ROW_NUMBER() OVER (PARTITION BY subject
+          ORDER BY commit_ts, ws, seq) AS BIGINT) AS publish_ord,
+        event_id
+        FROM (SELECT 'cdc.$Db.public.' || event_type AS subject,
+          MAX(ts) OVER (PARTITION BY user_id) AS commit_ts,
+          event_id * 10 AS ws, $oSeq AS seq, $oEventId AS event_id
+        FROM events)
+        ORDER BY subject, publish_ord""")),
+
     "c24_sink_order_key" -> Def(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
