@@ -3,6 +3,7 @@ package graft.streaming
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+import scala.jdk.CollectionConverters._
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 /** Driver-side health/readiness/metrics HTTP surface (reference M2:
@@ -66,6 +67,32 @@ object HealthServer {
 
     server.createContext("/metrics", (ex: HttpExchange) =>
       respond(ex, 200, metrics.map(_.scrape).getOrElse("")))
+
+    // pprof analogs (reference mounts net/http/pprof at /debug/pprof,
+    // internal/health/server.go:77-78): the JVM equivalents served off
+    // the same port via JMX beans — /debug/threads is a full thread dump
+    // (goroutine profile analog), /debug/heap a heap + GC summary
+    // (heap profile analog). Text exposition, no agent required.
+    server.createContext("/debug/threads", (ex: HttpExchange) => {
+      val mx = java.lang.management.ManagementFactory.getThreadMXBean
+      val dump = mx.dumpAllThreads(mx.isObjectMonitorUsageSupported,
+        mx.isSynchronizerUsageSupported)
+      respond(ex, 200, dump.map(_.toString).mkString(""))
+    })
+
+    server.createContext("/debug/heap", (ex: HttpExchange) => {
+      import java.lang.management.ManagementFactory
+      val heap = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+      val nonHeap = ManagementFactory.getMemoryMXBean.getNonHeapMemoryUsage
+      val pools = ManagementFactory.getMemoryPoolMXBeans.asScala.map(p =>
+        s"pool ${p.getName}: used=${p.getUsage.getUsed} max=${p.getUsage.getMax}")
+      val gcs = ManagementFactory.getGarbageCollectorMXBeans.asScala.map(g =>
+        s"gc ${g.getName}: count=${g.getCollectionCount} time_ms=${g.getCollectionTime}")
+      respond(ex, 200,
+        (Seq(s"heap: used=${heap.getUsed} committed=${heap.getCommitted} max=${heap.getMax}",
+          s"nonheap: used=${nonHeap.getUsed} committed=${nonHeap.getCommitted}")
+          ++ pools ++ gcs).mkString("\n"))
+    })
 
     server.start()
     new Started(server)

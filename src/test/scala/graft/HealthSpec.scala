@@ -85,6 +85,21 @@ class HealthSpec extends AnyFunSuite {
     } finally s.stop()
   }
 
+  test("/debug pprof analogs: thread dump and heap summary") {
+    val s = HealthServer.start(port = 0)
+    try {
+      val (tc, threads) = get(s.port, "/debug/threads")
+      assert(tc == 200)
+      // the serving thread itself must appear in its own dump
+      assert(threads.contains("graft-health"))
+      val (hc, heap) = get(s.port, "/debug/heap")
+      assert(hc == 200)
+      assert(heap.linesIterator.next().startsWith("heap: used="))
+      assert(heap.contains("gc "), "GC collector stats present")
+      assert(heap.contains("pool "), "memory pool stats present")
+    } finally s.stop()
+  }
+
   test("/metrics serves the scrape page end to end") {
     val r = new CdcMetrics.Registry
     r.decodeErrors.inc()
