@@ -44,7 +44,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * source buffers unacked bytes so offset ranges stay replayable. The
   * five properties any implementation must keep are pinned by
   * `WalSourceContract` (WalSourceContractSpec) — extend it with a
-  * socket-backed fixture to qualify a live source.
+  * socket-backed fixture to qualify a live source. The protocol skeleton
+  * already exists: [[CopyBothWalStream]] implements the CopyBoth framing
+  * (XLogData/keepalive/StandbyStatusUpdate) over a [[ReplicationConnection]]
+  * seam and passes the same contract suite against an in-memory
+  * slot-retention server (CopyBothSourceContractSpec) — only the socket
+  * transport is environment-bound.
   */
 class WalDirectorySource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
