@@ -265,11 +265,19 @@ final class CopyBothWalStream(connect: () => ReplicationConnection,
     val lo = start.asInstanceOf[LsnOffset].lsn
     val hi = end.asInstanceOf[LsnOffset].lsn
     // a replayed range may be planned by a fresh instance (task retry /
-    // restart): drain so the connection's slot redelivery is visible, the
-    // offset range itself bounds what the partition carries
+    // restart): drain so the connection's slot redelivery is visible.
+    // Only frames AT OR BELOW the planned end surface into the buffer —
+    // they were admitted by whichever instance planned this range, so
+    // replaying them is offset-faithful. Frames beyond `hi` stay pending:
+    // moving them here would bypass the admission cap (the next
+    // latestOffset would see an already-advanced head and emit an
+    // unbounded batch — the bounded-channel guarantee, contract 3,
+    // must hold on ONE long-lived instance, Spark's actual usage).
     drainConnection()
-    while (pending.nonEmpty) {
-      val msg = pending.removeHead()
+    val (replay, future) = pending.partition { case (lsn, _) => lsn <= hi }
+    pending.clear()
+    pending.appendAll(future)
+    replay.foreach { msg =>
       buffer.append(msg)
       head = math.max(head, msg._1)
     }

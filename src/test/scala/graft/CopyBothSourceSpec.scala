@@ -67,6 +67,33 @@ class CopyBothFramingSpec extends AnyFunSuite {
     assert(conn.confirmedPositions == Seq(0L, 10L, 10L))
   }
 
+  test("admission cap holds on one long-lived instance with interleaved planning") {
+    // Spark's actual usage: ONE stream instance serves every micro-batch,
+    // and planInputPartitions for batch N runs before latestOffset for
+    // batch N+1. Frames drained during planning but beyond the planned
+    // end must NOT bypass the admission cap of the next poll.
+    val conn = new InMemoryReplicationConnection
+    val s = new CopyBothWalStream(() => conn)
+    (1 to 5).foreach(i => conn.deliver(
+      CopyBothFraming.xlogData(i * 10L, i * 10L, 0L, s"seg$i".getBytes("UTF-8"))))
+    val limit = ReadLimit.maxFiles(2)
+    var cur = s.initialOffset()
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Int]()
+    var advanced = true
+    while (advanced) {
+      val next = s.latestOffset(cur, limit)
+      val factory = s.createReaderFactory()
+      val n = s.planInputPartitions(cur, next).map { p =>
+        val r = factory.createReader(p)
+        var c = 0; while (r.next()) c += 1; r.close(); c
+      }.sum
+      advanced = n > 0
+      if (advanced) { batchSizes += n; cur = next }
+    }
+    assert(batchSizes.toSeq == Seq(2, 2, 1),
+      s"5 messages at 2/trigger on one instance -> 2+2+1, got $batchSizes")
+  }
+
   test("re-ack at or below the confirmed position sends no feedback (monotone)") {
     val conn = new InMemoryReplicationConnection
     val s = new CopyBothWalStream(() => conn)
