@@ -4,12 +4,19 @@ import java.nio.ByteBuffer
 import java.util.concurrent.ConcurrentLinkedQueue
 import scala.collection.mutable
 
+import java.util.{Map => JMap}
+
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader,
-  PartitionReaderFactory}
+  PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset,
   ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** CopyBoth replication framing (reference internal/wal/reader.go:408-489),
@@ -202,7 +209,7 @@ final case class LsnRangePartition(rows: Seq[(Long, String)]) extends InputParti
   * environment-bound (no Postgres in the sandbox).
   */
 final class CopyBothWalStream(connect: () => ReplicationConnection,
-    clock: () => Long = () => 0L)
+    clock: () => Long = () => 0L, maxMessages: Option[Int] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   // one serial connection per stream instance — a restart builds a new
@@ -237,7 +244,9 @@ final class CopyBothWalStream(connect: () => ReplicationConnection,
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit =
+    maxMessages.map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     drainConnection()
@@ -311,4 +320,64 @@ final class CopyBothWalStream(connect: () => ReplicationConnection,
   }
 
   override def stop(): Unit = ()
+}
+
+/** DSv2 entry point for the CopyBoth source:
+  *
+  *   spark.readStream.format("graft.sources.CopyBothSource")
+  *     .option("server", name)
+  *     .option("maxMessagesPerTrigger", n)   // optional admission cap
+  *     .load()
+  *
+  * Same `(wal_start LONG, data STRING)` schema as the archived-WAL file
+  * source, so the full CDC pipeline ([[graft.streaming.CdcStream]]) runs
+  * over a replication connection unchanged — the engine drives
+  * latestOffset/plan/commit on ONE [[CopyBothWalStream]] instance per run,
+  * exactly the single-instance usage the admission-cap and feedback
+  * semantics are specified for.
+  *
+  * A [[ReplicationConnection]] is a live object, not string config, so the
+  * provider resolves its server from a process-local registry by name —
+  * the embedded/test shape. A socket deployment keeps this class and
+  * replaces only the registry lookup with dialing host/port options into
+  * a pgconn-backed connection (START_REPLICATION ... then CopyBoth), the
+  * one piece with no sandbox analog.
+  */
+class CopyBothSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WalDirectorySource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new CopyBothTable(properties.get("server"),
+      Option(properties.get("maxMessagesPerTrigger")).map(_.toInt))
+}
+
+object CopyBothSource {
+  private val servers =
+    scala.collection.concurrent.TrieMap.empty[String, InMemoryReplicationServer]
+
+  def register(name: String, server: InMemoryReplicationServer): Unit =
+    servers(name) = server
+  def unregister(name: String): Unit = { servers.remove(name); () }
+  private[sources] def connect(name: String): ReplicationConnection =
+    servers.getOrElse(name, throw new IllegalArgumentException(
+      s"no replication server registered under '$name' — " +
+        "CopyBothSource.register(name, server) first")).connect()
+}
+
+final class CopyBothTable(server: String, maxMessages: Option[Int])
+    extends Table with SupportsRead {
+  override def name(): String = s"copyboth:$server"
+  override def schema(): StructType = WalDirectorySource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = WalDirectorySource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new CopyBothWalStream(() => CopyBothSource.connect(server),
+            maxMessages = maxMessages)
+      }
+    }
 }

@@ -47,9 +47,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * socket-backed fixture to qualify a live source. The protocol skeleton
   * already exists: [[CopyBothWalStream]] implements the CopyBoth framing
   * (XLogData/keepalive/StandbyStatusUpdate) over a [[ReplicationConnection]]
-  * seam and passes the same contract suite against an in-memory
-  * slot-retention server (CopyBothSourceContractSpec) — only the socket
-  * transport is environment-bound.
+  * seam, passes the same contract suite against an in-memory
+  * slot-retention server (CopyBothSourceContractSpec), and is drivable by
+  * the real micro-batch engine via its own DSv2 provider
+  * ([[CopyBothSource]], CopyBothStreamingSpec runs the full CDC pipeline
+  * over it) — only the socket transport is environment-bound.
   */
 class WalDirectorySource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

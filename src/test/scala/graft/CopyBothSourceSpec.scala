@@ -25,6 +25,78 @@ class CopyBothSourceContractSpec extends WalSourceContract {
   }
 }
 
+/** The CopyBoth source driven by the REAL micro-batch engine: one stream
+  * instance per run, latestOffset/planInputPartitions/commit interleaved by
+  * Spark itself — plus the full CDC pipeline running over a replication
+  * connection unchanged (what "swap the file source for the live source"
+  * means in practice).
+  */
+class CopyBothStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ts = "2024-01-15 10:30:00.123456+00"
+  private def walLine(action: String, xid: Long, id: Int = 0): String =
+    action match {
+      case "B" | "C" => s"""{"action":"$action","xid":$xid,"timestamp":"$ts"}"""
+      case a => s"""{"action":"$a","xid":$xid,"timestamp":"$ts","schema":"public","table":"users","columns":[{"name":"id","type":"bigint","value":$id}]}"""
+    }
+
+  test("streaming query over the replication connection: rows, caps, feedback") {
+    val server = new InMemoryReplicationServer
+    graft.sources.CopyBothSource.register("e2e", server)
+    try {
+      (1 to 5).foreach(i => server.deliver(i * 10L, s"line$i"))
+      val q = spark.readStream.format("graft.sources.CopyBothSource")
+        .option("server", "e2e").option("maxMessagesPerTrigger", "2").load()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("copyboth_out").start()
+      try {
+        q.processAllAvailable()
+        val rows = spark.table("copyboth_out").orderBy($"wal_start")
+          .as[(Long, String)].collect()
+        assert(rows.map(_._1).toSeq == Seq(10L, 20L, 30L, 40L, 50L))
+        assert(rows.map(_._2).toSeq == (1 to 5).map(i => s"line$i"))
+        // the 2/trigger admission cap shaped the batches: no single batch
+        // admitted more than 2 messages
+        assert(q.recentProgress.forall(_.numInputRows <= 2),
+          q.recentProgress.map(_.numInputRows).mkString(","))
+        // standby feedback: the engine commits batch N while planning
+        // N+1, so all but the newest positions are confirmed
+        server.deliver(60L, "line6")
+        q.processAllAvailable()
+        val fb = server.feedbackPositions
+        assert(fb.nonEmpty && fb == fb.sorted, s"monotone feedback: $fb")
+        assert(fb.last >= 50L, s"tail position confirmed: $fb")
+      } finally q.stop()
+    } finally graft.sources.CopyBothSource.unregister("e2e")
+  }
+
+  test("full CDC pipeline over CopyBoth: decode -> assembly -> normalize -> ordered sink") {
+    val server = new InMemoryReplicationServer
+    graft.sources.CopyBothSource.register("e2e_pipe", server)
+    try {
+      server.deliver(10L, walLine("B", 7))
+      server.deliver(20L, walLine("I", 7, id = 1))
+      server.deliver(30L, walLine("I", 7, id = 2))
+      server.deliver(40L, walLine("C", 7))
+      server.deliver(50L, walLine("B", 8)) // uncommitted: must not emit
+      server.deliver(60L, walLine("I", 8, id = 3))
+      val out = java.nio.file.Files.createTempDirectory("cb_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("cb_ckpt").toString
+      val raw = spark.readStream.format("graft.sources.CopyBothSource")
+        .option("server", "e2e_pipe").load()
+      val q = graft.streaming.CdcStream.start(spark, raw, "testdb", out, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      try q.processAllAvailable() finally q.stop()
+      val events = spark.read.parquet(out)
+      assert(events.count() == 2, "only tx 7's committed events emit")
+      assert(events.select("txid").as[Long].collect().toSet == Set(7L))
+      assert(events.select("subject").distinct().as[String].collect().toSeq
+        == Seq("cdc.testdb.public.users"))
+    } finally graft.sources.CopyBothSource.unregister("e2e_pipe")
+  }
+}
+
 class CopyBothFramingSpec extends AnyFunSuite {
 
   test("XLogData and keepalive round-trip the public wire layout") {
