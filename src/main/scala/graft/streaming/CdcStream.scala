@@ -26,6 +26,17 @@ import graft.cdc.{Transform, Wal2Json}
   */
 object CdcStream {
 
+  /** Day-or-smaller interval string ("2 minutes", "3650 days") → millis —
+    * the same grammar watermark delays use, so one config string serves
+    * both the wal2json watermark and the pgoutput state TTL.
+    */
+  private[streaming] def intervalMs(s: String): Long = {
+    val i = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(i.months == 0, s"month-based intervals are ambiguous in ms: $s")
+    i.days * 86400000L + i.microseconds / 1000L
+  }
+
   /** Decode + assemble + normalize a streaming DataFrame of
     * (wal_start: long, data: string) wal2json lines.
     *
@@ -85,7 +96,10 @@ object CdcStream {
     * maps feed assembly directly — and replay suppression rides on the
     * sink's idempotence (batch_id overwrite / broker Msg-Id), the
     * reference's own E7 shape for this plugin. `txTtlMs > 0` evicts
-    * abandoned transactions via state TTL.
+    * abandoned transactions via state TTL — PROCESSING-TIME timers, so
+    * the query never reports idle (a CDC stream never idles in
+    * production; tests must poll the sink rather than
+    * `processAllAvailable`).
     */
   def pipelinePgOutput(spark: SparkSession, raw: DataFrame, database: String,
       tableAllowlist: Seq[String] = Nil, txTtlMs: Long = 0L,
@@ -108,7 +122,12 @@ object CdcStream {
     * `trigger` mirrors the reference's BATCH_TIMEOUT micro-batch cadence
     * (E1). `unsafeUnorderedAsyncPublish` selects the reference's explicit
     * E3 unordered mode ([[UnorderedSink]]) — same flag name, same default
-    * (ordered), same trade-off (throughput for order).
+    * (ordered), same trade-off (throughput for order). `plugin` selects
+    * the decode pipeline like the reference's CDC_PLUGIN option
+    * (cmd/cdc-handler/main.go:59-74): "wal2json" expects (wal_start LONG,
+    * data STRING) lines, "pgoutput" expects (wal_start LONG, data BINARY)
+    * replication frames (and requires the RocksDB state-store provider);
+    * the pgoutput path's abandoned-tx TTL reuses the dedup window.
     */
   def start(spark: SparkSession, raw: DataFrame, database: String,
       outPath: String, checkpointPath: String,
@@ -119,8 +138,16 @@ object CdcStream {
       dedupWatermark: String = "2 minutes",
       metrics: Option[CdcMetrics.Registry] = None,
       sinkWriter: Option[() => SinkWriter] = None,
-      sinkQuarantine: Option[(PublishItem, Throwable) => Unit] = None): StreamingQuery = {
-    val events = pipeline(spark, raw, database, tableAllowlist, dedupWatermark)
+      sinkQuarantine: Option[(PublishItem, Throwable) => Unit] = None,
+      plugin: String = "wal2json"): StreamingQuery = {
+    val events = plugin match {
+      case "pgoutput" => pipelinePgOutput(spark, raw, database, tableAllowlist,
+        txTtlMs = intervalMs(dedupWatermark))
+      case "wal2json" | "" =>
+        pipeline(spark, raw, database, tableAllowlist, dedupWatermark)
+      case other => throw new IllegalArgumentException(
+        s"unknown CDC plugin '$other' (wal2json | pgoutput)")
+    }
     // broker-path retry counting: the publish loops run on executors and
     // the metrics registry does not serialize — retries flow through an
     // accumulator, drained into the registry after each batch
@@ -178,6 +205,7 @@ object CdcStream {
       trigger = Trigger.ProcessingTime(cfg.batchTimeout.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS),
       unsafeUnorderedAsyncPublish = cfg.unsafeUnorderedAsyncPublish,
       maxPublishRetries = cfg.maxPublishRetries,
-      dedupWatermark = s"${cfg.duplicateWindow.toSeconds} seconds")
+      dedupWatermark = s"${cfg.duplicateWindow.toSeconds} seconds",
+      plugin = cfg.plugin)
   }
 }

@@ -498,4 +498,53 @@ class StreamingSpec extends SparkSpec {
     val written = spark.read.parquet(out)
     assert(written.count() == 3, "commit-gated events land through the unordered sink")
   }
+
+  test("startFromConfig selects the pgoutput pipeline from CDC_PLUGIN (reference default plugin)") {
+    val cfg = graft.config.GraftConfig.load(Map(
+      "CDC_PLUGIN" -> "pgoutput",
+      "BATCH_TIMEOUT" -> "50ms",
+      "CDC_DATABASE_NAME" -> "testdb")).toOption.get
+    assert(cfg.plugin == "pgoutput")
+    implicit val sctx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import graft.cdc.PgWire
+      val t0 = 1705314600123456L
+      val input = MemoryStream[(Long, Array[Byte])]
+      input.addData(
+        (10L, PgWire.relation(100, "public", "users", Seq("id" -> 20, "name" -> 25))),
+        (20L, PgWire.begin(1000, t0, 7)),
+        (30L, PgWire.insert(100, Seq(Some("1"), Some("alice")))),
+        (40L, PgWire.commit(1000, 1001, t0)),
+        (50L, PgWire.begin(2000, t0, 8)),   // uncommitted: must not emit
+        (60L, PgWire.insert(100, Seq(Some("2"), Some("bob")))))
+      val out = Files.createTempDirectory("graft_pgcfg_out").toString
+      val ckpt = Files.createTempDirectory("graft_pgcfg_ckpt").toString
+      val q = CdcStream.startFromConfig(spark, input.toDF()
+        .toDF("wal_start", "data"), cfg, out, ckpt)
+      // the abandoned-tx TTL arms PROCESSING-TIME timers, so the query
+      // never reports idle (shouldRunAnotherBatch stays true — a CDC
+      // stream never idles in production either) and processAllAvailable
+      // would block forever: poll the sink for the expected row instead
+      try {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        def written() =
+          try spark.read.parquet(out).count() catch { case _: Exception => 0L }
+        while (written() < 1 && q.exception.isEmpty &&
+            System.nanoTime() < deadline) Thread.sleep(100)
+        q.exception.foreach(throw _)
+      } finally q.stop()
+      val written = spark.read.parquet(out)
+      assert(written.count() == 1, "only the committed pgoutput tx emits")
+      val row = written.select("txid", "subject", "operation").head()
+      assert(row.getLong(0) == 7L)
+      assert(row.getString(1) == "cdc.testdb.public.users")
+      assert(row.getString(2) == "INSERT")
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
