@@ -410,6 +410,20 @@ class StreamingSpec extends SparkSpec {
       "no separate dedup operator — suppression lives in assembly state")
   }
 
+  test("pgoutput pipeline plan shape: exactly TWO stateful operators (slot registry + assembly)") {
+    implicit val sctx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Byte])]
+    val events = CdcStream.pipelinePgOutput(spark,
+      input.toDF().toDF("wal_start", "data"), "testdb")
+    val plan = events.queryExecution.analyzed.toString
+    // decode keeps the per-slot relation registry, assembly the per-txid
+    // buffers — each is one keyed exchange; nothing else holds state
+    assert("TransformWithState".r.findAllIn(plan).size == 2,
+      s"registry + assembly, nothing more: $plan")
+    assert(!plan.contains("FlatMapGroupsWithState") && !plan.contains("Deduplicate"),
+      "no legacy stateful operator sneaks into the pgoutput path")
+  }
+
   test("E3 unordered mode: same rows, zero shuffle; ordered mode shuffles by subject") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
     val batch = (1 to 100).map(i =>
