@@ -166,6 +166,26 @@ class CopyBothFramingSpec extends AnyFunSuite {
       s"5 messages at 2/trigger on one instance -> 2+2+1, got $batchSizes")
   }
 
+  test("commit drops acked frames from the unacked buffer (slot-retention memory bound)") {
+    // the reader's memory is the admitted-but-unacked window, nothing
+    // more: after commit(p), a replay plan of a range at or below p is
+    // EMPTY from this instance (the engine never re-plans committed
+    // ranges; recovery goes through the server's slot, not reader memory)
+    val conn = new InMemoryReplicationConnection
+    val s = new CopyBothWalStream(() => conn)
+    (1 to 4).foreach(i => conn.deliver(
+      CopyBothFraming.xlogData(i * 10L, i * 10L, 0L, s"l$i".getBytes("UTF-8"))))
+    val end = s.latestOffset(s.initialOffset(), ReadLimit.allAvailable())
+    def rangeSize(lo: Long, hi: Long): Int =
+      s.planInputPartitions(LsnOffset(lo), LsnOffset(hi))
+        .map(_.asInstanceOf[graft.sources.LsnRangePartition].rows.size).sum
+    assert(rangeSize(0L, 40L) == 4)
+    s.commit(LsnOffset(20L))
+    assert(rangeSize(0L, 20L) == 0, "acked frames are released, not retained")
+    assert(rangeSize(20L, 40L) == 2, "unacked tail stays replayable")
+    assert(end == LsnOffset(40L))
+  }
+
   test("re-ack at or below the confirmed position sends no feedback (monotone)") {
     val conn = new InMemoryReplicationConnection
     val s = new CopyBothWalStream(() => conn)
