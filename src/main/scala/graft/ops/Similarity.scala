@@ -326,4 +326,71 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("q.id").as("id_a"), col("c.id").as("id_b"), col("cosine"))
   }
+
+  /** Per-query recall@k of the rp-LSH bucketed path against brute-force
+    * ground truth — the evaluation harness that tunes the ANN dials
+    * (bits/nProbe) before committing them at scale. Ground truth is
+    * computed over the SAMPLED query set only (recall estimation by query
+    * sampling — the corpus side stays a bucketed join, never n² over the
+    * full corpus). Every compared column is an exact BIGINT count; recall
+    * is integer percent via truncating division, so the result is
+    * engine-reproducible end to end.
+    */
+  def recallAtK(prepared: DataFrame, queryPred: Column, bits: Int,
+      k: Int, dims: Int = 64): DataFrame = {
+    val truth = bruteForceTopK(prepared, prepared.filter(queryPred), k)
+    val approx = rpBucketedTopK(prepared, queryPred, bits, k, dims)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("hits"))
+      .withColumn("recall_pct", expr("(hits * CAST(100 AS BIGINT)) div n_truth"))
+  }
+
+  /** Int8 scalar quantization of a prepared (1e-4-unit BIGINT) vector:
+    * per-vector symmetric scale code_i = round(q_i * 127 / max|q|),
+    * half-away-from-zero, clipped to [-127, 127] by construction. The
+    * 100 TB rationale: an int8 code array is 4x smaller than float32 (16x
+    * smaller than the BIGINT working form), turning an embedding store
+    * that spills into one that fits executor memory; the scale factor
+    * max|q| stays alongside for reconstruction. All-zero vectors code to
+    * all zeros (guarded — no 0/0). One double multiply+divide per element
+    * with floor/ceil rounding: deterministic IEEE ops, engine-portable
+    * like [[quantize]].
+    */
+  def int8Codes(qvec: Column): Column = {
+    val maxabs = array_max(transform(qvec, x => abs(x)))
+    transform(qvec, x => {
+      val d = x.cast("double") * 127.0 / maxabs.cast("double")
+      when(maxabs === 0L, lit(0L))
+        .when(x >= 0L, floor(d + 0.5).cast("long"))
+        .otherwise(ceil(d - 0.5).cast("long"))
+    })
+  }
+
+  /** Brute-force top-k in the int8 code domain: ranking cosine is computed
+    * from exact BIGINT code dots/norms (one double division at the end,
+    * as everywhere in this family). `code_dot` is emitted as the exact
+    * integer score. Recall vs full-precision is < 1 by construction —
+    * that is the memory trade; measure it with [[recallAtK]]-style joins
+    * before committing the code path at scale.
+    */
+  def int8TopK(prepared: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coded = prepared
+      .withColumn("c8", int8Codes(col("qvec")))
+      .withColumn("c8_norm", dotQ(col("c8"), col("c8")))
+    val queries = coded.filter(queryPred)
+    val joined = queries.alias("q")
+      .join(coded.alias("c"), col("q.id") =!= col("c.id"))
+      .withColumn("code_dot", dotQ(col("q.c8"), col("c.c8")))
+      .withColumn("code_cosine", col("code_dot").cast("double") /
+        sqrt(col("q.c8_norm").cast("double") * col("c.c8_norm").cast("double")))
+    val w = Window.partitionBy(col("q.id"))
+      .orderBy(col("code_cosine").desc, col("c.id"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        col("code_dot"), col("rank"))
+  }
 }

@@ -1825,6 +1825,91 @@ object LlmQueries {
           WHERE rank <= 5 ORDER BY query_id, rank"""
       }),
 
+    // ANN recall@k evaluation harness: per-query recall of the rp-LSH
+    // bucketed path against brute-force ground truth over a SAMPLED query
+    // set — the measurement that tunes bits/nProbe before committing an
+    // approximate path at 100 TB (ground truth cost ∝ |sample| × corpus,
+    // not corpus²). Every compared column is an exact BIGINT count;
+    // recall_pct is truncating integer percent, so the row set is
+    // engine-exact even though the underlying rankings use one double
+    // division each (deterministic, as in l12/l30).
+    "l74_ann_recall" -> Def(
+      (s, d) => {
+        val prep = Similarity.prepare(
+          t(s, d, "embeddings").withColumnRenamed("vec_id", "id"), "embedding")
+        Similarity.recallAtK(prep, col("id") < 50, bits = 12, k = 5)
+          .orderBy(col("query_id"))
+      },
+      Some {
+        val signs = Similarity.rpSigns(12, 64)
+        val bucketExpr = signs.zipWithIndex.map { case (cs, j) =>
+          val lits = cs.mkString("[", ", ", "]")
+          s"""(CASE WHEN CAST(list_sum(list_transform(generate_series(1, 64),
+             i -> q[i] * ($lits)[i])) AS BIGINT) >= 0 THEN ${1L << j} ELSE 0 END)"""
+        }.mkString(" + ")
+        s"""WITH $oQuant,
+          b AS (SELECT vec_id, q, norm_sq, $bucketExpr AS bucket FROM qn),
+          truth AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                ORDER BY CAST(${oDot("q.q", "c.q")} AS DOUBLE) /
+                  sqrt(CAST(q.norm_sq AS DOUBLE) * CAST(c.norm_sq AS DOUBLE)) DESC,
+                c.vec_id) AS BIGINT) AS rank
+            FROM qn q JOIN qn c ON q.vec_id < 50 AND q.vec_id <> c.vec_id)
+            WHERE rank <= 5),
+          approx AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                ORDER BY CAST(${oDot("q.q", "c.q")} AS DOUBLE) /
+                  sqrt(CAST(q.norm_sq AS DOUBLE) * CAST(c.norm_sq AS DOUBLE)) DESC,
+                c.vec_id) AS BIGINT) AS rank
+            FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 50 AND q.vec_id <> c.vec_id)
+            WHERE rank <= 5)
+          SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+            CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
+            (CAST(COUNT(a.neighbor_id) AS BIGINT) * 100) //
+              CAST(COUNT(*) AS BIGINT) AS recall_pct
+          FROM truth t LEFT JOIN approx a
+            ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+          GROUP BY t.query_id ORDER BY t.query_id"""
+      }),
+
+    // Int8 scalar-quantized ANN (the memory scale path: 4x smaller than
+    // float32 codes, per-vector symmetric scale, code_i = round(q_i * 127
+    // / max|q|)). Ranking runs entirely in the code domain — exact BIGINT
+    // code dots/norms, one double division — and the compared score
+    // column is the exact integer code_dot. Recall vs full precision is
+    // < 1 by design; l74's harness is the measurement for that dial.
+    "l75_ann_int8" -> Def(
+      (s, d) => {
+        val prep = Similarity.prepare(
+          t(s, d, "embeddings").withColumnRenamed("vec_id", "id"), "embedding")
+        Similarity.int8TopK(prep, col("id") < 8, k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $oQuant,
+        m AS (SELECT vec_id, q,
+            list_max(list_transform(q, x -> abs(x))) AS ma FROM qn),
+        codes AS (SELECT vec_id,
+            list_transform(q, x -> CASE WHEN ma = 0 THEN 0
+              WHEN x >= 0 THEN CAST(FLOOR(CAST(x AS DOUBLE) * 127.0
+                / CAST(ma AS DOUBLE) + 0.5) AS BIGINT)
+              ELSE CAST(CEIL(CAST(x AS DOUBLE) * 127.0
+                / CAST(ma AS DOUBLE) - 0.5) AS BIGINT) END) AS c8
+          FROM m),
+        cn AS (SELECT vec_id, c8,
+            CAST(list_sum(list_transform(generate_series(1, 64),
+              i -> c8[i] * c8[i])) AS BIGINT) AS c8_norm FROM codes)
+        SELECT query_id, neighbor_id, code_dot, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            ${oDot("q.c8", "c.c8")} AS code_dot,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY CAST(${oDot("q.c8", "c.c8")} AS DOUBLE) /
+                sqrt(CAST(q.c8_norm AS DOUBLE) * CAST(c.c8_norm AS DOUBLE)) DESC,
+              c.vec_id) AS BIGINT) AS rank
+          FROM cn q JOIN cn c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     "l15_multimodal" -> Def(
       (s, d) => {
         val docs = t(s, d, "documents")

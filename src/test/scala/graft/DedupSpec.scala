@@ -113,6 +113,66 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs((1L, 3L))) < 1e-9)
   }
 
+  test("int8 codes: per-vector symmetric scale, half-away-from-zero, zero-safe") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -0.25f, 0.125f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("id", "embedding")
+    val codes = Similarity.prepare(vecs, "embedding")
+      .withColumn("c8", Similarity.int8Codes($"qvec"))
+      .select($"id", $"c8").as[(Long, Seq[Long])].collect().toMap
+    // q = (5000, -2500, 1250, 0): max|q| = 5000 -> 127, -63.5 -> -64
+    // (away from zero), 31.75 -> 32, 0 -> 0; the max element is exactly
+    // +-127 so the code range is fully used and never exceeded
+    assert(codes(1L) == Seq(127L, -64L, 32L, 0L))
+    assert(codes(2L) == Seq(0L, 0L, 0L, 0L), "all-zero vector codes to zeros, no 0/0")
+  }
+
+  test("int8 top-k ranks in the code domain with exact integer scores") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("id", "embedding")
+    val prep = Similarity.prepare(vecs, "embedding")
+    val got = Similarity.int8TopK(prep, $"id" === 0L, k = 3)
+      .select($"neighbor_id", $"code_dot", $"rank")
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L),
+      "nearest-first in code-cosine order")
+    // codes: v0=(127,0,0,0), v1=(127,14,0,0), v3=(-127,0,0,0)
+    assert(got.head._2 == 127L * 127L)
+    assert(got.last._2 == -127L * 127L)
+  }
+
+  test("recall@k: a single-direction corpus collapses to one rp bucket -> recall 100") {
+    // positive-scalar multiples share every rp-plane sign, hence the
+    // bucket; the approximate path then sees exactly the brute-force
+    // candidate set and recall must be exactly 100 for every query
+    val vecs = (1L to 6L).map(i =>
+      (i, Array(1.0f * i, 2.0f * i, 3.0f * i, 4.0f * i)))
+      .toDF("id", "embedding")
+    val prep = Similarity.prepare(vecs, "embedding")
+    val rows = Similarity.recallAtK(prep, $"id" <= 3L, bits = 6, k = 3, dims = 4)
+      .select($"query_id", $"n_truth", $"hits", $"recall_pct")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == 3)
+    assert(rows.forall { case (_, n, h, r) => n == 3 && h == 3 && r == 100 })
+  }
+
+  test("recall@k on real embeddings stays within [0, 100] and hits <= n_truth") {
+    val prep = Similarity.prepare(
+      spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .withColumnRenamed("vec_id", "id"), "embedding")
+    val rows = Similarity.recallAtK(prep, $"id" < 10, bits = 8, k = 5)
+      .select($"n_truth", $"hits", $"recall_pct")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (n, h, r) =>
+      h >= 0 && h <= n && r >= 0 && r <= 100 })
+  }
+
   test("portable hash48 is stable (matches DuckDB's md5-prefix arithmetic)") {
     // DuckDB: SELECT ('0x'||substr(md5('abc'),1,12))::BIGINT = 158335321521362
     val h = Seq("abc").toDF("s").select(TA.hash48($"s")).as[Long].collect()(0)
