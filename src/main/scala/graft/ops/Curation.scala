@@ -62,6 +62,21 @@ object Curation {
   def globalShuffle(df: DataFrame, idCol: Column): DataFrame =
     df.orderBy(hash48(idCol.cast("string")), idCol)
 
+  /** Deterministic shard assignment for training-data export (the
+    * WebDataset/TFRecord-shard shape): shard = hash48(id||salt) mod n,
+    * with `ord` (the hash itself) as the reproducible pseudo-random
+    * within-shard order. The salt re-keys the whole layout per export
+    * epoch without touching the data. hash48 is 48-bit nonnegative, so
+    * `mod` agrees across engines with no sign fix-ups. The physical write
+    * is `repartition(n, shard).sortWithinPartitions(ord, id)` — one
+    * exchange for the entire export; hash assignment balances shard sizes
+    * to ±O(sqrt) without a planning pass over the corpus.
+    */
+  def shardAssign(df: DataFrame, idCol: Column, n: Int,
+      salt: String = "shard"): DataFrame =
+    df.withColumn("ord", hash48(concat(idCol.cast("string"), lit("_" + salt))))
+      .withColumn("shard", col("ord") % n.toLong)
+
   /** Sequence packing, concat-then-chunk semantics (how pre-training data
     * becomes fixed-length sequences): documents are laid out contiguously
     * in a deterministic order (`orderCol`), and each document is assigned

@@ -864,6 +864,52 @@ object CdcQueries {
         FROM events)
         ORDER BY subject, publish_ord""")),
 
+    // S1 seam under the driver gate: every WAL line rides a REAL CopyBoth
+    // XLogData frame (25-byte big-endian 'w' header + payload, the wire
+    // layout of reader.go's replication loop), interleaved 1:1 with
+    // PrimaryKeepalive 'k' frames. The framing codec must round-trip the
+    // payload bytes losslessly AND classify/drop keepalives for the
+    // downstream c01 decode chain to hash-match c01's own oracle — so the
+    // socket-facing byte layer, not just the JSON layer, is oracle-gated.
+    // Scale shape: encode→parse is one narrow fused stage; frame bytes
+    // never shuffle.
+    "c26_copyboth_roundtrip" -> Def(
+      (s, d) => {
+        import s.implicits._
+        import graft.sources.CopyBothFraming
+        val lines = walStream(s, d).select(col("wal_start"), col("data"))
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.flatMap { case (ws, data) => Iterator(
+              CopyBothFraming.keepalive(ws, 0L, replyRequested = false),
+              CopyBothFraming.xlogData(ws, ws, 0L, data.getBytes("UTF-8")))
+            }
+          }
+          .mapPartitions { it =>
+            it.flatMap { bytes =>
+              CopyBothFraming.parse(bytes) match {
+                case CopyBothFraming.XLogData(ws, _, _, payload) =>
+                  Iterator((ws, new String(payload, "UTF-8")))
+                case _: CopyBothFraming.PrimaryKeepalive => Iterator.empty
+              }
+            }
+          }.toDF("wal_start", "data")
+        Wal2Json.decode(lines)
+          .filter(col("operation") === "INSERT")
+          .select(col("wal_start"), col("operation"),
+            col("schema_name"), col("table_name"), col("txid"),
+            col("action_time").as("action_ts"),
+            size(col("new_values")).as("n_cols"),
+            element_at(col("new_values"), "src_event_id").as("v_src"),
+            element_at(col("new_values"), "value").as("v_value"))
+          .orderBy(col("wal_start"))
+      },
+      Some("""SELECT event_id*10 AS wal_start, 'INSERT' AS operation,
+        'public' AS schema_name, event_type AS table_name, user_id AS txid,
+        ts AS action_ts, 3 AS n_cols,
+        CAST(event_id AS VARCHAR) AS v_src, CAST(value AS VARCHAR) AS v_value
+        FROM events ORDER BY wal_start""")),
+
     "c24_sink_order_key" -> Def(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window

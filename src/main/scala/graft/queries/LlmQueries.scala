@@ -1183,6 +1183,28 @@ object LlmQueries {
                 WHEN 'src2' THEN 0.25 ELSE -1 END) * 10000 AS BIGINT))
         GROUP BY source, epoch ORDER BY source, epoch""")),
 
+    // Deterministic shard export manifest (the training-data EXPORT
+    // stage): every doc gets shard = hash48(doc_id||salt) mod 16 and a
+    // reproducible pseudo-random within-shard order; the compared output
+    // is the per-shard manifest — doc/token totals and source spread —
+    // that a shard writer would publish beside the files. Everything is
+    // BIGINT-exact (hash shard keys, counts, token sums). Scale shape:
+    // assignment is a narrow map; the manifest is one map-side-combinable
+    // aggregation over 16 keys; the physical write is repartition(shard)
+    // + sortWithinPartitions(ord) — one exchange for the whole corpus.
+    "l76_shard_export" -> Def(
+      (s, d) => Curation.shardAssign(t(s, d, "documents"), col("doc_id"), 16)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TA.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("shard")),
+      Some(s"""SELECT ${oH48("CAST(doc_id AS VARCHAR) || '_shard'")} % 16 AS shard,
+          COUNT(*) AS n_docs,
+          CAST(SUM(len($oToks)) AS BIGINT) AS n_tokens,
+          CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM documents GROUP BY shard ORDER BY shard""")),
+
     // Image perceptual-hash near-dup pairs over REAL PNGs (multimodal ×
     // dedup crossover): deterministic synthetic pictures — doc pairs
     // (2k, 2k+1) share a seed, the odd one perturbed in a corner — are

@@ -291,4 +291,18 @@ class CurationSpec extends SparkSpec {
     val b = Curation.globalShuffle(docs, $"doc_id").select($"doc_id").as[Long].collect().toList
     assert(a == b && a.toSet.size == 400 && a != (1L to 400L).toList)
   }
+
+  test("shard assignment: deterministic, in-range, covered, salt re-keys") {
+    def assign(salt: String) =
+      Curation.shardAssign(docs, $"doc_id", 16, salt)
+        .select($"doc_id", $"shard").as[(Long, Long)].collect().toMap
+    val a = assign("shard")
+    assert(a == assign("shard"), "same salt -> identical layout")
+    assert(a.values.forall(s => s >= 0 && s < 16))
+    assert(a.values.toSet.size == 16, "400 docs cover all 16 shards")
+    // hash-balance: no shard is pathologically hot or empty at 400/16=25
+    val sizes = a.values.groupBy(identity).map(_._2.size)
+    assert(sizes.min >= 10 && sizes.max <= 45, s"unbalanced: $sizes")
+    assert(a != assign("epoch2"), "new salt re-keys the whole layout")
+  }
 }
