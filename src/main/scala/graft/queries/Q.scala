@@ -25,13 +25,21 @@ object Q {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
-      // for: read the raw int64 nanos and floor-truncate to micros (exactly
-      // what DuckDB does when it reads the same file).
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) (no native Spark
+      // type — read the raw int64 nanos and floor-truncate to micros, exactly
+      // what DuckDB does) and as native TIMESTAMP(MICROS) without the UTC
+      // flag (Spark infers TIMESTAMP_NTZ). Normalize both to TimestampType
+      // micros: the session TZ is pinned UTC, so the NTZ wall-clock IS the
+      // UTC instant and every downstream query sees one stable type.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
