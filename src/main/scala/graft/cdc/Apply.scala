@@ -95,6 +95,40 @@ object Apply {
           .otherwise(col("_last_image")))
       .drop("_first_op", "_last_op", "_last_image")
 
+  /** SCD Type-2 history materialization: turn a key's CDC change sequence
+    * into versioned rows with validity intervals — the standard
+    * warehouse-side consumer of a CDC stream (each change opens a version,
+    * the key's next change closes it, DELETE closes without opening).
+    *
+    * Per key, with changes in WAL order (`orderCol`):
+    *  - every non-DELETE change emits one version row: `image`,
+    *    `valid_from` = its own order value, `valid_to` = the NEXT change's
+    *    order value (whatever its verb — an UPDATE supersedes, a DELETE
+    *    terminates), null when no later change exists;
+    *  - a DELETE emits nothing but still closes its predecessor (it
+    *    participates in the lead() before being filtered);
+    *  - `is_current` marks open-ended versions (a key whose last change is
+    *    DELETE has none).
+    *
+    * Scale shape: ONE shuffle on the key for the lead() window, no join —
+    * the history table appends per batch; at 100 TB run it per change
+    * batch against net-changed keys (compose with [[netChanges]]) rather
+    * than over full history.
+    */
+  def scd2(changes: DataFrame, keyCols: Seq[String], opCol: Column,
+      orderCol: Column, imageCol: Column): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must name the table key")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col("valid_from"))
+    changes
+      .select(keys :+ opCol.as("_op") :+ orderCol.as("valid_from")
+        :+ imageCol.as("image"): _*)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .filter(col("_op") =!= "DELETE")
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("_op")
+  }
+
   def diff(oldDf: DataFrame, oldImage: Column, newDf: DataFrame,
       newImage: Column, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must name the table key")

@@ -910,6 +910,51 @@ object CdcQueries {
         CAST(event_id AS VARCHAR) AS v_src, CAST(value AS VARCHAR) AS v_value
         FROM events ORDER BY wal_start""")),
 
+    // SCD Type-2 history (Apply.scd2): the warehouse-side consumer of the
+    // CDC stream — every change, decoded through the real wal2json chain,
+    // becomes a versioned row with a validity interval; the key's next
+    // change closes it, DELETEs close without opening, open-ended versions
+    // are current. Ops by event_id % 3 so every key's history mixes all
+    // three verbs and some keys end deleted (no current row).
+    "c27_scd2" -> Def(
+      (s, d) => {
+        val e = t(s, d, "events")
+        val tsFmt = concat(
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"), lit("+00"))
+        val op = when(col("event_id") % 3 === 0, "I")
+          .when(col("event_id") % 3 === 1, "U").otherwise("D")
+        val idCols = array(struct(lit("src_event_id").as("name"),
+          lit("bigint").as("type"), col("event_id").cast("string").as("value")))
+        val lines = e.select((col("event_id") * 10).as("wal_start"),
+          to_json(struct(
+            op.as("action"), col("user_id").as("xid"),
+            tsFmt.as("timestamp"), lit("public").as("schema"),
+            col("event_type").as("table"),
+            when(op =!= "D", idCols).as("columns"),
+            when(op =!= "I", idCols).as("identity"))).as("data"))
+        val changes = Transform.normalize(
+            TxAssembly.assemble(Wal2Json.decode(lines)), Db)
+          .select(col("table").as("tbl"), col("txid").cast("long").as("uid"),
+            col("operation"),
+            coalesce(element_at(col("after"), "src_event_id"),
+              element_at(col("before"), "src_event_id")).cast("long").as("seq"))
+        Apply.scd2(changes, Seq("tbl", "uid"), col("operation"),
+            col("seq"), col("seq").cast("string"))
+          .select(col("tbl"), col("uid"), col("image").cast("long").as("ver_src"),
+            col("valid_from"), col("valid_to"), col("is_current"))
+          .orderBy(col("tbl"), col("uid"), col("valid_from"))
+      },
+      Some("""WITH v AS (SELECT event_type AS tbl, user_id AS uid,
+          CASE event_id % 3 WHEN 0 THEN 'INSERT' WHEN 1 THEN 'UPDATE'
+            ELSE 'DELETE' END AS op,
+          event_id AS valid_from,
+          LEAD(event_id) OVER (PARTITION BY event_type, user_id
+            ORDER BY event_id) AS valid_to
+        FROM events)
+        SELECT tbl, uid, valid_from AS ver_src, valid_from, valid_to,
+          (valid_to IS NULL) AS is_current
+        FROM v WHERE op <> 'DELETE' ORDER BY tbl, uid, valid_from""")),
+
     "c24_sink_order_key" -> Def(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window

@@ -160,6 +160,36 @@ class ApplySpec extends SparkSpec {
       s"update applied, delete removed, insert born, untouched kept: $finalState")
   }
 
+  test("scd2: versions open/close in WAL order, DELETE closes without opening") {
+    // key 1: I(10) U(20) D(30)  -> two closed versions, no current row
+    // key 2: I(10) U(20) U(40)  -> two closed + one current
+    // key 3: I(10)             -> one current version
+    val changes = Seq(
+      ("t", 1L, "INSERT", "a1", 10L), ("t", 1L, "UPDATE", "a2", 20L),
+      ("t", 1L, "DELETE", null, 30L),
+      ("t", 2L, "INSERT", "b1", 10L), ("t", 2L, "UPDATE", "b2", 20L),
+      ("t", 2L, "UPDATE", "b3", 40L),
+      ("t", 3L, "INSERT", "c1", 10L))
+      .toDF("tbl", "uid", "operation", "v", "seq")
+    val out = Apply.scd2(changes, Seq("tbl", "uid"), $"operation", $"seq", $"v")
+      .select($"uid", $"image", $"valid_from", $"valid_to", $"is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(out == Set(
+      (1L, "a1", 10L, 20L, false), (1L, "a2", 20L, 30L, false),
+      (2L, "b1", 10L, 20L, false), (2L, "b2", 20L, 40L, false),
+      (2L, "b3", 40L, -1L, true),
+      (3L, "c1", 10L, -1L, true)))
+    // exactly one current version per live key, none for deleted keys
+    val currents = Apply.scd2(changes, Seq("tbl", "uid"), $"operation",
+        $"seq", $"v")
+      .filter($"is_current").groupBy($"uid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(currents == Map(2L -> 1L, 3L -> 1L))
+  }
+
   test("applyChanges plan: ranking window runs over the batch side only") {
     val base = (1L to 100L).map(i => ("t", i, s"v$i")).toDF("tbl", "uid", "v")
       .select($"tbl", $"uid", map(lit("v"), $"v").as("img"))
