@@ -139,7 +139,8 @@ object CdcStream {
       metrics: Option[CdcMetrics.Registry] = None,
       sinkWriter: Option[() => SinkWriter] = None,
       sinkQuarantine: Option[(PublishItem, Throwable) => Unit] = None,
-      plugin: String = "wal2json"): StreamingQuery = {
+      plugin: String = "wal2json",
+      sinkPartitions: Int = 0): StreamingQuery = {
     val events = plugin match {
       case "pgoutput" => pipelinePgOutput(spark, raw, database, tableAllowlist,
         txTtlMs = intervalMs(dedupWatermark))
@@ -184,7 +185,8 @@ object CdcStream {
                   onRetry = () => metrics.foreach(_.publishRetries.inc()))(() =>
                 if (unsafeUnorderedAsyncPublish)
                   UnorderedSink.writeBatch(df, batchId, outPath)
-                else OrderedSink.writeBatch(df, batchId, outPath))
+                else OrderedSink.writeBatch(df, batchId, outPath,
+                  numPartitions = sinkPartitions))
           }
           metrics.foreach(_.published.add(df.count()))
         } finally if (metrics.isDefined) df.unpersist()
