@@ -1335,6 +1335,77 @@ object LlmQueries {
           GROUP BY id_b ORDER BY doc_id"""
       }),
 
+    // Batch analog of the STREAMING ingest-curation funnel
+    // (streaming/StreamingCuration): quality gate -> first-seen exact
+    // dedup -> per-source quota admission, over the documents plus a
+    // synthesized exact-copy wave (every 7th doc re-arrives under a
+    // shifted id — the raw table has no byte-identical rows). With all
+    // arrivals in one batch the stateful semantics reduce to window SQL
+    // (first_seen = MIN(doc_id) per digest among quality-passers;
+    // admit_rank = arrival ROW_NUMBER per source among survivors), so the
+    // streaming operators' MATH is driver-gated bit-exact here, and
+    // StreamingCurationSpec asserts the staged streaming run produces
+    // exactly these verdicts across micro-batch boundaries.
+    "l77_ingest_curation" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val quota = 15L
+        val base = t(s, d, "documents")
+        val copies = base.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+        val scored = base.unionByName(copies).select(
+          col("doc_id"), col("source"),
+          TA.qualityScore(col("text"), col("n_chars")).as("quality"),
+          md5(col("text")).as("digest"))
+        val passers = scored.filter(col("quality") > 0.5)
+          .withColumn("first_seen",
+            min(col("doc_id")).over(Window.partitionBy(col("digest"))))
+        val surv = passers.filter(col("first_seen") === col("doc_id"))
+          .withColumn("admit_rank", row_number().over(
+            Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("long"))
+        scored.filter(!(col("quality") > 0.5))
+          .select(col("doc_id"), col("source"),
+            lit("reject_quality").as("verdict"),
+            lit(null).cast("long").as("dup_of"),
+            lit(null).cast("long").as("admit_rank"))
+          .unionByName(passers.filter(col("first_seen") < col("doc_id"))
+            .select(col("doc_id"), col("source"),
+              lit("reject_dup").as("verdict"),
+              col("first_seen").as("dup_of"),
+              lit(null).cast("long").as("admit_rank")))
+          .unionByName(surv.select(col("doc_id"), col("source"),
+            when(col("admit_rank") <= quota, "admit")
+              .otherwise("reject_quota").as("verdict"),
+            lit(null).cast("long").as("dup_of"), col("admit_rank")))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH cand AS (
+          SELECT doc_id, source, text, n_chars FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, source, text, n_chars FROM documents
+          WHERE doc_id % 7 = 0),
+        scored AS (SELECT doc_id, source, $oQuality AS quality,
+          md5(text) AS digest FROM cand),
+        passers AS (SELECT *, MIN(doc_id) OVER (PARTITION BY digest)
+            AS first_seen
+          FROM scored WHERE quality > 0.5),
+        surv AS (SELECT doc_id, source,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+              AS BIGINT) AS admit_rank
+          FROM passers WHERE first_seen = doc_id)
+        SELECT doc_id, source, 'reject_quality' AS verdict,
+          CAST(NULL AS BIGINT) AS dup_of, CAST(NULL AS BIGINT) AS admit_rank
+        FROM scored WHERE NOT (quality > 0.5)
+        UNION ALL
+        SELECT doc_id, source, 'reject_dup', first_seen, NULL
+        FROM passers WHERE first_seen < doc_id
+        UNION ALL
+        SELECT doc_id, source,
+          CASE WHEN admit_rank <= 15 THEN 'admit' ELSE 'reject_quota' END,
+          NULL, admit_rank
+        FROM surv
+        ORDER BY doc_id""")),
+
     // Brute-force cosine top-k (the exact ANN baseline): query set vec_id<8.
     "l12_ann_bruteforce" -> Def(
       (s, d) => {

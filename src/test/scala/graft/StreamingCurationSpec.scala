@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingCuration
+
+/** Staged ingest-time curation funnel (streaming/StreamingCuration.scala):
+  * first-seen exact dedup keyed by content digest, then per-source quota
+  * admission — each stage's stateful math must equal the window-SQL batch
+  * analog that l77_ingest_curation oracle-gates.
+  */
+class StreamingCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup: first arrival registers, copies flag, replay idempotent") {
+    implicit val sctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val out = StreamingCuration.exactDedupStream(spark,
+      input.toDF().toDF("doc_id", "text", "source"), "doc_id", "text", "source")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("scur_dedup").start()
+    try {
+      input.addData((1L, "alpha", "s1"), (2L, "beta", "s1"))
+      q.processAllAvailable()
+      // copy of doc 1 in a later batch + replay of doc 1 itself
+      input.addData((3L, "alpha", "s2"), (1L, "alpha", "s1"))
+      q.processAllAvailable()
+      val rows = spark.table("scur_dedup")
+        .select($"doc_id", $"dup_of").distinct().collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(rows == Map(1L -> -1L, 2L -> -1L, 3L -> 1L),
+        s"owner rows clean, the copy flags its first-seen owner: $rows")
+    } finally q.stop()
+  }
+
+  test("quota: ranks continue across batches; replays don't advance the counter") {
+    implicit val sctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val verdicts = input.toDF().toDF("doc_id", "source")
+      .withColumn("dup_of", lit(null).cast("long"))
+    val out = StreamingCuration.quotaStream(spark, verdicts, quota = 2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("scur_quota").start()
+    try {
+      input.addData((1L, "s1"), (2L, "s1")); q.processAllAvailable()
+      // rank 3 arrives in a later batch (over quota); a replay of id 2
+      // must emit nothing and keep the counter put
+      input.addData((3L, "s1"), (2L, "s1")); q.processAllAvailable()
+      input.addData((4L, "s2")); q.processAllAvailable()
+      val rows = spark.table("scur_quota")
+        .select($"doc_id", $"admit_rank", $"admitted").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(rows == Set((1L, 1L, true), (2L, 2L, true), (3L, 3L, false),
+        (4L, 1L, true)), s"per-source arrival ranks with cap at 2: $rows")
+    } finally q.stop()
+  }
+
+  test("staged streaming run ≡ the oracle-checked batch analog (l77) on real docs") {
+    implicit val sctx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val batchOut = SparkEntry.all("l77_ingest_curation").fn(spark, sfDir)
+      .select($"doc_id", $"verdict", $"dup_of", $"admit_rank").collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(batchOut.values.map(_._1).toSet ==
+      Set("admit", "reject_quality", "reject_dup", "reject_quota"),
+      "fixture exercises all four verdict arms")
+
+    // the same candidate wave l77 synthesizes: originals + exact copies
+    val base = graft.queries.Q.t(spark, sfDir, "documents")
+    val cand = base.select($"doc_id", $"text", $"source", $"n_chars")
+      .unionByName(base.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 100000L).as("doc_id"), $"text", $"source",
+          $"n_chars"))
+    // stage 0 (stateless quality gate) runs before any state is touched
+    val passers = cand.withColumn("quality",
+        graft.ops.TextAnalysis.qualityScore($"text", $"n_chars"))
+      .filter($"quality" > 0.5)
+      .select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+
+    // stage 1: originals in batch 1, the copy wave in batch 2
+    val in1 = MemoryStream[(Long, String, String)]
+    val dedup = StreamingCuration.exactDedupStream(spark,
+      in1.toDF().toDF("doc_id", "text", "source"), "doc_id", "text", "source")
+    val q1 = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("scur_stage1").start()
+    val stage1 = try {
+      in1.addData(passers.filter(_._1 < 100000L).toSeq); q1.processAllAvailable()
+      in1.addData(passers.filter(_._1 >= 100000L).toSeq); q1.processAllAvailable()
+      spark.table("scur_stage1")
+        .select($"doc_id", $"source", $"dup_of").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))
+    } finally q1.stop()
+    assert(stage1.count(_._3 >= 0L) ==
+      batchOut.values.count(_._1 == "reject_dup"),
+      "stage 1 flags exactly the batch analog's dup set")
+    stage1.filter(_._3 >= 0L).foreach { case (id, _, dupOf) =>
+      assert(batchOut(id) == (("reject_dup", dupOf, -1L)),
+        s"doc $id: dup_of must match the batch analog") }
+
+    // stage 2 composes through storage: stage 1's survivors re-enter as a
+    // stream, split mid-range so rank continuation crosses a batch seam
+    val surv = stage1.filter(_._3 < 0L).map(t => (t._1, t._2)).sortBy(_._1)
+    val mid = surv(surv.length / 2)._1
+    val in2 = MemoryStream[(Long, String)]
+    val quota = StreamingCuration.quotaStream(spark,
+      in2.toDF().toDF("doc_id", "source")
+        .withColumn("dup_of", lit(null).cast("long")), quota = 15L)
+    val q2 = quota.writeStream.outputMode("append")
+      .format("memory").queryName("scur_stage2").start()
+    val stage2 = try {
+      in2.addData(surv.filter(_._1 <= mid).toSeq); q2.processAllAvailable()
+      in2.addData(surv.filter(_._1 > mid).toSeq); q2.processAllAvailable()
+      spark.table("scur_stage2")
+        .select($"doc_id", $"admit_rank", $"admitted").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    } finally q2.stop()
+    assert(stage2.length == surv.length, "every survivor gets a verdict")
+    stage2.foreach { case (id, rank, admitted) =>
+      val expect = if (admitted) "admit" else "reject_quota"
+      assert(batchOut(id) == ((expect, -1L, rank)),
+        s"doc $id: quota verdict/rank must match the batch analog " +
+          s"(got rank=$rank admitted=$admitted, want ${batchOut(id)})")
+    }
+  }
+}
