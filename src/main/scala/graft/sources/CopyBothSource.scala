@@ -215,7 +215,10 @@ final class CopyBothWalStream(connect: () => ReplicationConnection,
   // one serial connection per stream instance — a restart builds a new
   // instance whose connection re-delivers from the slot's confirmed
   // position (server-side retention), so no reader state needs to survive
-  private lazy val conn: ReplicationConnection = connect()
+  private var connOpened = false
+  private lazy val conn: ReplicationConnection = {
+    connOpened = true; connect()
+  }
 
   // admitted-but-unacked messages in admission order (lsn, line)
   private val buffer = mutable.ArrayDeque[(Long, String)]()
@@ -319,14 +322,20 @@ final class CopyBothWalStream(connect: () => ReplicationConnection,
     }
   }
 
-  override def stop(): Unit = ()
+  override def stop(): Unit = if (connOpened) conn match {
+    case c: AutoCloseable => c.close()
+    case _ => ()
+  }
 }
 
 /** DSv2 entry point for the CopyBoth source:
   *
   *   spark.readStream.format("graft.sources.CopyBothSource")
-  *     .option("server", name)
-  *     .option("maxMessagesPerTrigger", n)   // optional admission cap
+  *     .option("server", name)                // in-process registry, OR
+  *     .option("host", h).option("port", p)   // dial a real socket
+  *     .option("slot", s)                     //   (replication slot name)
+  *     .option("user", u).option("database", db)
+  *     .option("maxMessagesPerTrigger", n)    // optional admission cap
   *     .load()
   *
   * Same `(wal_start LONG, data STRING)` schema as the archived-WAL file
@@ -336,20 +345,37 @@ final class CopyBothWalStream(connect: () => ReplicationConnection,
   * exactly the single-instance usage the admission-cap and feedback
   * semantics are specified for.
   *
-  * A [[ReplicationConnection]] is a live object, not string config, so the
-  * provider resolves its server from a process-local registry by name —
-  * the embedded/test shape. A socket deployment keeps this class and
-  * replaces only the registry lookup with dialing host/port options into
-  * a pgconn-backed connection (START_REPLICATION ... then CopyBoth), the
-  * one piece with no sandbox analog.
+  * Two transports behind the same seam: `server` resolves a live
+  * in-process [[InMemoryReplicationServer]] from a process-local registry
+  * (the embedded/test shape), while `host`/`port`/`slot` dial a
+  * [[SocketReplicationConnection]] speaking the public replication
+  * protocol over TCP (StartupMessage with replication=database →
+  * START_REPLICATION → CopyBoth) — the production shape, qualified
+  * in-sandbox against an in-process wire-faithful server
+  * (SocketReplicationSpec); only a real Postgres endpoint (and SCRAM
+  * auth) is environment-bound.
   */
 class CopyBothSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     WalDirectorySource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new CopyBothTable(properties.get("server"),
-      Option(properties.get("maxMessagesPerTrigger")).map(_.toInt))
+      properties: JMap[String, String]): Table = {
+    val opt = (k: String) => Option(properties.get(k))
+    val connect: () => ReplicationConnection = opt("host") match {
+      case Some(host) =>
+        val port = opt("port").map(_.toInt).getOrElse(5432)
+        val slot = opt("slot").getOrElse("graft")
+        val user = opt("user").getOrElse("postgres")
+        val db = opt("database").getOrElse("postgres")
+        () => new SocketReplicationConnection(host, port, slot, user, db)
+      case None =>
+        val server = properties.get("server")
+        () => CopyBothSource.connect(server)
+    }
+    new CopyBothTable(connect,
+      opt("host").orElse(opt("server")).getOrElse("?"),
+      opt("maxMessagesPerTrigger").map(_.toInt))
+  }
 }
 
 object CopyBothSource {
@@ -365,9 +391,9 @@ object CopyBothSource {
         "CopyBothSource.register(name, server) first")).connect()
 }
 
-final class CopyBothTable(server: String, maxMessages: Option[Int])
-    extends Table with SupportsRead {
-  override def name(): String = s"copyboth:$server"
+final class CopyBothTable(connect: () => ReplicationConnection, label: String,
+    maxMessages: Option[Int]) extends Table with SupportsRead {
+  override def name(): String = s"copyboth:$label"
   override def schema(): StructType = WalDirectorySource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
@@ -376,8 +402,7 @@ final class CopyBothTable(server: String, maxMessages: Option[Int])
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = WalDirectorySource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new CopyBothWalStream(() => CopyBothSource.connect(server),
-            maxMessages = maxMessages)
+          new CopyBothWalStream(connect, maxMessages = maxMessages)
       }
     }
 }

@@ -1,0 +1,258 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, EOFException, IOException}
+import java.net.Socket
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicReference
+
+/** Minimal PostgreSQL frontend/backend wire codec — just the messages the
+  * streaming-replication session uses, per the PUBLIC protocol spec
+  * ("Message Formats" + "Streaming Replication Protocol" chapters; the
+  * reference's pgconn dependency speaks the same bytes,
+  * internal/wal/reader.go:145-489):
+  *
+  *   frontend: StartupMessage (untyped), Query 'Q', CopyData 'd',
+  *             Terminate 'X'
+  *   backend:  AuthenticationOk 'R'(0), ParameterStatus 'S',
+  *             BackendKeyData 'K', ReadyForQuery 'Z',
+  *             CopyBothResponse 'W', CopyData 'd', ErrorResponse 'E'
+  *
+  * All integers big-endian; typed messages carry an int32 length that
+  * includes itself but not the type byte.
+  */
+object PgWireProtocol {
+
+  final case class BackendMessage(tpe: Char, body: Array[Byte])
+
+  /** StartupMessage: int32 len | int32 196608 | (key\0value\0)* | \0 */
+  def writeStartup(out: DataOutputStream, params: Seq[(String, String)]): Unit = {
+    val body = new java.io.ByteArrayOutputStream()
+    params.foreach { case (k, v) =>
+      body.write(k.getBytes(UTF_8)); body.write(0)
+      body.write(v.getBytes(UTF_8)); body.write(0)
+    }
+    body.write(0)
+    out.writeInt(8 + body.size())
+    out.writeInt(196608) // protocol 3.0
+    body.writeTo(out)
+    out.flush()
+  }
+
+  def writeQuery(out: DataOutputStream, sql: String): Unit = {
+    val bytes = sql.getBytes(UTF_8)
+    out.writeByte('Q')
+    out.writeInt(4 + bytes.length + 1)
+    out.write(bytes); out.writeByte(0)
+    out.flush()
+  }
+
+  def writeCopyData(out: DataOutputStream, data: Array[Byte]): Unit = {
+    out.writeByte('d')
+    out.writeInt(4 + data.length)
+    out.write(data)
+    out.flush()
+  }
+
+  def writeTerminate(out: DataOutputStream): Unit = {
+    out.writeByte('X'); out.writeInt(4); out.flush()
+  }
+
+  /** Blocking read of one typed backend (or frontend, they frame alike)
+    * message. Throws EOFException at end of stream.
+    */
+  def readMessage(in: DataInputStream): BackendMessage = {
+    val tpe = in.read()
+    if (tpe < 0) throw new EOFException("connection closed")
+    val len = in.readInt()
+    require(len >= 4, s"bad message length $len")
+    val body = new Array[Byte](len - 4)
+    in.readFully(body)
+    BackendMessage(tpe.toChar, body)
+  }
+
+  /** Server-side read of the untyped StartupMessage → its key/value params.
+    * An SSLRequest (80877103) is answered with 'N' (SSL declined) by the
+    * caller; this returns None for it so the caller can loop.
+    */
+  def readStartup(in: DataInputStream): Option[Map[String, String]] = {
+    val len = in.readInt()
+    require(len >= 8, s"bad startup length $len")
+    val body = new Array[Byte](len - 4)
+    in.readFully(body)
+    val b = ByteBuffer.wrap(body)
+    val code = b.getInt()
+    if (code == 80877103) None // SSLRequest
+    else {
+      require(code == 196608, s"unsupported protocol $code")
+      var params = Map.empty[String, String]
+      var start = b.position()
+      def nextCString(): Option[String] = {
+        if (start >= body.length || body(start) == 0) None
+        else {
+          var end = start
+          while (body(end) != 0) end += 1
+          val s = new String(body, start, end - start, UTF_8)
+          start = end + 1
+          Some(s)
+        }
+      }
+      var k = nextCString()
+      while (k.isDefined) {
+        val v = nextCString().getOrElse("")
+        params += (k.get -> v)
+        k = nextCString()
+      }
+      Some(params)
+    }
+  }
+
+  /** ErrorResponse body → "SEVERITY: message (SQLSTATE)". Fields are
+    * (code byte, cstring) pairs, zero-terminated.
+    */
+  def errorString(body: Array[Byte]): String = {
+    var i = 0
+    var fields = Map.empty[Char, String]
+    while (i < body.length && body(i) != 0) {
+      val code = body(i).toChar; i += 1
+      var end = i
+      while (body(end) != 0) end += 1
+      fields += (code -> new String(body, i, end - i, UTF_8))
+      i = end + 1
+    }
+    s"${fields.getOrElse('S', "ERROR")}: ${fields.getOrElse('M', "?")}" +
+      fields.get('C').map(c => s" ($c)").getOrElse("")
+  }
+
+  /** Generic typed message write (either direction frames alike). */
+  def writeMessage(out: DataOutputStream, tpe: Char, body: Array[Byte]): Unit = {
+    out.writeByte(tpe)
+    out.writeInt(4 + body.length)
+    out.write(body)
+    out.flush()
+  }
+
+  /** X/Y lower-hex LSN rendering of a 64-bit position. */
+  def lsnHex(pos: Long): String =
+    s"${(pos >>> 32).toHexString}/${(pos & 0xffffffffL).toHexString}"
+}
+
+/** [[ReplicationConnection]] over a REAL TCP socket speaking the public
+  * PostgreSQL replication protocol — the production transport behind the
+  * same seam the in-memory stub implements (reference
+  * internal/wal/reader.go:145-227 does exactly this through pgconn):
+  *
+  *   1. StartupMessage with `replication=database` (+ user/database) —
+  *      trust auth only (AuthenticationOk; SASL/SCRAM is environment-bound
+  *      — classified fatal like the reference's 28xxx handling);
+  *   2. `START_REPLICATION SLOT <slot> LOGICAL <lsn>` → CopyBothResponse
+  *      switches the connection to CopyBoth;
+  *   3. thereafter every backend CopyData payload (XLogData / keepalive
+  *      bytes) is queued for non-blocking `receive()` by a daemon pump
+  *      thread, and `send` wraps StandbyStatusUpdate bytes in frontend
+  *      CopyData.
+  *
+  * The start position is sent as 0/0 by default: the server's replication
+  * slot governs actual redelivery (it streams from its confirmed_flush_lsn
+  * when the requested position is older — the slot-retention semantics the
+  * contract's replay property leans on), so a restarted reader needs no
+  * local position state.
+  *
+  * Errors surface on the next `receive()`/`send` as IOException carrying
+  * the server's ErrorResponse (severity/message/SQLSTATE), which
+  * [[graft.streaming.Reliability]] classifies for reconnect-vs-fatal.
+  */
+final class SocketReplicationConnection(host: String, port: Int, slot: String,
+    user: String = "postgres", database: String = "postgres",
+    startPos: Long = 0L) extends ReplicationConnection with AutoCloseable {
+
+  private val socket = new Socket(host, port)
+  socket.setTcpNoDelay(true)
+  private val in = new DataInputStream(
+    new java.io.BufferedInputStream(socket.getInputStream))
+  private val out = new DataOutputStream(
+    new java.io.BufferedOutputStream(socket.getOutputStream))
+  private val inbox = new ConcurrentLinkedQueue[Array[Byte]]()
+  private val failure = new AtomicReference[Throwable](null)
+  @volatile private var closed = false
+
+  // --- handshake (synchronous; constructor completes in CopyBoth mode) ---
+  PgWireProtocol.writeStartup(out, Seq(
+    "user" -> user, "database" -> database, "replication" -> "database"))
+  private var ready = false
+  while (!ready) {
+    val m = PgWireProtocol.readMessage(in)
+    m.tpe match {
+      case 'R' =>
+        val code = ByteBuffer.wrap(m.body).getInt()
+        if (code != 0) throw new IOException(
+          s"FATAL: unsupported auth method $code (trust only) (28000)")
+      case 'S' | 'K' | 'N' => // ParameterStatus / BackendKeyData / Notice
+      case 'Z' => ready = true
+      case 'E' => throw new IOException(PgWireProtocol.errorString(m.body))
+      case other => throw new IOException(s"unexpected '$other' during startup")
+    }
+  }
+  PgWireProtocol.writeQuery(out,
+    s"START_REPLICATION SLOT $slot LOGICAL ${PgWireProtocol.lsnHex(startPos)}")
+  private var copyBoth = false
+  while (!copyBoth) {
+    val m = PgWireProtocol.readMessage(in)
+    m.tpe match {
+      case 'W' => copyBoth = true
+      case 'S' | 'N' =>
+      case 'E' => throw new IOException(PgWireProtocol.errorString(m.body))
+      case other => throw new IOException(s"unexpected '$other' before CopyBoth")
+    }
+  }
+
+  // --- pump: backend CopyData → inbox, until close/error ---
+  private val pump = new Thread(() => {
+    try {
+      var live = true
+      while (live && !closed) {
+        val m = PgWireProtocol.readMessage(in)
+        m.tpe match {
+          case 'd' => inbox.add(m.body)
+          case 'E' =>
+            failure.set(new IOException(PgWireProtocol.errorString(m.body)))
+            live = false
+          case 'c' | 'Z' | 'C' | 'N' | 'S' => // CopyDone / command tail
+          case other =>
+            failure.set(new IOException(s"unexpected '$other' in CopyBoth"))
+            live = false
+        }
+      }
+    } catch {
+      case _: EOFException if closed => // orderly shutdown
+      case _: IOException if closed =>
+      case e: Throwable => failure.set(e)
+    }
+  }, s"copyboth-pump-$host:$port")
+  pump.setDaemon(true)
+  pump.start()
+
+  private def raiseIfFailed(): Unit = {
+    val e = failure.get()
+    if (e != null) throw e
+  }
+
+  override def receive(): Option[Array[Byte]] = {
+    val f = Option(inbox.poll())
+    if (f.isEmpty) raiseIfFailed() // drain buffered frames before failing
+    f
+  }
+
+  override def send(copyData: Array[Byte]): Unit = {
+    raiseIfFailed()
+    out.synchronized { PgWireProtocol.writeCopyData(out, copyData) }
+  }
+
+  override def close(): Unit = {
+    closed = true
+    try out.synchronized { PgWireProtocol.writeTerminate(out) }
+    catch { case _: IOException => }
+    try socket.close() catch { case _: IOException => }
+  }
+}

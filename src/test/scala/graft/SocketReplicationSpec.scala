@@ -1,0 +1,272 @@
+package graft
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket, SocketTimeoutException}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicReference
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{CopyBothFraming, CopyBothWalStream,
+  InMemoryReplicationServer, PgWireProtocol, SocketReplicationConnection}
+
+/** Wire-faithful in-process replication server: a real ServerSocket
+  * speaking the public protocol subset the client dials — SSLRequest
+  * declined, StartupMessage validated (replication=database required),
+  * AuthenticationOk/ReadyForQuery, START_REPLICATION → CopyBothResponse,
+  * then CopyData both ways. Slot semantics (retention until feedback,
+  * redelivery from confirmed on reconnect) delegate to
+  * [[InMemoryReplicationServer]] — this class is ONLY the transport, so
+  * the test proves the socket layer adds nothing and loses nothing.
+  */
+final class InProcessPgReplicationServer(
+    val inner: InMemoryReplicationServer = new InMemoryReplicationServer) {
+
+  private val listener = new ServerSocket(0, 16,
+    java.net.InetAddress.getLoopbackAddress)
+  @volatile private var closed = false
+  private val pendingError = new AtomicReference[Option[(String, String)]](None)
+
+  def port: Int = listener.getLocalPort
+
+  /** Next active session replies with ErrorResponse(sqlstate, msg) and
+    * closes — the server-side failure the client must surface.
+    */
+  def injectError(sqlstate: String, msg: String): Unit =
+    pendingError.set(Some((sqlstate, msg)))
+
+  private def errorBody(sqlstate: String, msg: String): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    def field(code: Char, v: String): Unit = {
+      b.write(code); b.write(v.getBytes(UTF_8)); b.write(0)
+    }
+    field('S', "ERROR"); field('C', sqlstate); field('M', msg)
+    b.write(0)
+    b.toByteArray
+  }
+
+  private def serve(sock: Socket): Unit = {
+    val in = new DataInputStream(
+      new java.io.BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(
+      new java.io.BufferedOutputStream(sock.getOutputStream))
+    // startup (loop past SSLRequest)
+    var params = PgWireProtocol.readStartup(in)
+    while (params.isEmpty) {
+      out.writeByte('N'); out.flush()
+      params = PgWireProtocol.readStartup(in)
+    }
+    if (!params.get.get("replication").contains("database")) {
+      PgWireProtocol.writeMessage(out, 'E',
+        errorBody("55000", "connection is not a replication connection"))
+      sock.close(); return
+    }
+    PgWireProtocol.writeMessage(out, 'R',
+      ByteBuffer.allocate(4).putInt(0).array()) // AuthenticationOk
+    PgWireProtocol.writeMessage(out, 'Z', Array('I'.toByte))
+    // START_REPLICATION → CopyBoth
+    val q = PgWireProtocol.readMessage(in)
+    if (q.tpe != 'Q' ||
+        !new String(q.body, UTF_8).startsWith("START_REPLICATION")) {
+      PgWireProtocol.writeMessage(out, 'E',
+        errorBody("42601", "expected START_REPLICATION")); sock.close(); return
+    }
+    PgWireProtocol.writeMessage(out, 'W',
+      ByteBuffer.allocate(3).put(0.toByte).putShort(0.toShort).array())
+    // CopyBoth loop: forward retained frames, absorb standby feedback
+    val session = inner.connect()
+    sock.setSoTimeout(5)
+    while (!closed && !sock.isClosed) {
+      pendingError.getAndSet(None).foreach { case (code, msg) =>
+        PgWireProtocol.writeMessage(out, 'E', errorBody(code, msg))
+        sock.close(); return
+      }
+      var f = session.receive()
+      while (f.isDefined) {
+        PgWireProtocol.writeMessage(out, 'd', f.get)
+        f = session.receive()
+      }
+      // only attempt a read when bytes are already queued — a timeout
+      // mid-message would desync the stream
+      if (in.available() > 0) {
+        val m = PgWireProtocol.readMessage(in)
+        m.tpe match {
+          case 'd' => session.send(m.body)
+          case 'X' => sock.close(); return
+          case _ => ()
+        }
+      } else Thread.sleep(2)
+    }
+  }
+
+  private val acceptor = new Thread(() => {
+    try {
+      while (!closed) {
+        val sock = listener.accept()
+        val t = new Thread(() => {
+          try serve(sock)
+          catch { case _: Throwable if closed => case _: java.io.IOException => }
+        }, s"pg-serve-${sock.getPort}")
+        t.setDaemon(true)
+        t.start()
+      }
+    } catch { case _: Throwable if closed => case _: java.io.IOException => }
+  }, "pg-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def close(): Unit = { closed = true; listener.close() }
+}
+
+/** The socket transport satisfies the SAME five-property seam contract as
+  * the in-memory stub and the archived-WAL file source — the full
+  * handshake and CopyBoth framing run over a real loopback TCP connection
+  * for every fixture interaction; only a genuine Postgres endpoint (and
+  * SCRAM auth) remains environment-bound.
+  */
+class SocketReplicationContractSpec extends WalSourceContract {
+
+  /** The contract suite assumes append→poll visibility is synchronous (it
+    * is, for the in-memory stub and file source). Frames here cross two
+    * threads and a real socket, so the TEST connection waits a bounded
+    * settle interval before reporting idle — the semantics under test are
+    * the stream's, not loopback latency.
+    */
+  private final class PatientConnection(
+      underlying: graft.sources.ReplicationConnection)
+      extends graft.sources.ReplicationConnection {
+    override def receive(): Option[Array[Byte]] = {
+      var r = underlying.receive()
+      val deadline = System.nanoTime() + 300_000_000L
+      while (r.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(5)
+        r = underlying.receive()
+      }
+      r
+    }
+    override def send(copyData: Array[Byte]): Unit = underlying.send(copyData)
+  }
+
+  override def newFixture(): Fixture = new Fixture {
+    private val srv = new InProcessPgReplicationServer
+    private var n = 0
+    override def stream = new CopyBothWalStream(() => new PatientConnection(
+      new SocketReplicationConnection("127.0.0.1", srv.port, "graft_slot")))
+    override def append(lines: Seq[String]): Unit =
+      lines.foreach { l => n += 1; srv.inner.deliver(n * 10L, l) }
+    override def ledger: Seq[String] = {
+      // feedback crosses a real socket: await quiescence (stable ledger)
+      var prev = srv.inner.feedbackPositions
+      var stable = 0
+      val deadline = System.nanoTime() + 2_000_000_000L
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(10)
+        val cur = srv.inner.feedbackPositions
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      prev.map(_.toString)
+    }
+  }
+}
+
+/** Wire-level behaviors of the socket transport beyond the seam contract. */
+class SocketReplicationWireSpec extends AnyFunSuite {
+
+  test("handshake + frames + feedback round-trip over a real TCP socket") {
+    val srv = new InProcessPgReplicationServer
+    try {
+      srv.inner.deliver(10L, "line1")
+      srv.inner.deliver(20L, "line2")
+      val conn = new SocketReplicationConnection("127.0.0.1", srv.port, "s1")
+      try {
+        def drain(): Seq[CopyBothFraming.Frame] = {
+          val buf = scala.collection.mutable.ArrayBuffer[CopyBothFraming.Frame]()
+          val deadline = System.nanoTime() + 2_000_000_000L
+          while (buf.size < 2 && System.nanoTime() < deadline)
+            conn.receive() match {
+              case Some(bytes) => buf += CopyBothFraming.parse(bytes)
+              case None => Thread.sleep(5)
+            }
+          buf.toSeq
+        }
+        val frames = drain()
+        assert(frames.map {
+          case CopyBothFraming.XLogData(ws, _, _, p) => (ws, new String(p, UTF_8))
+          case other => fail(s"unexpected $other")
+        } == Seq((10L, "line1"), (20L, "line2")))
+        conn.send(CopyBothFraming.standbyStatusUpdate(20L, 0L))
+        val deadline = System.nanoTime() + 2_000_000_000L
+        while (srv.inner.feedbackPositions.isEmpty &&
+          System.nanoTime() < deadline) Thread.sleep(5)
+        assert(srv.inner.feedbackPositions == Seq(20L),
+          "standby feedback reaches the slot through the socket")
+        // slot redelivery on a NEW connection starts past the confirmed lsn
+        srv.inner.deliver(30L, "line3")
+        val conn2 = new SocketReplicationConnection("127.0.0.1", srv.port, "s1")
+        try {
+          var got: Option[Array[Byte]] = None
+          val d2 = System.nanoTime() + 2_000_000_000L
+          while (got.isEmpty && System.nanoTime() < d2) {
+            got = conn2.receive(); if (got.isEmpty) Thread.sleep(5)
+          }
+          val f = CopyBothFraming.parse(got.get)
+          assert(f.asInstanceOf[CopyBothFraming.XLogData].walStart == 30L,
+            "reconnect redelivers only unconfirmed WAL")
+        } finally conn2.close()
+      } finally conn.close()
+    } finally srv.close()
+  }
+
+  test("server ErrorResponse surfaces as IOException with SQLSTATE on receive()") {
+    val srv = new InProcessPgReplicationServer
+    try {
+      val conn = new SocketReplicationConnection("127.0.0.1", srv.port, "s1")
+      try {
+        srv.injectError("57P01", "terminating connection due to administrator command")
+        val deadline = System.nanoTime() + 2_000_000_000L
+        var thrown: Option[Throwable] = None
+        while (thrown.isEmpty && System.nanoTime() < deadline) {
+          try { conn.receive(); Thread.sleep(5) }
+          catch { case e: java.io.IOException => thrown = Some(e) }
+        }
+        assert(thrown.isDefined, "server error must surface")
+        assert(thrown.get.getMessage.contains("57P01"),
+          s"SQLSTATE rides along for Reliability classification: ${thrown.get.getMessage}")
+      } finally conn.close()
+    } finally srv.close()
+  }
+
+  test("full CDC pipeline over the socket transport via DSv2 host/port options") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    val srv = new InProcessPgReplicationServer
+    try {
+      val ts = "2024-01-15 10:30:00.123456+00"
+      def line(action: String, xid: Long, id: Int = 0): String = action match {
+        case "B" | "C" => s"""{"action":"$action","xid":$xid,"timestamp":"$ts"}"""
+        case a => s"""{"action":"$a","xid":$xid,"timestamp":"$ts","schema":"public","table":"users","columns":[{"name":"id","type":"bigint","value":$id}]}"""
+      }
+      srv.inner.deliver(10L, line("B", 7))
+      srv.inner.deliver(20L, line("I", 7, id = 1))
+      srv.inner.deliver(30L, line("I", 7, id = 2))
+      srv.inner.deliver(40L, line("C", 7))
+      val out = java.nio.file.Files.createTempDirectory("sock_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("sock_ckpt").toString
+      val raw = spark.readStream.format("graft.sources.CopyBothSource")
+        .option("host", "127.0.0.1").option("port", srv.port.toString)
+        .option("slot", "graft_slot").load()
+      val q = graft.streaming.CdcStream.start(spark, raw, "testdb", out, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      try q.processAllAvailable() finally q.stop()
+      val events = spark.read.parquet(out)
+      assert(events.count() == 2, "tx 7's committed events emit over TCP")
+      assert(events.select("txid").as[Long].collect().toSet == Set(7L))
+      val deadline = System.nanoTime() + 2_000_000_000L
+      while (srv.inner.feedbackPositions.isEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(10)
+      assert(srv.inner.feedbackPositions.nonEmpty,
+        "the engine's commits became standby feedback on the wire")
+    } finally srv.close()
+  }
+}
