@@ -737,6 +737,61 @@ object SurfaceQueries {
     // rather than silently — widen to a two-step split division if a
     // deployment ever needs ppb at that scale. Two shuffles: the group-by
     // and the region-partitioned window over the tiny aggregate.
+    // Linear-regression battery (regr_slope / regr_intercept / regr_r2
+    // semantics) computed EXACTLY: decimal-exact component sums (sx, sy,
+    // sxx, syy, sxy — partitioning-independent), each cast to double
+    // once, then one fixed IEEE expression per statistic on both engines.
+    // Native regr_* aggregates would float-sum in engine-specific order;
+    // this form is bit-portable and map-side combinable (one shuffle).
+    "q56_regr_battery" -> Def(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        // integral cents: scale-0 decimal sums cast to double convert a
+        // plain integer — correctly rounded identically in both engines
+        // (a fractional-scale decimal→double cast can round differently:
+        // observed 1-ulp r2 divergence with DECIMAL(38,4) sums). slope
+        // and r2 are scale-invariant; intercept rescales by one /100.
+        val xI = (dec(col("l_quantity")) * lit(100)).cast("decimal(14,0)")
+        val yI = (dec(col("l_extendedprice")) * lit(100)).cast("decimal(14,0)")
+        val agg = li.groupBy(col("l_returnflag")).agg(
+          count(lit(1)).as("n"),
+          sum(xI).as("sx_i"), sum(yI).as("sy_i"),
+          sum(xI * xI).as("sxx_i"), sum(yI * yI).as("syy_i"),
+          sum(xI * yI).as("sxy_i"))
+        val nD = col("n").cast("double")
+        def dd(c: String) = col(c).cast("double")
+        val covN = nD * dd("sxy_i") - dd("sx_i") * dd("sy_i")
+        val varX = nD * dd("sxx_i") - dd("sx_i") * dd("sx_i")
+        val varY = nD * dd("syy_i") - dd("sy_i") * dd("sy_i")
+        agg.select(col("l_returnflag"), col("n"),
+            (covN / varX).as("slope"),
+            (((dd("sy_i") - (covN / varX) * dd("sx_i")) / nD) / lit(100.0))
+              .as("intercept"),
+            ((covN * covN) / (varX * varY)).as("r2"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH i AS (SELECT l_returnflag,
+          CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0)) AS xi,
+          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0)) AS yi
+        FROM lineitem),
+        a AS (SELECT l_returnflag, COUNT(*) AS n,
+          SUM(xi) AS sx_i, SUM(yi) AS sy_i,
+          SUM(xi * xi) AS sxx_i, SUM(yi * yi) AS syy_i,
+          SUM(xi * yi) AS sxy_i
+        FROM i GROUP BY 1),
+        c AS (SELECT l_returnflag, n,
+          CAST(n AS DOUBLE) AS nd,
+          CAST(sx_i AS DOUBLE) AS sx, CAST(sy_i AS DOUBLE) AS sy,
+          CAST(sxx_i AS DOUBLE) AS sxx, CAST(syy_i AS DOUBLE) AS syy,
+          CAST(sxy_i AS DOUBLE) AS sxy FROM a)
+        SELECT l_returnflag, n,
+          (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS slope,
+          ((sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx) / nd)
+            / 100.0 AS intercept,
+          ((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
+            / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)) AS r2
+        FROM c ORDER BY l_returnflag""")),
+
     "q54_ratio_to_report" -> Def(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
