@@ -129,6 +129,41 @@ object Apply {
       .drop("_op")
   }
 
+  /** Incremental [[scd2]]: fold a NEW change batch onto an existing
+    * history table — the per-batch production path (never re-window full
+    * history at scale):
+    *
+    *  - keys the batch touches have their open version closed at the
+    *    batch's FIRST change position;
+    *  - the batch's own versions come from [[scd2]] over the batch alone
+    *    (intra-batch versions preserved — this is not net-change
+    *    compaction);
+    *  - untouched keys pass through.
+    *
+    * Sound under the same precondition as [[netChanges]]: the batch is a
+    * contiguous WAL slice strictly after the history's horizon.
+    * Guarantees `scd2Apply(scd2(prefix), suffix) == scd2(prefix ++
+    * suffix)` exactly (ApplySpec property). Scale shape: one aggregation
+    * over the batch keys + one key-partitioned join against history
+    * (bucket history on the key so only the batch shuffles) + append.
+    */
+  def scd2Apply(history: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      opCol: Column, orderCol: Column, imageCol: Column): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must name the table key")
+    val keys = keyCols.map(col)
+    val batchVers = scd2(changes, keyCols, opCol, orderCol, imageCol)
+    val firsts = changes.groupBy(keys: _*)
+      .agg(min(orderCol).as("_batch_first"))
+    history.join(firsts, keyCols, "left")
+      .withColumn("valid_to",
+        when(col("_batch_first").isNotNull && col("is_current"),
+          col("_batch_first")).otherwise(col("valid_to")))
+      .withColumn("is_current",
+        col("is_current") && col("_batch_first").isNull)
+      .drop("_batch_first")
+      .unionByName(batchVers)
+  }
+
   def diff(oldDf: DataFrame, oldImage: Column, newDf: DataFrame,
       newImage: Column, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must name the table key")

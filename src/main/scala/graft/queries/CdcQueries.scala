@@ -955,6 +955,44 @@ object CdcQueries {
           (valid_to IS NULL) AS is_current
         FROM v WHERE op <> 'DELETE' ORDER BY tbl, uid, valid_from""")),
 
+    // Incremental SCD2 (Apply.scd2Apply): history built from the first
+    // 95% of changes, then the last 5% folded on as a batch — the
+    // per-batch production path. The oracle is the SAME single
+    // LEAD-window over ALL changes (c27's): incremental ≡ full rebuild
+    // is the property under the driver gate, hash-exact.
+    "c28_scd2_incremental" -> Def(
+      (s, d) => {
+        val e = t(s, d, "events")
+        val mid = e.agg((max(col("event_id")) * 19 / 20).cast("long").as("k"))
+        val ek = e.crossJoin(broadcast(mid))
+        val changes = ek.select(col("event_type").as("tbl"),
+          col("user_id").as("uid"),
+          when(col("event_id") % 3 === 0, "INSERT")
+            .when(col("event_id") % 3 === 1, "UPDATE")
+            .otherwise("DELETE").as("operation"),
+          col("event_id").as("seq"), col("k"))
+        val history = Apply.scd2(changes.filter(col("seq") <= col("k")),
+          Seq("tbl", "uid"), col("operation"), col("seq"),
+          col("seq").cast("string"))
+        Apply.scd2Apply(history, changes.filter(col("seq") > col("k")),
+            Seq("tbl", "uid"), col("operation"), col("seq"),
+            col("seq").cast("string"))
+          .select(col("tbl"), col("uid"),
+            col("image").cast("long").as("ver_src"),
+            col("valid_from"), col("valid_to"), col("is_current"))
+          .orderBy(col("tbl"), col("uid"), col("valid_from"))
+      },
+      Some("""WITH v AS (SELECT event_type AS tbl, user_id AS uid,
+          CASE event_id % 3 WHEN 0 THEN 'INSERT' WHEN 1 THEN 'UPDATE'
+            ELSE 'DELETE' END AS op,
+          event_id AS valid_from,
+          LEAD(event_id) OVER (PARTITION BY event_type, user_id
+            ORDER BY event_id) AS valid_to
+        FROM events)
+        SELECT tbl, uid, valid_from AS ver_src, valid_from, valid_to,
+          (valid_to IS NULL) AS is_current
+        FROM v WHERE op <> 'DELETE' ORDER BY tbl, uid, valid_from""")),
+
     "c24_sink_order_key" -> Def(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window

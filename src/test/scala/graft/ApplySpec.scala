@@ -190,6 +190,30 @@ class ApplySpec extends SparkSpec {
     assert(currents == Map(2L -> 1L, 3L -> 1L))
   }
 
+  test("property: scd2Apply(scd2(prefix), suffix) == scd2(full) (seeded random)") {
+    val rnd = new scala.util.Random(7)
+    val ops = Array("INSERT", "UPDATE", "DELETE")
+    val changes = (1 to 400).map { seq =>
+      val k = 1L + rnd.nextInt(40)
+      (("t", k, ops(rnd.nextInt(3)), s"v$seq", seq.toLong))
+    }
+    val df = changes.toDF("tbl", "uid", "operation", "v", "seq")
+    def canon(h: org.apache.spark.sql.DataFrame) =
+      h.select($"uid", $"image", $"valid_from", $"valid_to", $"is_current")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+    for (cut <- Seq(100L, 250L, 399L)) {
+      val full = Apply.scd2(df, Seq("tbl", "uid"), $"operation", $"seq", $"v")
+      val incr = Apply.scd2Apply(
+        Apply.scd2(df.filter($"seq" <= cut), Seq("tbl", "uid"),
+          $"operation", $"seq", $"v"),
+        df.filter($"seq" > cut), Seq("tbl", "uid"),
+        $"operation", $"seq", $"v")
+      assert(canon(incr) == canon(full),
+        s"cut=$cut: incremental history must equal the full rebuild")
+    }
+  }
+
   test("applyChanges plan: ranking window runs over the batch side only") {
     val base = (1L to 100L).map(i => ("t", i, s"v$i")).toDF("tbl", "uid", "v")
       .select($"tbl", $"uid", map(lit("v"), $"v").as("img"))
