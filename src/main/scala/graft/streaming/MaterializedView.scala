@@ -53,6 +53,53 @@ object MaterializedView {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
+  /** Maintain an SCD Type-2 HISTORY table from the CDC stream instead of
+    * current state: same versioned-state idempotence scheme as [[start]],
+    * but each micro-batch folds via [[graft.cdc.Apply.scd2Apply]] (first
+    * batch: [[graft.cdc.Apply.scd2]]), so every change becomes a
+    * versioned row with a validity interval — intra-batch versions
+    * preserved. `seq` must be a monotone WAL-order column (e.g. numeric
+    * LSN); validity bounds are expressed in it. Scale shape per batch:
+    * one lead() window over the batch + one key join against the prior
+    * history version (bucket it) + append.
+    */
+  def startScd2(spark: SparkSession, events: DataFrame, stateDir: String,
+      checkpointPath: String, keyCols: Seq[String],
+      seq: org.apache.spark.sql.Column, retainVersions: Int = 2,
+      trigger: Trigger = Trigger.ProcessingTime("100 milliseconds")): StreamingQuery = {
+    require(keyCols.nonEmpty, "keyCols must name the history key")
+    new java.io.File(stateDir).mkdirs()
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val keyed = keyCols.foldLeft(batch.toDF()) { (df, k) =>
+          df.withColumn(k, coalesce(element_at(col("after"), k),
+            element_at(col("before"), k)))
+        }.withColumn("_mv_seq", seq)
+        val hist = latestVersion(stateDir, below = batchId) match {
+          case Some(v) => Apply.scd2Apply(
+            spark.read.parquet(s"$stateDir/v$v"), keyed, keyCols,
+            col("operation"), col("_mv_seq"), col("after"))
+          case None => Apply.scd2(keyed, keyCols,
+            col("operation"), col("_mv_seq"), col("after"))
+        }
+        hist.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        pruneVersions(stateDir, retainVersions)
+      }.start()
+  }
+
+  private def pruneVersions(stateDir: String, retainVersions: Int): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+    }
+    Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
+      .filter(f => f.getName.matches("v\\d+"))
+      .sortBy(-_.getName.drop(1).toLong).drop(retainVersions)
+      .foreach(rm)
+  }
+
   /** Start maintaining the view. `events` is a streaming frame of
     * normalized CdcEvents ([[graft.cdc.Transform.normalize]] columns);
     * keys are extracted from the row image (`after`, falling back to
@@ -83,14 +130,7 @@ object MaterializedView {
         // prune old versions, keep the newest `retainVersions` (replay
         // only ever revisits the newest uncommitted batch, so retained
         // versions always cover the re-read)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
-        }
-        Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
-          .filter(f => f.getName.matches("v\\d+"))
-          .sortBy(-_.getName.drop(1).toLong).drop(retainVersions)
-          .foreach(rm)
-        ()
+        pruneVersions(stateDir, retainVersions)
       }.start()
   }
 }

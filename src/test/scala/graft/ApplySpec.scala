@@ -160,6 +160,54 @@ class ApplySpec extends SparkSpec {
       s"update applied, delete removed, insert born, untouched kept: $finalState")
   }
 
+  test("streaming SCD2 history: foreachBatch + scd2Apply across restart") {
+    val dir = Files.createTempDirectory("graft_scd2s").toString
+    val src = s"$dir/in"; val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def line(ws: Long, action: String, key: Long, v: String): (Long, String) = {
+      val ts = "2024-01-15 10:30:00.123456+00"
+      val cols = s"""[{"name":"id","type":"bigint","value":"$key"},{"name":"v","type":"text","value":"$v"}]"""
+      val arms = action match {
+        case "D" => s""""identity":$cols"""
+        case _   => s""""columns":$cols"""
+      }
+      (ws, s"""{"action":"$action","xid":$key,"timestamp":"$ts","schema":"public","table":"kv",$arms}""")
+    }
+    def tx(ws: Long, action: String, key: Long, v: String) = Seq(
+      (ws, s"""{"action":"B","xid":$key,"timestamp":"2024-01-15 10:30:00.123456+00"}"""),
+      line(ws + 1, action, key, v),
+      (ws + 2, s"""{"action":"C","xid":$key,"timestamp":"2024-01-15 10:30:00.123456+00"}"""))
+    def startQuery() = {
+      val raw = spark.readStream
+        .schema("wal_start LONG, data STRING").json(s"$src/*.json")
+      MaterializedView.startScd2(spark,
+        CdcStream.pipeline(spark, raw, "testdb"), state, ckpt,
+        keyCols = Seq("id"),
+        seq = graft.streaming.OrderedSink.lsnNumeric(col("lsn")),
+        trigger = Trigger.ProcessingTime("50 milliseconds"))
+    }
+    (tx(10, "I", 1, "a") ++ tx(20, "I", 2, "b") ++ tx(30, "I", 3, "c"))
+      .toDF("wal_start", "data").write.json(s"$src/b0.json")
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    (tx(40, "U", 2, "b2") ++ tx(50, "D", 3, "") ++ tx(60, "I", 4, "d"))
+      .toDF("wal_start", "data").write.json(s"$src/b1.json")
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+    val hist = MaterializedView.currentState(spark, state, Seq("id"))
+      .select($"id".cast("long").as("id"), element_at($"image", "v").as("v"),
+        $"valid_from", $"valid_to", $"is_current")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+    // seq = numeric LSN of each data row (ws+1); a restart between the
+    // batches must not lose, duplicate, or re-open versions
+    assert(hist == Set(
+      (1L, "a", 11L, -1L, true),
+      (2L, "b", 21L, 41L, false), (2L, "b2", 41L, -1L, true),
+      (3L, "c", 31L, 51L, false),
+      (4L, "d", 61L, -1L, true)),
+      s"history across restart: $hist")
+  }
+
   test("scd2: versions open/close in WAL order, DELETE closes without opening") {
     // key 1: I(10) U(20) D(30)  -> two closed versions, no current row
     // key 2: I(10) U(20) U(40)  -> two closed + one current
