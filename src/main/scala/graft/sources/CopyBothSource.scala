@@ -136,10 +136,17 @@ final class InMemoryReplicationServer {
   private val feedbackLog = mutable.ArrayBuffer[Long]()
 
   def deliver(lsn: Long, line: String, serverClock: Long = 0L): Unit =
-    synchronized {
-      retained += ((lsn, CopyBothFraming.xlogData(lsn, lsn, serverClock,
-        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
-    }
+    deliverBytes(lsn, line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      serverClock)
+
+  /** Binary payload delivery — pgoutput frames ride XLogData as raw bytes
+    * (the reference's default plugin produces binary messages, not text).
+    */
+  def deliverBytes(lsn: Long, payload: Array[Byte],
+      serverClock: Long = 0L): Unit = synchronized {
+    retained += ((lsn, CopyBothFraming.xlogData(lsn, lsn, serverClock,
+      payload)))
+  }
 
   /** Standby feedback positions received, in arrival order. */
   def feedbackPositions: Seq[Long] = synchronized(feedbackLog.toSeq)
@@ -179,7 +186,8 @@ final case class LsnOffset(lsn: Long) extends Offset {
   override def json(): String = lsn.toString
 }
 
-final case class LsnRangePartition(rows: Seq[(Long, String)]) extends InputPartition
+final case class LsnRangePartition(rows: Seq[(Long, Array[Byte])],
+    binaryPayload: Boolean) extends InputPartition
 
 /** A live-shaped replication source over the [[ReplicationConnection]]
   * seam: CopyBoth frames in, (wal_start, data) rows out, standby feedback
@@ -209,7 +217,8 @@ final case class LsnRangePartition(rows: Seq[(Long, String)]) extends InputParti
   * environment-bound (no Postgres in the sandbox).
   */
 final class CopyBothWalStream(connect: () => ReplicationConnection,
-    clock: () => Long = () => 0L, maxMessages: Option[Int] = None)
+    clock: () => Long = () => 0L, maxMessages: Option[Int] = None,
+    binaryPayload: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   // one serial connection per stream instance — a restart builds a new
@@ -221,9 +230,9 @@ final class CopyBothWalStream(connect: () => ReplicationConnection,
   }
 
   // admitted-but-unacked messages in admission order (lsn, line)
-  private val buffer = mutable.ArrayDeque[(Long, String)]()
+  private val buffer = mutable.ArrayDeque[(Long, Array[Byte])]()
   // drained from the connection but beyond the last poll's admission cap
-  private val pending = mutable.ArrayDeque[(Long, String)]()
+  private val pending = mutable.ArrayDeque[(Long, Array[Byte])]()
   private var head = 0L // last admitted lsn
   private var confirmed = 0L // last acked lsn (standby feedback)
 
@@ -232,8 +241,7 @@ final class CopyBothWalStream(connect: () => ReplicationConnection,
     while (frame.isDefined) {
       CopyBothFraming.parse(frame.get) match {
         case CopyBothFraming.XLogData(walStart, _, _, payload) =>
-          pending.append((walStart,
-            new String(payload, java.nio.charset.StandardCharsets.UTF_8)))
+          pending.append((walStart, payload))
         case CopyBothFraming.PrimaryKeepalive(_, _, replyRequested) =>
           if (replyRequested)
             conn.send(CopyBothFraming.standbyStatusUpdate(confirmed, clock()))
@@ -294,19 +302,23 @@ final class CopyBothWalStream(connect: () => ReplicationConnection,
       head = math.max(head, msg._1)
     }
     Array(LsnRangePartition(
-      buffer.filter { case (lsn, _) => lsn > lo && lsn <= hi }.toSeq))
+      buffer.filter { case (lsn, _) => lsn > lo && lsn <= hi }.toSeq,
+      binaryPayload))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private val it = p.asInstanceOf[LsnRangePartition].rows.iterator
-          private var current: (Long, String) = _
+          private val part = p.asInstanceOf[LsnRangePartition]
+          private val it = part.rows.iterator
+          private var current: (Long, Array[Byte]) = _
           override def next(): Boolean =
             if (it.hasNext) { current = it.next(); true } else false
           override def get(): InternalRow = new GenericInternalRow(
-            Array[Any](current._1, UTF8String.fromString(current._2)))
+            Array[Any](current._1,
+              if (part.binaryPayload) current._2
+              else UTF8String.fromBytes(current._2)))
           override def close(): Unit = ()
         }
     }
@@ -336,11 +348,15 @@ final class CopyBothWalStream(connect: () => ReplicationConnection,
   *     .option("slot", s)                     //   (replication slot name)
   *     .option("user", u).option("database", db)
   *     .option("maxMessagesPerTrigger", n)    // optional admission cap
+  *     .option("payload", "text"|"binary")    // wal2json lines vs pgoutput
   *     .load()
   *
-  * Same `(wal_start LONG, data STRING)` schema as the archived-WAL file
-  * source, so the full CDC pipeline ([[graft.streaming.CdcStream]]) runs
-  * over a replication connection unchanged — the engine drives
+  * `payload=text` (default) emits `(wal_start LONG, data STRING)` — the
+  * archived-WAL file source's schema, for wal2json lines. `payload=binary`
+  * emits `(wal_start LONG, data BINARY)` — raw pgoutput frames for
+  * [[graft.streaming.CdcStream.pipelinePgOutput]], the reference's DEFAULT
+  * deployment shape (pgoutput over the replication socket). Either way the
+  * full CDC pipeline runs over a replication connection unchanged — the engine drives
   * latestOffset/plan/commit on ONE [[CopyBothWalStream]] instance per run,
   * exactly the single-instance usage the admission-cap and feedback
   * semantics are specified for.
@@ -357,10 +373,13 @@ final class CopyBothWalStream(connect: () => ReplicationConnection,
   */
 class CopyBothSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    WalDirectorySource.schema
+    if ("binary".equalsIgnoreCase(options.getOrDefault("payload", "text")))
+      CopyBothSource.binarySchema
+    else WalDirectorySource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val opt = (k: String) => Option(properties.get(k))
+    val binary = opt("payload").exists(_.equalsIgnoreCase("binary"))
     val connect: () => ReplicationConnection = opt("host") match {
       case Some(host) =>
         val port = opt("port").map(_.toInt).getOrElse(5432)
@@ -374,11 +393,18 @@ class CopyBothSource extends TableProvider {
     }
     new CopyBothTable(connect,
       opt("host").orElse(opt("server")).getOrElse("?"),
-      opt("maxMessagesPerTrigger").map(_.toInt))
+      opt("maxMessagesPerTrigger").map(_.toInt), binary)
   }
 }
 
 object CopyBothSource {
+  /** pgoutput-mode schema: frames are bytes, not lines. */
+  val binarySchema: StructType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("wal_start",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("data",
+      org.apache.spark.sql.types.BinaryType)))
+
   private val servers =
     scala.collection.concurrent.TrieMap.empty[String, InMemoryReplicationServer]
 
@@ -392,17 +418,21 @@ object CopyBothSource {
 }
 
 final class CopyBothTable(connect: () => ReplicationConnection, label: String,
-    maxMessages: Option[Int]) extends Table with SupportsRead {
+    maxMessages: Option[Int], binaryPayload: Boolean = false)
+    extends Table with SupportsRead {
+  private def tableSchema: StructType =
+    if (binaryPayload) CopyBothSource.binarySchema else WalDirectorySource.schema
   override def name(): String = s"copyboth:$label"
-  override def schema(): StructType = WalDirectorySource.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = WalDirectorySource.schema
+        override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new CopyBothWalStream(connect, maxMessages = maxMessages)
+          new CopyBothWalStream(connect, maxMessages = maxMessages,
+            binaryPayload = binaryPayload)
       }
     }
 }

@@ -237,6 +237,59 @@ class SocketReplicationWireSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("pgoutput over the replication socket: the reference's default deployment shape end-to-end") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    import graft.cdc.PgWire
+    val srv = new InProcessPgReplicationServer
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = 1705314600123456L
+      srv.inner.deliverBytes(10L,
+        PgWire.relation(100, "public", "users", Seq("id" -> 20, "name" -> 25)))
+      srv.inner.deliverBytes(20L, PgWire.begin(1000L, t0, 7))
+      srv.inner.deliverBytes(30L, PgWire.insert(100, Seq(Some("1"), Some("alice"))))
+      srv.inner.deliverBytes(40L, PgWire.insert(100, Seq(Some("2"), Some("bob"))))
+      srv.inner.deliverBytes(50L, PgWire.commit(1000L, 1001L, t0))
+      srv.inner.deliverBytes(60L, PgWire.begin(2000L, t0, 8)) // uncommitted
+      srv.inner.deliverBytes(70L, PgWire.insert(100, Seq(Some("3"), Some("carol"))))
+      val out = java.nio.file.Files.createTempDirectory("pgsock_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("pgsock_ckpt").toString
+      val raw = spark.readStream.format("graft.sources.CopyBothSource")
+        .option("host", "127.0.0.1").option("port", srv.port.toString)
+        .option("slot", "graft_slot").option("payload", "binary").load()
+      assert(raw.schema.fields.map(f => (f.name, f.dataType.typeName)).toSeq
+        == Seq(("wal_start", "long"), ("data", "binary")))
+      val q = graft.streaming.CdcStream.start(spark, raw, "testdb", out, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"),
+        plugin = "pgoutput")
+      // the abandoned-tx TTL arms PROCESSING-TIME timers: the query never
+      // reports idle, so poll the sink instead of processAllAvailable
+      try {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        def written() =
+          try spark.read.parquet(out).count() catch { case _: Exception => 0L }
+        while (written() < 2 && q.exception.isEmpty &&
+            System.nanoTime() < deadline) Thread.sleep(100)
+        q.exception.foreach(throw _)
+      } finally q.stop()
+      val events = spark.read.parquet(out)
+      assert(events.count() == 2, "only the committed pgoutput tx emits")
+      assert(events.select("txid").as[Long].collect().toSet == Set(7L))
+      assert(events.select("after").collect()
+        .map(_.getMap[String, String](0)("name")).toSet == Set("alice", "bob"),
+        "binary tuple values decode through the socket unchanged")
+    } finally {
+      srv.close()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("full CDC pipeline over the socket transport via DSv2 host/port options") {
     val spark = TestSession.spark
     import spark.implicits._
