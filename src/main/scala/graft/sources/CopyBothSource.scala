@@ -347,6 +347,7 @@ final class CopyBothWalStream(connect: () => ReplicationConnection,
   *     .option("host", h).option("port", p)   // dial a real socket
   *     .option("slot", s)                     //   (replication slot name)
   *     .option("user", u).option("database", db)
+  *     .option("password", pw)                // enables SCRAM-SHA-256
   *     .option("maxMessagesPerTrigger", n)    // optional admission cap
   *     .option("payload", "text"|"binary")    // wal2json lines vs pgoutput
   *     .load()
@@ -386,7 +387,9 @@ class CopyBothSource extends TableProvider {
         val slot = opt("slot").getOrElse("graft")
         val user = opt("user").getOrElse("postgres")
         val db = opt("database").getOrElse("postgres")
-        () => new SocketReplicationConnection(host, port, slot, user, db)
+        val pw = opt("password")
+        () => new SocketReplicationConnection(host, port, slot, user, db,
+          password = pw)
       case None =>
         val server = properties.get("server")
         () => CopyBothSource.connect(server)

@@ -125,6 +125,54 @@ object PgWireProtocol {
       fields.get('C').map(c => s" ($c)").getOrElse("")
   }
 
+  /** SCRAM-SHA-256 primitives (RFC 5802/7677 — the PUBLIC SASL mechanism
+    * PostgreSQL uses for password auth; message flow rides the
+    * AuthenticationSASL family, codes 10/11/12). Pure JDK crypto
+    * (PBKDF2WithHmacSHA256 / HmacSHA256 / SHA-256).
+    */
+  object Scram {
+    import javax.crypto.Mac
+    import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
+
+    def hi(password: String, salt: Array[Byte], iterations: Int): Array[Byte] =
+      javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+        .generateSecret(new PBEKeySpec(password.toCharArray, salt, iterations,
+          256)).getEncoded
+
+    def hmac(key: Array[Byte], msg: String): Array[Byte] = {
+      val m = Mac.getInstance("HmacSHA256")
+      m.init(new SecretKeySpec(key, "HmacSHA256"))
+      m.doFinal(msg.getBytes(UTF_8))
+    }
+
+    def sha256(bytes: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+
+    def xor(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      a.zip(b).map { case (x, y) => (x ^ y).toByte }
+
+    def b64(bytes: Array[Byte]): String =
+      java.util.Base64.getEncoder.encodeToString(bytes)
+    def unb64(s: String): Array[Byte] = java.util.Base64.getDecoder.decode(s)
+
+    /** "k1=v1,k2=v2" attribute list → map (values may contain '='). */
+    def attrs(msg: String): Map[Char, String] =
+      msg.split(",").filter(_.length >= 2).map(a => a(0) -> a.drop(2)).toMap
+
+    /** Client proof + server signature for one exchange. */
+    def proofs(password: String, clientFirstBare: String, serverFirst: String,
+        clientFinalNoProof: String): (Array[Byte], Array[Byte]) = {
+      val a = attrs(serverFirst)
+      val salted = hi(password, unb64(a('s')), a('i').toInt)
+      val clientKey = hmac(salted, "Client Key")
+      val authMessage =
+        s"$clientFirstBare,$serverFirst,$clientFinalNoProof"
+      val clientSig = hmac(sha256(clientKey), authMessage)
+      val serverSig = hmac(hmac(salted, "Server Key"), authMessage)
+      (xor(clientKey, clientSig), serverSig)
+    }
+  }
+
   /** Generic typed message write (either direction frames alike). */
   def writeMessage(out: DataOutputStream, tpe: Char, body: Array[Byte]): Unit = {
     out.writeByte(tpe)
@@ -143,9 +191,11 @@ object PgWireProtocol {
   * same seam the in-memory stub implements (reference
   * internal/wal/reader.go:145-227 does exactly this through pgconn):
   *
-  *   1. StartupMessage with `replication=database` (+ user/database) —
-  *      trust auth only (AuthenticationOk; SASL/SCRAM is environment-bound
-  *      — classified fatal like the reference's 28xxx handling);
+  *   1. StartupMessage with `replication=database` (+ user/database);
+  *      trust (immediate AuthenticationOk) and SCRAM-SHA-256 (RFC
+  *      5802/7677 over AuthenticationSASL 10/11/12, with mutual
+  *      server-signature verification) are supported — other methods are
+  *      classified fatal like the reference's 28xxx handling;
   *   2. `START_REPLICATION SLOT <slot> LOGICAL <lsn>` → CopyBothResponse
   *      switches the connection to CopyBoth;
   *   3. thereafter every backend CopyData payload (XLogData / keepalive
@@ -165,7 +215,8 @@ object PgWireProtocol {
   */
 final class SocketReplicationConnection(host: String, port: Int, slot: String,
     user: String = "postgres", database: String = "postgres",
-    startPos: Long = 0L) extends ReplicationConnection with AutoCloseable {
+    startPos: Long = 0L, password: Option[String] = None)
+    extends ReplicationConnection with AutoCloseable {
 
   private val socket = new Socket(host, port)
   socket.setTcpNoDelay(true)
@@ -181,13 +232,60 @@ final class SocketReplicationConnection(host: String, port: Int, slot: String,
   PgWireProtocol.writeStartup(out, Seq(
     "user" -> user, "database" -> database, "replication" -> "database"))
   private var ready = false
+  // SCRAM exchange state (RFC 5802 over AuthenticationSASL 10/11/12)
+  private var scramFirstBare: String = null
+  private var scramServerFirst: String = null
+  private var scramServerSig: Array[Byte] = null
   while (!ready) {
     val m = PgWireProtocol.readMessage(in)
     m.tpe match {
       case 'R' =>
-        val code = ByteBuffer.wrap(m.body).getInt()
-        if (code != 0) throw new IOException(
-          s"FATAL: unsupported auth method $code (trust only) (28000)")
+        val b = ByteBuffer.wrap(m.body)
+        b.getInt() match {
+          case 0 => // AuthenticationOk
+          case 10 => // AuthenticationSASL: mechanism list
+            val mechs = new String(m.body, 4, m.body.length - 4, UTF_8)
+              .split(" ").filter(_.nonEmpty)
+            if (!mechs.contains("SCRAM-SHA-256")) throw new IOException(
+              s"FATAL: no supported SASL mechanism in ${mechs.toSeq} (28000)")
+            if (password.isEmpty) throw new IOException(
+              "FATAL: server requires SCRAM-SHA-256 but no password configured (28P01)")
+            val nonce = {
+              val r = new Array[Byte](18)
+              new java.security.SecureRandom().nextBytes(r)
+              PgWireProtocol.Scram.b64(r)
+            }
+            scramFirstBare = s"n=,r=$nonce"
+            val initial = s"n,,$scramFirstBare".getBytes(UTF_8)
+            val body = new java.io.ByteArrayOutputStream()
+            body.write("SCRAM-SHA-256".getBytes(UTF_8)); body.write(0)
+            body.write(ByteBuffer.allocate(4).putInt(initial.length).array())
+            body.write(initial)
+            out.synchronized {
+              PgWireProtocol.writeMessage(out, 'p', body.toByteArray)
+            }
+          case 11 => // AuthenticationSASLContinue: server-first-message
+            scramServerFirst = new String(m.body, 4, m.body.length - 4, UTF_8)
+            val a = PgWireProtocol.Scram.attrs(scramServerFirst)
+            val noProof = s"c=biws,r=${a('r')}"
+            val (proof, serverSig) = PgWireProtocol.Scram.proofs(
+              password.get, scramFirstBare, scramServerFirst, noProof)
+            scramServerSig = serverSig
+            out.synchronized {
+              PgWireProtocol.writeMessage(out, 'p',
+                s"$noProof,p=${PgWireProtocol.Scram.b64(proof)}".getBytes(UTF_8))
+            }
+          case 12 => // AuthenticationSASLFinal: verify the server's proof
+            val fin = new String(m.body, 4, m.body.length - 4, UTF_8)
+            val v = PgWireProtocol.Scram.attrs(fin).getOrElse('v',
+              throw new IOException("FATAL: SASLFinal without v= (28000)"))
+            if (!java.security.MessageDigest.isEqual(
+                PgWireProtocol.Scram.unb64(v), scramServerSig))
+              throw new IOException(
+                "FATAL: server signature verification failed (28000)")
+          case code => throw new IOException(
+            s"FATAL: unsupported auth method $code (trust or SCRAM-SHA-256) (28000)")
+        }
       case 'S' | 'K' | 'N' => // ParameterStatus / BackendKeyData / Notice
       case 'Z' => ready = true
       case 'E' => throw new IOException(PgWireProtocol.errorString(m.body))

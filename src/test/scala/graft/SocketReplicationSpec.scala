@@ -21,7 +21,8 @@ import graft.sources.{CopyBothFraming, CopyBothWalStream,
   * the test proves the socket layer adds nothing and loses nothing.
   */
 final class InProcessPgReplicationServer(
-    val inner: InMemoryReplicationServer = new InMemoryReplicationServer) {
+    val inner: InMemoryReplicationServer = new InMemoryReplicationServer,
+    requirePassword: Option[String] = None) {
 
   private val listener = new ServerSocket(0, 16,
     java.net.InetAddress.getLoopbackAddress)
@@ -61,6 +62,50 @@ final class InProcessPgReplicationServer(
       PgWireProtocol.writeMessage(out, 'E',
         errorBody("55000", "connection is not a replication connection"))
       sock.close(); return
+    }
+    requirePassword match {
+      case Some(pw) =>
+        // AuthenticationSASL: offer SCRAM-SHA-256, verify the client proof
+        // (full RFC 5802 verifier — the client's math must be real)
+        val mechs = new java.io.ByteArrayOutputStream()
+        mechs.write(ByteBuffer.allocate(4).putInt(10).array())
+        mechs.write("SCRAM-SHA-256".getBytes(UTF_8)); mechs.write(0); mechs.write(0)
+        PgWireProtocol.writeMessage(out, 'R', mechs.toByteArray)
+        val init = PgWireProtocol.readMessage(in)
+        require(init.tpe == 'p', s"expected SASLInitialResponse, got ${init.tpe}")
+        val ib = ByteBuffer.wrap(init.body)
+        val mechEnd = init.body.indexOf(0.toByte)
+        require(new String(init.body, 0, mechEnd, UTF_8) == "SCRAM-SHA-256")
+        ib.position(mechEnd + 1)
+        val rlen = ib.getInt()
+        val clientFirst = new String(init.body, mechEnd + 5, rlen, UTF_8)
+        val clientFirstBare = clientFirst.stripPrefix("n,,")
+        val clientNonce = PgWireProtocol.Scram.attrs(clientFirstBare)('r')
+        val salt = "pepper-salt-0123".getBytes(UTF_8)
+        val fullNonce = clientNonce + "srvnonce"
+        val serverFirst = s"r=$fullNonce,s=${PgWireProtocol.Scram.b64(salt)},i=4096"
+        val cont = new java.io.ByteArrayOutputStream()
+        cont.write(ByteBuffer.allocate(4).putInt(11).array())
+        cont.write(serverFirst.getBytes(UTF_8))
+        PgWireProtocol.writeMessage(out, 'R', cont.toByteArray)
+        val fin = PgWireProtocol.readMessage(in)
+        require(fin.tpe == 'p', s"expected SASLResponse, got ${fin.tpe}")
+        val clientFinal = new String(fin.body, UTF_8)
+        val fa = PgWireProtocol.Scram.attrs(clientFinal)
+        val noProof = clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
+        val (expectedProof, serverSig) = PgWireProtocol.Scram.proofs(
+          pw, clientFirstBare, serverFirst, noProof)
+        if (fa('r') != fullNonce || !java.security.MessageDigest.isEqual(
+            PgWireProtocol.Scram.unb64(fa('p')), expectedProof)) {
+          PgWireProtocol.writeMessage(out, 'E',
+            errorBody("28P01", "password authentication failed"))
+          sock.close(); return
+        }
+        val sf = new java.io.ByteArrayOutputStream()
+        sf.write(ByteBuffer.allocate(4).putInt(12).array())
+        sf.write(s"v=${PgWireProtocol.Scram.b64(serverSig)}".getBytes(UTF_8))
+        PgWireProtocol.writeMessage(out, 'R', sf.toByteArray)
+      case None => ()
     }
     PgWireProtocol.writeMessage(out, 'R',
       ByteBuffer.allocate(4).putInt(0).array()) // AuthenticationOk
@@ -215,6 +260,40 @@ class SocketReplicationWireSpec extends AnyFunSuite {
             "reconnect redelivers only unconfirmed WAL")
         } finally conn2.close()
       } finally conn.close()
+    } finally srv.close()
+  }
+
+  test("SCRAM-SHA-256: authenticated session streams; wrong password fails with 28P01") {
+    val srv = new InProcessPgReplicationServer(
+      requirePassword = Some("s3cret"))
+    try {
+      srv.inner.deliver(10L, "hello")
+      val conn = new SocketReplicationConnection("127.0.0.1", srv.port, "s1",
+        password = Some("s3cret"))
+      try {
+        var got: Option[Array[Byte]] = None
+        val deadline = System.nanoTime() + 2_000_000_000L
+        while (got.isEmpty && System.nanoTime() < deadline) {
+          got = conn.receive(); if (got.isEmpty) Thread.sleep(5)
+        }
+        val f = CopyBothFraming.parse(got.get)
+          .asInstanceOf[CopyBothFraming.XLogData]
+        assert(new String(f.payload, UTF_8) == "hello",
+          "frames flow after a successful SCRAM exchange")
+      } finally conn.close()
+
+      val bad = intercept[java.io.IOException] {
+        new SocketReplicationConnection("127.0.0.1", srv.port, "s1",
+          password = Some("wrong"))
+      }
+      assert(bad.getMessage.contains("28P01"),
+        s"authentication failure carries its SQLSTATE: ${bad.getMessage}")
+
+      val none = intercept[java.io.IOException] {
+        new SocketReplicationConnection("127.0.0.1", srv.port, "s1")
+      }
+      assert(none.getMessage.contains("no password configured"),
+        s"passwordless dial against a SCRAM server is a named error: ${none.getMessage}")
     } finally srv.close()
   }
 
