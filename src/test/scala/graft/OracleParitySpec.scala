@@ -34,8 +34,19 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     */
   private val allowlist = Set("q38_stats_corr")
 
+  /** Scale-0 decimals are EXEMPT: casting an integral decimal to double is
+    * a plain integer→double conversion, correctly rounded identically in
+    * every engine (q56 builds on this — its moment sums are integral
+    * cents for exactly that reason). The ulp hazard this lint guards
+    * against is FRACTIONAL-scale casts, where an engine may divide the
+    * scaled integer by 10^scale in double (two roundings) instead of
+    * converting the exact decimal value (one) — observed as q54's and
+    * q56-draft's 1-ulp drift.
+    */
   private def decimalToDoubleCasts(e: Expression): Seq[Cast] = e.collect {
-    case c @ Cast(child, DoubleType, _, _) if child.dataType.isInstanceOf[DecimalType] => c
+    case c @ Cast(child, DoubleType, _, _)
+      if child.dataType.isInstanceOf[DecimalType] &&
+        child.dataType.asInstanceOf[DecimalType].scale != 0 => c
   }
 
   /** All Cast(decimal→double) nodes that sit strictly below an arithmetic
