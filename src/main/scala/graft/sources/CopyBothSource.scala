@@ -223,10 +223,14 @@ final class CopyBothWalStream(connect: () => ReplicationConnection,
 
   // one serial connection per stream instance — a restart builds a new
   // instance whose connection re-delivers from the slot's confirmed
-  // position (server-side retention), so no reader state needs to survive
-  private var connOpened = false
-  private lazy val conn: ReplicationConnection = {
-    connOpened = true; connect()
+  // position (server-side retention), so no reader state needs to survive.
+  // The opened connection is recorded only AFTER connect() returns: if the
+  // dial/handshake throws (e.g. during latestOffset), stop() must not
+  // re-dial a brand-new connection mid-shutdown, which is what a failed
+  // lazy val would do on re-evaluation.
+  private var opened: Option[ReplicationConnection] = None
+  private def conn: ReplicationConnection = opened.getOrElse {
+    val c = connect(); opened = Some(c); c
   }
 
   // admitted-but-unacked messages in admission order (lsn, line)
@@ -334,8 +338,8 @@ final class CopyBothWalStream(connect: () => ReplicationConnection,
     }
   }
 
-  override def stop(): Unit = if (connOpened) conn match {
-    case c: AutoCloseable => c.close()
+  override def stop(): Unit = opened match {
+    case Some(c: AutoCloseable) => c.close()
     case _ => ()
   }
 }

@@ -92,7 +92,9 @@ object PgWireProtocol {
         if (start >= body.length || body(start) == 0) None
         else {
           var end = start
-          while (body(end) != 0) end += 1
+          while (end < body.length && body(end) != 0) end += 1
+          if (end >= body.length) throw new IOException(
+            "malformed startup message: unterminated parameter string")
           val s = new String(body, start, end - start, UTF_8)
           start = end + 1
           Some(s)
@@ -117,7 +119,9 @@ object PgWireProtocol {
     while (i < body.length && body(i) != 0) {
       val code = body(i).toChar; i += 1
       var end = i
-      while (body(end) != 0) end += 1
+      while (end < body.length && body(end) != 0) end += 1
+      if (end >= body.length) return s"ERROR: malformed ErrorResponse " +
+        s"(unterminated field '$code') (08P01)"
       fields += (code -> new String(body, i, end - i, UTF_8))
       i = end + 1
     }
@@ -228,14 +232,21 @@ final class SocketReplicationConnection(host: String, port: Int, slot: String,
   private val failure = new AtomicReference[Throwable](null)
   @volatile private var closed = false
 
-  // --- handshake (synchronous; constructor completes in CopyBoth mode) ---
-  PgWireProtocol.writeStartup(out, Seq(
-    "user" -> user, "database" -> database, "replication" -> "database"))
+  // --- handshake (synchronous; constructor completes in CopyBoth mode).
+  // Any handshake failure (SCRAM 28P01, ErrorResponse, unexpected message)
+  // closes the just-opened socket before rethrowing — reconnect loops
+  // ([[graft.streaming.Reliability]]) retry by constructing a fresh
+  // instance, so a throwing constructor must not leak its descriptor. ---
   private var ready = false
+  private var copyBoth = false
   // SCRAM exchange state (RFC 5802 over AuthenticationSASL 10/11/12)
+  private var scramClientNonce: String = null
   private var scramFirstBare: String = null
   private var scramServerFirst: String = null
   private var scramServerSig: Array[Byte] = null
+  try {
+  PgWireProtocol.writeStartup(out, Seq(
+    "user" -> user, "database" -> database, "replication" -> "database"))
   while (!ready) {
     val m = PgWireProtocol.readMessage(in)
     m.tpe match {
@@ -245,7 +256,7 @@ final class SocketReplicationConnection(host: String, port: Int, slot: String,
           case 0 => // AuthenticationOk
           case 10 => // AuthenticationSASL: mechanism list
             val mechs = new String(m.body, 4, m.body.length - 4, UTF_8)
-              .split(" ").filter(_.nonEmpty)
+              .split("\u0000").filter(_.nonEmpty)
             if (!mechs.contains("SCRAM-SHA-256")) throw new IOException(
               s"FATAL: no supported SASL mechanism in ${mechs.toSeq} (28000)")
             if (password.isEmpty) throw new IOException(
@@ -255,6 +266,7 @@ final class SocketReplicationConnection(host: String, port: Int, slot: String,
               new java.security.SecureRandom().nextBytes(r)
               PgWireProtocol.Scram.b64(r)
             }
+            scramClientNonce = nonce
             scramFirstBare = s"n=,r=$nonce"
             val initial = s"n,,$scramFirstBare".getBytes(UTF_8)
             val body = new java.io.ByteArrayOutputStream()
@@ -267,6 +279,15 @@ final class SocketReplicationConnection(host: String, port: Int, slot: String,
           case 11 => // AuthenticationSASLContinue: server-first-message
             scramServerFirst = new String(m.body, 4, m.body.length - 4, UTF_8)
             val a = PgWireProtocol.Scram.attrs(scramServerFirst)
+            // RFC 5802 MUST: the server nonce extends the client nonce —
+            // a non-extending nonce is a relayed/forged exchange, fatal
+            // auth class (like the reference's 28xxx handling,
+            // internal/wal/reader.go:543-572)
+            if (scramClientNonce == null ||
+                !a.get('r').exists(_.startsWith(scramClientNonce)) ||
+                a('r').length <= scramClientNonce.length)
+              throw new IOException(
+                "FATAL: SCRAM server nonce does not extend client nonce (28000)")
             val noProof = s"c=biws,r=${a('r')}"
             val (proof, serverSig) = PgWireProtocol.Scram.proofs(
               password.get, scramFirstBare, scramServerFirst, noProof)
@@ -294,7 +315,6 @@ final class SocketReplicationConnection(host: String, port: Int, slot: String,
   }
   PgWireProtocol.writeQuery(out,
     s"START_REPLICATION SLOT $slot LOGICAL ${PgWireProtocol.lsnHex(startPos)}")
-  private var copyBoth = false
   while (!copyBoth) {
     val m = PgWireProtocol.readMessage(in)
     m.tpe match {
@@ -303,6 +323,11 @@ final class SocketReplicationConnection(host: String, port: Int, slot: String,
       case 'E' => throw new IOException(PgWireProtocol.errorString(m.body))
       case other => throw new IOException(s"unexpected '$other' before CopyBoth")
     }
+  }
+  } catch {
+    case e: Throwable =>
+      try socket.close() catch { case _: IOException => }
+      throw e
   }
 
   // --- pump: backend CopyData → inbox, until close/error ---

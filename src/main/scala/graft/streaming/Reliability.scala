@@ -22,9 +22,21 @@ object Reliability {
     sqlState != null && (sqlState.startsWith("28") ||
       sqlState == "42501" || sqlState == "42704")
 
+  /** The socket transport renders server ErrorResponses as IOExceptions
+    * with a trailing parenthesized SQLSTATE ([[graft.sources.PgWireProtocol
+    * .errorString]]) — extract it so those classify like SQLExceptions.
+    */
+  private val SqlStateSuffix = """.*\(([0-9A-Z]{5})\)\s*$""".r
+
   def isFatal(e: Throwable): Boolean = e match {
     case s: java.sql.SQLException => isFatalSqlState(s.getSQLState)
     case _: SecurityException => true
+    case io: java.io.IOException
+        if io.getMessage != null &&
+          SqlStateSuffix.pattern.matcher(io.getMessage).matches() =>
+      val SqlStateSuffix(st) = io.getMessage
+      isFatalSqlState(st) ||
+        (io.getCause != null && (io.getCause ne io) && isFatal(io.getCause))
     case _ if e.getCause != null && (e.getCause ne e) => isFatal(e.getCause)
     case _ => false
   }

@@ -26,6 +26,18 @@ class ReliabilitySpec extends SparkSpec {
     assert(!Reliability.isFatal(transient))
   }
 
+  test("fatal classification reads the socket transport's (SQLSTATE) suffix") {
+    // PgWireProtocol.errorString renders "SEVERITY: msg (SQLSTATE)" — the
+    // classifier must read it so socket-surfaced auth failures never loop
+    assert(Reliability.isFatal(
+      new java.io.IOException("FATAL: password authentication failed (28P01)")))
+    assert(Reliability.isFatal(new java.io.IOException(
+      "FATAL: SCRAM server nonce does not extend client nonce (28000)")))
+    assert(!Reliability.isFatal(new java.io.IOException(
+      "ERROR: terminating connection due to administrator command (57P01)")))
+    assert(!Reliability.isFatal(new java.io.IOException("connection reset")))
+  }
+
   test("publish backoff: 1s·2^(n-1) capped at 8s (engine.go:223-226)") {
     assert((1 to 6).map(Reliability.backoffMillis(_)) ==
       Seq(1000L, 2000L, 4000L, 8000L, 8000L, 8000L))

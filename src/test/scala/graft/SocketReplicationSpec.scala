@@ -22,7 +22,8 @@ import graft.sources.{CopyBothFraming, CopyBothWalStream,
   */
 final class InProcessPgReplicationServer(
     val inner: InMemoryReplicationServer = new InMemoryReplicationServer,
-    requirePassword: Option[String] = None) {
+    requirePassword: Option[String] = None,
+    tamperNonce: Boolean = false) {
 
   private val listener = new ServerSocket(0, 16,
     java.net.InetAddress.getLoopbackAddress)
@@ -82,7 +83,10 @@ final class InProcessPgReplicationServer(
         val clientFirstBare = clientFirst.stripPrefix("n,,")
         val clientNonce = PgWireProtocol.Scram.attrs(clientFirstBare)('r')
         val salt = "pepper-salt-0123".getBytes(UTF_8)
-        val fullNonce = clientNonce + "srvnonce"
+        // tamperNonce models a relayed/forged exchange: the server-first
+        // nonce does NOT extend the client's (RFC 5802 MUST-check target)
+        val fullNonce =
+          (if (tamperNonce) "forged" else clientNonce) + "srvnonce"
         val serverFirst = s"r=$fullNonce,s=${PgWireProtocol.Scram.b64(salt)},i=4096"
         val cont = new java.io.ByteArrayOutputStream()
         cont.write(ByteBuffer.allocate(4).putInt(11).array())
@@ -294,6 +298,26 @@ class SocketReplicationWireSpec extends AnyFunSuite {
       }
       assert(none.getMessage.contains("no password configured"),
         s"passwordless dial against a SCRAM server is a named error: ${none.getMessage}")
+    } finally srv.close()
+  }
+
+  test("SCRAM: server nonce that does not extend the client nonce fails fatal 28000") {
+    // RFC 5802: "the client MUST verify that the initial part of the nonce
+    // ... matches" — a non-extending nonce means the server-first message
+    // was not produced for OUR exchange (relay/forgery); the client must
+    // abort before sending a proof, with the fatal-auth SQLSTATE so
+    // Reliability classifies it no-retry.
+    val srv = new InProcessPgReplicationServer(
+      requirePassword = Some("s3cret"), tamperNonce = true)
+    try {
+      val e = intercept[java.io.IOException] {
+        new SocketReplicationConnection("127.0.0.1", srv.port, "s1",
+          password = Some("s3cret"))
+      }
+      assert(e.getMessage.contains("nonce") && e.getMessage.contains("28000"),
+        s"nonce violation is a named fatal auth error: ${e.getMessage}")
+      assert(graft.streaming.Reliability.isFatal(e),
+        "non-extending nonce classifies fatal (no reconnect loop)")
     } finally srv.close()
   }
 
