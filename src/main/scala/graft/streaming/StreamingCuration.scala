@@ -4,16 +4,27 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** One quality-passing document arriving at the ingest-dedup stage. */
-case class CurationArrival(digest: String, doc_id: Long, source: String)
+/** One quality-passing document arriving at the ingest-dedup stage.
+  * `event_ts` (null when the caller runs without event time) is the
+  * watermark column — it must stay a TIMESTAMP through the projection so
+  * its event-time tag survives into the stateful operator; it only
+  * matters when the digest registry runs with a dedup window.
+  */
+case class CurationArrival(digest: String, doc_id: Long, source: String,
+    event_ts: java.sql.Timestamp = null)
 
 /** Exact-dedup verdict: `dup_of` is the first-seen holder of the same
   * content digest (null for the first arrival, which registers).
   */
 case class ExactDedupVerdict(doc_id: Long, source: String, dup_of: Option[Long])
 
-/** Per-digest state: the first-seen document id. */
-case class DigestOwner(doc_id: Long)
+/** Per-digest state: the first-seen document id, plus every doc id already
+  * flagged as a duplicate of it — so a redelivered duplicate is recognized
+  * and NOT re-verdicted (exactly-once verdict rows under at-least-once
+  * delivery between stages). The flagged list is small by construction
+  * (it holds only the copies of one digest, not the corpus).
+  */
+case class DigestOwner(doc_id: Long, flagged: Seq[Long] = Seq.empty)
 
 /** Quota admission verdict: `admit_rank` is the document's 1-based
   * arrival rank among its source's candidates; `admitted` iff the rank is
@@ -22,10 +33,13 @@ case class DigestOwner(doc_id: Long)
 case class QuotaVerdict(doc_id: Long, source: String, admit_rank: Long,
     admitted: Boolean)
 
-/** Per-source admission state: candidates counted so far + the highest
-  * doc id processed (replay guard).
+/** Per-source admission state: every candidate id already ranked, with its
+  * rank. Replay detection is by id membership — replay-SPECIFIC, so a
+  * genuinely new document whose id sits below the source's high-water mark
+  * still gets its verdict (ids carry no cross-batch monotonicity
+  * guarantee; a high-water-mark guard would silently drop such rows).
   */
-case class SourceQuotaState(count: Long, maxSeen: Long)
+case class SourceQuotaState(ranked: Map[Long, Long])
 
 /** Ingest-time curation as staged streaming operators — the
   * quality→dedup→quota admission funnel of a training-data pipeline
@@ -47,35 +61,61 @@ case class SourceQuotaState(count: Long, maxSeen: Long)
   * its own checkpoint, and restarts/scales independently — no multi-
   * stateful-operator coupling inside one query plan.
   *
+  * Both stages are idempotent under at-least-once delivery between the
+  * stages: a redelivered row (same id seen before) emits nothing and
+  * moves no counter — detection is by id membership in state, never by a
+  * high-water mark, so out-of-order NEW ids are ranked normally.
+  *
   * Scale shape: stage 2's only exchange is on the digest — state per
-  * digest is ONE (id) pair, uniformly hash-spread regardless of corpus
-  * skew. Stage 3 keys by source (low cardinality): its state is one
-  * counter per source — bytes, not documents — so the skew that matters
-  * (one giant source) concentrates *counting*, not data; the verdict rows
-  * themselves never collect anywhere.
+  * digest is the owner id plus its (few) flagged copies, uniformly
+  * hash-spread regardless of corpus skew; with `dedupWindowMs` set the
+  * registry is additionally bounded by event time (entries expire a
+  * window after their digest's last arrival — dedup-window semantics,
+  * like the assembly tombstones). Stage 3 keys by source (low
+  * cardinality): its state is the source's ranked-id map — O(candidates
+  * per source), the price of exactly-once verdicts under redelivery; at
+  * 100 TB shard hot sources upstream (the quota splits with them) or
+  * compact the map once the source's intake closes.
   */
 object StreamingCuration {
 
   /** Per-digest first-seen check: arrivals in doc_id order; the first
-    * registers, later ones emit their `dup_of`. A replayed id is
-    * idempotent (the registered owner neither re-registers nor flags
-    * itself).
+    * registers, later ones emit their `dup_of`. Replays are idempotent by
+    * id membership: the owner neither re-registers nor flags itself, and
+    * an already-flagged duplicate does NOT re-emit its verdict. With
+    * `windowMs` set (event-time timeout), an expired digest's registry
+    * entry is removed — the next holder re-registers as a fresh owner.
     */
-  def checkDigest(digest: String, it: Iterator[CurationArrival],
+  def checkDigest(windowMs: Option[Long])(digest: String,
+      it: Iterator[CurationArrival],
       state: GroupState[DigestOwner]): Iterator[ExactDedupVerdict] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val arrivals = it.toList.sortBy(_.doc_id)
     var owner = state.getOption.map(_.doc_id)
+    var flagged = state.getOption.map(_.flagged.toSet).getOrElse(Set.empty[Long])
     val out = scala.collection.mutable.ArrayBuffer[ExactDedupVerdict]()
-    it.toList.sortBy(_.doc_id).foreach { a =>
+    arrivals.foreach { a =>
       owner match {
         case None =>
           owner = Some(a.doc_id)
           out += ExactDedupVerdict(a.doc_id, a.source, None)
         case Some(first) if first == a.doc_id => // replay of the owner
+        case Some(_) if flagged.contains(a.doc_id) => // replayed duplicate
         case Some(first) =>
+          flagged += a.doc_id
           out += ExactDedupVerdict(a.doc_id, a.source, Some(first))
       }
     }
-    owner.foreach(id => state.update(DigestOwner(id)))
+    owner.foreach(id => state.update(DigestOwner(id, flagged.toSeq.sorted)))
+    windowMs.foreach { w =>
+      // refresh on every arrival: the entry lives `w` past the digest's
+      // latest event time (never at/below the watermark, which would be
+      // an immediate-timeout error)
+      val maxTs = arrivals.flatMap(a => Option(a.event_ts))
+        .map(_.getTime).foldLeft(0L)(math.max)
+      val floor = state.getCurrentWatermarkMs() + 1
+      state.setTimeoutTimestamp(math.max(maxTs + w, floor))
+    }
     out.iterator
   }
 
@@ -83,37 +123,60 @@ object StreamingCuration {
     * first arrival of each doc id (`dup_of` null = this id owns its
     * digest). Digest = md5 of the text column — portable, and collisions
     * at 128 bits are not a design concern.
+    *
+    * Default is an unbounded registry (`GroupStateTimeout.NoTimeout`) —
+    * correct for exact whole-corpus dedup; RocksDB spills it. Passing
+    * `eventTimeCol` + `dedupWindowMs` bounds state by event time instead:
+    * a digest unseen for the window expires, and a later holder of the
+    * same content re-registers (window-dedup semantics). `watermarkDelay`
+    * is the out-of-orderness bound handed to `withWatermark`.
     */
   def exactDedupStream(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, sourceCol: String): Dataset[ExactDedupVerdict] = {
+      textCol: String, sourceCol: String,
+      eventTimeCol: Option[String] = None,
+      dedupWindowMs: Option[Long] = None,
+      watermarkDelay: String = "0 seconds"): Dataset[ExactDedupVerdict] = {
     import spark.implicits._
-    docs
-      .select(md5(col(textCol)).as("digest"), col(idCol).as("doc_id"),
-        col(sourceCol).as("source"))
-      .as[CurationArrival]
+    require(eventTimeCol.isDefined == dedupWindowMs.isDefined,
+      "eventTimeCol and dedupWindowMs come together (windowed dedup) or not at all")
+    val arrivals = eventTimeCol match {
+      case Some(ts) =>
+        docs.withWatermark(ts, watermarkDelay)
+          .select(md5(col(textCol)).as("digest"), col(idCol).as("doc_id"),
+            col(sourceCol).as("source"), col(ts).as("event_ts"))
+      case None =>
+        docs.select(md5(col(textCol)).as("digest"), col(idCol).as("doc_id"),
+          col(sourceCol).as("source"),
+          lit(null).cast("timestamp").as("event_ts"))
+    }
+    val timeout =
+      if (dedupWindowMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    arrivals.as[CurationArrival]
       .groupByKey(_.digest)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        checkDigest)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        checkDigest(dedupWindowMs))
   }
 
   /** Per-source admission count: arrivals in doc_id order get 1-based
     * ranks continuing across micro-batches; `admitted` iff rank <= quota.
-    * Replays (doc_id at or below the source's high-water mark) emit
-    * nothing and do not advance the counter.
+    * A redelivered id (already in the source's ranked map) emits nothing
+    * and does not advance the counter; a genuinely NEW id always gets a
+    * verdict, wherever it falls relative to ids seen before.
     */
   def checkQuota(quota: Long)(source: String,
       it: Iterator[ExactDedupVerdict],
       state: GroupState[SourceQuotaState]): Iterator[QuotaVerdict] = {
-    var s = state.getOption.getOrElse(SourceQuotaState(0L, Long.MinValue))
+    var ranked = state.getOption.map(_.ranked).getOrElse(Map.empty[Long, Long])
     val out = scala.collection.mutable.ArrayBuffer[QuotaVerdict]()
     it.toList.sortBy(_.doc_id).foreach { a =>
-      if (a.doc_id > s.maxSeen) {
-        val rank = s.count + 1
+      if (!ranked.contains(a.doc_id)) {
+        val rank = ranked.size + 1L
         out += QuotaVerdict(a.doc_id, source, rank, rank <= quota)
-        s = SourceQuotaState(rank, a.doc_id)
+        ranked += (a.doc_id -> rank)
       }
     }
-    state.update(s)
+    state.update(SourceQuotaState(ranked))
     out.iterator
   }
 

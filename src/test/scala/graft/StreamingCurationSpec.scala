@@ -25,12 +25,18 @@ class StreamingCurationSpec extends SparkSpec {
       // copy of doc 1 in a later batch + replay of doc 1 itself
       input.addData((3L, "alpha", "s2"), (1L, "alpha", "s1"))
       q.processAllAvailable()
+      // redelivery of the already-flagged duplicate: emits NOTHING (no
+      // .distinct() masking — verdict rows are exactly-once)
+      input.addData((3L, "alpha", "s2"))
+      q.processAllAvailable()
       val rows = spark.table("scur_dedup")
-        .select($"doc_id", $"dup_of").distinct().collect()
+        .select($"doc_id", $"dup_of").collect()
         .map(r => r.getLong(0) ->
-          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
-      assert(rows == Map(1L -> -1L, 2L -> -1L, 3L -> 1L),
-        s"owner rows clean, the copy flags its first-seen owner: $rows")
+          (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      assert(rows.length == rows.distinct.length,
+        s"no verdict row is ever emitted twice: ${rows.toList}")
+      assert(rows.toMap == Map(1L -> -1L, 2L -> -1L, 3L -> 1L),
+        s"owner rows clean, the copy flags its first-seen owner: ${rows.toList}")
     } finally q.stop()
   }
 
@@ -53,6 +59,65 @@ class StreamingCurationSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
       assert(rows == Set((1L, 1L, true), (2L, 2L, true), (3L, 3L, false),
         (4L, 1L, true)), s"per-source arrival ranks with cap at 2: $rows")
+    } finally q.stop()
+  }
+
+  test("quota: a NEW id below the source's high-water mark still gets a verdict") {
+    // the dedup stage emits verdicts in arrival order with no per-source
+    // doc_id monotonicity across micro-batches — a late low id is a normal
+    // NEW candidate, not a replay, and silently dropping it is data loss;
+    // replay detection is by id membership, so both coexist
+    implicit val sctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val verdicts = input.toDF().toDF("doc_id", "source")
+      .withColumn("dup_of", lit(null).cast("long"))
+    val out = StreamingCuration.quotaStream(spark, verdicts, quota = 2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("scur_quota_ooo").start()
+    try {
+      input.addData((10L, "s1"), (20L, "s1")); q.processAllAvailable()
+      // id 5 is NEW but below maxSeen=20; id 10 is a true replay
+      input.addData((5L, "s1"), (10L, "s1")); q.processAllAvailable()
+      val rows = spark.table("scur_quota_ooo")
+        .select($"doc_id", $"admit_rank", $"admitted").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(rows.length == 3, s"replay emits nothing, late-new ranks: ${rows.toList}")
+      assert(rows.toSet == Set((10L, 1L, true), (20L, 2L, true),
+        (5L, 3L, false)),
+        s"the out-of-order NEW id gets the next rank (over quota here): ${rows.toList}")
+    } finally q.stop()
+  }
+
+  test("windowed dedup: a digest expires after the dedup window and re-admits") {
+    // opt-in event-time TTL on the digest registry: unseen for the window
+    // → the entry is removed (bounded state), and a later holder of the
+    // SAME content registers as a fresh owner instead of flagging
+    implicit val sctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    def ts(min: Int) = new java.sql.Timestamp(3600_000L + min * 60_000L)
+    val out = StreamingCuration.exactDedupStream(spark,
+      input.toDF().toDF("doc_id", "text", "source", "ts"),
+      "doc_id", "text", "source",
+      eventTimeCol = Some("ts"), dedupWindowMs = Some(10 * 60_000L))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("scur_dedup_ttl").start()
+    try {
+      input.addData((1L, "alpha", "s1", ts(0))); q.processAllAvailable()
+      // inside the window: flags as dup and refreshes the entry
+      input.addData((2L, "alpha", "s1", ts(5))); q.processAllAvailable()
+      // push the watermark far past the entry's timeout (5min + 10min)
+      input.addData((3L, "beta", "s1", ts(60))); q.processAllAvailable()
+      // a batch with no alpha arrivals lets the timeout fire and evict
+      input.addData((4L, "gamma", "s1", ts(61))); q.processAllAvailable()
+      // post-expiry: same content re-registers as a fresh owner
+      input.addData((5L, "alpha", "s1", ts(62))); q.processAllAvailable()
+      val rows = spark.table("scur_dedup_ttl")
+        .select($"doc_id", $"dup_of").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(rows == Map(1L -> -1L, 2L -> 1L, 3L -> -1L, 4L -> -1L,
+        5L -> -1L),
+        s"dup inside the window, fresh owner after expiry: $rows")
     } finally q.stop()
   }
 
