@@ -262,6 +262,159 @@ class ApplySpec extends SparkSpec {
     }
   }
 
+  // ---- bucketed-state scale property: a batch touching k of N buckets
+  // rewrites ONLY those k (plus, for SCD2, its own closed-log append) ----
+
+  private def walJson(ws: Long, action: String, key: Long, v: String) = {
+    val ts = "2024-01-15 10:30:00.123456+00"
+    val cols = s"""[{"name":"id","type":"bigint","value":"$key"},{"name":"v","type":"text","value":"$v"}]"""
+    val arms = action match {
+      case "D" => s""""identity":$cols"""
+      case _   => s""""columns":$cols"""
+    }
+    Seq(
+      (ws, s"""{"action":"B","xid":$key,"timestamp":"$ts"}"""),
+      (ws + 1, s"""{"action":"$action","xid":$key,"timestamp":"$ts","schema":"public","table":"kv",$arms}"""),
+      (ws + 2, s"""{"action":"C","xid":$key,"timestamp":"$ts"}"""))
+  }
+
+  /** (version-dir name, part-file names) per bucket dir under root. */
+  private def bucketListing(root: String): Map[String, Set[String]] = {
+    val r = new java.io.File(root)
+    Option(r.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+      .flatMap { b =>
+        Option(b.listFiles()).toSeq.flatten.filter(_.getName.matches("v\\d+"))
+          .map { v =>
+            s"${b.getName}/${v.getName}" ->
+              Option(v.listFiles()).toSeq.flatten.map(_.getName).toSet
+          }
+      }.toMap
+  }
+
+  private def bucketOfStringKey(k: Long, buckets: Int): Int =
+    spark.range(1).select(pmod(hash(lit(k.toString)), lit(buckets)))
+      .head().getInt(0)
+
+  test("bucketed MV: a batch touching one bucket rewrites only that bucket") {
+    val dir = Files.createTempDirectory("graft_ivm_bk").toString
+    val src = s"$dir/in"; val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def startQuery() = {
+      val raw = spark.readStream
+        .schema("wal_start LONG, data STRING").json(s"$src/*.json")
+      MaterializedView.start(spark,
+        CdcStream.pipeline(spark, raw, "testdb"), state, ckpt,
+        keyCols = Seq("id"), seq = col("txid"), buckets = 8,
+        trigger = Trigger.ProcessingTime("50 milliseconds"))
+    }
+    val keys = (1L to 12L)
+    keys.flatMap(k => walJson(k * 10, "I", k, s"v$k"))
+      .toDF("wal_start", "data").write.json(s"$src/b0.json")
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    val before = bucketListing(state)
+    assert(before.nonEmpty, "batch 0 materialized bucketed state")
+
+    // batch 1 updates ONE key -> exactly that key's bucket gains v1
+    walJson(500, "U", 7L, "v7b").toDF("wal_start", "data")
+      .write.json(s"$src/b1.json")
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val after = bucketListing(state)
+    val touchedBucket = s"b${bucketOfStringKey(7L, 8)}"
+    val newDirs = after.keySet -- before.keySet
+    assert(newDirs.size == 1 && newDirs.head.startsWith(s"$touchedBucket/v"),
+      s"only the touched bucket gains a version: $newDirs")
+    before.keys.foreach { d =>
+      assert(after(d) == before(d),
+        s"pre-existing version dir $d must be untouched byte-for-byte names")
+    }
+    // and the fold is still correct
+    val got = MaterializedView.currentState(spark, state, Seq("id"))
+      .select($"id".cast("long"), element_at($"image", "v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == keys.map(k => k -> (if (k == 7L) "v7b" else s"v$k")).toMap)
+  }
+
+  test("bucketed MV: deleting a bucket's only key leaves a bare version (no resurrection)") {
+    val dir = Files.createTempDirectory("graft_ivm_del").toString
+    val src = s"$dir/in"; val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def startQuery() = {
+      val raw = spark.readStream
+        .schema("wal_start LONG, data STRING").json(s"$src/*.json")
+      MaterializedView.start(spark,
+        CdcStream.pipeline(spark, raw, "testdb"), state, ckpt,
+        keyCols = Seq("id"), seq = col("txid"), buckets = 8,
+        trigger = Trigger.ProcessingTime("50 milliseconds"))
+    }
+    // two keys in DIFFERENT buckets (probe until found)
+    val k1 = 1L
+    val k2 = (2L to 40L).find(k =>
+      bucketOfStringKey(k, 8) != bucketOfStringKey(k1, 8)).get
+    (walJson(10, "I", k1, "a") ++ walJson(20, "I", k2, "b"))
+      .toDF("wal_start", "data").write.json(s"$src/b0.json")
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    walJson(30, "D", k1, "").toDF("wal_start", "data").write.json(s"$src/b1.json")
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val got = MaterializedView.currentState(spark, state, Seq("id"))
+      .select($"id".cast("long")).collect().map(_.getLong(0)).toSet
+    assert(got == Set(k2),
+      s"the deleted key must not resurrect from the bucket's previous version: $got")
+  }
+
+  test("bucketed SCD2: closed log appends, only touched open buckets rewrite") {
+    val dir = Files.createTempDirectory("graft_scd2_bk").toString
+    val src = s"$dir/in"; val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def startQuery() = {
+      val raw = spark.readStream
+        .schema("wal_start LONG, data STRING").json(s"$src/*.json")
+      MaterializedView.startScd2(spark,
+        CdcStream.pipeline(spark, raw, "testdb"), state, ckpt,
+        keyCols = Seq("id"),
+        seq = graft.streaming.OrderedSink.lsnNumeric(col("lsn")),
+        buckets = 8, trigger = Trigger.ProcessingTime("50 milliseconds"))
+    }
+    val keys = (1L to 12L)
+    keys.flatMap(k => walJson(k * 10, "I", k, s"v$k"))
+      .toDF("wal_start", "data").write.json(s"$src/b0.json")
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    val openBefore = bucketListing(s"$state/open")
+    def closedListing() = {
+      val c = new java.io.File(s"$state/closed")
+      Option(c.listFiles()).toSeq.flatten.filter(_.getName.matches("v\\d+"))
+        .map(v => v.getName ->
+          Option(v.listFiles()).toSeq.flatten.map(_.getName).toSet).toMap
+    }
+    val closedBefore = closedListing()
+
+    walJson(500, "U", 7L, "v7b").toDF("wal_start", "data")
+      .write.json(s"$src/b1.json")
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+    val openAfter = bucketListing(s"$state/open")
+    val touchedBucket = s"b${bucketOfStringKey(7L, 8)}"
+    val newOpen = openAfter.keySet -- openBefore.keySet
+    assert(newOpen.size == 1 && newOpen.head.startsWith(s"$touchedBucket/v"),
+      s"only the touched open bucket gains a version: $newOpen")
+    openBefore.keys.foreach { d =>
+      assert(openAfter(d) == openBefore(d), s"untouched open bucket $d rewritten")
+    }
+    val closedAfter = closedListing()
+    assert((closedAfter.keySet -- closedBefore.keySet).size == 1,
+      "the closed log APPENDS the batch's own closed versions")
+    closedBefore.foreach { case (d, files) =>
+      assert(closedAfter(d) == files, s"closed log $d must never be rewritten")
+    }
+    // history content: key 7 has a closed v7 version and an open v7b one
+    val hist = MaterializedView.currentState(spark, state, Seq("id"))
+      .filter($"id" === "7")
+      .select(element_at($"image", "v"), $"is_current").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSet
+    assert(hist == Set(("v7", false), ("v7b", true)),
+      s"closed + open versions across the split: $hist")
+  }
+
   test("applyChanges plan: ranking window runs over the batch side only") {
     val base = (1L to 100L).map(i => ("t", i, s"v$i")).toDF("tbl", "uid", "v")
       .select($"tbl", $"uid", map(lit("v"), $"v").as("img"))
