@@ -39,6 +39,19 @@ object PgOutput {
   case class RelationInfo(id: Int, schema: String, table: String,
       columns: Array[String], columnTypes: Array[Int])
 
+  /** A structurally invalid pgoutput frame: truncated mid-field, negative
+    * length/count, unterminated string, unknown tuple kind. Named so the
+    * failure reads as "this frame is corrupt" with its WAL position —
+    * never a bare BufferUnderflowException from the decoder's internals
+    * (the reference degrades with an explicit parse error the same way,
+    * pgoutput.go:630-638).
+    */
+  final class CorruptFrameException(msg: String)
+      extends IllegalArgumentException(msg)
+
+  private def corrupt(what: String): Nothing =
+    throw new CorruptFrameException(what)
+
   /** PostgreSQL epoch (2000-01-01) offset from Unix epoch, in micros. */
   private val PgEpochMicros = 946684800000000L
 
@@ -51,8 +64,13 @@ object PgOutput {
 
   private def readCString(b: ByteBuffer): String = {
     val sb = new java.io.ByteArrayOutputStream()
+    if (!b.hasRemaining) corrupt("unterminated string (frame ends before NUL)")
     var c = b.get()
-    while (c != 0) { sb.write(c.toInt); c = b.get() }
+    while (c != 0) {
+      sb.write(c.toInt)
+      if (!b.hasRemaining) corrupt("unterminated string (frame ends before NUL)")
+      c = b.get()
+    }
     new String(sb.toByteArray, StandardCharsets.UTF_8)
   }
 
@@ -61,6 +79,15 @@ object PgOutput {
     */
   private def readTuple(b: ByteBuffer, rel: RelationInfo): Map[String, String] = {
     val n = b.getShort().toInt
+    if (n < 0) corrupt(s"negative tuple column count $n")
+    def field(len: Int): Array[Byte] = {
+      if (len < 0) corrupt(s"negative field length $len")
+      if (len > b.remaining()) corrupt(
+        s"field length $len exceeds the ${b.remaining()} bytes left in the frame")
+      val bytes = new Array[Byte](len)
+      b.get(bytes)
+      bytes
+    }
     val m = Map.newBuilder[String, String]
     var i = 0
     while (i < n) {
@@ -69,19 +96,15 @@ object PgOutput {
         case 'n' => m += name -> null
         case 'u' => // unchanged TOAST: key absent (≠ null)
         case 't' =>
-          val len = b.getInt()
-          val bytes = new Array[Byte](len)
-          b.get(bytes)
-          m += name -> new String(bytes, StandardCharsets.UTF_8)
+          m += name -> new String(field(b.getInt()), StandardCharsets.UTF_8)
         case 'b' => // binary format: preserve raw bytes as postgres-style
           // hex (`\x…`) — degraded-but-present, like the reference's
           // default arm (pgoutput.go:608-617), never silently null.
-          val len = b.getInt()
-          val bytes = new Array[Byte](len)
-          b.get(bytes)
-          m += name -> bytes.map("%02x".format(_)).mkString("\\x", "", "")
-        case other =>
-          throw new IllegalArgumentException(s"unknown tuple kind '$other'")
+          m += name -> field(b.getInt())
+            .map("%02x".format(_)).mkString("\\x", "", "")
+        case other => corrupt(
+          s"unknown tuple kind '$other' (0x${other.toInt.toHexString}) " +
+            s"in column $i of ${rel.schema}.${rel.table}")
       }
       i += 1
     }
@@ -112,8 +135,22 @@ object PgOutput {
           s"relation $id with no prior Relation message"))
     }
 
-    def decode(walStart: Long, data: Array[Byte]): Seq[DecodedWalEvent] = {
+    def decode(walStart: Long, data: Array[Byte]): Seq[DecodedWalEvent] =
+      try decodeFrame(walStart, data)
+      catch {
+        // any read past the end of the frame is a truncation — surface
+        // the WAL position and size, never a bare BufferUnderflow
+        case _: java.nio.BufferUnderflowException =>
+          corrupt(s"pgoutput: truncated frame at wal_start=$walStart " +
+            s"(${data.length} bytes)")
+        case e: CorruptFrameException =>
+          corrupt(s"pgoutput: corrupt frame at wal_start=$walStart: " +
+            e.getMessage)
+      }
+
+    private def decodeFrame(walStart: Long, data: Array[Byte]): Seq[DecodedWalEvent] = {
       val b = ByteBuffer.wrap(data)
+      if (!b.hasRemaining) corrupt("empty frame")
       b.get().toChar match {
         case 'R' =>
           val id = b.getInt()
@@ -149,7 +186,8 @@ object PgOutput {
             null, null, null, null, currentXid, ts))
         case 'I' =>
           val rel = relation(b, walStart)
-          require(b.get().toChar == 'N', "INSERT expects new tuple")
+          val ik = b.get().toChar
+          if (ik != 'N') corrupt(s"INSERT expects new tuple 'N', got '$ik'")
           val nv = readTuple(b, rel)
           Seq(DecodedWalEvent(walStart, "INSERT", is_begin = false, is_commit = false,
             rel.schema, rel.table, null, nv, currentXid, currentTs))
@@ -161,14 +199,15 @@ object PgOutput {
             old = readTuple(b, rel)
             kind = b.get().toChar
           }
-          require(kind == 'N', "UPDATE expects new tuple")
+          if (kind != 'N') corrupt(s"UPDATE expects new tuple 'N', got '$kind'")
           val nv = readTuple(b, rel)
           Seq(DecodedWalEvent(walStart, "UPDATE", is_begin = false, is_commit = false,
             rel.schema, rel.table, old, nv, currentXid, currentTs))
         case 'D' =>
           val rel = relation(b, walStart)
           val kind = b.get().toChar
-          require(kind == 'K' || kind == 'O', "DELETE expects key/old tuple")
+          if (kind != 'K' && kind != 'O')
+            corrupt(s"DELETE expects key/old tuple 'K'/'O', got '$kind'")
           val ov = readTuple(b, rel)
           Seq(DecodedWalEvent(walStart, "DELETE", is_begin = false, is_commit = false,
             rel.schema, rel.table, ov, null, currentXid, currentTs))

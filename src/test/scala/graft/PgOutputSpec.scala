@@ -71,6 +71,81 @@ class PgOutputSpec extends SparkSpec {
     assert(ddl.forall(e => e.old_values.isEmpty && e.new_values.isEmpty))
   }
 
+  // ---- corrupt-frame table: every structurally invalid frame fails as a
+  // NAMED CorruptFrameException carrying its WAL position — never a bare
+  // BufferUnderflowException (reference degrades explicitly,
+  // pgoutput.go:630-638) ----
+
+  private def corruptMessage(frame: Array[Byte],
+      after: Seq[Array[Byte]] = Seq(relMsg)): String = {
+    val e = intercept[PgOutput.CorruptFrameException] {
+      decode(after ++ Seq(PgWire.begin(1, t0, 1), frame))
+    }
+    e.getMessage
+  }
+
+  test("corrupt: truncated Begin (frame ends mid-field) names position, not BufferUnderflow") {
+    val msg = corruptMessage(PgWire.begin(1, t0, 1).take(9), after = Nil)
+    assert(msg.contains("truncated frame") && msg.contains("wal_start="), msg)
+  }
+
+  test("corrupt: truncated tuple data (field runs past the frame)") {
+    // valid insert, then chop the last 3 bytes of the value
+    val whole = PgWire.insert(relUsers, Seq(Some("1"), Some("Test User"), Some("x")))
+    val msg = corruptMessage(whole.dropRight(3))
+    assert(msg.contains("wal_start=") &&
+      (msg.contains("exceeds") || msg.contains("truncated")), msg)
+  }
+
+  test("corrupt: unknown tuple-kind byte is named with column and relation") {
+    val whole = PgWire.insert(relUsers, Seq(Some("1"), Some("a"), Some("b")))
+    // first tuple-kind byte sits after type(1)+relid(4)+'N'(1)+ncols(2)
+    whole(8) = 'x'.toByte
+    val msg = corruptMessage(whole)
+    assert(msg.contains("unknown tuple kind 'x'") && msg.contains("public.users"), msg)
+  }
+
+  test("corrupt: negative tuple column count") {
+    val whole = PgWire.insert(relUsers, Seq(Some("1")))
+    whole(6) = 0xff.toByte; whole(7) = 0xff.toByte // ncols = -1
+    val msg = corruptMessage(whole)
+    assert(msg.contains("negative tuple column count"), msg)
+  }
+
+  test("corrupt: field length exceeding the frame is rejected before allocation") {
+    val whole = PgWire.insert(relUsers, Seq(Some("abc")))
+    // value length field follows type(1)+relid(4)+'N'(1)+ncols(2)+'t'(1)
+    val b = java.nio.ByteBuffer.wrap(whole)
+    b.putInt(9, 0x7fffff00) // claims ~2 GB payload
+    val msg = corruptMessage(whole)
+    assert(msg.contains("exceeds") && msg.contains("bytes left"), msg)
+  }
+
+  test("corrupt: unterminated relation-name string") {
+    val rel = PgWire.relation(relUsers, "public", "users", Seq("id" -> 20))
+    // cut inside the schema name cstring (type 1 + relid 4 + 2 chars)
+    val msg = intercept[PgOutput.CorruptFrameException] {
+      decode(Seq(rel.take(7)))
+    }.getMessage
+    assert(msg.contains("unterminated string") && msg.contains("wal_start="), msg)
+  }
+
+  test("data message for an unregistered relation id stays a named error") {
+    val e = intercept[IllegalStateException] {
+      decode(Seq(PgWire.begin(1, t0, 1),
+        PgWire.insert(999, Seq(Some("1")))))
+    }
+    assert(e.getMessage.contains("relation 999") &&
+      e.getMessage.contains("no prior Relation"), e.getMessage)
+  }
+
+  test("corrupt: INSERT without a new-tuple marker") {
+    val whole = PgWire.insert(relUsers, Seq(Some("1"), Some("a"), Some("b")))
+    whole(5) = 'Q'.toByte // 'N' marker position
+    val msg = corruptMessage(whole)
+    assert(msg.contains("INSERT expects new tuple"), msg)
+  }
+
   test("relation replacement mid-stream affects only later events (pgoutput.go:216-230)") {
     val out = decode(Seq(
       relMsg, PgWire.begin(1, t0, 1),
