@@ -184,9 +184,79 @@ object Bench {
       System.err.println(s"[bench] streaming FAILED: $e")
       (0L, Some("streaming_pipeline"))
     }
-    val allErrors = errors ++ streamErr
+    // Amortization evidence (SCALE.md "streaming throughput" claim): the
+    // SAME pipeline fed 10× the events per trigger. The per-batch fixed
+    // machinery (state commit + offset/commit log + sink job scheduling)
+    // is constant per trigger, so if it dominates the 50k-events-per-batch
+    // number above, ops/sec here should rise sharply — the batch-size →
+    // throughput curve is the 100 TB design evidence (a production WAL
+    // burst delivers millions of events per trigger, not 50k). Input: 10
+    // id-shifted copies of the WAL (disjoint event ids, tx ids and WAL
+    // positions per copy — no dedup/assembly collisions), same 8 slices /
+    // 4-per-trigger admission = 2 micro-batches at 10× the size.
+    val (streamOpsSec10x, streamErr10x) = try {
+      import org.apache.spark.sql.functions.{col, lit, ntile}
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_stream10x")
+      val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+      val outDir = s"$tmp/out"; val ckDir = s"$tmp/ck"
+      val e = graft.queries.Q.t(spark, sfDir, "events")
+      val e10 = (0 until 10).map { k =>
+        e.select((col("event_id") + lit(k * 1000000000L)).as("event_id"),
+          col("ts"), (col("user_id") + lit(k * 1000000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+      val win = org.apache.spark.sql.expressions.Window.orderBy(col("wal_start"))
+      val filed = graft.queries.CdcQueries.walStreamFrom(spark, e10)
+        .withColumn("_f", ntile(8).over(win))
+      for (f <- 1 to 8) {
+        val sliceDir = s"$tmp/slice$f"
+        filed.filter(col("_f") === f).drop("_f")
+          .coalesce(1).sortWithinPartitions("wal_start")
+          .write.mode("overwrite").parquet(sliceDir)
+        val part = new java.io.File(sliceDir).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(inDir, f"wal-$f%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(1700000000000L + f * 60000L)
+      }
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val mft = sys.env.getOrElse("SPARK_GRAFT_STREAM_MFT", "4")
+      val sinkParts = sys.env.getOrElse("SPARK_GRAFT_SINK_PARTS", "0").toInt
+      // the JVM/state-store/sink codegen is already warm from the 1×
+      // section (identical operators), so both reps are timed; best-of-2
+      val reps = try {
+        (1 to 2).map { rep =>
+          val raw = spark.readStream.schema("wal_start LONG, data STRING")
+            .option("maxFilesPerTrigger", mft).parquet(inDir.toString)
+          val t0 = System.nanoTime()
+          val q = graft.streaming.CdcStream.start(spark, raw, "bench",
+            s"$outDir-$rep", s"$ckDir-$rep",
+            trigger = Trigger.AvailableNow(), dedupWatermark = "3650 days",
+            sinkPartitions = sinkParts)
+          q.awaitTermination()
+          val wall = (System.nanoTime() - t0) / 1e9
+          (spark.read.parquet(s"$outDir-$rep").count(), wall)
+        }
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+      val badRows = reps.map(_._1).find(_ != 10L * nEvents)
+      if (badRows.isDefined)
+        (0L, Some(s"stream10x_rows_mismatch:${badRows.get}/${10L * nEvents}"))
+      else (((10L * nEvents) / reps.map(_._2).min).round, None)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming 10x FAILED: $e")
+      (0L, Some("streaming_pipeline_10x"))
+    }
+    val allErrors = errors ++ streamErr ++ streamErr10x
     val allErrJson = allErrors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$allErrJson,"cdc_ops_sec":$opsSec,"stream_ops_sec":$streamOpsSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$allErrJson,"cdc_ops_sec":$opsSec,"stream_ops_sec":$streamOpsSec,"stream_ops_sec_10x":$streamOpsSec10x,"sf":"$sfDir"}""")
     spark.stop()
     if (allErrors.nonEmpty) sys.exit(1)
   }

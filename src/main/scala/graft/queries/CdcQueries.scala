@@ -47,8 +47,15 @@ object CdcQueries {
       df
     })
 
-  private def buildWalStream(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "events")
+  private def buildWalStream(s: SparkSession, d: String): DataFrame =
+    walStreamFrom(s, t(s, d, "events"))
+
+  /** Synthesized wal2json stream for an arbitrary events-SHAPED frame
+    * (event_id, user_id, event_type, ts, value, props) — the testdata
+    * path above plus bench scale-up inputs (Bench's 10× batch-size
+    * variant shifts ids per copy and feeds the union through here).
+    */
+  def walStreamFrom(s: SparkSession, e: DataFrame): DataFrame = {
     val tsFmt = date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
     val dataRows = e.select(
       (col("event_id") * 10).as("wal_start"),
