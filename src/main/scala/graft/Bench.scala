@@ -222,13 +222,29 @@ object Bench {
       }
       val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
       val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val prevProvider = spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
       spark.conf.set("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
       spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // This figure exists to measure the 100 TB shape (big triggers), so
+      // it ALWAYS runs the at-scale state-store pairing: RocksDB with
+      // changelog checkpointing, whose per-commit cost is O(delta). The
+      // HDFS-backed default's per-commit snapshot is O(state) — the 10×
+      // input multiplies that too and flattens the curve to ~1.0× (both
+      // measured; see SCALE.md "Batch-size amortization"). The 1× figure
+      // above keeps the default store: both sides of the comparison stay
+      // in BENCH.
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       val mft = sys.env.getOrElse("SPARK_GRAFT_STREAM_MFT", "4")
       val sinkParts = sys.env.getOrElse("SPARK_GRAFT_SINK_PARTS", "0").toInt
-      // the JVM/state-store/sink codegen is already warm from the 1×
-      // section (identical operators), so both reps are timed; best-of-2
+      // the JVM/sink codegen is warm from the 1× section (identical
+      // operators); rep 1 additionally pays RocksDB provider init when
+      // the 1× section ran the default store, so best-of-2 keeps a rep
+      // that is warm on every axis
       val reps = try {
         (1 to 2).map { rep =>
           val raw = spark.readStream.schema("wal_start LONG, data STRING")
@@ -245,6 +261,12 @@ object Bench {
       } finally {
         spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        prevProvider match {
+          case Some(p) =>
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
       }
       val badRows = reps.map(_._1).find(_ != 10L * nEvents)
       if (badRows.isDefined)

@@ -101,10 +101,13 @@ trait ReplicationConnection {
   * the standby feedback sent back — the single-connection stub for codec
   * and keepalive tests.
   */
-final class InMemoryReplicationConnection extends ReplicationConnection {
+final class InMemoryReplicationConnection extends ReplicationConnection
+    with AutoCloseable {
   private val inbox = new ConcurrentLinkedQueue[Array[Byte]]()
   private val feedback = new ConcurrentLinkedQueue[Array[Byte]]()
+  @volatile var closed = false
 
+  override def close(): Unit = closed = true
   def deliver(frame: Array[Byte]): Unit = inbox.add(frame)
   override def receive(): Option[Array[Byte]] = Option(inbox.poll())
   override def send(copyData: Array[Byte]): Unit = feedback.add(copyData)

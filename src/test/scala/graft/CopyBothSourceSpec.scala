@@ -197,4 +197,31 @@ class CopyBothFramingSpec extends AnyFunSuite {
     s.commit(end)            // same position again: ignored
     assert(conn.confirmedPositions == Seq(20L))
   }
+
+  test("stop() after a failed dial neither re-dials nor throws") {
+    // the dial/handshake threw during latestOffset — shutdown must not
+    // build a brand-new connection just to close it (or rethrow the dial
+    // error from stop()), which is what re-evaluating a failed lazy
+    // initializer would do
+    var dials = 0
+    val s = new CopyBothWalStream(() => {
+      dials += 1
+      throw new java.io.IOException("connection refused")
+    })
+    intercept[java.io.IOException] {
+      s.latestOffset(s.initialOffset(), ReadLimit.allAvailable())
+    }
+    assert(dials == 1)
+    s.stop() // must be a no-op: nothing was ever opened
+    assert(dials == 1, s"stop() dialed a fresh connection mid-shutdown ($dials)")
+  }
+
+  test("stop() closes the one opened connection") {
+    val conn = new InMemoryReplicationConnection
+    var dials = 0
+    val s = new CopyBothWalStream(() => { dials += 1; conn })
+    s.latestOffset(s.initialOffset(), ReadLimit.allAvailable())
+    s.stop()
+    assert(dials == 1 && conn.closed, "exactly one dial, closed on stop")
+  }
 }
