@@ -1346,6 +1346,83 @@ object LlmQueries {
     // streaming operators' MATH is driver-gated bit-exact here, and
     // StreamingCurationSpec asserts the staged streaming run produces
     // exactly these verdicts across micro-batch boundaries.
+    // Windowed (TTL) streaming dedup end-to-end under the driver gate:
+    // StreamingCuration.exactDedupStream with a 1-hour event-time dedup
+    // window runs for REAL across 4 micro-batches (maxFilesPerTrigger=1
+    // over day-partitioned files with forced-increasing mtimes). The
+    // input is CONSTRUCTED so the session structure is known a priori and
+    // the oracle is analytic: texts are uniquified per base doc
+    // (text#doc_id), every 7th doc gets (a) a copy 30 min later — inside
+    // the window, flagged dup_of the original; (b) a copy on day 3 —
+    // the digest expired during the day-1/day-2 filler batches (its
+    // timeout, at most base+20.9h+1h, is below the day-1 watermark), so
+    // it re-registers as a fresh owner; (c) a copy 30 min after (b) —
+    // inside the re-admitted owner's window, flagged dup_of (b). The two
+    // filler docs exist to advance the watermark through empty days.
+    // This is the expiry/re-admission semantics the TTL mode promises,
+    // hash-gated rather than only spec-asserted.
+    "l78_windowed_dedup_streaming" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val E = 1704067200L // 2024-01-01 00:00:00 UTC, epoch seconds
+        val Day = 86400L
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            concat(col("text"), lit("#"), col("doc_id").cast("string"))
+              .as("text"),
+            (col("doc_id") % 70000).cast("long").as("off"))
+        def wave(idShift: Long, tsSec: org.apache.spark.sql.Column,
+            src: DataFrame): DataFrame =
+          src.select((col("doc_id") + idShift).as("doc_id"), col("text"),
+            col("source"), timestamp_seconds(tsSec).as("ts"))
+        val d7 = base.filter(col("doc_id") % 7 === 0)
+        val day0 = wave(0L, lit(E) + col("off"), base)
+          .unionByName(wave(1000000L, lit(E) + col("off") + 1800L, d7))
+        def filler(id: Long, day: Long): DataFrame =
+          s.range(1).select(lit(id).as("doc_id"),
+            lit(s"filler-day-$day").as("text"), lit("filler").as("source"),
+            timestamp_seconds(lit(E + day * Day)).as("ts"))
+        val day3 = wave(2000000L, lit(E + 3 * Day) + col("off"), d7)
+          .unionByName(wave(3000000L, lit(E + 3 * Day) + col("off") + 1800L, d7))
+        val waves = Seq(day0, filler(9000001L, 1L), filler(9000002L, 2L), day3)
+
+        val work = java.nio.file.Files.createTempDirectory("graft_l78")
+        val inDir = new java.io.File(s"$work/in"); inDir.mkdirs()
+        waves.zipWithIndex.foreach { case (w, i) =>
+          val sliceDir = s"$work/slice$i"
+          w.coalesce(1).write.parquet(sliceDir)
+          val part = new java.io.File(sliceDir).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dest = new java.io.File(inDir, f"day-$i%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          dest.setLastModified(1700000000000L + i * 60000L)
+        }
+        val raw = s.readStream
+          .schema("doc_id LONG, text STRING, source STRING, ts TIMESTAMP")
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+        val out = s"$work/out"
+        val q = graft.streaming.StreamingCuration.exactDedupStream(
+            s, raw, "doc_id", "text", "source",
+            eventTimeCol = Some("ts"), dedupWindowMs = Some(3600 * 1000L))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$work/ck")
+          .trigger(Trigger.ProcessingTime("50 milliseconds"))
+          .start(out)
+        try { q.processAllAvailable() } finally q.stop()
+        s.read.parquet(out)
+          .select(col("doc_id"), col("source"), col("dup_of"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d7 AS (SELECT doc_id, source FROM documents
+          WHERE doc_id % 7 = 0)
+        SELECT doc_id, source, CAST(NULL AS BIGINT) AS dup_of FROM documents
+        UNION ALL SELECT doc_id + 1000000, source, doc_id FROM d7
+        UNION ALL SELECT 9000001, 'filler', NULL
+        UNION ALL SELECT 9000002, 'filler', NULL
+        UNION ALL SELECT doc_id + 2000000, source, NULL FROM d7
+        UNION ALL SELECT doc_id + 3000000, source, doc_id + 2000000 FROM d7
+        ORDER BY doc_id""")),
+
     "l77_ingest_curation" -> Def(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
