@@ -118,6 +118,62 @@ object CdcQueries {
   private val oEventId =
     s"$oLsn || ':' || user_id || ':INSERT:public.' || event_type || ':' || $oSeq"
 
+  /** Shared input for the streaming-maintenance gates (c29 SCD2 / c30
+    * MV): the events table as wal2json lines with the KEYS IN THE ROW
+    * IMAGE (tbl/uid/seq payload columns — the maintenance loops extract
+    * keys from after/before by name), each event its own transaction so
+    * no tx spans a batch seam, written as three contiguous WAL-slice
+    * files with forced-increasing mtimes so maxFilesPerTrigger=1 replays
+    * them in WAL order. Memoized per (session, sf dir) — the files are
+    * immutable input, each gate runs its own query/state/checkpoint.
+    * Returns (srcDir, workDir).
+    */
+  private val streamInputCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private def scd2StreamInput(s: SparkSession, d: String): (String, String) =
+    streamInputCache.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+      val e = t(s, d, "events")
+      val tsFmt = concat(
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"), lit("+00"))
+      val op = when(col("event_id") % 3 === 0, "I")
+        .when(col("event_id") % 3 === 1, "U").otherwise("D")
+      val payload = array(
+        struct(lit("tbl").as("name"), lit("text").as("type"),
+          col("event_type").as("value")),
+        struct(lit("uid").as("name"), lit("bigint").as("type"),
+          col("user_id").cast("string").as("value")),
+        struct(lit("seq").as("name"), lit("bigint").as("type"),
+          col("event_id").cast("string").as("value")))
+      val framed = e.select(col("event_id"), explode(array(
+          struct((col("event_id") * 10).as("wal_start"), to_json(struct(
+            lit("B").as("action"), col("event_id").as("xid"),
+            tsFmt.as("timestamp"))).as("data")),
+          struct((col("event_id") * 10 + 1).as("wal_start"), to_json(struct(
+            op.as("action"), col("event_id").as("xid"),
+            tsFmt.as("timestamp"), lit("public").as("schema"),
+            col("event_type").as("table"),
+            when(op =!= "D", payload).as("columns"),
+            when(op =!= "I", payload).as("identity"))).as("data")),
+          struct((col("event_id") * 10 + 2).as("wal_start"), to_json(struct(
+            lit("C").as("action"), col("event_id").as("xid"),
+            tsFmt.as("timestamp"))).as("data")))).as("f"))
+        .select(col("event_id"), col("f.wal_start"), col("f.data"))
+      val work = java.nio.file.Files.createTempDirectory("graft_cstream")
+      val src = s"$work/in"
+      val maxId = e.agg(max(col("event_id"))).head().getLong(0)
+      Seq((0L, maxId / 3), (maxId / 3 + 1, 2 * maxId / 3),
+          (2 * maxId / 3 + 1, maxId)).zipWithIndex.foreach {
+        case ((lo, hi), i) =>
+          framed.filter(col("event_id").between(lo, hi))
+            .select(col("wal_start"), col("data"))
+            .coalesce(1).write.json(s"$src/b$i")
+          new java.io.File(s"$src/b$i").listFiles()
+            .foreach(f => { f.setLastModified(1700000000000L + i * 60000L); () })
+      }
+      (src, work.toString)
+    })
+
   val defs: Map[String, Def] = Map(
 
     // P5: wal2json v2 decode (from_json path) — envelope fields + payload
@@ -1013,49 +1069,10 @@ object CdcQueries {
     "c29_scd2_streaming" -> Def(
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
-        val e = t(s, d, "events")
-        val tsFmt = concat(
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"), lit("+00"))
-        val op = when(col("event_id") % 3 === 0, "I")
-          .when(col("event_id") % 3 === 1, "U").otherwise("D")
-        val payload = array(
-          struct(lit("tbl").as("name"), lit("text").as("type"),
-            col("event_type").as("value")),
-          struct(lit("uid").as("name"), lit("bigint").as("type"),
-            col("user_id").cast("string").as("value")),
-          struct(lit("seq").as("name"), lit("bigint").as("type"),
-            col("event_id").cast("string").as("value")))
-        val framed = e.select(col("event_id"), explode(array(
-            struct((col("event_id") * 10).as("wal_start"), to_json(struct(
-              lit("B").as("action"), col("event_id").as("xid"),
-              tsFmt.as("timestamp"))).as("data")),
-            struct((col("event_id") * 10 + 1).as("wal_start"), to_json(struct(
-              op.as("action"), col("event_id").as("xid"),
-              tsFmt.as("timestamp"), lit("public").as("schema"),
-              col("event_type").as("table"),
-              when(op =!= "D", payload).as("columns"),
-              when(op =!= "I", payload).as("identity"))).as("data")),
-            struct((col("event_id") * 10 + 2).as("wal_start"), to_json(struct(
-              lit("C").as("action"), col("event_id").as("xid"),
-              tsFmt.as("timestamp"))).as("data")))).as("f"))
-          .select(col("event_id"), col("f.wal_start"), col("f.data"))
-
-        val work = java.nio.file.Files.createTempDirectory("graft_c29")
-        val src = s"$work/in"; val state = s"$work/state"; val ckpt = s"$work/ckpt"
-        val maxId = e.agg(max(col("event_id"))).head().getLong(0)
-        // three contiguous WAL slices, one file each, mtimes forced
-        // increasing so maxFilesPerTrigger=1 replays them in WAL order
-        Seq((0L, maxId / 3), (maxId / 3 + 1, 2 * maxId / 3),
-            (2 * maxId / 3 + 1, maxId)).zipWithIndex.foreach {
-          case ((lo, hi), i) =>
-            framed.filter(col("event_id").between(lo, hi))
-              .select(col("wal_start"), col("data"))
-              .coalesce(1).write.json(s"$src/b$i")
-            new java.io.File(s"$src/b$i").listFiles()
-              .foreach(f => { f.setLastModified(1700000000000L + i * 60000L); () })
-        }
+        val (srcDir, work) = scd2StreamInput(s, d)
+        val state = s"$work/state_scd2"; val ckpt = s"$work/ckpt_scd2"
         val raw = s.readStream.schema("wal_start LONG, data STRING")
-          .option("maxFilesPerTrigger", 1).json(s"$src/b*")
+          .option("maxFilesPerTrigger", 1).json(s"$srcDir/b*")
         val q = graft.streaming.MaterializedView.startScd2(s,
           graft.streaming.CdcStream.pipeline(s, raw, Db), state, ckpt,
           keyCols = Seq("tbl", "uid"),
@@ -1080,6 +1097,39 @@ object CdcQueries {
         SELECT tbl, uid, valid_from AS ver_src, valid_from, valid_to,
           (valid_to IS NULL) AS is_current
         FROM v WHERE op <> 'DELETE' ORDER BY tbl, uid, valid_from""")),
+
+    // Streaming MV maintenance (MaterializedView.start) under the driver
+    // gate: the same contiguous-WAL-slice harness as c29, but folding
+    // CURRENT STATE (per-key winner, DELETE removes) instead of history —
+    // final bucketed state read back via currentState and hashed against
+    // a last-change-wins window oracle.
+    "c30_mv_streaming" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val (srcDir, work) = scd2StreamInput(s, d)
+        val state = s"$work/state_mv"; val ckpt = s"$work/ckpt_mv"
+        val raw = s.readStream.schema("wal_start LONG, data STRING")
+          .option("maxFilesPerTrigger", 1).json(s"$srcDir/b*")
+        val q = graft.streaming.MaterializedView.start(s,
+          graft.streaming.CdcStream.pipeline(s, raw, Db), state, ckpt,
+          keyCols = Seq("tbl", "uid"),
+          seq = coalesce(element_at(col("after"), "seq"),
+            element_at(col("before"), "seq")).cast("long"),
+          trigger = Trigger.ProcessingTime("50 milliseconds"))
+        try { q.processAllAvailable() } finally q.stop()
+        graft.streaming.MaterializedView.currentState(s, state, Seq("tbl", "uid"))
+          .select(col("tbl"), col("uid").cast("long").as("uid"),
+            element_at(col("image"), "seq").cast("long").as("ver_src"))
+          .orderBy(col("tbl"), col("uid"))
+      },
+      Some("""WITH v AS (SELECT event_type AS tbl, user_id AS uid,
+          CASE event_id % 3 WHEN 0 THEN 'INSERT' WHEN 1 THEN 'UPDATE'
+            ELSE 'DELETE' END AS op, event_id,
+          ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+            ORDER BY event_id DESC) AS rn
+        FROM events)
+        SELECT tbl, uid, event_id AS ver_src FROM v
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY tbl, uid""")),
 
     "c24_sink_order_key" -> Def(
       (s, d) => {

@@ -200,6 +200,8 @@ object MaterializedView {
             element_at(col("before"), k)))
         }.withColumn("_mv_seq", seq)
           .withColumn("_mv_bucket", bucketOf(keyCols, buckets))
+        // driver-side by design and bounded by N buckets (≤ N ints — the
+        // path-pruning decision, like a partition-pruning predicate)
         val touched = keyed.select(col("_mv_bucket")).distinct()
           .collect().map(_.getInt(0)).sorted.toSeq
         if (touched.nonEmpty) {
@@ -242,6 +244,7 @@ object MaterializedView {
             element_at(col("before"), k)))
         }.withColumn("_mv_seq", seq)
           .withColumn("_mv_bucket", bucketOf(keyCols, buckets))
+        // bounded by N buckets, driver-side by design (path pruning)
         val touched = keyed.select(col("_mv_bucket")).distinct()
           .collect().map(_.getInt(0)).sorted.toSeq
         if (touched.nonEmpty) {
