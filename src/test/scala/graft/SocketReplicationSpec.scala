@@ -340,6 +340,78 @@ class SocketReplicationWireSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("supervised restart rides out a transient socket error; fatal auth never restarts") {
+    // S4 end-to-end over the REAL transport: the server kills the first
+    // session with a TRANSIENT SQLSTATE (57P01 admin shutdown) before
+    // delivering anything; Reliability.superviseRestarts classifies it
+    // restartable (via the socket transport's "(SQLSTATE)" message
+    // suffix), restarts from the same checkpoint, and the second session
+    // re-delivers the unconfirmed WAL — the reference's reconnect loop
+    // (reader.go:574-592) as a streaming-query supervisor.
+    val spark = TestSession.spark
+    import org.apache.spark.sql.streaming.Trigger
+    val srv = new InProcessPgReplicationServer
+    try {
+      srv.inner.deliver(10L, "frame-a")
+      srv.inner.deliver(20L, "frame-b")
+      srv.injectError("57P01", "terminating connection due to administrator command")
+      val out = java.nio.file.Files.createTempDirectory("sock_sup_out").toString
+      val ck = java.nio.file.Files.createTempDirectory("sock_sup_ck").toString
+      var starts = 0
+      def startQuery(): org.apache.spark.sql.streaming.StreamingQuery = {
+        starts += 1
+        val raw = spark.readStream.format("graft.sources.CopyBothSource")
+          .option("host", "127.0.0.1").option("port", srv.port.toString)
+          .option("slot", "s_sup").load()
+        val q = raw.writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+        val watcher = new Thread(() => {
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          def cnt() = try spark.read.parquet(out).count()
+            catch { case _: Exception => 0L }
+          while (cnt() < 2 && q.exception.isEmpty &&
+              System.nanoTime() < deadline) Thread.sleep(50)
+          if (q.exception.isEmpty) q.stop()
+        })
+        watcher.setDaemon(true); watcher.start()
+        q
+      }
+      val restarts = graft.streaming.Reliability.superviseRestarts(
+        spark, maxRestarts = 3, sleep = _ => ())(() => startQuery())
+      assert(restarts == 1 && starts == 2,
+        s"one transient failure, one successful restart (restarts=$restarts starts=$starts)")
+      assert(spark.read.parquet(out).count() == 2,
+        "the restarted session re-delivers the unconfirmed WAL")
+
+      // fatal: SCRAM failure (28P01) — no restart, the error propagates
+      val srvF = new InProcessPgReplicationServer(
+        requirePassword = Some("right"))
+      try {
+        val outF = java.nio.file.Files.createTempDirectory("sock_fat_out").toString
+        val ckF = java.nio.file.Files.createTempDirectory("sock_fat_ck").toString
+        var startsF = 0
+        val e = intercept[Throwable] {
+          graft.streaming.Reliability.superviseRestarts(
+            spark, maxRestarts = 3, sleep = _ => ()) { () =>
+            startsF += 1
+            spark.readStream.format("graft.sources.CopyBothSource")
+              .option("host", "127.0.0.1").option("port", srvF.port.toString)
+              .option("slot", "s_fat").option("password", "wrong").load()
+              .writeStream.format("parquet").option("path", outF)
+              .option("checkpointLocation", ckF)
+              .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+          }
+        }
+        def chain(t: Throwable): List[String] =
+          if (t == null) Nil else Option(t.getMessage).toList ::: chain(t.getCause)
+        assert(chain(e).exists(_.contains("28P01")),
+          s"fatal auth SQLSTATE propagates: ${chain(e)}")
+        assert(startsF == 1, s"fatal errors never restart (starts=$startsF)")
+      } finally srvF.close()
+    } finally srv.close()
+  }
+
   test("pgoutput over the replication socket: the reference's default deployment shape end-to-end") {
     val spark = TestSession.spark
     import spark.implicits._
