@@ -189,6 +189,10 @@ object MaterializedView {
       retainVersions: Int = 2, buckets: Int = 8,
       trigger: Trigger = Trigger.ProcessingTime("100 milliseconds")): StreamingQuery = {
     require(keyCols.nonEmpty, "keyCols must name the view key")
+    // a replayed batch re-reads each touched bucket's version BELOW its
+    // own — with only 1 retained version, pruning after the crashed
+    // attempt would have deleted exactly that version (silent data loss)
+    require(retainVersions >= 2, "retainVersions must be >= 2 to cover replay")
     pinBuckets(stateDir, buckets)
     events.writeStream
       .outputMode("append")
@@ -233,6 +237,8 @@ object MaterializedView {
       retainVersions: Int = 2, buckets: Int = 8,
       trigger: Trigger = Trigger.ProcessingTime("100 milliseconds")): StreamingQuery = {
     require(keyCols.nonEmpty, "keyCols must name the history key")
+    // same replay-coverage bound as start()
+    require(retainVersions >= 2, "retainVersions must be >= 2 to cover replay")
     pinBuckets(stateDir, buckets)
     events.writeStream
       .outputMode("append")
