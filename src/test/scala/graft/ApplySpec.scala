@@ -362,6 +362,32 @@ class ApplySpec extends SparkSpec {
       s"the deleted key must not resurrect from the bucket's previous version: $got")
   }
 
+  test("bucket count is pinned in state: restart with a different N is rejected") {
+    val dir = Files.createTempDirectory("graft_pin").toString
+    val src = s"$dir/in"; val state = s"$dir/state"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    walJson(10, "I", 1L, "a").toDF("wal_start", "data").write.json(s"$src/b0.json")
+    def startQuery(buckets: Int) = {
+      val raw = spark.readStream
+        .schema("wal_start LONG, data STRING").json(s"$src/*.json")
+      MaterializedView.start(spark,
+        CdcStream.pipeline(spark, raw, "testdb"), state, s"$dir/ckpt$buckets",
+        keyCols = Seq("id"), seq = col("txid"), buckets = buckets,
+        trigger = Trigger.ProcessingTime("50 milliseconds"))
+    }
+    val q = startQuery(8); q.processAllAvailable(); q.stop()
+    val e = intercept[IllegalArgumentException] { startQuery(4) }
+    assert(e.getMessage.contains("bucketed with N=8"),
+      s"hash layout is only stable under one N: ${e.getMessage}")
+    // retention below the replay-coverage bound is rejected up front
+    intercept[IllegalArgumentException] {
+      MaterializedView.start(spark,
+        spark.readStream.schema("wal_start LONG, data STRING").json(s"$src/*.json"),
+        state, s"$dir/ckpt_r", keyCols = Seq("id"), seq = col("txid"),
+        retainVersions = 1)
+    }
+  }
+
   test("bucketed SCD2: closed log appends, only touched open buckets rewrite") {
     val dir = Files.createTempDirectory("graft_scd2_bk").toString
     val src = s"$dir/in"; val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
