@@ -38,8 +38,16 @@ case class QuotaVerdict(doc_id: Long, source: String, admit_rank: Long,
   * genuinely new document whose id sits below the source's high-water mark
   * still gets its verdict (ids carry no cross-batch monotonicity
   * guarantee; a high-water-mark guard would silently drop such rows).
+  * Also the per-shard state of [[StreamingCuration.shardQuotaStream]],
+  * where `ranked` holds at most `quota` entries.
   */
 case class SourceQuotaState(ranked: Map[Long, Long])
+
+/** Stage-1 output of the sharded quota path: `survivor` = proceeds to the
+  * exact serial ranking stage; false = definite global reject (its shard
+  * alone already held `quota` earlier arrivals).
+  */
+case class ShardSurvivor(doc_id: Long, source: String, survivor: Boolean)
 
 /** Ingest-time curation as staged streaming operators — the
   * quality→dedup→quota admission funnel of a training-data pipeline
@@ -192,5 +200,68 @@ object StreamingCuration {
       .groupByKey(_.source)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         checkQuota(quota))
+  }
+
+  /** Stage-1 verdict of the SHARDED quota path: survivors proceed to the
+    * exact serial stage; non-survivors are DEFINITE global rejects.
+    */
+  def checkShardQuota(quota: Long)(key: (String, Long),
+      it: Iterator[ExactDedupVerdict],
+      state: GroupState[SourceQuotaState]): Iterator[ShardSurvivor] = {
+    var ranked = state.getOption.map(_.ranked).getOrElse(Map.empty[Long, Long])
+    val out = scala.collection.mutable.ArrayBuffer[ShardSurvivor]()
+    it.toList.sortBy(_.doc_id).foreach { a =>
+      if (!ranked.contains(a.doc_id)) {
+        if (ranked.size < quota) {
+          ranked += (a.doc_id -> (ranked.size + 1L))
+          out += ShardSurvivor(a.doc_id, a.source, survivor = true)
+        } else {
+          // beyond-quota ids are NOT stored (that is what bounds the
+          // state); a redelivered definite-reject re-emits its verdict —
+          // reject rows are at-least-once on this path, admits stay
+          // exactly-once
+          out += ShardSurvivor(a.doc_id, a.source, survivor = false)
+        }
+      }
+    }
+    state.update(SourceQuotaState(ranked))
+    out.iterator
+  }
+
+  /** Sharded per-source quota — the hot-source scale path. The serial
+    * [[quotaStream]] is exact but keys ALL of a source's candidates
+    * through one state row (O(candidates) state, one task per source).
+    * This splits admission in two stages composed through storage:
+    *
+    *  1. THIS stage keys by (source, doc_id % shards) and passes through
+    *     each shard's first `quota` candidates; a candidate beyond its
+    *     shard's quota has ≥ quota earlier arrivals in that shard alone,
+    *     so its GLOBAL arrival rank must exceed the quota — it is a
+    *     definite reject, emitted here with no rank. State per shard is
+    *     AT MOST `quota` ids — bounded however large the source.
+    *  2. the survivors (≤ shards·quota per source) feed the serial
+    *     [[quotaStream]], whose state is now bounded too.
+    *
+    * EXACTNESS: the admitted set and every admitted rank equal the
+    * serial path's (a survivor whose survivor-relative rank is within
+    * quota cannot be preceded by any dropped candidate — each dropped
+    * candidate is preceded by `quota` same-shard survivors, which would
+    * push the later survivor's rank past the quota). Only the rank
+    * VALUES reported for stage-2 rejects differ: they count survivors
+    * only, so they are lower bounds on the true arrival rank
+    * (StreamingCurationSpec pins the equivalence property).
+    */
+  def shardQuotaStream(spark: SparkSession, dedupVerdicts: DataFrame,
+      quota: Long, shards: Int): Dataset[ShardSurvivor] = {
+    import spark.implicits._
+    require(shards > 0, "shards must be positive")
+    dedupVerdicts
+      .filter(col("dup_of").isNull)
+      .select(col("doc_id"), col("source"),
+        lit(null).cast("long").as("dup_of"))
+      .as[ExactDedupVerdict]
+      .groupByKey(v => (v.source, v.doc_id % shards))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        checkShardQuota(quota))
   }
 }

@@ -88,6 +88,85 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sharded quota ≡ serial quota on admits (seeded random, cross-batch)") {
+    // the hot-source scale path: shard pre-prune (bounded state) feeding
+    // the exact serial stage over survivors only. Property: identical
+    // admitted set AND identical admitted ranks vs the serial operator
+    // on the same batched arrivals; every definite reject is genuinely
+    // over-quota.
+    implicit val sctx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val quota = 6L; val shards = 4
+    // 3 sources × ~40 candidates, shuffled ids, split into 3 batches
+    val arrivals = rnd.shuffle(
+      (1 to 120).map(i => (i * 7L % 1000L + i, s"s${i % 3}")).distinct.toList)
+    val batches = arrivals.grouped((arrivals.size + 2) / 3).toList
+
+    def runSerial(): Map[Long, (Long, Boolean)] = {
+      val in = MemoryStream[(Long, String)]
+      val q = StreamingCuration.quotaStream(spark,
+        in.toDF().toDF("doc_id", "source")
+          .withColumn("dup_of", lit(null).cast("long")), quota)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("scur_q_serial").start()
+      try {
+        batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        spark.table("scur_q_serial")
+          .select($"doc_id", $"admit_rank", $"admitted").collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      } finally q.stop()
+    }
+    def runSharded(): (Map[Long, (Long, Boolean)], Set[Long]) = {
+      val in1 = MemoryStream[(Long, String)]
+      val q1 = StreamingCuration.shardQuotaStream(spark,
+        in1.toDF().toDF("doc_id", "source")
+          .withColumn("dup_of", lit(null).cast("long")), quota, shards)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("scur_q_shard1").start()
+      val stage1 = try {
+        batches.foreach { b => in1.addData(b); q1.processAllAvailable() }
+        spark.table("scur_q_shard1")
+          .select($"doc_id", $"source", $"survivor").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      } finally q1.stop()
+      val rejects = stage1.filter(!_._3).map(_._1).toSet
+      // stage 2 composes through storage: survivors re-enter in the same
+      // batch structure (arrival order preserved per batch)
+      val survSet = stage1.filter(_._3).map(_._1).toSet
+      val in2 = MemoryStream[(Long, String)]
+      val q2 = StreamingCuration.quotaStream(spark,
+        in2.toDF().toDF("doc_id", "source")
+          .withColumn("dup_of", lit(null).cast("long")), quota)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("scur_q_shard2").start()
+      val exact = try {
+        batches.foreach { b =>
+          in2.addData(b.filter(t => survSet.contains(t._1)))
+          q2.processAllAvailable()
+        }
+        spark.table("scur_q_shard2")
+          .select($"doc_id", $"admit_rank", $"admitted").collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      } finally q2.stop()
+      (exact, rejects)
+    }
+
+    val serial = runSerial()
+    val (sharded, definiteRejects) = runSharded()
+    assert(definiteRejects.nonEmpty, "fixture must exercise the shard-reject arm")
+    // every candidate is verdicted exactly once across the two stages
+    assert(sharded.keySet ++ definiteRejects == serial.keySet)
+    assert((sharded.keySet & definiteRejects).isEmpty)
+    // definite rejects are genuinely over-quota in the serial run
+    definiteRejects.foreach { id =>
+      assert(!serial(id)._2, s"doc $id shard-rejected but serially admitted") }
+    // admitted set and admitted RANKS are exact
+    val serialAdmits = serial.filter(_._2._2)
+    val shardedAdmits = sharded.filter(_._2._2)
+    assert(shardedAdmits == serialAdmits,
+      s"admitted set+ranks must equal the serial path\n serial=$serialAdmits\n sharded=$shardedAdmits")
+  }
+
   test("windowed dedup: a digest expires after the dedup window and re-admits") {
     // opt-in event-time TTL on the digest registry: unseen for the window
     // → the entry is removed (bounded state), and a later holder of the
