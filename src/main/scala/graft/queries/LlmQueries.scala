@@ -35,6 +35,54 @@ object LlmQueries {
     (sig, Dedup.verifyJaccard(sh, cand))
   }
 
+  /** Constructed timeline for l78 (windowed streaming dedup), memoized per
+    * (session, sf dir) — the four day-partitioned input files are
+    * immutable; each l78 run gets its own query/checkpoint/output.
+    * Timeline (1-hour dedup window): texts uniquified per base doc; every
+    * 7th doc gets a copy 30 min later (in-window dup), a day-3 copy
+    * (digest expired through the two filler days → fresh owner), and a
+    * copy 30 min after that (dup of the re-admitted owner).
+    */
+  private val l78Cache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def l78Input(s: SparkSession, d: String): String =
+    l78Cache.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+      val E = 1704067200L // 2024-01-01 00:00:00 UTC, epoch seconds
+      val Day = 86400L
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          concat(col("text"), lit("#"), col("doc_id").cast("string"))
+            .as("text"),
+          (col("doc_id") % 70000).cast("long").as("off"))
+      def wave(idShift: Long, tsSec: org.apache.spark.sql.Column,
+          src: DataFrame): DataFrame =
+        src.select((col("doc_id") + idShift).as("doc_id"), col("text"),
+          col("source"), timestamp_seconds(tsSec).as("ts"))
+      val d7 = base.filter(col("doc_id") % 7 === 0)
+      val day0 = wave(0L, lit(E) + col("off"), base)
+        .unionByName(wave(1000000L, lit(E) + col("off") + 1800L, d7))
+      def filler(id: Long, day: Long): DataFrame =
+        s.range(1).select(lit(id).as("doc_id"),
+          lit(s"filler-day-$day").as("text"), lit("filler").as("source"),
+          timestamp_seconds(lit(E + day * Day)).as("ts"))
+      val day3 = wave(2000000L, lit(E + 3 * Day) + col("off"), d7)
+        .unionByName(wave(3000000L, lit(E + 3 * Day) + col("off") + 1800L, d7))
+      val waves = Seq(day0, filler(9000001L, 1L), filler(9000002L, 2L), day3)
+      val work = java.nio.file.Files.createTempDirectory("graft_l78_in")
+      val inDir = new java.io.File(s"$work/in"); inDir.mkdirs()
+      waves.zipWithIndex.foreach { case (w, i) =>
+        val sliceDir = s"$work/slice$i"
+        w.coalesce(1).write.parquet(sliceDir)
+        val part = new java.io.File(sliceDir).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(inDir, f"day-$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(1700000000000L + i * 60000L)
+      }
+      inDir.toString
+    })
+
   // ------------------------------------------------------- oracle helpers
 
   /** DuckDB equivalent of TextAnalysis.hash48. */
@@ -1364,39 +1412,8 @@ object LlmQueries {
     "l78_windowed_dedup_streaming" -> Def(
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
-        val E = 1704067200L // 2024-01-01 00:00:00 UTC, epoch seconds
-        val Day = 86400L
-        val base = t(s, d, "documents")
-          .select(col("doc_id"), col("source"),
-            concat(col("text"), lit("#"), col("doc_id").cast("string"))
-              .as("text"),
-            (col("doc_id") % 70000).cast("long").as("off"))
-        def wave(idShift: Long, tsSec: org.apache.spark.sql.Column,
-            src: DataFrame): DataFrame =
-          src.select((col("doc_id") + idShift).as("doc_id"), col("text"),
-            col("source"), timestamp_seconds(tsSec).as("ts"))
-        val d7 = base.filter(col("doc_id") % 7 === 0)
-        val day0 = wave(0L, lit(E) + col("off"), base)
-          .unionByName(wave(1000000L, lit(E) + col("off") + 1800L, d7))
-        def filler(id: Long, day: Long): DataFrame =
-          s.range(1).select(lit(id).as("doc_id"),
-            lit(s"filler-day-$day").as("text"), lit("filler").as("source"),
-            timestamp_seconds(lit(E + day * Day)).as("ts"))
-        val day3 = wave(2000000L, lit(E + 3 * Day) + col("off"), d7)
-          .unionByName(wave(3000000L, lit(E + 3 * Day) + col("off") + 1800L, d7))
-        val waves = Seq(day0, filler(9000001L, 1L), filler(9000002L, 2L), day3)
-
+        val inDir = l78Input(s, d)
         val work = java.nio.file.Files.createTempDirectory("graft_l78")
-        val inDir = new java.io.File(s"$work/in"); inDir.mkdirs()
-        waves.zipWithIndex.foreach { case (w, i) =>
-          val sliceDir = s"$work/slice$i"
-          w.coalesce(1).write.parquet(sliceDir)
-          val part = new java.io.File(sliceDir).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val dest = new java.io.File(inDir, f"day-$i%02d.parquet")
-          java.nio.file.Files.move(part.toPath, dest.toPath)
-          dest.setLastModified(1700000000000L + i * 60000L)
-        }
         val raw = s.readStream
           .schema("doc_id LONG, text STRING, source STRING, ts TIMESTAMP")
           .option("maxFilesPerTrigger", 1).parquet(inDir.toString)

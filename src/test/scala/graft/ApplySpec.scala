@@ -441,6 +441,26 @@ class ApplySpec extends SparkSpec {
       s"closed + open versions across the split: $hist")
   }
 
+  test("scd2Apply plan: the lead window runs over the batch only, history joins") {
+    // the incremental fold must never re-window history — exactly one
+    // Window (scd2 over the change batch); the history side contributes
+    // a key join against the batch-key aggregate, nothing sorted
+    val history = Apply.scd2(
+      (1L to 200L).map(k => ("t", k, "INSERT", s"v$k", k)).toDF(
+        "tbl", "uid", "operation", "v", "seq"),
+      Seq("tbl", "uid"), $"operation", $"seq", $"v")
+    val batch = Seq(("t", 1L, "UPDATE", "x", 1000L))
+      .toDF("tbl", "uid", "operation", "v", "seq")
+    val df = Apply.scd2Apply(history, batch, Seq("tbl", "uid"),
+      $"operation", $"seq", $"v")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 2,
+      s"two windows total: one inside the prior history build, one over " +
+        s"the change batch — never a third over the folded history:\n$plan")
+  }
+
   test("applyChanges plan: ranking window runs over the batch side only") {
     val base = (1L to 100L).map(i => ("t", i, s"v$i")).toDF("tbl", "uid", "v")
       .select($"tbl", $"uid", map(lit("v"), $"v").as("img"))
