@@ -362,6 +362,54 @@ class ApplySpec extends SparkSpec {
       s"the deleted key must not resurrect from the bucket's previous version: $got")
   }
 
+  test("bucketed MV: a replayed batch (crash between state write and commit) is idempotent") {
+    // the at-least-once contract's hard case: batch 1's bucket versions
+    // were WRITTEN but its checkpoint commit never landed. Simulate by
+    // deleting the commit marker; the restarted query replays batch 1,
+    // which must overwrite its own v1 in exactly the touched buckets
+    // (reading each bucket's version BELOW 1) and converge to the same
+    // state — no duplicates, no double-fold.
+    val dir = Files.createTempDirectory("graft_ivm_replay").toString
+    val src = s"$dir/in"; val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def startQuery() = {
+      val raw = spark.readStream
+        .schema("wal_start LONG, data STRING").json(s"$src/*.json")
+      MaterializedView.start(spark,
+        CdcStream.pipeline(spark, raw, "testdb"), state, ckpt,
+        keyCols = Seq("id"), seq = col("txid"), buckets = 8,
+        trigger = Trigger.ProcessingTime("50 milliseconds"))
+    }
+    (walJson(10, "I", 1L, "a") ++ walJson(20, "I", 2L, "b"))
+      .toDF("wal_start", "data").write.json(s"$src/b0.json")
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    (walJson(30, "U", 1L, "a2") ++ walJson(40, "I", 3L, "c"))
+      .toDF("wal_start", "data").write.json(s"$src/b1.json")
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+    def readState() = MaterializedView.currentState(spark, state, Seq("id"))
+      .select($"id".cast("long"), element_at($"image", "v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val committed = readState()
+    // crash simulation: the engine never saw the last batch commit
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.matches("\\d+")).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    val last = commits.last
+    assert(last.delete(), s"failed to delete commit marker $last")
+    // the local FS keeps a checksum sidecar; a stale one trips Spark's
+    // concurrent-modification guard when the replay re-commits the batch
+    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+    if (crc.exists()) { crc.delete(); () }
+    val q3 = startQuery(); q3.processAllAvailable(); q3.stop()
+    assert(readState() == committed,
+      s"replay must converge to the identical state: $committed vs ${readState()}")
+    // and no bucket carries duplicate rows for a key
+    val dup = MaterializedView.currentState(spark, state, Seq("id"))
+      .groupBy($"id").count().filter($"count" > 1).count()
+    assert(dup == 0L, "no key appears twice after replay")
+  }
+
   test("bucket count is pinned in state: restart with a different N is rejected") {
     val dir = Files.createTempDirectory("graft_pin").toString
     val src = s"$dir/in"; val state = s"$dir/state"
