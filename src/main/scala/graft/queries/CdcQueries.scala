@@ -1131,6 +1131,50 @@ object CdcQueries {
         SELECT tbl, uid, event_id AS ver_src FROM v
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY tbl, uid""")),
 
+    // Point-in-time SCD2 lookup (MaterializedView.scd2AsOf) over the
+    // streaming-maintained history — run with compactClosedAfter=2 so the
+    // gated read crosses REAL compacted segments (driver-gating the
+    // segment layout + validity pruning end-to-end, not just the spec).
+    // t = 3/5 of the seq domain (integer division on both sides); the
+    // oracle is the validity-interval predicate over the same LEAD-window
+    // history: valid_from <= t AND (valid_to > t OR valid_to IS NULL).
+    "c31_scd2_asof" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val (srcDir, work) = scd2StreamInput(s, d)
+        val state = s"$work/state_asof"; val ckpt = s"$work/ckpt_asof"
+        val raw = s.readStream.schema("wal_start LONG, data STRING")
+          .option("maxFilesPerTrigger", 1).json(s"$srcDir/b*")
+        val q = graft.streaming.MaterializedView.startScd2(s,
+          graft.streaming.CdcStream.pipeline(s, raw, Db), state, ckpt,
+          keyCols = Seq("tbl", "uid"),
+          seq = coalesce(element_at(col("after"), "seq"),
+            element_at(col("before"), "seq")).cast("long"),
+          compactClosedAfter = 2,
+          trigger = Trigger.ProcessingTime("50 milliseconds"))
+        try { q.processAllAvailable() } finally q.stop()
+        val tPos = t(s, d, "events")
+          .agg(expr("max(event_id) * 3 div 5")).head().getLong(0)
+        graft.streaming.MaterializedView.scd2AsOf(s, state,
+            Seq("tbl", "uid"), tPos)
+          .select(col("tbl"), col("uid").cast("long").as("uid"),
+            element_at(col("image"), "seq").cast("long").as("ver_src"),
+            col("valid_from"), col("valid_to"))
+          .orderBy(col("tbl"), col("uid"))
+      },
+      Some("""WITH v AS (SELECT event_type AS tbl, user_id AS uid,
+          CASE event_id % 3 WHEN 0 THEN 'INSERT' WHEN 1 THEN 'UPDATE'
+            ELSE 'DELETE' END AS op,
+          event_id AS valid_from,
+          LEAD(event_id) OVER (PARTITION BY event_type, user_id
+            ORDER BY event_id) AS valid_to
+        FROM events),
+        tp AS (SELECT MAX(event_id) * 3 // 5 AS t FROM events)
+        SELECT tbl, uid, valid_from AS ver_src, valid_from, valid_to
+        FROM v, tp WHERE op <> 'DELETE'
+          AND valid_from <= t AND (valid_to > t OR valid_to IS NULL)
+        ORDER BY tbl, uid""")),
+
     "c24_sink_order_key" -> Def(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window

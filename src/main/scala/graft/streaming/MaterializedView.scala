@@ -38,6 +38,22 @@ import graft.cdc.Apply
   * its own closed rows, so per-batch write volume is O(batch +
   * open-rows-in-touched-buckets) no matter how long history grows.
   *
+  * The closed log is additionally COMPACTED: one directory per
+  * micro-batch forever is a small-files scale-killer (100 ms triggers =
+  * ~864k directories/day), so once `compactClosedAfter` (K) closed
+  * versions short of the newest accumulate, they are folded into one
+  * immutable SEGMENT `s<lo>-<hi>` — a pure concat (closed rows never
+  * change), re-clustered `partitionBy` key bucket so key-pruned reads
+  * skip to one subdirectory, with each row's source version id kept in
+  * `_mv_vid` (point-in-time reads stay exact) and a `_meta.json`
+  * validity range for [[scd2AsOf]] segment pruning. When K segments
+  * accumulate, the oldest K merge into one (second tier) — M batches
+  * leave ≤ K + K + M/K² closed directories with each row rewritten at
+  * most twice. Crash-safety: a segment is staged then atomically moved;
+  * entries whose id-range a segment strictly contains are leftovers of a
+  * crash between move and source-delete — readers skip them, the next
+  * compaction deletes them.
+  *
   * Both folds are EXACT under the split: closed rows and untouched
   * buckets are fixed points of `scd2Apply`/`applyChanges` (a closed row
   * keeps its interval, an untouched key keeps its image), so restricting
@@ -74,25 +90,53 @@ object MaterializedView {
       .exists(f => f.isFile && !f.getName.startsWith("_") &&
         !f.getName.startsWith("."))
 
+  /** [[hasDataFiles]] through one level of `partitionBy` subdirectories
+    * (a segment nests its part files under `_mv_bucket=k/`).
+    */
+  private def hasDataFilesDeep(dir: File): Boolean =
+    hasDataFiles(dir) || Option(dir.listFiles()).toSeq.flatten
+      .exists(f => f.isDirectory && !f.getName.startsWith("_stage") &&
+        hasDataFiles(f))
+
   private def rm(f: File): Unit = {
     Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
   }
 
   /** Record/validate the bucket count: the hash layout is only stable if
-    * every (re)start folds with the SAME N.
+    * every (re)start folds with the SAME N. The pin file is written to a
+    * temp name and atomically moved into place so a crash mid-write can
+    * never leave a truncated pin behind.
     */
   private def pinBuckets(stateDir: String, buckets: Int): Unit = {
     val f = new File(stateDir, "_buckets")
     if (f.exists()) {
-      val pinned = new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      val pinned = pinnedBuckets(stateDir)
       require(pinned == buckets,
         s"state at $stateDir was bucketed with N=$pinned, restart passed N=$buckets")
     } else {
       new File(stateDir).mkdirs()
-      java.nio.file.Files.write(f.toPath, buckets.toString.getBytes(
+      val tmp = new File(stateDir, s"._buckets.tmp")
+      java.nio.file.Files.write(tmp.toPath, buckets.toString.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       ()
+    }
+  }
+
+  /** The pinned bucket count of the state at `stateDir` (what key-pruned
+    * reads hash against).
+    */
+  def pinnedBuckets(stateDir: String): Int = {
+    val f = new File(stateDir, "_buckets")
+    require(f.isFile, s"no _buckets pin at $stateDir — not a bucketed state dir")
+    val raw = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    try raw.toInt catch {
+      case e: NumberFormatException => throw new IllegalStateException(
+        s"corrupt _buckets pin at $stateDir (content: '$raw') — the pin is " +
+          "written atomically, so this indicates external damage", e)
     }
   }
 
@@ -129,17 +173,19 @@ object MaterializedView {
       keyCols: Seq[String]): DataFrame = {
     val withData = paths.filter(hasDataFiles).map(_.toString)
     if (withData.nonEmpty) spark.read.parquet(withData: _*)
-    else {
-      val schema = org.apache.spark.sql.types.StructType(
-        keyCols.map(k => org.apache.spark.sql.types.StructField(k,
-          org.apache.spark.sql.types.StringType)) :+
-        org.apache.spark.sql.types.StructField("image",
-          org.apache.spark.sql.types.MapType(
-            org.apache.spark.sql.types.StringType,
-            org.apache.spark.sql.types.StringType)))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
+    else emptyState(spark, keyCols)
+  }
+
+  private def emptyState(spark: SparkSession, keyCols: Seq[String]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      keyCols.map(k => org.apache.spark.sql.types.StructField(k,
+        org.apache.spark.sql.types.StringType)) :+
+      org.apache.spark.sql.types.StructField("image",
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** Per bucket keep the newest `retain` versions (replay only ever
@@ -154,23 +200,236 @@ object MaterializedView {
         .foreach(rm)
     }
 
+  // ---------- closed-log segments ----------
+
+  /** Live closed-log entries: (version dirs by id, segments by id range),
+    * both ascending. An entry whose id-range a segment STRICTLY contains
+    * (larger span, covering range) is a leftover of a compaction that
+    * crashed between segment move and source delete — the segment holds
+    * the same rows, so such entries are filtered here (readers skip them;
+    * [[compactClosed]] deletes them).
+    */
+  private def closedEntries(closedRoot: File)
+      : (Seq[(Long, File)], Seq[(Long, Long, File)]) = {
+    val fs = Option(closedRoot.listFiles()).toSeq.flatten
+    val vdirs = fs.filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(f => (f.getName.drop(1).toLong, f))
+    val segs = fs.filter(f => f.isDirectory && f.getName.matches("s\\d+-\\d+"))
+      .map { f =>
+        val Array(a, b) = f.getName.drop(1).split("-")
+        (a.toLong, b.toLong, f)
+      }
+    def covered(lo: Long, hi: Long, self: File): Boolean =
+      segs.exists { case (sl, sh, sf) =>
+        (sf ne self) && sl <= lo && hi <= sh && (sh - sl) > (hi - lo) }
+    (vdirs.filterNot { case (id, f) => covered(id, id, f) }.sortBy(_._1),
+     segs.filterNot { case (l, h, f) => covered(l, h, f) }.sortBy(_._1))
+  }
+
+  /** Stage + atomically move one segment folding rows of versions
+    * [lo, hi]; `df` must carry `_mv_vid` and `_mv_bucket`. Writes a
+    * `_meta.json` validity range when the interval bounds cast to long
+    * (numeric seq domains — the common case), enabling [[scd2AsOf]] to
+    * skip the segment without listing its files.
+    */
+  private def writeSegment(spark: SparkSession, closedRoot: File,
+      df: DataFrame, lo: Long, hi: Long): Unit = {
+    val stage = new File(closedRoot, s"_stage_s$lo-$hi")
+    rm(stage)
+    df.write.mode("overwrite").partitionBy("_mv_bucket").parquet(stage.toString)
+    val mm = spark.read.parquet(stage.toString)
+      .agg(min(col("valid_from").cast("long")),
+        max(col("valid_to").cast("long"))).head()
+    if (!mm.isNullAt(0) && !mm.isNullAt(1))
+      java.nio.file.Files.write(new File(stage, "_meta.json").toPath,
+        s"""{"min_valid_from":${mm.getLong(0)},"max_valid_to":${mm.getLong(1)}}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val dst = new File(closedRoot, s"s$lo-$hi")
+    rm(dst)
+    java.nio.file.Files.move(stage.toPath, dst.toPath)
+    ()
+  }
+
+  private val metaRe =
+    """\{"min_valid_from":(-?\d+),"max_valid_to":(-?\d+)\}""".r
+
+  private def segMeta(seg: File): Option[(Long, Long)] = {
+    val f = new File(seg, "_meta.json")
+    if (!f.isFile) None
+    else new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim match {
+      case metaRe(a, b) => Some((a.toLong, b.toLong))
+      case _            => None
+    }
+  }
+
+  /** Fold the closed log once it fragments: all closed versions short of
+    * the newest (the only batch replay can revisit) merge into one
+    * segment when ≥ `k` of them accumulate, and the oldest `k` segments
+    * merge into one when ≥ `k` segments accumulate. Contents are
+    * immutable, so both folds are pure rewrites; idempotent under replay
+    * (a replayed batch finds nothing eligible — its own version is the
+    * newest) and crash-safe (stage+move, containment GC).
+    */
+  private def compactClosed(spark: SparkSession, root: File,
+      keyCols: Seq[String], buckets: Int, k: Int): Unit = {
+    val closedRoot = new File(root, "closed")
+    if (!closedRoot.isDirectory) return
+    // stale stages and superseded entries from a crashed compaction
+    Option(closedRoot.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("_stage_")).foreach(rm)
+    val (liveV, liveS) = closedEntries(closedRoot)
+    val liveDirs = (liveV.map(_._2) ++ liveS.map(_._3)).toSet
+    Option(closedRoot.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && !liveDirs.contains(f)).foreach(rm)
+
+    if (liveV.size > 1) {
+      val eligible = liveV.dropRight(1) // never the newest: replay rewrites it
+      if (eligible.size >= k) {
+        val lo = eligible.head._1; val hi = eligible.last._1
+        val withData = eligible.filter(e => hasDataFiles(e._2))
+        if (withData.nonEmpty) {
+          val df = withData.map { case (id, dir) =>
+            spark.read.parquet(dir.toString).withColumn("_mv_vid", lit(id))
+          }.reduce(_ unionByName _)
+            .withColumn("_mv_bucket", bucketOf(keyCols, buckets))
+          writeSegment(spark, closedRoot, df, lo, hi)
+        }
+        eligible.foreach(e => rm(e._2))
+      }
+    }
+    val (_, segs) = closedEntries(closedRoot)
+    if (segs.size >= k) {
+      val oldest = segs.take(k)
+      val lo = oldest.map(_._1).min; val hi = oldest.map(_._2).max
+      val parts = oldest.map(_._3).filter(hasDataFilesDeep)
+      if (parts.nonEmpty) {
+        // per-root reads (each segment is its own partitioned table —
+        // one multi-root read would fail partition discovery); partition
+        // column _mv_bucket comes back as a column and _mv_vid rides
+        // through, so the merge keeps per-row version granularity
+        val df = parts.map(p => spark.read.parquet(p.toString))
+          .reduce(_ unionByName _)
+        writeSegment(spark, closedRoot, df, lo, hi)
+      }
+      oldest.foreach(s => rm(s._3))
+    }
+  }
+
+  /** Union plain parquet dirs (closed `v<id>` + open bucket versions —
+    * identical schemas) with segment reads (extra `_mv_vid`/`_mv_bucket`
+    * columns, dropped; rows version-filtered when `below` is bounded).
+    */
+  private def readSplit(spark: SparkSession, keyCols: Seq[String],
+      plain: Seq[File], segParts: Seq[File], below: Long): DataFrame = {
+    val plainData = plain.filter(hasDataFiles).map(_.toString)
+    val segData = segParts.filter(hasDataFilesDeep).map(_.toString)
+    val segDf =
+      if (segData.isEmpty) None
+      else {
+        // per-root reads: sibling segments are separate partitioned
+        // tables; one multi-root read trips partition-structure inference
+        val raw = segData.map(p => spark.read.parquet(p))
+          .reduce(_ unionByName _)
+        val bounded = if (below == Long.MaxValue) raw
+          else raw.filter(col("_mv_vid") < below)
+        Some(bounded.drop("_mv_vid", "_mv_bucket"))
+      }
+    (plainData.nonEmpty, segDf) match {
+      case (true, Some(sd)) =>
+        spark.read.parquet(plainData: _*).unionByName(sd)
+      case (true, None)  => spark.read.parquet(plainData: _*)
+      case (false, Some(sd)) => sd
+      case (false, None) => emptyState(spark, keyCols)
+    }
+  }
+
   // ---------- readers ----------
 
   /** Read the current materialized state (MV layout: each bucket's latest
     * version below `below`; SCD2 layout: additionally the full closed
-    * log). Empty frame with (keys..., image) schema when no state exists.
+    * log — per-batch version dirs and compacted segments, with segment
+    * rows version-filtered so a bounded `below` stays exact). Empty frame
+    * with (keys..., image) schema when no state exists.
     */
   def currentState(spark: SparkSession, stateDir: String,
       keyCols: Seq[String], below: Long = Long.MaxValue): DataFrame = {
     val root = new File(stateDir)
-    val closed = Option(new File(root, "closed").listFiles()).toSeq.flatten
-      .filter(f => f.getName.matches("v\\d+") && f.getName.drop(1).toLong < below)
+    val (closedV, closedS) = closedEntries(new File(root, "closed"))
     val openRoot =
       if (new File(root, "open").isDirectory) new File(root, "open") else root
     val latest = bucketDirs(openRoot).flatMap { b =>
       latestVersionIn(b, below).map(v => new File(b, s"v$v"))
     }
-    readState(spark, closed ++ latest, keyCols)
+    readSplit(spark, keyCols,
+      closedV.filter(_._1 < below).map(_._2) ++ latest,
+      closedS.filter(_._1 < below).map(_._3), below)
+  }
+
+  /** Single-key read: prune to the key's bucket instead of scanning the
+    * table. `keyValues` are the key's column values in `keyCols` order
+    * (state keys are strings — images are string maps). Lists exactly ONE
+    * open bucket directory plus, for SCD2 state, the key's bucket
+    * partition inside each segment (`_mv_bucket=<b>` — the compaction
+    * re-clustered history for exactly this read) and the ≤K uncompacted
+    * closed versions; rows are filtered to the key. The bucket is
+    * computed driver-side with the same Murmur3(seed 42) Catalyst `hash`
+    * the writer used — no job, no listing beyond the bucket.
+    */
+  def keyState(spark: SparkSession, stateDir: String, keyCols: Seq[String],
+      keyValues: Seq[String], below: Long = Long.MaxValue): DataFrame = {
+    require(keyValues.size == keyCols.size,
+      s"keyValues must match keyCols: $keyCols vs $keyValues")
+    val n = pinnedBuckets(stateDir)
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+      keyValues.map(v => org.apache.spark.sql.catalyst.expressions.Literal
+        .create(v, org.apache.spark.sql.types.StringType)), 42)
+      .eval(null).asInstanceOf[Int]
+    val b = ((h % n) + n) % n
+    val root = new File(stateDir)
+    val (closedV, closedS) = closedEntries(new File(root, "closed"))
+    val openRoot =
+      if (new File(root, "open").isDirectory) new File(root, "open") else root
+    val bucketDir = new File(openRoot, s"b$b")
+    val latest = latestVersionIn(bucketDir, below)
+      .map(v => new File(bucketDir, s"v$v")).toSeq
+    val segParts = closedS.filter(_._1 < below)
+      .map { case (_, _, f) => new File(f, s"_mv_bucket=$b") }
+      .filter(_.isDirectory)
+    val keyFilter = keyCols.zip(keyValues)
+      .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+    readSplit(spark, keyCols,
+      closedV.filter(_._1 < below).map(_._2) ++ latest, segParts, below)
+      .filter(keyFilter)
+  }
+
+  /** SCD2 point-in-time read: the history rows valid AT seq position `t`
+    * (`valid_from <= t` and `valid_to` null or `> t`) — the consumers'
+    * bread-and-butter lookup. Closed segments are PRUNED driver-side via
+    * their `_meta.json` validity range (a segment whose whole range lies
+    * after `t` or expired at/before `t` is never listed); surviving files
+    * still push the interval predicate into the parquet scan, so
+    * row-group stats skip within them. Requires a numeric seq domain.
+    */
+  def scd2AsOf(spark: SparkSession, stateDir: String, keyCols: Seq[String],
+      t: Long): DataFrame = {
+    val root = new File(stateDir)
+    val (closedV, closedS) = closedEntries(new File(root, "closed"))
+    val liveSegs = closedS.filter { case (_, _, f) =>
+      segMeta(f) match {
+        case Some((minFrom, maxTo)) => minFrom <= t && maxTo > t
+        case None                   => true // no meta: cannot prune, read it
+      }
+    }
+    val openRoot =
+      if (new File(root, "open").isDirectory) new File(root, "open") else root
+    val latest = bucketDirs(openRoot).flatMap { b =>
+      latestVersionIn(b, Long.MaxValue).map(v => new File(b, s"v$v"))
+    }
+    readSplit(spark, keyCols, closedV.map(_._2) ++ latest,
+      liveSegs.map(_._3), Long.MaxValue)
+      .filter(col("valid_from") <= lit(t) &&
+        (col("valid_to").isNull || col("valid_to") > lit(t)))
   }
 
   // ---------- maintenance loops ----------
@@ -225,20 +484,25 @@ object MaterializedView {
 
   /** Maintain an SCD Type-2 HISTORY table from the CDC stream instead of
     * current state: closed versions (immutable) append to `closed/
-    * v<batchId>`; open versions fold bucketed exactly like [[start]],
-    * via [[graft.cdc.Apply.scd2Apply]] restricted to the touched
-    * buckets' open rows (first batch for a bucket: [[graft.cdc.Apply
-    * .scd2]] over the batch alone — same function, empty history).
-    * `seq` must be a monotone WAL-order column (e.g. numeric LSN);
-    * validity bounds are expressed in it.
+    * v<batchId>` (compacted into segments per `compactClosedAfter`); open
+    * versions fold bucketed exactly like [[start]], via [[graft.cdc
+    * .Apply.scd2Apply]] restricted to the touched buckets' open rows
+    * (first batch for a bucket: [[graft.cdc.Apply.scd2]] over the batch
+    * alone — same function, empty history). `seq` must be a monotone
+    * WAL-order column (e.g. numeric LSN); validity bounds are expressed
+    * in it.
     */
   def startScd2(spark: SparkSession, events: DataFrame, stateDir: String,
       checkpointPath: String, keyCols: Seq[String], seq: Column,
       retainVersions: Int = 2, buckets: Int = 8,
+      compactClosedAfter: Int = 16,
       trigger: Trigger = Trigger.ProcessingTime("100 milliseconds")): StreamingQuery = {
     require(keyCols.nonEmpty, "keyCols must name the history key")
     // same replay-coverage bound as start()
     require(retainVersions >= 2, "retainVersions must be >= 2 to cover replay")
+    // k=1 could mint a single-version segment s<i>-<i> whose range does
+    // not strictly contain v<i> — the crash-GC containment rule needs ≥2
+    require(compactClosedAfter >= 2, "compactClosedAfter must be >= 2")
     pinBuckets(stateDir, buckets)
     events.writeStream
       .outputMode("append")
@@ -256,10 +520,13 @@ object MaterializedView {
         if (touched.nonEmpty) {
           val root = new File(stateDir)
           val openRoot = new File(root, "open")
+          // hasDataFiles: a bucket whose only live keys were all closed
+          // (DELETE) leaves a BARE version dir — reading it would throw
+          // (no schema); it is exactly the empty-open-state case
           val openPaths = touched.flatMap { b =>
             latestVersionIn(new File(openRoot, s"b$b"), below = batchId)
               .map(v => new File(openRoot, s"b$b/v$v"))
-          }
+          }.filter(hasDataFiles)
           val changes = keyed.drop("_mv_bucket")
           val folded = (if (openPaths.nonEmpty)
             Apply.scd2Apply(spark.read.parquet(openPaths.map(_.toString): _*),
@@ -277,6 +544,7 @@ object MaterializedView {
             writeBuckets(folded.filter(col("is_current")), keyCols, buckets,
               openRoot.toString, batchId, touched)
             pruneBuckets(openRoot, retainVersions)
+            compactClosed(spark, root, keyCols, buckets, compactClosedAfter)
           } finally { folded.unpersist(); () }
         }
       }.start()

@@ -489,6 +489,197 @@ class ApplySpec extends SparkSpec {
       s"closed + open versions across the split: $hist")
   }
 
+  test("bucketed SCD2: delete of a bucket's only key then re-touch does not wedge") {
+    // regression: a DELETE of a bucket's only live key leaves a BARE open
+    // version dir (no part files); a later batch touching that bucket
+    // must treat it as empty open state (fold via scd2 over the batch
+    // alone), not die on schema inference — which would replay forever
+    val dir = Files.createTempDirectory("graft_scd2_retouch").toString
+    val src = s"$dir/in"; val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def startQuery() = {
+      val raw = spark.readStream
+        .schema("wal_start LONG, data STRING").json(s"$src/*.json")
+      MaterializedView.startScd2(spark,
+        CdcStream.pipeline(spark, raw, "testdb"), state, ckpt,
+        keyCols = Seq("id"),
+        seq = graft.streaming.OrderedSink.lsnNumeric(col("lsn")),
+        buckets = 8, trigger = Trigger.ProcessingTime("50 milliseconds"))
+    }
+    walJson(10, "I", 1L, "a").toDF("wal_start", "data").write.json(s"$src/b0.json")
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    walJson(30, "D", 1L, "").toDF("wal_start", "data").write.json(s"$src/b1.json")
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    // the bucket's open state is now a bare version dir; re-insert the key
+    walJson(50, "I", 1L, "a2").toDF("wal_start", "data").write.json(s"$src/b2.json")
+    val q3 = startQuery(); q3.processAllAvailable(); q3.stop()
+    val hist = MaterializedView.currentState(spark, state, Seq("id"))
+      .select(element_at($"image", "v"), $"valid_from",
+        $"valid_to", $"is_current").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toSet
+    assert(hist == Set(("a", 11L, 31L, false), ("a2", 51L, -1L, true)),
+      s"insert-delete-reinsert history: $hist")
+  }
+
+  private def closedDirNames(state: String): Set[String] = {
+    val c = new java.io.File(s"$state/closed")
+    Option(c.listFiles()).toSeq.flatten.filter(_.isDirectory)
+      .map(_.getName).toSet
+  }
+
+  test("SCD2 closed-log compaction: segments bound the directory count, reads stay identical") {
+    val dir = Files.createTempDirectory("graft_scd2_compact").toString
+    val src = s"$dir/in"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def startQuery(state: String, ckpt: String, k: Int) = {
+      val raw = spark.readStream
+        .schema("wal_start LONG, data STRING").json(s"$src/*.json")
+      MaterializedView.startScd2(spark,
+        CdcStream.pipeline(spark, raw, "testdb"), state, ckpt,
+        keyCols = Seq("id"),
+        seq = graft.streaming.OrderedSink.lsnNumeric(col("lsn")),
+        buckets = 4, compactClosedAfter = k,
+        trigger = Trigger.ProcessingTime("50 milliseconds"))
+    }
+    // 6 micro-batches, each updating both keys -> every batch closes rows
+    val stateC = s"$dir/state_c"; val stateU = s"$dir/state_u"
+    for (b <- 0 until 6) {
+      (walJson(100 * b + 10, if (b == 0) "I" else "U", 1L, s"a$b") ++
+       walJson(100 * b + 20, if (b == 0) "I" else "U", 2L, s"b$b"))
+        .toDF("wal_start", "data").write.json(s"$src/b$b.json")
+      val qc = startQuery(stateC, s"$dir/ckpt_c", 2)
+      qc.processAllAvailable(); qc.stop()
+      val qu = startQuery(stateU, s"$dir/ckpt_u", 100)
+      qu.processAllAvailable(); qu.stop()
+    }
+    val compacted = closedDirNames(stateC)
+    val uncompacted = closedDirNames(stateU)
+    assert(uncompacted.size == 6 && uncompacted.forall(_.startsWith("v")),
+      s"control run keeps one dir per batch: $uncompacted")
+    assert(compacted.size <= 4,
+      s"6 batches at K=2 must leave a bounded closed log (tiered segments): $compacted")
+    assert(compacted.exists(_.startsWith("s")), s"segments exist: $compacted")
+    def canon(state: String) = MaterializedView
+      .currentState(spark, state, Seq("id"))
+      .select($"id", element_at($"image", "v"), $"valid_from", $"valid_to",
+        $"is_current")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+    assert(canon(stateC) == canon(stateU),
+      "compaction is a pure rewrite: the history reads back identically")
+    // 5 closed versions per key (6 changes): content sanity
+    assert(canon(stateC).count(!_._5) == 10, s"10 closed rows: ${canon(stateC)}")
+  }
+
+  test("keyState prunes to the key's bucket: one open bucket dir, segment partitions only") {
+    val dir = Files.createTempDirectory("graft_keystate").toString
+    val src = s"$dir/in"; val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def startQuery() = {
+      val raw = spark.readStream
+        .schema("wal_start LONG, data STRING").json(s"$src/*.json")
+      MaterializedView.start(spark,
+        CdcStream.pipeline(spark, raw, "testdb"), state, ckpt,
+        keyCols = Seq("id"), seq = col("txid"), buckets = 8,
+        trigger = Trigger.ProcessingTime("50 milliseconds"))
+    }
+    val keys = (1L to 12L)
+    keys.flatMap(k => walJson(k * 10, "I", k, s"v$k"))
+      .toDF("wal_start", "data").write.json(s"$src/b0.json")
+    val q = startQuery(); q.processAllAvailable(); q.stop()
+    val df = MaterializedView.keyState(spark, state, Seq("id"), Seq("7"))
+    val wantBucket = s"/b${bucketOfStringKey(7L, 8)}/"
+    val files = df.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains(wantBucket)),
+      s"single-key read must list only the key's bucket: ${files.toSeq}")
+    val got = df.select(element_at($"image", "v")).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("v7"), s"key 7's image: ${got.toSeq}")
+  }
+
+  test("keyState on compacted SCD2 state reads only the key's segment partitions") {
+    val dir = Files.createTempDirectory("graft_keystate_scd2").toString
+    val src = s"$dir/in"; val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def startQuery() = {
+      val raw = spark.readStream
+        .schema("wal_start LONG, data STRING").json(s"$src/*.json")
+      MaterializedView.startScd2(spark,
+        CdcStream.pipeline(spark, raw, "testdb"), state, ckpt,
+        keyCols = Seq("id"),
+        seq = graft.streaming.OrderedSink.lsnNumeric(col("lsn")),
+        buckets = 4, compactClosedAfter = 2,
+        trigger = Trigger.ProcessingTime("50 milliseconds"))
+    }
+    for (b <- 0 until 5) {
+      (walJson(100 * b + 10, if (b == 0) "I" else "U", 1L, s"a$b") ++
+       walJson(100 * b + 20, if (b == 0) "I" else "U", 2L, s"b$b"))
+        .toDF("wal_start", "data").write.json(s"$src/b$b.json")
+      val q = startQuery(); q.processAllAvailable(); q.stop()
+    }
+    val b1 = bucketOfStringKey(1L, 4)
+    val df = MaterializedView.keyState(spark, state, Seq("id"), Seq("1"))
+    val files = df.inputFiles
+    // segment files must come from the key's bucket partition only
+    val segFiles = files.filter(_.contains("/closed/s"))
+    assert(segFiles.nonEmpty, s"compacted segments are read: ${files.toSeq}")
+    assert(segFiles.forall(_.contains(s"_mv_bucket=$b1")),
+      s"segment reads prune to the key's partition: ${segFiles.toSeq}")
+    // open-side files only from the key's bucket
+    val openFiles = files.filterNot(f =>
+      f.contains("/closed/"))
+    assert(openFiles.forall(_.contains(s"/b$b1/")),
+      s"open reads prune to the key's bucket: ${openFiles.toSeq}")
+    // full history for key 1 present (5 versions: 4 closed + 1 open)
+    assert(df.count() == 5, s"key 1 history rows: ${df.count()}")
+    // and equals the unpruned read filtered to the key
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select(element_at($"image", "v"), $"valid_from", $"valid_to",
+        $"is_current").collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toSet
+    assert(canon(df) == canon(MaterializedView
+      .currentState(spark, state, Seq("id")).filter($"id" === "1")))
+  }
+
+  test("scd2AsOf: validity-interval read matches the filter, expired segments prune away") {
+    val dir = Files.createTempDirectory("graft_asof").toString
+    val src = s"$dir/in"; val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def startQuery() = {
+      val raw = spark.readStream
+        .schema("wal_start LONG, data STRING").json(s"$src/*.json")
+      MaterializedView.startScd2(spark,
+        CdcStream.pipeline(spark, raw, "testdb"), state, ckpt,
+        keyCols = Seq("id"),
+        seq = graft.streaming.OrderedSink.lsnNumeric(col("lsn")),
+        buckets = 4, compactClosedAfter = 2,
+        trigger = Trigger.ProcessingTime("50 milliseconds"))
+    }
+    for (b <- 0 until 6) {
+      (walJson(100 * b + 10, if (b == 0) "I" else "U", 1L, s"a$b") ++
+       walJson(100 * b + 20, if (b == 0) "I" else "U", 2L, s"b$b"))
+        .toDF("wal_start", "data").write.json(s"$src/b$b.json")
+      val q = startQuery(); q.processAllAvailable(); q.stop()
+    }
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select($"id", element_at($"image", "v")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    for (t <- Seq(11L, 21L, 215L, 521L, 10000L)) {
+      val asOf = MaterializedView.scd2AsOf(spark, state, Seq("id"), t)
+      val manual = MaterializedView.currentState(spark, state, Seq("id"))
+        .filter($"valid_from" <= t && ($"valid_to".isNull || $"valid_to" > t))
+      assert(canon(asOf) == canon(manual), s"asOf($t): ${canon(asOf)}")
+      if (t >= 21L)
+        assert(canon(asOf).size == 2, s"both keys live at t=$t")
+    }
+    // at t past all closed intervals, every segment's meta excludes it:
+    // only open-version (and residual uncompacted) files are listed
+    val late = MaterializedView.scd2AsOf(spark, state, Seq("id"), 10000L)
+    val segFiles = late.inputFiles.filter(_.contains("/closed/s"))
+    assert(segFiles.isEmpty,
+      s"expired segments are pruned from the listing: ${segFiles.toSeq}")
+  }
+
   test("scd2Apply plan: the lead window runs over the batch only, history joins") {
     // the incremental fold must never re-window history — exactly one
     // Window (scd2 over the change batch); the history side contributes
