@@ -116,13 +116,20 @@ object StreamingCuration {
     }
     owner.foreach(id => state.update(DigestOwner(id, flagged.toSeq.sorted)))
     windowMs.foreach { w =>
-      // refresh on every arrival: the entry lives `w` past the digest's
-      // latest event time (never at/below the watermark, which would be
-      // an immediate-timeout error)
-      val maxTs = arrivals.flatMap(a => Option(a.event_ts))
-        .map(_.getTime).foldLeft(0L)(math.max)
-      val floor = state.getCurrentWatermarkMs() + 1
-      state.setTimeoutTimestamp(math.max(maxTs + w, floor))
+      // refresh on every TIMESTAMPED arrival: the entry lives `w` past
+      // the digest's latest event time (never at/below the watermark,
+      // which would be an immediate-timeout error). A batch whose
+      // arrivals all carry NULL event_ts keeps the prior timeout —
+      // refreshing from a null-ts arrival would floor the timeout at
+      // watermark+1 and silently expire (= disable) dedup for the
+      // digest at the next watermark advance. A digest REGISTERED by a
+      // null-ts arrival carries no timeout until a timestamped arrival
+      // supplies one (unbounded beats silently wrong).
+      val ts = arrivals.flatMap(a => Option(a.event_ts)).map(_.getTime)
+      if (ts.nonEmpty) {
+        val floor = state.getCurrentWatermarkMs() + 1
+        state.setTimeoutTimestamp(math.max(ts.max + w, floor))
+      }
     }
     out.iterator
   }
@@ -188,7 +195,16 @@ object StreamingCuration {
     out.iterator
   }
 
-  /** Quota admission over the dedup stage's survivors (`dup_of` null). */
+  /** Quota admission over the dedup stage's survivors (`dup_of` null).
+    *
+    * STATE TRADEOFF: exactly-once verdicts under redelivery cost
+    * O(candidates-per-source) state — the source's full ranked-id map,
+    * reserialized on every batch the source appears in. That is the
+    * exact serial semantics; for a HOT source route through
+    * [[shardQuotaStream]] instead, whose per-shard state is bounded by
+    * `quota` ids (admits provably identical; reject verdicts become
+    * at-least-once).
+    */
   def quotaStream(spark: SparkSession, dedupVerdicts: DataFrame,
       quota: Long): Dataset[QuotaVerdict] = {
     import spark.implicits._

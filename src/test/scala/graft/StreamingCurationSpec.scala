@@ -200,6 +200,41 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed dedup: a null-ts duplicate keeps the entry's prior timeout (no silent expiry)") {
+    // regression: refreshing the event-time timeout from a batch whose
+    // arrivals all carry NULL event_ts floored it at watermark+1, so the
+    // digest entry expired on the next watermark advance — silently
+    // re-admitting later copies. A null-ts batch must keep the prior
+    // timeout; the duplicate content stays flagged inside the window.
+    implicit val sctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Option[java.sql.Timestamp])]
+    def ts(min: Int) = new java.sql.Timestamp(3600_000L + min * 60_000L)
+    val out = StreamingCuration.exactDedupStream(spark,
+      input.toDF().toDF("doc_id", "text", "source", "ts"),
+      "doc_id", "text", "source",
+      eventTimeCol = Some("ts"), dedupWindowMs = Some(10 * 60_000L))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("scur_dedup_nullts").start()
+    try {
+      input.addData((1L, "alpha", "s1", Some(ts(0)))); q.processAllAvailable()
+      // a duplicate WITHOUT an event time: flagged, timeout untouched
+      input.addData((2L, "alpha", "s1", None)); q.processAllAvailable()
+      // advance the watermark past (old behavior's) watermark+1 floor
+      // but well inside alpha's real window end ts(0)+10min
+      input.addData((3L, "beta", "s1", Some(ts(5)))); q.processAllAvailable()
+      input.addData((4L, "gamma", "s1", Some(ts(6)))); q.processAllAvailable()
+      // still inside the window: must flag, not re-register
+      input.addData((5L, "alpha", "s1", Some(ts(7)))); q.processAllAvailable()
+      val rows = spark.table("scur_dedup_nullts")
+        .select($"doc_id", $"dup_of").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(rows == Map(1L -> -1L, 2L -> 1L, 3L -> -1L, 4L -> -1L,
+        5L -> 1L),
+        s"null-ts arrival must not shorten the dedup window: $rows")
+    } finally q.stop()
+  }
+
   test("staged streaming run ≡ the oracle-checked batch analog (l77) on real docs") {
     implicit val sctx = spark.sqlContext
     val sfDir = "/root/testdata/sf0.001"
