@@ -103,11 +103,20 @@ object CdcStream {
     */
   def pipelinePgOutput(spark: SparkSession, raw: DataFrame, database: String,
       tableAllowlist: Seq[String] = Nil, txTtlMs: Long = 0L,
-      slotCol: Option[String] = None): DataFrame = {
-    val decoded = PgOutputStream.decode(spark, raw, slotCol = slotCol).toDF()
+      slotCol: Option[String] = None,
+      corruptPolicy: String = "crash"): DataFrame = {
+    val decoded = PgOutputStream.decode(spark, raw, slotCol = slotCol,
+      corruptPolicy = corruptPolicy).toDF()
+    // corrupt-frame markers (dlq policy) bypass assembly — a frame that
+    // cannot be decoded has no transaction to wait for; they rejoin the
+    // output as dead-letter records on the dlq subject, the streaming
+    // analog of Dlq.quarantine's second frame
+    val good =
+      if (corruptPolicy == "dlq") decoded.filter(col("operation") =!= "CORRUPT")
+      else decoded
     val filtered =
-      if (tableAllowlist.isEmpty) decoded
-      else decoded.filter(
+      if (tableAllowlist.isEmpty) good
+      else good.filter(
         col("is_begin") || col("is_commit") ||
         concat_ws(".", col("schema_name"), col("table_name"))
           .isin(tableAllowlist: _*))
@@ -115,7 +124,31 @@ object CdcStream {
       .toDF()
       .withColumn("is_begin", lit(false))
       .withColumn("is_commit", lit(false))
-    Transform.normalize(assembled, database)
+    val normalized = Transform.normalize(assembled, database)
+    if (corruptPolicy != "dlq") normalized
+    else {
+      val lsn = Transform.lsnString(col("wal_start"))
+      val dlqRows = decoded.filter(col("operation") === "CORRUPT").select(
+        concat_ws(":", lsn, col("txid"), col("operation"),
+          lit("corrupt_frame"), lit("0")).as("event_id"),
+        lit("cdc.corrupt_frame").as("event_type"),
+        lit("postgres").as("source"),
+        col("action_time").as("timestamp"),
+        col("action_time").as("commit_time"),
+        lsn.as("lsn"),
+        col("txid"),
+        col("schema_name").as("schema"),
+        col("table_name").as("table"),
+        col("operation"),
+        col("old_values").as("before"),
+        col("new_values").as("after"), // error + payload forensics
+        map(lit("error"), element_at(col("new_values"), "error"))
+          .as("metadata"),
+        Transform.dlqSubject("dlq", database,
+          coalesce(col("schema_name"), lit("_")),
+          coalesce(col("table_name"), lit("_"))).as("subject"))
+      normalized.unionByName(dlqRows)
+    }
   }
 
   /** Start the pipeline into a parquet sink with checkpointed recovery.

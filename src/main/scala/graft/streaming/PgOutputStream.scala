@@ -37,7 +37,7 @@ case class PgTxCursor(xid: Long, tsMicros: Long)
   * Frames are processed in wal_start order within the batch regardless of
   * arrival partitioning.
   */
-class PgOutputStreamDecoder
+class PgOutputStreamDecoder(corruptPolicy: String = "crash")
     extends StatefulProcessor[String, PgOutputFrame, DecodedWalEvent] {
 
   @transient private var registry: MapState[Int, PgOutput.RelationInfo] = _
@@ -82,9 +82,29 @@ class PgOutputStreamDecoder
       session.currentTs = microsToTs(c.tsMicros)
     }
     // a slot's WAL is serial: decode in wal_start order whatever the
-    // batch's arrival order was
-    val out = rows.toArray.sortBy(_.wal_start)
-      .flatMap(f => session.decode(f.wal_start, f.data))
+    // batch's arrival order was. Corrupt frames follow the parser-fatal
+    // policy (the reference classifies any parse error fatal and hands it
+    // to the dlq/skip/crash failure policy, parser.go:33-38 +
+    // config.go:101): crash propagates the NAMED error (task fails, the
+    // micro-batch replays — never a bare BufferUnderflow), dlq emits a
+    // CORRUPT marker row the pipeline routes to the dead-letter subject,
+    // skip drops the frame. Config errors (proto v2 frames) always crash.
+    val out = rows.toArray.sortBy(_.wal_start).flatMap { f =>
+      try session.decode(f.wal_start, f.data)
+      catch {
+        case e @ (_: PgOutput.CorruptFrameException | _: IllegalStateException)
+            if corruptPolicy != "crash" =>
+          if (corruptPolicy == "skip") Nil
+          else Seq(DecodedWalEvent(f.wal_start, "CORRUPT",
+            is_begin = false, is_commit = false, null, null, null,
+            Map("error" -> e.getMessage,
+              "payload_size" -> f.data.length.toString,
+              // forensic prefix, hex — 256 bytes covers any frame header
+              "payload_prefix_hex" ->
+                f.data.take(256).map("%02x".format(_)).mkString),
+            session.currentXid, session.currentTs))
+      }
+    }
     cursor.update(PgTxCursor(session.currentXid, tsToMicros(session.currentTs)))
     out.iterator
   }
@@ -99,17 +119,27 @@ object PgOutputStream {
     * reference; pass a slot column to fan out multiple slots in one query.
     *
     * Requires the RocksDB state-store provider (transformWithState).
+    *
+    * `corruptPolicy` routes structurally invalid frames mid-stream (the
+    * reference's parser-fatal failure policy, parser.go:33-38): "crash"
+    * (default) fails the task with the named [[PgOutput
+    * .CorruptFrameException]] taxonomy, "dlq" emits an operation=CORRUPT
+    * marker row (error message + payload forensics in `new_values`) and
+    * decodes on, "skip" drops the frame.
     */
   def decode(spark: SparkSession, raw: DataFrame,
       walStartCol: String = "wal_start", dataCol: String = "data",
-      slotCol: Option[String] = None): Dataset[DecodedWalEvent] = {
+      slotCol: Option[String] = None,
+      corruptPolicy: String = "crash"): Dataset[DecodedWalEvent] = {
     import spark.implicits._
+    require(Set("crash", "dlq", "skip")(corruptPolicy),
+      s"corruptPolicy must be crash|dlq|skip, got '$corruptPolicy'")
     val slot = slotCol.map(c => col(c).cast("string")).getOrElse(lit("slot0"))
     raw.select(slot.as("slot"), col(walStartCol).as("wal_start"),
         col(dataCol).as("data"))
       .as[PgOutputFrame]
       .groupByKey(_.slot)
-      .transformWithState(new PgOutputStreamDecoder(),
+      .transformWithState(new PgOutputStreamDecoder(corruptPolicy),
         TimeMode.None(), OutputMode.Append(),
         Encoders.product[DecodedWalEvent])
   }

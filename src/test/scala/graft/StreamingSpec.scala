@@ -154,6 +154,102 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("pgoutput streaming: corrupt frame mid-stream — named error (crash) / dead-letter record (dlq)") {
+    // streaming parity with the batch decoder's corrupt-frame taxonomy:
+    // under the default crash policy the query fails with the NAMED
+    // CorruptFrameException carrying the WAL position (never a bare
+    // BufferUnderflow, never a silent task-retry loop); under the dlq
+    // policy the frame becomes a dead-letter record on the dlq subject
+    // and the surrounding transaction commits normally — the reference's
+    // parser-fatal path handed to its dlq/skip/crash failure policy
+    // (parser.go:33-38, config.go:101).
+    implicit val sctx = spark.sqlContext
+    import graft.cdc.PgWire
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val t0 = 1705314600123456L
+    val truncated = PgWire.insert(100, Seq(Some("2"), Some("bob"))).dropRight(3)
+    def frames(): Seq[(Long, Array[Byte])] = Seq(
+      (10L, PgWire.relation(100, "public", "users",
+        Seq("id" -> 20, "name" -> 25))),
+      (20L, PgWire.begin(1000, t0, 7)),
+      (30L, PgWire.insert(100, Seq(Some("1"), Some("alice")))),
+      (35L, truncated),
+      (40L, PgWire.commit(1000, 1001, t0)))
+    def causes(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(20).toSeq
+    try {
+      // crash (default)
+      val in1 = MemoryStream[(Long, Array[Byte])]
+      val q1 = CdcStream.pipelinePgOutput(spark,
+          in1.toDF().toDF("wal_start", "data"), "testdb")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("pgcorrupt_crash").start()
+      val e = try {
+        in1.addData(frames(): _*)
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q1.processAllAvailable()
+        }
+      } finally q1.stop()
+      assert(causes(e).exists(c =>
+        c.isInstanceOf[graft.cdc.PgOutput.CorruptFrameException] &&
+          c.getMessage.contains("wal_start=35")),
+        s"named corrupt-frame error with WAL position, got: " +
+          causes(e).map(c => s"${c.getClass.getSimpleName}: ${c.getMessage}"))
+      assert(!causes(e).exists(_.isInstanceOf[java.nio.BufferUnderflowException]),
+        "the taxonomy must replace, not wrap-and-leak, BufferUnderflow")
+
+      // dlq
+      val in2 = MemoryStream[(Long, Array[Byte])]
+      val q2 = CdcStream.pipelinePgOutput(spark,
+          in2.toDF().toDF("wal_start", "data"), "testdb",
+          corruptPolicy = "dlq")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("pgcorrupt_dlq").start()
+      try {
+        in2.addData(frames(): _*)
+        q2.processAllAvailable()
+        val rows = spark.table("pgcorrupt_dlq")
+          .select($"operation", $"subject", $"after", $"event_type").collect()
+        val good = rows.filter(_.getString(0) == "INSERT")
+        assert(good.length == 1 &&
+          good.head.getString(1) == "cdc.testdb.public.users",
+          "the surrounding transaction still commits and publishes")
+        val dlq = rows.filter(_.getString(0) == "CORRUPT")
+        assert(dlq.length == 1, s"one dead-letter record: ${rows.toSeq}")
+        assert(dlq.head.getString(1) == "dlq.testdb._._",
+          s"dlq-routed subject: ${dlq.head.getString(1)}")
+        assert(dlq.head.getString(3) == "cdc.corrupt_frame")
+        val after = dlq.head.getAs[Map[String, String]]("after")
+        assert(after("error").contains("wal_start=35"),
+          s"error carries the WAL position: ${after("error")}")
+        assert(after.contains("payload_prefix_hex") &&
+          after("payload_size").toInt == truncated.length)
+      } finally q2.stop()
+
+      // skip: frame dropped, stream healthy, nothing quarantined
+      val in3 = MemoryStream[(Long, Array[Byte])]
+      val q3 = CdcStream.pipelinePgOutput(spark,
+          in3.toDF().toDF("wal_start", "data"), "testdb",
+          corruptPolicy = "skip")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("pgcorrupt_skip").start()
+      try {
+        in3.addData(frames(): _*)
+        q3.processAllAvailable()
+        val ops = spark.table("pgcorrupt_skip")
+          .select($"operation").collect().map(_.getString(0)).toSeq
+        assert(ops == Seq("INSERT"), s"skip drops the frame silently: $ops")
+      } finally q3.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("replayed events dedup within the watermark (effectively-once, E7)") {
     implicit val sctx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
