@@ -395,8 +395,20 @@ class CopyBothSource extends TableProvider {
         val user = opt("user").getOrElse("postgres")
         val db = opt("database").getOrElse("postgres")
         val pw = opt("password")
+        // plugin start options, `k=v;k2=v2` (';'-separated so values may
+        // contain commas — publication_names is a comma list), e.g.
+        // "proto_version=2;publication_names=better_cdc_pub" for pgoutput
+        // or "format-version=2" for wal2json
+        val startOpts = opt("startOptions").toSeq.flatMap(_.split(";"))
+          .map(_.trim).filter(_.nonEmpty).map { kv =>
+            kv.split("=", 2) match {
+              case Array(k, v) => (k.trim, v.trim)
+              case _ => throw new IllegalArgumentException(
+                s"startOptions entry '$kv' is not key=value")
+            }
+          }
         () => new SocketReplicationConnection(host, port, slot, user, db,
-          password = pw)
+          password = pw, startOptions = startOpts)
       case None =>
         val server = properties.get("server")
         () => CopyBothSource.connect(server)

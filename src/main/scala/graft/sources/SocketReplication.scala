@@ -219,7 +219,8 @@ object PgWireProtocol {
   */
 final class SocketReplicationConnection(host: String, port: Int, slot: String,
     user: String = "postgres", database: String = "postgres",
-    startPos: Long = 0L, password: Option[String] = None)
+    startPos: Long = 0L, password: Option[String] = None,
+    startOptions: Seq[(String, String)] = Nil)
     extends ReplicationConnection with AutoCloseable {
 
   private val socket = new Socket(host, port)
@@ -313,8 +314,20 @@ final class SocketReplicationConnection(host: String, port: Int, slot: String,
       case other => throw new IOException(s"unexpected '$other' during startup")
     }
   }
+  // plugin options ride the command's parenthesized list — the output
+  // plugin (not the protocol) defines them: pgoutput REQUIRES
+  // proto_version + publication_names, wal2json v2 takes format-version
+  // ("Logical Streaming Replication Protocol", START_REPLICATION ...
+  // LOGICAL [ ( option_name [option_value] [, ...] ) ]); values are
+  // SQL-string-quoted ('' escaping)
+  val optionsSql =
+    if (startOptions.isEmpty) ""
+    else startOptions.map { case (k, v) =>
+      s"$k '${v.replace("'", "''")}'"
+    }.mkString(" (", ", ", ")")
   PgWireProtocol.writeQuery(out,
-    s"START_REPLICATION SLOT $slot LOGICAL ${PgWireProtocol.lsnHex(startPos)}")
+    s"START_REPLICATION SLOT $slot LOGICAL ${PgWireProtocol.lsnHex(startPos)}" +
+      optionsSql)
   while (!copyBoth) {
     val m = PgWireProtocol.readMessage(in)
     m.tpe match {

@@ -1,0 +1,161 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.config.GraftConfig
+import graft.streaming.{CdcMetrics, CdcStream, HealthServer}
+
+/** One-command deployable entrypoint: config → source → pipeline → sink →
+  * health, the wiring order of the reference's process main
+  * (cmd/cdc-handler/main.go:51-135: config.Load → wal.NewPGReader →
+  * parser by plugin → transformer → publisher → checkpoint → health.Start
+  * → engine.Run). Here each stage is the Spark-native analog already built
+  * elsewhere in the library; this object only wires them:
+  *
+  *   - config: [[GraftConfig.load]] from the SAME env var names the
+  *     reference reads, validated before anything starts;
+  *   - source: `CDC_SOURCE=file` (default) tails archived WAL lines from
+  *     `GRAFT_WAL_DIR` via the DSv2 [[graft.sources.WalDirectorySource]];
+  *     `CDC_SOURCE=socket` dials the replication protocol over TCP via
+  *     [[graft.sources.CopyBothSource]], with host/port/user/password/db
+  *     parsed from `DATABASE_URL` and the slot from `SLOT_NAME` —
+  *     `CDC_PLUGIN` picks text (wal2json) vs binary (pgoutput) frames;
+  *   - pipeline + sink: [[CdcStream.start]] (decode → tx assembly → dedup
+  *     → normalize → route → ordered publish to `GRAFT_OUT_DIR`), cadence /
+  *     filters / retry budget / dedup window from the config;
+  *   - health: [[HealthServer]] on `HEALTH_ADDR`'s port serving /health,
+  *     /ready (source + query liveness checks), /metrics (Prometheus
+  *     text), /debug/threads, /debug/heap.
+  *
+  * Run: `sbt "runMain graft.tools.Main"` with at least `GRAFT_WAL_DIR`
+  * set, or spark-submit the assembly with the same env. SIGTERM/Ctrl-C
+  * stops the query, then the health server, then the session (the
+  * signal.NotifyContext analog).
+  */
+object Main {
+
+  /** Handle on a started deployment — what main() blocks on and what a
+    * test (or embedding host) stops.
+    */
+  final class Running(val query: StreamingQuery,
+      val health: HealthServer.Started,
+      val metrics: CdcMetrics.Registry) {
+    def stop(): Unit = {
+      try if (query.isActive) query.stop() finally health.stop()
+    }
+  }
+
+  /** host/port/user/password of a postgres:// URL (the parts
+    * [[GraftConfig.databaseNameFromUrl]] doesn't cover — the socket
+    * transport needs them; java.net.URI handles the user:pw@host:port
+    * authority form).
+    */
+  private[graft] def endpointFromUrl(raw: String): (String, Int, String, Option[String]) = {
+    val uri = new java.net.URI(raw)
+    val host = Option(uri.getHost).getOrElse("localhost")
+    val port = if (uri.getPort > 0) uri.getPort else 5432
+    val (user, pw) = Option(uri.getUserInfo) match {
+      case Some(ui) => ui.split(":", 2) match {
+        case Array(u, p) => (u, Some(p))
+        case Array(u) => (u, None)
+      }
+      case None => ("postgres", None)
+    }
+    (host, port, user, pw)
+  }
+
+  /** Port of a Go-style listen address (":8080" or "host:8080"). */
+  private[graft] def portOf(addr: String): Int =
+    addr.substring(addr.lastIndexOf(':') + 1).toInt
+
+  /** Build the raw frame stream for the configured source kind. */
+  private def rawStream(spark: SparkSession, cfg: GraftConfig,
+      env: Map[String, String]): DataFrame =
+    env.getOrElse("CDC_SOURCE", "file") match {
+      case "file" =>
+        val dir = env.getOrElse("GRAFT_WAL_DIR", sys.error(
+          "GRAFT_WAL_DIR must be set for CDC_SOURCE=file"))
+        spark.readStream.format("graft.sources.WalDirectorySource")
+          .option("path", dir).load()
+      case "socket" =>
+        val (host, port, user, pw) = endpointFromUrl(cfg.databaseUrl)
+        val payload = if (cfg.plugin == "pgoutput") "binary" else "text"
+        val r = spark.readStream.format("graft.sources.CopyBothSource")
+          .option("host", host).option("port", port.toString)
+          .option("slot", cfg.slotName).option("user", user)
+          // cfg.database already resolves CDC_DATABASE → URL path → default
+          .option("database", cfg.database)
+          .option("payload", payload)
+        pw.fold(r)(p => r.option("password", p)).load()
+      case other => sys.error(s"unknown CDC_SOURCE '$other' (file | socket)")
+    }
+
+  /** Wire and start everything against an existing session. Separated from
+    * [[main]] so the deployment shape itself is testable in-process
+    * (ToolsMainSpec) and embeddable.
+    */
+  def start(spark: SparkSession, env: Map[String, String],
+      healthPortOverride: Option[Int] = None): Running = {
+    val cfg = GraftConfig.load(env).flatMap(_.validated) match {
+      case Right(c) => c
+      case Left(err) => throw new IllegalArgumentException(
+        s"invalid configuration: $err")
+    }
+    val outDir = env.getOrElse("GRAFT_OUT_DIR", "graft-out")
+    val ckDir = env.getOrElse("GRAFT_CHECKPOINT_DIR", "graft-checkpoint")
+    val metrics = new CdcMetrics.Registry
+    val query = CdcStream.start(spark, rawStream(spark, cfg, env),
+      cfg.database, outDir, ckDir,
+      tableAllowlist = cfg.tableFilters,
+      trigger = Trigger.ProcessingTime(cfg.batchTimeout.toMillis,
+        java.util.concurrent.TimeUnit.MILLISECONDS),
+      unsafeUnorderedAsyncPublish = cfg.unsafeUnorderedAsyncPublish,
+      maxPublishRetries = cfg.maxPublishRetries,
+      dedupWatermark = s"${cfg.duplicateWindow.toSeconds} seconds",
+      metrics = Some(metrics),
+      plugin = cfg.plugin)
+    // readiness mirrors the reference's checks (main.go:85-108: slot-store
+    // load + publisher ready): the source must be reachable and the
+    // streaming query alive without a pending exception
+    val sourceCheck = HealthServer.Check("source", () =>
+      env.getOrElse("CDC_SOURCE", "file") match {
+        case "file" =>
+          val d = new java.io.File(env("GRAFT_WAL_DIR"))
+          require(d.isDirectory && d.canRead, s"WAL dir not readable: $d")
+        case _ => () // socket liveness is the query check: a dead
+                     // connection fails/restarts the stream
+      })
+    val queryCheck = HealthServer.Check("query", () => {
+      query.exception.foreach(e => throw e)
+      require(query.isActive, "streaming query not active")
+    })
+    val health = HealthServer.start(
+      healthPortOverride.getOrElse(portOf(cfg.healthAddr)),
+      checks = Seq(sourceCheck, queryCheck), metrics = Some(metrics))
+    new Running(query, health, metrics)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val builder = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-cdc")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+    // the pgoutput path's keyed state (relation registry + tx assembly)
+    // runs under transformWithState, which requires the RocksDB provider
+    val spark = (if (sys.env.get("CDC_PLUGIN").contains("pgoutput"))
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    else builder).getOrCreate()
+    val running = start(spark, sys.env)
+    sys.addShutdownHook {
+      running.stop()
+      spark.stop()
+    }
+    println(s"graft-cdc started: health on :${running.health.port} " +
+      "(/health /ready /metrics /debug/threads /debug/heap)")
+    running.query.awaitTermination()
+  }
+}

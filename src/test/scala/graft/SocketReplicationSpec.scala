@@ -28,6 +28,8 @@ final class InProcessPgReplicationServer(
   private val listener = new ServerSocket(0, 16,
     java.net.InetAddress.getLoopbackAddress)
   @volatile private var closed = false
+  /** Last START_REPLICATION command text, for option-rendering assertions. */
+  @volatile var lastStartCommand: String = ""
   private val pendingError = new AtomicReference[Option[(String, String)]](None)
 
   def port: Int = listener.getLocalPort
@@ -116,6 +118,7 @@ final class InProcessPgReplicationServer(
     PgWireProtocol.writeMessage(out, 'Z', Array('I'.toByte))
     // START_REPLICATION → CopyBoth
     val q = PgWireProtocol.readMessage(in)
+    lastStartCommand = new String(q.body, UTF_8).stripSuffix("\u0000")
     if (q.tpe != 'Q' ||
         !new String(q.body, UTF_8).startsWith("START_REPLICATION")) {
       PgWireProtocol.writeMessage(out, 'E',
@@ -264,6 +267,38 @@ class SocketReplicationWireSpec extends AnyFunSuite {
             "reconnect redelivers only unconfirmed WAL")
         } finally conn2.close()
       } finally conn.close()
+    } finally srv.close()
+  }
+
+  test("plugin start options render as the command's parenthesized list") {
+    // pgoutput/wal2json options are part of START_REPLICATION's public
+    // grammar: ( option_name 'value' [, ...] ) with SQL string quoting —
+    // what a real server's output plugin will parse, pinned here on the
+    // wire so the live-Postgres suite (PostgresIntegrationSpec) exercises
+    // exactly this rendering
+    val srv = new InProcessPgReplicationServer
+    try {
+      val conn = new SocketReplicationConnection("127.0.0.1", srv.port,
+        "optslot", startOptions = Seq(
+          "proto_version" -> "1",
+          "publication_names" -> "pub_a,pub_b",
+          "odd" -> "it's"))
+      try {
+        val deadline = System.nanoTime() + 2_000_000_000L
+        while (srv.lastStartCommand.isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(5)
+        assert(srv.lastStartCommand ==
+          "START_REPLICATION SLOT optslot LOGICAL 0/0 " +
+            "(proto_version '1', publication_names 'pub_a,pub_b', odd 'it''s')")
+      } finally conn.close()
+      // and the option-free command is unchanged
+      val plain = new SocketReplicationConnection("127.0.0.1", srv.port, "s0")
+      try {
+        val deadline = System.nanoTime() + 2_000_000_000L
+        while (!srv.lastStartCommand.endsWith("s0 LOGICAL 0/0") &&
+          System.nanoTime() < deadline) Thread.sleep(5)
+        assert(srv.lastStartCommand == "START_REPLICATION SLOT s0 LOGICAL 0/0")
+      } finally plain.close()
     } finally srv.close()
   }
 
