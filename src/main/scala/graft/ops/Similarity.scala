@@ -312,6 +312,59 @@ object Similarity {
         col("cosine"), col("rank"))
   }
 
+  /** IVF top-k with a DETERMINISTIC sampled coarse quantizer: the cells'
+    * centroids are nCells corpus vectors chosen by md5(id) rank (a
+    * uniform, engine-reproducible sample — the classic random-sample
+    * initialization with zero Lloyd iterations; a coarse quantizer only
+    * shapes candidate recall, the ranking below it is exact, so converged
+    * centroids buy recall but are not required for correctness). Because
+    * each centroid IS a quantized corpus vector, cell assignment is pure
+    * BIGINT arithmetic — d2(x,s) = |x|² − 2·(x·s) + |s|² — making the
+    * entire pipeline portable enough for the DuckDB oracle to check
+    * bit-for-bit (the MLlib-KMeans [[ivfTopK]] beside this is exactness-
+    * pinned in-suite instead: nProbe=nCells must equal brute force).
+    *
+    * Scale shape: seed pick is a distributed top-nCells
+    * (TakeOrderedAndProject, no global sort), assignment is one broadcast
+    * of nCells seeds against the corpus (narrow map + native dot), then
+    * the usual cell-join + per-query window. No self-join, no collect.
+    */
+  def ivfSeededTopK(prepared: DataFrame, queryPred: Column, nCells: Int,
+      nProbe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seedPick = prepared
+      .select(col("id").as("seed_id"), col("qvec").as("seed_qvec"),
+        col("norm_sq").as("seed_norm"),
+        md5(col("id").cast("string")).as("h"))
+      .orderBy(col("h"), col("seed_id")).limit(nCells)
+    // cell ids 1..nCells in seed-rank order (window over nCells rows only)
+    val seeds = seedPick
+      .withColumn("cell", row_number()
+        .over(Window.orderBy(col("h"), col("seed_id"))).cast("long"))
+      .drop("h")
+    val pairs = prepared.select(col("id"), col("qvec"), col("norm_sq"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("d2", col("norm_sq")
+        - lit(2L) * dotQ(col("qvec"), col("seed_qvec")) + col("seed_norm"))
+    val cellW = Window.partitionBy(col("id")).orderBy(col("d2"), col("cell"))
+    val assigned = pairs.withColumn("crk", row_number().over(cellW))
+    val corpus = assigned.filter(col("crk") === 1)
+      .select(col("id").as("cid"), col("qvec").as("c_qvec"),
+        col("norm_sq").as("c_norm"), col("cell"))
+    val queries = assigned.filter(queryPred && col("crk") <= nProbe)
+      .select(col("id").as("qid"), col("qvec").as("q_qvec"),
+        col("norm_sq").as("q_norm"), col("cell"))
+    val joined = queries.join(corpus, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine", dotQ(col("q_qvec"), col("c_qvec")).cast("double") /
+        sqrt(col("q_norm").cast("double") * col("c_norm").cast("double")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
   /** All near-duplicate pairs with cosine >= threshold, via sign-LSH
     * bucketing (near-identical vectors agree on sign buckets with high
     * probability; exact near-dup pairs additionally verified by the exact

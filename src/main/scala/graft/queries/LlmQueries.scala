@@ -1544,17 +1544,47 @@ object LlmQueries {
           FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 50 AND q.vec_id <> c.vec_id)
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
-    // IVF ANN (KMeans coarse quantizer + probe): the third ANN strategy
-    // beside brute force and sign-LSH. KMeans isn't engine-portable, so
-    // this gets a rows-only driver check.
+    // IVF ANN (coarse quantizer + probe): the third ANN strategy beside
+    // brute force and sign-LSH. The quantizer here is the deterministic
+    // md5-ranked-sample seeding (centroid = an exact quantized corpus
+    // vector, assignment pure BIGINT), so the FULL pipeline — seed pick,
+    // cell assignment, probe selection, candidate ranking — is under the
+    // oracle's hash; the MLlib-KMeans variant (Similarity.ivfTopK) is
+    // exactness-pinned in ScaleSpec (nProbe=nCells == brute force) since
+    // Lloyd iterations aren't engine-portable.
     "l16_ann_ivf" -> Def(
       (s, d) => {
         val prep = Similarity.prepare(
           t(s, d, "embeddings").withColumnRenamed("vec_id", "id"), "embedding")
-        Similarity.ivfTopK(prep, col("id") < 8, nCells = 8, nProbe = 2, k = 5)
+        Similarity.ivfSeededTopK(prep, col("id") < 8, nCells = 8, nProbe = 2, k = 5)
           .orderBy(col("query_id"), col("rank"))
       },
-      None),
+      Some(s"""WITH $oQuant,
+        seeds0 AS (SELECT vec_id AS seed_id, q AS sq, norm_sq AS sn,
+            md5(CAST(vec_id AS VARCHAR)) AS h
+          FROM qn ORDER BY h, seed_id LIMIT 8),
+        seeds AS (SELECT seed_id, sq, sn,
+            CAST(ROW_NUMBER() OVER (ORDER BY h, seed_id) AS BIGINT) AS cell
+          FROM seeds0),
+        asg0 AS (SELECT x.vec_id, x.q, x.norm_sq, s.cell,
+            x.norm_sq - 2 * ${oDot("x.q", "s.sq")} + s.sn AS d2
+          FROM qn x CROSS JOIN seeds s),
+        asg AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY d2, cell) AS crk FROM asg0),
+        corpus AS (SELECT vec_id AS cid, q AS cq, norm_sq AS cn, cell
+          FROM asg WHERE crk = 1),
+        queries AS (SELECT vec_id AS qid, q AS qq, norm_sq AS qnorm, cell
+          FROM asg WHERE vec_id < 8 AND crk <= 2)
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT q.qid AS query_id, c.cid AS neighbor_id,
+            CAST(${oDot("q.qq", "c.cq")} AS DOUBLE) /
+              sqrt(CAST(q.qnorm AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS cosine,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q.qid
+              ORDER BY CAST(${oDot("q.qq", "c.cq")} AS DOUBLE) /
+                sqrt(CAST(q.qnorm AS DOUBLE) * CAST(c.cn AS DOUBLE)) DESC,
+              c.cid) AS BIGINT) AS rank
+          FROM queries q JOIN corpus c ON q.cell = c.cell AND q.qid <> c.cid)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     // Salted aggregation: identical result to the plain GROUP BY (the
     // oracle IS the unsalted query) with the hot-key shuffle spread over 8

@@ -207,6 +207,29 @@ class ScaleSpec extends SparkSpec {
       brute.map(r => (r.getLong(0), r.getLong(1))).toList)
   }
 
+  test("seeded IVF: full probe equals brute force; seed assignment broadcasts") {
+    val prep = Similarity.prepare(
+      spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .withColumnRenamed("vec_id", "id"), "embedding")
+    val res = Similarity.ivfSeededTopK(prep, col("id") < 3,
+      nCells = 4, nProbe = 4, k = 5)
+    // the deterministic quantizer changes WHICH cells exist, never the
+    // exactness of ranking: probing every cell must reproduce brute force
+    val rows = res.orderBy($"query_id", $"rank").collect()
+    val brute = Similarity.bruteForceTopK(prep, prep.filter(col("id") < 3), 5)
+      .orderBy($"query_id", $"rank").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toList ==
+      brute.map(r => (r.getLong(0), r.getLong(1))).toList)
+    // scale shape: the nCells seeds reach the corpus as a broadcast (the
+    // corpus side must never shuffle for assignment) and the seed pick is
+    // a distributed top-k, not a global sort
+    val plan = finalPlan(res)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"seed assignment must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"seed pick must be distributed top-k:\n$plan")
+  }
+
   private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
     df.collect() // let AQE settle on the final physical plan
     df.queryExecution.executedPlan.toString
