@@ -238,10 +238,10 @@ object PgOutput {
             "(no streaming) — open the slot with streaming=off")
         // anything else is an unparseable frame — the reference's
         // pglogrepl.Parse would error and the stream would classify it
-        // fatal, so we throw (task failure)
-        case other => throw new IllegalArgumentException(
-          s"unparseable pgoutput frame at wal_start=$walStart: " +
-            s"message type 0x${other.toInt.toHexString}")
+        // fatal (parser.go:33-38); CorruptFrameException keeps it under
+        // the same crash/dlq/skip failure policy as truncation
+        case other => corrupt( // decode() prefixes the WAL position
+          s"unparseable message type 0x${other.toInt.toHexString}")
       }
     }
   }

@@ -102,6 +102,8 @@ object Main {
       case Left(err) => throw new IllegalArgumentException(
         s"invalid configuration: $err")
     }
+    graft.logging.Log.configure(cfg.debug)
+    val log = graft.logging.Log(getClass)
     val outDir = env.getOrElse("GRAFT_OUT_DIR", "graft-out")
     val ckDir = env.getOrElse("GRAFT_CHECKPOINT_DIR", "graft-checkpoint")
     val metrics = new CdcMetrics.Registry
@@ -133,6 +135,22 @@ object Main {
     val health = HealthServer.start(
       healthPortOverride.getOrElse(portOf(cfg.healthAddr)),
       checks = Seq(sourceCheck, queryCheck), metrics = Some(metrics))
+    // the reference's startup log line, same fields (main.go:115-135)
+    log.info("starting graft-cdc",
+      "debug" -> cfg.debug,
+      "source" -> env.getOrElse("CDC_SOURCE", "file"),
+      "slot" -> cfg.slotName,
+      "db" -> cfg.database,
+      "plugin" -> cfg.plugin,
+      "batch_timeout_ms" -> cfg.batchTimeout.toMillis,
+      "unsafe_unordered_async_publish" -> cfg.unsafeUnorderedAsyncPublish,
+      "max_publish_retries" -> cfg.maxPublishRetries,
+      "publish_failure_policy" -> cfg.publishFailurePolicy,
+      "dlq_subject_prefix" -> cfg.dlqSubjectPrefix,
+      "duplicate_window_s" -> cfg.duplicateWindow.toSeconds,
+      "table_filters" -> cfg.tableFilters,
+      "out_dir" -> outDir,
+      "health_port" -> health.port)
     new Running(query, health, metrics)
   }
 

@@ -167,10 +167,13 @@ class PgOutputSpec extends SparkSpec {
       PgWire.commit(11L, 12L, t0)))
     assert(evts.map(_.operation) == List("B", "C"))
     val garbage = Array[Byte]('z'.toByte, 0, 0)
-    val e = intercept[IllegalArgumentException] {
+    // unknown message kind rides the SAME named corrupt taxonomy as
+    // truncation, so the streaming crash/dlq/skip policy covers it
+    val e = intercept[PgOutput.CorruptFrameException] {
       decode(Seq(garbage))
     }
-    assert(e.getMessage.contains("unparseable pgoutput frame"))
+    assert(e.getMessage.contains("unparseable message type 0x7a"))
+    assert(e.getMessage.contains("wal_start="), "carries the WAL position")
   }
 
   test("protocol v2 streaming frames are a config error, not garbage") {

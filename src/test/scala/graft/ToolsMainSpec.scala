@@ -75,6 +75,40 @@ class ToolsMainSpec extends SparkSpec {
     }
   }
 
+  test("Main.start with CDC_SOURCE=socket dials the replication endpoint from DATABASE_URL") {
+    val srv = new InProcessPgReplicationServer
+    val tmp = Files.createTempDirectory("graft_main_sock").toString
+    try {
+      val ts = "2024-01-15 10:30:00.123456+00"
+      srv.inner.deliver(10L, s"""{"action":"B","xid":9,"timestamp":"$ts"}""")
+      srv.inner.deliver(20L,
+        s"""{"action":"I","xid":9,"timestamp":"$ts","schema":"public","table":"users","columns":[{"name":"id","type":"bigint","value":1}]}""")
+      srv.inner.deliver(30L, s"""{"action":"C","xid":9,"timestamp":"$ts"}""")
+      val env = Map(
+        "CDC_SOURCE" -> "socket",
+        "DATABASE_URL" -> s"postgres://postgres@127.0.0.1:${srv.port}/sockdb",
+        "CDC_SLOT_NAME" -> "main_sock_slot",
+        "GRAFT_OUT_DIR" -> s"$tmp/out",
+        "GRAFT_CHECKPOINT_DIR" -> s"$tmp/ck",
+        "BATCH_TIMEOUT" -> "100ms")
+      val running = Main.start(spark, env, healthPortOverride = Some(0))
+      try {
+        val deadline = System.currentTimeMillis() + 30000
+        def rows() =
+          try spark.read.parquet(s"$tmp/out").count() catch { case _: Exception => 0L }
+        while (rows() < 1 && running.query.exception.isEmpty &&
+          System.currentTimeMillis() < deadline) Thread.sleep(200)
+        running.query.exception.foreach(e => throw e)
+        assert(rows() == 1, "the committed tx flows over the socket transport")
+        // database name came from the URL path
+        val out = spark.read.parquet(s"$tmp/out")
+        assert(out.select("subject").collect().map(_.getString(0)).toList
+          == List("cdc.sockdb.public.users"))
+        assert(get(s"http://localhost:${running.health.port}/ready")._1 == 200)
+      } finally running.stop()
+    } finally srv.close()
+  }
+
   test("Main.start rejects an invalid configuration before starting anything") {
     val e = intercept[IllegalArgumentException] {
       Main.start(spark, Map("GRAFT_WAL_DIR" -> "/tmp",
