@@ -81,4 +81,61 @@ object DedupIndex {
     sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
       .write.mode("append").saveAsTable(s"${name}_sizes")
   }
+
+  /** STREAMING index maintenance: keep the shingle index current from a
+    * document stream — the ingest-pipeline shape where dedup state lives
+    * in a queryable bucketed table instead of (only) the streaming
+    * funnel's digest registry ([[graft.streaming.StreamingCuration]]).
+    * Each micro-batch lands as its own `ingest_batch=<id>` partition of
+    * the SAME bucketed layout [[build]] uses, so [[incrementalNearDups]]
+    * keeps its zero-corpus-exchange join against the maintained table.
+    *
+    * Idempotence under foreachBatch's at-least-once contract: a replayed
+    * batch first drops its own partition, then re-appends — the rewrite
+    * is confined to `ingest_batch=<batchId>`, so a crash between write
+    * and checkpoint commit replays to identical table contents (the MV
+    * loop's per-bucket `v<batchId>` overwrite, in catalog-partition
+    * form). Ids are expected unique across batches (ingest semantics —
+    * re-sends of the same id should be deduped upstream by digest, e.g.
+    * [[graft.streaming.StreamingCuration.dedupStream]]).
+    */
+  def startMaintenance(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, name: String, checkpointPath: String, n: Int = 3,
+      buckets: Int = 8,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val sh = Dedup.shingles(batch.toDF(), idCol, textCol, n)
+          .withColumn("ingest_batch", lit(batchId))
+        val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+          .withColumn("ingest_batch", lit(batchId))
+        if (!s.catalog.tableExists(name)) {
+          sh.write.partitionBy("ingest_batch")
+            .bucketBy(buckets, "shingle").sortBy("shingle").saveAsTable(name)
+          sizes.write.partitionBy("ingest_batch").saveAsTable(s"${name}_sizes")
+        } else {
+          // replay-idempotent: confine the rewrite to this batch's partition
+          s.sql(s"ALTER TABLE $name DROP IF EXISTS " +
+            s"PARTITION (ingest_batch=$batchId)")
+          s.sql(s"ALTER TABLE ${name}_sizes DROP IF EXISTS " +
+            s"PARTITION (ingest_batch=$batchId)")
+          sh.write.mode("append").partitionBy("ingest_batch")
+            .bucketBy(buckets, "shingle").sortBy("shingle").saveAsTable(name)
+          sizes.write.mode("append").partitionBy("ingest_batch")
+            .saveAsTable(s"${name}_sizes")
+          // the drop+append invalidated cached file listings; refresh on
+          // BOTH sessions — `s` is foreachBatch's cloned session, `spark`
+          // the caller's (whose readers hold the stale cache)
+          s.catalog.refreshTable(name)
+          s.catalog.refreshTable(s"${name}_sizes")
+          spark.catalog.refreshTable(name)
+          spark.catalog.refreshTable(s"${name}_sizes")
+        }
+      }.start()
 }

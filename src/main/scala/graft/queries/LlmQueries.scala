@@ -1038,6 +1038,71 @@ object LlmQueries {
         WHERE CAST(inter AS DOUBLE) / (n_new + n_old - inter) >= 0.8
         ORDER BY new_id, old_id""")),
 
+    // STREAMING dedup-index maintenance under the driver gate: the corpus
+    // (doc_id % 10 != 0) arrives as three micro-batches through
+    // DedupIndex.startMaintenance — each lands as its own ingest_batch
+    // partition of the bucketed shingle layout (replay-idempotent
+    // drop+append) — then the held-out batch (doc_id % 10 == 0) runs
+    // incrementalNearDups against the MAINTAINED physical table. Same
+    // oracle as l63: the streamed index must reproduce the recomputed
+    // batch answer bit-for-bit through a completely different physical
+    // path (streaming loop + catalog partitions + bucketed join).
+    "l79_streaming_index_neardup" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val name = "graft_l79_idx"
+        // drop catalog entries AND any orphaned warehouse location (a
+        // killed prior run can leave the directory without the entry,
+        // which LOCATION_ALREADY_EXISTS-fails the re-create)
+        Seq(name, s"${name}_sizes").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new java.net.URI(
+            s.conf.get("spark.sql.warehouse.dir")).getPath + s"/$t"
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(loc))
+        }
+        val docs = t(s, d, "documents")
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"), col("text"))
+        // stage the corpus as three id-range slices with increasing
+        // mtimes; maxFilesPerTrigger=1 streams them in order
+        val work = java.nio.file.Files.createTempDirectory("graft_l79")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        Seq((0L, maxId / 3), (maxId / 3 + 1, 2 * maxId / 3),
+            (2 * maxId / 3 + 1, maxId)).zipWithIndex.foreach {
+          case ((lo, hi), i) =>
+            corpus.filter(col("doc_id").between(lo, hi))
+              .coalesce(1).write.parquet(s"$work/in/s$i")
+            new java.io.File(s"$work/in/s$i").listFiles()
+              .foreach(f => { f.setLastModified(1700000000000L + i * 60000L); () })
+        }
+        val stream = s.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
+        val q = graft.ops.DedupIndex.startMaintenance(s, stream, "doc_id",
+          "text", name, s"$work/ckpt",
+          trigger = Trigger.ProcessingTime("50 milliseconds"))
+        try { q.processAllAvailable() } finally q.stop()
+        graft.ops.DedupIndex.incrementalNearDups(s,
+            docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", name,
+            threshold = 0.8)
+          .orderBy(col("new_id"), col("old_id"))
+      },
+      Some(s"""WITH $oShingles,
+        nw AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+        ix AS (SELECT * FROM sh WHERE doc_id % 10 != 0),
+        ns AS (SELECT doc_id AS new_id, COUNT(*) AS n_new FROM nw GROUP BY 1),
+        os AS (SELECT doc_id AS old_id, COUNT(*) AS n_old FROM ix GROUP BY 1),
+        iv AS (SELECT nw.doc_id AS new_id, ix.doc_id AS old_id,
+            COUNT(*) AS inter
+          FROM nw JOIN ix ON nw.shingle = ix.shingle GROUP BY 1, 2)
+        SELECT new_id, old_id, inter, n_new, n_old,
+          CAST(inter AS DOUBLE) / (n_new + n_old - inter) AS jaccard
+        FROM iv JOIN ns USING (new_id) JOIN os USING (old_id)
+        WHERE CAST(inter AS DOUBLE) / (n_new + n_old - inter) >= 0.8
+        ORDER BY new_id, old_id""")),
+
     // Quality-weighted sampling: per-row keep probability proportional to
     // document length (capped), integer threshold out of 10000 — "better
     // docs survive more often", deterministically. Narrow filter at the

@@ -79,4 +79,63 @@ class DedupIndexSpec extends SparkSpec {
       assert(capped.count() <= df.count())
     } finally cleanup(name)
   }
+
+  private def runMaintenance(docs: org.apache.spark.sql.DataFrame,
+      name: String, ckpt: String): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = DedupIndex.startMaintenance(spark,
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", name, ckpt,
+      buckets = 4)
+    try {
+      // three micro-batches, ~a third of the docs each
+      val rows = docs.select($"doc_id", $"text").as[(Long, String)]
+        .collect().toSeq
+      rows.grouped(math.max(1, (rows.size + 2) / 3)).foreach { slice =>
+        input.addData(slice: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+  }
+
+  test("streaming maintenance builds the identical index; restart-replay leaves no duplicates") {
+    val name = "graft_test_shidx3"
+    cleanup(name)
+    val docs = (1L to 30L)
+      .map(i => (i, s"streaming document $i about topic${i % 5} and more"))
+      .toDF("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft_idx_stream")
+    try {
+      runMaintenance(docs, name, s"$work/ck1")
+      // contents == the batch-built index (modulo the partition column)
+      val batchSh = Dedup.shingles(docs, "doc_id", "text")
+        .select($"id", $"shingle").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val streamSh = spark.table(name)
+        .select($"id", $"shingle").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamSh == batchSh, "streamed index == batch shingle set")
+      val sizes = spark.table(s"${name}_sizes")
+        .groupBy($"id").agg(sum($"n").as("n"))
+      assert(sizes.filter($"n" =!= 1L).count() >= 0) // shape sanity
+      // a SECOND pass over the same input with a FRESH checkpoint replays
+      // batch ids 0..2 — the per-partition drop+append must rewrite, not
+      // double-append (the crash-replay path in catalog-partition form)
+      runMaintenance(docs, name, s"$work/ck2")
+      val replayed = spark.table(name)
+        .select($"id", $"shingle").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(replayed == batchSh, "replay leaves identical contents")
+      assert(spark.table(name).count() == batchSh.size,
+        "no duplicate (id, shingle) rows after replay")
+      // and the maintained table still serves the zero-corpus-exchange join
+      val hits = DedupIndex.incrementalNearDups(spark,
+        Seq((100L, "streaming document 3 about topic3 and more"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", name, threshold = 0.5)
+      assert(hits.select($"old_id").as[Long].collect().toSet.contains(3L))
+      val formatted = hits.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(formatted.contains("Bucketed: true"),
+        "maintained index scan keeps the bucket layout")
+    } finally { cleanup(name); () }
+  }
 }
