@@ -342,16 +342,27 @@ object Similarity {
       .withColumn("cell", row_number()
         .over(Window.orderBy(col("h"), col("seed_id"))).cast("long"))
       .drop("h")
-    val pairs = prepared.select(col("id"), col("qvec"), col("norm_sq"))
+    def withD2(df: DataFrame): DataFrame = df
       .crossJoin(broadcast(seeds))
       .withColumn("d2", col("norm_sq")
         - lit(2L) * dotQ(col("qvec"), col("seed_qvec")) + col("seed_norm"))
-    val cellW = Window.partitionBy(col("id")).orderBy(col("d2"), col("cell"))
-    val assigned = pairs.withColumn("crk", row_number().over(cellW))
-    val corpus = assigned.filter(col("crk") === 1)
+    // corpus assignment: argmin over nCells as an AGGREGATE, not a window
+    // — min(struct(d2, cell)) is the lexicographic minimum (same
+    // (d2 asc, cell asc) tie-break), and partial aggregation collapses
+    // the nCells-per-row expansion map-side, so the exchange carries 1×
+    // the corpus instead of the window's nCells× (which also sorts)
+    val corpus = withD2(prepared.select(col("id"), col("qvec"), col("norm_sq")))
+      .groupBy(col("id"), col("qvec"), col("norm_sq"))
+      .agg(min(struct(col("d2"), col("cell"))).as("m"))
       .select(col("id").as("cid"), col("qvec").as("c_qvec"),
-        col("norm_sq").as("c_norm"), col("cell"))
-    val queries = assigned.filter(queryPred && col("crk") <= nProbe)
+        col("norm_sq").as("c_norm"), col("m.cell").as("cell"))
+    // probe selection needs the nProbe SMALLEST cells per query — a
+    // window over the (tiny, queryPred-filtered) query side only
+    val cellW = Window.partitionBy(col("id")).orderBy(col("d2"), col("cell"))
+    val queries = withD2(prepared.filter(queryPred)
+        .select(col("id"), col("qvec"), col("norm_sq")))
+      .withColumn("crk", row_number().over(cellW))
+      .filter(col("crk") <= nProbe)
       .select(col("id").as("qid"), col("qvec").as("q_qvec"),
         col("norm_sq").as("q_norm"), col("cell"))
     val joined = queries.join(corpus, Seq("cell"))
