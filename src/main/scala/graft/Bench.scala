@@ -294,14 +294,59 @@ object Bench {
       System.err.println(s"[bench] streaming 10x FAILED: $e")
       (0L, Some("streaming_pipeline_10x"), Seq.empty[Long])
     }
-    val allErrors = errors ++ streamErr ++ streamErr10x
+    // SCD2 maintenance throughput: the consumer-side loop (decode →
+    // commit-gated assembly → normalize → bucketed SCD2 fold with
+    // closed-log compaction at threshold 2) per event — the measured
+    // backing for SCALE.md's "per-batch cost is O(batch + touched
+    // buckets)" claim. Input is the c29 harness's staged WAL slices
+    // (one tx per event, 3 contiguous slices, maxFilesPerTrigger=1 → 3
+    // real micro-batches crossing compaction). Best-of-2; rep 1 is
+    // additionally warm from the query loop's c29/c31 runs.
+    val (mvOpsSec, mvErr, mvReps) = try {
+      import org.apache.spark.sql.functions.{coalesce, col, element_at}
+      import org.apache.spark.sql.streaming.Trigger
+      val (srcDir, work) = graft.queries.CdcQueries.scd2StreamInput(spark, sfDir)
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val reps = try {
+        (1 to 2).map { rep =>
+          val state = s"$work/bench_scd2_$rep"
+          val ck = s"$work/bench_scd2_ck_$rep"
+          val raw = spark.readStream.schema("wal_start LONG, data STRING")
+            .option("maxFilesPerTrigger", 1).json(s"$srcDir/b*")
+          val t0 = System.nanoTime()
+          val q = graft.streaming.MaterializedView.startScd2(spark,
+            graft.streaming.CdcStream.pipeline(spark, raw, "bench"),
+            state, ck, keyCols = Seq("tbl", "uid"),
+            seq = coalesce(element_at(col("after"), "seq"),
+              element_at(col("before"), "seq")).cast("long"),
+            compactClosedAfter = 2, trigger = Trigger.AvailableNow())
+          q.awaitTermination()
+          val wall = (System.nanoTime() - t0) / 1e9
+          unloadStateStores()
+          (nEvents / wall).round
+        }
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+      (reps.max, None, reps)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] mv maintenance FAILED: $e")
+      (0L, Some("mv_maintenance"), Seq.empty[Long])
+    }
+    val allErrors = errors ++ streamErr ++ streamErr10x ++ mvErr
     val allErrJson = allErrors.map("\"" + _ + "\"").mkString("[", ",", "]")
     // per-rep ops/sec alongside the best-of-N headline: round-over-round
     // comparisons get the in-run spread (this host's scheduler noise is
     // documented at ±40%) instead of chasing single samples
     val repsJson = streamReps.mkString("[", ",", "]")
     val reps10xJson = streamReps10x.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$allErrJson,"cdc_ops_sec":$opsSec,"stream_ops_sec":$streamOpsSec,"stream_ops_sec_reps":$repsJson,"stream_ops_sec_10x":$streamOpsSec10x,"stream_ops_sec_10x_reps":$reps10xJson,"sf":"$sfDir"}""")
+    val mvRepsJson = mvReps.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$allErrJson,"cdc_ops_sec":$opsSec,"stream_ops_sec":$streamOpsSec,"stream_ops_sec_reps":$repsJson,"stream_ops_sec_10x":$streamOpsSec10x,"stream_ops_sec_10x_reps":$reps10xJson,"mv_ops_sec":$mvOpsSec,"mv_ops_sec_reps":$mvRepsJson,"sf":"$sfDir"}""")
     // tear down state-store machinery (maintenance thread pool + any
     // still-loaded providers, incl. RocksDB native handles) BEFORE the
     // session: freeing native memory at spark.stop() time is what the

@@ -131,7 +131,7 @@ object CdcQueries {
   private val streamInputCache =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
-  private def scd2StreamInput(s: SparkSession, d: String): (String, String) =
+  private[graft] def scd2StreamInput(s: SparkSession, d: String): (String, String) =
     streamInputCache.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
       val e = t(s, d, "events")
       val tsFmt = concat(

@@ -828,6 +828,33 @@ object SurfaceQueries {
           CAST((revenue_cents * CAST(1000000 AS BIGINT)) //
                CAST(SUM(revenue_cents) OVER (PARTITION BY r_name) AS BIGINT)
             AS BIGINT) AS share_ppm
-        FROM rev ORDER BY r_name, n_name"""))
+        FROM rev ORDER BY r_name, n_name""")),
+
+    // VARIANT (Spark 4's semi-structured type): props parsed ONCE into a
+    // variant value, then typed extraction (try_variant_get), canonical
+    // re-serialization (to_json of a variant), and the extracted number
+    // flowing through a window aggregate — the open-schema ingestion
+    // pattern where JSON is shredded at the scan and every consumer reads
+    // the binary-encoded variant instead of re-parsing text. q29 is the
+    // string-function formulation of the same extraction; this is the
+    // typed path.
+    "q57_variant" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = parse_json(col("props"))
+        t(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            coalesce(try_variant_get(v, "$.k", "bigint"), lit(-1L)).as("k_num"),
+            to_json(v).as("canon_json"))
+          .withColumn("k_sum_type",
+            sum(col("k_num")).over(Window.partitionBy(col("event_type"))))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, event_type,
+        COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k_num,
+        '{"k":' || json_extract(props, '$.k') || '}' AS canon_json,
+        CAST(SUM(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1))
+          OVER (PARTITION BY event_type) AS BIGINT) AS k_sum_type
+        FROM events ORDER BY event_id"""))
   )
 }

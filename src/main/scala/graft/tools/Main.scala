@@ -36,13 +36,47 @@ import graft.streaming.{CdcMetrics, CdcStream, HealthServer}
 object Main {
 
   /** Handle on a started deployment — what main() blocks on and what a
-    * test (or embedding host) stops.
+    * test (or embedding host) stops. `query` is the CURRENT streaming
+    * query: [[await]] restarts it (same checkpoint) on transient failures
+    * with the reference's reconnect backoff, so the reference held by
+    * health checks and callers follows across restarts.
     */
-  final class Running(val query: StreamingQuery,
-      val health: HealthServer.Started,
-      val metrics: CdcMetrics.Registry) {
+  final class Running(restart: () => StreamingQuery,
+      val metrics: CdcMetrics.Registry, maxRestarts: Int) {
+    @volatile private var current: StreamingQuery = restart()
+    private[tools] var healthServer: HealthServer.Started = _
+    def query: StreamingQuery = current
+    def health: HealthServer.Started = healthServer
+    @volatile private var stopped = false
+
+    /** Block until clean stop or fatal error — the reference engine's
+      * supervision loop (transient → reconnect backoff → restart from the
+      * checkpoint; fatal (auth/config SQLSTATEs) → propagate). During the
+      * backoff window /ready reports 503 via the failed query's state.
+      * Returns the number of restarts performed.
+      */
+    def await(): Int = {
+      var restarts = 0
+      var done = false
+      while (!done) {
+        try { current.awaitTermination(); done = true }
+        catch {
+          case e: Throwable if !stopped &&
+              !graft.streaming.Reliability.isFatal(e) &&
+              restarts < maxRestarts =>
+            restarts += 1
+            Thread.sleep(
+              graft.streaming.Reliability.reconnectBackoffMillis(restarts))
+            current = restart()
+        }
+      }
+      restarts
+    }
+
     def stop(): Unit = {
-      try if (query.isActive) query.stop() finally health.stop()
+      stopped = true
+      try if (current.isActive) current.stop()
+      finally Option(healthServer).foreach(_.stop())
     }
   }
 
@@ -107,7 +141,9 @@ object Main {
     val outDir = env.getOrElse("GRAFT_OUT_DIR", "graft-out")
     val ckDir = env.getOrElse("GRAFT_CHECKPOINT_DIR", "graft-checkpoint")
     val metrics = new CdcMetrics.Registry
-    val query = CdcStream.start(spark, rawStream(spark, cfg, env),
+    // restartable from the same checkpoint — the supervision loop's unit
+    // (the reference's wal reader reconnects and resumes from the slot)
+    val startQuery = () => CdcStream.start(spark, rawStream(spark, cfg, env),
       cfg.database, outDir, ckDir,
       tableAllowlist = cfg.tableFilters,
       trigger = Trigger.ProcessingTime(cfg.batchTimeout.toMillis,
@@ -117,9 +153,13 @@ object Main {
       dedupWatermark = s"${cfg.duplicateWindow.toSeconds} seconds",
       metrics = Some(metrics),
       plugin = cfg.plugin)
+    val maxRestarts = env.get("GRAFT_MAX_RESTARTS").map(_.toInt)
+      .getOrElse(Int.MaxValue) // a CDC daemon reconnects until told to stop
+    val running = new Running(startQuery, metrics, maxRestarts)
     // readiness mirrors the reference's checks (main.go:85-108: slot-store
     // load + publisher ready): the source must be reachable and the
-    // streaming query alive without a pending exception
+    // streaming query alive without a pending exception (during a
+    // reconnect backoff the failed query makes /ready report 503)
     val sourceCheck = HealthServer.Check("source", () =>
       env.getOrElse("CDC_SOURCE", "file") match {
         case "file" =>
@@ -129,12 +169,13 @@ object Main {
                      // connection fails/restarts the stream
       })
     val queryCheck = HealthServer.Check("query", () => {
-      query.exception.foreach(e => throw e)
-      require(query.isActive, "streaming query not active")
+      running.query.exception.foreach(e => throw e)
+      require(running.query.isActive, "streaming query not active")
     })
     val health = HealthServer.start(
       healthPortOverride.getOrElse(portOf(cfg.healthAddr)),
       checks = Seq(sourceCheck, queryCheck), metrics = Some(metrics))
+    running.healthServer = health
     // the reference's startup log line, same fields (main.go:115-135)
     log.info("starting graft-cdc",
       "debug" -> cfg.debug,
@@ -150,8 +191,10 @@ object Main {
       "duplicate_window_s" -> cfg.duplicateWindow.toSeconds,
       "table_filters" -> cfg.tableFilters,
       "out_dir" -> outDir,
-      "health_port" -> health.port)
-    new Running(query, health, metrics)
+      "health_port" -> health.port,
+      "max_restarts" -> (if (maxRestarts == Int.MaxValue) "unbounded"
+        else maxRestarts.toString))
+    running
   }
 
   def main(args: Array[String]): Unit = {
@@ -174,6 +217,7 @@ object Main {
     }
     println(s"graft-cdc started: health on :${running.health.port} " +
       "(/health /ready /metrics /debug/threads /debug/heap)")
-    running.query.awaitTermination()
+    running.await() // supervised: transient failures restart with backoff
+    ()
   }
 }

@@ -109,6 +109,45 @@ class ToolsMainSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("Running.await supervises: a transient socket error restarts from the checkpoint") {
+    val srv = new InProcessPgReplicationServer
+    val tmp = Files.createTempDirectory("graft_main_sup").toString
+    try {
+      val ts = "2024-01-15 10:30:00.123456+00"
+      srv.inner.deliver(10L, s"""{"action":"B","xid":5,"timestamp":"$ts"}""")
+      srv.inner.deliver(20L,
+        s"""{"action":"I","xid":5,"timestamp":"$ts","schema":"public","table":"users","columns":[{"name":"id","type":"bigint","value":7}]}""")
+      srv.inner.deliver(30L, s"""{"action":"C","xid":5,"timestamp":"$ts"}""")
+      // the FIRST session dies with a transient SQLSTATE (57P01 admin
+      // shutdown); the deployment's supervision loop must classify it
+      // restartable, back off, and resume from the same checkpoint
+      srv.injectError("57P01",
+        "terminating connection due to administrator command")
+      val env = Map(
+        "CDC_SOURCE" -> "socket",
+        "DATABASE_URL" -> s"postgres://postgres@127.0.0.1:${srv.port}/supdb",
+        "CDC_SLOT_NAME" -> "main_sup_slot",
+        "GRAFT_OUT_DIR" -> s"$tmp/out",
+        "GRAFT_CHECKPOINT_DIR" -> s"$tmp/ck",
+        "BATCH_TIMEOUT" -> "100ms")
+      val running = Main.start(spark, env, healthPortOverride = Some(0))
+      @volatile var restarts = -1
+      val awaiter = new Thread(() => { restarts = running.await() })
+      awaiter.setDaemon(true); awaiter.start()
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        def rows() =
+          try spark.read.parquet(s"$tmp/out").count() catch { case _: Exception => 0L }
+        while (rows() < 1 && System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+        assert(rows() == 1,
+          "the committed tx arrives through the restarted session")
+      } finally running.stop()
+      awaiter.join(15000)
+      assert(restarts >= 1, s"the transient error forced >=1 restart, got $restarts")
+    } finally srv.close()
+  }
+
   test("Main.start rejects an invalid configuration before starting anything") {
     val e = intercept[IllegalArgumentException] {
       Main.start(spark, Map("GRAFT_WAL_DIR" -> "/tmp",
