@@ -376,6 +376,87 @@ object Similarity {
         col("cosine"), col("rank"))
   }
 
+  /** Product-quantization ANN top-k (PQ + asymmetric distance
+    * computation): each vector is stored as `m` one-byte codes — the
+    * nearest codebook centroid per `dims/m`-wide subspace — and queries
+    * rank candidates by the ADC dot product: the sum over subspaces of
+    * (query subvector · the candidate's assigned centroid). The 100 TB
+    * memory play BEYOND [[int8Codes]]' 4×: at m=8 codes per 64-dim
+    * vector the corpus residency drops 64× vs float32 (codes + one
+    * shared codebook), which is how billion-vector indexes fit executor
+    * memory at all; recall < 1 by construction — measure with the
+    * [[recallAtK]] join shape before committing m/nCent at scale.
+    *
+    * Like [[ivfSeededTopK]], the codebook is the DETERMINISTIC
+    * md5-ranked sample (subspace j's centroids = the sample vectors'
+    * j-th subvectors, no Lloyd iterations), so encoding and ADC scoring
+    * are exact BIGINT arithmetic end-to-end and the whole pipeline is
+    * oracle-checkable. Scale shape: one broadcast of the nCent-row
+    * codebook for encoding (min-struct aggregate, map-side combined —
+    * 1× corpus exchange), one broadcast of the per-query LUT
+    * (nCent × m partial dots) against the coded corpus, one per-query
+    * window. No self-join, no collect.
+    */
+  def pqTopK(prepared: DataFrame, queryPred: Column, m: Int = 8,
+      nCent: Int = 8, k: Int = 5, dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val sub = dims / m
+    val seedW = Window.orderBy(col("h"), col("seed_id"))
+    val seeds = prepared
+      .select(col("id").as("seed_id"), col("qvec").as("seed_qvec"),
+        md5(col("id").cast("string")).as("h"))
+      .orderBy(col("h"), col("seed_id")).limit(nCent)
+      .withColumn("cent", row_number().over(seedW).cast("long"))
+      .drop("h")
+    def subv(c: Column, j: Int) = slice(c, j * sub + 1, sub)
+    // encode: nCent rows per vector, m (d2, cent) structs per row; the
+    // per-subspace argmin is a min-struct aggregate (map-side combine
+    // collapses the nCent expansion before the exchange — same shape as
+    // ivfSeededTopK's assignment)
+    val subCols = (0 until m).map { j =>
+      val xj = subv(col("qvec"), j); val sj = subv(col("seed_qvec"), j)
+      struct((dotQ(xj, xj) - lit(2L) * dotQ(xj, sj) + dotQ(sj, sj)).as("d2"),
+        col("cent")).as(s"s$j")
+    }
+    // codes + the vector's EXACT norm (the standard PQ companion scalar:
+    // 8 more bytes per vector, and ADC can rank by approximate COSINE —
+    // raw ADC dot would let large-norm vectors dominate)
+    val enc = prepared.select(col("id"), col("qvec"), col("norm_sq"))
+      .crossJoin(broadcast(seeds))
+      .select(col("id") +: col("norm_sq") +: subCols: _*)
+      .groupBy(col("id"), col("norm_sq"))
+      .agg(min(col("s0")).as("m0"),
+        (1 until m).map(j => min(col(s"s$j")).as(s"m$j")): _*)
+      .select(col("id").as("cid"), col("norm_sq").as("c_norm"),
+        array((0 until m).map(j => col(s"m$j.cent")): _*).as("codes"))
+    // per-query LUT: lut[cent][j] = query-subvector-j · centroid-cent-j
+    val qlut = prepared.filter(queryPred)
+      .select(col("id").as("qid"), col("qvec"), col("norm_sq").as("q_norm"))
+      .crossJoin(broadcast(seeds))
+      .select(col("qid"), col("q_norm"), col("cent"), array((0 until m).map(j =>
+        dotQ(subv(col("qvec"), j), subv(col("seed_qvec"), j))): _*).as("pds"))
+      .groupBy(col("qid"), col("q_norm"))
+      .agg(transform(array_sort(collect_list(struct(col("cent"), col("pds")))),
+        s => s.getField("pds")).as("lut"))
+    val adc = (0 until m).map(j =>
+      element_at(element_at(col("lut"),
+        element_at(col("codes"), j + 1).cast("int")), j + 1))
+      .reduce(_ + _)
+    val joined = enc.crossJoin(broadcast(qlut))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("adc_dot", adc)
+      // one IEEE division per pair, like every cosine in this family
+      .withColumn("adc_cosine", col("adc_dot").cast("double") /
+        sqrt(col("q_norm").cast("double") * col("c_norm").cast("double")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_cosine").desc, col("cid"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("adc_dot"), col("adc_cosine"), col("rank"))
+  }
+
   /** All near-duplicate pairs with cosine >= threshold, via sign-LSH
     * bucketing (near-identical vectors agree on sign buckets with high
     * probability; exact near-dup pairs additionally verified by the exact

@@ -1627,7 +1627,7 @@ object LlmQueries {
       Some(s"""WITH $oQuant,
         seeds0 AS (SELECT vec_id AS seed_id, q AS sq, norm_sq AS sn,
             md5(CAST(vec_id AS VARCHAR)) AS h
-          FROM qn ORDER BY h, seed_id LIMIT 8),
+          FROM qn ORDER BY h, seed_id LIMIT 256),
         seeds AS (SELECT seed_id, sq, sn,
             CAST(ROW_NUMBER() OVER (ORDER BY h, seed_id) AS BIGINT) AS cell
           FROM seeds0),
@@ -2190,6 +2190,57 @@ object LlmQueries {
                 sqrt(CAST(q.c8_norm AS DOUBLE) * CAST(c.c8_norm AS DOUBLE)) DESC,
               c.vec_id) AS BIGINT) AS rank
           FROM cn q JOIN cn c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // Product-quantization ANN (PQ + ADC): vectors stored as 8 one-byte
+    // codes (nearest seeded codebook centroid per 8-dim subspace), ranked
+    // by the asymmetric-distance dot — the 64x-compression scale path
+    // beyond int8's 4x. Seeded codebook (md5-ranked sample, no Lloyd) →
+    // encoding and ADC are BIGINT end-to-end, fully oracle-hashed.
+    "l80_ann_pq" -> Def(
+      (s, d) => {
+        val prep = Similarity.prepare(
+          t(s, d, "embeddings").withColumnRenamed("vec_id", "id"), "embedding")
+        Similarity.pqTopK(prep, col("id") < 8, m = 8, nCent = 256, k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $oQuant,
+        seeds0 AS (SELECT vec_id AS seed_id, q AS sq,
+            md5(CAST(vec_id AS VARCHAR)) AS h
+          FROM qn ORDER BY h, seed_id LIMIT 256),
+        seeds AS (SELECT seed_id, sq,
+            CAST(ROW_NUMBER() OVER (ORDER BY h, seed_id) AS BIGINT) AS cent
+          FROM seeds0),
+        enc0 AS (SELECT x.vec_id, s.cent, g.j,
+            CAST(list_sum(list_transform(generate_series(1, 8), i ->
+              (x.q[(g.j-1)*8+i] - s.sq[(g.j-1)*8+i]) *
+              (x.q[(g.j-1)*8+i] - s.sq[(g.j-1)*8+i]))) AS BIGINT) AS d2
+          FROM qn x CROSS JOIN seeds s,
+            UNNEST(generate_series(1, 8)) AS g(j)),
+        codes AS (SELECT vec_id, j, cent FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+              ORDER BY d2, cent) AS rn FROM enc0) WHERE rn = 1),
+        qpd AS (SELECT q.vec_id AS qid, s.cent, g.j,
+            CAST(list_sum(list_transform(generate_series(1, 8), i ->
+              q.q[(g.j-1)*8+i] * s.sq[(g.j-1)*8+i])) AS BIGINT) AS pd
+          FROM qn q CROSS JOIN seeds s,
+            UNNEST(generate_series(1, 8)) AS g(j)
+          WHERE q.vec_id < 8),
+        score AS (SELECT qid, c.vec_id AS cid, CAST(SUM(pd) AS BIGINT) AS adc_dot,
+            CAST(SUM(pd) AS DOUBLE) /
+              sqrt(CAST(qn1.norm_sq AS DOUBLE) * CAST(cn1.norm_sq AS DOUBLE))
+              AS adc_cosine
+          FROM codes c
+          JOIN qpd ON qpd.j = c.j AND qpd.cent = c.cent
+          JOIN qn qn1 ON qn1.vec_id = qpd.qid
+          JOIN qn cn1 ON cn1.vec_id = c.vec_id
+          WHERE qid <> c.vec_id
+          GROUP BY qid, c.vec_id, qn1.norm_sq, cn1.norm_sq)
+        SELECT query_id, neighbor_id, adc_dot, adc_cosine, rank FROM (
+          SELECT qid AS query_id, cid AS neighbor_id, adc_dot, adc_cosine,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY adc_cosine DESC, cid) AS BIGINT) AS rank
+          FROM score)
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     "l15_multimodal" -> Def(

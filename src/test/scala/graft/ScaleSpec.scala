@@ -230,6 +230,34 @@ class ScaleSpec extends SparkSpec {
       s"seed pick must be distributed top-k:\n$plan")
   }
 
+  test("PQ ANN: codebook broadcasts, ADC ranking is deterministic with usable recall") {
+    val prep = Similarity.prepare(
+      spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .withColumnRenamed("vec_id", "id"), "embedding")
+    val res = Similarity.pqTopK(prep, col("id") < 8, m = 8, nCent = 256, k = 5)
+    val rows = res.collect()
+    assert(rows.length == 8 * 5, "k neighbors per query")
+    // run-to-run determinism (integer arithmetic + fixed tie-breaks)
+    val again = Similarity.pqTopK(prep, col("id") < 8, m = 8, nCent = 256, k = 5)
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // recall vs exact brute force: PQ at 8 centroids/subspace is coarse
+    // by design; the floor pins "usable candidate generator", measured on
+    // this deterministic corpus (recompute if the fixture changes)
+    val truth = Similarity.bruteForceTopK(prep, prep.filter(col("id") < 3), 5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = rows.filter(_.getLong(0) < 3)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth intersect pq).size.toDouble / truth.size
+    assert(recall >= 0.2, s"PQ recall@5 vs brute force too low: $recall")
+    // scale shape: codebook + query LUT broadcast; corpus never self-joins
+    val plan = finalPlan(res)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"codebook/LUT must broadcast:\n$plan")
+  }
+
   private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
     df.collect() // let AQE settle on the final physical plan
     df.queryExecution.executedPlan.toString
