@@ -457,6 +457,117 @@ object Similarity {
         col("adc_dot"), col("adc_cosine"), col("rank"))
   }
 
+  /** The md5-ranked deterministic sample shared by the seeded coarse
+    * quantizers: n corpus vectors with 1-based ranks in a column named
+    * `rankCol` — a distributed top-n (TakeOrderedAndProject), then a
+    * window over only those n rows.
+    */
+  private def seededSample(prepared: DataFrame, n: Int,
+      rankCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    prepared
+      .select(col("id").as("seed_id"), col("qvec").as("seed_qvec"),
+        col("norm_sq").as("seed_norm"),
+        md5(col("id").cast("string")).as("h"))
+      .orderBy(col("h"), col("seed_id")).limit(n)
+      .withColumn(rankCol, row_number()
+        .over(Window.orderBy(col("h"), col("seed_id"))).cast("long"))
+      .drop("h")
+  }
+
+  /** IVF×PQ index build — the production ANN pairing's OFFLINE step: each
+    * vector's coarse cell ([[ivfSeededTopK]]'s quantizer over nCells
+    * seeds) plus its PQ byte codes and exact norm ([[pqTopK]]'s encoding
+    * over an nCent-centroid codebook). The output (cid, cell, c_norm,
+    * codes) is the ENTIRE per-vector residency — ~(4 + 8 + m) bytes — and
+    * is what a deployment materializes once (bucket it by `cell`) and
+    * serves every query from; the float vectors are never read again on
+    * the query path. Both assignments are the min-struct aggregate shape
+    * (map-side combined, 1× corpus exchange each) joined on id.
+    */
+  def ivfPqIndex(prepared: DataFrame, nCells: Int, m: Int = 8,
+      nCent: Int = 256, dims: Int = 64): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val sub = dims / m
+    val cellSeeds = seededSample(prepared, nCells, "cell")
+    val codebook = seededSample(prepared, nCent, "cent")
+    val cells = prepared.select(col("id"), col("qvec"), col("norm_sq"))
+      .crossJoin(broadcast(cellSeeds))
+      .withColumn("d2", col("norm_sq")
+        - lit(2L) * dotQ(col("qvec"), col("seed_qvec")) + col("seed_norm"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("mc"))
+      .select(col("id"), col("mc.cell").as("cell"))
+    def subv(c: Column, j: Int) = slice(c, j * sub + 1, sub)
+    val subCols = (0 until m).map { j =>
+      val xj = subv(col("qvec"), j); val sj = subv(col("seed_qvec"), j)
+      struct((dotQ(xj, xj) - lit(2L) * dotQ(xj, sj) + dotQ(sj, sj)).as("d2"),
+        col("cent")).as(s"s$j")
+    }
+    val enc = prepared.select(col("id"), col("qvec"), col("norm_sq"))
+      .crossJoin(broadcast(codebook))
+      .select(col("id") +: col("norm_sq") +: subCols: _*)
+      .groupBy(col("id"), col("norm_sq"))
+      .agg(min(col("s0")).as("m0"),
+        (1 until m).map(j => min(col(s"s$j")).as(s"m$j")): _*)
+      .select(col("id"), col("norm_sq").as("c_norm"),
+        array((0 until m).map(j => col(s"m$j.cent")): _*).as("codes"))
+    enc.join(cells, Seq("id")).select(col("id").as("cid"), col("cell"),
+      col("c_norm"), col("codes"))
+  }
+
+  /** IVF×PQ query — the production pairing ONLINE: probe the query's
+    * nProbe nearest coarse cells, rank ONLY their members by
+    * ADC-approximated cosine from the PQ codes. Per query the scan is
+    * nProbe/nCells of the corpus and reads ~(4+8+m)-byte index rows, not
+    * vectors — the shape that serves interactive ANN over a corpus whose
+    * float form never fits. Pass a materialized [[ivfPqIndex]] to skip
+    * the build; recall compounds both approximations (cells × codes) —
+    * measure before committing the dials.
+    */
+  def ivfPqTopK(prepared: DataFrame, queryPred: Column, nCells: Int,
+      nProbe: Int, m: Int = 8, nCent: Int = 256, k: Int = 5,
+      dims: Int = 64, index: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = dims / m
+    val idx = index.getOrElse(ivfPqIndex(prepared, nCells, m, nCent, dims))
+    val cellSeeds = seededSample(prepared, nCells, "cell")
+    val codebook = seededSample(prepared, nCent, "cent")
+    def subv(c: Column, j: Int) = slice(c, j * sub + 1, sub)
+    val qs = prepared.filter(queryPred)
+      .select(col("id").as("qid"), col("qvec"), col("norm_sq").as("q_norm"))
+    val probes = qs.crossJoin(broadcast(cellSeeds))
+      .withColumn("d2", col("q_norm")
+        - lit(2L) * dotQ(col("qvec"), col("seed_qvec")) + col("seed_norm"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2"), col("cell"))))
+      .filter(col("crk") <= nProbe)
+      .select(col("qid"), col("cell"))
+    val qlut = qs.crossJoin(broadcast(codebook))
+      .select(col("qid"), col("q_norm"), col("cent"),
+        array((0 until m).map(j =>
+          dotQ(subv(col("qvec"), j), subv(col("seed_qvec"), j))): _*).as("pds"))
+      .groupBy(col("qid"), col("q_norm"))
+      .agg(transform(array_sort(collect_list(struct(col("cent"), col("pds")))),
+        s => s.getField("pds")).as("lut"))
+    val adc = (0 until m).map(j =>
+      element_at(element_at(col("lut"),
+        element_at(col("codes"), j + 1).cast("int")), j + 1))
+      .reduce(_ + _)
+    val joined = probes.join(broadcast(qlut), Seq("qid"))
+      .join(idx, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("adc_dot", adc)
+      .withColumn("adc_cosine", col("adc_dot").cast("double") /
+        sqrt(col("q_norm").cast("double") * col("c_norm").cast("double")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_cosine").desc, col("cid"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("adc_dot"), col("adc_cosine"), col("rank"))
+  }
+
   /** All near-duplicate pairs with cosine >= threshold, via sign-LSH
     * bucketing (near-identical vectors agree on sign buckets with high
     * probability; exact near-dup pairs additionally verified by the exact

