@@ -142,17 +142,59 @@ object Main {
     val ckDir = env.getOrElse("GRAFT_CHECKPOINT_DIR", "graft-checkpoint")
     val metrics = new CdcMetrics.Registry
     // restartable from the same checkpoint — the supervision loop's unit
-    // (the reference's wal reader reconnects and resumes from the slot)
-    val startQuery = () => CdcStream.start(spark, rawStream(spark, cfg, env),
-      cfg.database, outDir, ckDir,
-      tableAllowlist = cfg.tableFilters,
-      trigger = Trigger.ProcessingTime(cfg.batchTimeout.toMillis,
-        java.util.concurrent.TimeUnit.MILLISECONDS),
-      unsafeUnorderedAsyncPublish = cfg.unsafeUnorderedAsyncPublish,
-      maxPublishRetries = cfg.maxPublishRetries,
-      dedupWatermark = s"${cfg.duplicateWindow.toSeconds} seconds",
-      metrics = Some(metrics),
-      plugin = cfg.plugin)
+    // (the reference's wal reader reconnects and resumes from the slot).
+    // GRAFT_MODE picks WHICH consumer runs on the decoded stream:
+    //   sink (default) — normalize + ordered publish (the reference's
+    //                    publisher process);
+    //   mv            — maintain current table state (bucketed
+    //                    MaterializedView loop; the reference's
+    //                    apply-changes consumers);
+    //   scd2          — maintain validity-interval history (bucketed +
+    //                    compacted closed log).
+    // mv/scd2 need GRAFT_MV_KEYS (comma-separated key names in the row
+    // image) and write bucketed state to GRAFT_OUT_DIR.
+    val mode = env.getOrElse("GRAFT_MODE", "sink")
+    val trigger = Trigger.ProcessingTime(cfg.batchTimeout.toMillis,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    def mvKeys: Seq[String] = env.get("GRAFT_MV_KEYS")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+      .getOrElse(sys.error(s"GRAFT_MODE=$mode requires GRAFT_MV_KEYS"))
+    // WAL order for the fold's per-key winner: the envelope's lsn,
+    // numeric (the ordered sink's sort key)
+    def mvSeq = graft.streaming.OrderedSink.lsnNumeric(
+      org.apache.spark.sql.functions.col("lsn"))
+    val mvBuckets = env.getOrElse("GRAFT_MV_BUCKETS", "8").toInt
+    val startQuery: () => StreamingQuery = mode match {
+      case "sink" => () => CdcStream.start(spark, rawStream(spark, cfg, env),
+        cfg.database, outDir, ckDir,
+        tableAllowlist = cfg.tableFilters,
+        trigger = trigger,
+        unsafeUnorderedAsyncPublish = cfg.unsafeUnorderedAsyncPublish,
+        maxPublishRetries = cfg.maxPublishRetries,
+        dedupWatermark = s"${cfg.duplicateWindow.toSeconds} seconds",
+        metrics = Some(metrics),
+        plugin = cfg.plugin)
+      case "mv" | "scd2" =>
+        val keys = mvKeys
+        () => {
+          val events = cfg.plugin match {
+            case "pgoutput" => CdcStream.pipelinePgOutput(spark,
+              rawStream(spark, cfg, env), cfg.database, cfg.tableFilters,
+              txTtlMs = cfg.duplicateWindow.toMillis)
+            case _ => CdcStream.pipeline(spark, rawStream(spark, cfg, env),
+              cfg.database, cfg.tableFilters,
+              s"${cfg.duplicateWindow.toSeconds} seconds")
+          }
+          if (mode == "mv")
+            graft.streaming.MaterializedView.start(spark, events, outDir,
+              ckDir, keys, mvSeq, buckets = mvBuckets, trigger = trigger)
+          else
+            graft.streaming.MaterializedView.startScd2(spark, events, outDir,
+              ckDir, keys, mvSeq, buckets = mvBuckets, trigger = trigger)
+        }
+      case other => sys.error(s"unknown GRAFT_MODE '$other' (sink | mv | scd2)")
+    }
     val maxRestarts = env.get("GRAFT_MAX_RESTARTS").map(_.toInt)
       .getOrElse(Int.MaxValue) // a CDC daemon reconnects until told to stop
     val running = new Running(startQuery, metrics, maxRestarts)
@@ -179,6 +221,7 @@ object Main {
     // the reference's startup log line, same fields (main.go:115-135)
     log.info("starting graft-cdc",
       "debug" -> cfg.debug,
+      "mode" -> mode,
       "source" -> env.getOrElse("CDC_SOURCE", "file"),
       "slot" -> cfg.slotName,
       "db" -> cfg.database,

@@ -148,6 +148,47 @@ class ToolsMainSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("GRAFT_MODE=mv maintains queryable bucketed state instead of publishing") {
+    val tmp = Files.createTempDirectory("graft_main_mv").toString
+    val walDir = s"$tmp/wal"; Files.createDirectories(Paths.get(walDir))
+    def line(action: String, xid: Long, id: Int, v: String): String = {
+      val ts = "2024-01-15 10:30:00.123456+00"
+      action match {
+        case "B" | "C" => s"""{"action":"$action","xid":$xid,"timestamp":"$ts"}"""
+        case a =>
+          s"""{"action":"$a","xid":$xid,"timestamp":"$ts","schema":"public","table":"users","columns":[{"name":"uid","type":"bigint","value":$id},{"name":"v","type":"text","value":"$v"}]}"""
+      }
+    }
+    // uid 1 inserted then updated; uid 2 inserted — current state must
+    // hold the last image per key
+    Files.write(Paths.get(walDir, "wal-01.log"),
+      Seq(line("B", 1, 0, ""), line("I", 1, 1, "a"), line("I", 1, 2, "b"),
+        line("C", 1, 0, ""), line("B", 2, 0, ""), line("U", 2, 1, "a2"),
+        line("C", 2, 0, "")).mkString("\n").getBytes(UTF_8))
+    val env = Map(
+      "GRAFT_MODE" -> "mv",
+      "GRAFT_MV_KEYS" -> "uid",
+      "GRAFT_WAL_DIR" -> walDir,
+      "GRAFT_OUT_DIR" -> s"$tmp/state",
+      "GRAFT_CHECKPOINT_DIR" -> s"$tmp/ck",
+      "BATCH_TIMEOUT" -> "100ms")
+    val running = Main.start(spark, env, healthPortOverride = Some(0))
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      def state() =
+        try graft.streaming.MaterializedView.currentState(spark,
+          s"$tmp/state", Seq("uid")).collect()
+        catch { case _: Exception => Array.empty[org.apache.spark.sql.Row] }
+      while (state().length < 2 && running.query.exception.isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      running.query.exception.foreach(e => throw e)
+      val rows = state().map(r =>
+        (r.getString(0), r.getMap[String, String](1)("v"))).toMap
+      assert(rows == Map("1" -> "a2", "2" -> "b"),
+        s"last image per key wins, got $rows")
+    } finally running.stop()
+  }
+
   test("Main.start rejects an invalid configuration before starting anything") {
     val e = intercept[IllegalArgumentException] {
       Main.start(spark, Map("GRAFT_WAL_DIR" -> "/tmp",
