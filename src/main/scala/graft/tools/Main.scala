@@ -23,7 +23,11 @@ import graft.streaming.{CdcMetrics, CdcStream, HealthServer}
   *     `CDC_PLUGIN` picks text (wal2json) vs binary (pgoutput) frames;
   *   - pipeline + sink: [[CdcStream.start]] (decode → tx assembly → dedup
   *     → normalize → route → ordered publish to `GRAFT_OUT_DIR`), cadence /
-  *     filters / retry budget / dedup window from the config;
+  *     filters / retry budget / dedup window from the config; or, with
+  *     `GRAFT_MODE=mv`/`scd2`, the CONSUMER side instead — the decoded
+  *     stream maintains bucketed current state / compacted SCD2 history
+  *     under `GRAFT_OUT_DIR` (keys from `GRAFT_MV_KEYS`), the reference's
+  *     apply-changes subscribers as a deployment mode;
   *   - health: [[HealthServer]] on `HEALTH_ADDR`'s port serving /health,
   *     /ready (source + query liveness checks), /metrics (Prometheus
   *     text), /debug/threads, /debug/heap.
