@@ -189,6 +189,48 @@ class ToolsMainSpec extends SparkSpec {
     } finally running.stop()
   }
 
+  test("GRAFT_MODE=scd2 maintains validity-interval history with a closed log") {
+    val tmp = Files.createTempDirectory("graft_main_scd2").toString
+    val walDir = s"$tmp/wal"; Files.createDirectories(Paths.get(walDir))
+    def line(action: String, xid: Long, id: Int, v: String): String = {
+      val ts = "2024-01-15 10:30:00.123456+00"
+      action match {
+        case "B" | "C" => s"""{"action":"$action","xid":$xid,"timestamp":"$ts"}"""
+        case a =>
+          s"""{"action":"$a","xid":$xid,"timestamp":"$ts","schema":"public","table":"users","columns":[{"name":"uid","type":"bigint","value":$id},{"name":"v","type":"text","value":"$v"}]}"""
+      }
+    }
+    Files.write(Paths.get(walDir, "wal-01.log"),
+      Seq(line("B", 1, 0, ""), line("I", 1, 1, "a"), line("C", 1, 0, ""),
+        line("B", 2, 0, ""), line("U", 2, 1, "a2"), line("C", 2, 0, ""))
+        .mkString("\n").getBytes(UTF_8))
+    val env = Map(
+      "GRAFT_MODE" -> "scd2",
+      "GRAFT_MV_KEYS" -> "uid",
+      "GRAFT_WAL_DIR" -> walDir,
+      "GRAFT_OUT_DIR" -> s"$tmp/state",
+      "GRAFT_CHECKPOINT_DIR" -> s"$tmp/ck",
+      "BATCH_TIMEOUT" -> "100ms")
+    val running = Main.start(spark, env, healthPortOverride = Some(0))
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      def state() =
+        try graft.streaming.MaterializedView.currentState(spark,
+          s"$tmp/state", Seq("uid")).collect()
+        catch { case _: Exception => Array.empty[org.apache.spark.sql.Row] }
+      while (state().length < 2 && running.query.exception.isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      running.query.exception.foreach(e => throw e)
+      // history: the closed v=a version + the open v=a2 version
+      val rows = state().map { r =>
+        (r.getAs[Map[String, String]]("image")("v"),
+          r.getAs[Boolean]("is_current"))
+      }.toSet
+      assert(rows == Set(("a", false), ("a2", true)),
+        s"one closed + one open version for uid 1, got $rows")
+    } finally running.stop()
+  }
+
   test("Main.start rejects an invalid configuration before starting anything") {
     val e = intercept[IllegalArgumentException] {
       Main.start(spark, Map("GRAFT_WAL_DIR" -> "/tmp",
