@@ -67,12 +67,24 @@ object MaterializedView {
   private def bucketOf(keyCols: Seq[String], buckets: Int): Column =
     pmod(hash(keyCols.map(col): _*), lit(buckets))
 
+  /** Version-directory naming: `v<batchId>` per micro-batch, plus `vinit`
+    * — the snapshot [[bootstrap]], which orders BEFORE every batch id
+    * (id −1) so the first micro-batch's "latest version below my id" read
+    * finds the seeded state.
+    */
+  private def versionId(name: String): Option[Long] =
+    if (name == "vinit") Some(-1L)
+    else if (name.matches("v\\d+")) Some(name.drop(1).toLong) else None
+
+  private def versionName(id: Long): String =
+    if (id == -1L) "vinit" else s"v$id"
+
   /** Latest version id strictly below `below` inside one directory of
-    * `v<id>` children (None = no version yet).
+    * version children (None = no version yet).
     */
   private def latestVersionIn(dir: File, below: Long): Option[Long] = {
     val vs = Option(dir.listFiles()).toSeq.flatten
-      .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+      .flatMap(f => versionId(f.getName))
       .filter(_ < below)
     if (vs.isEmpty) None else Some(vs.max)
   }
@@ -155,7 +167,7 @@ object MaterializedView {
       .write.mode("overwrite").partitionBy("_mv_bucket").parquet(stage)
     touched.foreach { b =>
       val src = new File(s"$stage/_mv_bucket=$b")
-      val dst = new File(s"$root/b$b/v$batchId")
+      val dst = new File(s"$root/b$b/${versionName(batchId)}")
       rm(dst)
       dst.getParentFile.mkdirs()
       if (src.isDirectory) {
@@ -195,9 +207,9 @@ object MaterializedView {
   private def pruneBuckets(root: File, retain: Int): Unit =
     bucketDirs(root).foreach { b =>
       Option(b.listFiles()).toSeq.flatten
-        .filter(f => f.getName.matches("v\\d+"))
-        .sortBy(-_.getName.drop(1).toLong).drop(retain)
-        .foreach(rm)
+        .flatMap(f => versionId(f.getName).map(id => (id, f)))
+        .sortBy(-_._1).drop(retain)
+        .foreach { case (_, f) => rm(f) }
     }
 
   // ---------- closed-log segments ----------
@@ -359,7 +371,7 @@ object MaterializedView {
     val openRoot =
       if (new File(root, "open").isDirectory) new File(root, "open") else root
     val latest = bucketDirs(openRoot).flatMap { b =>
-      latestVersionIn(b, below).map(v => new File(b, s"v$v"))
+      latestVersionIn(b, below).map(v => new File(b, versionName(v)))
     }
     readSplit(spark, keyCols,
       closedV.filter(_._1 < below).map(_._2) ++ latest,
@@ -392,7 +404,7 @@ object MaterializedView {
       if (new File(root, "open").isDirectory) new File(root, "open") else root
     val bucketDir = new File(openRoot, s"b$b")
     val latest = latestVersionIn(bucketDir, below)
-      .map(v => new File(bucketDir, s"v$v")).toSeq
+      .map(v => new File(bucketDir, versionName(v))).toSeq
     val segParts = closedS.filter(_._1 < below)
       .map { case (_, _, f) => new File(f, s"_mv_bucket=$b") }
       .filter(_.isDirectory)
@@ -424,7 +436,7 @@ object MaterializedView {
     val openRoot =
       if (new File(root, "open").isDirectory) new File(root, "open") else root
     val latest = bucketDirs(openRoot).flatMap { b =>
-      latestVersionIn(b, Long.MaxValue).map(v => new File(b, s"v$v"))
+      latestVersionIn(b, Long.MaxValue).map(v => new File(b, versionName(v)))
     }
     readSplit(spark, keyCols, closedV.map(_._2) ++ latest,
       liveSegs.map(_._3), Long.MaxValue)
@@ -433,6 +445,31 @@ object MaterializedView {
   }
 
   // ---------- maintenance loops ----------
+
+  /** Seed the MV state from a consistent SNAPSHOT before streaming — the
+    * consumer half of the snapshot→CDC handoff ([[SnapshotBootstrap]]
+    * produces the snapshot + start position on the source side; the
+    * reference's initial-load story). `snapshot` must carry the key
+    * columns plus an `image` map column — the state row shape. Rows land
+    * bucketed as each bucket's `vinit` version (ordered before every
+    * batch id), so the stream's FIRST micro-batch folds against the
+    * seeded state exactly as if a prior batch had written it; replay
+    * idempotence and pruning (vinit ages out once `retainVersions` newer
+    * versions exist) are unchanged.
+    *
+    * Refuses a state dir that already has bucket versions: bootstrap is
+    * the t=0 step, not a merge.
+    */
+  def bootstrap(spark: SparkSession, snapshot: DataFrame, stateDir: String,
+      keyCols: Seq[String], buckets: Int = 8): Unit = {
+    require(keyCols.nonEmpty, "keyCols must name the view key")
+    val root = new File(stateDir)
+    require(bucketDirs(root).forall(b => latestVersionIn(b, Long.MaxValue).isEmpty),
+      s"state at $stateDir already has versions — bootstrap must run first")
+    pinBuckets(stateDir, buckets)
+    writeBuckets(snapshot.select((keyCols.map(col) :+ col("image")): _*),
+      keyCols, buckets, stateDir, batchId = -1L, touched = 0 until buckets)
+  }
 
   /** Start maintaining the view. `events` is a streaming frame of
     * normalized CdcEvents ([[graft.cdc.Transform.normalize]] columns);
@@ -471,7 +508,7 @@ object MaterializedView {
           val root = new File(stateDir)
           val basePaths = touched.flatMap { b =>
             latestVersionIn(new File(root, s"b$b"), below = batchId)
-              .map(v => new File(root, s"b$b/v$v"))
+              .map(v => new File(root, s"b$b/${versionName(v)}"))
           }
           val base = readState(spark, basePaths, keyCols)
           val folded = Apply.applyChanges(base, col("image"),
@@ -525,7 +562,7 @@ object MaterializedView {
           // (no schema); it is exactly the empty-open-state case
           val openPaths = touched.flatMap { b =>
             latestVersionIn(new File(openRoot, s"b$b"), below = batchId)
-              .map(v => new File(openRoot, s"b$b/v$v"))
+              .map(v => new File(openRoot, s"b$b/${versionName(v)}"))
           }.filter(hasDataFiles)
           val changes = keyed.drop("_mv_bucket")
           val folded = (if (openPaths.nonEmpty)

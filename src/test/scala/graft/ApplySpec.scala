@@ -335,6 +335,44 @@ class ApplySpec extends SparkSpec {
     assert(got == keys.map(k => k -> (if (k == 7L) "v7b" else s"v$k")).toMap)
   }
 
+  test("bootstrap seeds the state: stream folds on the snapshot, bootstrap-after-start refused") {
+    val dir = Files.createTempDirectory("graft_ivm_boot").toString
+    val src = s"$dir/in"; val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    // consistent snapshot: keys 1..6 at their initial images
+    val snapshot = (1L to 6L).map(k =>
+      (k.toString, Map("id" -> k.toString, "v" -> s"snap$k")))
+      .toDF("id", "image")
+    MaterializedView.bootstrap(spark, snapshot, state, Seq("id"), buckets = 4)
+    // snapshot alone IS current state
+    val seeded = MaterializedView.currentState(spark, state, Seq("id"))
+      .select($"id".cast("long"), element_at($"image", "v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(seeded == (1L to 6L).map(k => k -> s"snap$k").toMap)
+    // CDC on top: update 2, delete 5, insert 9 — fold must see the seed
+    (walJson(10, "U", 2L, "u2") ++ walJson(20, "D", 5L, "") ++
+      walJson(30, "I", 9L, "v9"))
+      .toDF("wal_start", "data").write.json(s"$src/b0.json")
+    val raw = spark.readStream
+      .schema("wal_start LONG, data STRING").json(s"$src/*.json")
+    val q = MaterializedView.start(spark,
+      CdcStream.pipeline(spark, raw, "testdb"), state, ckpt,
+      keyCols = Seq("id"), seq = col("txid"), buckets = 4,
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    try q.processAllAvailable() finally q.stop()
+    val got = MaterializedView.currentState(spark, state, Seq("id"))
+      .select($"id".cast("long"), element_at($"image", "v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "snap1", 2L -> "u2", 3L -> "snap3",
+      4L -> "snap4", 6L -> "snap6", 9L -> "v9"),
+      s"snapshot + changes fold: $got")
+    // bootstrap is the t=0 step only
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.bootstrap(spark, snapshot, state, Seq("id"), buckets = 4)
+    }
+    assert(e.getMessage.contains("already has versions"))
+  }
+
   test("bucketed MV: deleting a bucket's only key leaves a bare version (no resurrection)") {
     val dir = Files.createTempDirectory("graft_ivm_del").toString
     val src = s"$dir/in"; val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
