@@ -471,6 +471,33 @@ object MaterializedView {
       keyCols, buckets, stateDir, batchId = -1L, touched = 0 until buckets)
   }
 
+  /** [[bootstrap]]'s SCD2 twin: seed the HISTORY table's open state from
+    * a consistent snapshot. Every snapshot row becomes an OPEN version
+    * (`is_current=true`, `valid_to` null) valid from `validFrom` — the
+    * snapshot's consistent position in the stream's seq domain, the same
+    * value the source-side handoff pins (SnapshotBootstrap's start LSN)
+    * — written bucketed under `open/` as `vinit`. The first micro-batch's
+    * [[graft.cdc.Apply.scd2Apply]] then closes seeded versions exactly
+    * like any prior open state; the closed log starts empty.
+    */
+  def bootstrapScd2(spark: SparkSession, snapshot: DataFrame,
+      stateDir: String, keyCols: Seq[String], validFrom: Column,
+      buckets: Int = 8): Unit = {
+    require(keyCols.nonEmpty, "keyCols must name the history key")
+    val root = new File(stateDir)
+    val openRoot = new File(root, "open")
+    require(!new File(root, "closed").isDirectory &&
+      bucketDirs(openRoot).forall(b => latestVersionIn(b, Long.MaxValue).isEmpty),
+      s"state at $stateDir already has versions — bootstrap must run first")
+    pinBuckets(stateDir, buckets)
+    val seeded = snapshot
+      .select((keyCols.map(col) :+ col("image") :+ validFrom.as("valid_from")): _*)
+      .withColumn("valid_to", when(lit(false), col("valid_from"))) // typed null
+      .withColumn("is_current", lit(true))
+    writeBuckets(seeded, keyCols, buckets, openRoot.toString,
+      batchId = -1L, touched = 0 until buckets)
+  }
+
   /** Start maintaining the view. `events` is a streaming frame of
     * normalized CdcEvents ([[graft.cdc.Transform.normalize]] columns);
     * keys are extracted from the row image (`after`, falling back to

@@ -373,6 +373,65 @@ class ApplySpec extends SparkSpec {
     assert(e.getMessage.contains("already has versions"))
   }
 
+  test("bootstrapScd2 seeds open history: first batch closes seeded versions, asOf sees them") {
+    val dir = Files.createTempDirectory("graft_scd2_boot").toString
+    val src = s"$dir/in"; val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    // snapshot at position 5: keys 1..4 open from seq 5
+    val snapshot = (1L to 4L).map(k =>
+      (k.toString, Map("id" -> k.toString, "v" -> s"snap$k")))
+      .toDF("id", "image")
+    MaterializedView.bootstrapScd2(spark, snapshot, state, Seq("id"),
+      validFrom = lit(5L), buckets = 4)
+    // stream: update key 2 at position 10, delete key 3 at position 20
+    // (walJson reuses the key as xid; here the xid IS the seq position,
+    // past the snapshot's consistent point 5)
+    def walAt(pos: Long, action: String, key: Long, v: String) = {
+      val ts = "2024-01-15 10:30:00.123456+00"
+      val cols = s"""[{"name":"id","type":"bigint","value":"$key"},{"name":"v","type":"text","value":"$v"}]"""
+      val arms = if (action == "D") s""""identity":$cols"""
+        else s""""columns":$cols"""
+      Seq(
+        (pos, s"""{"action":"B","xid":$pos,"timestamp":"$ts"}"""),
+        (pos + 1, s"""{"action":"$action","xid":$pos,"timestamp":"$ts","schema":"public","table":"kv",$arms}"""),
+        (pos + 2, s"""{"action":"C","xid":$pos,"timestamp":"$ts"}"""))
+    }
+    (walAt(10, "U", 2L, "u2") ++ walAt(20, "D", 3L, ""))
+      .toDF("wal_start", "data").write.json(s"$src/b0.json")
+    val raw = spark.readStream
+      .schema("wal_start LONG, data STRING").json(s"$src/*.json")
+    val q = MaterializedView.startScd2(spark,
+      CdcStream.pipeline(spark, raw, "testdb"), state, ckpt,
+      keyCols = Seq("id"), seq = col("txid"), buckets = 4,
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    try q.processAllAvailable() finally q.stop()
+    // as of t=7 (after snapshot, before the changes): the snapshot world
+    val at7 = MaterializedView.scd2AsOf(spark, state, Seq("id"), t = 7L)
+      .select($"id".cast("long"), element_at($"image", "v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(at7 == (1L to 4L).map(k => k -> s"snap$k").toMap, s"asOf 7: $at7")
+    // as of t=25: update applied, delete closed key 3 with no successor
+    val at25 = MaterializedView.scd2AsOf(spark, state, Seq("id"), t = 25L)
+      .select($"id".cast("long"), element_at($"image", "v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(at25 == Map(1L -> "snap1", 2L -> "u2", 4L -> "snap4"),
+      s"asOf 25: $at25")
+    // the seeded version of key 2 is CLOSED at the update's position
+    val k2 = MaterializedView.keyState(spark, state, Seq("id"), Seq("2"))
+      .select(element_at($"image", "v"), $"valid_from".cast("long"),
+        $"valid_to".cast("long"), $"is_current").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toSet
+    assert(k2 == Set(("snap2", 5L, 10L, false), ("u2", 10L, -1L, true)),
+      s"key 2 history: $k2")
+    // re-bootstrap refused once state exists
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.bootstrapScd2(spark, snapshot, state, Seq("id"),
+        validFrom = lit(5L), buckets = 4)
+    }
+    assert(e.getMessage.contains("already has versions"))
+  }
+
   test("bucketed MV: deleting a bucket's only key leaves a bare version (no resurrection)") {
     val dir = Files.createTempDirectory("graft_ivm_del").toString
     val src = s"$dir/in"; val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
