@@ -71,7 +71,9 @@ object Main {
             restarts += 1
             Thread.sleep(
               graft.streaming.Reliability.reconnectBackoffMillis(restarts))
-            current = restart()
+            // stop() may have arrived during the backoff sleep — a
+            // restart after it would leak a query past health teardown
+            if (stopped) done = true else current = restart()
         }
       }
       restarts
