@@ -115,27 +115,31 @@ object DedupIndex {
           .withColumn("ingest_batch", lit(batchId))
         val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
           .withColumn("ingest_batch", lit(batchId))
-        if (!s.catalog.tableExists(name)) {
-          sh.write.partitionBy("ingest_batch")
-            .bucketBy(buckets, "shingle").sortBy("shingle").saveAsTable(name)
-          sizes.write.partitionBy("ingest_batch").saveAsTable(s"${name}_sizes")
-        } else {
-          // replay-idempotent: confine the rewrite to this batch's partition
-          s.sql(s"ALTER TABLE $name DROP IF EXISTS " +
-            s"PARTITION (ingest_batch=$batchId)")
-          s.sql(s"ALTER TABLE ${name}_sizes DROP IF EXISTS " +
-            s"PARTITION (ingest_batch=$batchId)")
-          sh.write.mode("append").partitionBy("ingest_batch")
-            .bucketBy(buckets, "shingle").sortBy("shingle").saveAsTable(name)
-          sizes.write.mode("append").partitionBy("ingest_batch")
-            .saveAsTable(s"${name}_sizes")
-          // the drop+append invalidated cached file listings; refresh on
-          // BOTH sessions — `s` is foreachBatch's cloned session, `spark`
-          // the caller's (whose readers hold the stale cache)
-          s.catalog.refreshTable(name)
-          s.catalog.refreshTable(s"${name}_sizes")
-          spark.catalog.refreshTable(name)
-          spark.catalog.refreshTable(s"${name}_sizes")
+        // each table decides create-vs-append for ITSELF: a crash between
+        // the two creations must not wedge the replay (an ALTER on the
+        // not-yet-created sizes table would fail every retry)
+        def land(df: org.apache.spark.sql.DataFrame, table: String,
+            bucketed: Boolean): Unit = {
+          def writer(mode: String) = {
+            val w = df.write.mode(mode).partitionBy("ingest_batch")
+            if (bucketed) w.bucketBy(buckets, "shingle").sortBy("shingle") else w
+          }
+          if (!s.catalog.tableExists(table))
+            writer("errorifexists").saveAsTable(table)
+          else {
+            // replay-idempotent: confine the rewrite to this batch's
+            // partition
+            s.sql(s"ALTER TABLE $table DROP IF EXISTS " +
+              s"PARTITION (ingest_batch=$batchId)")
+            writer("append").saveAsTable(table)
+            // the drop+append invalidated cached file listings; refresh
+            // BOTH sessions — `s` is foreachBatch's cloned session,
+            // `spark` the caller's (whose readers hold the stale cache)
+            s.catalog.refreshTable(table)
+            spark.catalog.refreshTable(table)
+          }
         }
+        land(sh, name, bucketed = true)
+        land(sizes, s"${name}_sizes", bucketed = false)
       }.start()
 }
