@@ -593,15 +593,25 @@ object Similarity {
     * engine-reproducible end to end.
     */
   def recallAtK(prepared: DataFrame, queryPred: Column, bits: Int,
-      k: Int, dims: Int = 64): DataFrame = {
-    val truth = bruteForceTopK(prepared, prepared.filter(queryPred), k)
-    val approx = rpBucketedTopK(prepared, queryPred, bits, k, dims)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      k: Int, dims: Int = 64): DataFrame =
+    recallVs(bruteForceTopK(prepared, prepared.filter(queryPred), k),
+      rpBucketedTopK(prepared, queryPred, bits, k, dims))
+
+  /** Per-query recall of ANY approximate top-k frame against a truth
+    * frame (both shaped (query_id, neighbor_id, …)) — the same
+    * BIGINT-exact measurement [[recallAtK]] applies to rp-LSH, usable for
+    * every strategy in this family (sign-LSH, multi-probe, IVF, int8, PQ,
+    * IVF×PQ): truth left-joins the approximate set, hits and recall_pct
+    * are exact integers, so a tuning sweep's numbers are reproducible
+    * across engines and cluster sizes.
+    */
+  def recallVs(truth: DataFrame, approx: DataFrame): DataFrame =
+    truth.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("hits"))
       .withColumn("recall_pct", expr("(hits * CAST(100 AS BIGINT)) div n_truth"))
-  }
 
   /** Int8 scalar quantization of a prepared (1e-4-unit BIGINT) vector:
     * per-vector symmetric scale code_i = round(q_i * 127 / max|q|),

@@ -242,16 +242,16 @@ class ScaleSpec extends SparkSpec {
       .collect()
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet ==
       again.map(r => (r.getLong(0), r.getLong(1))).toSet)
-    // recall vs exact brute force: PQ at 8 centroids/subspace is coarse
-    // by design; the floor pins "usable candidate generator", measured on
-    // this deterministic corpus (recompute if the fixture changes)
-    val truth = Similarity.bruteForceTopK(prep, prep.filter(col("id") < 3), 5)
-      .select(col("query_id"), col("neighbor_id")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val pq = rows.filter(_.getLong(0) < 3)
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (truth intersect pq).size.toDouble / truth.size
-    assert(recall >= 0.2, s"PQ recall@5 vs brute force too low: $recall")
+    // recall vs exact brute force through the production harness
+    // (recallVs — the same measurement every ANN strategy tunes with);
+    // the floor pins "usable candidate generator" on this deterministic
+    // corpus (recompute if the fixture changes)
+    val rec = Similarity.recallVs(
+        Similarity.bruteForceTopK(prep, prep.filter(col("id") < 3), 5),
+        res.filter(col("query_id") < 3))
+      .agg(sum(col("hits")).cast("double") / sum(col("n_truth")))
+      .head().getDouble(0)
+    assert(rec >= 0.2, s"PQ recall@5 vs brute force too low: $rec")
     // scale shape: codebook + query LUT broadcast; corpus never self-joins
     val plan = finalPlan(res)
     assert(plan.contains("BroadcastNestedLoopJoin") ||
