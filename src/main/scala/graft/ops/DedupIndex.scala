@@ -99,6 +99,53 @@ object DedupIndex {
     * re-sends of the same id should be deduped upstream by digest, e.g.
     * [[graft.streaming.StreamingCuration.dedupStream]]).
     */
+  /** Recover a compaction that crashed between table swap steps: the
+    * rebuilt `<t>_compacted` exists but `<t>` is gone → finish the
+    * rename. Safe to call any time; no-op when nothing is pending.
+    */
+  private def recoverCompaction(spark: SparkSession, t: String): Unit =
+    if (!spark.catalog.tableExists(t) &&
+        spark.catalog.tableExists(s"${t}_compacted")) {
+      spark.sql(s"ALTER TABLE ${t}_compacted RENAME TO $t")
+      // the rename moves the directory but the catalog's per-partition
+      // locations still point at the staged path — re-discover them
+      spark.sql(s"MSCK REPAIR TABLE $t")
+    }
+
+  /** QUIESCED maintenance for the streamed index: fold the accumulated
+    * per-batch `ingest_batch` partitions into one. [[startMaintenance]]
+    * lands one partition per micro-batch — at ingest-pipeline batch
+    * grains (seconds-to-minutes) that is fine for days, but unbounded it
+    * is the same small-files scale-killer the SCD2 closed log compacts
+    * away. Contents are immutable, so compaction is a pure rebuild into
+    * a sibling table (same bucket spec — the zero-exchange join
+    * property survives) followed by a drop+rename swap; the folded rows
+    * land under `ingest_batch = -1` (never a real batch id, so a
+    * replayed batch can never drop them). Run with the maintenance
+    * stream STOPPED — the swap is not atomic against a concurrent
+    * append; a crash between swap steps is healed by
+    * [[recoverCompaction]] at the next compact() or maintenance batch.
+    */
+  def compact(spark: SparkSession, name: String, buckets: Int = 8): Unit = {
+    Seq(name, s"${name}_sizes").foreach { t =>
+      recoverCompaction(spark, t)
+      require(spark.catalog.tableExists(t), s"no index table $t")
+      val staged = s"${t}_compacted"
+      spark.sql(s"DROP TABLE IF EXISTS $staged")
+      val folded = spark.table(t).drop("ingest_batch")
+        .withColumn("ingest_batch", lit(-1L))
+      val w = folded.write.partitionBy("ingest_batch")
+      (if (t == name) w.bucketBy(buckets, "shingle").sortBy("shingle") else w)
+        .saveAsTable(staged)
+      spark.sql(s"DROP TABLE $t")
+      spark.sql(s"ALTER TABLE $staged RENAME TO $t")
+      // rename moves the data dir; partition catalog entries still point
+      // at the staged path — re-discover from the filesystem
+      spark.sql(s"MSCK REPAIR TABLE $t")
+      spark.catalog.refreshTable(t)
+    }
+  }
+
   def startMaintenance(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, name: String, checkpointPath: String, n: Int = 3,
       buckets: Int = 8,
@@ -120,6 +167,7 @@ object DedupIndex {
         // not-yet-created sizes table would fail every retry)
         def land(df: org.apache.spark.sql.DataFrame, table: String,
             bucketed: Boolean): Unit = {
+          recoverCompaction(s, table) // heal a crashed offline compaction
           def writer(mode: String) = {
             val w = df.write.mode(mode).partitionBy("ingest_batch")
             if (bucketed) w.bucketBy(buckets, "shingle").sortBy("shingle") else w

@@ -138,4 +138,54 @@ class DedupIndexSpec extends SparkSpec {
         "maintained index scan keeps the bucket layout")
     } finally { cleanup(name); () }
   }
+
+  test("compact folds per-batch partitions into one; contents, bucketing, appends survive") {
+    val name = "graft_test_shidx4"
+    cleanup(name)
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_compacted")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_sizes_compacted")
+    val docs = (1L to 24L)
+      .map(i => (i, s"compaction document $i about topic${i % 4} here"))
+      .toDF("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft_idx_compact")
+    try {
+      runMaintenance(docs, name, s"$work/ck1")
+      val before = spark.table(name)
+        .select($"id", $"shingle").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(spark.table(name).select($"ingest_batch").distinct().count() == 3,
+        "three micro-batches -> three partitions before compaction")
+      DedupIndex.compact(spark, name, buckets = 4)
+      // one folded partition, identical contents
+      assert(spark.table(name).select($"ingest_batch").distinct()
+        .as[Long].collect().toList == List(-1L))
+      val after = spark.table(name)
+        .select($"id", $"shingle").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(after == before, "compaction is a pure fold")
+      // the rebuilt table still serves the zero-corpus-exchange join
+      val hits = DedupIndex.incrementalNearDups(spark,
+        Seq((100L, "compaction document 3 about topic3 here"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", name, threshold = 0.5)
+      val formatted = hits.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(formatted.contains("Bucketed: true"),
+        "compacted index keeps the bucket layout")
+      assert(hits.select($"old_id").as[Long].collect().contains(3L))
+      // maintenance continues on the compacted table: a later batch
+      // appends its own partition beside the folded one
+      val more = Seq((200L, "a brand new compaction document about topic9"))
+        .toDF("doc_id", "text")
+      runMaintenance(more, name, s"$work/ck2")
+      val parts = spark.table(name).select($"ingest_batch").distinct()
+        .as[Long].collect().toSet
+      assert(parts.contains(-1L) && parts.exists(_ >= 0L),
+        s"folded + fresh partitions: $parts")
+      assert(spark.table(name).filter($"id" === 200L).count() > 0)
+    } finally {
+      cleanup(name)
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_compacted")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_sizes_compacted")
+      ()
+    }
+  }
 }
