@@ -529,6 +529,10 @@ object Similarity {
       nProbe: Int, m: Int = 8, nCent: Int = 256, k: Int = 5,
       dims: Int = 64, index: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // with a prebuilt index the call never reaches ivfPqIndex's check, and
+    // a silently truncating `sub` would slice the query LUT at wrong
+    // subvector boundaries — wrong ADC scores with no error
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     val sub = dims / m
     val idx = index.getOrElse(ivfPqIndex(prepared, nCells, m, nCent, dims))
     val cellSeeds = seededSample(prepared, nCells, "cell")

@@ -71,18 +71,27 @@ object Main {
             restarts += 1
             Thread.sleep(
               graft.streaming.Reliability.reconnectBackoffMillis(restarts))
-            // stop() may have arrived during the backoff sleep — a
-            // restart after it would leak a query past health teardown
-            if (stopped) done = true else current = restart()
+            // stop() may land during the backoff sleep — and checking
+            // `stopped` alone still races: stop() could run BETWEEN the
+            // check and restart(), stopping only the old (already-failed)
+            // query while the fresh one leaks past health teardown and
+            // re-blocks await() forever. The shared lock makes
+            // post-stop restart impossible: whichever side wins, the
+            // other observes it (stop() stops the query restart()
+            // assigned, or restart() never runs at all).
+            this.synchronized {
+              if (stopped) done = true else current = restart()
+            }
         }
       }
       restarts
     }
 
     def stop(): Unit = {
-      stopped = true
-      try if (current.isActive) current.stop()
-      finally Option(healthServer).foreach(_.stop())
+      try this.synchronized {
+        stopped = true
+        if (current.isActive) current.stop()
+      } finally Option(healthServer).foreach(_.stop())
     }
   }
 
@@ -109,6 +118,19 @@ object Main {
   private[graft] def portOf(addr: String): Int =
     addr.substring(addr.lastIndexOf(':') + 1).toInt
 
+  /** Output-plugin start options for the socket source's
+    * START_REPLICATION command. NOT optional against real Postgres:
+    * pgoutput rejects the command without proto_version +
+    * publication_names, and wal2json without format-version=2 emits v1
+    * frames the v2 FAILFAST decoder cannot parse — the reference always
+    * sends them (internal/wal/reader.go's plugin arguments). Rendered in
+    * [[graft.sources.CopyBothSource]]'s `startOptions` k=v;k=v form.
+    */
+  private[graft] def pluginStartOptions(cfg: GraftConfig): String =
+    if (cfg.plugin == "pgoutput")
+      "proto_version=1;publication_names=" + cfg.publications.mkString(",")
+    else "format-version=2;include-xids=1;include-timestamp=1"
+
   /** Build the raw frame stream for the configured source kind. */
   private def rawStream(spark: SparkSession, cfg: GraftConfig,
       env: Map[String, String]): DataFrame =
@@ -127,6 +149,7 @@ object Main {
           // cfg.database already resolves CDC_DATABASE → URL path → default
           .option("database", cfg.database)
           .option("payload", payload)
+          .option("startOptions", pluginStartOptions(cfg))
         pw.fold(r)(p => r.option("password", p)).load()
       case other => sys.error(s"unknown CDC_SOURCE '$other' (file | socket)")
     }

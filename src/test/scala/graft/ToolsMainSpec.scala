@@ -105,8 +105,29 @@ class ToolsMainSpec extends SparkSpec {
         assert(out.select("subject").collect().map(_.getString(0)).toList
           == List("cdc.sockdb.public.users"))
         assert(get(s"http://localhost:${running.health.port}/ready")._1 == 200)
+        // the wire-level START_REPLICATION carried the plugin start
+        // options (real wal2json emits v1 frames without format-version=2
+        // — the in-process server ignores options, so assert the command)
+        assert(srv.lastStartCommand ==
+          "START_REPLICATION SLOT main_sock_slot LOGICAL 0/0 " +
+            "(format-version '2', include-xids '1', include-timestamp '1')",
+          s"unexpected start command: ${srv.lastStartCommand}")
       } finally running.stop()
     } finally srv.close()
+  }
+
+  test("pluginStartOptions renders the per-plugin START_REPLICATION arguments") {
+    import graft.config.GraftConfig
+    def cfg(extra: (String, String)*): GraftConfig =
+      GraftConfig.load(Map("GRAFT_WAL_DIR" -> "/tmp") ++ extra.toMap)
+        .fold(e => fail(s"config: $e"), identity)
+    // wal2json (default): v2 frames + xid/timestamp fields the decoder binds
+    assert(Main.pluginStartOptions(cfg()) ==
+      "format-version=2;include-xids=1;include-timestamp=1")
+    // pgoutput: proto_version + publication_names from CDC_PUBLICATIONS
+    assert(Main.pluginStartOptions(cfg("CDC_PLUGIN" -> "pgoutput",
+      "CDC_PUBLICATIONS" -> "pub_a,pub_b")) ==
+      "proto_version=1;publication_names=pub_a,pub_b")
   }
 
   test("Running.await supervises: a transient socket error restarts from the checkpoint") {
