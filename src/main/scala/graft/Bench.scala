@@ -300,8 +300,11 @@ object Bench {
     // backing for SCALE.md's "per-batch cost is O(batch + touched
     // buckets)" claim. Input is the c29 harness's staged WAL slices
     // (one tx per event, 3 contiguous slices, maxFilesPerTrigger=1 → 3
-    // real micro-batches crossing compaction). Best-of-2; rep 1 is
-    // additionally warm from the query loop's c29/c31 runs.
+    // real micro-batches; folds run on the r8 compactEveryBatches
+    // cadence, off the per-trigger path). Best-of-3 with per-rep values
+    // in mv_ops_sec_reps (r7 advice: the 3× rep-2 spread coincided with
+    // inline compaction folds); rep 1 is additionally warm from the
+    // query loop's c29/c31 runs.
     val (mvOpsSec, mvErr, mvReps) = try {
       import org.apache.spark.sql.functions.{coalesce, col, element_at}
       import org.apache.spark.sql.streaming.Trigger
@@ -312,7 +315,7 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val reps = try {
-        (1 to 2).map { rep =>
+        (1 to 3).map { rep =>
           val state = s"$work/bench_scd2_$rep"
           val ck = s"$work/bench_scd2_ck_$rep"
           val raw = spark.readStream.schema("wal_start LONG, data STRING")

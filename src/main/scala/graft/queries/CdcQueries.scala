@@ -1150,7 +1150,7 @@ object CdcQueries {
           keyCols = Seq("tbl", "uid"),
           seq = coalesce(element_at(col("after"), "seq"),
             element_at(col("before"), "seq")).cast("long"),
-          compactClosedAfter = 2,
+          compactClosedAfter = 2, compactEveryBatches = 1,
           trigger = Trigger.ProcessingTime("50 milliseconds"))
         try { q.processAllAvailable() } finally q.stop()
         val tPos = t(s, d, "events")
@@ -1170,6 +1170,54 @@ object CdcQueries {
             ORDER BY event_id) AS valid_to
         FROM events),
         tp AS (SELECT MAX(event_id) * 3 // 5 AS t FROM events)
+        SELECT tbl, uid, valid_from AS ver_src, valid_from, valid_to
+        FROM v, tp WHERE op <> 'DELETE'
+          AND valid_from <= t AND (valid_to > t OR valid_to IS NULL)
+        ORDER BY tbl, uid""")),
+
+    // Out-of-band history maintenance (r8): the SAME point-in-time read
+    // as c31, but the streaming loop runs with folds OFF the delivery
+    // path (compactEveryBatches high — no batch ever folds) and the
+    // closed log is compacted afterwards by the maintenance schedule
+    // (`maintainClosed`), exactly how a deployment takes history folds
+    // out of the 100 ms trigger. Also gates the r8 append-time validity
+    // meta: the as-of read prunes UNCOMPACTED closed versions driver-side
+    // before the fold ever runs. t = 2/5 of the seq domain (a different
+    // cut than c31, so the two queries pin different validity frontiers).
+    "c32_scd2_asof_outofband" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val (srcDir, work) = scd2StreamInput(s, d)
+        val state = s"$work/state_oob"; val ckpt = s"$work/ckpt_oob"
+        val raw = s.readStream.schema("wal_start LONG, data STRING")
+          .option("maxFilesPerTrigger", 1).json(s"$srcDir/b*")
+        val q = graft.streaming.MaterializedView.startScd2(s,
+          graft.streaming.CdcStream.pipeline(s, raw, Db), state, ckpt,
+          keyCols = Seq("tbl", "uid"),
+          seq = coalesce(element_at(col("after"), "seq"),
+            element_at(col("before"), "seq")).cast("long"),
+          compactClosedAfter = 2, compactEveryBatches = 1000,
+          trigger = Trigger.ProcessingTime("50 milliseconds"))
+        try { q.processAllAvailable() } finally q.stop()
+        graft.streaming.MaterializedView.maintainClosed(s, state,
+          Seq("tbl", "uid"), compactClosedAfter = 2)
+        val tPos = t(s, d, "events")
+          .agg(expr("max(event_id) * 2 div 5")).head().getLong(0)
+        graft.streaming.MaterializedView.scd2AsOf(s, state,
+            Seq("tbl", "uid"), tPos)
+          .select(col("tbl"), col("uid").cast("long").as("uid"),
+            element_at(col("image"), "seq").cast("long").as("ver_src"),
+            col("valid_from"), col("valid_to"))
+          .orderBy(col("tbl"), col("uid"))
+      },
+      Some("""WITH v AS (SELECT event_type AS tbl, user_id AS uid,
+          CASE event_id % 3 WHEN 0 THEN 'INSERT' WHEN 1 THEN 'UPDATE'
+            ELSE 'DELETE' END AS op,
+          event_id AS valid_from,
+          LEAD(event_id) OVER (PARTITION BY event_type, user_id
+            ORDER BY event_id) AS valid_to
+        FROM events),
+        tp AS (SELECT MAX(event_id) * 2 // 5 AS t FROM events)
         SELECT tbl, uid, valid_from AS ver_src, valid_from, valid_to
         FROM v, tp WHERE op <> 'DELETE'
           AND valid_from <= t AND (valid_to > t OR valid_to IS NULL)

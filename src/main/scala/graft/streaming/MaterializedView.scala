@@ -46,13 +46,22 @@ import graft.cdc.Apply
   * change), re-clustered `partitionBy` key bucket so key-pruned reads
   * skip to one subdirectory, with each row's source version id kept in
   * `_mv_vid` (point-in-time reads stay exact) and a `_meta.json`
-  * validity range for [[scd2AsOf]] segment pruning. When K segments
-  * accumulate, the oldest K merge into one (second tier) — M batches
-  * leave ≤ K + K + M/K² closed directories with each row rewritten at
-  * most twice. Crash-safety: a segment is staged then atomically moved;
-  * entries whose id-range a segment strictly contains are leftovers of a
-  * crash between move and source-delete — readers skip them, the next
-  * compaction deletes them.
+  * validity range for [[scd2AsOf]] segment pruning. Segments then merge
+  * SIZE-TIERED (LSM-style): a segment's tier is log_K of its id-span,
+  * and only a contiguous run of ≥ K SAME-tier segments folds — into a
+  * segment of a strictly higher tier, so no segment is ever re-folded
+  * with fresh arrivals and each row is rewritten at most once per tier:
+  * O(log_K M) times over M batches, O(M·log M) total rows written (the
+  * naive "merge the oldest K" rule re-folds its own output — O(M²/K²)
+  * cumulative rewrite volume; MVCompactionSpec drives M ≫ K² batches
+  * against [[segmentRowsWritten]] to pin the bound). M batches leave
+  * ≤ K uncompacted versions + K segments per tier × log_K M tiers.
+  * Folds run every `compactEveryBatches` micro-batches (or from a
+  * maintenance schedule via [[maintainClosed]]) so the delivery path
+  * does not pay history maintenance on every trigger. Crash-safety: a
+  * segment is staged then atomically moved; entries whose id-range a
+  * segment strictly contains are leftovers of a crash between move and
+  * source-delete — readers skip them, the next compaction deletes them.
   *
   * Both folds are EXACT under the split: closed rows and untouched
   * buckets are fixed points of `scd2Apply`/`applyChanges` (a closed row
@@ -244,6 +253,13 @@ object MaterializedView {
     * (numeric seq domains — the common case), enabling [[scd2AsOf]] to
     * skip the segment without listing its files.
     */
+  /** Cumulative rows written into segments by compaction folds — the
+    * write-amplification ledger MVCompactionSpec's O(M·log M) property
+    * reads (piggybacks on the `_meta.json` agg job; no extra job).
+    */
+  private[graft] val segmentRowsWritten =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def writeSegment(spark: SparkSession, closedRoot: File,
       df: DataFrame, lo: Long, hi: Long): Unit = {
     val stage = new File(closedRoot, s"_stage_s$lo-$hi")
@@ -251,11 +267,12 @@ object MaterializedView {
     df.write.mode("overwrite").partitionBy("_mv_bucket").parquet(stage.toString)
     val mm = spark.read.parquet(stage.toString)
       .agg(min(col("valid_from").cast("long")),
-        max(col("valid_to").cast("long"))).head()
+        max(col("valid_to").cast("long")), count(lit(1))).head()
     if (!mm.isNullAt(0) && !mm.isNullAt(1))
       java.nio.file.Files.write(new File(stage, "_meta.json").toPath,
         s"""{"min_valid_from":${mm.getLong(0)},"max_valid_to":${mm.getLong(1)}}"""
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    segmentRowsWritten.addAndGet(mm.getLong(2))
     val dst = new File(closedRoot, s"s$lo-$hi")
     rm(dst)
     java.nio.file.Files.move(stage.toPath, dst.toPath)
@@ -275,13 +292,32 @@ object MaterializedView {
     }
   }
 
+  /** A segment's size tier: floor(log_k) of its batch-id span. Folding a
+    * contiguous run of ≥ k same-tier segments (spans each ≥ k^tier, id
+    * ranges disjoint) yields span ≥ k^(tier+1) — a STRICTLY higher tier,
+    * so folds only ever promote and no row is rewritten twice within a
+    * tier: ≤ log_k(idspan) rewrites per row, ever.
+    */
+  private def tierOf(lo: Long, hi: Long, k: Int): Int = {
+    var t = 0; var s = hi - lo + 1
+    while (s >= k) { s /= k; t += 1 }
+    t
+  }
+
   /** Fold the closed log once it fragments: all closed versions short of
     * the newest (the only batch replay can revisit) merge into one
-    * segment when ≥ `k` of them accumulate, and the oldest `k` segments
-    * merge into one when ≥ `k` segments accumulate. Contents are
-    * immutable, so both folds are pure rewrites; idempotent under replay
-    * (a replayed batch finds nothing eligible — its own version is the
-    * newest) and crash-safe (stage+move, containment GC).
+    * segment when ≥ `k` of them accumulate; segments merge SIZE-TIERED —
+    * only a contiguous run of ≥ `k` segments of the SAME [[tierOf]] tier
+    * folds, into one segment of a strictly higher tier (LSM-style; the
+    * naive oldest-k rule re-folds its own output and its cumulative
+    * rewrite volume is quadratic in the batch count). Runs of one tier
+    * are always contiguous in id order because a fold replaces its run
+    * with a higher-tier segment in place. Contents are immutable, so
+    * both folds are pure rewrites; idempotent under replay (a replayed
+    * batch finds nothing eligible — its own version is the newest) and
+    * crash-safe (stage+move, containment GC: the merged range strictly
+    * contains each folded range, and contains no live outsider because
+    * the run is contiguous).
     */
   private def compactClosed(spark: SparkSession, root: File,
       keyCols: Seq[String], buckets: Int, k: Int): Unit = {
@@ -312,20 +348,47 @@ object MaterializedView {
     }
     val (_, segs) = closedEntries(closedRoot)
     if (segs.size >= k) {
-      val oldest = segs.take(k)
-      val lo = oldest.map(_._1).min; val hi = oldest.map(_._2).max
-      val parts = oldest.map(_._3).filter(hasDataFilesDeep)
-      if (parts.nonEmpty) {
-        // per-root reads (each segment is its own partitioned table —
-        // one multi-root read would fail partition discovery); partition
-        // column _mv_bucket comes back as a column and _mv_vid rides
-        // through, so the merge keeps per-row version granularity
-        val df = parts.map(p => spark.read.parquet(p.toString))
-          .reduce(_ unionByName _)
-        writeSegment(spark, closedRoot, df, lo, hi)
+      // first (oldest) contiguous run of >= k same-tier segments; fold
+      // the WHOLE run so the minted segment lands a full tier up
+      val tiers = segs.map { case (l, h, _) => tierOf(l, h, k) }
+      var i = 0
+      var run: Option[Seq[(Long, Long, File)]] = None
+      while (i < segs.size && run.isEmpty) {
+        var j = i
+        while (j < segs.size && tiers(j) == tiers(i)) j += 1
+        if (j - i >= k) run = Some(segs.slice(i, j))
+        i = j
       }
-      oldest.foreach(s => rm(s._3))
+      run.foreach { fold =>
+        val lo = fold.map(_._1).min; val hi = fold.map(_._2).max
+        val parts = fold.map(_._3).filter(hasDataFilesDeep)
+        if (parts.nonEmpty) {
+          // per-root reads (each segment is its own partitioned table —
+          // one multi-root read would fail partition discovery); partition
+          // column _mv_bucket comes back as a column and _mv_vid rides
+          // through, so the merge keeps per-row version granularity
+          val df = parts.map(p => spark.read.parquet(p.toString))
+            .reduce(_ unionByName _)
+          writeSegment(spark, closedRoot, df, lo, hi)
+        }
+        fold.foreach(s => rm(s._3))
+      }
     }
+  }
+
+  /** Run the closed-log fold from a maintenance schedule (quiesced or
+    * concurrent with the writer — fold inputs are immutable, never the
+    * newest version, and supersession is an atomic move; a concurrent
+    * READER that listed the log just before a fold may transiently miss
+    * a just-deleted source and should retry). Lets a deployment take
+    * history maintenance fully off the delivery path — pair with a large
+    * `compactEveryBatches` in [[startScd2]].
+    */
+  def maintainClosed(spark: SparkSession, stateDir: String,
+      keyCols: Seq[String], compactClosedAfter: Int = 16): Unit = {
+    require(compactClosedAfter >= 2, "compactClosedAfter must be >= 2")
+    compactClosed(spark, new File(stateDir), keyCols,
+      pinnedBuckets(stateDir), compactClosedAfter)
   }
 
   /** Union plain parquet dirs (closed `v<id>` + open bucket versions —
@@ -423,23 +486,33 @@ object MaterializedView {
     * still push the interval predicate into the parquet scan, so
     * row-group stats skip within them. Requires a numeric seq domain.
     */
-  def scd2AsOf(spark: SparkSession, stateDir: String, keyCols: Seq[String],
-      t: Long): DataFrame = {
+  /** The as-of read's pruned inputs: (plain closed version dirs + open
+    * bucket versions, segment dirs) — both layers pruned driver-side via
+    * their `_meta.json` validity range (uncompacted versions write it at
+    * append time; a dir with no meta cannot be pruned and is read).
+    * Split out of [[scd2AsOf]] so the pruning itself is spec-assertable.
+    */
+  private[graft] def scd2AsOfInputs(stateDir: String, t: Long)
+      : (Seq[File], Seq[File]) = {
     val root = new File(stateDir)
     val (closedV, closedS) = closedEntries(new File(root, "closed"))
-    val liveSegs = closedS.filter { case (_, _, f) =>
-      segMeta(f) match {
-        case Some((minFrom, maxTo)) => minFrom <= t && maxTo > t
-        case None                   => true // no meta: cannot prune, read it
-      }
+    def inRange(f: File): Boolean = segMeta(f) match {
+      case Some((minFrom, maxTo)) => minFrom <= t && maxTo > t
+      case None                   => true // no meta: cannot prune, read it
     }
     val openRoot =
       if (new File(root, "open").isDirectory) new File(root, "open") else root
     val latest = bucketDirs(openRoot).flatMap { b =>
       latestVersionIn(b, Long.MaxValue).map(v => new File(b, versionName(v)))
     }
-    readSplit(spark, keyCols, closedV.map(_._2) ++ latest,
-      liveSegs.map(_._3), Long.MaxValue)
+    (closedV.map(_._2).filter(inRange) ++ latest,
+      closedS.map(_._3).filter(inRange))
+  }
+
+  def scd2AsOf(spark: SparkSession, stateDir: String, keyCols: Seq[String],
+      t: Long): DataFrame = {
+    val (plain, segs) = scd2AsOfInputs(stateDir, t)
+    readSplit(spark, keyCols, plain, segs, Long.MaxValue)
       .filter(col("valid_from") <= lit(t) &&
         (col("valid_to").isNull || col("valid_to") > lit(t)))
   }
@@ -559,7 +632,7 @@ object MaterializedView {
   def startScd2(spark: SparkSession, events: DataFrame, stateDir: String,
       checkpointPath: String, keyCols: Seq[String], seq: Column,
       retainVersions: Int = 2, buckets: Int = 8,
-      compactClosedAfter: Int = 16,
+      compactClosedAfter: Int = 16, compactEveryBatches: Int = 8,
       trigger: Trigger = Trigger.ProcessingTime("100 milliseconds")): StreamingQuery = {
     require(keyCols.nonEmpty, "keyCols must name the history key")
     // same replay-coverage bound as start()
@@ -567,6 +640,12 @@ object MaterializedView {
     // k=1 could mint a single-version segment s<i>-<i> whose range does
     // not strictly contain v<i> — the crash-GC containment rule needs ≥2
     require(compactClosedAfter >= 2, "compactClosedAfter must be >= 2")
+    // fold cadence: only every Nth batch even LOOKS at fold eligibility,
+    // so the delivery path's wall-time is independent of history size on
+    // the other N-1 (set high + run maintainClosed on a schedule to take
+    // folds fully off the trigger; correctness is cadence-independent —
+    // folds are pure rewrites of immutable inputs)
+    require(compactEveryBatches >= 1, "compactEveryBatches must be >= 1")
     pinBuckets(stateDir, buckets)
     events.writeStream
       .outputMode("append")
@@ -604,11 +683,24 @@ object MaterializedView {
             rm(closedDst); closedDst.getParentFile.mkdirs()
             folded.filter(!col("is_current"))
               .write.mode("overwrite").parquet(closedDst.toString)
+            // validity meta at append time (tiny agg over the cached
+            // fold): scd2AsOf prunes UNCOMPACTED versions with the same
+            // rule it prunes segments — without it every v-dir is listed
+            // until its first fold
+            val mm = folded.filter(!col("is_current"))
+              .agg(min(col("valid_from").cast("long")),
+                max(col("valid_to").cast("long"))).head()
+            if (!mm.isNullAt(0) && !mm.isNullAt(1))
+              java.nio.file.Files.write(
+                new File(closedDst, "_meta.json").toPath,
+                s"""{"min_valid_from":${mm.getLong(0)},"max_valid_to":${mm.getLong(1)}}"""
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
             // open versions: small, rewritten only for touched buckets
             writeBuckets(folded.filter(col("is_current")), keyCols, buckets,
               openRoot.toString, batchId, touched)
             pruneBuckets(openRoot, retainVersions)
-            compactClosed(spark, root, keyCols, buckets, compactClosedAfter)
+            if (batchId % compactEveryBatches == 0)
+              compactClosed(spark, root, keyCols, buckets, compactClosedAfter)
           } finally { folded.unpersist(); () }
         }
       }.start()

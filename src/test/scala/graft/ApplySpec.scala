@@ -636,7 +636,7 @@ class ApplySpec extends SparkSpec {
         CdcStream.pipeline(spark, raw, "testdb"), state, ckpt,
         keyCols = Seq("id"),
         seq = graft.streaming.OrderedSink.lsnNumeric(col("lsn")),
-        buckets = 4, compactClosedAfter = k,
+        buckets = 4, compactClosedAfter = k, compactEveryBatches = 1,
         trigger = Trigger.ProcessingTime("50 milliseconds"))
     }
     // 6 micro-batches, each updating both keys -> every batch closes rows
@@ -705,7 +705,7 @@ class ApplySpec extends SparkSpec {
         CdcStream.pipeline(spark, raw, "testdb"), state, ckpt,
         keyCols = Seq("id"),
         seq = graft.streaming.OrderedSink.lsnNumeric(col("lsn")),
-        buckets = 4, compactClosedAfter = 2,
+        buckets = 4, compactClosedAfter = 2, compactEveryBatches = 1,
         trigger = Trigger.ProcessingTime("50 milliseconds"))
     }
     for (b <- 0 until 5) {
@@ -749,7 +749,7 @@ class ApplySpec extends SparkSpec {
         CdcStream.pipeline(spark, raw, "testdb"), state, ckpt,
         keyCols = Seq("id"),
         seq = graft.streaming.OrderedSink.lsnNumeric(col("lsn")),
-        buckets = 4, compactClosedAfter = 2,
+        buckets = 4, compactClosedAfter = 2, compactEveryBatches = 1,
         trigger = Trigger.ProcessingTime("50 milliseconds"))
     }
     for (b <- 0 until 6) {
@@ -810,5 +810,159 @@ class ApplySpec extends SparkSpec {
       .split("== Initial Plan ==").head
     assert("\\bWindow\\b".r.findAllIn(plan).size == 1,
       s"exactly one ranking window (over the change batch):\n$plan")
+  }
+
+  // ---- size-tiered closed-log compaction: write amplification,
+  // off-hot-path cadence, as-of pruning of uncompacted versions ----
+
+  test("closed-log compaction property: total rows written is O(M log M), not O(M^2/K^2)") {
+    // M >> K^2 synthetic single-row closed versions arrive one at a
+    // time, maintenance runs after every arrival (the worst — most
+    // eager — cadence). The ledger counts every row every fold writes.
+    // Size-tiered policy: each row folds at most once per tier -> total
+    // <= M * (1 + ceil(log_K M)). The r7 oldest-K policy re-folded its
+    // own output: simulated on this exact workload it writes 2852 rows
+    // — ABOVE the 2*M*ceil(log_K M) = 2048 bound asserted here, so the
+    // property genuinely separates the policies (new policy: 684).
+    val M = 256; val K = 4
+    val dir = Files.createTempDirectory("graft_tiered").toString
+    val closed = new java.io.File(s"$dir/closed"); closed.mkdirs()
+    Files.write(java.nio.file.Paths.get(dir, "_buckets"), "4".getBytes)
+    // stage all M versions in ONE partitioned write, reveal one per step
+    val stage = s"$dir/_all"
+    spark.range(M).select(
+        lit("k").as("id"),
+        map(lit("v"), $"id".cast("string")).as("image"),
+        $"id".as("valid_from"), ($"id" + 1).as("valid_to"),
+        lit(false).as("is_current"), $"id".as("_v"))
+      .repartition(1).write.partitionBy("_v").parquet(stage)
+    MaterializedView.segmentRowsWritten.set(0L)
+    for (i <- 0 until M) {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(stage, s"_v=$i"),
+        java.nio.file.Paths.get(closed.toString, s"v$i"))
+      MaterializedView.maintainClosed(spark, dir, Seq("id"), K)
+    }
+    val written = MaterializedView.segmentRowsWritten.get()
+    val bound = 2L * M * math.ceil(math.log(M) / math.log(K)).toLong
+    assert(written <= bound,
+      s"size-tiered write amplification: $written rows written for $M " +
+        s"batches must stay under 2*M*ceil(log_K M) = $bound (the " +
+        s"oldest-K policy writes 2852 here)")
+    // the log stays bounded: <= K uncompacted versions + K segments/tier
+    val dirs = closedDirNames(dir)
+    assert(dirs.size <= K + K * math.ceil(math.log(M) / math.log(K)).toInt,
+      s"directory count bounded by K per tier: $dirs")
+    // folds lost and duplicated nothing: all M rows, distinct versions
+    val got = MaterializedView.currentState(spark, dir, Seq("id"))
+      .select($"valid_from").collect().map(_.getLong(0)).toSet
+    assert(got == (0L until M.toLong).toSet,
+      s"every closed row survives the folds exactly once (${got.size}/$M)")
+  }
+
+  test("compaction cadence: off-schedule batches never fold; maintainClosed folds out-of-band") {
+    val dir = Files.createTempDirectory("graft_cadence").toString
+    val src = s"$dir/in"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def startQuery(state: String, ckpt: String) = {
+      val raw = spark.readStream
+        .schema("wal_start LONG, data STRING").json(s"$src/*.json")
+      MaterializedView.startScd2(spark,
+        CdcStream.pipeline(spark, raw, "testdb"), state, ckpt,
+        keyCols = Seq("id"),
+        seq = graft.streaming.OrderedSink.lsnNumeric(col("lsn")),
+        buckets = 4, compactClosedAfter = 2, compactEveryBatches = 1000,
+        trigger = Trigger.ProcessingTime("50 milliseconds"))
+    }
+    val state = s"$dir/state"
+    for (b <- 0 until 6) {
+      (walJson(100 * b + 10, if (b == 0) "I" else "U", 1L, s"a$b") ++
+       walJson(100 * b + 20, if (b == 0) "I" else "U", 2L, s"b$b"))
+        .toDF("wal_start", "data").write.json(s"$src/b$b.json")
+      val q = startQuery(state, s"$dir/ckpt"); q.processAllAvailable(); q.stop()
+    }
+    // 5 batches were fold-ELIGIBLE (>= 2 closed versions short of the
+    // newest) but off the cadence: the delivery path never paid a fold —
+    // batch wall-time is independent of fold eligibility
+    val before = closedDirNames(state)
+    assert(before.size == 6 && before.forall(_.startsWith("v")),
+      s"off-schedule batches must not fold: $before")
+    def canon() = MaterializedView.currentState(spark, state, Seq("id"))
+      .select($"id", element_at($"image", "v"), $"valid_from", $"valid_to",
+        $"is_current")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+    val pre = canon()
+    // the maintenance schedule folds the SAME rule out-of-band
+    MaterializedView.maintainClosed(spark, state, Seq("id"),
+      compactClosedAfter = 2)
+    val after = closedDirNames(state)
+    assert(after.exists(_.startsWith("s")) && after.size < before.size,
+      s"maintainClosed folds the accumulated log: $after")
+    assert(canon() == pre, "out-of-band folds are a pure rewrite")
+  }
+
+  test("scd2AsOf prunes uncompacted closed versions via their append-time meta") {
+    val dir = Files.createTempDirectory("graft_asof_prune").toString
+    val src = s"$dir/in"; val state = s"$dir/state"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    // 6 batches, no folds (cadence off): 6 uncompacted closed versions,
+    // batch b's closed rows have valid_from/valid_to ~ 100*b + ..
+    for (b <- 0 until 6) {
+      (walJson(100 * b + 10, if (b == 0) "I" else "U", 1L, s"a$b") ++
+       walJson(100 * b + 20, if (b == 0) "I" else "U", 2L, s"b$b"))
+        .toDF("wal_start", "data").write.json(s"$src/b$b.json")
+      val raw = spark.readStream
+        .schema("wal_start LONG, data STRING").json(s"$src/*.json")
+      val q = MaterializedView.startScd2(spark,
+        CdcStream.pipeline(spark, raw, "testdb"), state, s"$dir/ckpt",
+        keyCols = Seq("id"),
+        seq = graft.streaming.OrderedSink.lsnNumeric(col("lsn")),
+        buckets = 4, compactClosedAfter = 2, compactEveryBatches = 1000,
+        trigger = Trigger.ProcessingTime("50 milliseconds"))
+      q.processAllAvailable(); q.stop()
+    }
+    // every closed version WITH ROWS carries its append-time meta (the
+    // first batch is all inserts: zero closed rows, nothing to describe;
+    // exact batch ids shift with the restarts' empty batches)
+    val vdirs = closedDirNames(state).filter(_.startsWith("v"))
+      .toSeq.sortBy(_.drop(1).toLong)
+    assert(vdirs.size == 6, s"six versions: $vdirs")
+    def meta(v: String): Option[(Long, Long)] = {
+      val f = new java.io.File(s"$state/closed/$v/_meta.json")
+      if (!f.isFile) None
+      else {
+        val re = """\{"min_valid_from":(-?\d+),"max_valid_to":(-?\d+)\}""".r
+        new String(java.nio.file.Files.readAllBytes(f.toPath)).trim match {
+          case re(a, b) => Some((a.toLong, b.toLong))
+          case _        => fail(s"unreadable meta in $v")
+        }
+      }
+    }
+    assert(vdirs.tail.forall(v => meta(v).isDefined),
+      "append-time meta on every closed version with rows")
+    // t=150: batch b closes the versions batch b-1 opened, so exactly
+    // ONE version dir's range covers t ([111,211)/[121,221)); one older
+    // dir expired before t, the later ones open after t — all prune
+    // driver-side. The first dir has no meta (and no rows): listed,
+    // unprunable by rule, empty in the read.
+    val t0 = 150L
+    val expected = vdirs.filter(v => meta(v) match {
+      case Some((mn, mx)) => mn <= t0 && mx > t0
+      case None           => true
+    }).toSet
+    assert(expected.size == 2, s"one no-meta dir + one in-range dir: $expected")
+    val (plain, segs) = MaterializedView.scd2AsOfInputs(state, t = t0)
+    assert(segs.isEmpty)
+    // open bucket versions are also named v<id> — keep only closed-log dirs
+    val listedClosed = plain.filter(_.getParentFile.getName == "closed")
+      .map(_.getName).toSet
+    assert(listedClosed == expected,
+      s"as-of lists only in-range closed versions: $listedClosed vs $expected")
+    // and the pruned read is still the exact validity-interval answer
+    val at150 = MaterializedView.scd2AsOf(spark, state, Seq("id"), t = 150L)
+      .select($"id", element_at($"image", "v")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(at150 == Map("1" -> "a1", "2" -> "b1"), s"asOf 150: $at150")
   }
 }
