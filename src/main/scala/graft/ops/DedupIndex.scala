@@ -112,37 +112,276 @@ object DedupIndex {
       spark.sql(s"MSCK REPAIR TABLE $t")
     }
 
-  /** QUIESCED maintenance for the streamed index: fold the accumulated
-    * per-batch `ingest_batch` partitions into one. [[startMaintenance]]
-    * lands one partition per micro-batch — at ingest-pipeline batch
-    * grains (seconds-to-minutes) that is fine for days, but unbounded it
-    * is the same small-files scale-killer the SCD2 closed log compacts
-    * away. Contents are immutable, so compaction is a pure rebuild into
-    * a sibling table (same bucket spec — the zero-exchange join
-    * property survives) followed by a drop+rename swap; the folded rows
-    * land under `ingest_batch = -1` (never a real batch id, so a
-    * replayed batch can never drop them). Run with the maintenance
-    * stream STOPPED — the swap is not atomic against a concurrent
-    * append; a crash between swap steps is healed by
-    * [[recoverCompaction]] at the next compact() or maintenance batch.
+  // ---------- size-tiered compaction (manifest-protocol folds) ----------
+
+  /** Partition ids present in `t` (`ingest_batch` values). */
+  private def partitionIds(spark: SparkSession, t: String): Seq[Long] =
+    spark.sql(s"SHOW PARTITIONS $t").collect()
+      .map(_.getString(0).split("=")(1).toLong).toSeq
+
+  private def tableProps(spark: SparkSession, t: String): Map[String, String] =
+    spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(t)).properties
+
+  private def setProps(spark: SparkSession, t: String,
+      kv: Seq[(String, String)]): Unit =
+    if (kv.nonEmpty) {
+      val body = kv.map { case (k, v) => s"'$k'='$v'" }.mkString(", ")
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ($body)")
+      ()
+    }
+
+  /** The compaction horizon: every batch id ≤ it has been folded into a
+    * negative partition (and [[landBatch]] consults the stored per-batch
+    * fingerprints before re-landing such an id).
     */
-  def compact(spark: SparkSession, name: String, buckets: Int = 8): Unit = {
-    Seq(name, s"${name}_sizes").foreach { t =>
-      recoverCompaction(spark, t)
+  def compactionHorizon(spark: SparkSession, t: String): Option[Long] =
+    tableProps(spark, t).get("graft.compaction_horizon").map(_.toLong)
+
+  /** Span (number of original per-batch partitions transitively folded)
+    * of negative partition `id` — 1 when unrecorded (legacy folds).
+    */
+  private def spanOf(props: Map[String, String], id: Long): Long =
+    props.getOrElse(s"graft.fold.span.$id", "1").toLong
+
+  /** A fold's size tier = floor(log_fanout span) — [[compact]] merges
+    * only ≥ `fanout` SAME-tier partitions, into a strictly higher tier
+    * (the [[graft.streaming.MaterializedView]] closed-log rule in
+    * catalog-partition form), so no fold is ever re-folded with fresh
+    * arrivals: each row is rewritten ≤ once per tier, O(log M) ever.
+    */
+  private def tierOf(span: Long, fanout: Int): Int = {
+    var t = 0; var s = span
+    while (s >= fanout) { s /= fanout; t += 1 }
+    t
+  }
+
+  /** Order-insensitive fingerprint of a frame: (row count, bit_xor of
+    * xxhash64 over all columns — commutative and overflow-free under
+    * ANSI arithmetic, unlike a sum) — what [[landBatch]] compares
+    * against the fold-time value to tell a true crash REPLAY of a
+    * folded batch (identical rows → skip) from a fresh-checkpoint batch
+    * that merely reuses the id (different rows → land).
+    */
+  private def fingerprint(df: DataFrame): String = {
+    val cols = df.columns.sorted.map(col)
+    val r = df.agg(count(lit(1)),
+      coalesce(bit_xor(xxhash64(cols: _*)), lit(0L))).head()
+    s"${r.getLong(0)}:${r.getLong(1)}"
+  }
+
+  private def manifestPath(spark: SparkSession, t: String)
+      : org.apache.hadoop.fs.Path = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
+    new org.apache.hadoop.fs.Path(loc, "_graft_fold.json")
+  }
+
+  private val manifestRe =
+    """\{"dest":(-\d+),"span":(\d+),"horizon":(-?\d+),"sources":\[([-\d,]*)\]\}""".r
+
+  private def readManifest(spark: SparkSession, t: String)
+      : Option[(Long, Long, Long, Seq[Long])] = {
+    val p = manifestPath(spark, t)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      s.trim match {
+        case manifestRe(dest, span, hor, srcs) =>
+          Some((dest.toLong, span.toLong, hor.toLong,
+            srcs.split(",").filter(_.nonEmpty).map(_.toLong).toSeq))
+        case _ => None // unreadable: treat as absent (crash mid-create)
+      }
+    }
+  }
+
+  private def writeManifest(spark: SparkSession, t: String, dest: Long,
+      span: Long, horizon: Long, sources: Seq[Long]): Unit = {
+    val p = manifestPath(spark, t)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, "._graft_fold.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"""{"dest":$dest,"span":$span,"horizon":$horizon,"sources":[${sources.mkString(",")}]}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(p, false)
+    fs.rename(tmp, p)
+    ()
+  }
+
+  private def deleteManifest(spark: SparkSession, t: String): Unit = {
+    val p = manifestPath(spark, t)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, false)
+    ()
+  }
+
+  /** Execute (or re-execute — every step is idempotent) a fold described
+    * by its manifest: rewrite dest from the sources, record span +
+    * horizon + per-batch fingerprints, drop the sources, drop the
+    * manifest. The write step reuses [[landBatch]]'s drop-own-partition+
+    * append shape, so a crash mid-write heals on redo exactly like a
+    * replayed batch.
+    */
+  private def runFold(spark: SparkSession, t: String, bucketed: Boolean,
+      buckets: Int, dest: Long, span: Long, horizon: Long,
+      sources: Seq[Long]): Unit = {
+    val present = partitionIds(spark, t).toSet
+    val live = sources.filter(present)
+    if (live.size == sources.size) {
+      // nothing dropped yet -> (re)write dest wholesale from the sources
+      // (fold-time fingerprints first: they read the SAME source scan)
+      val fps =
+        if (horizon == Long.MinValue) Seq.empty
+        else sources.map(b => s"graft.fold.fp.$b" -> fingerprint(
+          spark.table(t).where(col("ingest_batch") === b)
+            .drop("ingest_batch")))
+      val folded = spark.table(t)
+        .where(col("ingest_batch").isin(sources: _*))
+        .drop("ingest_batch").withColumn("ingest_batch", lit(dest))
+      spark.sql(s"ALTER TABLE $t DROP IF EXISTS " +
+        s"PARTITION (ingest_batch=$dest)")
+      val w = folded.write.mode("append").partitionBy("ingest_batch")
+      (if (bucketed) w.bucketBy(buckets, "shingle").sortBy("shingle") else w)
+        .saveAsTable(t)
+      setProps(spark, t, fps ++ Seq(s"graft.fold.span.$dest" -> span.toString) ++
+        (if (horizon == Long.MinValue) Seq.empty
+         else Seq("graft.compaction_horizon" ->
+           math.max(horizon, compactionHorizon(spark, t)
+             .getOrElse(Long.MinValue)).toString)))
+    }
+    // dest is complete from here (sources are only dropped after the
+    // write + props landed) — finish the drops whatever subset remains
+    live.foreach(b => spark.sql(
+      s"ALTER TABLE $t DROP IF EXISTS PARTITION (ingest_batch=$b)"))
+    deleteManifest(spark, t)
+    spark.catalog.refreshTable(t)
+  }
+
+  /** Heal a fold that crashed between manifest write and manifest
+    * delete. Safe to call any time; no-op without a pending manifest.
+    */
+  private def recoverFold(spark: SparkSession, t: String, bucketed: Boolean,
+      buckets: Int): Unit =
+    readManifest(spark, t).foreach { case (dest, span, hor, srcs) =>
+      runFold(spark, t, bucketed, buckets, dest, span, hor, srcs)
+    }
+
+  /** SIZE-TIERED maintenance for the streamed index — fold accumulated
+    * `ingest_batch` partitions without ever rewriting a prior fold's
+    * rows alongside fresh arrivals. [[startMaintenance]] lands one
+    * partition per micro-batch; unbounded that is the small-files
+    * scale-killer, but the r7 answer (fold EVERYTHING into one
+    * partition per call) made the Nth compaction rewrite the whole
+    * index — O(N·index) cumulative I/O. Now each call:
+    *
+    *  1. folds the current per-batch partitions (ids ≥ 0) into ONE new
+    *     negative partition (ids −1, −2, … — never a real batch id, so
+    *     a replayed batch can never drop them), leaving every previous
+    *     fold untouched;
+    *  2. merges ≥ `tierFanout` negative partitions of the SAME size
+    *     tier (floor(log_fanout span)) into one of a strictly higher
+    *     tier — the LSM rule: each row is rewritten at most once per
+    *     tier, O(log batches) ever, and the partition count stays
+    *     ≤ fanout per tier.
+    *
+    * Crash-safety is a per-fold MANIFEST at the table location: written
+    * atomically before the fold, deleted after the source-partition
+    * drops; every step between is idempotent, and recovery (next
+    * compact() or maintenance batch) re-runs the fold if all sources
+    * survive or finishes the drops if any is gone (sources are only
+    * dropped once the fold partition + properties are complete).
+    *
+    * Replay duplication (the r7 flaw): a maintenance stream killed
+    * after landing batch N but before its checkpoint commit would
+    * re-land N after a compact() had folded it — rows in both the fold
+    * and the fresh partition. compact() therefore records a per-batch
+    * FINGERPRINT at fold time and [[landBatch]] skips a batch id ≤ the
+    * horizon whose rows fingerprint identically (a true replay); a
+    * fresh-checkpoint batch that merely reuses the id lands normally.
+    * Safe to run with the maintenance stream live — folds touch only
+    * partitions whose batches are fully landed (never an id the stream
+    * could still be writing, since ids are monotone per checkpoint).
+    */
+  def compact(spark: SparkSession, name: String, buckets: Int = 8,
+      tierFanout: Int = 8): Unit = {
+    require(tierFanout >= 2, "tierFanout must be >= 2")
+    Seq((name, true), (s"${name}_sizes", false)).foreach { case (t, bk) =>
+      recoverCompaction(spark, t) // heal a legacy (r7 swap-style) crash
       require(spark.catalog.tableExists(t), s"no index table $t")
-      val staged = s"${t}_compacted"
-      spark.sql(s"DROP TABLE IF EXISTS $staged")
-      val folded = spark.table(t).drop("ingest_batch")
-        .withColumn("ingest_batch", lit(-1L))
-      val w = folded.write.partitionBy("ingest_batch")
-      (if (t == name) w.bucketBy(buckets, "shingle").sortBy("shingle") else w)
-        .saveAsTable(staged)
-      spark.sql(s"DROP TABLE $t")
-      spark.sql(s"ALTER TABLE $staged RENAME TO $t")
-      // rename moves the data dir; partition catalog entries still point
-      // at the staged path — re-discover from the filesystem
-      spark.sql(s"MSCK REPAIR TABLE $t")
-      spark.catalog.refreshTable(t)
+      recoverFold(spark, t, bk, buckets)
+      def nextDest: Long =
+        (partitionIds(spark, t).filter(_ < 0L) :+ 0L).min - 1L
+      // tier 0 -> 1: fold the per-batch partitions
+      val batches = partitionIds(spark, t).filter(_ >= 0L).sorted
+      if (batches.size >= 2) {
+        writeManifest(spark, t, nextDest, batches.size, batches.max, batches)
+        recoverFold(spark, t, bk, buckets)
+      }
+      // tiered merges: repeat while any tier is at fanout
+      var go = true
+      while (go) {
+        val props = tableProps(spark, t)
+        val negs = partitionIds(spark, t).filter(_ < 0L)
+          .map(id => id -> spanOf(props, id))
+        negs.groupBy { case (_, s) => tierOf(s, tierFanout) }
+          .find(_._2.size >= tierFanout) match {
+          case Some((_, group)) =>
+            // horizon Long.MinValue: a tier merge folds already-folded
+            // rows — no new batch ids, no fingerprints to record
+            writeManifest(spark, t, nextDest, group.map(_._2).sum,
+              Long.MinValue, group.map(_._1))
+            recoverFold(spark, t, bk, buckets)
+          case None => go = false
+        }
+      }
+    }
+  }
+
+  /** Land one micro-batch's rows (already carrying `ingest_batch` =
+    * `batchId`) into `table` — the maintenance loop's unit, extracted so
+    * the replay/compaction interplay is directly testable. Each table
+    * decides create-vs-append for ITSELF: a crash between the two
+    * creations must not wedge the replay (an ALTER on the
+    * not-yet-created sizes table would fail every retry).
+    *
+    * Replay-idempotence: the rewrite is confined to this batch's
+    * partition (drop own + append). A batch id at or below the
+    * compaction horizon has NO partition to drop — its rows live in a
+    * fold — so landing it blind would duplicate them; it lands only if
+    * its rows do NOT fingerprint-match the fold-time record (i.e. it is
+    * a fresh-checkpoint batch reusing the id, not a crash replay).
+    */
+  private[graft] def landBatch(s: SparkSession, outer: SparkSession,
+      df: DataFrame, table: String, batchId: Long, bucketed: Boolean,
+      buckets: Int): Unit = {
+    recoverCompaction(s, table) // heal a crashed legacy compaction
+    def writer(mode: String) = {
+      val w = df.write.mode(mode).partitionBy("ingest_batch")
+      if (bucketed) w.bucketBy(buckets, "shingle").sortBy("shingle") else w
+    }
+    if (!s.catalog.tableExists(table))
+      writer("errorifexists").saveAsTable(table)
+    else {
+      recoverFold(s, table, bucketed, buckets) // heal a crashed fold
+      val folded = compactionHorizon(s, table).exists(batchId <= _) && {
+        val fp = tableProps(s, table).get(s"graft.fold.fp.$batchId")
+        fp.isDefined && fp.contains(fingerprint(df.drop("ingest_batch")))
+      }
+      if (!folded) {
+        s.sql(s"ALTER TABLE $table DROP IF EXISTS " +
+          s"PARTITION (ingest_batch=$batchId)")
+        writer("append").saveAsTable(table)
+      }
+      // the drop+append invalidated cached file listings; refresh BOTH
+      // sessions — `s` is foreachBatch's cloned session, `outer` the
+      // caller's (whose readers hold the stale cache)
+      s.catalog.refreshTable(table)
+      outer.catalog.refreshTable(table)
     }
   }
 
@@ -162,32 +401,8 @@ object DedupIndex {
           .withColumn("ingest_batch", lit(batchId))
         val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
           .withColumn("ingest_batch", lit(batchId))
-        // each table decides create-vs-append for ITSELF: a crash between
-        // the two creations must not wedge the replay (an ALTER on the
-        // not-yet-created sizes table would fail every retry)
-        def land(df: org.apache.spark.sql.DataFrame, table: String,
-            bucketed: Boolean): Unit = {
-          recoverCompaction(s, table) // heal a crashed offline compaction
-          def writer(mode: String) = {
-            val w = df.write.mode(mode).partitionBy("ingest_batch")
-            if (bucketed) w.bucketBy(buckets, "shingle").sortBy("shingle") else w
-          }
-          if (!s.catalog.tableExists(table))
-            writer("errorifexists").saveAsTable(table)
-          else {
-            // replay-idempotent: confine the rewrite to this batch's
-            // partition
-            s.sql(s"ALTER TABLE $table DROP IF EXISTS " +
-              s"PARTITION (ingest_batch=$batchId)")
-            writer("append").saveAsTable(table)
-            // the drop+append invalidated cached file listings; refresh
-            // BOTH sessions — `s` is foreachBatch's cloned session,
-            // `spark` the caller's (whose readers hold the stale cache)
-            s.catalog.refreshTable(table)
-            spark.catalog.refreshTable(table)
-          }
-        }
-        land(sh, name, bucketed = true)
-        land(sizes, s"${name}_sizes", bucketed = false)
+        landBatch(s, spark, sh, name, batchId, bucketed = true, buckets)
+        landBatch(s, spark, sizes, s"${name}_sizes", batchId,
+          bucketed = false, buckets)
       }.start()
 }

@@ -1103,6 +1103,78 @@ object LlmQueries {
         WHERE CAST(inter AS DOUBLE) / (n_new + n_old - inter) >= 0.8
         ORDER BY new_id, old_id""")),
 
+    // SIZE-TIERED index compaction under the driver gate (r8): the l79
+    // corpus arrives as TWO eras of micro-batches through separate
+    // maintenance checkpoints; after each era the accumulated per-batch
+    // partitions fold into a new negative partition (the Nth compaction
+    // never rewrites the (N-1)th fold), then a fanout-2 pass merges the
+    // two same-tier folds one tier up — and the held-out batch's
+    // near-dups against the THRICE-compacted physical table must still
+    // reproduce the recomputed answer bit-for-bit. The second era also
+    // exercises the fingerprint guard: its batch ids sit at/below the
+    // first compaction's horizon (fresh checkpoint) and must land, not
+    // be mistaken for replays.
+    "l82_tiered_index_compaction" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val name = "graft_l82_idx"
+        Seq(name, s"${name}_sizes").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new java.net.URI(
+            s.conf.get("spark.sql.warehouse.dir")).getPath + s"/$t"
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(loc))
+        }
+        val docs = t(s, d, "documents")
+        val work = java.nio.file.Files.createTempDirectory("graft_l82")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        // era 1: doc_id % 10 in 1..4; era 2: % 10 in 5..9 — together the
+        // l79/l63 corpus (% 10 != 0); two id-range slices per era
+        def stage(era: Int, pred: org.apache.spark.sql.Column): Unit =
+          Seq((0L, maxId / 2), (maxId / 2 + 1, maxId)).zipWithIndex.foreach {
+            case ((lo, hi), i) =>
+              docs.filter(pred && col("doc_id").between(lo, hi))
+                .select(col("doc_id"), col("text"))
+                .coalesce(1).write.parquet(s"$work/era$era/s$i")
+              new java.io.File(s"$work/era$era/s$i").listFiles()
+                .foreach(f => { f.setLastModified(1700000000000L + i * 60000L); () })
+          }
+        stage(1, col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 4)
+        stage(2, col("doc_id") % 10 >= 5)
+        def drain(era: Int): Unit = {
+          val stream = s.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1).parquet(s"$work/era$era/s*")
+          val q = graft.ops.DedupIndex.startMaintenance(s, stream, "doc_id",
+            "text", name, s"$work/ckpt$era",
+            trigger = Trigger.ProcessingTime("50 milliseconds"))
+          try { q.processAllAvailable() } finally q.stop()
+        }
+        drain(1)
+        graft.ops.DedupIndex.compact(s, name)            // -> fold -1
+        drain(2)                                         // horizon-guarded
+        graft.ops.DedupIndex.compact(s, name)            // -> fold -2, -1 untouched
+        graft.ops.DedupIndex.compact(s, name, tierFanout = 2) // tier merge
+        graft.ops.DedupIndex.incrementalNearDups(s,
+            docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", name,
+            threshold = 0.8)
+          .orderBy(col("new_id"), col("old_id"))
+      },
+      Some(s"""WITH $oShingles,
+        nw AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+        ix AS (SELECT * FROM sh WHERE doc_id % 10 != 0),
+        ns AS (SELECT doc_id AS new_id, COUNT(*) AS n_new FROM nw GROUP BY 1),
+        os AS (SELECT doc_id AS old_id, COUNT(*) AS n_old FROM ix GROUP BY 1),
+        iv AS (SELECT nw.doc_id AS new_id, ix.doc_id AS old_id,
+            COUNT(*) AS inter
+          FROM nw JOIN ix ON nw.shingle = ix.shingle GROUP BY 1, 2)
+        SELECT new_id, old_id, inter, n_new, n_old,
+          CAST(inter AS DOUBLE) / (n_new + n_old - inter) AS jaccard
+        FROM iv JOIN ns USING (new_id) JOIN os USING (old_id)
+        WHERE CAST(inter AS DOUBLE) / (n_new + n_old - inter) >= 0.8
+        ORDER BY new_id, old_id""")),
+
     // Quality-weighted sampling: per-row keep probability proportional to
     // document length (capped), integer threshold out of 10000 — "better
     // docs survive more often", deterministically. Narrow filter at the

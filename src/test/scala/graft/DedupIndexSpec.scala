@@ -188,4 +188,72 @@ class DedupIndexSpec extends SparkSpec {
       ()
     }
   }
+
+  test("tiered compact: a later compaction never rewrites a prior fold; folded-batch replay skips") {
+    val name = "graft_test_shidx5"
+    cleanup(name)
+    def fileState(part: Long): Set[(String, Long)] = {
+      val loc = new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath +
+        s"/$name/ingest_batch=$part"
+      Option(new java.io.File(loc).listFiles()).toSeq.flatten
+        .filterNot(_.getName.startsWith("."))
+        .map(f => f.getName -> f.lastModified()).toSet
+    }
+    def negatives = spark.table(name).select($"ingest_batch").distinct()
+      .as[Long].collect().filter(_ < 0).toSet
+    def allPairs = spark.table(name).select($"id", $"shingle")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val docsA = (1L to 12L)
+      .map(i => (i, s"first era document $i about area${i % 3} right here"))
+      .toDF("doc_id", "text")
+    val docsB = (13L to 24L)
+      .map(i => (i, s"second era document $i about area${i % 3} over there"))
+      .toDF("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft_idx_tier")
+    try {
+      runMaintenance(docsA, name, s"$work/ck1") // batch partitions 0,1,2
+      DedupIndex.compact(spark, name, buckets = 4)
+      assert(negatives == Set(-1L), s"first fold: $negatives")
+      assert(DedupIndex.compactionHorizon(spark, name).contains(2L))
+      val foldOne = fileState(-1L)
+      assert(foldOne.nonEmpty)
+      // a fresh checkpoint reuses ids 0..2 with DIFFERENT rows: the
+      // fingerprint guard must land them (not mistake them for replays)
+      runMaintenance(docsB, name, s"$work/ck2")
+      assert(spark.table(name).filter($"id" === 24L).count() > 0,
+        "fresh-era batches land despite ids at/below the horizon")
+      val everything = allPairs
+      // the Nth compaction folds ONLY the new batch partitions: the
+      // prior fold's files are untouched (same names, same mtimes)
+      DedupIndex.compact(spark, name, buckets = 4)
+      assert(negatives == Set(-1L, -2L), s"second fold beside first: $negatives")
+      assert(fileState(-1L) == foldOne,
+        "a later compaction must not rewrite rows folded earlier")
+      assert(allPairs == everything, "second fold is pure")
+      // crash-replay of a folded batch: identical rows under a folded id
+      // fingerprint-match the fold-time record and are SKIPPED
+      val replaySlice = docsB.as[(Long, String)].collect().toSeq
+        .grouped(4).toSeq.head // ck2's batch 0, exactly as runMaintenance sliced
+      val replaySh = graft.ops.Dedup.shingles(
+        replaySlice.toDF("doc_id", "text"), "doc_id", "text")
+        .withColumn("ingest_batch", lit(0L))
+      DedupIndex.landBatch(spark, spark, replaySh, name, 0L,
+        bucketed = true, buckets = 4)
+      assert(spark.table(name).select($"ingest_batch").distinct()
+        .as[Long].collect().filter(_ >= 0).isEmpty,
+        "replayed folded batch must not re-land")
+      assert(allPairs == everything, "replay leaves contents untouched")
+      // tier merge at fanout 2: the two span-3 tier-1 folds merge into
+      // one strictly-higher-tier partition; contents still exact
+      DedupIndex.compact(spark, name, buckets = 4, tierFanout = 2)
+      assert(negatives == Set(-3L), s"tier merge: $negatives")
+      assert(allPairs == everything, "tier merge is pure")
+      // and the merged index still serves the zero-corpus-exchange join
+      val hits = DedupIndex.incrementalNearDups(spark,
+        Seq((100L, "second era document 20 about area2 over there"))
+          .toDF("doc_id", "text"), "doc_id", "text", name, threshold = 0.8)
+      assert(hits.select($"old_id").as[Long].collect().contains(20L))
+    } finally { cleanup(name); () }
+  }
 }
