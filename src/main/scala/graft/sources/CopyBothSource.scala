@@ -156,12 +156,18 @@ final class InMemoryReplicationServer {
 
   def connect(): ReplicationConnection = new ReplicationConnection {
     // session cursor: next retained frame index not yet sent on THIS
-    // connection; starts at the first frame past the confirmed position
+    // connection; starts at the first frame past the confirmed position,
+    // including any zero-lsn METADATA frames immediately before it —
+    // real pgoutput sends Relation/Type messages with walStart = 0/0 and
+    // re-sends them to each new session that will need them
     private var cursor =
       InMemoryReplicationServer.this.synchronized(
         retained.indexWhere(_._1 > confirmed) match {
           case -1 => retained.size
-          case i => i
+          case i =>
+            var j = i
+            while (j > 0 && retained(j - 1)._1 == 0L) j -= 1
+            j
         })
     override def receive(): Option[Array[Byte]] =
       InMemoryReplicationServer.this.synchronized {
@@ -240,6 +246,8 @@ final class CopyBothWalStream(connect: () => ReplicationConnection,
   private val buffer = mutable.ArrayDeque[(Long, Array[Byte])]()
   // drained from the connection but beyond the last poll's admission cap
   private val pending = mutable.ArrayDeque[(Long, Array[Byte])]()
+  // zero-walStart frames awaiting the next positioned frame (see below)
+  private val zeroHold = mutable.ArrayBuffer[Array[Byte]]()
   private var head = 0L // last admitted lsn
   private var confirmed = 0L // last acked lsn (standby feedback)
 
@@ -248,7 +256,22 @@ final class CopyBothWalStream(connect: () => ReplicationConnection,
     while (frame.isDefined) {
       CopyBothFraming.parse(frame.get) match {
         case CopyBothFraming.XLogData(walStart, _, _, payload) =>
-          pending.append((walStart, payload))
+          // REAL Postgres sends non-WAL-backed metadata — pgoutput
+          // Relation/Type messages — with walStart = 0/0 (found against
+          // a live server: the offset range (lo, hi] dropped them and
+          // every later data message failed "no prior Relation"). Attach
+          // them to the NEXT positioned frame's lsn, ahead of it in
+          // admission order, so they ride the same offset range as the
+          // first data message that needs them; the decoder's
+          // within-batch sort is stable, preserving this order for
+          // equal positions. A reconnect re-sends Relations, so frames
+          // still held at stop() are never owed to anyone.
+          if (walStart == 0L) { zeroHold.append(payload); () }
+          else {
+            zeroHold.foreach(p => pending.append((walStart, p)))
+            zeroHold.clear()
+            pending.append((walStart, payload))
+          }
         case CopyBothFraming.PrimaryKeepalive(_, _, replyRequested) =>
           if (replyRequested)
             conn.send(CopyBothFraming.standbyStatusUpdate(confirmed, clock()))

@@ -153,6 +153,20 @@ class PostgresIntegrationSpec extends SparkSpec {
     try f(a) finally a.close()
   }
 
+  /** Whether the server can load an output plugin (wal2json ships in the
+    * docker image but not in a bare local install; pgoutput is built in).
+    * Probed by creating and dropping a throwaway slot.
+    */
+  private def pluginAvailable(name: String): Boolean = withAdmin { pg =>
+    val probe = s"graft_probe_${name.filter(_.isLetterOrDigit)}"
+    pg.execIgnoring(s"SELECT pg_drop_replication_slot('$probe')")
+    try {
+      pg.exec(s"SELECT pg_create_logical_replication_slot('$probe', '$name')")
+      pg.execIgnoring(s"SELECT pg_drop_replication_slot('$probe')")
+      true
+    } catch { case _: IOException => false }
+  }
+
   private def pollSink(out: String, atLeast: Long,
       q: org.apache.spark.sql.streaming.StreamingQuery,
       timeoutSec: Int = 120): Long = {
@@ -167,6 +181,9 @@ class PostgresIntegrationSpec extends SparkSpec {
 
   test("wal2json: live slot -> socket transport -> full pipeline -> ordered sink") {
     assume(enabled, "set GRAFT_IT_PG=1 (and docker compose up -d) to run")
+    assume(pluginAvailable("wal2json"),
+      "server has no wal2json output plugin (bare local install — the " +
+        "docker-compose image ships it); pgoutput coverage runs regardless")
     import spark.implicits._
     val slot = "graft_it_w2j"
     withAdmin { pg =>
@@ -265,26 +282,41 @@ class PostgresIntegrationSpec extends SparkSpec {
 
   test("standby feedback advances the real slot's confirmed_flush_lsn") {
     assume(enabled, "set GRAFT_IT_PG=1 (and docker compose up -d) to run")
+    // feedback semantics are plugin-independent: prefer wal2json (the
+    // docker image), fall back to the built-in pgoutput on a bare server
+    val useW2j = pluginAvailable("wal2json")
     val slot = "graft_it_fb"
+    val pub = "graft_it_fb_pub"
     val atCreation = withAdmin { pg =>
       pg.execIgnoring(s"SELECT pg_drop_replication_slot('$slot')")
+      pg.execIgnoring(s"DROP PUBLICATION IF EXISTS $pub")
       pg.exec("DROP TABLE IF EXISTS graft_it_fb_t")
       pg.exec("CREATE TABLE graft_it_fb_t (id bigint PRIMARY KEY)")
-      pg.exec(s"SELECT pg_create_logical_replication_slot('$slot', 'wal2json')")
+      if (!useW2j) pg.exec(s"CREATE PUBLICATION $pub FOR TABLE graft_it_fb_t")
+      pg.exec("SELECT pg_create_logical_replication_slot(" +
+        s"'$slot', '${if (useW2j) "wal2json" else "pgoutput"}')")
       pg.exec("INSERT INTO graft_it_fb_t VALUES (1)")
       parseLsn(pg.queryFirst("SELECT confirmed_flush_lsn FROM " +
         s"pg_replication_slots WHERE slot_name = '$slot'").get)
     }
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    if (!useW2j)
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val out = java.nio.file.Files.createTempDirectory("it_fb_out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("it_fb_ckpt").toString
-    val raw = spark.readStream.format("graft.sources.CopyBothSource")
+    val raw0 = spark.readStream.format("graft.sources.CopyBothSource")
       .option("host", host).option("port", port.toString)
       .option("slot", slot).option("user", user)
       .option("database", db).option("password", pw)
-      .option("startOptions", "format-version=2;include-xids=1;include-timestamp=1")
-      .load()
+    val raw = (if (useW2j) raw0.option("startOptions",
+        "format-version=2;include-xids=1;include-timestamp=1")
+      else raw0.option("payload", "binary").option("startOptions",
+        s"proto_version=1;publication_names=$pub")).load()
     val q = graft.streaming.CdcStream.start(spark, raw, db, out, ckpt,
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"),
+      plugin = if (useW2j) "wal2json" else "pgoutput")
     try {
       assert(pollSink(out, 1, q) >= 1)
       // the source's commit() turns into StandbyStatusUpdate on the wire;
@@ -304,8 +336,15 @@ class PostgresIntegrationSpec extends SparkSpec {
         s"creation point ${PgWireProtocol.lsnHex(atCreation)}")
     } finally {
       q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => if (!useW2j)
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
       withAdmin { pg =>
         pg.execIgnoring(s"SELECT pg_drop_replication_slot('$slot')")
+        pg.execIgnoring(s"DROP PUBLICATION IF EXISTS $pub")
         pg.execIgnoring("DROP TABLE IF EXISTS graft_it_fb_t")
       }
     }

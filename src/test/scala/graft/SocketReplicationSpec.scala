@@ -375,6 +375,45 @@ class SocketReplicationWireSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("zero-walStart metadata frames attach to the next positioned frame (live-Postgres Relation messages)") {
+    // REAL pgoutput sends Relation/Type messages with XLogData
+    // walStart = 0/0 (found against live Postgres 15: the source's
+    // (lo, hi] offset range silently dropped them and every data message
+    // then failed "no prior Relation"). The source must surface them AT
+    // the next positioned frame's lsn, ordered ahead of it.
+    val spark = TestSession.spark
+    import org.apache.spark.sql.streaming.Trigger
+    val srv = new InProcessPgReplicationServer
+    try {
+      srv.inner.deliver(0L, "relation-metadata")   // how a Relation arrives
+      srv.inner.deliver(20L, "insert-data")
+      srv.inner.deliver(0L, "type-metadata")       // mid-stream metadata too
+      srv.inner.deliver(30L, "more-data")
+      val out = java.nio.file.Files.createTempDirectory("sock_zero_out").toString
+      val ck = java.nio.file.Files.createTempDirectory("sock_zero_ck").toString
+      val raw = spark.readStream.format("graft.sources.CopyBothSource")
+        .option("host", "127.0.0.1").option("port", srv.port.toString)
+        .option("slot", "s_zero").load()
+      val q = raw.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+      try {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        def rows() = try spark.read.parquet(out).count()
+          catch { case _: Exception => 0L }
+        while (rows() < 4 && q.exception.isEmpty &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+        q.exception.foreach(e => throw e)
+        val got = spark.read.parquet(out)
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+          .sortBy(t => (t._1, t._2 != "relation-metadata" && t._2 != "type-metadata"))
+        assert(got == Seq((20L, "relation-metadata"), (20L, "insert-data"),
+          (30L, "type-metadata"), (30L, "more-data")),
+          s"metadata frames ride the next data frame's position: $got")
+      } finally q.stop()
+    } finally srv.close()
+  }
+
   test("supervised restart rides out a transient socket error; fatal auth never restarts") {
     // S4 end-to-end over the REAL transport: the server kills the first
     // session with a TRANSIENT SQLSTATE (57P01 admin shutdown) before
