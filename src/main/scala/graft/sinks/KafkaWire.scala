@@ -1,0 +1,255 @@
+package graft.sinks
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Minimal Kafka wire-protocol codec — enough of the PUBLIC protocol
+  * (kafka.apache.org/protocol) for an ack-awaiting producer, written
+  * against the spec the way [[graft.sources.PgWireProtocol]] is written
+  * against the Postgres frontend/backend spec (the environment has no
+  * Kafka client jar, and the reference's publisher is exactly this
+  * shape: serialize → produce → await ack —
+  * internal/publisher/jetstream.go:316-474).
+  *
+  * Pinned versions chosen for the widest broker range (KIP-896 removed
+  * pre-2.1 versions in Kafka 4.0; both of these survive 2.1 → 4.x):
+  *  - Metadata v4 (api key 3): non-flexible, throttle-first response,
+  *    per-partition leader ids — the partitioner's input;
+  *  - Produce v3 (api key 0): non-flexible, message-format-v2 record
+  *    batches (magic 2, CRC32C), transactional_id/acks/timeout framing.
+  *
+  * Record batches are built byte-exact per the spec's "Record Batch"
+  * layout: the CRC is CRC32C (Castagnoli, `java.util.zip.CRC32C`) over
+  * everything AFTER the crc field; records use zigzag varint framing.
+  */
+object KafkaWire {
+
+  val ApiProduce: Short = 0
+  val ApiMetadata: Short = 3
+
+  // retriable/permanent error-code classes (protocol error table)
+  val ErrUnknownTopic: Short = 3
+  val ErrLeaderNotAvailable: Short = 5
+  val ErrNotLeader: Short = 6
+  val ErrRequestTimedOut: Short = 7
+  val ErrMessageTooLarge: Short = 10
+  val ErrInvalidTopic: Short = 17
+  val ErrCorruptMessage: Short = 2
+  val ErrInvalidRequest: Short = 42
+  val ErrInvalidRecord: Short = 87
+
+  def isPermanent(code: Short): Boolean =
+    code == ErrMessageTooLarge || code == ErrInvalidTopic ||
+      code == ErrInvalidRequest || code == ErrInvalidRecord
+
+  // ---------- growable big-endian buffer ----------
+
+  final class Buf {
+    private var arr = new Array[Byte](256)
+    private var n = 0
+    private def ensure(k: Int): Unit =
+      if (n + k > arr.length) {
+        arr = java.util.Arrays.copyOf(arr,
+          math.max(arr.length * 2, n + k))
+      }
+    def i8(v: Int): Buf = { ensure(1); arr(n) = v.toByte; n += 1; this }
+    def i16(v: Int): Buf = { ensure(2)
+      arr(n) = (v >> 8).toByte; arr(n + 1) = v.toByte; n += 2; this }
+    def i32(v: Int): Buf = { ensure(4)
+      var i = 0; while (i < 4) { arr(n + i) = (v >> (24 - 8 * i)).toByte; i += 1 }
+      n += 4; this }
+    def i64(v: Long): Buf = { ensure(8)
+      var i = 0; while (i < 8) { arr(n + i) = (v >> (56 - 8 * i)).toByte; i += 1 }
+      n += 8; this }
+    def raw(b: Array[Byte]): Buf = { ensure(b.length)
+      System.arraycopy(b, 0, arr, n, b.length); n += b.length; this }
+    /** Protocol STRING: int16 length + UTF-8 (null = -1). */
+    def str(s: String): Buf =
+      if (s == null) i16(-1)
+      else { val b = s.getBytes(UTF_8); i16(b.length); raw(b) }
+    /** Protocol BYTES: int32 length + raw (null = -1). */
+    def bytes(b: Array[Byte]): Buf =
+      if (b == null) i32(-1) else { i32(b.length); raw(b) }
+    /** Unsigned varint (LEB128). */
+    def uvarint(v0: Long): Buf = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { i8(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      i8((v & 0x7f).toInt)
+    }
+    /** Zigzag varint — the record framing's signed form. */
+    def varint(v: Long): Buf = uvarint((v << 1) ^ (v >> 63))
+    def size: Int = n
+    def toBytes: Array[Byte] = java.util.Arrays.copyOf(arr, n)
+  }
+
+  // ---------- murmur2 (the default partitioner's hash) ----------
+
+  /** Kafka's murmur2 over the record key; partition =
+    * (hash & 0x7fffffff) % numPartitions — byte-compatible with the
+    * ecosystem clients so a mixed fleet keys to the same partitions.
+    */
+  def murmur2(data: Array[Byte]): Int = {
+    val seed = 0x9747b28c
+    val m = 0x5bd1e995
+    val r = 24
+    val len = data.length
+    var h = seed ^ len
+    var i = 0
+    while (len - i >= 4) {
+      var k = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      k *= m; k ^= k >>> r; k *= m
+      h *= m; h ^= k
+      i += 4
+    }
+    val left = len - i
+    if (left >= 3) h ^= (data(i + 2) & 0xff) << 16
+    if (left >= 2) h ^= (data(i + 1) & 0xff) << 8
+    if (left >= 1) { h ^= data(i) & 0xff; h *= m }
+    h ^= h >>> 13; h *= m; h ^= h >>> 15
+    h
+  }
+
+  def partitionFor(key: Array[Byte], numPartitions: Int): Int =
+    (murmur2(key) & 0x7fffffff) % numPartitions
+
+  // ---------- record batch (message format v2) ----------
+
+  /** One v2 record batch holding `records` (key, value, headers) tuples
+    * in order. Single-batch-per-produce is the reference's ordered mode:
+    * one publish, one awaited ack.
+    */
+  def recordBatch(records: Seq[(Array[Byte], Array[Byte], Seq[(String, Array[Byte])])],
+      timestampMs: Long): Array[Byte] = {
+    require(records.nonEmpty, "empty record batch")
+    // everything after the crc field, crc'd with CRC32C per the spec
+    val body = new Buf
+    body.i16(0)                    // attributes: no compression, CreateTime
+    body.i32(records.size - 1)     // lastOffsetDelta
+    body.i64(timestampMs)          // baseTimestamp
+    body.i64(timestampMs)          // maxTimestamp
+    body.i64(-1L)                  // producerId (idempotence off)
+    body.i16(-1)                   // producerEpoch
+    body.i32(-1)                   // baseSequence
+    body.i32(records.size)
+    records.zipWithIndex.foreach { case ((key, value, headers), i) =>
+      val rec = new Buf
+      rec.i8(0)                    // record attributes
+      rec.varint(0L)               // timestampDelta
+      rec.varint(i.toLong)         // offsetDelta
+      if (key == null) rec.varint(-1L)
+      else { rec.varint(key.length.toLong); rec.raw(key) }
+      if (value == null) rec.varint(-1L)
+      else { rec.varint(value.length.toLong); rec.raw(value) }
+      rec.varint(headers.size.toLong)
+      headers.foreach { case (hk, hv) =>
+        val kb = hk.getBytes(UTF_8)
+        rec.varint(kb.length.toLong); rec.raw(kb)
+        if (hv == null) rec.varint(-1L)
+        else { rec.varint(hv.length.toLong); rec.raw(hv) }
+      }
+      val rb = rec.toBytes
+      body.varint(rb.length.toLong); body.raw(rb)
+    }
+    val bodyBytes = body.toBytes
+    val crc = new java.util.zip.CRC32C
+    crc.update(bodyBytes)
+    val out = new Buf
+    out.i64(0L)                                    // baseOffset
+    out.i32(4 + 1 + 4 + bodyBytes.length)          // batchLength (after this field)
+    out.i32(-1)                                    // partitionLeaderEpoch
+    out.i8(2)                                      // magic
+    out.i32(crc.getValue.toInt)                    // crc32c
+    out.raw(bodyBytes)
+    out.toBytes
+  }
+
+  // ---------- requests (header v1: key, version, corrId, clientId) ----------
+
+  private def header(apiKey: Short, version: Short, corrId: Int,
+      clientId: String): Buf =
+    new Buf().i16(apiKey).i16(version).i32(corrId).str(clientId)
+
+  /** Frame a request: int32 length prefix + header + body. */
+  def frame(b: Buf): Array[Byte] = {
+    val payload = b.toBytes
+    new Buf().i32(payload.length).raw(payload).toBytes
+  }
+
+  def metadataRequestV4(corrId: Int, clientId: String,
+      topic: String): Array[Byte] = {
+    val b = header(ApiMetadata, 4, corrId, clientId)
+    b.i32(1).str(topic)   // topics
+    b.i8(1)               // allow_auto_topic_creation
+    frame(b)
+  }
+
+  def produceRequestV3(corrId: Int, clientId: String, topic: String,
+      partition: Int, batch: Array[Byte], acks: Short,
+      timeoutMs: Int): Array[Byte] = {
+    val b = header(ApiProduce, 3, corrId, clientId)
+    b.str(null)           // transactional_id
+    b.i16(acks)
+    b.i32(timeoutMs)
+    b.i32(1).str(topic)   // topic_data[1]
+    b.i32(1).i32(partition)
+    b.bytes(batch)        // record_set
+    frame(b)
+  }
+
+  // ---------- responses ----------
+
+  final case class PartitionMeta(errorCode: Short, index: Int, leader: Int)
+  final case class TopicMeta(errorCode: Short, name: String,
+      partitions: Seq[PartitionMeta])
+  final case class MetadataResponse(brokers: Map[Int, (String, Int)],
+      topics: Seq[TopicMeta])
+
+  private def readStr(b: ByteBuffer): String = {
+    val len = b.getShort()
+    if (len < 0) null
+    else { val a = new Array[Byte](len); b.get(a); new String(a, UTF_8) }
+  }
+
+  /** Metadata v4 response body (after the correlation id). */
+  def parseMetadataV4(body: Array[Byte]): MetadataResponse = {
+    val b = ByteBuffer.wrap(body)
+    b.getInt() // throttle_time_ms
+    val brokers = (0 until b.getInt()).map { _ =>
+      val id = b.getInt(); val host = readStr(b); val port = b.getInt()
+      readStr(b) // rack
+      id -> (host, port)
+    }.toMap
+    readStr(b)  // cluster_id
+    b.getInt()  // controller_id
+    val topics = (0 until b.getInt()).map { _ =>
+      val err = b.getShort(); val name = readStr(b)
+      b.get()   // is_internal
+      val parts = (0 until b.getInt()).map { _ =>
+        val perr = b.getShort(); val idx = b.getInt(); val leader = b.getInt()
+        var i = b.getInt(); while (i > 0) { b.getInt(); i -= 1 } // replicas
+        i = b.getInt(); while (i > 0) { b.getInt(); i -= 1 }     // isr
+        PartitionMeta(perr, idx, leader)
+      }
+      TopicMeta(err, name, parts)
+    }
+    MetadataResponse(brokers, topics)
+  }
+
+  /** First partition's (error_code, base_offset) of a Produce v3+
+    * response body — the fields every version ≥3 lays out identically
+    * before its version-specific tail, which is all an ack-await needs.
+    */
+  def parseProduceResponse(body: Array[Byte]): (Short, Long) = {
+    val b = ByteBuffer.wrap(body)
+    val nTopics = b.getInt()
+    require(nTopics >= 1, s"produce response without topics ($nTopics)")
+    readStr(b)             // topic
+    val nParts = b.getInt()
+    require(nParts >= 1, s"produce response without partitions ($nParts)")
+    b.getInt()             // partition index
+    val err = b.getShort()
+    val baseOffset = b.getLong()
+    (err, baseOffset)
+  }
+}

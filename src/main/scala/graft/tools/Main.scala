@@ -194,6 +194,20 @@ object Main {
     def mvSeq = graft.streaming.OrderedSink.lsnNumeric(
       org.apache.spark.sql.functions.col("lsn"))
     val mvBuckets = env.getOrElse("GRAFT_MV_BUCKETS", "8").toInt
+    // GRAFT_SINK picks the broker behind the SinkWriter seam:
+    //   parquet (default) — the ordered parquet sink (sandbox deployment);
+    //   kafka             — the wire-protocol producer (KAFKA_BOOTSTRAP
+    //                       names the broker, default localhost:9092),
+    //                       the reference's publisher process against a
+    //                       real log.
+    val sinkWriter: Option[() => graft.streaming.SinkWriter] =
+      env.getOrElse("GRAFT_SINK", "parquet") match {
+        case "parquet" => None
+        case "kafka" =>
+          val bootstrap = env.getOrElse("KAFKA_BOOTSTRAP", "localhost:9092")
+          Some(() => new graft.sinks.KafkaSinkWriter(bootstrap))
+        case other => sys.error(s"unknown GRAFT_SINK '$other' (parquet | kafka)")
+      }
     val startQuery: () => StreamingQuery = mode match {
       case "sink" => () => CdcStream.start(spark, rawStream(spark, cfg, env),
         cfg.database, outDir, ckDir,
@@ -203,6 +217,7 @@ object Main {
         maxPublishRetries = cfg.maxPublishRetries,
         dedupWatermark = s"${cfg.duplicateWindow.toSeconds} seconds",
         metrics = Some(metrics),
+        sinkWriter = sinkWriter,
         plugin = cfg.plugin)
       case "mv" | "scd2" =>
         val keys = mvKeys

@@ -1,0 +1,257 @@
+package graft
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream,
+  DataOutputStream, IOException}
+import java.net.{ServerSocket, Socket}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.mutable
+
+import graft.sinks.{KafkaSinkWriter, KafkaWire}
+import graft.streaming.{PermanentPublishException, PublishItem, SinkPublisher}
+
+/** In-process WIRE-FAITHFUL Kafka broker (the Postgres
+  * InProcessPgReplicationServer pattern): accepts real framed requests,
+  * parses Metadata v4 / Produce v3 byte-exactly per the public protocol,
+  * independently re-decodes the v2 record batches — INCLUDING CRC32C
+  * verification, so an encoder bug fails here exactly as a real broker
+  * would reject the batch — and answers with spec-layout responses.
+  */
+final class InProcessKafkaBroker(nPartitions: Int = 2) {
+  private val listener = new ServerSocket(0)
+  @volatile private var closed = false
+  def port: Int = listener.getLocalPort
+
+  final case class Received(topic: String, partition: Int,
+      key: String, value: String, headers: Map[String, String],
+      baseOffset: Long)
+  val received = new java.util.concurrent.CopyOnWriteArrayList[Received]()
+  private val errorQueue =
+    new java.util.concurrent.ConcurrentLinkedQueue[Short]()
+  private val offsets = mutable.Map.empty[(String, Int), Long]
+
+  /** Next produce answers with `code` instead of appending. */
+  def injectError(code: Short): Unit = { errorQueue.add(code); () }
+
+  private val acceptor = new Thread(() => {
+    try while (!closed) {
+      val s = listener.accept()
+      new Thread(() => try serve(s) catch { case _: IOException => }).start()
+    } catch { case _: IOException => }
+  })
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def readStr(b: ByteBuffer): String = {
+    val len = b.getShort()
+    if (len < 0) null
+    else { val a = new Array[Byte](len); b.get(a); new String(a, UTF_8) }
+  }
+
+  private def uvarint(b: ByteBuffer): Long = {
+    var v = 0L; var shift = 0; var done = false
+    while (!done) {
+      val x = b.get() & 0xff
+      v |= (x & 0x7fL) << shift; shift += 7
+      done = (x & 0x80) == 0
+    }
+    v
+  }
+  private def varint(b: ByteBuffer): Long = {
+    val u = uvarint(b); (u >>> 1) ^ -(u & 1)
+  }
+
+  /** Spec-layout decode of a v2 record batch with CRC verification. */
+  private[graft] def decodeBatch(batch: Array[Byte]): Seq[(String, String, Map[String, String])] = {
+    val b = ByteBuffer.wrap(batch)
+    b.getLong()                        // baseOffset
+    b.getInt()                         // batchLength
+    b.getInt()                         // partitionLeaderEpoch
+    require(b.get() == 2, "magic must be 2")
+    val crc = b.getInt()
+    val body = new Array[Byte](b.remaining()); b.get(body)
+    val c = new java.util.zip.CRC32C
+    c.update(body)
+    require(c.getValue.toInt == crc, "record batch CRC32C mismatch")
+    val d = ByteBuffer.wrap(body)
+    d.getShort()                       // attributes
+    d.getInt()                         // lastOffsetDelta
+    d.getLong(); d.getLong()           // timestamps
+    d.getLong(); d.getShort(); d.getInt() // producer id/epoch/sequence
+    (0 until d.getInt()).map { _ =>
+      varint(d)                        // record length
+      d.get()                          // record attributes
+      varint(d)                        // timestampDelta
+      varint(d)                        // offsetDelta
+      def blob(): String = {
+        val n = varint(d).toInt
+        if (n < 0) null
+        else { val a = new Array[Byte](n); d.get(a); new String(a, UTF_8) }
+      }
+      val key = blob(); val value = blob()
+      val headers = (0 until varint(d).toInt).map { _ =>
+        val hk = blob(); val hv = blob(); hk -> hv
+      }.toMap
+      (key, value, headers)
+    }
+  }
+
+  private def serve(sock: Socket): Unit = {
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    while (!closed) {
+      val len = in.readInt()
+      val payload = new Array[Byte](len)
+      in.readFully(payload)
+      val b = ByteBuffer.wrap(payload)
+      val apiKey = b.getShort(); val version = b.getShort()
+      val corrId = b.getInt(); readStr(b) // client id
+      val resp = new KafkaWire.Buf().i32(corrId)
+      apiKey match {
+        case KafkaWire.ApiMetadata =>
+          require(version == 4, s"mock speaks Metadata v4, got $version")
+          val topics = (0 until b.getInt()).map(_ => readStr(b))
+          b.get() // allow_auto_topic_creation
+          resp.i32(0)                             // throttle
+          resp.i32(1)                             // brokers[1]
+          resp.i32(1).str("127.0.0.1").i32(port).str(null)
+          resp.str("graft-mock-cluster")          // cluster_id
+          resp.i32(1)                             // controller
+          resp.i32(topics.size)
+          topics.foreach { t =>
+            resp.i16(0).str(t).i8(0)              // error, name, internal
+            resp.i32(nPartitions)
+            (0 until nPartitions).foreach { p =>
+              resp.i16(0).i32(p).i32(1)           // error, index, leader
+              resp.i32(1).i32(1)                  // replicas [1]
+              resp.i32(1).i32(1)                  // isr [1]
+            }
+          }
+        case KafkaWire.ApiProduce =>
+          require(version == 3, s"mock speaks Produce v3, got $version")
+          readStr(b)                              // transactional_id
+          b.getShort()                            // acks
+          b.getInt()                              // timeout
+          require(b.getInt() == 1, "one topic per produce")
+          val topic = readStr(b)
+          require(b.getInt() == 1, "one partition per produce")
+          val partition = b.getInt()
+          val setLen = b.getInt()
+          val batch = new Array[Byte](setLen); b.get(batch)
+          val injected = Option(errorQueue.poll())
+          val (err, baseOffset) = injected match {
+            case Some(code) => (code, -1L)
+            case None =>
+              val records = decodeBatch(batch)
+              val base = offsets.getOrElse((topic, partition), 0L)
+              records.foreach { case (k, v, h) =>
+                received.add(Received(topic, partition, k, v, h, base)); ()
+              }
+              offsets((topic, partition)) = base + records.size
+              (0: Short, base)
+          }
+          resp.i32(1).str(topic)                  // responses[1]
+          resp.i32(1)                             // partitions[1]
+          resp.i32(partition).i16(err).i64(baseOffset)
+          resp.i64(-1L)                           // log_append_time (v2+)
+          resp.i32(0)                             // throttle (tail, v1+)
+        case other => throw new IOException(s"unexpected api key $other")
+      }
+      val framed = resp.toBytes
+      out.writeInt(framed.length); out.write(framed); out.flush()
+    }
+  }
+
+  def close(): Unit = { closed = true; listener.close() }
+}
+
+class KafkaWireSpec extends SparkSpec {
+
+  private def item(subject: String, id: String, pos: Long) =
+    PublishItem(subject, id, s"""{"eventId":"$id"}""", pos)
+
+  test("varint/zigzag and record batch round-trip through an independent decoder, CRC-checked") {
+    val batch = KafkaWire.recordBatch(Seq(
+      ("k1".getBytes(UTF_8), "v1".getBytes(UTF_8), Seq("h" -> "x".getBytes(UTF_8))),
+      (null, "v2".getBytes(UTF_8), Nil)), timestampMs = 1700000000000L)
+    val broker = new InProcessKafkaBroker()
+    try {
+      // drive through the real socket path so framing is covered too
+      val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}")
+      try w.publish(item("t.batch", "e1", 1L)) finally w.close()
+      assert(broker.received.size() == 1)
+    } finally broker.close()
+    // direct decode sanity on the 2-record batch through the same
+    // spec-layout decoder a real broker applies
+    val b2 = new InProcessKafkaBroker()
+    try {
+      val records = b2.decodeBatch(batch)
+      assert(records == Seq(("k1", "v1", Map("h" -> "x")),
+        (null, "v2", Map.empty[String, String])))
+    } finally b2.close()
+  }
+
+  test("publish: subject-keyed records arrive in order with event-id headers and advancing offsets") {
+    val broker = new InProcessKafkaBroker(nPartitions = 2)
+    val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}")
+    try {
+      (1 to 3).foreach(i => w.publish(item("cdc.db.public.users", s"e$i", i.toLong)))
+      assert(w.lastBaseOffset == 2L, "broker acked three appends")
+      val got = broker.received
+      assert(got.size() == 3)
+      val parts = (0 until 3).map(i => got.get(i).partition).toSet
+      assert(parts.size == 1, "one subject -> one partition (ordering)")
+      assert((0 until 3).map(i => got.get(i).value) ==
+        (1 to 3).map(i => s"""{"eventId":"e$i"}"""), "commit order preserved")
+      assert(got.get(0).key == "cdc.db.public.users")
+      assert(got.get(0).headers("event-id") == "e1")
+      assert(got.get(2).headers("wal-position") == "3")
+      // the chosen partition matches the ecosystem partitioner contract
+      assert(got.get(0).partition == KafkaWire.partitionFor(
+        "cdc.db.public.users".getBytes(UTF_8), 2))
+    } finally { w.close(); broker.close() }
+  }
+
+  test("retriable broker errors are transient IOExceptions; the ordered loop retries through them") {
+    val broker = new InProcessKafkaBroker()
+    val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}")
+    try {
+      broker.injectError(KafkaWire.ErrNotLeader)
+      val res = SinkPublisher.publishOrdered(
+        Iterator(item("t.retry", "e1", 1L)), w,
+        maxRetries = 3, sleep = _ => ())
+      assert(res.isComplete && res.succeeded == 1,
+        s"retry must recover from NOT_LEADER: $res")
+      assert(broker.received.size() == 1)
+    } finally { w.close(); broker.close() }
+  }
+
+  test("MESSAGE_TOO_LARGE is permanent: no retry burn, quarantine policy decides") {
+    val broker = new InProcessKafkaBroker()
+    val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}")
+    try {
+      broker.injectError(KafkaWire.ErrMessageTooLarge)
+      val e = intercept[PermanentPublishException] {
+        w.publish(item("t.big", "e1", 1L))
+      }
+      assert(e.getMessage.contains("error 10"))
+      // and through the loop: quarantined, not retried
+      broker.injectError(KafkaWire.ErrMessageTooLarge)
+      val quarantined = mutable.Buffer.empty[String]
+      val res = SinkPublisher.publishOrdered(
+        Iterator(item("t.big", "e2", 2L)), w,
+        maxRetries = 3, sleep = _ => (),
+        quarantine = Some((it, _) => { quarantined += it.eventId; () }))
+      assert(res.quarantined.nonEmpty && quarantined == Seq("e2"))
+    } finally { w.close(); broker.close() }
+  }
+
+  test("topics are sanitized to Kafka's charset") {
+    val w = new KafkaSinkWriter("localhost:9092")
+    assert(w.topicFor("cdc.db.public.users") == "cdc.db.public.users")
+    assert(w.topicFor("cdc/db:sch*ma") == "cdc_db_sch_ma")
+    assert(w.topicFor("a" * 300).length == 249)
+    w.close()
+  }
+}

@@ -116,6 +116,38 @@ class ToolsMainSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("GRAFT_SINK=kafka publishes through the wire-protocol producer") {
+    val broker = new InProcessKafkaBroker()
+    val tmp = Files.createTempDirectory("graft_main_kafka").toString
+    val walDir = s"$tmp/wal"; Files.createDirectories(Paths.get(walDir))
+    Files.write(Paths.get(walDir, "wal-01.log"),
+      Seq(walLine("B", 1, 0), walLine("I", 1, 21),
+        walLine("I", 1, 22), walLine("C", 1, 0))
+        .mkString("\n").getBytes(UTF_8))
+    val env = Map(
+      "GRAFT_WAL_DIR" -> walDir,
+      "GRAFT_OUT_DIR" -> s"$tmp/out",
+      "GRAFT_CHECKPOINT_DIR" -> s"$tmp/ck",
+      "CDC_DATABASE_NAME" -> "kafkadb",
+      "GRAFT_SINK" -> "kafka",
+      "KAFKA_BOOTSTRAP" -> s"127.0.0.1:${broker.port}",
+      "BATCH_TIMEOUT" -> "100ms")
+    val running = Main.start(spark, env, healthPortOverride = Some(0))
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (broker.received.size() < 2 && running.query.exception.isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      running.query.exception.foreach(e => throw e)
+      assert(broker.received.size() == 2,
+        "both inserts of the committed tx publish to the broker")
+      val got = broker.received.get(0)
+      assert(got.topic == "cdc.kafkadb.public.users", s"subject→topic: $got")
+      assert(got.key == "cdc.kafkadb.public.users")
+      assert(got.headers.contains("event-id"))
+      assert(got.value.contains("\"event_id\""))
+    } finally { running.stop(); broker.close() }
+  }
+
   test("pluginStartOptions renders the per-plugin START_REPLICATION arguments") {
     import graft.config.GraftConfig
     def cfg(extra: (String, String)*): GraftConfig =
