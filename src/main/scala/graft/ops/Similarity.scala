@@ -558,8 +558,13 @@ object Similarity {
       element_at(element_at(col("lut"),
         element_at(col("codes"), j + 1).cast("int")), j + 1))
       .reduce(_ + _)
-    val joined = probes.join(broadcast(qlut), Seq("qid"))
-      .join(idx, Seq("cell"))
+    // the index is the ONLY big side here (queries-per-batch is small by
+    // the serve contract): broadcast the probe×LUT frame so the index —
+    // inline or a materialized cell-bucketed table — is always the
+    // streamed side and never exchanges on the probe join (ScaleSpec
+    // pins the plan over a bucketBy(cell) saved index)
+    val joined = idx.join(broadcast(probes.join(broadcast(qlut), Seq("qid"))),
+        Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("adc_dot", adc)
       .withColumn("adc_cosine", col("adc_dot").cast("double") /

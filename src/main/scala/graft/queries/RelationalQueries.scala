@@ -458,16 +458,26 @@ object RelationalQueries {
           (o_orderstatus, o_orderpriority))
         ORDER BY g_status, status, g_prio, priority""")),
 
-    // HLL sketch aggregation (approx_count_distinct). Sketch internals are
-    // engine-specific, so no SQL oracle — the driver records a rows-only
-    // check; exactness is bounded by the relative-error parameter.
+    // HLL sketch aggregation (approx_count_distinct). Sketch VALUES are
+    // engine-specific (DuckDB's HLL estimates differently), so hash
+    // parity on the estimate itself is impossible — but the estimator's
+    // CONTRACT is oracle-checkable: emit the exact count plus a
+    // within-5%-of-exact flag (rsd is configured at 1%, so 5% is a firm
+    // bound, not a coin flip) and let the driver hash THAT. An estimate
+    // drifting out of band flips the flag and fails the gate.
     "q23_approx_distinct" -> Def(
       (s, d) => t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx") - col("exact_orders")).cast("double") <=
+            lit(0.05) * col("exact_orders")).cast("bigint").as("within_5pct"))
         .orderBy(col("l_returnflag")),
-      None),
+      Some("""SELECT l_returnflag,
+        COUNT(DISTINCT l_orderkey) AS exact_orders,
+        CAST(1 AS BIGINT) AS within_5pct
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
     // Exact percentiles (sort-based linear interpolation — deterministic,
     // unlike the approx sketch) per group.

@@ -281,6 +281,39 @@ class ScaleSpec extends SparkSpec {
     assert(probedOk && served.length <= 5 * 5)
   }
 
+  test("IVF×PQ: a cell-bucketed materialized index serves probes with no index-side exchange") {
+    val prep = Similarity.prepare(
+      spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .withColumnRenamed("vec_id", "id"), "embedding")
+    spark.sql("DROP TABLE IF EXISTS graft_ivfpq_idx")
+    try {
+      Similarity.ivfPqIndex(prep, nCells = 16, m = 8, nCent = 64)
+        .write.bucketBy(8, "cell").sortBy("cell").saveAsTable("graft_ivfpq_idx")
+      val served = Similarity.ivfPqTopK(prep, col("id") < 5,
+        nCells = 16, nProbe = 4, m = 8, nCent = 64, k = 5,
+        index = Some(spark.table("graft_ivfpq_idx")))
+      val rows = served.collect()
+      // the saved-table layout answers exactly like the inline build
+      val inline = Similarity.ivfPqTopK(prep, col("id") < 5,
+        nCells = 16, nProbe = 4, m = 8, nCent = 64, k = 5).collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+        inline.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+      // scale shape: the probe side (queries × nProbe cells + LUTs — small
+      // by the serve contract) broadcasts; the index side streams straight
+      // from the bucketed scan with NO exchange — the only
+      // hashpartitioning left is the per-query candidate ranking window.
+      // At a billion vectors this is the difference between shuffling the
+      // corpus per query batch and reading nProbe/nCells of index bytes.
+      val plan = finalPlan(served)
+      assert(plan.contains("BroadcastExchange"),
+        s"probe side must broadcast:\n$plan")
+      val cellExchange =
+        """Exchange hashpartitioning\([^)]*cell""".r.findFirstIn(plan)
+      assert(cellExchange.isEmpty,
+        s"index side of the probe join must not exchange:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ivfpq_idx")
+  }
+
   private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
     df.collect() // let AQE settle on the final physical plan
     df.queryExecution.executedPlan.toString
