@@ -87,6 +87,36 @@ object Transform {
       col("commit_time"), col("lsn"), col("txid"), col("schema"), col("table"),
       col("operation"), col("before"), col("after"), col("metadata")))
 
+  /** [[envelopeJson]]'s inverse: the CONSUMER-side parse. A subscriber
+    * receives the serialized envelope from the broker (the reference's
+    * consumers bind exactly these JSON tags off JetStream,
+    * model/events.go:105-119) and gets back the typed CdcEvent columns
+    * [[normalize]] produced — ready for the apply/SCD2/MV loops, whose
+    * key extraction and `lsn` sequencing read the same names. One
+    * codegen'd `from_json`, no UDF.
+    */
+  def parseEnvelope(df: DataFrame, valueCol: Column): DataFrame = {
+    val schema = "event_id STRING, event_type STRING, source STRING, " +
+      "timestamp TIMESTAMP, commit_time TIMESTAMP, lsn STRING, txid LONG, " +
+      "schema STRING, table STRING, operation STRING, " +
+      "before MAP<STRING,STRING>, after MAP<STRING,STRING>, " +
+      "metadata MAP<STRING,STRING>"
+    df.withColumn("_env", from_json(valueCol, schema, Map.empty[String, String]))
+      .select(col("_env.event_id").as("event_id"),
+        col("_env.event_type").as("event_type"),
+        col("_env.source").as("source"),
+        col("_env.timestamp").as("timestamp"),
+        col("_env.commit_time").as("commit_time"),
+        col("_env.lsn").as("lsn"),
+        col("_env.txid").as("txid"),
+        col("_env.schema").as("schema"),
+        col("_env.table").as("table"),
+        col("_env.operation").as("operation"),
+        col("_env.before").as("before"),
+        col("_env.after").as("after"),
+        col("_env.metadata").as("metadata"))
+  }
+
   /** Relation-registry-driven typed projection — SURVEY §1.2's mapping
     * (b): the envelope deliberately keeps payloads dynamic
     * (map<string,string>, mirroring the reference's map[string]interface{}

@@ -1,12 +1,7 @@
 package graft.sinks
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream,
-  DataOutputStream, IOException}
-import java.net.Socket
-import java.nio.ByteBuffer
+import java.io.IOException
 import java.nio.charset.StandardCharsets.UTF_8
-
-import scala.collection.mutable
 
 import graft.streaming.{PermanentPublishException, PublishItem, SinkWriter}
 
@@ -47,61 +42,11 @@ final class KafkaSinkWriter(bootstrap: String,
     acks: Short = -1,
     requestTimeoutMs: Int = 30000) extends SinkWriter {
 
-  private case class Conn(socket: Socket, in: DataInputStream,
-      out: DataOutputStream)
-
-  private val conns = mutable.Map.empty[(String, Int), Conn]
-  private val leaders = mutable.Map.empty[String, Map[Int, Int]] // topic -> partition -> broker
-  private var brokers = Map.empty[Int, (String, Int)]
-  private var corr = 0
+  private val client = new KafkaClient(bootstrap, clientId, requestTimeoutMs)
   /** Base offset acked for the most recent publish — lets tests (and
     * operators) observe the broker actually appending.
     */
   @volatile var lastBaseOffset: Long = -1L
-
-  private def bootstrapEndpoint: (String, Int) = {
-    val i = bootstrap.lastIndexOf(':')
-    require(i > 0, s"bootstrap must be host:port, got '$bootstrap'")
-    (bootstrap.substring(0, i), bootstrap.substring(i + 1).toInt)
-  }
-
-  private def connect(hp: (String, Int)): Conn =
-    conns.getOrElseUpdate(hp, {
-      val s = new Socket(hp._1, hp._2)
-      s.setSoTimeout(requestTimeoutMs)
-      s.setTcpNoDelay(true)
-      Conn(s, new DataInputStream(new BufferedInputStream(s.getInputStream)),
-        new DataOutputStream(new BufferedOutputStream(s.getOutputStream)))
-    })
-
-  private def dropConn(hp: (String, Int)): Unit =
-    conns.remove(hp).foreach(c =>
-      try c.socket.close() catch { case _: IOException => })
-
-  /** One request/response round trip; returns the body after the
-    * correlation id (responses arrive in request order per connection).
-    */
-  private def roundTrip(hp: (String, Int), framed: Array[Byte],
-      expectCorr: Int): Array[Byte] = {
-    val c = connect(hp)
-    try {
-      c.out.write(framed); c.out.flush()
-      val len = c.in.readInt()
-      if (len < 4 || len > 64 * 1024 * 1024)
-        throw new IOException(s"bad response frame length $len")
-      val payload = new Array[Byte](len)
-      c.in.readFully(payload)
-      val b = ByteBuffer.wrap(payload)
-      val got = b.getInt()
-      if (got != expectCorr)
-        throw new IOException(s"correlation mismatch: $got != $expectCorr")
-      java.util.Arrays.copyOfRange(payload, 4, payload.length)
-    } catch {
-      case e: IOException => dropConn(hp); throw e
-    }
-  }
-
-  private def nextCorr(): Int = { corr += 1; corr }
 
   /** Kafka's legal topic charset; everything else maps to '_' (the
     * reference sanitizes subject tokens the same way, subjects.go).
@@ -112,48 +57,24 @@ final class KafkaSinkWriter(bootstrap: String,
     (if (t == "." || t == "..") "_" else t).take(249)
   }
 
-  private def refreshMetadata(topic: String): Unit = {
-    val id = nextCorr()
-    val resp = KafkaWire.parseMetadataV4(roundTrip(bootstrapEndpoint,
-      KafkaWire.metadataRequestV4(id, clientId, topic), id))
-    brokers = resp.brokers
-    val tm = resp.topics.find(_.name == topic).getOrElse(
-      throw new IOException(s"metadata response missing topic $topic"))
-    if (tm.errorCode != 0) {
-      if (KafkaWire.isPermanent(tm.errorCode))
-        throw new PermanentPublishException(
-          s"topic $topic rejected: error ${tm.errorCode}")
-      throw new IOException(s"topic $topic metadata error ${tm.errorCode}" +
-        " (retriable — auto-creation may still be materializing)")
-    }
-    val byPart = tm.partitions.map(p => p.index -> p.leader).toMap
-    if (byPart.isEmpty || byPart.valuesIterator.contains(-1))
-      throw new IOException(s"topic $topic has no elected leaders yet")
-    leaders(topic) = byPart
-    ()
-  }
-
   override def publish(item: PublishItem): Unit = {
     val topic = topicFor(item.subject)
-    if (!leaders.contains(topic)) refreshMetadata(topic)
-    val parts = leaders(topic)
+    val parts = client.partitionLeaders(topic)
     val partition = KafkaWire.partitionFor(item.subject.getBytes(UTF_8),
       parts.size)
-    val leaderHp = brokers.getOrElse(parts(partition),
-      { leaders.remove(topic)
-        throw new IOException(s"leader ${parts(partition)} unknown") })
+    val leaderHp = client.endpointOf(parts(partition), topic)
     val batch = KafkaWire.recordBatch(
       Seq((item.subject.getBytes(UTF_8), item.payload.getBytes(UTF_8),
         Seq("event-id" -> item.eventId.getBytes(UTF_8),
           "wal-position" -> item.position.toString.getBytes(UTF_8)))),
       timestampMs = System.currentTimeMillis())
-    val id = nextCorr()
-    val body = try roundTrip(leaderHp, KafkaWire.produceRequestV3(
+    val id = client.nextCorr()
+    val body = try client.roundTrip(leaderHp, KafkaWire.produceRequestV3(
       id, clientId, topic, partition, batch, acks, requestTimeoutMs), id)
-    catch { case e: IOException => leaders.remove(topic); throw e }
+    catch { case e: IOException => client.invalidate(topic); throw e }
     val (err, baseOffset) = KafkaWire.parseProduceResponse(body)
     if (err != 0) {
-      leaders.remove(topic) // leadership may have moved; re-resolve on retry
+      client.invalidate(topic) // leadership may have moved; re-resolve on retry
       if (KafkaWire.isPermanent(err))
         throw new PermanentPublishException(
           s"produce to $topic/$partition rejected permanently: error $err")
@@ -162,8 +83,5 @@ final class KafkaSinkWriter(bootstrap: String,
     lastBaseOffset = baseOffset
   }
 
-  override def close(): Unit = {
-    conns.keys.toSeq.foreach(dropConn)
-    leaders.clear()
-  }
+  override def close(): Unit = client.close()
 }

@@ -25,7 +25,12 @@ import java.nio.charset.StandardCharsets.UTF_8
 object KafkaWire {
 
   val ApiProduce: Short = 0
+  val ApiFetch: Short = 1
+  val ApiListOffsets: Short = 2
   val ApiMetadata: Short = 3
+
+  val TsEarliest: Long = -2L
+  val TsLatest: Long = -1L
 
   // retriable/permanent error-code classes (protocol error table)
   val ErrUnknownTopic: Short = 3
@@ -120,7 +125,7 @@ object KafkaWire {
     * one publish, one awaited ack.
     */
   def recordBatch(records: Seq[(Array[Byte], Array[Byte], Seq[(String, Array[Byte])])],
-      timestampMs: Long): Array[Byte] = {
+      timestampMs: Long, baseOffset: Long = 0L): Array[Byte] = {
     require(records.nonEmpty, "empty record batch")
     // everything after the crc field, crc'd with CRC32C per the spec
     val body = new Buf
@@ -155,7 +160,7 @@ object KafkaWire {
     val crc = new java.util.zip.CRC32C
     crc.update(bodyBytes)
     val out = new Buf
-    out.i64(0L)                                    // baseOffset
+    out.i64(baseOffset)
     out.i32(4 + 1 + 4 + bodyBytes.length)          // batchLength (after this field)
     out.i32(-1)                                    // partitionLeaderEpoch
     out.i8(2)                                      // magic
@@ -195,6 +200,149 @@ object KafkaWire {
     b.i32(1).i32(partition)
     b.bytes(batch)        // record_set
     frame(b)
+  }
+
+  // ---------- consumer requests (the subscriber half) ----------
+
+  /** ListOffsets v2 for one partition: timestamp [[TsEarliest]] /
+    * [[TsLatest]] resolves the log's start / end offset.
+    */
+  def listOffsetsRequestV2(corrId: Int, clientId: String, topic: String,
+      partition: Int, timestamp: Long): Array[Byte] = {
+    val b = header(ApiListOffsets, 2, corrId, clientId)
+    b.i32(-1)             // replica_id (consumer)
+    b.i8(0)               // isolation_level: read_uncommitted
+    b.i32(1).str(topic)
+    b.i32(1).i32(partition).i64(timestamp)
+    frame(b)
+  }
+
+  /** (error_code, offset) of a ListOffsets v2 response's first partition. */
+  def parseListOffsetsV2(body: Array[Byte]): (Short, Long) = {
+    val b = ByteBuffer.wrap(body)
+    b.getInt()            // throttle_time_ms
+    require(b.getInt() >= 1, "list-offsets response without topics")
+    readStr(b)
+    require(b.getInt() >= 1, "list-offsets response without partitions")
+    b.getInt()            // partition index
+    val err = b.getShort()
+    b.getLong()           // timestamp
+    (err, b.getLong())
+  }
+
+  /** Fetch v4 for one partition (message-format-v2 record batches). */
+  def fetchRequestV4(corrId: Int, clientId: String, topic: String,
+      partition: Int, fetchOffset: Long, maxWaitMs: Int,
+      maxBytes: Int): Array[Byte] = {
+    val b = header(ApiFetch, 4, corrId, clientId)
+    b.i32(-1)             // replica_id
+    b.i32(maxWaitMs)
+    b.i32(1)              // min_bytes
+    b.i32(maxBytes)
+    b.i8(0)               // isolation_level
+    b.i32(1).str(topic)
+    b.i32(1).i32(partition).i64(fetchOffset).i32(maxBytes)
+    frame(b)
+  }
+
+  /** (error_code, high_watermark, record_set) of a Fetch v4 response's
+    * first partition.
+    */
+  def parseFetchV4(body: Array[Byte]): (Short, Long, Array[Byte]) = {
+    val b = ByteBuffer.wrap(body)
+    b.getInt()            // throttle_time_ms
+    require(b.getInt() >= 1, "fetch response without topics")
+    readStr(b)
+    require(b.getInt() >= 1, "fetch response without partitions")
+    b.getInt()            // partition index
+    val err = b.getShort()
+    val hw = b.getLong()
+    b.getLong()           // last_stable_offset
+    var aborted = b.getInt()
+    if (aborted < 0) aborted = 0
+    while (aborted > 0) { b.getLong(); b.getLong(); aborted -= 1 }
+    val setLen = b.getInt()
+    val set =
+      if (setLen <= 0) Array.emptyByteArray
+      else { val a = new Array[Byte](setLen); b.get(a); a }
+    (err, hw, set)
+  }
+
+  /** One consumed record: absolute offset, timestamp, key/value (null
+    * allowed), headers.
+    */
+  final case class FetchedRecord(offset: Long, timestampMs: Long,
+      key: Array[Byte], value: Array[Byte], headers: Seq[(String, Array[Byte])])
+
+  private def readUvarint(b: ByteBuffer): Long = {
+    var v = 0L; var shift = 0; var done = false
+    while (!done) {
+      val x = b.get() & 0xff
+      v |= (x & 0x7fL) << shift; shift += 7
+      done = (x & 0x80) == 0
+    }
+    v
+  }
+  private def readVarint(b: ByteBuffer): Long = {
+    val u = readUvarint(b); (u >>> 1) ^ -(u & 1)
+  }
+
+  /** Decode a Fetch record_set: one or more CONCATENATED v2 record
+    * batches, CRC32C-verified. A partial trailing batch (the broker may
+    * cut the set at max_bytes mid-batch) is dropped, per the protocol's
+    * "clients should ignore a truncated final record" rule. Compressed
+    * batches are rejected with a clear message (this engine produces
+    * uncompressed; transparent codec support sits below the seam).
+    */
+  def decodeRecordSet(set: Array[Byte]): Seq[FetchedRecord] = {
+    val out = Seq.newBuilder[FetchedRecord]
+    val b = ByteBuffer.wrap(set)
+    while (b.remaining() >= 12 + 49) { // header through first record possible
+      val baseOffset = b.getLong()
+      val batchLength = b.getInt()
+      if (b.remaining() < batchLength) { b.position(b.limit()); () } // truncated tail
+      else {
+        val batchEnd = b.position() + batchLength
+        b.getInt()                     // partitionLeaderEpoch
+        val magic = b.get()
+        require(magic == 2, s"unsupported record batch magic $magic")
+        val crc = b.getInt()
+        val body = new Array[Byte](batchEnd - b.position())
+        b.get(body)
+        val c = new java.util.zip.CRC32C
+        c.update(body)
+        require(c.getValue.toInt == crc, "record batch CRC32C mismatch")
+        val d = ByteBuffer.wrap(body)
+        val attributes = d.getShort()
+        require((attributes & 0x7) == 0,
+          s"compressed record batch (codec ${attributes & 0x7}) not supported")
+        d.getInt()                     // lastOffsetDelta
+        val baseTs = d.getLong()
+        d.getLong()                    // maxTimestamp
+        d.getLong(); d.getShort(); d.getInt() // producer id/epoch/sequence
+        val n = d.getInt()
+        var i = 0
+        while (i < n) {
+          readVarint(d)                // record length
+          d.get()                      // record attributes
+          val tsDelta = readVarint(d)
+          val offDelta = readVarint(d)
+          def blob(): Array[Byte] = {
+            val len = readVarint(d).toInt
+            if (len < 0) null
+            else { val a = new Array[Byte](len); d.get(a); a }
+          }
+          val key = blob(); val value = blob()
+          val headers = (0 until readVarint(d).toInt).map { _ =>
+            val hk = new String(blob(), UTF_8); hk -> blob()
+          }
+          out += FetchedRecord(baseOffset + offDelta, baseTs + tsDelta,
+            key, value, headers)
+          i += 1
+        }
+      }
+    }
+    out.result()
   }
 
   // ---------- responses ----------

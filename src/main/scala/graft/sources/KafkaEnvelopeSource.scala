@@ -1,0 +1,224 @@
+package graft.sources
+
+import java.io.IOException
+import java.util.{Map => JMap}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sinks.{KafkaClient, KafkaWire}
+
+/** Per-partition next-offset positions of a consumed topic — the
+  * stream's checkpointable offset (what a consumer group's committed
+  * offsets are to the ecosystem client; here the Spark checkpoint IS
+  * the group).
+  */
+final case class KafkaPartitionOffsets(positions: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    positions.toSeq.sorted.map { case (p, o) => s"$p:$o" }.mkString(",")
+}
+
+object KafkaPartitionOffsets {
+  def parse(s: String): KafkaPartitionOffsets =
+    KafkaPartitionOffsets(
+      if (s.isEmpty) Map.empty
+      else s.split(",").map { kv =>
+        val Array(p, o) = kv.split(":"); p.toInt -> o.toLong
+      }.toMap)
+}
+
+final case class KafkaRangePartition(bootstrap: String, topic: String,
+    partition: Int, startOffset: Long, endOffset: Long) extends InputPartition
+
+/** Consume a topic the [[graft.sinks.KafkaSinkWriter]] (or any producer)
+  * wrote — the SUBSCRIBER half of the reference's pub/sub deployment
+  * (its consumers apply changes from JetStream subjects,
+  * cmd/consumer/main.go; they never re-read the WAL). Speaks the same
+  * raw wire protocol as the producer: ListOffsets v2 resolves each
+  * partition's log start/end, Fetch v4 streams message-format-v2 record
+  * batches (CRC32C-verified on decode).
+  *
+  * Scale shape: ONE InputPartition per Kafka partition per micro-batch —
+  * partition-parallel consumption, each reader fetching only its own
+  * (start, end) offset range from that partition's leader; the driver
+  * touches only offsets (two ListOffsets round trips per partition per
+  * trigger), never records. Offsets live in the Spark checkpoint, so
+  * replay re-fetches exactly the planned range — the broker's log is the
+  * retention (the slot-retention analog of the CopyBoth source).
+  */
+final class KafkaEnvelopeStream(bootstrap: String, topic: String,
+    startLatest: Boolean) extends MicroBatchStream {
+
+  private val client = new KafkaClient(bootstrap, clientId = "graft-consumer")
+
+  private def listOffset(partition: Int, ts: Long): Long = {
+    val leaders = client.partitionLeaders(topic)
+    val hp = client.endpointOf(leaders(partition), topic)
+    val id = client.nextCorr()
+    val (err, off) = KafkaWire.parseListOffsetsV2(client.roundTrip(hp,
+      KafkaWire.listOffsetsRequestV2(id, "graft-consumer", topic, partition,
+        ts), id))
+    if (err != 0) {
+      client.invalidate(topic)
+      throw new IOException(s"list-offsets $topic/$partition: error $err")
+    }
+    off
+  }
+
+  private def snapshot(ts: Long): KafkaPartitionOffsets =
+    KafkaPartitionOffsets(client.partitionLeaders(topic).keys.map { p =>
+      p -> listOffset(p, ts)
+    }.toMap)
+
+  override def initialOffset(): Offset =
+    snapshot(if (startLatest) KafkaWire.TsLatest else KafkaWire.TsEarliest)
+
+  override def latestOffset(): Offset = snapshot(KafkaWire.TsLatest)
+
+  override def deserializeOffset(json: String): Offset =
+    KafkaPartitionOffsets.parse(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[KafkaPartitionOffsets].positions
+    val hi = end.asInstanceOf[KafkaPartitionOffsets].positions
+    hi.toSeq.sorted.flatMap { case (p, endOff) =>
+      val startOff = lo.getOrElse(p, 0L)
+      if (endOff > startOff)
+        Some(KafkaRangePartition(bootstrap, topic, p, startOff, endOff))
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new KafkaRangeReader(p.asInstanceOf[KafkaRangePartition])
+    }
+
+  override def commit(end: Offset): Unit = () // checkpoint is the group
+  override def stop(): Unit = client.close()
+}
+
+/** Executor-side reader for one partition's (start, end) offset range:
+  * its own connection to the partition leader, fetch-decode loop until
+  * the range is exhausted.
+  */
+final class KafkaRangeReader(part: KafkaRangePartition)
+    extends PartitionReader[InternalRow] {
+  private val client = new KafkaClient(part.bootstrap,
+    clientId = "graft-consumer")
+  private var pos = part.startOffset
+  private val queue = mutable.Queue.empty[KafkaWire.FetchedRecord]
+  private var current: KafkaWire.FetchedRecord = _
+
+  private def fill(): Unit = {
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (queue.isEmpty && pos < part.endOffset) {
+      if (System.nanoTime() > deadline)
+        throw new IOException(s"fetch stalled at ${part.topic}/" +
+          s"${part.partition} offset $pos (end ${part.endOffset})")
+      val leaders = client.partitionLeaders(part.topic)
+      val hp = client.endpointOf(leaders(part.partition), part.topic)
+      val id = client.nextCorr()
+      val (err, _, set) = KafkaWire.parseFetchV4(client.roundTrip(hp,
+        KafkaWire.fetchRequestV4(id, "graft-consumer", part.topic,
+          part.partition, pos, maxWaitMs = 500, maxBytes = 4 * 1024 * 1024),
+        id))
+      if (err != 0) {
+        client.invalidate(part.topic)
+        throw new IOException(
+          s"fetch ${part.topic}/${part.partition}@$pos: error $err")
+      }
+      val recs = KafkaWire.decodeRecordSet(set)
+        .filter(r => r.offset >= pos && r.offset < part.endOffset)
+      if (recs.isEmpty) Thread.sleep(10)
+      else {
+        queue.enqueueAll(recs)
+        pos = recs.map(_.offset).max + 1
+      }
+    }
+  }
+
+  override def next(): Boolean = {
+    if (queue.isEmpty) fill()
+    if (queue.isEmpty) false
+    else { current = queue.dequeue(); true }
+  }
+
+  override def get(): InternalRow = new GenericInternalRow(Array[Any](
+    UTF8String.fromString(part.topic),
+    part.partition,
+    current.offset,
+    if (current.key == null) null else UTF8String.fromBytes(current.key),
+    if (current.value == null) null else UTF8String.fromBytes(current.value),
+    current.timestampMs))
+
+  override def close(): Unit = client.close()
+}
+
+/** DSv2 entry point:
+  *
+  *   spark.readStream.format("graft.sources.KafkaEnvelopeSource")
+  *     .option("bootstrap", "host:9092")
+  *     .option("topic", "cdc.db.public.users")
+  *     .option("startingOffsets", "earliest"|"latest")  // default earliest
+  *     .load()
+  *
+  * Emits (topic STRING, partition INT, offset LONG, key STRING,
+  * value STRING, timestamp LONG) — the envelope JSON rides `value`;
+  * [[graft.cdc.Transform.parseEnvelope]] turns it back into typed CDC
+  * event columns for the consumer loops (`GRAFT_MODE=mv`/`scd2` with
+  * `CDC_SOURCE=kafka` wires exactly that).
+  */
+class KafkaEnvelopeSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KafkaEnvelopeSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val bootstrap = Option(properties.get("bootstrap")).getOrElse(
+      throw new IllegalArgumentException("bootstrap option is required"))
+    val topic = Option(properties.get("topic")).getOrElse(
+      throw new IllegalArgumentException("topic option is required"))
+    val startLatest = "latest".equalsIgnoreCase(
+      properties.getOrDefault("startingOffsets", "earliest"))
+    new Table with SupportsRead {
+      override def name(): String = s"kafka:$topic"
+      override def schema(): StructType = KafkaEnvelopeSource.schema
+      override def capabilities(): java.util.Set[TableCapability] =
+        java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new ScanBuilder {
+          override def build(): Scan = new Scan {
+            override def readSchema(): StructType = KafkaEnvelopeSource.schema
+            override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+              new KafkaEnvelopeStream(bootstrap, topic, startLatest)
+          }
+        }
+    }
+  }
+}
+
+object KafkaEnvelopeSource {
+  val schema: StructType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("topic",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("partition",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("offset",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("key",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("timestamp",
+      org.apache.spark.sql.types.LongType)))
+}

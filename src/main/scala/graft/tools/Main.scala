@@ -151,7 +151,9 @@ object Main {
           .option("payload", payload)
           .option("startOptions", pluginStartOptions(cfg))
         pw.fold(r)(p => r.option("password", p)).load()
-      case other => sys.error(s"unknown CDC_SOURCE '$other' (file | socket)")
+      case "kafka" => sys.error("CDC_SOURCE=kafka is a consumer transport " +
+        "(envelopes from the broker) — use GRAFT_MODE=mv|scd2")
+      case other => sys.error(s"unknown CDC_SOURCE '$other' (file | socket | kafka)")
     }
 
   /** Wire and start everything against an existing session. Separated from
@@ -222,13 +224,30 @@ object Main {
       case "mv" | "scd2" =>
         val keys = mvKeys
         () => {
-          val events = cfg.plugin match {
-            case "pgoutput" => CdcStream.pipelinePgOutput(spark,
-              rawStream(spark, cfg, env), cfg.database, cfg.tableFilters,
-              txTtlMs = cfg.duplicateWindow.toMillis)
-            case _ => CdcStream.pipeline(spark, rawStream(spark, cfg, env),
-              cfg.database, cfg.tableFilters,
-              s"${cfg.duplicateWindow.toSeconds} seconds")
+          // consumer-mode transport: decode the WAL ourselves (file /
+          // socket sources), or — the reference's actual consumer
+          // deployment (its subscribers read JetStream, never the WAL) —
+          // take the published envelopes straight from the broker
+          // (CDC_SOURCE=kafka + KAFKA_TOPIC) and parse them back into
+          // the same normalized columns
+          val events = env.getOrElse("CDC_SOURCE", "file") match {
+            case "kafka" =>
+              val bootstrap = env.getOrElse("KAFKA_BOOTSTRAP", "localhost:9092")
+              val topic = env.getOrElse("KAFKA_TOPIC", sys.error(
+                "CDC_SOURCE=kafka requires KAFKA_TOPIC"))
+              graft.cdc.Transform.parseEnvelope(
+                spark.readStream.format("graft.sources.KafkaEnvelopeSource")
+                  .option("bootstrap", bootstrap).option("topic", topic)
+                  .load(),
+                org.apache.spark.sql.functions.col("value"))
+            case _ => cfg.plugin match {
+              case "pgoutput" => CdcStream.pipelinePgOutput(spark,
+                rawStream(spark, cfg, env), cfg.database, cfg.tableFilters,
+                txTtlMs = cfg.duplicateWindow.toMillis)
+              case _ => CdcStream.pipeline(spark, rawStream(spark, cfg, env),
+                cfg.database, cfg.tableFilters,
+                s"${cfg.duplicateWindow.toSeconds} seconds")
+            }
           }
           if (mode == "mv")
             graft.streaming.MaterializedView.start(spark, events, outDir,

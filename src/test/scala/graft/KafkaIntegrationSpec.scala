@@ -44,6 +44,27 @@ class KafkaIntegrationSpec extends SparkSpec {
     } finally w.close()
   }
 
+  test("produce then consume: values round-trip through the real log") {
+    assume(enabled, "set GRAFT_IT_KAFKA=1 (and docker compose up -d kafka) to run")
+    val subject = s"graft.it.roundtrip.${System.nanoTime()}"
+    val w = new KafkaSinkWriter(bootstrap)
+    try (1 to 3).foreach(i =>
+      w.publish(PublishItem(subject, s"e$i", s"""{"n":$i}""", i.toLong)))
+    finally w.close()
+    val out = Files.createTempDirectory("it_kconsume").toString
+    val q = spark.readStream
+      .format("graft.sources.KafkaEnvelopeSource")
+      .option("bootstrap", bootstrap).option("topic", subject).load()
+      .writeStream.format("parquet").option("path", s"$out/rows")
+      .option("checkpointLocation", s"$out/ck").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$out/rows")
+      .selectExpr("offset", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == (1 to 3).map(i => ((i - 1).toLong, s"""{"n":$i}""")),
+      s"the real log serves back exactly what was produced: ${got.toSeq}")
+  }
+
   test("CdcStream with the Kafka sink: WAL lines flow decode -> assemble -> publish -> real acks") {
     assume(enabled, "set GRAFT_IT_KAFKA=1 (and docker compose up -d kafka) to run")
     val tmp = Files.createTempDirectory("graft_it_kafka").toString

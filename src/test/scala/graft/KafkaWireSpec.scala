@@ -145,8 +145,8 @@ final class InProcessKafkaBroker(nPartitions: Int = 2) {
             case None =>
               val records = decodeBatch(batch)
               val base = offsets.getOrElse((topic, partition), 0L)
-              records.foreach { case (k, v, h) =>
-                received.add(Received(topic, partition, k, v, h, base)); ()
+              records.zipWithIndex.foreach { case ((k, v, h), i) =>
+                received.add(Received(topic, partition, k, v, h, base + i)); ()
               }
               offsets((topic, partition)) = base + records.size
               (0: Short, base)
@@ -156,6 +156,43 @@ final class InProcessKafkaBroker(nPartitions: Int = 2) {
           resp.i32(partition).i16(err).i64(baseOffset)
           resp.i64(-1L)                           // log_append_time (v2+)
           resp.i32(0)                             // throttle (tail, v1+)
+        case KafkaWire.ApiListOffsets =>
+          require(version == 2, s"mock speaks ListOffsets v2, got $version")
+          b.getInt(); b.get()                     // replica_id, isolation
+          require(b.getInt() == 1); val topic = readStr(b)
+          require(b.getInt() == 1)
+          val partition = b.getInt(); val ts = b.getLong()
+          val hw = offsets.getOrElse((topic, partition), 0L)
+          val off = if (ts == KafkaWire.TsEarliest) 0L else hw
+          resp.i32(0)                             // throttle
+          resp.i32(1).str(topic)
+          resp.i32(1).i32(partition).i16(0).i64(-1L).i64(off)
+        case KafkaWire.ApiFetch =>
+          require(version == 4, s"mock speaks Fetch v4, got $version")
+          b.getInt(); b.getInt(); b.getInt(); b.getInt(); b.get()
+          require(b.getInt() == 1); val topic = readStr(b)
+          require(b.getInt() == 1)
+          val partition = b.getInt(); val fo = b.getLong(); b.getInt()
+          import scala.jdk.CollectionConverters._
+          val recs = received.asScala
+            .filter(r => r.topic == topic && r.partition == partition &&
+              r.baseOffset >= fo)
+            .toSeq.sortBy(_.baseOffset)
+          // one re-encoded v2 batch per record at its own base offset —
+          // concatenated, the way a real log serves contiguous batches
+          val set = recs.map { r =>
+            KafkaWire.recordBatch(Seq((
+              if (r.key == null) null else r.key.getBytes(UTF_8),
+              if (r.value == null) null else r.value.getBytes(UTF_8),
+              r.headers.toSeq.map { case (k, v) => k -> v.getBytes(UTF_8) })),
+              timestampMs = 0L, baseOffset = r.baseOffset)
+          }.foldLeft(Array.emptyByteArray)(_ ++ _)
+          val hw = offsets.getOrElse((topic, partition), 0L)
+          resp.i32(0)                             // throttle
+          resp.i32(1).str(topic)
+          resp.i32(1).i32(partition).i16(0).i64(hw).i64(hw)
+          resp.i32(0)                             // aborted_transactions
+          resp.bytes(set)
         case other => throw new IOException(s"unexpected api key $other")
       }
       val framed = resp.toBytes
