@@ -96,9 +96,10 @@ object Transform {
     * codegen'd `from_json`, no UDF.
     */
   def parseEnvelope(df: DataFrame, valueCol: Column): DataFrame = {
+    // `schema`/`table` are reserved words in the DDL grammar — backtick
     val schema = "event_id STRING, event_type STRING, source STRING, " +
       "timestamp TIMESTAMP, commit_time TIMESTAMP, lsn STRING, txid LONG, " +
-      "schema STRING, table STRING, operation STRING, " +
+      "`schema` STRING, `table` STRING, operation STRING, " +
       "before MAP<STRING,STRING>, after MAP<STRING,STRING>, " +
       "metadata MAP<STRING,STRING>"
     df.withColumn("_env", from_json(valueCol, schema, Map.empty[String, String]))

@@ -577,6 +577,62 @@ object Similarity {
         col("adc_dot"), col("adc_cosine"), col("rank"))
   }
 
+  /** Per-vector coarse cell under the seeded deterministic quantizer —
+    * the IVF assignment step alone (broadcast seeds, min-struct argmin,
+    * map-side combined, 1× corpus exchange), exposed for operators that
+    * use cells as a BLOCKING structure rather than a search index.
+    */
+  def seededCells(prepared: DataFrame, nCells: Int): DataFrame = {
+    val seeds = seededSample(prepared, nCells, "cell")
+    prepared.select(col("id"), col("qvec"), col("norm_sq"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("d2", col("norm_sq")
+        - lit(2L) * dotQ(col("qvec"), col("seed_qvec")) + col("seed_norm"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("mc"))
+      .select(col("id"), col("mc.cell").as("cell"))
+  }
+
+  /** SEMANTIC deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings with a cheap coarse
+    * quantizer, compare pairs ONLY within a cluster by exact cosine,
+    * and keep one representative (largest norm, tie on id) per
+    * connected group of near-duplicates. Returns one row per corpus
+    * vector: (vec_id, cluster — the near-dup group's min id, own id
+    * when untouched —, keep 1|0).
+    *
+    * Scale shape: the cells are the blocking structure — within-cell
+    * all-pairs is n²/C per cell (size C so a cell's pair block fits an
+    * executor; the standard SemDeDup compromise), seeds broadcast,
+    * components by iterative min-label propagation, survivors one
+    * window over pair-members only. Everything is BIGINT-exact under
+    * the seeded quantizer, so the whole pipeline — cells, pairs,
+    * transitive closure, survivor ranks — is DuckDB-oracle-checkable.
+    */
+  def semanticDedup(prepared: DataFrame, nCells: Int,
+      threshold: Double): DataFrame = {
+    val b = prepared.select(col("id"), col("qvec"), col("norm_sq"))
+      .join(seededCells(prepared, nCells), "id")
+    val pairs = b.as("a").join(b.as("c"),
+        col("a.cell") === col("c.cell") && col("a.id") < col("c.id"))
+      .withColumn("cosine", dotQ(col("a.qvec"), col("c.qvec")).cast("double") /
+        sqrt(col("a.norm_sq").cast("double") * col("c.norm_sq").cast("double")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("c.id").as("id_b"))
+    val comp = Dedup.components(pairs)
+    val surv = Dedup.survivorsBy(comp,
+      prepared.select(col("id").as("vec_id"), col("norm_sq")),
+      "vec_id", col("norm_sq"))
+      .select(col("cluster"), col("survivor"))
+    prepared.select(col("id").as("vec_id"))
+      .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .join(surv, Seq("cluster"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster"), col("vec_id")).as("cluster"),
+        when(col("survivor").isNull || col("survivor") === col("vec_id"), 1L)
+          .otherwise(0L).as("keep"))
+  }
+
   /** All near-duplicate pairs with cosine >= threshold, via sign-LSH
     * bucketing (near-identical vectors agree on sign buckets with high
     * probability; exact near-dup pairs additionally verified by the exact

@@ -1175,6 +1175,59 @@ object LlmQueries {
         WHERE CAST(inter AS DOUBLE) / (n_new + n_old - inter) >= 0.8
         ORDER BY new_id, old_id""")),
 
+    // SEMANTIC dedup (SemDeDup, Abbas et al. 2023): seeded-IVF cells as
+    // the blocking structure, exact cosine within a cell, one survivor
+    // (largest norm, tie min id) per connected near-dup group — the
+    // embedding-space sibling of the shingle dedup family, as one
+    // KEEP/DROP verdict per corpus vector. Deterministic end to end
+    // (md5-ranked seeds, BIGINT dot products, min-label components), so
+    // the oracle recomputes cells, pairs, the transitive closure, and
+    // survivor ranks in SQL.
+    "l83_semantic_dedup" -> Def(
+      (s, d) => {
+        val prep = Similarity.prepare(
+          t(s, d, "embeddings").withColumnRenamed("vec_id", "id"), "embedding")
+        Similarity.semanticDedup(prep, nCells = 8, threshold = 0.2)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH RECURSIVE $oQuant,
+        sdseeds0 AS (SELECT vec_id AS seed_id, q AS sq, norm_sq AS sn,
+            md5(CAST(vec_id AS VARCHAR)) AS h
+          FROM qn ORDER BY h, seed_id LIMIT 8),
+        sdseeds AS (SELECT seed_id, sq, sn,
+            CAST(ROW_NUMBER() OVER (ORDER BY h, seed_id) AS BIGINT) AS cell
+          FROM sdseeds0),
+        sdasg0 AS (SELECT x.vec_id, x.q, x.norm_sq, s.cell,
+            x.norm_sq - 2 * ${oDot("x.q", "s.sq")} + s.sn AS d2
+          FROM qn x CROSS JOIN sdseeds s),
+        sdcell AS (SELECT vec_id, q, norm_sq, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY d2, cell) AS crk FROM sdasg0) WHERE crk = 1),
+        pr AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b
+          FROM sdcell a JOIN sdcell c
+            ON a.cell = c.cell AND a.vec_id < c.vec_id
+          WHERE CAST(${oDot("a.q", "c.q")} AS DOUBLE) /
+              sqrt(CAST(a.norm_sq AS DOUBLE) * CAST(c.norm_sq AS DOUBLE)) >= 0.2),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                  UNION SELECT id_b, id_a FROM pr),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        cl AS (SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+          FROM reach GROUP BY src),
+        srk AS (SELECT cl.cluster, cl.id, ROW_NUMBER() OVER (
+            PARTITION BY cl.cluster ORDER BY qn.norm_sq DESC, cl.id) AS rn
+          FROM cl JOIN qn ON cl.id = qn.vec_id),
+        sv AS (SELECT cluster, id AS survivor FROM srk WHERE rn = 1)
+        SELECT e.vec_id, COALESCE(cl.cluster, e.vec_id) AS cluster,
+          CAST(CASE WHEN cl.id IS NULL OR sv.survivor = e.vec_id
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM embeddings e
+        LEFT JOIN cl ON e.vec_id = cl.id
+        LEFT JOIN sv ON cl.cluster = sv.cluster
+        ORDER BY vec_id""")),
+
     // Quality-weighted sampling: per-row keep probability proportional to
     // document length (capped), integer threshold out of 10000 — "better
     // docs survive more often", deterministically. Narrow filter at the

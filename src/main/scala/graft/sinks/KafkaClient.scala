@@ -94,6 +94,19 @@ final class KafkaClient(bootstrap: String,
     ()
   }
 
+  /** Every topic name the broker knows (Metadata v4 with a null topics
+    * array) — the discovery half of a pattern subscription; errored
+    * entries are skipped (a sane pattern never matches the `__`-internal
+    * topics, so they are left to the regex).
+    */
+  def allTopics(): Seq[String] = {
+    val id = nextCorr()
+    val resp = KafkaWire.parseMetadataV4(roundTrip(bootstrapEndpoint,
+      KafkaWire.metadataAllRequestV4(id, clientId), id))
+    brokers = resp.brokers
+    resp.topics.filter(_.errorCode == 0).map(_.name)
+  }
+
   /** The topic's partition→leader map, fetching metadata on first use. */
   def partitionLeaders(topic: String): Map[Int, Int] = {
     if (!leaders.contains(topic)) refreshMetadata(topic)

@@ -189,6 +189,16 @@ object KafkaWire {
     frame(b)
   }
 
+  /** Metadata v4 for ALL topics (null topics array) — what a
+    * wildcard-subject subscription resolves its pattern against.
+    */
+  def metadataAllRequestV4(corrId: Int, clientId: String): Array[Byte] = {
+    val b = header(ApiMetadata, 4, corrId, clientId)
+    b.i32(-1)             // null topics = every topic
+    b.i8(0)               // never auto-create on discovery
+    frame(b)
+  }
+
   def produceRequestV3(corrId: Int, clientId: String, topic: String,
       partition: Int, batch: Array[Byte], acks: Short,
       timeoutMs: Int): Array[Byte] = {

@@ -17,14 +17,17 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sinks.{KafkaClient, KafkaWire}
 
-/** Per-partition next-offset positions of a consumed topic — the
-  * stream's checkpointable offset (what a consumer group's committed
-  * offsets are to the ecosystem client; here the Spark checkpoint IS
-  * the group).
+/** Per-(topic, partition) next-offset positions of the consumed topic
+  * set — the stream's checkpointable offset (what a consumer group's
+  * committed offsets are to the ecosystem client; here the Spark
+  * checkpoint IS the group). Topic names use Kafka's legal charset
+  * ([a-zA-Z0-9._-]), so ':' and ',' are safe separators.
   */
-final case class KafkaPartitionOffsets(positions: Map[Int, Long]) extends Offset {
+final case class KafkaPartitionOffsets(positions: Map[(String, Int), Long])
+    extends Offset {
   override def json(): String =
-    positions.toSeq.sorted.map { case (p, o) => s"$p:$o" }.mkString(",")
+    positions.toSeq.sortBy { case ((t, p), _) => (t, p) }
+      .map { case ((t, p), o) => s"$t:$p:$o" }.mkString(",")
 }
 
 object KafkaPartitionOffsets {
@@ -32,7 +35,8 @@ object KafkaPartitionOffsets {
     KafkaPartitionOffsets(
       if (s.isEmpty) Map.empty
       else s.split(",").map { kv =>
-        val Array(p, o) = kv.split(":"); p.toInt -> o.toLong
+        val Array(t, p, o) = kv.split(":")
+        (t, p.toInt) -> o.toLong
       }.toMap)
 }
 
@@ -55,12 +59,25 @@ final case class KafkaRangePartition(bootstrap: String, topic: String,
   * replay re-fetches exactly the planned range — the broker's log is the
   * retention (the slot-retention analog of the CopyBoth source).
   */
-final class KafkaEnvelopeStream(bootstrap: String, topic: String,
-    startLatest: Boolean) extends MicroBatchStream {
+final class KafkaEnvelopeStream(bootstrap: String, topics: Seq[String],
+    topicPattern: Option[String], startLatest: Boolean)
+    extends MicroBatchStream {
 
   private val client = new KafkaClient(bootstrap, clientId = "graft-consumer")
+  private val patternRe = topicPattern.map(_.r)
 
-  private def listOffset(partition: Int, ts: Long): Long = {
+  /** The subscribed topic set THIS trigger: the fixed list, plus every
+    * broker topic matching the pattern — re-resolved per poll, so topics
+    * born mid-stream join the subscription (the reference's wildcard
+    * subjects: its consumers bind `cdc.db.>` and new tables just
+    * appear).
+    */
+  private def resolveTopics(): Seq[String] =
+    (topics ++ patternRe.toSeq.flatMap(re =>
+      client.allTopics().filter(t => re.pattern.matcher(t).matches())))
+      .distinct.sorted
+
+  private def listOffset(topic: String, partition: Int, ts: Long): Long = {
     val leaders = client.partitionLeaders(topic)
     val hp = client.endpointOf(leaders(partition), topic)
     val id = client.nextCorr()
@@ -75,8 +92,10 @@ final class KafkaEnvelopeStream(bootstrap: String, topic: String,
   }
 
   private def snapshot(ts: Long): KafkaPartitionOffsets =
-    KafkaPartitionOffsets(client.partitionLeaders(topic).keys.map { p =>
-      p -> listOffset(p, ts)
+    KafkaPartitionOffsets(resolveTopics().flatMap { t =>
+      client.partitionLeaders(t).keys.map { p =>
+        (t, p) -> listOffset(t, p, ts)
+      }
     }.toMap)
 
   override def initialOffset(): Offset =
@@ -90,12 +109,17 @@ final class KafkaEnvelopeStream(bootstrap: String, topic: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[KafkaPartitionOffsets].positions
     val hi = end.asInstanceOf[KafkaPartitionOffsets].positions
-    hi.toSeq.sorted.flatMap { case (p, endOff) =>
-      val startOff = lo.getOrElse(p, 0L)
-      if (endOff > startOff)
-        Some(KafkaRangePartition(bootstrap, topic, p, startOff, endOff))
-      else None
-    }.toArray
+    hi.toSeq.sortBy { case ((t, p), _) => (t, p) }
+      .flatMap { case ((t, p), endOff) =>
+        // a (topic, partition) first seen in the END snapshot (pattern
+        // match on a topic born mid-stream): consume it from the log's
+        // start — its whole history is newer than the subscription
+        val startOff = lo.getOrElse((t, p),
+          listOffset(t, p, KafkaWire.TsEarliest))
+        if (endOff > startOff)
+          Some(KafkaRangePartition(bootstrap, t, p, startOff, endOff))
+        else None
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -169,9 +193,15 @@ final class KafkaRangeReader(part: KafkaRangePartition)
   *
   *   spark.readStream.format("graft.sources.KafkaEnvelopeSource")
   *     .option("bootstrap", "host:9092")
-  *     .option("topic", "cdc.db.public.users")
+  *     .option("topic", "cdc.db.public.users")      // one or comma-list, and/or
+  *     .option("topicPattern", "cdc\\.db\\..*")     // regex over broker topics
   *     .option("startingOffsets", "earliest"|"latest")  // default earliest
   *     .load()
+  *
+  * `topicPattern` is the reference's wildcard-subject subscription
+  * (consumers bind `cdc.db.>`): re-resolved against broker metadata
+  * every trigger, so a topic born mid-stream (a newly replicated table)
+  * joins the subscription and is consumed from its log's start.
   *
   * Emits (topic STRING, partition INT, offset LONG, key STRING,
   * value STRING, timestamp LONG) — the envelope JSON rides `value`;
@@ -186,12 +216,16 @@ class KafkaEnvelopeSource extends TableProvider {
       properties: JMap[String, String]): Table = {
     val bootstrap = Option(properties.get("bootstrap")).getOrElse(
       throw new IllegalArgumentException("bootstrap option is required"))
-    val topic = Option(properties.get("topic")).getOrElse(
-      throw new IllegalArgumentException("topic option is required"))
+    val topics = Option(properties.get("topic")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val pattern = Option(properties.get("topicPattern")).filter(_.nonEmpty)
+    require(topics.nonEmpty || pattern.nonEmpty,
+      "either topic or topicPattern is required")
+    val topicLabel = (topics ++ pattern).mkString(",")
     val startLatest = "latest".equalsIgnoreCase(
       properties.getOrDefault("startingOffsets", "earliest"))
     new Table with SupportsRead {
-      override def name(): String = s"kafka:$topic"
+      override def name(): String = s"kafka:$topicLabel"
       override def schema(): StructType = KafkaEnvelopeSource.schema
       override def capabilities(): java.util.Set[TableCapability] =
         java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
@@ -200,7 +234,7 @@ class KafkaEnvelopeSource extends TableProvider {
           override def build(): Scan = new Scan {
             override def readSchema(): StructType = KafkaEnvelopeSource.schema
             override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-              new KafkaEnvelopeStream(bootstrap, topic, startLatest)
+              new KafkaEnvelopeStream(bootstrap, topics, pattern, startLatest)
           }
         }
     }

@@ -261,4 +261,31 @@ class DedupSpec extends SparkSpec {
     val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(m == Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
+
+  test("semanticDedup: one verdict per vector; groups keep exactly one survivor; deterministic") {
+    val prep = graft.ops.Similarity.prepare(
+      spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .withColumnRenamed("vec_id", "id"), "embedding")
+    val n = prep.count()
+    val out = graft.ops.Similarity.semanticDedup(prep, nCells = 8,
+      threshold = 0.2).cache()
+    try {
+      assert(out.count() == n, "exactly one KEEP/DROP verdict per vector")
+      // every near-dup group (size >= 2) keeps exactly one member
+      val grouped = out.groupBy($"cluster")
+        .agg(count(lit(1)).as("sz"), sum($"keep").as("kept"))
+      assert(grouped.filter($"sz" >= 2 && $"kept" =!= 1L).count() == 0,
+        "each multi-member group keeps exactly one survivor")
+      assert(grouped.filter($"sz" === 1 && $"kept" =!= 1L).count() == 0,
+        "singletons always keep")
+      assert(out.filter($"keep" === 0).count() > 0,
+        "threshold 0.2 on this corpus drops at least one near-duplicate")
+      // deterministic: same seeds, same components, same verdicts
+      val again = graft.ops.Similarity.semanticDedup(prep, nCells = 8,
+        threshold = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(again == out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    } finally { out.unpersist(); () }
+  }
 }

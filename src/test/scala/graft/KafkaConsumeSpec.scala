@@ -58,6 +58,45 @@ class KafkaConsumeSpec extends SparkSpec {
     } finally { w.close(); broker.close() }
   }
 
+  test("topicPattern subscribes like a wildcard subject: multiple topics, mid-stream births join") {
+    val broker = new InProcessKafkaBroker(nPartitions = 1)
+    val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}")
+    val out = Files.createTempDirectory("kpattern_out").toString
+    val ck = Files.createTempDirectory("kpattern_ck").toString
+    try {
+      w.publish(PublishItem("cdc.db.public.users", "e1", "u1", 1L))
+      w.publish(PublishItem("cdc.db.public.orders", "e2", "o1", 2L))
+      w.publish(PublishItem("other.stream", "e3", "x1", 3L)) // not ours
+      def runOnce(): Unit = {
+        val q = spark.readStream
+          .format("graft.sources.KafkaEnvelopeSource")
+          .option("bootstrap", s"127.0.0.1:${broker.port}")
+          .option("topicPattern", "cdc\\.db\\..*")
+          .load()
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      runOnce()
+      val first = spark.read.parquet(out)
+        .select($"topic", $"value").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(first == Set(("cdc.db.public.users", "u1"),
+        ("cdc.db.public.orders", "o1")),
+        s"the pattern matches both cdc topics and excludes others: $first")
+      // a topic born AFTER the subscription started (a newly replicated
+      // table) joins on the next trigger, consumed from its log start
+      w.publish(PublishItem("cdc.db.public.parts", "e4", "p1", 4L))
+      runOnce()
+      val all = spark.read.parquet(out)
+        .select($"topic", $"value").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(all == first + (("cdc.db.public.parts", "p1")),
+        s"mid-stream topic birth joins the wildcard subscription: $all")
+    } finally { w.close(); broker.close() }
+  }
+
   test("pub/sub round trip: WAL -> pipeline -> broker -> envelope parse -> materialized view") {
     val broker = new InProcessKafkaBroker(nPartitions = 1)
     val tmp = Files.createTempDirectory("kroundtrip").toString

@@ -111,7 +111,11 @@ final class InProcessKafkaBroker(nPartitions: Int = 2) {
       apiKey match {
         case KafkaWire.ApiMetadata =>
           require(version == 4, s"mock speaks Metadata v4, got $version")
-          val topics = (0 until b.getInt()).map(_ => readStr(b))
+          val nTopics = b.getInt()
+          val topics =
+            if (nTopics < 0) // null array: every topic this log has seen
+              offsets.keys.map(_._1).toSeq.distinct.sorted
+            else (0 until nTopics).map(_ => readStr(b))
           b.get() // allow_auto_topic_creation
           resp.i32(0)                             // throttle
           resp.i32(1)                             // brokers[1]
