@@ -16,7 +16,10 @@ import scala.collection.mutable
   */
 final class KafkaClient(bootstrap: String,
     clientId: String = "graft-cdc",
-    requestTimeoutMs: Int = 30000) {
+    requestTimeoutMs: Int = 30000,
+    user: Option[String] = None,
+    password: Option[String] = None,
+    mechanism: String = "PLAIN") {
 
   private case class Conn(socket: Socket, in: DataInputStream,
       out: DataOutputStream)
@@ -37,8 +40,17 @@ final class KafkaClient(bootstrap: String,
       val s = new Socket(hp._1, hp._2)
       s.setSoTimeout(requestTimeoutMs)
       s.setTcpNoDelay(true)
-      Conn(s, new DataInputStream(new BufferedInputStream(s.getInputStream)),
+      val c = Conn(s,
+        new DataInputStream(new BufferedInputStream(s.getInputStream)),
         new DataOutputStream(new BufferedOutputStream(s.getOutputStream)))
+      user.foreach { u =>
+        try authenticate(c, u, password.getOrElse(""))
+        catch { case e: Throwable =>
+          try s.close() catch { case _: IOException => }
+          throw e
+        }
+      }
+      c
     })
 
   private def dropConn(hp: (String, Int)): Unit =
@@ -47,25 +59,86 @@ final class KafkaClient(bootstrap: String,
 
   def nextCorr(): Int = { corr += 1; corr }
 
+  private def sendRecv(c: Conn, framed: Array[Byte],
+      expectCorr: Int): Array[Byte] = {
+    c.out.write(framed); c.out.flush()
+    val len = c.in.readInt()
+    if (len < 4 || len > 64 * 1024 * 1024)
+      throw new IOException(s"bad response frame length $len")
+    val payload = new Array[Byte](len)
+    c.in.readFully(payload)
+    val b = ByteBuffer.wrap(payload)
+    val got = b.getInt()
+    if (got != expectCorr)
+      throw new IOException(s"correlation mismatch: $got != $expectCorr")
+    java.util.Arrays.copyOfRange(payload, 4, payload.length)
+  }
+
+  /** SASL on a fresh connection — SaslHandshake v1 proposing the
+    * configured mechanism, then the mechanism's token exchange over
+    * SaslAuthenticate v0. PLAIN is one NUL-delimited token (RFC 4616);
+    * SCRAM-SHA-256 is the same RFC 5802 exchange the Postgres transport
+    * speaks, reusing [[graft.sources.PgWireProtocol.Scram]] verbatim —
+    * including mutual server-signature verification. Credential
+    * rejection is PERMANENT (retrying wrong credentials burns the
+    * budget without progress).
+    */
+  private def authenticate(c: Conn, u: String, pw: String): Unit = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val hid = nextCorr()
+    val (herr, mechanisms) = KafkaWire.parseSaslHandshakeV1(
+      sendRecv(c, KafkaWire.saslHandshakeRequestV1(hid, clientId, mechanism), hid))
+    if (herr != 0)
+      throw new graft.streaming.PermanentPublishException(
+        s"broker rejected SASL mechanism $mechanism (error $herr; " +
+          s"supported: ${mechanisms.mkString(",")})")
+    def round(token: Array[Byte]): Array[Byte] = {
+      val id = nextCorr()
+      val (err, msg, bytes) = KafkaWire.parseSaslAuthenticateV0(
+        sendRecv(c, KafkaWire.saslAuthenticateRequestV0(id, clientId, token), id))
+      if (err != 0)
+        throw new graft.streaming.PermanentPublishException(
+          s"SASL authentication failed (error $err${Option(msg)
+            .map(m => s": $m").getOrElse("")})")
+      bytes
+    }
+    mechanism match {
+      case "PLAIN" =>
+        // RFC 4616: [authzid] NUL authcid NUL passwd (empty authzid)
+        round(Array[Byte](0) ++ u.getBytes(UTF_8) ++
+          Array[Byte](0) ++ pw.getBytes(UTF_8))
+        ()
+      case "SCRAM-SHA-256" =>
+        val scram = graft.sources.PgWireProtocol.Scram
+        val r = new Array[Byte](18)
+        new java.security.SecureRandom().nextBytes(r)
+        val nonce = scram.b64(r)
+        val firstBare = s"n=$u,r=$nonce"
+        val serverFirst = new String(
+          round(s"n,,$firstBare".getBytes(UTF_8)), UTF_8)
+        val a = scram.attrs(serverFirst)
+        require(a('r').startsWith(nonce), "server nonce must extend ours")
+        val noProof = s"c=biws,r=${a('r')}"
+        val (proof, sig) = scram.proofs(pw, firstBare, serverFirst, noProof)
+        val fin = new String(
+          round(s"$noProof,p=${scram.b64(proof)}".getBytes(UTF_8)), UTF_8)
+        require(java.security.MessageDigest.isEqual(
+          scram.unb64(scram.attrs(fin)('v')), sig),
+          "server signature verification failed")
+        ()
+      case other => throw new IllegalArgumentException(
+        s"unsupported SASL mechanism '$other' (PLAIN | SCRAM-SHA-256)")
+    }
+  }
+
   /** One request/response round trip; returns the body after the
     * correlation id (responses arrive in request order per connection).
     */
   def roundTrip(hp: (String, Int), framed: Array[Byte],
       expectCorr: Int): Array[Byte] = {
     val c = connect(hp)
-    try {
-      c.out.write(framed); c.out.flush()
-      val len = c.in.readInt()
-      if (len < 4 || len > 64 * 1024 * 1024)
-        throw new IOException(s"bad response frame length $len")
-      val payload = new Array[Byte](len)
-      c.in.readFully(payload)
-      val b = ByteBuffer.wrap(payload)
-      val got = b.getInt()
-      if (got != expectCorr)
-        throw new IOException(s"correlation mismatch: $got != $expectCorr")
-      java.util.Arrays.copyOfRange(payload, 4, payload.length)
-    } catch {
+    try sendRecv(c, framed, expectCorr)
+    catch {
       case e: IOException => dropConn(hp); throw e
     }
   }

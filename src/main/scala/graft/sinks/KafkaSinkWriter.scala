@@ -29,8 +29,10 @@ import graft.streaming.{PermanentPublishException, PublishItem, SinkWriter}
   * the publish loops' transient class — after dropping cached metadata so
   * the retry re-resolves the leader; size/validation errors throw
   * [[PermanentPublishException]] (the reference's IsPermanentPublishError
-  * classes). PLAINTEXT listeners only (the integration broker);
-  * SASL/TLS sit below the seam and out of scope here.
+  * classes). PLAINTEXT and SASL_PLAINTEXT listeners (PLAIN or
+  * SCRAM-SHA-256 — the same RFC 5802 code path as the Postgres
+  * transport, mutual server-signature verification included); TLS is
+  * out of scope here.
   *
   * Construct per executor partition via factory (connections do not
   * serialize): `CdcStream.start(sinkWriter = Some(() => new
@@ -40,9 +42,13 @@ import graft.streaming.{PermanentPublishException, PublishItem, SinkWriter}
 final class KafkaSinkWriter(bootstrap: String,
     clientId: String = "graft-cdc",
     acks: Short = -1,
-    requestTimeoutMs: Int = 30000) extends SinkWriter {
+    requestTimeoutMs: Int = 30000,
+    user: Option[String] = None,
+    password: Option[String] = None,
+    mechanism: String = "PLAIN") extends SinkWriter {
 
-  private val client = new KafkaClient(bootstrap, clientId, requestTimeoutMs)
+  private val client = new KafkaClient(bootstrap, clientId, requestTimeoutMs,
+    user, password, mechanism)
   /** Base offset acked for the most recent publish — lets tests (and
     * operators) observe the broker actually appending.
     */

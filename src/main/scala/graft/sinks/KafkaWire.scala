@@ -28,9 +28,14 @@ object KafkaWire {
   val ApiFetch: Short = 1
   val ApiListOffsets: Short = 2
   val ApiMetadata: Short = 3
+  val ApiSaslHandshake: Short = 17
+  val ApiSaslAuthenticate: Short = 36
 
   val TsEarliest: Long = -2L
   val TsLatest: Long = -1L
+
+  val ErrUnsupportedSaslMechanism: Short = 33
+  val ErrSaslAuthenticationFailed: Short = 58
 
   // retriable/permanent error-code classes (protocol error table)
   val ErrUnknownTopic: Short = 3
@@ -210,6 +215,39 @@ object KafkaWire {
     b.i32(1).i32(partition)
     b.bytes(batch)        // record_set
     frame(b)
+  }
+
+  // ---------- SASL (PLAIN + SCRAM ride the same two apis) ----------
+
+  /** SaslHandshake v1: propose a mechanism; the broker answers with its
+    * supported list. v1 (not v0) so the subsequent auth tokens ride
+    * SaslAuthenticate frames instead of raw unframed bytes.
+    */
+  def saslHandshakeRequestV1(corrId: Int, clientId: String,
+      mechanism: String): Array[Byte] =
+    frame(header(ApiSaslHandshake, 1, corrId, clientId).str(mechanism))
+
+  /** (error_code, broker's supported mechanisms). */
+  def parseSaslHandshakeV1(body: Array[Byte]): (Short, Seq[String]) = {
+    val b = ByteBuffer.wrap(body)
+    val err = b.getShort()
+    (err, (0 until b.getInt()).map(_ => readStr(b)))
+  }
+
+  /** SaslAuthenticate v0: one opaque mechanism token each way. */
+  def saslAuthenticateRequestV0(corrId: Int, clientId: String,
+      token: Array[Byte]): Array[Byte] =
+    frame(header(ApiSaslAuthenticate, 0, corrId, clientId).bytes(token))
+
+  /** (error_code, error_message, auth_bytes). */
+  def parseSaslAuthenticateV0(body: Array[Byte]): (Short, String, Array[Byte]) = {
+    val b = ByteBuffer.wrap(body)
+    val err = b.getShort()
+    val msg = readStr(b)
+    val n = b.getInt()
+    val bytes = if (n <= 0) Array.emptyByteArray
+      else { val a = new Array[Byte](n); b.get(a); a }
+    (err, msg, bytes)
   }
 
   // ---------- consumer requests (the subscriber half) ----------

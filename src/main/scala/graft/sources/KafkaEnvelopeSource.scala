@@ -41,7 +41,9 @@ object KafkaPartitionOffsets {
 }
 
 final case class KafkaRangePartition(bootstrap: String, topic: String,
-    partition: Int, startOffset: Long, endOffset: Long) extends InputPartition
+    partition: Int, startOffset: Long, endOffset: Long,
+    user: Option[String] = None, password: Option[String] = None,
+    mechanism: String = "PLAIN") extends InputPartition
 
 /** Consume a topic the [[graft.sinks.KafkaSinkWriter]] (or any producer)
   * wrote — the SUBSCRIBER half of the reference's pub/sub deployment
@@ -60,10 +62,13 @@ final case class KafkaRangePartition(bootstrap: String, topic: String,
   * retention (the slot-retention analog of the CopyBoth source).
   */
 final class KafkaEnvelopeStream(bootstrap: String, topics: Seq[String],
-    topicPattern: Option[String], startLatest: Boolean)
+    topicPattern: Option[String], startLatest: Boolean,
+    user: Option[String] = None, password: Option[String] = None,
+    mechanism: String = "PLAIN")
     extends MicroBatchStream {
 
-  private val client = new KafkaClient(bootstrap, clientId = "graft-consumer")
+  private val client = new KafkaClient(bootstrap, clientId = "graft-consumer",
+    user = user, password = password, mechanism = mechanism)
   private val patternRe = topicPattern.map(_.r)
 
   /** The subscribed topic set THIS trigger: the fixed list, plus every
@@ -117,7 +122,8 @@ final class KafkaEnvelopeStream(bootstrap: String, topics: Seq[String],
         val startOff = lo.getOrElse((t, p),
           listOffset(t, p, KafkaWire.TsEarliest))
         if (endOff > startOff)
-          Some(KafkaRangePartition(bootstrap, t, p, startOff, endOff))
+          Some(KafkaRangePartition(bootstrap, t, p, startOff, endOff,
+            user, password, mechanism))
         else None
       }.toArray
   }
@@ -139,7 +145,8 @@ final class KafkaEnvelopeStream(bootstrap: String, topics: Seq[String],
 final class KafkaRangeReader(part: KafkaRangePartition)
     extends PartitionReader[InternalRow] {
   private val client = new KafkaClient(part.bootstrap,
-    clientId = "graft-consumer")
+    clientId = "graft-consumer", user = part.user, password = part.password,
+    mechanism = part.mechanism)
   private var pos = part.startOffset
   private val queue = mutable.Queue.empty[KafkaWire.FetchedRecord]
   private var current: KafkaWire.FetchedRecord = _
@@ -224,6 +231,9 @@ class KafkaEnvelopeSource extends TableProvider {
     val topicLabel = (topics ++ pattern).mkString(",")
     val startLatest = "latest".equalsIgnoreCase(
       properties.getOrDefault("startingOffsets", "earliest"))
+    val user = Option(properties.get("user")).filter(_.nonEmpty)
+    val pw = Option(properties.get("password")).filter(_.nonEmpty)
+    val mech = properties.getOrDefault("mechanism", "PLAIN")
     new Table with SupportsRead {
       override def name(): String = s"kafka:$topicLabel"
       override def schema(): StructType = KafkaEnvelopeSource.schema
@@ -234,7 +244,8 @@ class KafkaEnvelopeSource extends TableProvider {
           override def build(): Scan = new Scan {
             override def readSchema(): StructType = KafkaEnvelopeSource.schema
             override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-              new KafkaEnvelopeStream(bootstrap, topics, pattern, startLatest)
+              new KafkaEnvelopeStream(bootstrap, topics, pattern, startLatest,
+                user, pw, mech)
           }
         }
     }

@@ -207,7 +207,12 @@ object Main {
         case "parquet" => None
         case "kafka" =>
           val bootstrap = env.getOrElse("KAFKA_BOOTSTRAP", "localhost:9092")
-          Some(() => new graft.sinks.KafkaSinkWriter(bootstrap))
+          // optional SASL (PLAIN | SCRAM-SHA-256) — the broker analog of
+          // DATABASE_URL credentials
+          val ku = env.get("KAFKA_USER"); val kp = env.get("KAFKA_PASSWORD")
+          val km = env.getOrElse("KAFKA_SASL_MECHANISM", "PLAIN")
+          Some(() => new graft.sinks.KafkaSinkWriter(bootstrap,
+            user = ku, password = kp, mechanism = km))
         case other => sys.error(s"unknown GRAFT_SINK '$other' (parquet | kafka)")
       }
     val startQuery: () => StreamingQuery = mode match {
@@ -235,10 +240,15 @@ object Main {
               val bootstrap = env.getOrElse("KAFKA_BOOTSTRAP", "localhost:9092")
               val topic = env.getOrElse("KAFKA_TOPIC", sys.error(
                 "CDC_SOURCE=kafka requires KAFKA_TOPIC"))
-              graft.cdc.Transform.parseEnvelope(
-                spark.readStream.format("graft.sources.KafkaEnvelopeSource")
-                  .option("bootstrap", bootstrap).option("topic", topic)
-                  .load(),
+              val r0 = spark.readStream
+                .format("graft.sources.KafkaEnvelopeSource")
+                .option("bootstrap", bootstrap).option("topic", topic)
+                .option("mechanism",
+                  env.getOrElse("KAFKA_SASL_MECHANISM", "PLAIN"))
+              val r1 = env.get("KAFKA_USER").fold(r0)(r0.option("user", _))
+              val r2 = env.get("KAFKA_PASSWORD")
+                .fold(r1)(r1.option("password", _))
+              graft.cdc.Transform.parseEnvelope(r2.load(),
                 org.apache.spark.sql.functions.col("value"))
             case _ => cfg.plugin match {
               case "pgoutput" => CdcStream.pipelinePgOutput(spark,

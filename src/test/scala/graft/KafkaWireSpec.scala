@@ -18,7 +18,8 @@ import graft.streaming.{PermanentPublishException, PublishItem, SinkPublisher}
   * verification, so an encoder bug fails here exactly as a real broker
   * would reject the batch — and answers with spec-layout responses.
   */
-final class InProcessKafkaBroker(nPartitions: Int = 2) {
+final class InProcessKafkaBroker(nPartitions: Int = 2,
+    sasl: Option[(String, String, String)] = None) { // (mechanism, user, pw)
   private val listener = new ServerSocket(0)
   @volatile private var closed = false
   def port: Int = listener.getLocalPort
@@ -100,6 +101,10 @@ final class InProcessKafkaBroker(nPartitions: Int = 2) {
   private def serve(sock: Socket): Unit = {
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    // per-connection SASL state (a real broker gates every api behind it)
+    var authed = sasl.isEmpty
+    var scramClientFirstBare: String = null
+    var scramServerFirst: String = null
     while (!closed) {
       val len = in.readInt()
       val payload = new Array[Byte](len)
@@ -108,7 +113,63 @@ final class InProcessKafkaBroker(nPartitions: Int = 2) {
       val apiKey = b.getShort(); val version = b.getShort()
       val corrId = b.getInt(); readStr(b) // client id
       val resp = new KafkaWire.Buf().i32(corrId)
+      if (!authed && apiKey != KafkaWire.ApiSaslHandshake &&
+          apiKey != KafkaWire.ApiSaslAuthenticate)
+        throw new IOException(s"api $apiKey before SASL auth") // kills conn
       apiKey match {
+        case KafkaWire.ApiSaslHandshake =>
+          require(version == 1, s"mock speaks SaslHandshake v1, got $version")
+          val proposed = readStr(b)
+          val (mech, _, _) = sasl.get
+          if (proposed == mech) resp.i16(0).i32(1).str(mech)
+          else resp.i16(KafkaWire.ErrUnsupportedSaslMechanism).i32(1).str(mech)
+        case KafkaWire.ApiSaslAuthenticate =>
+          require(version == 0, s"mock speaks SaslAuthenticate v0, got $version")
+          val n = b.getInt(); val token = new Array[Byte](n); b.get(token)
+          val (mech, u, pw) = sasl.get
+          val scram = graft.sources.PgWireProtocol.Scram
+          def ok(bytes: Array[Byte]): Unit = {
+            resp.i16(0).str(null)
+            resp.i32(bytes.length); if (bytes.nonEmpty) resp.raw(bytes); ()
+          }
+          def fail(msg: String): Unit = {
+            resp.i16(KafkaWire.ErrSaslAuthenticationFailed).str(msg).i32(0); ()
+          }
+          mech match {
+            case "PLAIN" =>
+              // RFC 4616 token: [authzid] NUL authcid NUL passwd
+              val z1 = token.indexOf(0.toByte)
+              val z2 = token.indexOf(0.toByte, z1 + 1)
+              val au = if (z1 >= 0 && z2 > z1)
+                new String(token, z1 + 1, z2 - z1 - 1, UTF_8) else ""
+              val ap = if (z2 > 0)
+                new String(token, z2 + 1, token.length - z2 - 1, UTF_8) else ""
+              if (au == u && ap == pw) {
+                authed = true; ok(Array.emptyByteArray)
+              } else fail("invalid PLAIN credentials")
+            case "SCRAM-SHA-256" =>
+              if (scramClientFirstBare == null) {
+                // client-first: "n,,n=<u>,r=<nonce>"
+                scramClientFirstBare = new String(token, UTF_8).drop(3)
+                val a = scram.attrs(scramClientFirstBare)
+                val salt = new Array[Byte](16)
+                new java.util.Random(42L).nextBytes(salt) // deterministic mock
+                scramServerFirst =
+                  s"r=${a('r')}srv,s=${scram.b64(salt)},i=4096"
+                ok(scramServerFirst.getBytes(UTF_8))
+              } else {
+                val clientFinal = new String(token, UTF_8)
+                val noProof = clientFinal.substring(0,
+                  clientFinal.lastIndexOf(",p="))
+                val (expected, serverSig) = scram.proofs(pw,
+                  scramClientFirstBare, scramServerFirst, noProof)
+                val got = scram.unb64(scram.attrs(clientFinal)('p'))
+                if (java.security.MessageDigest.isEqual(got, expected)) {
+                  authed = true
+                  ok(s"v=${scram.b64(serverSig)}".getBytes(UTF_8))
+                } else fail("SCRAM proof mismatch")
+              }
+          }
         case KafkaWire.ApiMetadata =>
           require(version == 4, s"mock speaks Metadata v4, got $version")
           val nTopics = b.getInt()
@@ -285,6 +346,58 @@ class KafkaWireSpec extends SparkSpec {
         maxRetries = 3, sleep = _ => (),
         quarantine = Some((it, _) => { quarantined += it.eventId; () }))
       assert(res.quarantined.nonEmpty && quarantined == Seq("e2"))
+    } finally { w.close(); broker.close() }
+  }
+
+  test("SASL PLAIN gates every api; wrong credentials are a permanent failure") {
+    val broker = new InProcessKafkaBroker(
+      sasl = Some(("PLAIN", "alice", "secret")))
+    val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}",
+      user = Some("alice"), password = Some("secret"))
+    try {
+      w.publish(item("t.auth", "e1", 1L))
+      assert(broker.received.size() == 1, "authenticated produce lands")
+    } finally w.close()
+    // wrong password: the broker rejects the token — permanent, so the
+    // publish loops quarantine instead of burning the retry budget
+    val bad = new KafkaSinkWriter(s"127.0.0.1:${broker.port}",
+      user = Some("alice"), password = Some("wrong"))
+    try {
+      val e = intercept[PermanentPublishException] {
+        bad.publish(item("t.auth", "e2", 2L))
+      }
+      assert(e.getMessage.contains("SASL authentication failed"))
+      assert(broker.received.size() == 1, "nothing landed unauthenticated")
+    } finally { bad.close(); broker.close() }
+  }
+
+  test("SASL SCRAM-SHA-256: the Postgres transport's RFC 5802 exchange, mutual verification, both directions") {
+    val broker = new InProcessKafkaBroker(nPartitions = 1,
+      sasl = Some(("SCRAM-SHA-256", "bob", "pw2")))
+    val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}",
+      user = Some("bob"), password = Some("pw2"),
+      mechanism = "SCRAM-SHA-256")
+    val out = java.nio.file.Files.createTempDirectory("kscram_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("kscram_ck").toString
+    try {
+      (1 to 2).foreach(i => w.publish(item("t.scram", s"e$i", i.toLong)))
+      assert(broker.received.size() == 2)
+      // the consumer authenticates with the same mechanism (driver-side
+      // metadata/offset client AND the executor-side fetch reader)
+      val q = TestSession.spark.readStream
+        .format("graft.sources.KafkaEnvelopeSource")
+        .option("bootstrap", s"127.0.0.1:${broker.port}")
+        .option("topic", "t.scram")
+        .option("user", "bob").option("password", "pw2")
+        .option("mechanism", "SCRAM-SHA-256")
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+      val got = TestSession.spark.read.parquet(out)
+        .selectExpr("value").collect().map(_.getString(0)).toSet
+      assert(got == (1 to 2).map(i => s"""{"eventId":"e$i"}""").toSet,
+        s"authenticated fetch round-trips the records: $got")
     } finally { w.close(); broker.close() }
   }
 
