@@ -1223,6 +1223,30 @@ object CdcQueries {
           AND valid_from <= t AND (valid_to > t OR valid_to IS NULL)
         ORDER BY tbl, uid""")),
 
+    // The consumer-side envelope parse (Transform.parseEnvelope — what a
+    // broker subscriber applies to every received message) under the
+    // driver gate: serialize the normalized events through the WIRE JSON
+    // (envelopeJson) and parse them back; the typed columns must
+    // round-trip bit-for-bit against the oracle's direct derivation.
+    // Complements c22 (which hand-rolls a partial from_json): this gates
+    // the ACTUAL consumer API end to end, before/after maps included.
+    "c33_envelope_parse" -> Def(
+      (s, d) => {
+        val n = normalizedCached(s, d)
+        val wire = n.select(Transform.envelopeJson(n).as("value"))
+        Transform.parseEnvelope(wire, col("value"))
+          .select(col("event_id"), col("lsn"),
+            col("txid").cast("long").as("txid"), col("table").as("tbl"),
+            col("operation"),
+            element_at(col("after"), "value").as("after_value"),
+            element_at(col("metadata"), "txid").cast("long").as("meta_txid"))
+          .orderBy(col("lsn"), col("event_id"))
+      },
+      Some(s"""SELECT $oEventId AS event_id, $oLsn AS lsn,
+        user_id AS txid, event_type AS tbl, 'INSERT' AS operation,
+        CAST(value AS VARCHAR) AS after_value, user_id AS meta_txid
+        FROM events ORDER BY lsn, event_id""")),
+
     "c24_sink_order_key" -> Def(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
