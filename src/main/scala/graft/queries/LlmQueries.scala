@@ -1187,13 +1187,13 @@ object LlmQueries {
       (s, d) => {
         val prep = Similarity.prepare(
           t(s, d, "embeddings").withColumnRenamed("vec_id", "id"), "embedding")
-        Similarity.semanticDedup(prep, nCells = 8, threshold = 0.2)
+        Similarity.semanticDedup(prep, nCells = 64, threshold = 0.2)
           .orderBy(col("vec_id"))
       },
       Some(s"""WITH RECURSIVE $oQuant,
         sdseeds0 AS (SELECT vec_id AS seed_id, q AS sq, norm_sq AS sn,
             md5(CAST(vec_id AS VARCHAR)) AS h
-          FROM qn ORDER BY h, seed_id LIMIT 8),
+          FROM qn ORDER BY h, seed_id LIMIT 64),
         sdseeds AS (SELECT seed_id, sq, sn,
             CAST(ROW_NUMBER() OVER (ORDER BY h, seed_id) AS BIGINT) AS cell
           FROM sdseeds0),
