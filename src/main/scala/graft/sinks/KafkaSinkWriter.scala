@@ -45,7 +45,8 @@ final class KafkaSinkWriter(bootstrap: String,
     requestTimeoutMs: Int = 30000,
     user: Option[String] = None,
     password: Option[String] = None,
-    mechanism: String = "PLAIN") extends SinkWriter {
+    mechanism: String = "PLAIN",
+    idempotent: Boolean = true) extends SinkWriter {
 
   private val client = new KafkaClient(bootstrap, clientId, requestTimeoutMs,
     user, password, mechanism)
@@ -53,6 +54,28 @@ final class KafkaSinkWriter(bootstrap: String,
     * operators) observe the broker actually appending.
     */
   @volatile var lastBaseOffset: Long = -1L
+
+  // ---- idempotent producer state (broker-side retry dedup — the
+  // JetStream Msg-Id analog at the LOG level): one (producerId, epoch)
+  // per writer from InitProducerId, one sequence counter per partition,
+  // incremented ONLY on ack. The ordered loop retries a failed item by
+  // calling publish() again, which therefore resends the SAME sequence
+  // — if the broker had already appended (the ack was lost, not the
+  // write), it recognizes the duplicate and never double-appends.
+  private var producerId = -1L
+  private var producerEpoch: Short = -1
+  private val nextSeq = scala.collection.mutable.Map.empty[(String, Int), Int]
+
+  private def ensureProducerId(): Unit =
+    if (idempotent && producerId < 0L) {
+      val id = client.nextCorr()
+      val (err, pid, epoch) = KafkaWire.parseInitProducerIdV0(
+        client.roundTrip(client.bootstrapEndpoint,
+          KafkaWire.initProducerIdRequestV0(id, clientId), id))
+      if (err != 0)
+        throw new java.io.IOException(s"InitProducerId failed: error $err")
+      producerId = pid; producerEpoch = epoch
+    }
 
   /** Kafka's legal topic charset; everything else maps to '_' (the
     * reference sanitizes subject tokens the same way, subjects.go).
@@ -69,11 +92,15 @@ final class KafkaSinkWriter(bootstrap: String,
     val partition = KafkaWire.partitionFor(item.subject.getBytes(UTF_8),
       parts.size)
     val leaderHp = client.endpointOf(parts(partition), topic)
+    ensureProducerId()
+    val seq = if (idempotent) nextSeq.getOrElse((topic, partition), 0) else -1
     val batch = KafkaWire.recordBatch(
       Seq((item.subject.getBytes(UTF_8), item.payload.getBytes(UTF_8),
         Seq("event-id" -> item.eventId.getBytes(UTF_8),
           "wal-position" -> item.position.toString.getBytes(UTF_8)))),
-      timestampMs = System.currentTimeMillis())
+      timestampMs = System.currentTimeMillis(),
+      producerId = producerId, producerEpoch = producerEpoch,
+      baseSequence = seq)
     val id = client.nextCorr()
     val body = try client.roundTrip(leaderHp, KafkaWire.produceRequestV3(
       id, clientId, topic, partition, batch, acks, requestTimeoutMs), id)
@@ -86,6 +113,7 @@ final class KafkaSinkWriter(bootstrap: String,
           s"produce to $topic/$partition rejected permanently: error $err")
       throw new IOException(s"produce to $topic/$partition failed: error $err")
     }
+    if (idempotent) nextSeq((topic, partition)) = seq + 1
     lastBaseOffset = baseOffset
   }
 

@@ -29,7 +29,11 @@ object KafkaWire {
   val ApiListOffsets: Short = 2
   val ApiMetadata: Short = 3
   val ApiSaslHandshake: Short = 17
+  val ApiInitProducerId: Short = 22
   val ApiSaslAuthenticate: Short = 36
+
+  val ErrOutOfOrderSequence: Short = 45
+  val ErrDuplicateSequence: Short = 46
 
   val TsEarliest: Long = -2L
   val TsLatest: Long = -1L
@@ -130,7 +134,9 @@ object KafkaWire {
     * one publish, one awaited ack.
     */
   def recordBatch(records: Seq[(Array[Byte], Array[Byte], Seq[(String, Array[Byte])])],
-      timestampMs: Long, baseOffset: Long = 0L): Array[Byte] = {
+      timestampMs: Long, baseOffset: Long = 0L,
+      producerId: Long = -1L, producerEpoch: Short = -1,
+      baseSequence: Int = -1): Array[Byte] = {
     require(records.nonEmpty, "empty record batch")
     // everything after the crc field, crc'd with CRC32C per the spec
     val body = new Buf
@@ -138,9 +144,9 @@ object KafkaWire {
     body.i32(records.size - 1)     // lastOffsetDelta
     body.i64(timestampMs)          // baseTimestamp
     body.i64(timestampMs)          // maxTimestamp
-    body.i64(-1L)                  // producerId (idempotence off)
-    body.i16(-1)                   // producerEpoch
-    body.i32(-1)                   // baseSequence
+    body.i64(producerId)           // -1 = idempotence off
+    body.i16(producerEpoch)
+    body.i32(baseSequence)
     body.i32(records.size)
     records.zipWithIndex.foreach { case ((key, value, headers), i) =>
       val rec = new Buf
@@ -215,6 +221,29 @@ object KafkaWire {
     b.i32(1).i32(partition)
     b.bytes(batch)        // record_set
     frame(b)
+  }
+
+  // ---------- idempotent producer ----------
+
+  /** InitProducerId v0 with a null transactional id — the IDEMPOTENT
+    * (not transactional) producer: the broker mints a (producerId,
+    * epoch) under which per-partition batch sequence numbers dedup
+    * retries server-side.
+    */
+  def initProducerIdRequestV0(corrId: Int, clientId: String,
+      timeoutMs: Int = 30000): Array[Byte] = {
+    val b = header(ApiInitProducerId, 0, corrId, clientId)
+    b.str(null)          // transactional_id
+    b.i32(timeoutMs)
+    frame(b)
+  }
+
+  /** (error_code, producer_id, producer_epoch). */
+  def parseInitProducerIdV0(body: Array[Byte]): (Short, Long, Short) = {
+    val b = ByteBuffer.wrap(body)
+    b.getInt()           // throttle_time_ms
+    val err = b.getShort()
+    (err, b.getLong(), b.getShort())
   }
 
   // ---------- SASL (PLAIN + SCRAM ride the same two apis) ----------

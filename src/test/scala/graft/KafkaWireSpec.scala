@@ -31,9 +31,23 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
   private val errorQueue =
     new java.util.concurrent.ConcurrentLinkedQueue[Short]()
   private val offsets = mutable.Map.empty[(String, Int), Long]
+  // idempotent-producer ledger: (pid, topic, partition) -> (lastSeq,
+  // baseOffset of that batch) — what dedups a retransmitted sequence
+  private val producerSeqs = mutable.Map.empty[(Long, String, Int), (Int, Long)]
+  private var nextPid = 1000L
+  @volatile private var dropNextAck = false
+  /** Produces that were append-DEDUPED by sequence (retries of appended
+    * batches whose ack was lost).
+    */
+  val dedupedProduces = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Next produce answers with `code` instead of appending. */
   def injectError(code: Short): Unit = { errorQueue.add(code); () }
+
+  /** Next produce APPENDS but answers with a retriable error — the
+    * lost-ack failure the idempotent sequence exists to survive.
+    */
+  def injectAckLoss(): Unit = dropNextAck = true
 
   private val acceptor = new Thread(() => {
     try while (!closed) {
@@ -204,23 +218,54 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
           val partition = b.getInt()
           val setLen = b.getInt()
           val batch = new Array[Byte](setLen); b.get(batch)
+          // idempotent-producer header fields sit at fixed offsets of the
+          // batch body (after attributes/lastOffsetDelta/timestamps)
+          val hdr = ByteBuffer.wrap(batch)
+          hdr.position(8 + 4 + 4 + 1 + 4 + 2 + 4 + 8 + 8)
+          val pid = hdr.getLong(); hdr.getShort()
+          val baseSeq = hdr.getInt()
           val injected = Option(errorQueue.poll())
           val (err, baseOffset) = injected match {
             case Some(code) => (code, -1L)
             case None =>
-              val records = decodeBatch(batch)
-              val base = offsets.getOrElse((topic, partition), 0L)
-              records.zipWithIndex.foreach { case ((k, v, h), i) =>
-                received.add(Received(topic, partition, k, v, h, base + i)); ()
+              val seqKey = (pid, topic, partition)
+              val dup = pid >= 0 && baseSeq >= 0 &&
+                producerSeqs.get(seqKey).exists(_._1 >= baseSeq)
+              if (dup) {
+                // retransmission of an appended batch: ack its ORIGINAL
+                // offset, append nothing — the broker-side dedup that
+                // makes lost-ack retries effectively-once
+                dedupedProduces.incrementAndGet()
+                (0: Short, producerSeqs(seqKey)._2)
+              } else if (pid >= 0 && baseSeq >= 0 &&
+                  producerSeqs.get(seqKey).exists(_._1 + 1 != baseSeq)) {
+                (KafkaWire.ErrOutOfOrderSequence, -1L)
+              } else {
+                val records = decodeBatch(batch)
+                val base = offsets.getOrElse((topic, partition), 0L)
+                records.zipWithIndex.foreach { case ((k, v, h), i) =>
+                  received.add(Received(topic, partition, k, v, h, base + i)); ()
+                }
+                offsets((topic, partition)) = base + records.size
+                if (pid >= 0 && baseSeq >= 0)
+                  producerSeqs(seqKey) = (baseSeq + records.size - 1, base)
+                if (dropNextAck) {
+                  dropNextAck = false
+                  (KafkaWire.ErrRequestTimedOut, -1L) // appended, ack "lost"
+                } else (0: Short, base)
               }
-              offsets((topic, partition)) = base + records.size
-              (0: Short, base)
           }
           resp.i32(1).str(topic)                  // responses[1]
           resp.i32(1)                             // partitions[1]
           resp.i32(partition).i16(err).i64(baseOffset)
           resp.i64(-1L)                           // log_append_time (v2+)
           resp.i32(0)                             // throttle (tail, v1+)
+        case KafkaWire.ApiInitProducerId =>
+          require(version == 0, s"mock speaks InitProducerId v0, got $version")
+          readStr(b)                              // transactional_id (null)
+          b.getInt()                              // timeout
+          nextPid += 1
+          resp.i32(0).i16(0).i64(nextPid).i16(0)  // throttle, err, pid, epoch
         case KafkaWire.ApiListOffsets =>
           require(version == 2, s"mock speaks ListOffsets v2, got $version")
           b.getInt(); b.get()                     // replica_id, isolation
@@ -326,6 +371,30 @@ class KafkaWireSpec extends SparkSpec {
       assert(res.isComplete && res.succeeded == 1,
         s"retry must recover from NOT_LEADER: $res")
       assert(broker.received.size() == 1)
+    } finally { w.close(); broker.close() }
+  }
+
+  test("idempotent producer: a lost-ack retry is deduped by sequence — no double append") {
+    val broker = new InProcessKafkaBroker(nPartitions = 1)
+    val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}")
+    try {
+      w.publish(item("t.idem", "e1", 1L))
+      // the broker APPENDS e2 but the ack is lost; the ordered loop
+      // retries publish(e2), which resends the SAME sequence — the
+      // broker recognizes the retransmission and acks the original
+      // offset without appending again
+      broker.injectAckLoss()
+      val res = SinkPublisher.publishOrdered(
+        Iterator(item("t.idem", "e2", 2L), item("t.idem", "e3", 3L)), w,
+        maxRetries = 3, sleep = _ => ())
+      assert(res.isComplete && res.succeeded == 2, s"$res")
+      assert(broker.dedupedProduces.get() == 1,
+        "exactly one retransmission was sequence-deduped")
+      import scala.jdk.CollectionConverters._
+      val values = broker.received.asScala.map(_.value).toSeq
+      assert(values == Seq("e1", "e2", "e3").map(e => s"""{"eventId":"$e"}"""),
+        s"each event appended exactly once, in order: $values")
+      assert(w.lastBaseOffset == 2L, "offsets advanced once per event")
     } finally { w.close(); broker.close() }
   }
 
