@@ -34,6 +34,13 @@ import graft.streaming.{PermanentPublishException, PublishItem, SinkWriter}
   * transport, mutual server-signature verification included); TLS is
   * out of scope here.
   *
+  * Idempotence scope: the (producerId, sequence) pair dedups RETRIES
+  * within this writer's lifetime — the lost-ack window the per-item
+  * retry loop creates. A whole-batch REDELIVERY (foreachBatch replay
+  * after a checkpoint failure) builds a fresh writer and a fresh pid;
+  * that layer is covered by the event-id header (the broker-side
+  * Msg-Id dedup key consumers filter on) exactly as in the reference.
+  *
   * Construct per executor partition via factory (connections do not
   * serialize): `CdcStream.start(sinkWriter = Some(() => new
   * KafkaSinkWriter(bootstrap)))` — `tools.Main` wires exactly that for

@@ -148,6 +148,67 @@ class ToolsMainSpec extends SparkSpec {
     } finally { running.stop(); broker.close() }
   }
 
+  test("GRAFT_MODE=mv + CDC_SOURCE=kafka: the broker-fed consumer deployment") {
+    // the reference's consumer process subscribes to the broker and
+    // applies changes — here end to end through Main's config wiring:
+    // envelopes pre-published to the wire-faithful broker, consumed via
+    // the Kafka source, parsed, folded into bucketed MV state
+    val broker = new InProcessKafkaBroker(nPartitions = 1)
+    val tmp = Files.createTempDirectory("graft_main_kconsume").toString
+    // produce two envelopes the way the publisher half would
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val events = Seq(
+      ("0/10:7:INSERT:public.kv:0", "cdc.insert", "postgres", "0/10", 7L,
+        "public", "kv", "INSERT", Map("id" -> "1", "v" -> "a")),
+      ("0/20:7:INSERT:public.kv:1", "cdc.insert", "postgres", "0/20", 7L,
+        "public", "kv", "INSERT", Map("id" -> "2", "v" -> "b")))
+      .toDF("event_id", "event_type", "source", "lsn", "txid",
+        "schema", "table", "operation", "after")
+      .withColumn("timestamp",
+        org.apache.spark.sql.functions.lit("2024-01-15 10:30:00").cast("timestamp"))
+      .withColumn("commit_time", col("timestamp"))
+      .withColumn("before",
+        org.apache.spark.sql.functions.lit(null).cast("map<string,string>"))
+      .withColumn("metadata",
+        org.apache.spark.sql.functions.map(
+          org.apache.spark.sql.functions.lit("txid"),
+          col("txid").cast("string")))
+    val payloads = events
+      .select(graft.cdc.Transform.envelopeJson(events).as("j"))
+      .collect().map(_.getString(0))
+    val w = new graft.sinks.KafkaSinkWriter(s"127.0.0.1:${broker.port}")
+    try payloads.zipWithIndex.foreach { case (p, i) =>
+      w.publish(graft.streaming.PublishItem("cdc.kdb.public.kv",
+        s"e$i", p, i.toLong))
+    } finally w.close()
+    val env = Map(
+      "GRAFT_MODE" -> "mv",
+      "CDC_SOURCE" -> "kafka",
+      "KAFKA_BOOTSTRAP" -> s"127.0.0.1:${broker.port}",
+      "KAFKA_TOPIC" -> "cdc.kdb.public.kv",
+      "GRAFT_MV_KEYS" -> "id",
+      "GRAFT_WAL_DIR" -> tmp, // config validation wants it; unused here
+      "GRAFT_OUT_DIR" -> s"$tmp/state",
+      "GRAFT_CHECKPOINT_DIR" -> s"$tmp/ck",
+      "BATCH_TIMEOUT" -> "100ms")
+    val running = Main.start(spark, env, healthPortOverride = Some(0))
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      def state() = try graft.streaming.MaterializedView
+        .currentState(spark, s"$tmp/state", Seq("id"))
+        .select(col("id"),
+          org.apache.spark.sql.functions.element_at(col("image"), "v"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      catch { case _: Exception => Map.empty[String, String] }
+      while (state().size < 2 && running.query.exception.isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      running.query.exception.foreach(e => throw e)
+      assert(state() == Map("1" -> "a", "2" -> "b"),
+        s"broker-fed MV converges: ${state()}")
+    } finally { running.stop(); broker.close() }
+  }
+
   test("pluginStartOptions renders the per-plugin START_REPLICATION arguments") {
     import graft.config.GraftConfig
     def cfg(extra: (String, String)*): GraftConfig =
