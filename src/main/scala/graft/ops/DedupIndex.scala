@@ -229,7 +229,7 @@ object DedupIndex {
     */
   private def runFold(spark: SparkSession, t: String, bucketed: Boolean,
       buckets: Int, dest: Long, span: Long, horizon: Long,
-      sources: Seq[Long]): Unit = {
+      sources: Seq[Long], bucketCol: String): Unit = {
     val present = partitionIds(spark, t).toSet
     val live = sources.filter(present)
     if (live.size == sources.size) {
@@ -246,7 +246,7 @@ object DedupIndex {
       spark.sql(s"ALTER TABLE $t DROP IF EXISTS " +
         s"PARTITION (ingest_batch=$dest)")
       val w = folded.write.mode("append").partitionBy("ingest_batch")
-      (if (bucketed) w.bucketBy(buckets, "shingle").sortBy("shingle") else w)
+      (if (bucketed) w.bucketBy(buckets, bucketCol).sortBy(bucketCol) else w)
         .saveAsTable(t)
       setProps(spark, t, fps ++ Seq(s"graft.fold.span.$dest" -> span.toString) ++
         (if (horizon == Long.MinValue) Seq.empty
@@ -266,9 +266,9 @@ object DedupIndex {
     * delete. Safe to call any time; no-op without a pending manifest.
     */
   private def recoverFold(spark: SparkSession, t: String, bucketed: Boolean,
-      buckets: Int): Unit =
+      buckets: Int, bucketCol: String = "shingle"): Unit =
     readManifest(spark, t).foreach { case (dest, span, hor, srcs) =>
-      runFold(spark, t, bucketed, buckets, dest, span, hor, srcs)
+      runFold(spark, t, bucketed, buckets, dest, span, hor, srcs, bucketCol)
     }
 
   /** SIZE-TIERED maintenance for the streamed index — fold accumulated
@@ -309,35 +309,47 @@ object DedupIndex {
     */
   def compact(spark: SparkSession, name: String, buckets: Int = 8,
       tierFanout: Int = 8): Unit = {
+    compactTable(spark, name, bucketed = true, "shingle", buckets, tierFanout)
+    compactTable(spark, s"${name}_sizes", bucketed = false, "shingle",
+      buckets, tierFanout)
+  }
+
+  /** The size-tiered fold loop for ONE `ingest_batch`-partitioned table —
+    * the machinery behind [[compact]], generalized over the bucket column
+    * so other maintained bucketed indexes (e.g. the cell-bucketed ANN
+    * index, [[Similarity.compactIvfPqIndex]]) reuse the identical
+    * manifest-crash-safe, fingerprint-guarded lifecycle.
+    */
+  private[graft] def compactTable(spark: SparkSession, t: String,
+      bucketed: Boolean, bucketCol: String, buckets: Int,
+      tierFanout: Int): Unit = {
     require(tierFanout >= 2, "tierFanout must be >= 2")
-    Seq((name, true), (s"${name}_sizes", false)).foreach { case (t, bk) =>
-      recoverCompaction(spark, t) // heal a legacy (r7 swap-style) crash
-      require(spark.catalog.tableExists(t), s"no index table $t")
-      recoverFold(spark, t, bk, buckets)
-      def nextDest: Long =
-        (partitionIds(spark, t).filter(_ < 0L) :+ 0L).min - 1L
-      // tier 0 -> 1: fold the per-batch partitions
-      val batches = partitionIds(spark, t).filter(_ >= 0L).sorted
-      if (batches.size >= 2) {
-        writeManifest(spark, t, nextDest, batches.size, batches.max, batches)
-        recoverFold(spark, t, bk, buckets)
-      }
-      // tiered merges: repeat while any tier is at fanout
-      var go = true
-      while (go) {
-        val props = tableProps(spark, t)
-        val negs = partitionIds(spark, t).filter(_ < 0L)
-          .map(id => id -> spanOf(props, id))
-        negs.groupBy { case (_, s) => tierOf(s, tierFanout) }
-          .find(_._2.size >= tierFanout) match {
-          case Some((_, group)) =>
-            // horizon Long.MinValue: a tier merge folds already-folded
-            // rows — no new batch ids, no fingerprints to record
-            writeManifest(spark, t, nextDest, group.map(_._2).sum,
-              Long.MinValue, group.map(_._1))
-            recoverFold(spark, t, bk, buckets)
-          case None => go = false
-        }
+    recoverCompaction(spark, t) // heal a legacy (r7 swap-style) crash
+    require(spark.catalog.tableExists(t), s"no index table $t")
+    recoverFold(spark, t, bucketed, buckets, bucketCol)
+    def nextDest: Long =
+      (partitionIds(spark, t).filter(_ < 0L) :+ 0L).min - 1L
+    // tier 0 -> 1: fold the per-batch partitions
+    val batches = partitionIds(spark, t).filter(_ >= 0L).sorted
+    if (batches.size >= 2) {
+      writeManifest(spark, t, nextDest, batches.size, batches.max, batches)
+      recoverFold(spark, t, bucketed, buckets, bucketCol)
+    }
+    // tiered merges: repeat while any tier is at fanout
+    var go = true
+    while (go) {
+      val props = tableProps(spark, t)
+      val negs = partitionIds(spark, t).filter(_ < 0L)
+        .map(id => id -> spanOf(props, id))
+      negs.groupBy { case (_, s) => tierOf(s, tierFanout) }
+        .find(_._2.size >= tierFanout) match {
+        case Some((_, group)) =>
+          // horizon Long.MinValue: a tier merge folds already-folded
+          // rows — no new batch ids, no fingerprints to record
+          writeManifest(spark, t, nextDest, group.map(_._2).sum,
+            Long.MinValue, group.map(_._1))
+          recoverFold(spark, t, bucketed, buckets, bucketCol)
+        case None => go = false
       }
     }
   }
@@ -358,16 +370,16 @@ object DedupIndex {
     */
   private[graft] def landBatch(s: SparkSession, outer: SparkSession,
       df: DataFrame, table: String, batchId: Long, bucketed: Boolean,
-      buckets: Int): Unit = {
+      buckets: Int, bucketCol: String = "shingle"): Unit = {
     recoverCompaction(s, table) // heal a crashed legacy compaction
     def writer(mode: String) = {
       val w = df.write.mode(mode).partitionBy("ingest_batch")
-      if (bucketed) w.bucketBy(buckets, "shingle").sortBy("shingle") else w
+      if (bucketed) w.bucketBy(buckets, bucketCol).sortBy(bucketCol) else w
     }
     if (!s.catalog.tableExists(table))
       writer("errorifexists").saveAsTable(table)
     else {
-      recoverFold(s, table, bucketed, buckets) // heal a crashed fold
+      recoverFold(s, table, bucketed, buckets, bucketCol) // heal a crashed fold
       val folded = compactionHorizon(s, table).exists(batchId <= _) && {
         val fp = tableProps(s, table).get(s"graft.fold.fp.$batchId")
         fp.isDefined && fp.contains(fingerprint(df.drop("ingest_batch")))

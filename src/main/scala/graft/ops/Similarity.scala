@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
@@ -486,11 +486,20 @@ object Similarity {
     * (map-side combined, 1× corpus exchange each) joined on id.
     */
   def ivfPqIndex(prepared: DataFrame, nCells: Int, m: Int = 8,
-      nCent: Int = 256, dims: Int = 64): DataFrame = {
+      nCent: Int = 256, dims: Int = 64): DataFrame =
+    ivfPqIndexFrom(prepared, seededSample(prepared, nCells, "cell"),
+      seededSample(prepared, nCent, "cent"), m, dims)
+
+  /** [[ivfPqIndex]] against EXPLICIT quantizer frames — the seam the
+    * maintained-index lifecycle needs: a frozen quantizer
+    * ([[saveIvfPqQuantizer]]) encodes every future ingest batch
+    * identically, which is what keeps an incrementally-built index
+    * valid (drifting seeds would silently re-cell the corpus).
+    */
+  private def ivfPqIndexFrom(prepared: DataFrame, cellSeeds: DataFrame,
+      codebook: DataFrame, m: Int, dims: Int): DataFrame = {
     require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     val sub = dims / m
-    val cellSeeds = seededSample(prepared, nCells, "cell")
-    val codebook = seededSample(prepared, nCent, "cent")
     val cells = prepared.select(col("id"), col("qvec"), col("norm_sq"))
       .crossJoin(broadcast(cellSeeds))
       .withColumn("d2", col("norm_sq")
@@ -528,17 +537,29 @@ object Similarity {
   def ivfPqTopK(prepared: DataFrame, queryPred: Column, nCells: Int,
       nProbe: Int, m: Int = 8, nCent: Int = 256, k: Int = 5,
       dims: Int = 64, index: Option[DataFrame] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // with a prebuilt index the call never reaches ivfPqIndex's check, and
     // a silently truncating `sub` would slice the query LUT at wrong
     // subvector boundaries — wrong ADC scores with no error
     require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
-    val sub = dims / m
     val idx = index.getOrElse(ivfPqIndex(prepared, nCells, m, nCent, dims))
-    val cellSeeds = seededSample(prepared, nCells, "cell")
-    val codebook = seededSample(prepared, nCent, "cent")
+    ivfPqTopKFrom(prepared.filter(queryPred), idx,
+      seededSample(prepared, nCells, "cell"),
+      seededSample(prepared, nCent, "cent"), nProbe, m, k, dims)
+  }
+
+  /** The ONLINE probe against explicit quantizer frames + index — shared
+    * by [[ivfPqTopK]] (seeds re-derived from the corpus) and
+    * [[ivfPqServe]] (seeds loaded from the frozen saved quantizer).
+    * `queries` must be prepare()-shaped rows (id, qvec, norm_sq).
+    */
+  private def ivfPqTopKFrom(queries: DataFrame, idx: DataFrame,
+      cellSeeds: DataFrame, codebook: DataFrame, nProbe: Int, m: Int,
+      k: Int, dims: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val sub = dims / m
     def subv(c: Column, j: Int) = slice(c, j * sub + 1, sub)
-    val qs = prepared.filter(queryPred)
+    val qs = queries
       .select(col("id").as("qid"), col("qvec"), col("norm_sq").as("q_norm"))
     val probes = qs.crossJoin(broadcast(cellSeeds))
       .withColumn("d2", col("q_norm")
@@ -631,6 +652,102 @@ object Similarity {
         coalesce(col("cluster"), col("vec_id")).as("cluster"),
         when(col("survivor").isNull || col("survivor") === col("vec_id"), 1L)
           .otherwise(0L).as("keep"))
+  }
+
+  // ---------- maintained ANN index lifecycle (freeze → stream → serve) ----
+
+  /** Freeze the IVF×PQ quantizer: persist the seeded cell seeds and PQ
+    * codebook (plus m/dims/nCells/nCent as table properties) so every
+    * FUTURE ingest batch encodes identically — the precondition for an
+    * incrementally-maintained index (re-deriving seeds from a grown
+    * corpus would silently re-cell and re-code everything already
+    * indexed). Tiny tables: nCells + nCent rows total.
+    */
+  def saveIvfPqQuantizer(spark: SparkSession, prepared: DataFrame,
+      name: String, nCells: Int, m: Int = 8, nCent: Int = 256,
+      dims: Int = 64): Unit = {
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    seededSample(prepared, nCells, "cell")
+      .write.mode("overwrite").saveAsTable(s"${name}_cells")
+    seededSample(prepared, nCent, "cent")
+      .write.mode("overwrite").saveAsTable(s"${name}_codebook")
+    spark.sql(s"ALTER TABLE ${name}_cells SET TBLPROPERTIES (" +
+      s"'graft.ivfpq.m'='$m', 'graft.ivfpq.dims'='$dims', " +
+      s"'graft.ivfpq.ncells'='$nCells', 'graft.ivfpq.ncent'='$nCent')")
+    ()
+  }
+
+  private def quantizerParams(spark: SparkSession, name: String): (Int, Int) = {
+    val props = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_cells"))
+      .properties
+    (props("graft.ivfpq.m").toInt, props("graft.ivfpq.dims").toInt)
+  }
+
+  /** Encode prepare()-shaped vectors against the FROZEN quantizer —
+    * (cid, cell, c_norm, codes) index rows, broadcast-seed shapes
+    * identical to the inline build.
+    */
+  def ivfPqEncodeWith(spark: SparkSession, prepared: DataFrame,
+      name: String): DataFrame = {
+    val (m, dims) = quantizerParams(spark, name)
+    ivfPqIndexFrom(prepared, spark.table(s"${name}_cells"),
+      spark.table(s"${name}_codebook"), m, dims)
+  }
+
+  /** STREAMING maintenance of the cell-bucketed IVF×PQ index: each
+    * micro-batch of vectors is encoded under the frozen quantizer and
+    * lands as its own `ingest_batch` partition of the bucketed layout —
+    * the dedup index's replay-idempotent drop+append loop
+    * ([[DedupIndex.landBatch]]) with `cell` as the bucket column, so
+    * the probe join's zero-index-side-exchange property holds on the
+    * MAINTAINED table too. Compact with [[compactIvfPqIndex]] (the same
+    * size-tiered, manifest-crash-safe, fingerprint-guarded machinery).
+    */
+  def startIvfPqMaintenance(spark: SparkSession, vecs: DataFrame,
+      idCol: String, vecCol: String, name: String, checkpointPath: String,
+      buckets: Int = 8,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val prep = prepare(batch.toDF()
+          .withColumnRenamed(idCol, "id"), vecCol)
+        val enc = ivfPqEncodeWith(s, prep, name)
+          .withColumn("ingest_batch", lit(batchId))
+        DedupIndex.landBatch(s, spark, enc, name, batchId,
+          bucketed = true, buckets, bucketCol = "cell")
+      }.start()
+
+  /** Size-tiered compaction of the maintained ANN index — identical
+    * lifecycle guarantees to [[DedupIndex.compact]] (no fold rewritten
+    * beside fresh arrivals, manifest crash recovery, folded-batch
+    * replay skip), over the `cell` bucket column.
+    */
+  def compactIvfPqIndex(spark: SparkSession, name: String,
+      buckets: Int = 8, tierFanout: Int = 8): Unit =
+    DedupIndex.compactTable(spark, name, bucketed = true, "cell",
+      buckets, tierFanout)
+
+  /** Serve ANN queries from the MAINTAINED index: probes and LUTs from
+    * the frozen quantizer, candidates from the bucketed table, the
+    * probe side broadcast — the index never exchanges, vectors are
+    * never read. `queries` must be prepare()-shaped (id, qvec,
+    * norm_sq) — query-side quantization is per-vector and thus
+    * corpus-independent, so fresh queries encode consistently with the
+    * frozen corpus codes.
+    */
+  def ivfPqServe(spark: SparkSession, name: String, queries: DataFrame,
+      nProbe: Int, k: Int = 5): DataFrame = {
+    val (m, dims) = quantizerParams(spark, name)
+    ivfPqTopKFrom(queries, spark.table(name).drop("ingest_batch"),
+      spark.table(s"${name}_cells"), spark.table(s"${name}_codebook"),
+      nProbe, m, k, dims)
   }
 
   /** All near-duplicate pairs with cosine >= threshold, via sign-LSH

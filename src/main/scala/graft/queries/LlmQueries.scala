@@ -2443,6 +2443,117 @@ object LlmQueries {
           FROM score)
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // The maintained-ANN-index LIFECYCLE under the driver gate (r8):
+    // freeze the quantizer (saveIvfPqQuantizer), stream the corpus in
+    // two micro-batched slices through startIvfPqMaintenance (each
+    // landing as an ingest_batch partition of the cell-bucketed layout),
+    // size-tier-compact the partitions, then SERVE queries from the
+    // maintained table via the frozen seeds (ivfPqServe) — and the
+    // answers must be bit-for-bit the inline l81 build's (the oracle is
+    // l81's, verbatim): a maintained index that drifts from the
+    // build-once index is corrupt, and this gate would catch it.
+    "l84_ann_index_lifecycle" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val name = "graft_l84_idx"
+        Seq(name, s"${name}_cells", s"${name}_codebook").foreach { tb =>
+          s.sql(s"DROP TABLE IF EXISTS $tb")
+          val loc = new java.net.URI(
+            s.conf.get("spark.sql.warehouse.dir")).getPath + s"/$tb"
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(loc))
+        }
+        val emb = t(s, d, "embeddings")
+        val prep = Similarity.prepare(
+          emb.withColumnRenamed("vec_id", "id"), "embedding")
+        Similarity.saveIvfPqQuantizer(s, prep, name, nCells = 16, m = 8,
+          nCent = 256)
+        // two id-range slices arrive as separate micro-batches
+        val work = java.nio.file.Files.createTempDirectory("graft_l84")
+        val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+        Seq((0L, maxId / 2), (maxId / 2 + 1, maxId)).zipWithIndex.foreach {
+          case ((lo, hi), i) =>
+            emb.filter(col("vec_id").between(lo, hi))
+              .select(col("vec_id"), col("embedding"))
+              .coalesce(1).write.parquet(s"$work/in/s$i")
+            new java.io.File(s"$work/in/s$i").listFiles()
+              .foreach(f => { f.setLastModified(1700000000000L + i * 60000L); () })
+        }
+        val stream = s.readStream
+          .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
+        val q = Similarity.startIvfPqMaintenance(s, stream, "vec_id",
+          "embedding", name, s"$work/ckpt",
+          trigger = Trigger.ProcessingTime("50 milliseconds"))
+        try { q.processAllAvailable() } finally q.stop()
+        Similarity.compactIvfPqIndex(s, name)
+        Similarity.ivfPqServe(s, name, prep.filter(col("id") < 8),
+            nProbe = 4, k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $oQuant,
+        cseeds0 AS (SELECT vec_id AS seed_id, q AS sq, norm_sq AS sn,
+            md5(CAST(vec_id AS VARCHAR)) AS h
+          FROM qn ORDER BY h, seed_id LIMIT 16),
+        cseeds AS (SELECT seed_id, sq, sn,
+            CAST(ROW_NUMBER() OVER (ORDER BY h, seed_id) AS BIGINT) AS cell
+          FROM cseeds0),
+        pseeds0 AS (SELECT vec_id AS seed_id, q AS sq,
+            md5(CAST(vec_id AS VARCHAR)) AS h
+          FROM qn ORDER BY h, seed_id LIMIT 256),
+        pseeds AS (SELECT seed_id, sq,
+            CAST(ROW_NUMBER() OVER (ORDER BY h, seed_id) AS BIGINT) AS cent
+          FROM pseeds0),
+        cells AS (SELECT vec_id, cell FROM (
+            SELECT x.vec_id, s.cell, ROW_NUMBER() OVER (PARTITION BY x.vec_id
+              ORDER BY x.norm_sq - 2 * ${oDot("x.q", "s.sq")} + s.sn, s.cell)
+              AS rn
+            FROM qn x CROSS JOIN cseeds s) WHERE rn = 1),
+        enc0 AS (SELECT x.vec_id, s.cent, g.j,
+            CAST(list_sum(list_transform(generate_series(1, 8), i ->
+              (x.q[(g.j-1)*8+i] - s.sq[(g.j-1)*8+i]) *
+              (x.q[(g.j-1)*8+i] - s.sq[(g.j-1)*8+i]))) AS BIGINT) AS d2
+          FROM qn x CROSS JOIN pseeds s,
+            UNNEST(generate_series(1, 8)) AS g(j)),
+        codes AS (SELECT vec_id, j, cent FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+              ORDER BY d2, cent) AS rn FROM enc0) WHERE rn = 1),
+        probes AS (SELECT qid, cell FROM (
+            SELECT q.vec_id AS qid, s.cell, ROW_NUMBER() OVER (
+              PARTITION BY q.vec_id
+              ORDER BY q.norm_sq - 2 * ${oDot("q.q", "s.sq")} + s.sn, s.cell)
+              AS rn
+            FROM qn q CROSS JOIN cseeds s WHERE q.vec_id < 8) WHERE rn <= 4),
+        qpd AS (SELECT q.vec_id AS qid, s.cent, g.j,
+            CAST(list_sum(list_transform(generate_series(1, 8), i ->
+              q.q[(g.j-1)*8+i] * s.sq[(g.j-1)*8+i])) AS BIGINT) AS pd
+          FROM qn q CROSS JOIN pseeds s,
+            UNNEST(generate_series(1, 8)) AS g(j)
+          WHERE q.vec_id < 8),
+        cand AS (SELECT p.qid, c.vec_id AS cid
+          FROM probes p JOIN cells c ON c.cell = p.cell
+          WHERE p.qid <> c.vec_id),
+        score AS (SELECT cand.qid, cand.cid,
+            CAST(SUM(pd) AS BIGINT) AS adc_dot,
+            CAST(SUM(pd) AS DOUBLE) /
+              sqrt(CAST(qn1.norm_sq AS DOUBLE) * CAST(cn1.norm_sq AS DOUBLE))
+              AS adc_cosine
+          FROM cand
+          JOIN codes k2 ON k2.vec_id = cand.cid
+          JOIN qpd ON qpd.qid = cand.qid AND qpd.j = k2.j
+            AND qpd.cent = k2.cent
+          JOIN qn qn1 ON qn1.vec_id = cand.qid
+          JOIN qn cn1 ON cn1.vec_id = cand.cid
+          GROUP BY cand.qid, cand.cid, qn1.norm_sq, cn1.norm_sq)
+        SELECT query_id, neighbor_id, adc_dot, adc_cosine, rank FROM (
+          SELECT qid AS query_id, cid AS neighbor_id, adc_dot, adc_cosine,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY adc_cosine DESC, cid) AS BIGINT) AS rank
+          FROM score)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     "l15_multimodal" -> Def(
       (s, d) => {
         val docs = t(s, d, "documents")

@@ -314,6 +314,54 @@ class ScaleSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_ivfpq_idx")
   }
 
+  test("maintained IVF×PQ lifecycle: frozen quantizer + streamed batches + compaction ≡ inline build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx = spark.sqlContext
+    import spark.implicits._
+    val name = "graft_maint_idx"
+    Seq(name, s"${name}_cells", s"${name}_codebook")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val raw = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val prep = Similarity.prepare(
+      raw.withColumnRenamed("vec_id", "id"), "embedding")
+    try {
+      Similarity.saveIvfPqQuantizer(spark, prep, name, nCells = 16, m = 8,
+        nCent = 64)
+      // the corpus arrives as two micro-batches AFTER the freeze
+      val rows = raw.select($"vec_id", $"embedding")
+        .as[(Long, Array[Float])].collect().toSeq
+      val input = MemoryStream[(Long, Array[Float])]
+      val work = java.nio.file.Files.createTempDirectory("graft_maint")
+      val q = Similarity.startIvfPqMaintenance(spark,
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        name, s"$work/ck")
+      try {
+        rows.grouped(math.max(1, (rows.size + 1) / 2)).foreach { slice =>
+          input.addData(slice); q.processAllAvailable()
+        }
+      } finally q.stop()
+      Similarity.compactIvfPqIndex(spark, name)
+      assert(spark.table(name).select($"ingest_batch").distinct()
+        .as[Long].collect().toList == List(-1L),
+        "both batch partitions folded into one tiered fold")
+      val served = Similarity.ivfPqServe(spark, name,
+        prep.filter(col("id") < 5), nProbe = 4, k = 5)
+      val got = served.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val inline = Similarity.ivfPqTopK(prep, col("id") < 5,
+        nCells = 16, nProbe = 4, m = 8, nCent = 64, k = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == inline,
+        "the maintained, compacted index answers exactly like the inline build")
+      // and the serve plan keeps the zero-index-side-exchange property
+      val plan = finalPlan(served)
+      assert("""Exchange hashpartitioning\([^)]*cell""".r
+        .findFirstIn(plan).isEmpty,
+        s"maintained-index probe must not exchange the index side:\n$plan")
+    } finally Seq(name, s"${name}_cells", s"${name}_codebook")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
     df.collect() // let AQE settle on the final physical plan
     df.queryExecution.executedPlan.toString
