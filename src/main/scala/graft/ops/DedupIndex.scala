@@ -170,7 +170,7 @@ object DedupIndex {
     s"${r.getLong(0)}:${r.getLong(1)}"
   }
 
-  private def manifestPath(spark: SparkSession, t: String)
+  private[graft] def manifestPath(spark: SparkSession, t: String)
       : org.apache.hadoop.fs.Path = {
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.getTableMetadata(
@@ -181,7 +181,7 @@ object DedupIndex {
   private val manifestRe =
     """\{"dest":(-\d+),"span":(\d+),"horizon":(-?\d+),"sources":\[([-\d,]*)\]\}""".r
 
-  private def readManifest(spark: SparkSession, t: String)
+  private[graft] def readManifest(spark: SparkSession, t: String)
       : Option[(Long, Long, Long, Seq[Long])] = {
     val p = manifestPath(spark, t)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -199,7 +199,7 @@ object DedupIndex {
     }
   }
 
-  private def writeManifest(spark: SparkSession, t: String, dest: Long,
+  private[graft] def writeManifest(spark: SparkSession, t: String, dest: Long,
       span: Long, horizon: Long, sources: Seq[Long]): Unit = {
     val p = manifestPath(spark, t)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

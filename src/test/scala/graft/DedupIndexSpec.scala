@@ -256,4 +256,60 @@ class DedupIndexSpec extends SparkSpec {
       assert(hits.select($"old_id").as[Long].collect().contains(20L))
     } finally { cleanup(name); () }
   }
+
+  test("fold crash recovery: manifest-before-write redoes; manifest-after-partial-drops finishes") {
+    val name = "graft_test_shidx6"
+    cleanup(name)
+    val docs = (1L to 12L)
+      .map(i => (i, s"crash recovery document $i about zone${i % 3} here"))
+      .toDF("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft_idx_crash")
+    try {
+      runMaintenance(docs, name, s"$work/ck1") // partitions 0,1,2
+      def allPairs = spark.table(name).select($"id", $"shingle")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      def parts = spark.table(name).select($"ingest_batch").distinct()
+        .as[Long].collect().toSet
+      val before = allPairs
+      // --- crash arm 1: manifest written, fold NEVER ran (crash between
+      // manifest create and the dest write). All sources still live, so
+      // the next compact must REDO the fold from them.
+      DedupIndex.writeManifest(spark, name, dest = -1L, span = 3L,
+        horizon = 2L, sources = Seq(0L, 1L, 2L))
+      assert(DedupIndex.readManifest(spark, name).isDefined)
+      DedupIndex.compact(spark, name, buckets = 4)
+      assert(DedupIndex.readManifest(spark, name).isEmpty,
+        "recovery consumed the orphaned manifest")
+      assert(parts == Set(-1L), s"fold completed by recovery: $parts")
+      assert(allPairs == before, "recovered fold is pure")
+      assert(DedupIndex.compactionHorizon(spark, name).contains(2L))
+      // --- crash arm 2: fold + props complete, SOME sources dropped,
+      // manifest still present (crash mid-drop). Since a source is gone,
+      // recovery must NOT rewrite the fold — only finish the drops.
+      runMaintenance(
+        (13L to 20L).map(i => (i, s"crash recovery document $i about zone${i % 3} here"))
+          .toDF("doc_id", "text"), name, s"$work/ck2")
+      DedupIndex.compact(spark, name, buckets = 4) // folds era 2 -> -2
+      val after2 = allPairs
+      assert(parts == Set(-1L, -2L))
+      // stage the crash: a manifest claiming -2 was folding sources
+      // {0, 1} where 0 is ALREADY gone (simulates mid-drop crash; 1 is
+      // aliased here by re-landing a partition to drop)
+      DedupIndex.landBatch(spark, spark,
+        Dedup.shingles(Seq((99L, "an extra doc to occupy a partition"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+          .withColumn("ingest_batch", lit(7L)),
+        name, 7L, bucketed = true, buckets = 4)
+      val withExtra = allPairs
+      assert(withExtra != after2 && parts == Set(-2L, -1L, 7L))
+      DedupIndex.writeManifest(spark, name, dest = -2L, span = 2L,
+        horizon = Long.MinValue, sources = Seq(0L, 7L)) // 0 is long gone
+      DedupIndex.compact(spark, name, buckets = 4)
+      assert(DedupIndex.readManifest(spark, name).isEmpty)
+      assert(!parts.contains(7L),
+        "recovery finished the pending drops without rewriting the fold")
+      assert(allPairs == after2,
+        "partition 7's rows left with the manifest's completed fold story")
+    } finally { cleanup(name); () }
+  }
 }
