@@ -8,7 +8,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types.StructType
@@ -64,8 +64,8 @@ final case class KafkaRangePartition(bootstrap: String, topic: String,
 final class KafkaEnvelopeStream(bootstrap: String, topics: Seq[String],
     topicPattern: Option[String], startLatest: Boolean,
     user: Option[String] = None, password: Option[String] = None,
-    mechanism: String = "PLAIN")
-    extends MicroBatchStream {
+    mechanism: String = "PLAIN", maxOffsetsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private val client = new KafkaClient(bootstrap, clientId = "graft-consumer",
     user = user, password = password, mechanism = mechanism)
@@ -106,7 +106,34 @@ final class KafkaEnvelopeStream(bootstrap: String, topics: Seq[String],
   override def initialOffset(): Offset =
     snapshot(if (startLatest) KafkaWire.TsLatest else KafkaWire.TsEarliest)
 
-  override def latestOffset(): Offset = snapshot(KafkaWire.TsLatest)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxOffsetsPerTrigger.map(n => ReadLimit.maxRows(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Admission control — the consumer's backpressure (the source-side
+    * bounded-channel analog): a per-trigger offset budget split evenly
+    * across the subscribed partitions, so one trigger can never pull an
+    * unbounded catch-up range (first start against a long-retained
+    * topic, or recovery after downtime, would otherwise materialize the
+    * whole backlog as one micro-batch).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val latest = snapshot(KafkaWire.TsLatest)
+    val lo = start.asInstanceOf[KafkaPartitionOffsets].positions
+    limit match {
+      case r: ReadMaxRows =>
+        val n = math.max(1L, latest.positions.size.toLong)
+        val perPartition = math.max(1L, r.maxRows() / n)
+        KafkaPartitionOffsets(latest.positions.map { case (tp, end) =>
+          val from = lo.getOrElse(tp, 0L)
+          tp -> math.min(end, from + perPartition)
+        })
+      case _ => latest
+    }
+  }
 
   override def deserializeOffset(json: String): Offset =
     KafkaPartitionOffsets.parse(json)
@@ -203,6 +230,7 @@ final class KafkaRangeReader(part: KafkaRangePartition)
   *     .option("topic", "cdc.db.public.users")      // one or comma-list, and/or
   *     .option("topicPattern", "cdc\\.db\\..*")     // regex over broker topics
   *     .option("startingOffsets", "earliest"|"latest")  // default earliest
+  *     .option("maxOffsetsPerTrigger", n)   // per-trigger admission cap
   *     .load()
   *
   * `topicPattern` is the reference's wildcard-subject subscription
@@ -234,6 +262,8 @@ class KafkaEnvelopeSource extends TableProvider {
     val user = Option(properties.get("user")).filter(_.nonEmpty)
     val pw = Option(properties.get("password")).filter(_.nonEmpty)
     val mech = properties.getOrDefault("mechanism", "PLAIN")
+    val maxOffsets = Option(properties.get("maxOffsetsPerTrigger"))
+      .map(_.toLong)
     new Table with SupportsRead {
       override def name(): String = s"kafka:$topicLabel"
       override def schema(): StructType = KafkaEnvelopeSource.schema
@@ -245,7 +275,7 @@ class KafkaEnvelopeSource extends TableProvider {
             override def readSchema(): StructType = KafkaEnvelopeSource.schema
             override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
               new KafkaEnvelopeStream(bootstrap, topics, pattern, startLatest,
-                user, pw, mech)
+                user, pw, mech, maxOffsets)
           }
         }
     }

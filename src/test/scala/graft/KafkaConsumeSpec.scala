@@ -58,6 +58,36 @@ class KafkaConsumeSpec extends SparkSpec {
     } finally { w.close(); broker.close() }
   }
 
+  test("maxOffsetsPerTrigger bounds each micro-batch; the stream still drains completely") {
+    val broker = new InProcessKafkaBroker(nPartitions = 1)
+    val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}")
+    val out = Files.createTempDirectory("kcap_out").toString
+    val ck = Files.createTempDirectory("kcap_ck").toString
+    try {
+      (1 to 7).foreach(i =>
+        w.publish(PublishItem("t.cap", s"e$i", s"v$i", i.toLong)))
+      val q = spark.readStream
+        .format("graft.sources.KafkaEnvelopeSource")
+        .option("bootstrap", s"127.0.0.1:${broker.port}")
+        .option("topic", "t.cap")
+        .option("maxOffsetsPerTrigger", "2")
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.read.parquet(out).selectExpr("offset", "value")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      assert(got.toSeq == (1 to 7).map(i => ((i - 1).toLong, s"v$i")),
+        s"the capped stream still drains everything exactly once: ${got.toSeq}")
+      // 7 records at <=2 per trigger: at least 4 committed micro-batches
+      val batches = Option(new java.io.File(s"$ck/offsets").listFiles())
+        .toSeq.flatten.count(f => f.getName.matches("\\d+"))
+      assert(batches >= 4,
+        s"admission cap must split the backlog across triggers: $batches")
+    } finally { w.close(); broker.close() }
+  }
+
   test("topicPattern subscribes like a wildcard subject: multiple topics, mid-stream births join") {
     val broker = new InProcessKafkaBroker(nPartitions = 1)
     val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}")
