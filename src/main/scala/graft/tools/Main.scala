@@ -238,17 +238,26 @@ object Main {
           val events = env.getOrElse("CDC_SOURCE", "file") match {
             case "kafka" =>
               val bootstrap = env.getOrElse("KAFKA_BOOTSTRAP", "localhost:9092")
-              val topic = env.getOrElse("KAFKA_TOPIC", sys.error(
-                "CDC_SOURCE=kafka requires KAFKA_TOPIC"))
+              // KAFKA_TOPIC (one or comma-list) and/or KAFKA_TOPIC_PATTERN
+              // (regex — the reference's wildcard subject subscription)
+              val topic = env.get("KAFKA_TOPIC")
+              val pattern = env.get("KAFKA_TOPIC_PATTERN")
+              if (topic.isEmpty && pattern.isEmpty) sys.error(
+                "CDC_SOURCE=kafka requires KAFKA_TOPIC or KAFKA_TOPIC_PATTERN")
               val r0 = spark.readStream
                 .format("graft.sources.KafkaEnvelopeSource")
-                .option("bootstrap", bootstrap).option("topic", topic)
+                .option("bootstrap", bootstrap)
                 .option("mechanism",
                   env.getOrElse("KAFKA_SASL_MECHANISM", "PLAIN"))
-              val r1 = env.get("KAFKA_USER").fold(r0)(r0.option("user", _))
-              val r2 = env.get("KAFKA_PASSWORD")
-                .fold(r1)(r1.option("password", _))
-              graft.cdc.Transform.parseEnvelope(r2.load(),
+              var r = r0
+              topic.foreach(t => r = r.option("topic", t))
+              pattern.foreach(pt => r = r.option("topicPattern", pt))
+              env.get("KAFKA_MAX_OFFSETS_PER_TRIGGER")
+                .foreach(n => r = r.option("maxOffsetsPerTrigger", n))
+              env.get("KAFKA_USER").foreach(u => r = r.option("user", u))
+              env.get("KAFKA_PASSWORD")
+                .foreach(pw => r = r.option("password", pw))
+              graft.cdc.Transform.parseEnvelope(r.load(),
                 org.apache.spark.sql.functions.col("value"))
             case _ => cfg.plugin match {
               case "pgoutput" => CdcStream.pipelinePgOutput(spark,
