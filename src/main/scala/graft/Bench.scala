@@ -341,7 +341,41 @@ object Bench {
       System.err.println(s"[bench] mv maintenance FAILED: $e")
       (0L, Some("mv_maintenance"), Seq.empty[Long])
     }
-    val allErrors = errors ++ streamErr ++ streamErr10x ++ mvErr
+    // Kafka wire-codec throughput: encode a subject-keyed v2 record
+    // batch (CRC32C) and decode it back, per event — the pure-JVM cost
+    // the broker sink adds on top of the publish loop (the network/ack
+    // half needs a broker; the codec is the part this library owns).
+    // Single-threaded figure; the sink runs it per executor partition.
+    val (kafkaCodecOps, codecErr) = try {
+      import java.nio.charset.StandardCharsets.UTF_8
+      val key = "cdc.bench.public.events".getBytes(UTF_8)
+      val value = ("""{"event_id":"0/1:1:INSERT:public.events:0",""" +
+        """"operation":"INSERT","after":{"id":"1","v":"x"}}""").getBytes(UTF_8)
+      val hdr = Seq("event-id" -> "e".getBytes(UTF_8))
+      val n = 200000
+      var i = 0 // warmup
+      while (i < 20000) {
+        graft.sinks.KafkaWire.decodeRecordSet(
+          graft.sinks.KafkaWire.recordBatch(Seq((key, value, hdr)), 0L, i.toLong))
+        i += 1
+      }
+      val t0 = System.nanoTime()
+      i = 0
+      var sink = 0L
+      while (i < n) {
+        val recs = graft.sinks.KafkaWire.decodeRecordSet(
+          graft.sinks.KafkaWire.recordBatch(Seq((key, value, hdr)), 0L, i.toLong))
+        sink += recs.head.offset // defeat dead-code elimination
+        i += 1
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      require(sink != Long.MinValue)
+      ((n / wall).round, None)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] kafka codec FAILED: $e")
+      (0L, Some("kafka_codec"))
+    }
+    val allErrors = errors ++ streamErr ++ streamErr10x ++ mvErr ++ codecErr
     val allErrJson = allErrors.map("\"" + _ + "\"").mkString("[", ",", "]")
     // per-rep ops/sec alongside the best-of-N headline: round-over-round
     // comparisons get the in-run spread (this host's scheduler noise is
@@ -349,7 +383,7 @@ object Bench {
     val repsJson = streamReps.mkString("[", ",", "]")
     val reps10xJson = streamReps10x.mkString("[", ",", "]")
     val mvRepsJson = mvReps.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$allErrJson,"cdc_ops_sec":$opsSec,"stream_ops_sec":$streamOpsSec,"stream_ops_sec_reps":$repsJson,"stream_ops_sec_10x":$streamOpsSec10x,"stream_ops_sec_10x_reps":$reps10xJson,"mv_ops_sec":$mvOpsSec,"mv_ops_sec_reps":$mvRepsJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$allErrJson,"cdc_ops_sec":$opsSec,"stream_ops_sec":$streamOpsSec,"stream_ops_sec_reps":$repsJson,"stream_ops_sec_10x":$streamOpsSec10x,"stream_ops_sec_10x_reps":$reps10xJson,"mv_ops_sec":$mvOpsSec,"mv_ops_sec_reps":$mvRepsJson,"kafka_codec_ops_sec":$kafkaCodecOps,"sf":"$sfDir"}""")
     // tear down state-store machinery (maintenance thread pool + any
     // still-loaded providers, incl. RocksDB native handles) BEFORE the
     // session: freeing native memory at spark.stop() time is what the
