@@ -227,6 +227,23 @@ object DedupIndex {
     * append shape, so a crash mid-write heals on redo exactly like a
     * replayed batch.
     */
+  /** Per-table fold mutex. A fold executes in exactly one thread at a
+    * time: [[landBatch]] (the maintenance stream's foreachBatch thread)
+    * heals pending manifests via [[recoverFold]], and an out-of-band
+    * [[compact]] writes + executes them — unserialized, both threads can
+    * pick up the SAME manifest and run the SAME fold concurrently, and
+    * interleaved DROP-dest + append from two writers double-appends the
+    * fold's rows (silently inflating shingle counts). The lock makes
+    * manifest-write → fold → manifest-delete atomic per table within
+    * this JVM — the deployment shape, since compact() runs on the same
+    * driver as the stream it maintains; two separate DRIVERS maintaining
+    * one index still require quiescing one of them.
+    */
+  private val foldLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def foldLock(t: String): Object =
+    foldLocks.computeIfAbsent(t, _ => new Object)
+
   private def runFold(spark: SparkSession, t: String, bucketed: Boolean,
       buckets: Int, dest: Long, span: Long, horizon: Long,
       sources: Seq[Long], bucketCol: String): Unit = {
@@ -264,11 +281,16 @@ object DedupIndex {
 
   /** Heal a fold that crashed between manifest write and manifest
     * delete. Safe to call any time; no-op without a pending manifest.
+    * Holds the table's [[foldLock]]: the manifest is re-read INSIDE the
+    * lock, so a fold another thread just completed (and whose manifest
+    * it deleted) is never re-executed.
     */
   private def recoverFold(spark: SparkSession, t: String, bucketed: Boolean,
       buckets: Int, bucketCol: String = "shingle"): Unit =
-    readManifest(spark, t).foreach { case (dest, span, hor, srcs) =>
-      runFold(spark, t, bucketed, buckets, dest, span, hor, srcs, bucketCol)
+    foldLock(t).synchronized {
+      readManifest(spark, t).foreach { case (dest, span, hor, srcs) =>
+        runFold(spark, t, bucketed, buckets, dest, span, hor, srcs, bucketCol)
+      }
     }
 
   /** SIZE-TIERED maintenance for the streamed index — fold accumulated
@@ -329,27 +351,35 @@ object DedupIndex {
     recoverFold(spark, t, bucketed, buckets, bucketCol)
     def nextDest: Long =
       (partitionIds(spark, t).filter(_ < 0L) :+ 0L).min - 1L
-    // tier 0 -> 1: fold the per-batch partitions
-    val batches = partitionIds(spark, t).filter(_ >= 0L).sorted
-    if (batches.size >= 2) {
-      writeManifest(spark, t, nextDest, batches.size, batches.max, batches)
-      recoverFold(spark, t, bucketed, buckets, bucketCol)
+    // tier 0 -> 1: fold the per-batch partitions. Each manifest-write +
+    // fold holds the table's foldLock so the maintenance stream's own
+    // recoverFold (landBatch) can never execute the same manifest
+    // concurrently — and a second compact() can never clobber a pending
+    // manifest between our write and its execution.
+    foldLock(t).synchronized {
+      val batches = partitionIds(spark, t).filter(_ >= 0L).sorted
+      if (batches.size >= 2) {
+        writeManifest(spark, t, nextDest, batches.size, batches.max, batches)
+        recoverFold(spark, t, bucketed, buckets, bucketCol)
+      }
     }
     // tiered merges: repeat while any tier is at fanout
     var go = true
     while (go) {
-      val props = tableProps(spark, t)
-      val negs = partitionIds(spark, t).filter(_ < 0L)
-        .map(id => id -> spanOf(props, id))
-      negs.groupBy { case (_, s) => tierOf(s, tierFanout) }
-        .find(_._2.size >= tierFanout) match {
-        case Some((_, group)) =>
-          // horizon Long.MinValue: a tier merge folds already-folded
-          // rows — no new batch ids, no fingerprints to record
-          writeManifest(spark, t, nextDest, group.map(_._2).sum,
-            Long.MinValue, group.map(_._1))
-          recoverFold(spark, t, bucketed, buckets, bucketCol)
-        case None => go = false
+      foldLock(t).synchronized {
+        val props = tableProps(spark, t)
+        val negs = partitionIds(spark, t).filter(_ < 0L)
+          .map(id => id -> spanOf(props, id))
+        negs.groupBy { case (_, s) => tierOf(s, tierFanout) }
+          .find(_._2.size >= tierFanout) match {
+          case Some((_, group)) =>
+            // horizon Long.MinValue: a tier merge folds already-folded
+            // rows — no new batch ids, no fingerprints to record
+            writeManifest(spark, t, nextDest, group.map(_._2).sum,
+              Long.MinValue, group.map(_._1))
+            recoverFold(spark, t, bucketed, buckets, bucketCol)
+          case None => go = false
+        }
       }
     }
   }
@@ -378,7 +408,12 @@ object DedupIndex {
     }
     if (!s.catalog.tableExists(table))
       writer("errorifexists").saveAsTable(table)
-    else {
+    else foldLock(table).synchronized {
+      // the whole check-then-land is inside the table's fold lock: a
+      // concurrent compact() folding THIS batch id (a crash-replay
+      // landing an id compact is mid-fold on) would otherwise read the
+      // horizon/fingerprint before the fold records them and land the
+      // rows a second time
       recoverFold(s, table, bucketed, buckets, bucketCol) // heal a crashed fold
       val folded = compactionHorizon(s, table).exists(batchId <= _) && {
         val fp = tableProps(s, table).get(s"graft.fold.fp.$batchId")

@@ -35,7 +35,7 @@ final class KafkaClient(bootstrap: String,
     (bootstrap.substring(0, i), bootstrap.substring(i + 1).toInt)
   }
 
-  private def connect(hp: (String, Int)): Conn =
+  private def connect(hp: (String, Int)): Conn = synchronized {
     conns.getOrElseUpdate(hp, {
       val s = new Socket(hp._1, hp._2)
       s.setSoTimeout(requestTimeoutMs)
@@ -52,12 +52,14 @@ final class KafkaClient(bootstrap: String,
       }
       c
     })
+  }
 
-  private def dropConn(hp: (String, Int)): Unit =
+  private def dropConn(hp: (String, Int)): Unit = synchronized {
     conns.remove(hp).foreach(c =>
       try c.socket.close() catch { case _: IOException => })
+  }
 
-  def nextCorr(): Int = { corr += 1; corr }
+  def nextCorr(): Int = synchronized { corr += 1; corr }
 
   private def sendRecv(c: Conn, framed: Array[Byte],
       expectCorr: Int): Array[Byte] = {
@@ -133,11 +135,13 @@ final class KafkaClient(bootstrap: String,
 
   /** One request/response round trip; returns the body after the
     * correlation id (responses arrive in request order per connection).
+    * Serialized per connection, so parallel snapshots (one thread per
+    * broker) can never interleave frames on a shared socket.
     */
   def roundTrip(hp: (String, Int), framed: Array[Byte],
       expectCorr: Int): Array[Byte] = {
     val c = connect(hp)
-    try sendRecv(c, framed, expectCorr)
+    try c.synchronized { sendRecv(c, framed, expectCorr) }
     catch {
       case e: IOException => dropConn(hp); throw e
     }
@@ -146,25 +150,34 @@ final class KafkaClient(bootstrap: String,
   /** Refresh and cache the topic's partition→leader map (Metadata v4 to
     * the bootstrap). Throws IOException for retriable topic states.
     */
-  def refreshMetadata(topic: String): Unit = {
+  def refreshMetadata(topic: String): Unit = refreshMetadata(Seq(topic))
+
+  /** Refresh MANY topics' partition→leader maps with ONE Metadata v4
+    * round trip (the request body is `[topics]` by spec) — a
+    * subscription over N topics must not pay N metadata RTTs per cache
+    * refresh. Throws IOException for retriable topic states.
+    */
+  def refreshMetadata(topics: Seq[String]): Unit = {
+    if (topics.isEmpty) return
     val id = nextCorr()
     val resp = KafkaWire.parseMetadataV4(roundTrip(bootstrapEndpoint,
-      KafkaWire.metadataRequestV4(id, clientId, topic), id))
-    brokers = resp.brokers
-    val tm = resp.topics.find(_.name == topic).getOrElse(
-      throw new IOException(s"metadata response missing topic $topic"))
-    if (tm.errorCode != 0) {
-      if (KafkaWire.isPermanent(tm.errorCode))
-        throw new graft.streaming.PermanentPublishException(
-          s"topic $topic rejected: error ${tm.errorCode}")
-      throw new IOException(s"topic $topic metadata error ${tm.errorCode}" +
-        " (retriable — auto-creation may still be materializing)")
+      KafkaWire.metadataRequestV4(id, clientId, topics.distinct), id))
+    synchronized { brokers = resp.brokers }
+    topics.distinct.foreach { topic =>
+      val tm = resp.topics.find(_.name == topic).getOrElse(
+        throw new IOException(s"metadata response missing topic $topic"))
+      if (tm.errorCode != 0) {
+        if (KafkaWire.isPermanent(tm.errorCode))
+          throw new graft.streaming.PermanentPublishException(
+            s"topic $topic rejected: error ${tm.errorCode}")
+        throw new IOException(s"topic $topic metadata error ${tm.errorCode}" +
+          " (retriable — auto-creation may still be materializing)")
+      }
+      val byPart = tm.partitions.map(p => p.index -> p.leader).toMap
+      if (byPart.isEmpty || byPart.valuesIterator.contains(-1))
+        throw new IOException(s"topic $topic has no elected leaders yet")
+      synchronized { leaders(topic) = byPart }
     }
-    val byPart = tm.partitions.map(p => p.index -> p.leader).toMap
-    if (byPart.isEmpty || byPart.valuesIterator.contains(-1))
-      throw new IOException(s"topic $topic has no elected leaders yet")
-    leaders(topic) = byPart
-    ()
   }
 
   /** Every topic name the broker knows (Metadata v4 with a null topics
@@ -182,21 +195,27 @@ final class KafkaClient(bootstrap: String,
 
   /** The topic's partition→leader map, fetching metadata on first use. */
   def partitionLeaders(topic: String): Map[Int, Int] = {
-    if (!leaders.contains(topic)) refreshMetadata(topic)
-    leaders(topic)
+    if (!synchronized(leaders.contains(topic))) refreshMetadata(topic)
+    synchronized(leaders(topic))
   }
 
+  /** Prefetch leader maps for every listed topic not yet cached — ONE
+    * metadata round trip for the whole missing set.
+    */
+  def prefetchLeaders(topics: Seq[String]): Unit =
+    refreshMetadata(topics.filterNot(t => synchronized(leaders.contains(t))))
+
   def endpointOf(brokerId: Int, topic: String): (String, Int) =
-    brokers.getOrElse(brokerId, {
+    synchronized(brokers.get(brokerId)).getOrElse {
       invalidate(topic)
       throw new IOException(s"leader $brokerId unknown")
-    })
+    }
 
   /** Drop the topic's cached leadership so the next use re-resolves. */
-  def invalidate(topic: String): Unit = { leaders.remove(topic); () }
+  def invalidate(topic: String): Unit = synchronized { leaders.remove(topic); () }
 
   def close(): Unit = {
-    conns.keys.toSeq.foreach(dropConn)
-    leaders.clear()
+    synchronized(conns.keys.toSeq).foreach(dropConn)
+    synchronized { leaders.clear() }
   }
 }

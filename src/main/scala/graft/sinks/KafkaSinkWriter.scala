@@ -93,18 +93,46 @@ final class KafkaSinkWriter(bootstrap: String,
     (if (t == "." || t == "..") "_" else t).take(249)
   }
 
-  override def publish(item: PublishItem): Unit = {
-    val topic = topicFor(item.subject)
+  override def publish(item: PublishItem): Unit = produceGroup(Seq(item))
+
+  override def batches: Boolean = true
+
+  /** Batched produce — the UNORDERED path's throughput shape (reference
+    * E3): group items by (topic, partition) and send each group as ONE
+    * multi-record v2 batch in one Produce RPC, instead of one RPC per
+    * item. Within a group the batch preserves item order and the broker
+    * appends it atomically; ordering ACROSS groups is not promised,
+    * which is exactly the unordered mode's documented trade-off. The
+    * ordered loop keeps calling single-item [[publish]] — its contract
+    * is one awaited ack per item.
+    */
+  override def publishAll(items: Seq[PublishItem]): Unit =
+    items.groupBy(it => {
+      val topic = topicFor(it.subject)
+      (topic, KafkaWire.partitionFor(it.subject.getBytes(UTF_8),
+        client.partitionLeaders(topic).size))
+    }).toSeq.sortBy(_._1).foreach { case (_, group) => produceGroup(group) }
+
+  /** One Produce RPC carrying `group` (all same topic+partition when
+    * called from publishAll; publish passes a singleton) as a single
+    * record batch, ack awaited. Idempotent sequences advance by the
+    * GROUP SIZE on ack — a retried group resends the same baseSequence,
+    * so the broker dedups the whole batch on a lost ack.
+    */
+  private def produceGroup(group: Seq[PublishItem]): Unit = {
+    val head = group.head
+    val topic = topicFor(head.subject)
     val parts = client.partitionLeaders(topic)
-    val partition = KafkaWire.partitionFor(item.subject.getBytes(UTF_8),
+    val partition = KafkaWire.partitionFor(head.subject.getBytes(UTF_8),
       parts.size)
     val leaderHp = client.endpointOf(parts(partition), topic)
     ensureProducerId()
     val seq = if (idempotent) nextSeq.getOrElse((topic, partition), 0) else -1
     val batch = KafkaWire.recordBatch(
-      Seq((item.subject.getBytes(UTF_8), item.payload.getBytes(UTF_8),
-        Seq("event-id" -> item.eventId.getBytes(UTF_8),
-          "wal-position" -> item.position.toString.getBytes(UTF_8)))),
+      group.map(item =>
+        (item.subject.getBytes(UTF_8), item.payload.getBytes(UTF_8),
+          Seq("event-id" -> item.eventId.getBytes(UTF_8),
+            "wal-position" -> item.position.toString.getBytes(UTF_8)))),
       timestampMs = System.currentTimeMillis(),
       producerId = producerId, producerEpoch = producerEpoch,
       baseSequence = seq)
@@ -115,12 +143,25 @@ final class KafkaSinkWriter(bootstrap: String,
     val (err, baseOffset) = KafkaWire.parseProduceResponse(body)
     if (err != 0) {
       client.invalidate(topic) // leadership may have moved; re-resolve on retry
+      if (err == KafkaWire.ErrOutOfOrderSequence ||
+          err == KafkaWire.ErrDuplicateSequence) {
+        // the broker's producer-state for our pid is gone or disagrees
+        // (state eviction, pid expiry): retrying the SAME sequence can
+        // never succeed — it would wedge the retry loop resending one
+        // rejected frame forever. Reset to a fresh InitProducerId and
+        // sequence 0 and classify transient, so the loop's next attempt
+        // re-registers and lands; cross-pid duplicates in the lost-ack
+        // window remain covered by the event-id header (reference E7).
+        producerId = -1L; producerEpoch = -1; nextSeq.clear()
+        throw new IOException(s"produce to $topic/$partition rejected " +
+          s"(sequence error $err): producer id reset, retry re-registers")
+      }
       if (KafkaWire.isPermanent(err))
         throw new PermanentPublishException(
           s"produce to $topic/$partition rejected permanently: error $err")
       throw new IOException(s"produce to $topic/$partition failed: error $err")
     }
-    if (idempotent) nextSeq((topic, partition)) = seq + 1
+    if (idempotent) nextSeq((topic, partition)) = seq + group.size
     lastBaseOffset = baseOffset
   }
 

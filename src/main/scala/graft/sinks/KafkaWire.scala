@@ -193,9 +193,17 @@ object KafkaWire {
   }
 
   def metadataRequestV4(corrId: Int, clientId: String,
-      topic: String): Array[Byte] = {
+      topic: String): Array[Byte] = metadataRequestV4(corrId, clientId, Seq(topic))
+
+  /** Metadata v4 for a SET of topics in one round trip — the request
+    * body is `[topics]` by spec, so a subscription over N topics
+    * resolves every leader map with a single RPC instead of N.
+    */
+  def metadataRequestV4(corrId: Int, clientId: String,
+      topics: Seq[String]): Array[Byte] = {
     val b = header(ApiMetadata, 4, corrId, clientId)
-    b.i32(1).str(topic)   // topics
+    b.i32(topics.size)
+    topics.foreach(b.str)
     b.i8(1)               // allow_auto_topic_creation
     frame(b)
   }
@@ -285,26 +293,56 @@ object KafkaWire {
     * [[TsLatest]] resolves the log's start / end offset.
     */
   def listOffsetsRequestV2(corrId: Int, clientId: String, topic: String,
-      partition: Int, timestamp: Long): Array[Byte] = {
+      partition: Int, timestamp: Long): Array[Byte] =
+    listOffsetsRequestV2(corrId, clientId,
+      Map(topic -> Seq((partition, timestamp))))
+
+  /** ListOffsets v2 for MANY (topic, partition, timestamp) triples in one
+    * round trip — the request body is `[topics][partitions]` by spec, so
+    * a snapshot over every subscribed partition of a broker costs ONE
+    * RPC to that broker, not one per partition (the ecosystem clients
+    * batch exactly this way; a per-partition loop is O(partitions)
+    * serial driver RTTs per trigger — a scale-killer at production
+    * partition counts).
+    */
+  def listOffsetsRequestV2(corrId: Int, clientId: String,
+      topics: Map[String, Seq[(Int, Long)]]): Array[Byte] = {
     val b = header(ApiListOffsets, 2, corrId, clientId)
     b.i32(-1)             // replica_id (consumer)
     b.i8(0)               // isolation_level: read_uncommitted
-    b.i32(1).str(topic)
-    b.i32(1).i32(partition).i64(timestamp)
+    b.i32(topics.size)
+    topics.toSeq.sortBy(_._1).foreach { case (t, parts) =>
+      b.str(t)
+      b.i32(parts.size)
+      parts.foreach { case (p, ts) => b.i32(p).i64(ts) }
+    }
     frame(b)
   }
 
   /** (error_code, offset) of a ListOffsets v2 response's first partition. */
   def parseListOffsetsV2(body: Array[Byte]): (Short, Long) = {
+    val all = parseListOffsetsV2All(body)
+    require(all.nonEmpty, "list-offsets response without partitions")
+    all.valuesIterator.next()
+  }
+
+  /** Every (topic, partition) → (error_code, offset) of a ListOffsets v2
+    * response — the batched form's parse.
+    */
+  def parseListOffsetsV2All(body: Array[Byte]): Map[(String, Int), (Short, Long)] = {
     val b = ByteBuffer.wrap(body)
     b.getInt()            // throttle_time_ms
-    require(b.getInt() >= 1, "list-offsets response without topics")
-    readStr(b)
-    require(b.getInt() >= 1, "list-offsets response without partitions")
-    b.getInt()            // partition index
-    val err = b.getShort()
-    b.getLong()           // timestamp
-    (err, b.getLong())
+    val out = Map.newBuilder[(String, Int), (Short, Long)]
+    (0 until b.getInt()).foreach { _ =>
+      val topic = readStr(b)
+      (0 until b.getInt()).foreach { _ =>
+        val partition = b.getInt()
+        val err = b.getShort()
+        b.getLong()       // timestamp
+        out += ((topic, partition) -> ((err, b.getLong())))
+      }
+    }
+    out.result()
   }
 
   /** Fetch v4 for one partition (message-format-v2 record batches). */
@@ -391,6 +429,13 @@ object KafkaWire {
         require(c.getValue.toInt == crc, "record batch CRC32C mismatch")
         val d = ByteBuffer.wrap(body)
         val attributes = d.getShort()
+        // control batches (attributes bit 5) carry transaction
+        // commit/abort markers, not data — a transactional producer on a
+        // consumed topic writes them interleaved with records; decoding
+        // them as records would surface junk key/value rows downstream.
+        // The protocol's rule is: clients skip them.
+        if ((attributes & 0x20) != 0) { () } // skip whole batch
+        else {
         require((attributes & 0x7) == 0,
           s"compressed record batch (codec ${attributes & 0x7}) not supported")
         d.getInt()                     // lastOffsetDelta
@@ -416,6 +461,7 @@ object KafkaWire {
           out += FetchedRecord(baseOffset + offDelta, baseTs + tsDelta,
             key, value, headers)
           i += 1
+        }
         }
       }
     }

@@ -56,8 +56,10 @@ final case class KafkaRangePartition(bootstrap: String, topic: String,
   * Scale shape: ONE InputPartition per Kafka partition per micro-batch —
   * partition-parallel consumption, each reader fetching only its own
   * (start, end) offset range from that partition's leader; the driver
-  * touches only offsets (two ListOffsets round trips per partition per
-  * trigger), never records. Offsets live in the Spark checkpoint, so
+  * touches only offsets — O(brokers) round trips per trigger (one
+  * BATCHED ListOffsets per leader, parallel across brokers; one batched
+  * Metadata covers every uncached topic), never O(partitions) and never
+  * records. Offsets live in the Spark checkpoint, so
   * replay re-fetches exactly the planned range — the broker's log is the
   * retention (the slot-retention analog of the CopyBoth source).
   */
@@ -82,26 +84,67 @@ final class KafkaEnvelopeStream(bootstrap: String, topics: Seq[String],
       client.allTopics().filter(t => re.pattern.matcher(t).matches())))
       .distinct.sorted
 
-  private def listOffset(topic: String, partition: Int, ts: Long): Long = {
-    val leaders = client.partitionLeaders(topic)
-    val hp = client.endpointOf(leaders(partition), topic)
-    val id = client.nextCorr()
-    val (err, off) = KafkaWire.parseListOffsetsV2(client.roundTrip(hp,
-      KafkaWire.listOffsetsRequestV2(id, "graft-consumer", topic, partition,
-        ts), id))
-    if (err != 0) {
-      client.invalidate(topic)
-      throw new IOException(s"list-offsets $topic/$partition: error $err")
+  /** Resolve offsets for MANY (topic, partition)s at `ts`: group the
+    * partitions by leader broker and issue ONE batched ListOffsets v2
+    * per broker — `[topics][partitions]` is the request's native shape —
+    * in parallel across brokers. Driver cost per snapshot is therefore
+    * O(brokers) round trips (wall = the slowest single RTT), not
+    * O(partitions) serial RTTs: at thousands of partitions the
+    * per-partition loop this replaces was tens of seconds of serial
+    * driver network per trigger.
+    */
+  private def batchedOffsets(tps: Seq[(String, Int)],
+      ts: Long): Map[(String, Int), Long] = {
+    if (tps.isEmpty) return Map.empty
+    client.prefetchLeaders(tps.map(_._1).distinct)
+    val byBroker = tps.groupBy { case (t, p) =>
+      client.endpointOf(client.partitionLeaders(t)(p), t)
     }
-    off
+    def listOn(hp: (String, Int),
+        group: Seq[(String, Int)]): Seq[((String, Int), Long)] = {
+      val id = client.nextCorr()
+      val req = group.groupBy(_._1).map { case (t, ps) =>
+        t -> ps.map { case (_, p) => (p, ts) }
+      }
+      val all = KafkaWire.parseListOffsetsV2All(client.roundTrip(hp,
+        KafkaWire.listOffsetsRequestV2(id, "graft-consumer", req), id))
+      group.map { tp =>
+        val (err, off) = all.getOrElse(tp, ((-1).toShort, -1L))
+        if (err != 0) {
+          client.invalidate(tp._1)
+          throw new IOException(
+            s"list-offsets ${tp._1}/${tp._2}: error $err")
+        }
+        tp -> off
+      }
+    }
+    byBroker.toSeq match {
+      case Seq((hp, group)) => listOn(hp, group).toMap // common 1-broker case
+      case groups =>
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(
+          Future.sequence(groups.map { case (hp, g) =>
+            Future(listOn(hp, g))
+          }), Duration.Inf).flatten.toMap
+    }
   }
 
-  private def snapshot(ts: Long): KafkaPartitionOffsets =
-    KafkaPartitionOffsets(resolveTopics().flatMap { t =>
-      client.partitionLeaders(t).keys.map { p =>
-        (t, p) -> listOffset(t, p, ts)
-      }
-    }.toMap)
+  private def snapshot(ts: Long): KafkaPartitionOffsets = {
+    val ts0 = resolveTopics()
+    client.prefetchLeaders(ts0) // ONE metadata RPC for every uncached topic
+    KafkaPartitionOffsets(batchedOffsets(
+      ts0.flatMap(t =>
+        client.partitionLeaders(t).keys.toSeq.sorted.map(t -> _)), ts))
+  }
+
+  /** Log-start offsets of partitions first seen in an END snapshot
+    * (pattern-matched topics born mid-stream, or retention-truncated
+    * logs): their consume floor, resolved batched in `latestOffset` and
+    * reused by `planInputPartitions` so planning re-lists nothing.
+    */
+  private val earliestFloor = mutable.Map.empty[(String, Int), Long]
 
   override def initialOffset(): Offset =
     snapshot(if (startLatest) KafkaWire.TsLatest else KafkaWire.TsEarliest)
@@ -123,12 +166,22 @@ final class KafkaEnvelopeStream(bootstrap: String, topics: Seq[String],
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val latest = snapshot(KafkaWire.TsLatest)
     val lo = start.asInstanceOf[KafkaPartitionOffsets].positions
+    // partitions absent from the start offset consume from the LOG
+    // START, not 0: a retention-truncated log (or a pattern-matched
+    // topic joining mid-stream with a truncated history) has
+    // log-start > 0, and capping from a 0 floor could checkpoint an end
+    // offset BELOW the real log start — subsequent fetches at an
+    // out-of-range offset would then crash or stall the stream. One
+    // extra batched round trip, only on triggers that see new partitions.
+    val born = latest.positions.keys
+      .filterNot(tp => lo.contains(tp) || earliestFloor.contains(tp)).toSeq
+    earliestFloor ++= batchedOffsets(born, KafkaWire.TsEarliest)
     limit match {
       case r: ReadMaxRows =>
         val n = math.max(1L, latest.positions.size.toLong)
         val perPartition = math.max(1L, r.maxRows() / n)
         KafkaPartitionOffsets(latest.positions.map { case (tp, end) =>
-          val from = lo.getOrElse(tp, 0L)
+          val from = lo.getOrElse(tp, earliestFloor.getOrElse(tp, 0L))
           tp -> math.min(end, from + perPartition)
         })
       case _ => latest
@@ -141,13 +194,17 @@ final class KafkaEnvelopeStream(bootstrap: String, topics: Seq[String],
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[KafkaPartitionOffsets].positions
     val hi = end.asInstanceOf[KafkaPartitionOffsets].positions
+    // a (topic, partition) first seen in the END snapshot (pattern match
+    // on a topic born mid-stream) consumes from its LOG START — normally
+    // already cached by latestOffset; the batched fallback covers
+    // checkpoint recovery, where planInputPartitions replays a planned
+    // batch without latestOffset having run in this incarnation
+    val missing = hi.keys
+      .filterNot(tp => lo.contains(tp) || earliestFloor.contains(tp)).toSeq
+    earliestFloor ++= batchedOffsets(missing, KafkaWire.TsEarliest)
     hi.toSeq.sortBy { case ((t, p), _) => (t, p) }
       .flatMap { case ((t, p), endOff) =>
-        // a (topic, partition) first seen in the END snapshot (pattern
-        // match on a topic born mid-stream): consume it from the log's
-        // start — its whole history is newer than the subscription
-        val startOff = lo.getOrElse((t, p),
-          listOffset(t, p, KafkaWire.TsEarliest))
+        val startOff = lo.getOrElse((t, p), earliestFloor((t, p)))
         if (endOff > startOff)
           Some(KafkaRangePartition(bootstrap, t, p, startOff, endOff,
             user, password, mechanism))
@@ -196,13 +253,21 @@ final class KafkaRangeReader(part: KafkaRangePartition)
         throw new IOException(
           s"fetch ${part.topic}/${part.partition}@$pos: error $err")
       }
-      val recs = KafkaWire.decodeRecordSet(set)
+      val decoded = KafkaWire.decodeRecordSet(set)
+      val recs = decoded
         .filter(r => r.offset >= pos && r.offset < part.endOffset)
-      if (recs.isEmpty) Thread.sleep(10)
-      else {
-        queue.enqueueAll(recs)
-        pos = recs.map(_.offset).max + 1
-      }
+      queue.enqueueAll(recs)
+      // advance pos from the UNFILTERED response, capped at endOffset: a
+      // range whose offsets no longer exist (log compaction / retention
+      // removed them) fetches only records >= endOffset — advancing on
+      // the in-range set alone would spin to the 60 s deadline and
+      // permanently fail the stream (replay hits the same gap). Capped
+      // advance completes the planned range with zero rows instead.
+      val before = pos
+      if (decoded.nonEmpty)
+        pos = math.min(part.endOffset,
+          math.max(pos, decoded.map(_.offset).max + 1))
+      if (recs.isEmpty && pos == before) Thread.sleep(10)
     }
   }
 

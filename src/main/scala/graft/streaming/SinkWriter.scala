@@ -49,6 +49,22 @@ class PermanentPublishException(msg: String, cause: Throwable = null)
 trait SinkWriter extends Serializable {
   def publish(item: PublishItem): Unit
 
+  /** Publish many items, implementation-grouped (a broker writer groups
+    * by destination partition into multi-record batches — one RPC per
+    * GROUP instead of per item, the unordered mode's throughput shape).
+    * Contract: return = every item acked; throw = unknown subset landed,
+    * and the caller re-drives per item (safe under at-least-once — the
+    * broker dedups retries on sequence/event-id). Default: per-item loop.
+    */
+  def publishAll(items: Seq[PublishItem]): Unit = items.foreach(publish)
+
+  /** True when [[publishAll]] actually batches (one RPC per group).
+    * Gates the unordered loop's batched fast path: for per-item writers
+    * the pre-pass would only add double-publish exposure with no RPC
+    * saving.
+    */
+  def batches: Boolean = false
+
   /** Flush/close any buffered broker state at end of partition. */
   def close(): Unit = ()
 }
@@ -129,6 +145,18 @@ object SinkPublisher {
     var firstError: Option[Throwable] = None // unrecoverable failures only
     var lastTransient: Throwable = null
     var pending = buf.indices.toVector
+    // batching writers take the whole buffer in one grouped publishAll
+    // first — one RPC per destination partition instead of per item. A
+    // throw means an unknown subset landed: the per-item rounds below
+    // re-drive everything unacked, which the broker dedups (idempotent
+    // sequences within this writer, event-id across writers).
+    if (writer.batches && pending.nonEmpty) {
+      try {
+        writer.publishAll(pending.map(buf(_)))
+        pending.foreach(acked(_) = true)
+        pending = Vector.empty
+      } catch { case e: Throwable => lastTransient = e }
+    }
     var round = 0
     while (pending.nonEmpty && round <= maxRetries) {
       if (round > 0) { onRetry(); sleep(Reliability.backoffMillis(round)) }

@@ -257,6 +257,55 @@ class DedupIndexSpec extends SparkSpec {
     } finally { cleanup(name); () }
   }
 
+  test("concurrent compact() and maintenance-side recovery execute a pending fold exactly once") {
+    val name = "graft_test_shidx7"
+    cleanup(name)
+    val docs = (1L to 12L)
+      .map(i => (i, s"race fold document $i about lane${i % 3} right here"))
+      .toDF("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft_idx_race")
+    try {
+      runMaintenance(docs, name, s"$work/ck1") // partitions 0,1,2
+      val before = spark.table(name).select($"id", $"shingle").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val beforeCount = spark.table(name).count()
+      assert(beforeCount == before.size.toLong, "no dups to start")
+      // a crash-orphaned manifest BOTH threads will race to execute:
+      // compact() directly, landBatch via its heal-pending-folds step.
+      // Unserialized, both can run the same fold and double-append the
+      // sources' rows into the dest partition.
+      DedupIndex.writeManifest(spark, name, dest = -1L, span = 3L,
+        horizon = 2L, sources = Seq(0L, 1L, 2L))
+      val extra = Dedup.shingles(
+        Seq((99L, "a concurrent landing batch occupying partition seven"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+        .withColumn("ingest_batch", lit(7L))
+      val extraCount = extra.count()
+      val latch = new java.util.concurrent.CountDownLatch(2)
+      val errs = new java.util.concurrent.CopyOnWriteArrayList[Throwable]()
+      def racer(body: => Unit) = new Thread(() => {
+        latch.countDown(); latch.await()
+        try body catch { case e: Throwable => errs.add(e); () }
+      })
+      val t1 = racer(DedupIndex.compact(spark, name, buckets = 4))
+      val t2 = racer(DedupIndex.landBatch(spark, spark, extra, name, 7L,
+        bucketed = true, buckets = 4))
+      t1.start(); t2.start(); t1.join(120000); t2.join(120000)
+      assert(errs.isEmpty, s"concurrent fold/land must not throw: $errs")
+      spark.catalog.refreshTable(name)
+      assert(DedupIndex.readManifest(spark, name).isEmpty,
+        "the pending fold was consumed")
+      val afterCount = spark.table(name).count()
+      assert(afterCount == beforeCount + extraCount,
+        s"the fold executed EXACTLY once: $beforeCount + $extraCount " +
+          s"landed rows expected, got $afterCount (double-append inflates)")
+      val afterSet = spark.table(name).select($"id", $"shingle").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(afterSet == before ++ afterSet.filter(_._1 == 99L),
+        "contents = original shingles + the landed batch, nothing else")
+    } finally { cleanup(name); () }
+  }
+
   test("fold crash recovery: manifest-before-write redoes; manifest-after-partial-drops finishes") {
     val name = "graft_test_shidx6"
     cleanup(name)

@@ -127,6 +127,108 @@ class KafkaConsumeSpec extends SparkSpec {
     } finally { w.close(); broker.close() }
   }
 
+  test("driver offset resolution is O(brokers), not O(partitions): <= brokers+1 " +
+      "metadata/list round trips per trigger") {
+    val broker = new InProcessKafkaBroker(nPartitions = 4)
+    val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}")
+    val topics = Seq("t.rpc.a", "t.rpc.b", "t.rpc.c")
+    try {
+      topics.foreach(t => w.publish(PublishItem(t, s"$t-e1", "v1", 1L)))
+      // drive the MicroBatchStream directly so one trigger is isolable
+      val stream = new graft.sources.KafkaEnvelopeStream(
+        s"127.0.0.1:${broker.port}", topics, None, startLatest = false)
+      try {
+        val start = stream.initialOffset()
+        // 3 topics x 4 partitions = 12 (topic, partition)s subscribed;
+        // one trigger = latestOffset + planInputPartitions. Budget: ONE
+        // batched ListOffsets per broker + at most one batched Metadata
+        // (brokers + 1 with one broker = 2) — never one RPC per partition.
+        broker.resetApiCounts()
+        topics.foreach(t => w.publish(PublishItem(t, s"$t-e2", "v2", 2L)))
+        val end = stream.latestOffset(start,
+          org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+        val parts = stream.planInputPartitions(start, end)
+        assert(parts.length == 3, s"one range per partition with new data: ${parts.length}")
+        val trips = broker.apiCount(graft.sinks.KafkaWire.ApiListOffsets) +
+          broker.apiCount(graft.sinks.KafkaWire.ApiMetadata)
+        assert(trips <= 2,
+          s"12 subscribed partitions must cost <= brokers+1 driver RPCs per trigger, got $trips " +
+            s"(list=${broker.apiCount(graft.sinks.KafkaWire.ApiListOffsets)}, " +
+            s"meta=${broker.apiCount(graft.sinks.KafkaWire.ApiMetadata)})")
+        // and the SECOND trigger (caches warm) costs exactly one ListOffsets
+        broker.resetApiCounts()
+        val end2 = stream.latestOffset(end,
+          org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+        stream.planInputPartitions(end, end2)
+        assert(broker.apiCount(graft.sinks.KafkaWire.ApiListOffsets) == 1 &&
+          broker.apiCount(graft.sinks.KafkaWire.ApiMetadata) == 0,
+          "steady-state trigger = one batched ListOffsets, zero Metadata")
+      } finally stream.stop()
+    } finally { w.close(); broker.close() }
+  }
+
+  test("a topic born truncated consumes from its LOG START, not offset 0 " +
+      "(capped end offsets can never land below the log start)") {
+    val broker = new InProcessKafkaBroker(nPartitions = 1)
+    val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}")
+    try {
+      w.publish(PublishItem("cdc.t.old", "e1", "old1", 1L))
+      val stream = new graft.sources.KafkaEnvelopeStream(
+        s"127.0.0.1:${broker.port}", Nil, Some("cdc\\.t\\..*"),
+        startLatest = false, maxOffsetsPerTrigger = Some(4L))
+      try {
+        val start = stream.initialOffset()
+        // a pattern-matched topic joins mid-stream with retention-truncated
+        // history: log start 5, live records at offsets 5 and 6
+        broker.compactBefore("cdc.t.born", 0, 5L)
+        (1 to 2).foreach(i =>
+          w.publish(PublishItem("cdc.t.born", s"b$i", s"v$i", i.toLong)))
+        val end = stream.latestOffset(start,
+          org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(8))
+          .asInstanceOf[graft.sources.KafkaPartitionOffsets]
+        val endBorn = end.positions(("cdc.t.born", 0))
+        assert(endBorn == 7L,
+          s"cap must floor at the LOG START (5), not 0 — a 0 floor caps the end at " +
+            s"min(7, 0+4)=4 < log start and wedges the stream: got $endBorn")
+        val parts = stream.planInputPartitions(start, end)
+        val born = parts.map(_.asInstanceOf[graft.sources.KafkaRangePartition])
+          .find(_.topic == "cdc.t.born").get
+        assert(born.startOffset == 5L, s"consume floor is the log start: $born")
+        val reader = new graft.sources.KafkaRangeReader(born)
+        try {
+          val got = Iterator.continually(reader)
+            .takeWhile(_.next()).map(_.get().getUTF8String(4).toString).toList
+          assert(got == List("v1", "v2"), s"truncated topic's live tail consumed: $got")
+        } finally reader.close()
+      } finally stream.stop()
+    } finally { w.close(); broker.close() }
+  }
+
+  test("a fully-compacted planned range completes with zero rows instead of " +
+      "spinning to the fetch deadline") {
+    val broker = new InProcessKafkaBroker(nPartitions = 1)
+    val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}")
+    try {
+      (1 to 3).foreach(i =>
+        w.publish(PublishItem("t.gone", s"e$i", s"v$i", i.toLong)))
+      // the checkpointed range [0, 3) was planned, then compaction removed
+      // every offset in it; the log now starts at 3 with live records 3, 4
+      broker.compactBefore("t.gone", 0, 3L)
+      (4 to 5).foreach(i =>
+        w.publish(PublishItem("t.gone", s"e$i", s"v$i", i.toLong)))
+      val reader = new graft.sources.KafkaRangeReader(
+        graft.sources.KafkaRangePartition(s"127.0.0.1:${broker.port}",
+          "t.gone", 0, 0L, 3L))
+      try {
+        val t0 = System.nanoTime()
+        assert(!reader.next(),
+          "a range whose offsets no longer exist must complete empty (replaying it forever would fail the stream)")
+        assert(System.nanoTime() - t0 < 30L * 1000 * 1000 * 1000,
+          "completion must come from offset advance, not the 60 s deadline")
+      } finally reader.close()
+    } finally { w.close(); broker.close() }
+  }
+
   test("pub/sub round trip: WAL -> pipeline -> broker -> envelope parse -> materialized view") {
     val broker = new InProcessKafkaBroker(nPartitions = 1)
     val tmp = Files.createTempDirectory("kroundtrip").toString

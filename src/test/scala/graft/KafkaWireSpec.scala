@@ -44,6 +44,36 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
   /** Next produce answers with `code` instead of appending. */
   def injectError(code: Short): Unit = { errorQueue.add(code); () }
 
+  /** Per-api-key request counts — what pins the driver's round-trip
+    * budget per trigger (the batched-ListOffsets contract).
+    */
+  val apiCounts = new java.util.concurrent.ConcurrentHashMap[Short,
+    java.util.concurrent.atomic.AtomicInteger]()
+  private def countApi(k: Short): Unit = {
+    apiCounts.computeIfAbsent(k,
+      _ => new java.util.concurrent.atomic.AtomicInteger(0))
+      .incrementAndGet(); ()
+  }
+  def apiCount(k: Short): Int =
+    Option(apiCounts.get(k)).map(_.get()).getOrElse(0)
+  def resetApiCounts(): Unit = apiCounts.clear()
+
+  /** Per-partition log-start offsets (0 until truncated). */
+  private val logStarts = mutable.Map.empty[(String, Int), Long]
+  /** Simulate retention/compaction: delete every record below `offset`
+    * and raise the partition's log-start (earliest) to it. Appended
+    * offsets keep counting from the old high watermark, exactly like a
+    * real truncated log.
+    */
+  def compactBefore(topic: String, partition: Int, offset: Long): Unit = {
+    logStarts((topic, partition)) = offset
+    offsets((topic, partition)) =
+      math.max(offsets.getOrElse((topic, partition), 0L), offset)
+    received.removeIf(r => r.topic == topic && r.partition == partition &&
+      r.baseOffset < offset)
+    ()
+  }
+
   /** Next produce APPENDS but answers with a retriable error — the
     * lost-ack failure the idempotent sequence exists to survive.
     */
@@ -126,6 +156,7 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
       val b = ByteBuffer.wrap(payload)
       val apiKey = b.getShort(); val version = b.getShort()
       val corrId = b.getInt(); readStr(b) // client id
+      countApi(apiKey)
       val resp = new KafkaWire.Buf().i32(corrId)
       if (!authed && apiKey != KafkaWire.ApiSaslHandshake &&
           apiKey != KafkaWire.ApiSaslAuthenticate)
@@ -269,14 +300,26 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
         case KafkaWire.ApiListOffsets =>
           require(version == 2, s"mock speaks ListOffsets v2, got $version")
           b.getInt(); b.get()                     // replica_id, isolation
-          require(b.getInt() == 1); val topic = readStr(b)
-          require(b.getInt() == 1)
-          val partition = b.getInt(); val ts = b.getLong()
-          val hw = offsets.getOrElse((topic, partition), 0L)
-          val off = if (ts == KafkaWire.TsEarliest) 0L else hw
+          // batched body by spec: [topics][partitions] — a real broker
+          // answers every (topic, partition) of one request in one frame
+          val topics = (0 until b.getInt()).map { _ =>
+            val topic = readStr(b)
+            topic -> (0 until b.getInt()).map { _ =>
+              (b.getInt(), b.getLong())           // (partition, timestamp)
+            }
+          }
           resp.i32(0)                             // throttle
-          resp.i32(1).str(topic)
-          resp.i32(1).i32(partition).i16(0).i64(-1L).i64(off)
+          resp.i32(topics.size)
+          topics.foreach { case (topic, parts) =>
+            resp.str(topic)
+            resp.i32(parts.size)
+            parts.foreach { case (partition, ts) =>
+              val hw = offsets.getOrElse((topic, partition), 0L)
+              val off = if (ts == KafkaWire.TsEarliest)
+                logStarts.getOrElse((topic, partition), 0L) else hw
+              resp.i32(partition).i16(0).i64(-1L).i64(off)
+            }
+          }
         case KafkaWire.ApiFetch =>
           require(version == 4, s"mock speaks Fetch v4, got $version")
           b.getInt(); b.getInt(); b.getInt(); b.getInt(); b.get()
@@ -467,6 +510,75 @@ class KafkaWireSpec extends SparkSpec {
         .selectExpr("value").collect().map(_.getString(0)).toSet
       assert(got == (1 to 2).map(i => s"""{"eventId":"e$i"}""").toSet,
         s"authenticated fetch round-trips the records: $got")
+    } finally { w.close(); broker.close() }
+  }
+
+  test("control batches (transaction markers) are skipped, not decoded as records") {
+    val data = KafkaWire.recordBatch(Seq(
+      ("k".getBytes(UTF_8), "real".getBytes(UTF_8), Nil)),
+      timestampMs = 5L, baseOffset = 7L)
+    // a transactional producer's commit marker: same v2 layout with
+    // attributes bit 5 set — patch the bit and re-CRC the body
+    val marker = KafkaWire.recordBatch(Seq(
+      (Array[Byte](0, 0, 0, 1), Array.emptyByteArray, Nil)),
+      timestampMs = 5L, baseOffset = 6L)
+    marker(22) = (marker(22) | 0x20).toByte // attributes low byte (21..22 big-endian)
+    val crc = new java.util.zip.CRC32C
+    crc.update(marker, 21, marker.length - 21)
+    val v = crc.getValue.toInt
+    var i = 0
+    while (i < 4) { marker(17 + i) = (v >> (24 - 8 * i)).toByte; i += 1 }
+    val out = KafkaWire.decodeRecordSet(marker ++ data)
+    assert(out.map(r => new String(r.value, UTF_8)) == Seq("real"),
+      s"only the data batch's records surface: $out")
+    assert(out.head.offset == 7L)
+  }
+
+  test("sequence errors (45/46) reset the producer id; the retry re-registers and lands") {
+    val broker = new InProcessKafkaBroker(nPartitions = 1)
+    val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}")
+    try {
+      w.publish(item("t.seq", "e1", 1L))
+      // broker-side producer-state eviction: the next produce's sequence
+      // is rejected — retrying the SAME pid+sequence would wedge forever
+      broker.injectError(KafkaWire.ErrOutOfOrderSequence)
+      val res = SinkPublisher.publishOrdered(
+        Iterator(item("t.seq", "e2", 2L)), w, maxRetries = 3, sleep = _ => ())
+      assert(res.isComplete && res.succeeded == 1, s"$res")
+      assert(broker.apiCount(KafkaWire.ApiInitProducerId) == 2,
+        "the retry registered a FRESH producer id instead of resending the rejected sequence")
+      import scala.jdk.CollectionConverters._
+      assert(broker.received.asScala.map(_.headers("event-id")).toSeq ==
+        Seq("e1", "e2"), "both events landed exactly once")
+    } finally { w.close(); broker.close() }
+  }
+
+  test("unordered publishAll groups by partition into multi-record batches; sequences advance by batch size") {
+    val broker = new InProcessKafkaBroker(nPartitions = 4)
+    val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}")
+    try {
+      val items = (1 to 3).map(i => item("t.bulk.a", s"a$i", i.toLong)) ++
+        (1 to 2).map(i => item("t.bulk.b", s"b$i", (10 + i).toLong))
+      val produceBefore = broker.apiCount(KafkaWire.ApiProduce)
+      val res = SinkPublisher.publishUnordered(items.iterator, w,
+        maxRetries = 3, sleep = _ => ())
+      assert(res.isComplete && res.succeeded == 5, s"$res")
+      // one Produce RPC per (topic, partition) GROUP, not per item
+      assert(broker.apiCount(KafkaWire.ApiProduce) - produceBefore == 2,
+        "5 items over 2 subjects = 2 batched produce RPCs")
+      import scala.jdk.CollectionConverters._
+      val bySubject = broker.received.asScala.toSeq.groupBy(_.key)
+      assert(bySubject("t.bulk.a").map(_.value) ==
+        (1 to 3).map(i => s"""{"eventId":"a$i"}"""),
+        "multi-record batch decodes intact, in item order")
+      assert(bySubject("t.bulk.b").size == 2)
+      // sequences advanced by BATCH SIZE: a follow-up single publish to
+      // each subject must carry seq 3 / 2 — the broker rejects any
+      // out-of-order sequence, so landing proves the bookkeeping
+      w.publish(item("t.bulk.a", "a4", 4L))
+      w.publish(item("t.bulk.b", "b3", 13L))
+      assert(broker.received.size() == 7,
+        "post-batch publishes land: per-partition sequences advanced by batch size")
     } finally { w.close(); broker.close() }
   }
 
