@@ -629,13 +629,40 @@ object Similarity {
     * window over pair-members only. Everything is BIGINT-exact under
     * the seeded quantizer, so the whole pipeline — cells, pairs,
     * transitive closure, survivor ranks — is DuckDB-oracle-checkable.
+    *
+    * HOT-CELL GUARD: a global cell count C cannot bound ONE skewed cell
+    * — and SemDeDup runs precisely on corpora with dense near-dup
+    * clusters, where the densest cluster lands one task with its entire
+    * n² pair block (the straggler that kills the stage at 100×). Cells
+    * larger than `maxCellSize` are therefore deterministically
+    * sub-split before pairing: nsub = ⌈size/maxCellSize⌉ sub-cells by
+    * the portable 48-bit md5 hash of the id, pairs compared only within
+    * a (cell, sub) block. Pairs ACROSS sub-cells of a split cell are
+    * not compared — the same nature of approximation as the cell
+    * blocking itself, now with a bounded per-task pair budget; the
+    * md5 sub-split is oracle-reproducible, so the capped operator stays
+    * hash-checkable end to end.
     */
   def semanticDedup(prepared: DataFrame, nCells: Int,
-      threshold: Double): DataFrame = {
-    val b = prepared.select(col("id"), col("qvec"), col("norm_sq"))
+      threshold: Double, maxCellSize: Int = Int.MaxValue): DataFrame = {
+    val b0 = prepared.select(col("id"), col("qvec"), col("norm_sq"))
       .join(seededCells(prepared, nCells), "id")
+    val b =
+      if (maxCellSize == Int.MaxValue) b0.withColumn("sub", lit(0L))
+      else {
+        // per-cell sizes: ≤ nCells rows, broadcast to the pair join
+        val sizes = b0.groupBy(col("cell")).agg(count(lit(1)).as("cn"))
+          .withColumn("nsub",
+            expr(s"(cn + ${maxCellSize - 1}) div $maxCellSize"))
+          .select(col("cell"), col("nsub"))
+        b0.join(broadcast(sizes), "cell")
+          .withColumn("sub",
+            TextAnalysis.hash48(col("id").cast("string")) % col("nsub"))
+          .drop("nsub")
+      }
     val pairs = b.as("a").join(b.as("c"),
-        col("a.cell") === col("c.cell") && col("a.id") < col("c.id"))
+        col("a.cell") === col("c.cell") && col("a.sub") === col("c.sub") &&
+          col("a.id") < col("c.id"))
       .withColumn("cosine", dotQ(col("a.qvec"), col("c.qvec")).cast("double") /
         sqrt(col("a.norm_sq").cast("double") * col("c.norm_sq").cast("double")))
       .filter(col("cosine") >= threshold)

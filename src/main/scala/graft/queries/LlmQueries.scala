@@ -1187,7 +1187,11 @@ object LlmQueries {
       (s, d) => {
         val prep = Similarity.prepare(
           t(s, d, "embeddings").withColumnRenamed("vec_id", "id"), "embedding")
-        Similarity.semanticDedup(prep, nCells = 64, threshold = 0.2)
+        // maxCellSize caps the per-task pair block: cells above 24
+        // vectors sub-split by the portable md5 hash before pairing
+        // (the hot-cell guard), mirrored exactly in the oracle below
+        Similarity.semanticDedup(prep, nCells = 64, threshold = 0.2,
+          maxCellSize = 24)
           .orderBy(col("vec_id"))
       },
       Some(s"""WITH RECURSIVE $oQuant,
@@ -1203,9 +1207,14 @@ object LlmQueries {
         sdcell AS (SELECT vec_id, q, norm_sq, cell FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
               ORDER BY d2, cell) AS crk FROM sdasg0) WHERE crk = 1),
+        sdsz AS (SELECT cell, (COUNT(*) + 23) // 24 AS nsub
+          FROM sdcell GROUP BY 1),
+        sdsub AS (SELECT c.vec_id, c.q, c.norm_sq, c.cell,
+            ${oH48("CAST(c.vec_id AS VARCHAR)")} % z.nsub AS sub
+          FROM sdcell c JOIN sdsz z USING (cell)),
         pr AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b
-          FROM sdcell a JOIN sdcell c
-            ON a.cell = c.cell AND a.vec_id < c.vec_id
+          FROM sdsub a JOIN sdsub c
+            ON a.cell = c.cell AND a.sub = c.sub AND a.vec_id < c.vec_id
           WHERE CAST(${oDot("a.q", "c.q")} AS DOUBLE) /
               sqrt(CAST(a.norm_sq AS DOUBLE) * CAST(c.norm_sq AS DOUBLE)) >= 0.2),
         edges AS (SELECT id_a AS src, id_b AS dst FROM pr

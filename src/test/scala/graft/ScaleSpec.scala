@@ -367,6 +367,57 @@ class ScaleSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("semanticDedup hot-cell guard: sub-split bounds the per-task pair block on a skewed corpus") {
+    // the adversarial shape SemDeDup is actually run on: one dense
+    // near-dup cluster (480 identical embeddings — identical quantized
+    // vectors tie-break to ONE cell under the seeded quantizer) plus a
+    // scattered tail. Unguarded, that cell is one task with a 480²/2
+    // pair block; the guard sub-splits it into ⌈480/cap⌉ hash blocks.
+    val rnd = new scala.util.Random(7)
+    val dims = 16
+    val base = Array.fill(dims)(rnd.nextFloat() * 2f - 1f)
+    val hot = (1L to 480L).map(i => (i, base))
+    val rest = (481L to 520L).map(i =>
+      (i, Array.fill(dims)(rnd.nextFloat() * 2f - 1f)))
+    val prep = Similarity.prepare((hot ++ rest).toDF("id", "embedding"),
+      "embedding")
+    val cap = 24
+    val cells = Similarity.seededCells(prep, 8)
+    val hotCell = cells.groupBy($"cell").count()
+      .agg(max($"count")).as[Long].head()
+    assert(hotCell >= 480L, s"the dense cluster lands in one cell: $hotCell")
+    // recompute the guard's exact blocking: every (cell, sub) block
+    // obeys the pair budget the cap implies...
+    val sizes = cells.groupBy($"cell").agg(count(lit(1)).as("cn"))
+      .withColumn("nsub", expr(s"(cn + ${cap - 1}) div $cap"))
+    val maxBlock = cells.join(sizes, "cell")
+      .withColumn("sub",
+        graft.ops.TextAnalysis.hash48($"id".cast("string")) % $"nsub")
+      .groupBy($"cell", $"sub").count()
+      .agg(max($"count")).as[Long].head()
+    // (2·cap² — the md5 split is statistical, so blocks overshoot cap by
+    // small factors, never by the n²/cap² ratio the guard exists to kill:
+    // here 595 pairs in the worst block vs 114,960 in the unguarded cell)
+    val budget = 2L * cap * cap
+    assert(maxBlock * (maxBlock - 1) / 2 <= budget,
+      s"max per-task pair count ${maxBlock * (maxBlock - 1) / 2} exceeds " +
+        s"the cap budget $budget (block of $maxBlock)")
+    // ...while the UNguarded hot cell violates it by orders of magnitude
+    // (the property discriminates — it would fail on the old operator)
+    assert(hotCell * (hotCell - 1) / 2 > 40L * budget,
+      "the skew must be adversarial enough to need the guard")
+    // and the capped operator still deduplicates: every sub-block of the
+    // dense cluster collapses to one survivor, so ~⌈480/cap⌉ keepers
+    // remain of 480 — not 480 (guard broken) and not 0 (over-merge)
+    val res = Similarity.semanticDedup(prep, 8, 0.95, maxCellSize = cap)
+    assert(res.count() == 520L, "one verdict per corpus vector")
+    val keepHot = res.filter($"vec_id" <= 480L && $"keep" === 1).count()
+    val nsubHot = (hotCell + cap - 1) / cap
+    assert(keepHot >= 1L && keepHot <= 3L * nsubHot,
+      s"dense cluster collapses per sub-block: $keepHot survivors of 480 " +
+        s"(~$nsubHot blocks)")
+  }
+
   test("rp-LSH: deterministic ±1 planes; ranking within buckets is exact cosine") {
     val s1 = Similarity.rpSigns(12, 64)
     val s2 = Similarity.rpSigns(12, 64)
