@@ -65,7 +65,12 @@ object Bench {
       val n = samples.head._1
       (n, samples.map(_._2).min, samples.flatMap(_._3).headOption)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // ms precision: the driver's artifact keeps only the TAIL of stdout,
+    // so every byte of the (single-line) JSON matters — 9-digit nanos
+    // pushed the alphabetically-last q-queries' head entries past the
+    // capture window in r8
+    val qs = results.map { case (k, v, _) =>
+      "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
       .mkString("{", ",", "}")
     val errors = results.flatMap(_._3)
     val total = results.map(_._2).sum
@@ -303,8 +308,14 @@ object Bench {
     // real micro-batches; folds run on the r8 compactEveryBatches
     // cadence, off the per-trigger path). Best-of-3 with per-rep values
     // in mv_ops_sec_reps (r7 advice: the 3× rep-2 spread coincided with
-    // inline compaction folds); rep 1 is additionally warm from the
-    // query loop's c29/c31 runs.
+    // inline compaction folds). Rep 0 is an UNTIMED warmup (page cache,
+    // codegen, state-store classes for THIS query shape — the query
+    // loop's c29/c31 warmth doesn't cover the bench's own input files),
+    // and each timed rep starts from a GC'd heap: this main runs the mv
+    // section after ~14 min of sf0.1 queries, and carrying the query
+    // loop's tenured garbage into a short (~6 s) measured rep taxed
+    // late reps up to 2× in r8 (reps [10412, 11881, 6762] end-of-round
+    // vs [16100, 17317, 18060] in an isolated run of the same code).
     val (mvOpsSec, mvErr, mvReps) = try {
       import org.apache.spark.sql.functions.{coalesce, col, element_at}
       import org.apache.spark.sql.streaming.Trigger
@@ -315,7 +326,8 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val reps = try {
-        (1 to 3).map { rep =>
+        (0 to 3).map { rep =>
+          System.gc()
           val state = s"$work/bench_scd2_$rep"
           val ck = s"$work/bench_scd2_ck_$rep"
           val raw = spark.readStream.schema("wal_start LONG, data STRING")
@@ -331,7 +343,7 @@ object Bench {
           val wall = (System.nanoTime() - t0) / 1e9
           unloadStateStores()
           (nEvents / wall).round
-        }
+        }.drop(1) // rep 0 = warmup, untimed in the artifact
       } finally {
         spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
@@ -346,7 +358,11 @@ object Bench {
     // the broker sink adds on top of the publish loop (the network/ack
     // half needs a broker; the codec is the part this library owns).
     // Single-threaded figure; the sink runs it per executor partition.
+    // GC first: measured inside the end-of-bench JVM, the query loop's
+    // tenured garbage taxed this allocation-heavy loop 3× in r8 (286k
+    // recorded vs 863k in an isolated run of the same code).
     val (kafkaCodecOps, codecErr) = try {
+      System.gc()
       import java.nio.charset.StandardCharsets.UTF_8
       val key = "cdc.bench.public.events".getBytes(UTF_8)
       val value = ("""{"event_id":"0/1:1:INSERT:public.events:0",""" +

@@ -19,10 +19,39 @@ final class KafkaClient(bootstrap: String,
     requestTimeoutMs: Int = 30000,
     user: Option[String] = None,
     password: Option[String] = None,
-    mechanism: String = "PLAIN") {
+    mechanism: String = "PLAIN",
+    tls: Boolean = false,
+    tlsTruststore: Option[String] = None,
+    tlsTruststorePassword: Option[String] = None) {
 
   private case class Conn(socket: Socket, in: DataInputStream,
       out: DataOutputStream)
+
+  /** TLS socket factory: the JVM default trust anchors, or — for
+    * self-signed / private-CA deployments — an explicit truststore
+    * (PKCS12 or JKS, auto-detected by KeyStore). Hostname verification
+    * is ON (the HTTPS endpoint-identification algorithm), matching the
+    * ecosystem clients' `ssl.endpoint.identification.algorithm=https`
+    * default — a truststore narrows WHICH CAs are trusted, never
+    * whether the peer must prove its name.
+    */
+  private lazy val sslFactory: javax.net.ssl.SSLSocketFactory =
+    tlsTruststore match {
+      case Some(path) =>
+        val ks = java.security.KeyStore.getInstance(
+          if (path.endsWith(".jks")) "JKS" else "PKCS12")
+        val is = new java.io.FileInputStream(path)
+        try ks.load(is, tlsTruststorePassword.getOrElse("").toCharArray)
+        finally is.close()
+        val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+          javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+        tmf.init(ks)
+        val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+        ctx.init(null, tmf.getTrustManagers, null)
+        ctx.getSocketFactory
+      case None =>
+        javax.net.ssl.SSLContext.getDefault.getSocketFactory
+    }
 
   private val conns = mutable.Map.empty[(String, Int), Conn]
   private val leaders = mutable.Map.empty[String, Map[Int, Int]]
@@ -37,7 +66,16 @@ final class KafkaClient(bootstrap: String,
 
   private def connect(hp: (String, Int)): Conn = synchronized {
     conns.getOrElseUpdate(hp, {
-      val s = new Socket(hp._1, hp._2)
+      val s =
+        if (tls) {
+          val ssl = sslFactory.createSocket(hp._1, hp._2)
+            .asInstanceOf[javax.net.ssl.SSLSocket]
+          val params = ssl.getSSLParameters
+          params.setEndpointIdentificationAlgorithm("HTTPS")
+          ssl.setSSLParameters(params)
+          ssl.startHandshake()
+          ssl
+        } else new Socket(hp._1, hp._2)
       s.setSoTimeout(requestTimeoutMs)
       s.setTcpNoDelay(true)
       val c = Conn(s,

@@ -53,10 +53,21 @@ final class KafkaSinkWriter(bootstrap: String,
     user: Option[String] = None,
     password: Option[String] = None,
     mechanism: String = "PLAIN",
-    idempotent: Boolean = true) extends SinkWriter {
+    idempotent: Boolean = true,
+    tls: Boolean = false,
+    tlsTruststore: Option[String] = None,
+    tlsTruststorePassword: Option[String] = None,
+    compression: String = "none") extends SinkWriter {
+
+  private val codec = compression.toLowerCase match {
+    case "none" => KafkaWire.CodecNone
+    case "gzip" => KafkaWire.CodecGzip
+    case other => throw new IllegalArgumentException(
+      s"unsupported compression '$other' (none | gzip)")
+  }
 
   private val client = new KafkaClient(bootstrap, clientId, requestTimeoutMs,
-    user, password, mechanism)
+    user, password, mechanism, tls, tlsTruststore, tlsTruststorePassword)
   /** Base offset acked for the most recent publish — lets tests (and
     * operators) observe the broker actually appending.
     */
@@ -135,7 +146,7 @@ final class KafkaSinkWriter(bootstrap: String,
             "wal-position" -> item.position.toString.getBytes(UTF_8)))),
       timestampMs = System.currentTimeMillis(),
       producerId = producerId, producerEpoch = producerEpoch,
-      baseSequence = seq)
+      baseSequence = seq, compression = codec)
     val id = client.nextCorr()
     val body = try client.roundTrip(leaderHp, KafkaWire.produceRequestV3(
       id, clientId, topic, partition, batch, acks, requestTimeoutMs), id)

@@ -129,25 +129,46 @@ object KafkaWire {
 
   // ---------- record batch (message format v2) ----------
 
+  /** Compression codec ids from the batch attributes (bits 0-2). Gzip
+    * is the one codec the JDK provides; the others need native libs.
+    */
+  val CodecNone = 0
+  val CodecGzip = 1
+
+  private[sinks] def gzip(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(data); gz.close()
+    bos.toByteArray
+  }
+
+  private[sinks] def gunzip(data: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(data))
+    val bos = new java.io.ByteArrayOutputStream(data.length * 4 + 64)
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    bos.toByteArray
+  }
+
   /** One v2 record batch holding `records` (key, value, headers) tuples
     * in order. Single-batch-per-produce is the reference's ordered mode:
-    * one publish, one awaited ack.
+    * one publish, one awaited ack. With `compression = CodecGzip` the
+    * records block (and only it — the batch header stays plaintext, per
+    * spec) is gzip'd and the attributes codec bits say so; the CRC is
+    * computed over the compressed bytes, so corruption is caught before
+    * inflate.
     */
   def recordBatch(records: Seq[(Array[Byte], Array[Byte], Seq[(String, Array[Byte])])],
       timestampMs: Long, baseOffset: Long = 0L,
       producerId: Long = -1L, producerEpoch: Short = -1,
-      baseSequence: Int = -1): Array[Byte] = {
+      baseSequence: Int = -1, compression: Int = CodecNone): Array[Byte] = {
     require(records.nonEmpty, "empty record batch")
-    // everything after the crc field, crc'd with CRC32C per the spec
-    val body = new Buf
-    body.i16(0)                    // attributes: no compression, CreateTime
-    body.i32(records.size - 1)     // lastOffsetDelta
-    body.i64(timestampMs)          // baseTimestamp
-    body.i64(timestampMs)          // maxTimestamp
-    body.i64(producerId)           // -1 = idempotence off
-    body.i16(producerEpoch)
-    body.i32(baseSequence)
-    body.i32(records.size)
+    require(compression == CodecNone || compression == CodecGzip,
+      s"unsupported compression codec $compression (none | gzip)")
+    val recs = new Buf
     records.zipWithIndex.foreach { case ((key, value, headers), i) =>
       val rec = new Buf
       rec.i8(0)                    // record attributes
@@ -165,8 +186,21 @@ object KafkaWire {
         else { rec.varint(hv.length.toLong); rec.raw(hv) }
       }
       val rb = rec.toBytes
-      body.varint(rb.length.toLong); body.raw(rb)
+      recs.varint(rb.length.toLong); recs.raw(rb)
     }
+    val recsBytes =
+      if (compression == CodecGzip) gzip(recs.toBytes) else recs.toBytes
+    // everything after the crc field, crc'd with CRC32C per the spec
+    val body = new Buf
+    body.i16(compression.toShort)  // attributes: codec bits 0-2, CreateTime
+    body.i32(records.size - 1)     // lastOffsetDelta
+    body.i64(timestampMs)          // baseTimestamp
+    body.i64(timestampMs)          // maxTimestamp
+    body.i64(producerId)           // -1 = idempotence off
+    body.i16(producerEpoch)
+    body.i32(baseSequence)
+    body.i32(records.size)
+    body.raw(recsBytes)
     val bodyBytes = body.toBytes
     val crc = new java.util.zip.CRC32C
     crc.update(bodyBytes)
@@ -436,26 +470,33 @@ object KafkaWire {
         // The protocol's rule is: clients skip them.
         if ((attributes & 0x20) != 0) { () } // skip whole batch
         else {
-        require((attributes & 0x7) == 0,
-          s"compressed record batch (codec ${attributes & 0x7}) not supported")
+        val codec = attributes & 0x7
+        require(codec == CodecNone || codec == CodecGzip,
+          s"compressed record batch (codec $codec) not supported (gzip only)")
         d.getInt()                     // lastOffsetDelta
         val baseTs = d.getLong()
         d.getLong()                    // maxTimestamp
         d.getLong(); d.getShort(); d.getInt() // producer id/epoch/sequence
         val n = d.getInt()
+        // the records block is what compression covers; inflate AFTER
+        // the CRC check above so corruption never reaches the inflater
+        val r = if (codec == CodecNone) d else {
+          val comp = new Array[Byte](d.remaining()); d.get(comp)
+          ByteBuffer.wrap(gunzip(comp))
+        }
         var i = 0
         while (i < n) {
-          readVarint(d)                // record length
-          d.get()                      // record attributes
-          val tsDelta = readVarint(d)
-          val offDelta = readVarint(d)
+          readVarint(r)                // record length
+          r.get()                      // record attributes
+          val tsDelta = readVarint(r)
+          val offDelta = readVarint(r)
           def blob(): Array[Byte] = {
-            val len = readVarint(d).toInt
+            val len = readVarint(r).toInt
             if (len < 0) null
-            else { val a = new Array[Byte](len); d.get(a); a }
+            else { val a = new Array[Byte](len); r.get(a); a }
           }
           val key = blob(); val value = blob()
-          val headers = (0 until readVarint(d).toInt).map { _ =>
+          val headers = (0 until readVarint(r).toInt).map { _ =>
             val hk = new String(blob(), UTF_8); hk -> blob()
           }
           out += FetchedRecord(baseOffset + offDelta, baseTs + tsDelta,

@@ -43,7 +43,9 @@ object KafkaPartitionOffsets {
 final case class KafkaRangePartition(bootstrap: String, topic: String,
     partition: Int, startOffset: Long, endOffset: Long,
     user: Option[String] = None, password: Option[String] = None,
-    mechanism: String = "PLAIN") extends InputPartition
+    mechanism: String = "PLAIN", tls: Boolean = false,
+    tlsTruststore: Option[String] = None,
+    tlsTruststorePassword: Option[String] = None) extends InputPartition
 
 /** Consume a topic the [[graft.sinks.KafkaSinkWriter]] (or any producer)
   * wrote — the SUBSCRIBER half of the reference's pub/sub deployment
@@ -66,11 +68,15 @@ final case class KafkaRangePartition(bootstrap: String, topic: String,
 final class KafkaEnvelopeStream(bootstrap: String, topics: Seq[String],
     topicPattern: Option[String], startLatest: Boolean,
     user: Option[String] = None, password: Option[String] = None,
-    mechanism: String = "PLAIN", maxOffsetsPerTrigger: Option[Long] = None)
+    mechanism: String = "PLAIN", maxOffsetsPerTrigger: Option[Long] = None,
+    tls: Boolean = false, tlsTruststore: Option[String] = None,
+    tlsTruststorePassword: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private val client = new KafkaClient(bootstrap, clientId = "graft-consumer",
-    user = user, password = password, mechanism = mechanism)
+    user = user, password = password, mechanism = mechanism, tls = tls,
+    tlsTruststore = tlsTruststore,
+    tlsTruststorePassword = tlsTruststorePassword)
   private val patternRe = topicPattern.map(_.r)
 
   /** The subscribed topic set THIS trigger: the fixed list, plus every
@@ -207,7 +213,8 @@ final class KafkaEnvelopeStream(bootstrap: String, topics: Seq[String],
         val startOff = lo.getOrElse((t, p), earliestFloor((t, p)))
         if (endOff > startOff)
           Some(KafkaRangePartition(bootstrap, t, p, startOff, endOff,
-            user, password, mechanism))
+            user, password, mechanism, tls, tlsTruststore,
+            tlsTruststorePassword))
         else None
       }.toArray
   }
@@ -230,7 +237,9 @@ final class KafkaRangeReader(part: KafkaRangePartition)
     extends PartitionReader[InternalRow] {
   private val client = new KafkaClient(part.bootstrap,
     clientId = "graft-consumer", user = part.user, password = part.password,
-    mechanism = part.mechanism)
+    mechanism = part.mechanism, tls = part.tls,
+    tlsTruststore = part.tlsTruststore,
+    tlsTruststorePassword = part.tlsTruststorePassword)
   private var pos = part.startOffset
   private val queue = mutable.Queue.empty[KafkaWire.FetchedRecord]
   private var current: KafkaWire.FetchedRecord = _
@@ -329,6 +338,10 @@ class KafkaEnvelopeSource extends TableProvider {
     val mech = properties.getOrDefault("mechanism", "PLAIN")
     val maxOffsets = Option(properties.get("maxOffsetsPerTrigger"))
       .map(_.toLong)
+    val tls = "true".equalsIgnoreCase(properties.getOrDefault("tls", "false"))
+    val tlsStore = Option(properties.get("tlsTruststore")).filter(_.nonEmpty)
+    val tlsStorePw = Option(properties.get("tlsTruststorePassword"))
+      .filter(_.nonEmpty)
     new Table with SupportsRead {
       override def name(): String = s"kafka:$topicLabel"
       override def schema(): StructType = KafkaEnvelopeSource.schema
@@ -340,7 +353,7 @@ class KafkaEnvelopeSource extends TableProvider {
             override def readSchema(): StructType = KafkaEnvelopeSource.schema
             override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
               new KafkaEnvelopeStream(bootstrap, topics, pattern, startLatest,
-                user, pw, mech, maxOffsets)
+                user, pw, mech, maxOffsets, tls, tlsStore, tlsStorePw)
           }
         }
     }

@@ -211,8 +211,19 @@ object Main {
           // DATABASE_URL credentials
           val ku = env.get("KAFKA_USER"); val kp = env.get("KAFKA_PASSWORD")
           val km = env.getOrElse("KAFKA_SASL_MECHANISM", "PLAIN")
+          // optional TLS: KAFKA_TLS=true [+ KAFKA_TLS_TRUSTSTORE(.p12|.jks)
+          // / KAFKA_TLS_TRUSTSTORE_PASSWORD for private CAs]
+          val ktls = env.get("KAFKA_TLS").exists(_.equalsIgnoreCase("true"))
+          val kts = env.get("KAFKA_TLS_TRUSTSTORE")
+          val ktsPw = env.get("KAFKA_TLS_TRUSTSTORE_PASSWORD")
+          // KAFKA_COMPRESSION=gzip compresses each record batch's
+          // records block on the wire (none | gzip; gzip is the codec
+          // the JDK provides)
+          val kcomp = env.getOrElse("KAFKA_COMPRESSION", "none")
           Some(() => new graft.sinks.KafkaSinkWriter(bootstrap,
-            user = ku, password = kp, mechanism = km))
+            user = ku, password = kp, mechanism = km, tls = ktls,
+            tlsTruststore = kts, tlsTruststorePassword = ktsPw,
+            compression = kcomp))
         case other => sys.error(s"unknown GRAFT_SINK '$other' (parquet | kafka)")
       }
     val startQuery: () => StreamingQuery = mode match {
@@ -257,6 +268,11 @@ object Main {
               env.get("KAFKA_USER").foreach(u => r = r.option("user", u))
               env.get("KAFKA_PASSWORD")
                 .foreach(pw => r = r.option("password", pw))
+              env.get("KAFKA_TLS").foreach(v => r = r.option("tls", v))
+              env.get("KAFKA_TLS_TRUSTSTORE")
+                .foreach(v => r = r.option("tlsTruststore", v))
+              env.get("KAFKA_TLS_TRUSTSTORE_PASSWORD")
+                .foreach(v => r = r.option("tlsTruststorePassword", v))
               graft.cdc.Transform.parseEnvelope(r.load(),
                 org.apache.spark.sql.functions.col("value"))
             case _ => cfg.plugin match {

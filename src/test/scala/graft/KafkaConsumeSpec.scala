@@ -277,4 +277,52 @@ class KafkaConsumeSpec extends SparkSpec {
     assert(got == Map("1" -> "a", "2" -> "b2"),
       s"broker-fed view converges to the WAL's final state: $got")
   }
+
+  test("trigger cadence cost: 256 subscribed partitions, steady-state " +
+      "driver overhead measured per trigger (the O(1)-RPC evidence)") {
+    // the scale shape the batched ListOffsets exists for: many
+    // partitions, ONE broker round trip per trigger regardless. 4
+    // topics x 64 partitions = 256 subscribed (topic, partition)s;
+    // measure the driver's whole per-trigger offset-resolution wall
+    // (latestOffset + planInputPartitions) over 50 steady-state
+    // triggers. The figure is cited in SCALE.md — the pre-batching
+    // code paid 256 serial RTTs here, ~256x this number at any real
+    // network latency.
+    val broker = new InProcessKafkaBroker(nPartitions = 64)
+    val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}")
+    val topics = (1 to 4).map(i => s"t.cad.$i")
+    try {
+      topics.foreach(t => w.publish(PublishItem(t, s"$t-e1", "v1", 1L)))
+      val stream = new graft.sources.KafkaEnvelopeStream(
+        s"127.0.0.1:${broker.port}", topics, None, startLatest = false)
+      try {
+        var off = stream.initialOffset()
+        val lim = org.apache.spark.sql.connector.read.streaming
+          .ReadLimit.allAvailable()
+        // warm: first trigger pays the one-off Metadata + earliest floors
+        stream.planInputPartitions(off, stream.latestOffset(off, lim))
+        broker.resetApiCounts()
+        val walls = (1 to 50).map { _ =>
+          val t0 = System.nanoTime()
+          val end = stream.latestOffset(off, lim)
+          stream.planInputPartitions(off, end)
+          off = end
+          (System.nanoTime() - t0) / 1e6
+        }.sorted
+        val list = broker.apiCount(graft.sinks.KafkaWire.ApiListOffsets)
+        val meta = broker.apiCount(graft.sinks.KafkaWire.ApiMetadata)
+        assert(list == 50 && meta == 0,
+          s"steady state: exactly one batched ListOffsets per trigger " +
+            s"for 256 partitions (list=$list, meta=$meta)")
+        val median = walls(walls.length / 2)
+        info(f"per-trigger driver offset resolution, 256 partitions: " +
+          f"median ${median}%.2f ms, p90 ${walls((walls.length * 9) / 10)}%.2f ms")
+        // loopback budget: generous enough for CI noise, tight enough
+        // that a regression to per-partition RPCs (256 RTTs + 256x the
+        // encode work) trips it
+        assert(median < 50.0,
+          f"median per-trigger resolution ${median}%.2f ms exceeds 50 ms")
+      } finally stream.stop()
+    } finally { w.close(); broker.close() }
+  }
 }

@@ -19,14 +19,31 @@ import graft.streaming.{PermanentPublishException, PublishItem, SinkPublisher}
   * would reject the batch — and answers with spec-layout responses.
   */
 final class InProcessKafkaBroker(nPartitions: Int = 2,
-    sasl: Option[(String, String, String)] = None) { // (mechanism, user, pw)
-  private val listener = new ServerSocket(0)
+    sasl: Option[(String, String, String)] = None, // (mechanism, user, pw)
+    tlsKeystore: Option[(String, String)] = None) { // (path, password)
+  private val listener: ServerSocket = tlsKeystore match {
+    case Some((path, pw)) =>
+      // a TLS listener from a PKCS12 keystore — what a broker's
+      // ssl:// endpoint is; the client side must both trust the cert
+      // (truststore) and verify the peer name (SAN)
+      val ks = java.security.KeyStore.getInstance("PKCS12")
+      val is = new java.io.FileInputStream(path)
+      try ks.load(is, pw.toCharArray) finally is.close()
+      val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+        javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+      kmf.init(ks, pw.toCharArray)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(kmf.getKeyManagers, null, null)
+      ctx.getServerSocketFactory.createServerSocket(0)
+        .asInstanceOf[javax.net.ssl.SSLServerSocket]
+    case None => new ServerSocket(0)
+  }
   @volatile private var closed = false
   def port: Int = listener.getLocalPort
 
   final case class Received(topic: String, partition: Int,
       key: String, value: String, headers: Map[String, String],
-      baseOffset: Long)
+      baseOffset: Long, gzip: Boolean = false)
   val received = new java.util.concurrent.CopyOnWriteArrayList[Received]()
   private val errorQueue =
     new java.util.concurrent.ConcurrentLinkedQueue[Short]()
@@ -120,22 +137,36 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
     c.update(body)
     require(c.getValue.toInt == crc, "record batch CRC32C mismatch")
     val d = ByteBuffer.wrap(body)
-    d.getShort()                       // attributes
+    val attrs = d.getShort()           // attributes (codec in bits 0-2)
     d.getInt()                         // lastOffsetDelta
     d.getLong(); d.getLong()           // timestamps
     d.getLong(); d.getShort(); d.getInt() // producer id/epoch/sequence
-    (0 until d.getInt()).map { _ =>
-      varint(d)                        // record length
-      d.get()                          // record attributes
-      varint(d)                        // timestampDelta
-      varint(d)                        // offsetDelta
+    val n = d.getInt()
+    require((attrs & 0x7) <= 1, s"mock broker decodes none|gzip, got ${attrs & 0x7}")
+    val r = if ((attrs & 0x7) == 0) d else {
+      // independent inflate (JDK GZIPInputStream directly, not
+      // KafkaWire.gunzip) of the records block
+      val comp = new Array[Byte](d.remaining()); d.get(comp)
+      val gz = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(comp))
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var k = gz.read(buf)
+      while (k >= 0) { bos.write(buf, 0, k); k = gz.read(buf) }
+      ByteBuffer.wrap(bos.toByteArray)
+    }
+    (0 until n).map { _ =>
+      varint(r)                        // record length
+      r.get()                          // record attributes
+      varint(r)                        // timestampDelta
+      varint(r)                        // offsetDelta
       def blob(): String = {
-        val n = varint(d).toInt
+        val n = varint(r).toInt
         if (n < 0) null
-        else { val a = new Array[Byte](n); d.get(a); new String(a, UTF_8) }
+        else { val a = new Array[Byte](n); r.get(a); new String(a, UTF_8) }
       }
       val key = blob(); val value = blob()
-      val headers = (0 until varint(d).toInt).map { _ =>
+      val headers = (0 until varint(r).toInt).map { _ =>
         val hk = blob(); val hv = blob(); hk -> hv
       }.toMap
       (key, value, headers)
@@ -273,9 +304,14 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
                 (KafkaWire.ErrOutOfOrderSequence, -1L)
               } else {
                 val records = decodeBatch(batch)
+                // attributes sit at fixed offset 21 (after baseOffset,
+                // batchLength, partitionLeaderEpoch, magic, crc): remember
+                // the codec so fetch re-serves the batch as produced
+                val wasGzip = (ByteBuffer.wrap(batch).getShort(21) & 0x7) == 1
                 val base = offsets.getOrElse((topic, partition), 0L)
                 records.zipWithIndex.foreach { case ((k, v, h), i) =>
-                  received.add(Received(topic, partition, k, v, h, base + i)); ()
+                  received.add(Received(topic, partition, k, v, h, base + i,
+                    wasGzip)); ()
                 }
                 offsets((topic, partition)) = base + records.size
                 if (pid >= 0 && baseSeq >= 0)
@@ -338,7 +374,9 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
               if (r.key == null) null else r.key.getBytes(UTF_8),
               if (r.value == null) null else r.value.getBytes(UTF_8),
               r.headers.toSeq.map { case (k, v) => k -> v.getBytes(UTF_8) })),
-              timestampMs = 0L, baseOffset = r.baseOffset)
+              timestampMs = 0L, baseOffset = r.baseOffset,
+              compression = if (r.gzip) KafkaWire.CodecGzip
+                else KafkaWire.CodecNone)
           }.foldLeft(Array.emptyByteArray)(_ ++ _)
           val hw = offsets.getOrElse((topic, partition), 0L)
           resp.i32(0)                             // throttle
@@ -588,5 +626,119 @@ class KafkaWireSpec extends SparkSpec {
     assert(w.topicFor("cdc/db:sch*ma") == "cdc_db_sch_ma")
     assert(w.topicFor("a" * 300).length == 249)
     w.close()
+  }
+
+  test("gzip compression: batches ride the wire compressed and decode " +
+      "losslessly both directions") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    // codec-level round trip, no broker: only the records block
+    // compresses (header stays plaintext), CRC covers compressed bytes
+    val key = "cdc.gz".getBytes(UTF_8)
+    val repetitive = ("the quick brown fox jumps over the lazy dog " * 40)
+      .getBytes(UTF_8)
+    val plain = KafkaWire.recordBatch(Seq((key, repetitive, Nil)), 0L)
+    val zipped = KafkaWire.recordBatch(Seq((key, repetitive, Nil)), 0L,
+      compression = KafkaWire.CodecGzip)
+    assert(zipped.length < plain.length / 4,
+      s"repetitive payload compresses on the wire: ${zipped.length} vs ${plain.length}")
+    val back = KafkaWire.decodeRecordSet(zipped)
+    assert(back.size == 1 && java.util.Arrays.equals(back.head.value, repetitive),
+      "gzip batch decodes losslessly")
+    // corruption inside the compressed block fails the CRC BEFORE the
+    // inflater ever sees the bytes
+    val corrupt = zipped.clone(); corrupt(zipped.length - 3) =
+      (corrupt(zipped.length - 3) ^ 0x40).toByte
+    intercept[IllegalArgumentException] { KafkaWire.decodeRecordSet(corrupt) }
+    // through the broker: gzip produce (multi-record batch via the
+    // unordered path) -> broker independently CRCs + inflates -> fetch
+    // re-serves gzip'd -> consumer client decodes
+    val broker = new InProcessKafkaBroker(nPartitions = 1)
+    val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}",
+      compression = "gzip")
+    try {
+      w.publishAll((1 to 3).map(i =>
+        PublishItem("t.gz", s"e$i", s"payload-$i-" + ("x" * 64), i.toLong)))
+      assert(broker.received.size() == 3,
+        "broker decoded the gzip multi-record batch")
+      val client = new graft.sinks.KafkaClient(s"127.0.0.1:${broker.port}")
+      try {
+        val id = client.nextCorr()
+        val (err, _, set) = KafkaWire.parseFetchV4(client.roundTrip(
+          client.bootstrapEndpoint,
+          KafkaWire.fetchRequestV4(id, "gz-test", "t.gz", 0, 0L,
+            maxWaitMs = 100, maxBytes = 1 << 20), id))
+        assert(err == 0)
+        assert((java.nio.ByteBuffer.wrap(set).getShort(21) & 0x7) == 1,
+          "fetch serves the batch gzip'd, as produced")
+        val vals = KafkaWire.decodeRecordSet(set)
+          .map(r => new String(r.value, UTF_8).takeWhile(_ != 'x'))
+        assert(vals == Seq("payload-1-", "payload-2-", "payload-3-"),
+          s"consumer-side decode of gzip'd fetch: $vals")
+      } finally client.close()
+    } finally { w.close(); broker.close() }
+  }
+
+  test("TLS transport: encrypted listener, trusted produce+consume round " +
+      "trip; untrusted and plaintext clients fail the handshake") {
+    // self-signed broker cert with SAN=IP:127.0.0.1 (hostname
+    // verification is ON in the client — the ecosystem default — so the
+    // cert must name the endpoint). keytool ships with the JDK.
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("ktls")
+    val ksPath = s"$dir/broker.p12"; val tsPath = s"$dir/trust.p12"
+    val certPath = s"$dir/broker.crt"; val pw = "graft-tls-pw"
+    assert(Seq("keytool", "-genkeypair", "-alias", "broker", "-keyalg",
+      "RSA", "-keysize", "2048", "-validity", "3", "-dname", "CN=graft-test",
+      "-ext", "SAN=IP:127.0.0.1", "-keystore", ksPath, "-storetype",
+      "PKCS12", "-storepass", pw, "-keypass", pw).! == 0,
+      "keytool generates the broker keypair")
+    assert(Seq("keytool", "-exportcert", "-alias", "broker", "-keystore",
+      ksPath, "-storepass", pw, "-file", certPath).! == 0)
+    assert(Seq("keytool", "-importcert", "-alias", "broker", "-file",
+      certPath, "-keystore", tsPath, "-storetype", "PKCS12", "-storepass",
+      pw, "-noprompt").! == 0, "truststore holds the self-signed cert")
+    val broker = new InProcessKafkaBroker(nPartitions = 1,
+      tlsKeystore = Some((ksPath, pw)))
+    val bs = s"127.0.0.1:${broker.port}"
+    val w = new KafkaSinkWriter(bs, tls = true, tlsTruststore = Some(tsPath),
+      tlsTruststorePassword = Some(pw))
+    try {
+      w.publish(PublishItem("t.tls", "e1", "ciphered-payload", 1L))
+      assert(broker.received.size() == 1 &&
+        broker.received.get(0).value == "ciphered-payload",
+        "trusted TLS client produces through the encrypted listener")
+      // the consumer half rides the same transport, through the DSv2
+      // option surface (tls options serialize to the executor readers)
+      val spark2 = spark
+      import spark2.implicits._
+      val out = java.nio.file.Files.createTempDirectory("ktls_out").toString
+      val ck = java.nio.file.Files.createTempDirectory("ktls_ck").toString
+      val q = spark.readStream.format("graft.sources.KafkaEnvelopeSource")
+        .option("bootstrap", bs).option("topic", "t.tls")
+        .option("tls", "true").option("tlsTruststore", tsPath)
+        .option("tlsTruststorePassword", pw)
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      val got = spark.read.parquet(out).select($"value").as[String].collect()
+      assert(got.toSeq == Seq("ciphered-payload"),
+        s"consume over TLS round-trips the payload: ${got.toSeq}")
+      // a TLS client WITHOUT the truststore must fail the handshake
+      // (self-signed cert is not in the JVM default anchors) — no
+      // silent fallback to an unverified channel
+      val untrusted = new KafkaSinkWriter(bs, tls = true)
+      try intercept[Exception] {
+        untrusted.publish(PublishItem("t.tls", "e2", "x", 2L))
+      } finally untrusted.close()
+      // and a PLAINTEXT client against the TLS listener fails rather
+      // than exchanging garbage frames
+      val plain = new KafkaSinkWriter(bs)
+      try intercept[Exception] {
+        plain.publish(PublishItem("t.tls", "e3", "x", 3L))
+      } finally plain.close()
+      assert(broker.received.size() == 1, "failed handshakes appended nothing")
+    } finally { w.close(); broker.close() }
   }
 }
