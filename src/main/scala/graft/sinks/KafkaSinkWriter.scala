@@ -117,12 +117,24 @@ final class KafkaSinkWriter(bootstrap: String,
     * ordered loop keeps calling single-item [[publish]] — its contract
     * is one awaited ack per item.
     */
-  override def publishAll(items: Seq[PublishItem]): Unit =
-    items.groupBy(it => {
+  override def publishAll(items: Seq[PublishItem]): Unit = {
+    val groups = items.groupBy(it => {
       val topic = topicFor(it.subject)
       (topic, KafkaWire.partitionFor(it.subject.getBytes(UTF_8),
         client.partitionLeaders(topic).size))
-    }).toSeq.sortBy(_._1).foreach { case (_, group) => produceGroup(group) }
+    }).toSeq.sortBy(_._1)
+    if (groups.isEmpty) return
+    ensureProducerId()
+    // one Produce RPC per LEADER BROKER, carrying every (topic,
+    // partition) batch it leads — `[topic_data][partition_data]` is the
+    // request's native shape, the producer-side mirror of the consumer's
+    // batched ListOffsets: a task fanning out to N partitions pays
+    // O(brokers) round trips, not O(partitions)
+    groups.groupBy { case ((t, p), _) =>
+      client.endpointOf(client.partitionLeaders(t)(p), t)
+    }.toSeq.sortBy(_._1.toString)
+      .foreach { case (hp, gs) => produceTo(hp, gs) }
+  }
 
   /** One Produce RPC carrying `group` (all same topic+partition when
     * called from publishAll; publish passes a singleton) as a single
@@ -136,44 +148,75 @@ final class KafkaSinkWriter(bootstrap: String,
     val parts = client.partitionLeaders(topic)
     val partition = KafkaWire.partitionFor(head.subject.getBytes(UTF_8),
       parts.size)
-    val leaderHp = client.endpointOf(parts(partition), topic)
     ensureProducerId()
-    val seq = if (idempotent) nextSeq.getOrElse((topic, partition), 0) else -1
-    val batch = KafkaWire.recordBatch(
-      group.map(item =>
-        (item.subject.getBytes(UTF_8), item.payload.getBytes(UTF_8),
-          Seq("event-id" -> item.eventId.getBytes(UTF_8),
-            "wal-position" -> item.position.toString.getBytes(UTF_8)))),
-      timestampMs = System.currentTimeMillis(),
-      producerId = producerId, producerEpoch = producerEpoch,
-      baseSequence = seq, compression = codec)
+    produceTo(client.endpointOf(parts(partition), topic),
+      Seq(((topic, partition), group)))
+  }
+
+  /** ONE Produce RPC to `leaderHp` carrying a record batch per (topic,
+    * partition) group, all acks awaited in the one response. Sequences
+    * advance per partition on ITS ack, so a partial failure leaves the
+    * failed partitions' sequences untouched — the retry resends the
+    * same baseSequence there and the broker dedups anything that had
+    * actually appended.
+    */
+  private def produceTo(leaderHp: (String, Int),
+      gs: Seq[((String, Int), Seq[PublishItem])]): Unit = {
+    val entries = gs.groupBy(_._1._1).toSeq.sortBy(_._1).map {
+      case (t, tg) => t -> tg.map { case ((_, p), group) =>
+        val seq = if (idempotent) nextSeq.getOrElse((t, p), 0) else -1
+        p -> KafkaWire.recordBatch(
+          group.map(item =>
+            (item.subject.getBytes(UTF_8), item.payload.getBytes(UTF_8),
+              Seq("event-id" -> item.eventId.getBytes(UTF_8),
+                "wal-position" -> item.position.toString.getBytes(UTF_8)))),
+          timestampMs = System.currentTimeMillis(),
+          producerId = producerId, producerEpoch = producerEpoch,
+          baseSequence = seq, compression = codec)
+      }
+    }
     val id = client.nextCorr()
     val body = try client.roundTrip(leaderHp, KafkaWire.produceRequestV3(
-      id, clientId, topic, partition, batch, acks, requestTimeoutMs), id)
-    catch { case e: IOException => client.invalidate(topic); throw e }
-    val (err, baseOffset) = KafkaWire.parseProduceResponse(body)
-    if (err != 0) {
-      client.invalidate(topic) // leadership may have moved; re-resolve on retry
-      if (err == KafkaWire.ErrOutOfOrderSequence ||
-          err == KafkaWire.ErrDuplicateSequence) {
-        // the broker's producer-state for our pid is gone or disagrees
-        // (state eviction, pid expiry): retrying the SAME sequence can
-        // never succeed — it would wedge the retry loop resending one
-        // rejected frame forever. Reset to a fresh InitProducerId and
-        // sequence 0 and classify transient, so the loop's next attempt
-        // re-registers and lands; cross-pid duplicates in the lost-ack
-        // window remain covered by the event-id header (reference E7).
-        producerId = -1L; producerEpoch = -1; nextSeq.clear()
-        throw new IOException(s"produce to $topic/$partition rejected " +
-          s"(sequence error $err): producer id reset, retry re-registers")
+      id, clientId, entries, acks, requestTimeoutMs), id)
+    catch { case e: IOException =>
+      gs.foreach { case ((t, _), _) => client.invalidate(t) }; throw e }
+    val results = KafkaWire.parseProduceResponseAll(body).toMap
+    var firstFailure: Throwable = null
+    gs.foreach { case ((topic, partition), group) =>
+      val (err, baseOffset) =
+        results.getOrElse((topic, partition), ((-1).toShort, -1L))
+      if (err == 0) {
+        if (idempotent) nextSeq((topic, partition)) =
+          nextSeq.getOrElse((topic, partition), 0) + group.size
+        lastBaseOffset = baseOffset
+      } else {
+        client.invalidate(topic) // leadership may have moved; re-resolve
+        val e: Throwable =
+          if (err == KafkaWire.ErrOutOfOrderSequence ||
+              err == KafkaWire.ErrDuplicateSequence) {
+            // the broker's producer-state for our pid is gone or
+            // disagrees (state eviction, pid expiry): retrying the SAME
+            // sequence can never succeed — it would wedge the retry loop
+            // resending one rejected frame forever. Reset to a fresh
+            // InitProducerId and sequence 0 and classify transient, so
+            // the loop's next attempt re-registers and lands; cross-pid
+            // duplicates in the lost-ack window remain covered by the
+            // event-id header (reference E7).
+            producerId = -1L; producerEpoch = -1; nextSeq.clear()
+            new IOException(s"produce to $topic/$partition rejected " +
+              s"(sequence error $err): producer id reset, retry re-registers")
+          } else if (err == -1)
+            new IOException(
+              s"produce response missing $topic/$partition")
+          else if (KafkaWire.isPermanent(err))
+            new PermanentPublishException(
+              s"produce to $topic/$partition rejected permanently: error $err")
+          else new IOException(
+            s"produce to $topic/$partition failed: error $err")
+        if (firstFailure == null) firstFailure = e
       }
-      if (KafkaWire.isPermanent(err))
-        throw new PermanentPublishException(
-          s"produce to $topic/$partition rejected permanently: error $err")
-      throw new IOException(s"produce to $topic/$partition failed: error $err")
     }
-    if (idempotent) nextSeq((topic, partition)) = seq + group.size
-    lastBaseOffset = baseOffset
+    if (firstFailure != null) throw firstFailure
   }
 
   override def close(): Unit = client.close()

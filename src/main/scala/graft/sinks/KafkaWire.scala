@@ -254,14 +254,31 @@ object KafkaWire {
 
   def produceRequestV3(corrId: Int, clientId: String, topic: String,
       partition: Int, batch: Array[Byte], acks: Short,
+      timeoutMs: Int): Array[Byte] =
+    produceRequestV3(corrId, clientId, Seq(topic -> Seq((partition, batch))),
+      acks, timeoutMs)
+
+  /** Produce v3 carrying MANY (topic, partition, batch) entries in ONE
+    * request — `[topic_data][partition_data]` is the body's native
+    * shape, the same batching ListOffsets uses on the consumer side: a
+    * task publishing to N partitions of one broker pays one RPC, not N.
+    */
+  def produceRequestV3(corrId: Int, clientId: String,
+      entries: Seq[(String, Seq[(Int, Array[Byte])])], acks: Short,
       timeoutMs: Int): Array[Byte] = {
     val b = header(ApiProduce, 3, corrId, clientId)
     b.str(null)           // transactional_id
     b.i16(acks)
     b.i32(timeoutMs)
-    b.i32(1).str(topic)   // topic_data[1]
-    b.i32(1).i32(partition)
-    b.bytes(batch)        // record_set
+    b.i32(entries.size)   // topic_data[n]
+    entries.foreach { case (topic, parts) =>
+      b.str(topic)
+      b.i32(parts.size)
+      parts.foreach { case (partition, batch) =>
+        b.i32(partition)
+        b.bytes(batch)    // record_set
+      }
+    }
     frame(b)
   }
 
@@ -553,15 +570,28 @@ object KafkaWire {
     * before its version-specific tail, which is all an ack-await needs.
     */
   def parseProduceResponse(body: Array[Byte]): (Short, Long) = {
+    val all = parseProduceResponseAll(body)
+    require(all.nonEmpty, "produce response without partitions")
+    all.head._2
+  }
+
+  /** Every (topic, partition) → (error, baseOffset) in a Produce v3
+    * response — the read half of the multi-partition request.
+    */
+  def parseProduceResponseAll(
+      body: Array[Byte]): Seq[((String, Int), (Short, Long))] = {
     val b = ByteBuffer.wrap(body)
     val nTopics = b.getInt()
-    require(nTopics >= 1, s"produce response without topics ($nTopics)")
-    readStr(b)             // topic
-    val nParts = b.getInt()
-    require(nParts >= 1, s"produce response without partitions ($nParts)")
-    b.getInt()             // partition index
-    val err = b.getShort()
-    val baseOffset = b.getLong()
-    (err, baseOffset)
+    (0 until nTopics).flatMap { _ =>
+      val topic = readStr(b)
+      val nParts = b.getInt()
+      (0 until nParts).map { _ =>
+        val partition = b.getInt()
+        val err = b.getShort()
+        val baseOffset = b.getLong()
+        b.getLong()        // log_append_time (v2+)
+        ((topic, partition), (err, baseOffset))
+      }
+    }
   }
 }

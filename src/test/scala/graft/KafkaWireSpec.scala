@@ -274,58 +274,70 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
           readStr(b)                              // transactional_id
           b.getShort()                            // acks
           b.getInt()                              // timeout
-          require(b.getInt() == 1, "one topic per produce")
-          val topic = readStr(b)
-          require(b.getInt() == 1, "one partition per produce")
-          val partition = b.getInt()
-          val setLen = b.getInt()
-          val batch = new Array[Byte](setLen); b.get(batch)
-          // idempotent-producer header fields sit at fixed offsets of the
-          // batch body (after attributes/lastOffsetDelta/timestamps)
-          val hdr = ByteBuffer.wrap(batch)
-          hdr.position(8 + 4 + 4 + 1 + 4 + 2 + 4 + 8 + 8)
-          val pid = hdr.getLong(); hdr.getShort()
-          val baseSeq = hdr.getInt()
-          val injected = Option(errorQueue.poll())
-          val (err, baseOffset) = injected match {
-            case Some(code) => (code, -1L)
-            case None =>
-              val seqKey = (pid, topic, partition)
-              val dup = pid >= 0 && baseSeq >= 0 &&
-                producerSeqs.get(seqKey).exists(_._1 >= baseSeq)
-              if (dup) {
-                // retransmission of an appended batch: ack its ORIGINAL
-                // offset, append nothing — the broker-side dedup that
-                // makes lost-ack retries effectively-once
-                dedupedProduces.incrementAndGet()
-                (0: Short, producerSeqs(seqKey)._2)
-              } else if (pid >= 0 && baseSeq >= 0 &&
-                  producerSeqs.get(seqKey).exists(_._1 + 1 != baseSeq)) {
-                (KafkaWire.ErrOutOfOrderSequence, -1L)
-              } else {
-                val records = decodeBatch(batch)
-                // attributes sit at fixed offset 21 (after baseOffset,
-                // batchLength, partitionLeaderEpoch, magic, crc): remember
-                // the codec so fetch re-serves the batch as produced
-                val wasGzip = (ByteBuffer.wrap(batch).getShort(21) & 0x7) == 1
-                val base = offsets.getOrElse((topic, partition), 0L)
-                records.zipWithIndex.foreach { case ((k, v, h), i) =>
-                  received.add(Received(topic, partition, k, v, h, base + i,
-                    wasGzip)); ()
-                }
-                offsets((topic, partition)) = base + records.size
-                if (pid >= 0 && baseSeq >= 0)
-                  producerSeqs(seqKey) = (baseSeq + records.size - 1, base)
-                if (dropNextAck) {
-                  dropNextAck = false
-                  (KafkaWire.ErrRequestTimedOut, -1L) // appended, ack "lost"
-                } else (0: Short, base)
+          // [topic_data][partition_data] — any number of either, the
+          // request's native shape (multi-partition produce batching)
+          val perTopic = (0 until b.getInt()).map { _ =>
+            val topic = readStr(b)
+            val parts = (0 until b.getInt()).map { _ =>
+              val partition = b.getInt()
+              val setLen = b.getInt()
+              val batch = new Array[Byte](setLen); b.get(batch)
+              // idempotent-producer header fields sit at fixed offsets of
+              // the batch body (after attributes/offsets/timestamps)
+              val hdr = ByteBuffer.wrap(batch)
+              hdr.position(8 + 4 + 4 + 1 + 4 + 2 + 4 + 8 + 8)
+              val pid = hdr.getLong(); hdr.getShort()
+              val baseSeq = hdr.getInt()
+              val injected = Option(errorQueue.poll())
+              val (err, baseOffset) = injected match {
+                case Some(code) => (code, -1L)
+                case None =>
+                  val seqKey = (pid, topic, partition)
+                  val dup = pid >= 0 && baseSeq >= 0 &&
+                    producerSeqs.get(seqKey).exists(_._1 >= baseSeq)
+                  if (dup) {
+                    // retransmission of an appended batch: ack its
+                    // ORIGINAL offset, append nothing — the broker-side
+                    // dedup that makes lost-ack retries effectively-once
+                    dedupedProduces.incrementAndGet()
+                    (0: Short, producerSeqs(seqKey)._2)
+                  } else if (pid >= 0 && baseSeq >= 0 &&
+                      producerSeqs.get(seqKey).exists(_._1 + 1 != baseSeq)) {
+                    (KafkaWire.ErrOutOfOrderSequence, -1L)
+                  } else {
+                    val records = decodeBatch(batch)
+                    // attributes sit at fixed offset 21 (after baseOffset,
+                    // batchLength, partitionLeaderEpoch, magic, crc):
+                    // remember the codec so fetch re-serves as produced
+                    val wasGzip =
+                      (ByteBuffer.wrap(batch).getShort(21) & 0x7) == 1
+                    val base = offsets.getOrElse((topic, partition), 0L)
+                    records.zipWithIndex.foreach { case ((k, v, h), i) =>
+                      received.add(Received(topic, partition, k, v, h,
+                        base + i, wasGzip)); ()
+                    }
+                    offsets((topic, partition)) = base + records.size
+                    if (pid >= 0 && baseSeq >= 0)
+                      producerSeqs(seqKey) = (baseSeq + records.size - 1, base)
+                    if (dropNextAck) {
+                      dropNextAck = false
+                      (KafkaWire.ErrRequestTimedOut, -1L) // appended, ack "lost"
+                    } else (0: Short, base)
+                  }
               }
+              (partition, err, baseOffset)
+            }
+            (topic, parts)
           }
-          resp.i32(1).str(topic)                  // responses[1]
-          resp.i32(1)                             // partitions[1]
-          resp.i32(partition).i16(err).i64(baseOffset)
-          resp.i64(-1L)                           // log_append_time (v2+)
+          resp.i32(perTopic.size)                 // responses[n]
+          perTopic.foreach { case (topic, parts) =>
+            resp.str(topic)
+            resp.i32(parts.size)
+            parts.foreach { case (partition, err, baseOffset) =>
+              resp.i32(partition).i16(err).i64(baseOffset)
+              resp.i64(-1L)                       // log_append_time (v2+)
+            }
+          }
           resp.i32(0)                             // throttle (tail, v1+)
         case KafkaWire.ApiInitProducerId =>
           require(version == 0, s"mock speaks InitProducerId v0, got $version")
@@ -601,9 +613,11 @@ class KafkaWireSpec extends SparkSpec {
       val res = SinkPublisher.publishUnordered(items.iterator, w,
         maxRetries = 3, sleep = _ => ())
       assert(res.isComplete && res.succeeded == 5, s"$res")
-      // one Produce RPC per (topic, partition) GROUP, not per item
-      assert(broker.apiCount(KafkaWire.ApiProduce) - produceBefore == 2,
-        "5 items over 2 subjects = 2 batched produce RPCs")
+      // one Produce RPC per LEADER BROKER (one broker here), not per
+      // item and not even per (topic, partition) group — the request
+      // carries both subjects' batches in its native [topics][partitions]
+      assert(broker.apiCount(KafkaWire.ApiProduce) - produceBefore == 1,
+        "5 items over 2 subjects on 1 broker = 1 multi-partition produce RPC")
       import scala.jdk.CollectionConverters._
       val bySubject = broker.received.asScala.toSeq.groupBy(_.key)
       assert(bySubject("t.bulk.a").map(_.value) ==
