@@ -447,6 +447,77 @@ object Dedup {
         rankCol.as("rank_val"))
   }
 
+  /** Incremental survivor CHANGELOG — the corpus-as-CDC shape: when a
+    * batch lands on a maintained corpus, emit the add/retract events to
+    * the corpus' SURVIVOR SET (the rows a downstream training-data
+    * consumer actually reads), instead of recomputing it. A new doc can
+    *  (a) be novel → `add`,
+    *  (b) be absorbed by an existing cluster → no event,
+    *  (c) displace an existing survivor (smaller id wins) → `retract`
+    *      old + `add` new,
+    *  (d) BRIDGE two existing clusters → the merged cluster keeps one
+    *      survivor, every other former survivor is `retract`ed.
+    *
+    * Cost is O(batch + touched clusters), never O(corpus): each
+    * existing cluster is CONTRACTED to its label (its members are
+    * already connected — one node represents them all), and components
+    * run only over batch nodes plus the labels the batch's edges touch.
+    * Untouched clusters emit nothing and are never read. The driver
+    * gate (l87) proves the contraction exact: the oracle recomputes
+    * both survivor sets FROM SCRATCH and diffs them.
+    *
+    * Inputs: `clusterOf` (id, cluster) — one row per existing corpus
+    * doc, singletons labelled with their own id (the maintained state);
+    * `newEdges` (id_a, id_b) — near-dup pairs with at least one batch
+    * endpoint; `batchIds` (id) — the landing batch. Batch ids must be
+    * disjoint from corpus ids. Output: (op ∈ add|retract, doc_id).
+    */
+  def survivorChangelog(clusterOf: DataFrame, newEdges: DataFrame,
+      batchIds: DataFrame): DataFrame = {
+    val ids = batchIds.select(col("id"))
+    val oldSurv = clusterOf.groupBy(col("cluster"))
+      .agg(min(col("id")).as("survivor"))
+    // contract: corpus endpoints collapse to their cluster label, batch
+    // endpoints stay themselves (absent from clusterOf by the contract)
+    val contracted = newEdges
+      .join(clusterOf.select(col("id").as("id_a"), col("cluster").as("ca")),
+        Seq("id_a"), "left")
+      .join(clusterOf.select(col("id").as("id_b"), col("cluster").as("cb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("ca"), col("id_a")).as("id_a"),
+        coalesce(col("cb"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val singletonAdds = ids
+      .join(newEdges.select(col("id_a").as("id"))
+        .union(newEdges.select(col("id_b").as("id"))).distinct(),
+        Seq("id"), "left_anti")
+      .select(lit("add").as("op"), col("id").as("doc_id"))
+    if (contracted.isEmpty) return singletonAdds
+    // components over the contracted graph: nodes are batch ids and
+    // TOUCHED old-cluster labels only — the O(batch) piece
+    val compG = components(contracted).withColumnRenamed("cluster", "g")
+    val batchMembers = compG.join(ids, Seq("id"), "left_semi")
+    val oldMembers = compG.join(ids, Seq("id"), "left_anti")
+      .withColumnRenamed("id", "cluster")
+      .join(oldSurv, "cluster") // (cluster, g, survivor)
+    val gNew = batchMembers.groupBy(col("g")).agg(min(col("id")).as("minb"))
+      .join(oldMembers.groupBy(col("g")).agg(min(col("survivor")).as("mino")),
+        Seq("g"), "full")
+      .select(col("g"), col("minb"), col("mino"),
+        least(coalesce(col("minb"), col("mino")),
+          coalesce(col("mino"), col("minb"))).as("new_surv"))
+    val retracts = oldMembers.join(gNew, "g")
+      .filter(col("survivor") =!= col("new_surv"))
+      .select(lit("retract").as("op"), col("survivor").as("doc_id"))
+    // the merged group's survivor is an `add` only when it is a BATCH
+    // doc (an old survivor keeping its role is not news)
+    val bridgeAdds = gNew
+      .filter(col("mino").isNull ||
+        (col("minb").isNotNull && col("minb") < col("mino")))
+      .select(lit("add").as("op"), col("minb").as("doc_id"))
+    retracts.union(bridgeAdds).union(singletonAdds)
+  }
+
   // -------------------------------------------------------------- simhash
 
   val SimhashBits = 48

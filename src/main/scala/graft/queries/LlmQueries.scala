@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.ops.{CountMin, Curation, Dedup, Multimodal, Similarity, TextAnalysis => TA}
 import Q.{Def, t}
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`:
@@ -2844,6 +2844,128 @@ object LlmQueries {
         ORDER BY cnt DESC, pair LIMIT 100""")),
 
     // Rank-based per-source quota (governance cap: at most N docs per
+    // Count-min sketch heavy hitters: vocabulary frequency mining
+    // without an exact groupBy over the key space. d×w counters (4×512
+    // here), est = min over the 4 row-hash cells — an εN overestimate,
+    // never an under. Deterministic md5-derived row hashes make every
+    // cell and every estimate DuckDB-reproducible, so the gate is an
+    // exact hash match. Scale shape: the explode is narrow, the cell
+    // groupBy partial-aggregates map-side to ≤ d×w rows per task, and
+    // the estimate join BROADCASTS the ≤2048-cell sketch over the
+    // distributed candidate stream.
+    "l85_cms_heavy_hitters" -> Def(
+      (s, d) => {
+        val (dd, w) = (4, 512)
+        val toks = t(s, d, "documents")
+          .select(explode(TA.tokens(col("text"))).as("tok"))
+        val cms = CountMin.sketch(toks, "tok", dd, w)
+        CountMin.estimate(cms, toks.distinct(), "tok", dd, w)
+          .filter(col("est") >= 50L)
+          .orderBy(col("tok"))
+      },
+      Some(s"""WITH tok AS (SELECT unnest($oToks) AS tok FROM documents),
+        rs AS (SELECT unnest(range(4)) AS r),
+        cms AS (SELECT r, ${oH48("CAST(r AS VARCHAR) || '~' || tok")} % 512 AS c,
+            COUNT(*) AS n
+          FROM tok CROSS JOIN rs GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT tok FROM tok),
+        est AS (SELECT cand.tok, MIN(COALESCE(cms.n, 0)) AS est
+          FROM cand CROSS JOIN rs
+          LEFT JOIN cms ON cms.r = rs.r AND
+            cms.c = ${oH48("CAST(rs.r AS VARCHAR) || '~' || cand.tok")} % 512
+          GROUP BY 1)
+        SELECT tok, est FROM est WHERE est >= 50 ORDER BY tok""")),
+
+    // CMS linearity gate: each source shard sketched INDEPENDENTLY,
+    // merged by cell-wise sum, estimates served from the merged sketch
+    // — while the oracle sketches the whole corpus in one pass. A hash
+    // match proves merged-from-shards ≡ global exactly (the property
+    // that lets 100 TB of shards sketch as they land, no rescan when a
+    // new shard or epoch joins).
+    "l86_cms_shard_merge" -> Def(
+      (s, d) => {
+        val (dd, w) = (4, 512)
+        val toks = t(s, d, "documents")
+          .select(col("source"), explode(TA.tokens(col("text"))).as("tok"))
+        val merged = CountMin.merge(
+          CountMin.sketchBy(toks, "tok", "source", dd, w).drop("source"))
+        val cand = toks.select(col("tok")).distinct()
+          .filter(TA.hash48(col("tok")) % 13 === 5)
+        CountMin.estimate(merged, cand, "tok", dd, w)
+          .orderBy(col("tok"))
+      },
+      Some(s"""WITH tok AS (SELECT unnest($oToks) AS tok FROM documents),
+        rs AS (SELECT unnest(range(4)) AS r),
+        cms AS (SELECT r, ${oH48("CAST(r AS VARCHAR) || '~' || tok")} % 512 AS c,
+            COUNT(*) AS n
+          FROM tok CROSS JOIN rs GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT tok FROM tok
+          WHERE ${oH48("tok")} % 13 = 5)
+        SELECT cand.tok, MIN(COALESCE(cms.n, 0)) AS est
+        FROM cand CROSS JOIN rs
+        LEFT JOIN cms ON cms.r = rs.r AND
+          cms.c = ${oH48("CAST(rs.r AS VARCHAR) || '~' || cand.tok")} % 512
+        GROUP BY 1 ORDER BY tok""")),
+
+    // Incremental survivor changelog — corpus-as-CDC: a landing batch
+    // emits add/retract events to the near-dup survivor set instead of
+    // a recompute. Existing clusters are CONTRACTED to their labels, so
+    // components run over batch nodes + touched labels only: O(batch),
+    // never O(corpus); untouched clusters emit nothing. The oracle
+    // recomputes BOTH survivor sets from scratch and diffs them —
+    // hash-match proves the incremental contraction ≡ full recompute.
+    "l87_survivor_changelog" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sh = Dedup.shingleIndex(docs, "doc_id", "text")
+        val pairs = Dedup.ngramJaccardPairs(sh, 0.8, maxDf = 1000)
+          .select(col("id_a"), col("id_b"))
+        val corpusPairs = pairs
+          .filter(col("id_a") % 10 =!= 0 && col("id_b") % 10 =!= 0)
+        val newEdges = pairs
+          .filter(col("id_a") % 10 === 0 || col("id_b") % 10 === 0)
+        // maintained state: yesterday's clusters (every corpus doc,
+        // singletons labelled with their own id)
+        val clusterOf = docs.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id").as("id"))
+          .join(Dedup.components(corpusPairs), Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("cluster"), col("id")).as("cluster"))
+        Dedup.survivorChangelog(clusterOf, newEdges,
+            docs.filter(col("doc_id") % 10 === 0)
+              .select(col("doc_id").as("id")))
+          .orderBy(col("doc_id"), col("op"))
+      },
+      Some(s"""WITH RECURSIVE $oShingles, $oJaccard,
+        pra AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+        eda AS (SELECT id_a AS s, id_b AS d FROM pra
+                UNION SELECT id_b, id_a FROM pra),
+        rea(s, d) AS (SELECT s, d FROM eda
+          UNION SELECT r.s, e.d FROM rea r JOIN eda e ON r.d = e.s),
+        cma AS (SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
+                FROM rea GROUP BY s),
+        cla AS (SELECT dd.doc_id, COALESCE(c.cluster, dd.doc_id) AS cluster
+                FROM documents dd LEFT JOIN cma c USING (doc_id)),
+        sva AS (SELECT MIN(doc_id) AS sv FROM cla GROUP BY cluster),
+        prb AS (SELECT id_a, id_b FROM pra
+                WHERE id_a % 10 != 0 AND id_b % 10 != 0),
+        edb AS (SELECT id_a AS s, id_b AS d FROM prb
+                UNION SELECT id_b, id_a FROM prb),
+        reb(s, d) AS (SELECT s, d FROM edb
+          UNION SELECT r.s, e.d FROM reb r JOIN edb e ON r.d = e.s),
+        cmb AS (SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
+                FROM reb GROUP BY s),
+        clb AS (SELECT dd.doc_id, COALESCE(c.cluster, dd.doc_id) AS cluster
+                FROM documents dd LEFT JOIN cmb c USING (doc_id)
+                WHERE dd.doc_id % 10 != 0),
+        svb AS (SELECT MIN(doc_id) AS sv FROM clb GROUP BY cluster)
+        SELECT 'add' AS op, sv AS doc_id FROM sva
+          WHERE sv NOT IN (SELECT sv FROM svb)
+        UNION ALL
+        SELECT 'retract' AS op, sv AS doc_id FROM svb
+          WHERE sv NOT IN (SELECT sv FROM sva)
+        ORDER BY doc_id, op""")),
+
     // domain, best-quality-first). Spark side ranks hierarchically —
     // (source, salt-bucket) pre-prune then a final <= N*buckets rank — so
     // one giant domain never funnels through a single task; the oracle is

@@ -142,13 +142,24 @@ object KafkaWire {
     bos.toByteArray
   }
 
+  /** Inflate cap: a record batch's records block may not inflate past
+    * the response-frame cap (64 MiB) — CRC proves integrity, not that
+    * the compressed payload isn't a zip bomb.
+    */
+  private val MaxInflatedBytes = 64 * 1024 * 1024
+
   private[sinks] def gunzip(data: Array[Byte]): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(data))
     val bos = new java.io.ByteArrayOutputStream(data.length * 4 + 64)
     val buf = new Array[Byte](8192)
     var n = in.read(buf)
-    while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+    while (n >= 0) {
+      if (bos.size() + n > MaxInflatedBytes)
+        throw new java.io.IOException(
+          s"gzip record block inflates past $MaxInflatedBytes bytes")
+      bos.write(buf, 0, n); n = in.read(buf)
+    }
     in.close()
     bos.toByteArray
   }

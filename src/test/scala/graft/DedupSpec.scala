@@ -288,4 +288,38 @@ class DedupSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
     } finally { out.unpersist(); () }
   }
+
+  test("survivorChangelog: novel add, absorb, displace, and BRIDGE each " +
+      "emit exactly their events; untouched clusters emit nothing") {
+    // maintained corpus: clusters {11,13} (survivor 11), {15,17}
+    // (survivor 15), {21,23} (survivor 21 — untouched), singleton 19
+    val clusterOf = Seq(11L -> 11L, 13L -> 11L, 15L -> 15L, 17L -> 15L,
+      21L -> 21L, 23L -> 21L, 19L -> 19L).toDF("id", "cluster")
+    // batch: 30 bridges the 11- and 15-clusters (absorbed, id > both);
+    // 10 displaces singleton 19 (10 < 19); 40 attaches to nothing new
+    // except cluster 21? no — 40 is novel (no edges); 50 absorbed by 21
+    val batch = Seq(30L, 10L, 40L, 50L).toDF("id")
+    val edges = Seq(
+      (30L, 13L), (30L, 17L), // bridge: touches both clusters
+      (10L, 19L),             // displace the singleton's survivor
+      (50L, 23L))             // absorbed into {21,23}
+      .toDF("id_a", "id_b")
+    val got = Dedup.survivorChangelog(clusterOf, edges, batch)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(
+      ("retract", 15L),       // bridge: merged cluster keeps 11, drops 15
+      ("retract", 19L), ("add", 10L), // displacement
+      ("add", 40L)),          // novel singleton
+      s"changelog events: $got")
+    // absorbed members (30, 50) and the untouched cluster 21 emit nothing
+  }
+
+  test("survivorChangelog: an edgeless batch is all adds (no components run)") {
+    val clusterOf = Seq(11L -> 11L).toDF("id", "cluster")
+    val batch = Seq(10L, 20L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Dedup.survivorChangelog(clusterOf, edges, batch)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("add", 10L), ("add", 20L)))
+  }
 }
