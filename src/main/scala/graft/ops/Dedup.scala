@@ -473,7 +473,21 @@ object Dedup {
     * disjoint from corpus ids. Output: (op ∈ add|retract, doc_id).
     */
   def survivorChangelog(clusterOf: DataFrame, newEdges: DataFrame,
-      batchIds: DataFrame): DataFrame = {
+      batchIds: DataFrame): DataFrame =
+    clusterDelta(clusterOf, newEdges, batchIds)._1
+
+  /** The changelog PLUS the label reassignments the batch implies —
+    * what a maintained cluster table applies per micro-batch
+    * ([[DedupIndex.startClusterMaintenance]]). Returns
+    * `(changelog(op, doc_id), assign(id, cluster))` where `assign`
+    * covers every batch doc and every member of a TOUCHED old cluster
+    * (possibly with its label unchanged — the rewrite is idempotent);
+    * untouched clusters never appear. Labels follow the min-id policy,
+    * so the maintained table stays bit-identical to a from-scratch
+    * [[components]] labelling after every batch — the l88 gate.
+    */
+  def clusterDelta(clusterOf: DataFrame, newEdges: DataFrame,
+      batchIds: DataFrame): (DataFrame, DataFrame) = {
     val ids = batchIds.select(col("id"))
     val oldSurv = clusterOf.groupBy(col("cluster"))
       .agg(min(col("id")).as("survivor"))
@@ -491,8 +505,11 @@ object Dedup {
       .join(newEdges.select(col("id_a").as("id"))
         .union(newEdges.select(col("id_b").as("id"))).distinct(),
         Seq("id"), "left_anti")
+    val singletonLog = singletonAdds
       .select(lit("add").as("op"), col("id").as("doc_id"))
-    if (contracted.isEmpty) return singletonAdds
+    val singletonAssign = singletonAdds
+      .select(col("id"), col("id").as("cluster"))
+    if (contracted.isEmpty) return (singletonLog, singletonAssign)
     // components over the contracted graph: nodes are batch ids and
     // TOUCHED old-cluster labels only — the O(batch) piece
     val compG = components(contracted).withColumnRenamed("cluster", "g")
@@ -500,6 +517,8 @@ object Dedup {
     val oldMembers = compG.join(ids, Seq("id"), "left_anti")
       .withColumnRenamed("id", "cluster")
       .join(oldSurv, "cluster") // (cluster, g, survivor)
+    // min-id policy: a cluster's label IS its survivor, so the merged
+    // group's new label = min(batch mins, old labels)
     val gNew = batchMembers.groupBy(col("g")).agg(min(col("id")).as("minb"))
       .join(oldMembers.groupBy(col("g")).agg(min(col("survivor")).as("mino")),
         Seq("g"), "full")
@@ -515,7 +534,15 @@ object Dedup {
       .filter(col("mino").isNull ||
         (col("minb").isNotNull && col("minb") < col("mino")))
       .select(lit("add").as("op"), col("minb").as("doc_id"))
-    retracts.union(bridgeAdds).union(singletonAdds)
+    val changelog = retracts.union(bridgeAdds).union(singletonLog)
+    val batchAssign = batchMembers.join(gNew, "g")
+      .select(col("id"), col("new_surv").as("cluster"))
+    val touchedAssign = clusterOf.as("co").join(
+        oldMembers.join(gNew, "g")
+          .select(col("cluster").as("old_cluster"), col("new_surv")),
+        col("co.cluster") === col("old_cluster"))
+      .select(col("co.id").as("id"), col("new_surv").as("cluster"))
+    (changelog, batchAssign.union(touchedAssign).union(singletonAssign))
   }
 
   // -------------------------------------------------------------- simhash

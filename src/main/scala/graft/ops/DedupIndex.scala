@@ -452,4 +452,177 @@ object DedupIndex {
         landBatch(s, spark, sizes, s"${name}_sizes", batchId,
           bucketed = false, buckets)
       }.start()
+
+  // --------------------------------------------- cluster maintenance
+
+  /** STREAMING cluster maintenance — the full corpus-as-CDC loop: keep
+    * the shingle index AND a near-dup CLUSTER table current from a
+    * document stream, emitting an append-only survivor CHANGELOG per
+    * micro-batch. Each batch:
+    *  1. derives its near-dup edges (within-batch pairs + batch-vs-index
+    *     pairs against the PRE-batch index — one bucketed shingle join);
+    *  2. lands in the shingle index (the existing idempotent path);
+    *  3. applies [[Dedup.clusterDelta]]: components over the CONTRACTED
+    *     graph (batch nodes + touched cluster labels) reassign only the
+    *     touched clusters' members — O(batch + touched), never
+    *     O(corpus) — and the add/retract events append to
+    *     `<name>_changelog` (its own ingest_batch partition, replay-
+    *     idempotent via [[landBatch]]).
+    *
+    * `<name>_clusters` (id, cluster, bucket = cluster mod buckets) is
+    * partitioned by bucket so a rewrite touches only the buckets whose
+    * clusters changed. The rewrite is crash-safe by a mini-manifest:
+    * stage the affected buckets' new contents to a durable dir, record
+    * `graft.cluster.pending` in table props, drop + re-append, then
+    * clear the marker and advance `graft.cluster.last_batch`; recovery
+    * re-executes a pending rewrite from the stage (idempotent — the
+    * drop removes any partial append), and a replayed batch at or below
+    * last_batch is skipped entirely. Because labels follow the min-id
+    * policy, the maintained table is bit-identical to a from-scratch
+    * [[Dedup.components]] labelling after every batch — the l88 gate.
+    *
+    * At 100 TB: the contraction needs each corpus ENDPOINT's label —
+    * here a distributed join against the cluster table; co-locate it by
+    * also bucketing on id if batch-vs-corpus lookups dominate.
+    */
+  def startClusterMaintenance(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, name: String, checkpointPath: String,
+      threshold: Double = 0.8, n: Int = 3, buckets: Int = 8,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        maintainClusters(batch.sparkSession, spark, batch.toDF(), idCol,
+          textCol, name, batchId, threshold, n, buckets)
+      }.start()
+
+  /** True while a cluster-table bucket rewrite is mid-flight — i.e. the
+    * pending marker is set (test/forensics accessor).
+    */
+  def clusterPending(spark: SparkSession, cl: String): Boolean =
+    spark.catalog.tableExists(cl) &&
+      tableProps(spark, cl).contains("graft.cluster.pending")
+
+  private def clusterStagePath(s: SparkSession, cl: String): String =
+    new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath +
+      s"/${cl}__stage"
+
+  /** Re-execute a cluster-table rewrite that crashed between its
+    * partition drops and the props advance — the stage dir is durable
+    * and the drop is idempotent, so finishing is always safe.
+    */
+  private def recoverClusterRewrite(s: SparkSession, cl: String): Unit =
+    if (s.catalog.tableExists(cl))
+      tableProps(s, cl).get("graft.cluster.pending").foreach { spec =>
+        val Array(bid, csv) = spec.split(":", 2)
+        val staged = s.read.parquet(clusterStagePath(s, cl))
+        csv.split(",").filter(_.nonEmpty).foreach(b =>
+          s.sql(s"ALTER TABLE $cl DROP IF EXISTS PARTITION (bucket=$b)"))
+        staged.select(col("id"), col("cluster"), col("bucket"))
+          .write.insertInto(cl)
+        s.sql(s"ALTER TABLE $cl SET TBLPROPERTIES " +
+          s"('graft.cluster.last_batch'='$bid')")
+        s.sql(s"ALTER TABLE $cl UNSET TBLPROPERTIES ('graft.cluster.pending')")
+        s.catalog.refreshTable(cl)
+      }
+
+  private[graft] def maintainClusters(s: SparkSession, outer: SparkSession,
+      batch: DataFrame, idCol: String, textCol: String, name: String,
+      batchId: Long, threshold: Double, n: Int, buckets: Int): Unit = {
+    val cl = s"${name}_clusters"; val logT = s"${name}_changelog"
+    recoverClusterRewrite(s, cl)
+    // a cluster table without last_batch is a crashed CREATION — its
+    // contents are this very batch's partial state, not a pre-state
+    if (s.catalog.tableExists(cl) &&
+        !tableProps(s, cl).contains("graft.cluster.last_batch"))
+      s.sql(s"DROP TABLE $cl")
+    val applied =
+      if (s.catalog.tableExists(cl))
+        tableProps(s, cl)("graft.cluster.last_batch").toLong
+      else -1L
+    val batchIds = batch.select(col(idCol).cast("long").as("id"))
+    val bSh = Dedup.shingles(batch, idCol, textCol, n)
+    // 1. edges from the PRE-batch state (ingest_batch < batchId keeps a
+    // replayed batch's own landed rows out; fold partitions are negative
+    // and always below any live id, and a folded replay's self-pairs
+    // die on the id inequality)
+    val within = Dedup.ngramJaccardPairs(bSh, threshold, maxDf = Long.MaxValue)
+      .select(col("id_a"), col("id_b"))
+    val cross =
+      if (s.catalog.tableExists(name)) {
+        val idx = s.table(name).filter(col("ingest_batch") < batchId)
+        val oldSizes = s.table(s"${name}_sizes")
+          .filter(col("ingest_batch") < batchId)
+          .select(col("id").as("old_id"), col("n").as("n_old"))
+        val newSizes = bSh.groupBy(col("id")).agg(count(lit(1)).as("n_new"))
+          .withColumnRenamed("id", "new_id")
+        bSh.as("nw").join(idx.as("ix"), col("nw.shingle") === col("ix.shingle"))
+          .groupBy(col("nw.id").as("new_id"), col("ix.id").as("old_id"))
+          .agg(count(lit(1)).as("inter"))
+          .join(newSizes, "new_id").join(oldSizes, "old_id")
+          .filter(col("inter").cast("double") /
+            (col("n_new") + col("n_old") - col("inter")) >= threshold)
+          .filter(col("new_id") =!= col("old_id"))
+          .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
+      } else within.limit(0)
+    val newEdges = within.union(cross).localCheckpoint(true)
+    // 2. the shingle index lands exactly as startMaintenance does
+    landBatch(s, outer,
+      bSh.withColumn("ingest_batch", lit(batchId)), name, batchId,
+      bucketed = true, buckets)
+    landBatch(s, outer,
+      bSh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+        .withColumn("ingest_batch", lit(batchId)),
+      s"${name}_sizes", batchId, bucketed = false, buckets)
+    // 3. cluster update + changelog, skipped wholesale on replay of an
+    // applied batch (the pre-state no longer exists)
+    if (applied >= batchId) return
+    val clusterOf =
+      if (s.catalog.tableExists(cl)) s.table(cl).select(col("id"), col("cluster"))
+      else batchIds.limit(0).withColumn("cluster", col("id"))
+    val (changelog0, assign0) =
+      Dedup.clusterDelta(clusterOf, newEdges, batchIds)
+    val changelog = changelog0.localCheckpoint(true)
+    val assign = assign0
+      .withColumn("bucket", pmod(col("cluster"), lit(buckets.toLong)))
+      .localCheckpoint(true)
+    // the changelog lands BEFORE the cluster rewrite advances
+    // last_batch: a crash after the advance skips this whole section on
+    // replay, so everything the skip covers must already be durable
+    landBatch(s, outer,
+      changelog.withColumn("ingest_batch", lit(batchId)), logT, batchId,
+      bucketed = false, buckets)
+    if (!s.catalog.tableExists(cl)) {
+      assign.write.partitionBy("bucket").saveAsTable(cl)
+      s.sql(s"ALTER TABLE $cl SET TBLPROPERTIES " +
+        s"('graft.cluster.last_batch'='$batchId')")
+    } else {
+      // affected buckets: where reassigned rows LIVE now + where they GO
+      val affected = (assign.select(col("bucket")) union
+          s.table(cl).join(assign.select(col("id")), Seq("id"), "left_semi")
+            .select(col("bucket")))
+        .distinct().collect().map(_.getLong(0)).sorted
+      val keep = s.table(cl)
+        .filter(col("bucket").isin(affected: _*))
+        .join(assign.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("cluster"), col("bucket"))
+      val stage = clusterStagePath(s, cl)
+      keep.union(assign.select(col("id"), col("cluster"), col("bucket")))
+        .write.mode("overwrite").parquet(stage)
+      s.sql(s"ALTER TABLE $cl SET TBLPROPERTIES ('graft.cluster.pending'=" +
+        s"'$batchId:${affected.mkString(",")}')")
+      affected.foreach(b =>
+        s.sql(s"ALTER TABLE $cl DROP IF EXISTS PARTITION (bucket=$b)"))
+      s.read.parquet(stage).select(col("id"), col("cluster"), col("bucket"))
+        .write.insertInto(cl)
+      s.sql(s"ALTER TABLE $cl SET TBLPROPERTIES " +
+        s"('graft.cluster.last_batch'='$batchId')")
+      s.sql(s"ALTER TABLE $cl UNSET TBLPROPERTIES ('graft.cluster.pending')")
+    }
+    s.catalog.refreshTable(cl); outer.catalog.refreshTable(cl)
+  }
 }

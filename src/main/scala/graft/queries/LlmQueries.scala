@@ -2907,6 +2907,61 @@ object LlmQueries {
           cms.c = ${oH48("CAST(rs.r AS VARCHAR) || '~' || cand.tok")} % 512
         GROUP BY 1 ORDER BY tok""")),
 
+    // STREAMING cluster maintenance — l87's loop run for real: 4 real
+    // micro-batches land through startClusterMaintenance (index +
+    // cluster table + changelog per batch, each batch's edges computed
+    // against the PRE-batch index, touched clusters contracted and
+    // reassigned in place). Gate: the FINAL maintained cluster table
+    // must be bit-identical to a from-scratch min-label components run
+    // over the whole corpus — four incremental applications ≡ one shot.
+    "l88_streaming_cluster_maintenance" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val name = "graft_l88_idx"
+        Seq(name, s"${name}_sizes", s"${name}_clusters",
+            s"${name}_changelog").foreach { tb =>
+          s.sql(s"DROP TABLE IF EXISTS $tb")
+          val loc = new java.net.URI(
+            s.conf.get("spark.sql.warehouse.dir")).getPath + s"/$tb"
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(loc))
+          rm(new java.io.File(s"${loc}__stage"))
+        }
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val work = java.nio.file.Files.createTempDirectory("graft_l88")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        Seq((0L, maxId / 4), (maxId / 4 + 1, maxId / 2),
+            (maxId / 2 + 1, 3 * maxId / 4), (3 * maxId / 4 + 1, maxId))
+          .zipWithIndex.foreach { case ((lo, hi), i) =>
+            docs.filter(col("doc_id").between(lo, hi))
+              .coalesce(1).write.parquet(s"$work/in/s$i")
+            new java.io.File(s"$work/in/s$i").listFiles()
+              .foreach(f => { f.setLastModified(1700000000000L + i * 60000L); () })
+          }
+        val stream = s.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
+        val q = graft.ops.DedupIndex.startClusterMaintenance(s, stream,
+          "doc_id", "text", name, s"$work/ckpt", threshold = 0.8,
+          trigger = Trigger.ProcessingTime("50 milliseconds"))
+        try { q.processAllAvailable() } finally q.stop()
+        s.table(s"${name}_clusters")
+          .select(col("id").as("doc_id"), col("cluster"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $oShingles, $oJaccard,
+        pra AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+        eda AS (SELECT id_a AS s, id_b AS d FROM pra
+                UNION SELECT id_b, id_a FROM pra),
+        rea(s, d) AS (SELECT s, d FROM eda
+          UNION SELECT r.s, e.d FROM rea r JOIN eda e ON r.d = e.s),
+        cma AS (SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
+                FROM rea GROUP BY s)
+        SELECT dd.doc_id, COALESCE(c.cluster, dd.doc_id) AS cluster
+        FROM documents dd LEFT JOIN cma c USING (doc_id)
+        ORDER BY doc_id""")),
+
     // Incremental survivor changelog — corpus-as-CDC: a landing batch
     // emits add/retract events to the near-dup survivor set instead of
     // a recompute. Existing clusters are CONTRACTED to their labels, so

@@ -361,4 +361,130 @@ class DedupIndexSpec extends SparkSpec {
         "partition 7's rows left with the manifest's completed fold story")
     } finally { cleanup(name); () }
   }
+
+  private def cleanupClusters(name: String): Unit = {
+    cleanup(name)
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_clusters")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_changelog")
+    val loc = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath +
+      s"/${name}_clusters__stage"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(loc))
+  }
+
+  // near-dup families: 1~2~3 (chain), 11~12, everything else singleton;
+  // streamed as three batches that exercise attach, displace, and bridge
+  private val clusterDocs = Seq(
+    2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    3L -> "alpha beta gamma delta epsilon zeta eta theta iota mu",
+    12L -> "one two three four five six seven eight nine ten",
+    20L -> "completely unrelated content about catalyst plan rewrites",
+    1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    11L -> "one two three four five six seven eight nine ten",
+    30L -> "another singleton document mentioning shuffles and sorts")
+  private val clusterBatches = Seq(Seq(2L, 3L, 20L), Seq(1L, 12L), Seq(11L, 30L))
+    .map(ids => clusterDocs.filter(d => ids.contains(d._1)))
+
+  private def runClusterMaintenance(name: String, ckpt: String): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = DedupIndex.startClusterMaintenance(spark,
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", name, ckpt,
+      threshold = 0.8, buckets = 4)
+    try clusterBatches.foreach { slice =>
+      input.addData(slice: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+  }
+
+  test("cluster maintenance: maintained labels ≡ from-scratch components; " +
+      "changelog net effect ≡ final survivors; replay changes nothing") {
+    val name = "graft_test_clidx"
+    cleanupClusters(name)
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("clidx_ck").toString
+      runClusterMaintenance(name, ckpt)
+      // 1. maintained table ≡ one-shot clustering of everything
+      val all = clusterDocs.toDF("doc_id", "text")
+      val pairs = graft.ops.Dedup.ngramJaccardPairs(
+        graft.ops.Dedup.shingleIndex(all, "doc_id", "text"), 0.8,
+        maxDf = 1000)
+      val scratch = all.select($"doc_id".as("id"))
+        .join(graft.ops.Dedup.components(pairs), Seq("id"), "left")
+        .select($"id", coalesce($"cluster", $"id").as("cluster"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def maintained = spark.table(s"${name}_clusters")
+        .select($"id", $"cluster")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(maintained == scratch,
+        s"incremental ≡ from-scratch: $maintained vs $scratch")
+      // the chain 1~2~3 collapsed across batches (displacement: 1 lands
+      // after 2, wins) and 11 displaced 12 — both retractions happened
+      val log = spark.table(s"${name}_changelog")
+        .select($"op", $"doc_id")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val net = log.collect { case ("add", id) => id }.toSet --
+        log.collect { case ("retract", id) => id }.toSet
+      val survivors = maintained.groupBy(_._2).map(_._2.map(_._1).min).toSet
+      assert(net == survivors,
+        s"changelog adds minus retracts ≡ final survivors: $net vs $survivors")
+      assert(log.contains(("retract", 2L)) && log.contains(("retract", 12L)),
+        s"displacements were announced: ${log.toSeq.sorted}")
+      // 2. replaying the FINAL batch (foreachBatch at-least-once) is a
+      // no-op: applied guard skips, index partitions re-land identically
+      val before = (maintained,
+        spark.table(s"${name}_changelog").count(),
+        spark.table(name).count())
+      DedupIndex.maintainClusters(spark, spark,
+        clusterBatches.last.toDF("doc_id", "text"), "doc_id", "text",
+        name, batchId = clusterBatches.size - 1L, threshold = 0.8,
+        n = 3, buckets = 4)
+      val after = (maintained,
+        spark.table(s"${name}_changelog").count(),
+        spark.table(name).count())
+      assert(before == after, s"replay must be a no-op: $before vs $after")
+    } finally { cleanupClusters(name); () }
+  }
+
+  test("cluster rewrite crash recovery: a pending marker re-executes the " +
+      "staged bucket swap exactly once") {
+    val name = "graft_test_clidx2"
+    cleanupClusters(name)
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("clidx2_ck").toString
+      runClusterMaintenance(name, ckpt)
+      val cl = s"${name}_clusters"
+      val healthy = spark.table(cl).select($"id", $"cluster", $"bucket")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // forge the crash window: bucket b's new contents are staged and
+      // the pending marker is set, but the partition was dropped and the
+      // re-append never ran
+      val b = spark.table(cl).select($"bucket").head().getLong(0)
+      val stage = new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/${cl}__stage"
+      spark.table(cl).filter($"bucket" === b)
+        .select($"id", $"cluster", $"bucket")
+        .write.mode("overwrite").parquet(stage)
+      val lastB = clusterBatches.size - 1L
+      spark.sql(s"ALTER TABLE $cl SET TBLPROPERTIES " +
+        s"('graft.cluster.pending'='$lastB:$b')")
+      spark.sql(s"ALTER TABLE $cl DROP IF EXISTS PARTITION (bucket=$b)")
+      spark.catalog.refreshTable(cl)
+      assert(spark.table(cl).count() < healthy.size, "crash state is visible")
+      // the next batch's entry path recovers, then applies (a replayed
+      // final batch here — the guard skips the apply, recovery still runs)
+      DedupIndex.maintainClusters(spark, spark,
+        clusterBatches.last.toDF("doc_id", "text"), "doc_id", "text",
+        name, batchId = lastB, threshold = 0.8, n = 3, buckets = 4)
+      val recovered = spark.table(cl).select($"id", $"cluster", $"bucket")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(recovered == healthy, "recovery restored the staged bucket")
+      assert(!DedupIndex.clusterPending(spark, cl),
+        "the pending marker is cleared")
+    } finally { cleanupClusters(name); () }
+  }
 }
