@@ -455,4 +455,68 @@ object Curation {
       .groupBy(col("id")).agg(count(lit(1)).as("shared_shingles"))
       .filter(col("shared_shingles") >= minShared)
   }
+
+  /** The eval-set Bloom filter for [[bloomDecontaminate]]: an m-bit
+    * bitmap (m/64 longs) over the eval set's shingles, k md5-derived
+    * hash positions per shingle. Built DISTRIBUTED — positions explode
+    * narrow, `bit_or` folds each 64-bit word map-side — and only the
+    * finished ~m/8-byte bitmap is collected (8 KiB at m=2^16): the one
+    * driver touch is the artifact itself, never the data.
+    */
+  def evalShingleBloom(eval: DataFrame, idCol: String, textCol: String,
+      m: Int, k: Int, n: Int = 3): Array[Long] = {
+    require(m % 64 == 0 && Integer.bitCount(m) == 1, s"m must be a 2^j: $m")
+    val positions = Dedup.shingles(eval, idCol, textCol, n)
+      .select(explode(array((0 until k).map(j =>
+        pmod(TextAnalysis.hash48(concat(lit(s"$j~"), col("shingle"))),
+          lit(m.toLong))): _*)).as("pos"))
+    val words = new Array[Long](m / 64)
+    positions
+      .groupBy((col("pos") / 64).cast("int").as("w"))
+      .agg(bit_or(call_function("shiftleft", lit(1L),
+        pmod(col("pos"), lit(64L)).cast("int"))).as("bits"))
+      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
+  /** `true` iff every one of `shingle`'s k bloom positions is set — a
+    * pure codegen'd expression over the broadcast bitmap literal; no
+    * join, no shuffle, no UDF.
+    */
+  def bloomMightContain(shingle: Column, words: Array[Long],
+      k: Int): Column = {
+    val m = words.length * 64L
+    val bitmap = lit(words)
+    (0 until k).map { j =>
+      val pos = pmod(TextAnalysis.hash48(concat(lit(s"$j~"), shingle)),
+        lit(m))
+      (element_at(bitmap, (pos / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pmod(pos, lit(64L)).cast("int")))) =!= 0L
+    }.reduce(_ && _)
+  }
+
+  /** Decontamination at corpus scale: [[contaminated]]'s exact
+    * shingle-overlap semantics, reached through a BLOOM prefilter so the
+    * eval set never joins against the full corpus. The bitmap (8 KiB at
+    * m=2^16) rides the plan as a literal into every task — the
+    * membership test is a scalar filter at the scan, so only
+    * possibly-contaminated shingles ever reach the verify join, whose
+    * broadcast side is the true eval shingle set (Bloom false positives
+    * die there; false negatives cannot exist — a set bit is never
+    * missed). Output ≡ [[contaminated]] exactly — the l89 gate
+    * hash-checks the Bloom path against the plain-join oracle.
+    */
+  def bloomDecontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, m: Int = 1 << 16, k: Int = 3, n: Int = 3,
+      minShared: Int = 2): DataFrame = {
+    val words = evalShingleBloom(eval, idCol, textCol, m, k, n)
+    val candidates = Dedup.shingles(train, idCol, textCol, n)
+      .filter(bloomMightContain(col("shingle"), words, k))
+    val evalSh = Dedup.shingles(eval, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    candidates.join(broadcast(evalSh), Seq("shingle"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+  }
 }

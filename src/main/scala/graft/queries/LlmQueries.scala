@@ -1935,6 +1935,29 @@ object LlmQueries {
         FROM tr JOIN ev USING (shingle)
         GROUP BY tr.doc_id HAVING COUNT(*) >= 2 ORDER BY id""")),
 
+    // Bloom-prefiltered decontamination: l24's exact semantics reached
+    // through an 8 KiB bitmap literal riding the plan into every task —
+    // the membership test is a codegen'd scalar filter at the scan, so
+    // only possibly-contaminated shingles reach the verify join (where
+    // Bloom false positives die; false negatives cannot exist). The
+    // oracle is the PLAIN exact join — the hash match proves the Bloom
+    // path changes nothing but the work done.
+    "l89_bloom_decontam" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Curation.bloomDecontaminate(
+            docs.filter(col("doc_id") % 7 =!= 3),
+            docs.filter(col("doc_id") % 7 === 3),
+            "doc_id", "text", minShared = 2)
+          .orderBy(col("id"))
+      },
+      Some(s"""WITH $oShingles,
+        ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 3),
+        tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 7 != 3)
+        SELECT tr.doc_id AS id, COUNT(*) AS shared_shingles
+        FROM tr JOIN ev USING (shingle)
+        GROUP BY tr.doc_id HAVING COUNT(*) >= 2 ORDER BY id""")),
+
     // Corpus-statistics quality signal: rare-token ratio against the
     // corpus df table — integer arithmetic until the final division, so
     // the oracle hash-matches exactly (no transcendentals).

@@ -305,4 +305,41 @@ class CurationSpec extends SparkSpec {
     assert(sizes.min >= 10 && sizes.max <= 45, s"unbalanced: $sizes")
     assert(a != assign("epoch2"), "new salt re-keys the whole layout")
   }
+
+  test("bloom decontamination: identical verdicts to the exact join, " +
+      "with the prefilter actually pruning and no false negatives possible") {
+    val eval = Seq(
+      (1003L, "the hidden eval passage alpha beta gamma delta epsilon"),
+      (1010L, "another held out question zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val train = ((1L to 120L)
+      .map(i => (i, s"benign document tok$i about planning joins shuffles")) ++
+      Seq((900L, "the hidden eval passage alpha beta gamma delta epsilon"),
+        (901L, "some prefix text then zeta eta theta iota kappa")))
+      .toDF("doc_id", "text")
+    val exact = Curation.contaminated(train, eval, "doc_id", "text",
+        minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBloom = Curation.bloomDecontaminate(train, eval, "doc_id",
+        "text", m = 1 << 14, k = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaBloom == exact,
+      s"bloom path must change nothing but the work: $viaBloom vs $exact")
+    // the prefilter prunes: candidate shingles are a strict subset of
+    // the train shingles (most of this corpus is NOT contaminated)
+    val words = Curation.evalShingleBloom(eval, "doc_id", "text",
+      m = 1 << 14, k = 3)
+    val trainSh = graft.ops.Dedup.shingles(train, "doc_id", "text")
+    val total = trainSh.count()
+    val candidates = trainSh
+      .filter(Curation.bloomMightContain($"shingle", words, 3)).count()
+    assert(candidates < total / 2,
+      s"prefilter should prune most shingles: $candidates of $total survive")
+    // no false negatives: every truly-shared shingle passes the bloom
+    val shared = trainSh.join(
+      graft.ops.Dedup.shingles(eval, "doc_id", "text")
+        .select($"shingle").distinct(), Seq("shingle"), "left_semi")
+    assert(shared.filter(!Curation.bloomMightContain($"shingle", words, 3))
+      .isEmpty, "a set bit can never be missed")
+  }
 }
