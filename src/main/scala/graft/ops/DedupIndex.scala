@@ -530,6 +530,101 @@ object DedupIndex {
         s.catalog.refreshTable(cl)
       }
 
+  /** TAKEDOWN — the deletion half of the corpus-as-CDC loop: remove
+    * documents (copyright/PII removal requests) from the maintained
+    * cluster state, emitting the survivor changelog the removal
+    * implies. Removal is harder than ingest: deleting a doc can SPLIT
+    * its cluster (it was the bridge), so labels alone are not enough —
+    * the remaining members' pairwise edges are re-derived from the
+    * shingle INDEX (restricted to those members: O(touched clusters),
+    * never O(corpus)) and re-clustered. Changelog events:
+    *  - a removed survivor → `retract` it; each resulting sub-cluster's
+    *    survivor that wasn't one before → `add`;
+    *  - a removed non-survivor that bridged → `add` per split-off
+    *    sub-cluster; absorbed removals emit nothing.
+    *
+    * The index keeps the removed docs' rows physically (rewriting a
+    * bucketed layout per takedown would be O(index)); instead they land
+    * in `<name>_tombstones` and every future batch's cross-pairs
+    * anti-join it — logical deletion now, physical purge deferred to an
+    * index rebuild/compaction cycle. Cluster-table buckets rewrite
+    * under the same stage→pending-marker protocol as ingest; the whole
+    * call is idempotent for a fixed `opId` (re-running finds the docs
+    * already gone → no touched clusters, and the changelog partition
+    * re-lands identically).
+    */
+  def retractDocs(spark: SparkSession, name: String, removeIds: DataFrame,
+      opId: Long, threshold: Double = 0.8, buckets: Int = 8): Unit = {
+    val cl = s"${name}_clusters"; val logT = s"${name}_changelog"
+    recoverClusterRewrite(spark, cl)
+    val rm = removeIds.select(col("id")).localCheckpoint(true)
+    landBatch(spark, spark, rm.withColumn("ingest_batch", lit(opId)),
+      s"${name}_tombstones", opId, bucketed = false, buckets)
+    val cur = spark.table(cl)
+    val touched = cur.join(rm, Seq("id"), "left_semi")
+      .select(col("cluster")).distinct().localCheckpoint(true)
+    val oldSurv = cur.join(touched, Seq("cluster"), "left_semi")
+      .groupBy(col("cluster")).agg(min(col("id")).as("sv"))
+      .select(col("sv"))
+    val memIds = cur.join(touched, Seq("cluster"), "left_semi")
+      .join(rm, Seq("id"), "left_anti").select(col("id"))
+    // re-derive the remaining members' edges from the index and
+    // re-cluster — splits fall out naturally
+    val idx = spark.table(name).join(memIds, Seq("id"), "left_semi")
+    val sizes = spark.table(s"${name}_sizes")
+      .join(memIds, Seq("id"), "left_semi").select(col("id"), col("n"))
+    val pairs = idx.as("a")
+      .join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .filter(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val newAssign = {
+      val base =
+        if (pairs.isEmpty) memIds.withColumn("cluster", col("id"))
+        else memIds.join(Dedup.components(pairs), Seq("id"), "left")
+          .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+      base.localCheckpoint(true)
+    }
+    val newSurv = newAssign.select(col("cluster").as("sv")).distinct()
+    val changelog =
+      oldSurv.join(newSurv, Seq("sv"), "left_anti")
+        .select(lit("retract").as("op"), col("sv").as("doc_id"))
+      .union(newSurv.join(oldSurv, Seq("sv"), "left_anti")
+        .select(lit("add").as("op"), col("sv").as("doc_id")))
+      .localCheckpoint(true)
+    landBatch(spark, spark,
+      changelog.withColumn("ingest_batch", lit(opId)), logT, opId,
+      bucketed = false, buckets)
+    if (touched.isEmpty) return
+    // bucket rewrite: everything in a touched cluster leaves its old
+    // bucket; remaining members re-land under their new labels
+    val assignB = newAssign
+      .withColumn("bucket", pmod(col("cluster"), lit(buckets.toLong)))
+    val affected = (assignB.select(col("bucket")) union
+        cur.join(touched, Seq("cluster"), "left_semi").select(col("bucket")))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val keep = cur.filter(col("bucket").isin(affected: _*))
+      .join(touched, Seq("cluster"), "left_anti")
+      .select(col("id"), col("cluster"), col("bucket"))
+    val stage = clusterStagePath(spark, cl)
+    keep.union(assignB.select(col("id"), col("cluster"), col("bucket")))
+      .write.mode("overwrite").parquet(stage)
+    val last = tableProps(spark, cl)("graft.cluster.last_batch")
+    spark.sql(s"ALTER TABLE $cl SET TBLPROPERTIES ('graft.cluster.pending'=" +
+      s"'$last:${affected.mkString(",")}')")
+    affected.foreach(b =>
+      spark.sql(s"ALTER TABLE $cl DROP IF EXISTS PARTITION (bucket=$b)"))
+    spark.read.parquet(stage).select(col("id"), col("cluster"), col("bucket"))
+      .write.insertInto(cl)
+    spark.sql(s"ALTER TABLE $cl UNSET TBLPROPERTIES ('graft.cluster.pending')")
+    spark.catalog.refreshTable(cl)
+  }
+
   private[graft] def maintainClusters(s: SparkSession, outer: SparkSession,
       batch: DataFrame, idCol: String, textCol: String, name: String,
       batchId: Long, threshold: Double, n: Int, buckets: Int): Unit = {
@@ -554,9 +649,16 @@ object DedupIndex {
       .select(col("id_a"), col("id_b"))
     val cross =
       if (s.catalog.tableExists(name)) {
-        val idx = s.table(name).filter(col("ingest_batch") < batchId)
-        val oldSizes = s.table(s"${name}_sizes")
-          .filter(col("ingest_batch") < batchId)
+        // tombstoned docs (takedowns — retractDocs) are logically gone:
+        // new batches must not pair against them
+        val dropTomb = (df: DataFrame) =>
+          if (s.catalog.tableExists(s"${name}_tombstones"))
+            df.join(s.table(s"${name}_tombstones").select(col("id")),
+              Seq("id"), "left_anti")
+          else df
+        val idx = dropTomb(s.table(name).filter(col("ingest_batch") < batchId))
+        val oldSizes = dropTomb(s.table(s"${name}_sizes")
+            .filter(col("ingest_batch") < batchId))
           .select(col("id").as("old_id"), col("n").as("n_old"))
         val newSizes = bSh.groupBy(col("id")).agg(count(lit(1)).as("n_new"))
           .withColumnRenamed("id", "new_id")

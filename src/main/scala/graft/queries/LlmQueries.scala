@@ -2985,6 +2985,75 @@ object LlmQueries {
         FROM documents dd LEFT JOIN cma c USING (doc_id)
         ORDER BY doc_id""")),
 
+    // TAKEDOWN — the deletion half of the corpus-as-CDC loop: after the
+    // l88 streaming build, retract every doc_id % 9 == 4 (the removal
+    // request). Deletion can SPLIT clusters (the removed doc was the
+    // bridge), so retractDocs re-derives the touched clusters' edges
+    // from the INDEX and re-clusters just those members; removed docs
+    // tombstone out of future ingest pairing. Gate: the post-takedown
+    // cluster table ≡ a from-scratch clustering of the REMAINING docs.
+    "l90_cluster_takedown" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val name = "graft_l90_idx"
+        Seq(name, s"${name}_sizes", s"${name}_clusters",
+            s"${name}_changelog", s"${name}_tombstones").foreach { tb =>
+          s.sql(s"DROP TABLE IF EXISTS $tb")
+          val loc = new java.net.URI(
+            s.conf.get("spark.sql.warehouse.dir")).getPath + s"/$tb"
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(loc))
+          rm(new java.io.File(s"${loc}__stage"))
+        }
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val work = java.nio.file.Files.createTempDirectory("graft_l90")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        Seq((0L, maxId / 2), (maxId / 2 + 1, maxId)).zipWithIndex.foreach {
+          case ((lo, hi), i) =>
+            docs.filter(col("doc_id").between(lo, hi))
+              .coalesce(1).write.parquet(s"$work/in/s$i")
+            new java.io.File(s"$work/in/s$i").listFiles()
+              .foreach(f => { f.setLastModified(1700000000000L + i * 60000L); () })
+        }
+        val stream = s.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
+        val q = graft.ops.DedupIndex.startClusterMaintenance(s, stream,
+          "doc_id", "text", name, s"$work/ckpt", threshold = 0.8,
+          trigger = Trigger.ProcessingTime("50 milliseconds"))
+        try { q.processAllAvailable() } finally q.stop()
+        graft.ops.DedupIndex.retractDocs(s, name,
+          docs.filter(col("doc_id") % 9 === 4)
+            .select(col("doc_id").as("id")),
+          opId = 1000L, threshold = 0.8)
+        s.table(s"${name}_clusters")
+          .select(col("id").as("doc_id"), col("cluster"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE
+        dd AS (SELECT doc_id, text FROM documents WHERE doc_id % 9 != 4),
+        sh AS (SELECT DISTINCT doc_id,
+            t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+          FROM (SELECT doc_id, $oToks AS t FROM dd),
+          UNNEST(generate_series(1, GREATEST(len(t) - 2, 0))) AS g(i)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pra AS (SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+        eda AS (SELECT id_a AS s, id_b AS d FROM pra
+                UNION SELECT id_b, id_a FROM pra),
+        rea(s, d) AS (SELECT s, d FROM eda
+          UNION SELECT r.s, e.d FROM rea r JOIN eda e ON r.d = e.s),
+        cma AS (SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
+                FROM rea GROUP BY s)
+        SELECT dd.doc_id, COALESCE(c.cluster, dd.doc_id) AS cluster
+        FROM dd LEFT JOIN cma c USING (doc_id)
+        ORDER BY doc_id""")),
+
     // Incremental survivor changelog — corpus-as-CDC: a landing batch
     // emits add/retract events to the near-dup survivor set instead of
     // a recompute. Existing clusters are CONTRACTED to their labels, so

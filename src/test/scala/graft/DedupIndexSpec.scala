@@ -366,6 +366,7 @@ class DedupIndexSpec extends SparkSpec {
     cleanup(name)
     spark.sql(s"DROP TABLE IF EXISTS ${name}_clusters")
     spark.sql(s"DROP TABLE IF EXISTS ${name}_changelog")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_tombstones")
     val loc = new java.net.URI(
       spark.conf.get("spark.sql.warehouse.dir")).getPath +
       s"/${name}_clusters__stage"
@@ -447,6 +448,72 @@ class DedupIndexSpec extends SparkSpec {
         spark.table(s"${name}_changelog").count(),
         spark.table(name).count())
       assert(before == after, s"replay must be a no-op: $before vs $after")
+    } finally { cleanupClusters(name); () }
+  }
+
+  test("takedown: removing a BRIDGE splits its cluster; removing a " +
+      "survivor promotes the next; tombstoned docs never pair again") {
+    val name = "graft_test_clidx3"
+    cleanupClusters(name)
+    try {
+      // chain 1~2~3 where 2 is the ONLY bridge (1 !~ 3): 12-token texts,
+      // one end token changed per hop keeps jaccard at 9/11 ≈ 0.82 per
+      // edge and 8/12 ≈ 0.67 across the chain. Cluster 5~6, singleton 9.
+      val base = (1 to 12).map(i => s"t$i")
+      val docs = Seq(
+        1L -> base.mkString(" "),
+        2L -> (base.dropRight(1) :+ "x").mkString(" "),
+        3L -> (("y" +: base.drop(1).dropRight(1)) :+ "x").mkString(" "),
+        5L -> "uno dos tres cuatro cinco seis siete ocho nueve diez once doce",
+        6L -> "uno dos tres cuatro cinco seis siete ocho nueve diez once trece",
+        9L -> "unrelated singleton content about broadcast joins and sorts")
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sctx = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val ckpt = java.nio.file.Files.createTempDirectory("clidx3_ck").toString
+      val q = DedupIndex.startClusterMaintenance(spark,
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", name, ckpt,
+        threshold = 0.8, buckets = 4)
+      def clusters = spark.table(s"${name}_clusters")
+        .select($"id", $"cluster")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      try {
+        input.addData(docs: _*); q.processAllAvailable()
+        assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+          5L -> 5L, 6L -> 5L, 9L -> 9L), s"pre-state: $clusters")
+        // 1. remove the bridge: {1,2,3} SPLITS into {1} and {3}
+        DedupIndex.retractDocs(spark, name, Seq(2L).toDF("id"),
+          opId = 1000L, buckets = 4)
+        assert(clusters == Map(1L -> 1L, 3L -> 3L,
+          5L -> 5L, 6L -> 5L, 9L -> 9L), s"post-split: $clusters")
+        // 2. remove a survivor: 6 takes over cluster {5,6}
+        DedupIndex.retractDocs(spark, name, Seq(5L).toDF("id"),
+          opId = 1001L, buckets = 4)
+        assert(clusters == Map(1L -> 1L, 3L -> 3L, 6L -> 6L, 9L -> 9L),
+          s"post-promotion: $clusters")
+        val log = spark.table(s"${name}_changelog")
+          .filter($"ingest_batch" >= 1000L)
+          .select($"ingest_batch", $"op", $"doc_id")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          .toSet
+        assert(log == Set((1000L, "add", 3L),          // split-off half
+            (1001L, "retract", 5L), (1001L, "add", 6L)), // promotion
+          s"takedown changelog: $log")
+        // 3. idempotent replay of the same op: nothing changes
+        val before = clusters
+        DedupIndex.retractDocs(spark, name, Seq(5L).toDF("id"),
+          opId = 1001L, buckets = 4)
+        assert(clusters == before, "takedown replay is a no-op")
+        // 4. retract the singleton 9, then ingest an EXACT COPY of its
+        // text: were the tombstone ignored, the copy would join 9's
+        // cluster — it must land as its own singleton instead
+        DedupIndex.retractDocs(spark, name, Seq(9L).toDF("id"),
+          opId = 1002L, buckets = 4)
+        input.addData(20L -> docs.toMap.apply(9L))
+        q.processAllAvailable()
+        assert(clusters == Map(1L -> 1L, 3L -> 3L, 6L -> 6L, 20L -> 20L),
+          s"tombstoned docs never pair again: $clusters")
+      } finally q.stop()
     } finally { cleanupClusters(name); () }
   }
 
