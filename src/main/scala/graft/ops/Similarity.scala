@@ -772,10 +772,36 @@ object Similarity {
   def ivfPqServe(spark: SparkSession, name: String, queries: DataFrame,
       nProbe: Int, k: Int = 5): DataFrame = {
     val (m, dims) = quantizerParams(spark, name)
-    ivfPqTopKFrom(queries, spark.table(name).drop("ingest_batch"),
+    val idx0 = spark.table(name).drop("ingest_batch")
+    // takedowns ([[retractVectors]]) are logical: the tombstone set
+    // broadcasts into an anti-join on the serve path, so the index-side
+    // zero-exchange property survives and the bucketed layout is never
+    // rewritten per removal request
+    val idx =
+      if (spark.catalog.tableExists(s"${name}_tombstones"))
+        idx0.join(broadcast(spark.table(s"${name}_tombstones")
+          .select(col("id").as("cid"))), Seq("cid"), "left_anti")
+      else idx0
+    ivfPqTopKFrom(queries, idx,
       spark.table(s"${name}_cells"), spark.table(s"${name}_codebook"),
       nProbe, m, k, dims)
   }
+
+  /** TAKEDOWN for the maintained ANN index: removal requests land as
+    * tombstones (the [[DedupIndex.landBatch]] idempotent partition
+    * protocol — one partition per opId, replay-safe) and [[ivfPqServe]]
+    * anti-joins them at serve time. Deletion is logical immediately —
+    * no rewrite of the cell-bucketed layout per request — and becomes
+    * physical whenever [[compactIvfPqIndex]]-era maintenance rebuilds
+    * the touched partitions. The frozen quantizer is untouched: seeds
+    * derived from since-removed vectors remain valid cell centers (a
+    * center is a coordinate, not a document).
+    */
+  def retractVectors(spark: SparkSession, name: String,
+      removeIds: DataFrame, opId: Long, buckets: Int = 8): Unit =
+    DedupIndex.landBatch(spark, spark,
+      removeIds.select(col("id")).withColumn("ingest_batch", lit(opId)),
+      s"${name}_tombstones", opId, bucketed = false, buckets)
 
   /** All near-duplicate pairs with cosine >= threshold, via sign-LSH
     * bucketing (near-identical vectors agree on sign buckets with high

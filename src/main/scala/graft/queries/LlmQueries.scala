@@ -2475,6 +2475,104 @@ object LlmQueries {
           FROM score)
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ANN-index TAKEDOWN (r9): the maintained IVF×PQ index after a
+    // removal request. Tombstones broadcast into a serve-path anti-join
+    // (no bucket rewrite per request); the FROZEN quantizer is
+    // untouched — seeds derived from since-removed vectors remain valid
+    // cell centers. The oracle replays l81's full pipeline with the
+    // quantizer seeded over the ORIGINAL corpus but the index and query
+    // sets restricted to the remaining vectors — serve-after-takedown
+    // must equal index-never-contained-them, bit for bit.
+    "l91_ann_takedown" -> Def(
+      (s, d) => {
+        val name = "graft_l91_idx"
+        Seq(name, s"${name}_cells", s"${name}_codebook",
+            s"${name}_tombstones").foreach { tb =>
+          s.sql(s"DROP TABLE IF EXISTS $tb")
+          val loc = new java.net.URI(
+            s.conf.get("spark.sql.warehouse.dir")).getPath + s"/$tb"
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(loc))
+        }
+        val prep = Similarity.prepare(
+          t(s, d, "embeddings").withColumnRenamed("vec_id", "id"),
+          "embedding")
+        Similarity.saveIvfPqQuantizer(s, prep, name, nCells = 16)
+        graft.ops.DedupIndex.landBatch(s, s,
+          Similarity.ivfPqEncodeWith(s, prep, name)
+            .withColumn("ingest_batch", lit(0L)),
+          name, 0L, bucketed = true, 8, bucketCol = "cell")
+        Similarity.retractVectors(s, name,
+          prep.filter(col("id") % 11 === 5).select(col("id")), opId = 1000L)
+        Similarity.ivfPqServe(s, name,
+            prep.filter(col("id") < 8 && col("id") % 11 =!= 5),
+            nProbe = 4, k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $oQuant,
+        cseeds0 AS (SELECT vec_id AS seed_id, q AS sq, norm_sq AS sn,
+            md5(CAST(vec_id AS VARCHAR)) AS h
+          FROM qn ORDER BY h, seed_id LIMIT 16),
+        cseeds AS (SELECT seed_id, sq, sn,
+            CAST(ROW_NUMBER() OVER (ORDER BY h, seed_id) AS BIGINT) AS cell
+          FROM cseeds0),
+        pseeds0 AS (SELECT vec_id AS seed_id, q AS sq,
+            md5(CAST(vec_id AS VARCHAR)) AS h
+          FROM qn ORDER BY h, seed_id LIMIT 256),
+        pseeds AS (SELECT seed_id, sq,
+            CAST(ROW_NUMBER() OVER (ORDER BY h, seed_id) AS BIGINT) AS cent
+          FROM pseeds0),
+        cells AS (SELECT vec_id, cell FROM (
+            SELECT x.vec_id, s.cell, ROW_NUMBER() OVER (PARTITION BY x.vec_id
+              ORDER BY x.norm_sq - 2 * ${oDot("x.q", "s.sq")} + s.sn, s.cell)
+              AS rn
+            FROM qn x CROSS JOIN cseeds s) WHERE rn = 1),
+        enc0 AS (SELECT x.vec_id, s.cent, g.j,
+            CAST(list_sum(list_transform(generate_series(1, 8), i ->
+              (x.q[(g.j-1)*8+i] - s.sq[(g.j-1)*8+i]) *
+              (x.q[(g.j-1)*8+i] - s.sq[(g.j-1)*8+i]))) AS BIGINT) AS d2
+          FROM qn x CROSS JOIN pseeds s,
+            UNNEST(generate_series(1, 8)) AS g(j)),
+        codes AS (SELECT vec_id, j, cent FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+              ORDER BY d2, cent) AS rn FROM enc0) WHERE rn = 1),
+        probes AS (SELECT qid, cell FROM (
+            SELECT q.vec_id AS qid, s.cell, ROW_NUMBER() OVER (
+              PARTITION BY q.vec_id
+              ORDER BY q.norm_sq - 2 * ${oDot("q.q", "s.sq")} + s.sn, s.cell)
+              AS rn
+            FROM qn q CROSS JOIN cseeds s
+            WHERE q.vec_id < 8 AND q.vec_id % 11 != 5) WHERE rn <= 4),
+        qpd AS (SELECT q.vec_id AS qid, s.cent, g.j,
+            CAST(list_sum(list_transform(generate_series(1, 8), i ->
+              q.q[(g.j-1)*8+i] * s.sq[(g.j-1)*8+i])) AS BIGINT) AS pd
+          FROM qn q CROSS JOIN pseeds s,
+            UNNEST(generate_series(1, 8)) AS g(j)
+          WHERE q.vec_id < 8 AND q.vec_id % 11 != 5),
+        cand AS (SELECT p.qid, c.vec_id AS cid
+          FROM probes p JOIN cells c ON c.cell = p.cell
+          WHERE p.qid <> c.vec_id AND c.vec_id % 11 != 5),
+        score AS (SELECT cand.qid, cand.cid,
+            CAST(SUM(pd) AS BIGINT) AS adc_dot,
+            CAST(SUM(pd) AS DOUBLE) /
+              sqrt(CAST(qn1.norm_sq AS DOUBLE) * CAST(cn1.norm_sq AS DOUBLE))
+              AS adc_cosine
+          FROM cand
+          JOIN codes k2 ON k2.vec_id = cand.cid
+          JOIN qpd ON qpd.qid = cand.qid AND qpd.j = k2.j
+            AND qpd.cent = k2.cent
+          JOIN qn qn1 ON qn1.vec_id = cand.qid
+          JOIN qn cn1 ON cn1.vec_id = cand.cid
+          GROUP BY cand.qid, cand.cid, qn1.norm_sq, cn1.norm_sq)
+        SELECT query_id, neighbor_id, adc_dot, adc_cosine, rank FROM (
+          SELECT qid AS query_id, cid AS neighbor_id, adc_dot, adc_cosine,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY adc_cosine DESC, cid) AS BIGINT) AS rank
+          FROM score)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // The maintained-ANN-index LIFECYCLE under the driver gate (r8):
     // freeze the quantizer (saveIvfPqQuantizer), stream the corpus in
     // two micro-batched slices through startIvfPqMaintenance (each

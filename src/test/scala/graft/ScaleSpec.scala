@@ -358,7 +358,33 @@ class ScaleSpec extends SparkSpec {
       assert("""Exchange hashpartitioning\([^)]*cell""".r
         .findFirstIn(plan).isEmpty,
         s"maintained-index probe must not exchange the index side:\n$plan")
-    } finally Seq(name, s"${name}_cells", s"${name}_codebook")
+      // TAKEDOWN leg: retract a slice of the corpus; the tombstones ride
+      // a broadcast anti-join, the bucketed layout is never rewritten,
+      // and serving equals an index that never contained the removed
+      // vectors (same frozen quantizer)
+      val removed = prep.filter(col("id") % 7 === 2).select(col("id"))
+      Similarity.retractVectors(spark, name, removed, opId = 1000L)
+      val servedAfter = Similarity.ivfPqServe(spark, name,
+        prep.filter(col("id") < 5), nProbe = 4, k = 5)
+      val gotAfter = servedAfter.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val removedSet = removed.collect().map(_.getLong(0)).toSet
+      assert(gotAfter.forall(r => !removedSet.contains(r._2)),
+        "a retracted vector must never be served as a neighbor")
+      val cleanIdx = Similarity.ivfPqEncodeWith(spark,
+        prep.filter(col("id") % 7 =!= 2), name)
+      val cleanInline = Similarity.ivfPqTopK(prep, col("id") < 5,
+        nCells = 16, nProbe = 4, m = 8, nCent = 64, k = 5,
+        index = Some(cleanIdx)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(gotAfter == cleanInline,
+        "serve-after-takedown ≡ index-never-contained-them, bit for bit")
+      val planAfter = finalPlan(servedAfter)
+      assert("""Exchange hashpartitioning\([^)]*cell""".r
+        .findFirstIn(planAfter).isEmpty,
+        s"the tombstone anti-join must not add an index-side exchange:\n$planAfter")
+    } finally Seq(name, s"${name}_cells", s"${name}_codebook",
+        s"${name}_tombstones")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
