@@ -169,6 +169,42 @@ object LlmQueries {
     3 -> Seq("slow", "filter", "scan"),
     4 -> Seq("vector", "stream", "batch"))
 
+  /** BM25 top-10 oracle over `documents`, optionally corpus-restricted —
+    * shared by l35 (inline), l92 (maintained-index serve) and l93
+    * (post-takedown serve): the maintained index must answer EXACTLY
+    * like the inline computation over the same surviving corpus, so all
+    * three gates are one SQL body differing only in the corpus WHERE.
+    */
+  private def oBm25(where: String): String =
+    s"""WITH q(qid, term) AS (VALUES ${bm25Queries.flatMap {
+          case (qid, ts) => ts.map(t0 => s"($qid, '$t0')")
+        }.mkString(", ")}),
+      tk AS (SELECT doc_id, $oToks AS t FROM documents $where),
+      dls AS (SELECT doc_id, len(t) AS dl FROM tk),
+      stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dls),
+      tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+        FROM (SELECT doc_id, UNNEST(t) AS tok FROM tk)
+        WHERE tok IN (SELECT term FROM q) GROUP BY 1, 2),
+      dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      scored AS (SELECT q.qid, tf.doc_id,
+          CAST(FLOOR(
+            (((2 * s.n_docs - 2 * d.df + 1) * 1000000.0) / (2 * d.df + 1))
+            * (22 * s.sum_dl * tf.tf)
+            / (10 * s.sum_dl * tf.tf + 3 * s.sum_dl + 9 * dls.dl * s.n_docs)
+          ) AS BIGINT) AS score_i
+        FROM tf JOIN q ON tf.term = q.term
+        JOIN dfreq d ON tf.term = d.term
+        JOIN dls ON tf.doc_id = dls.doc_id
+        CROSS JOIN stats s),
+      tot AS (SELECT qid, doc_id, CAST(SUM(score_i) AS BIGINT) AS score_scaled,
+          COUNT(*) AS n_terms FROM scored GROUP BY 1, 2)
+      SELECT qid, rank, doc_id, score_scaled, n_terms FROM (
+        SELECT qid, doc_id, score_scaled, n_terms,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS rank
+        FROM tot)
+      WHERE rank <= 10 ORDER BY qid, rank"""
+
   val defs: Map[String, Def] = Map(
 
     // Exact dedup: one shuffle on the content digest. Representative = min
@@ -2767,34 +2803,135 @@ object LlmQueries {
           "doc_id", "text", bm25Queries, k = 10)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("qid"), col("rank")),
-      Some(s"""WITH q(qid, term) AS (VALUES ${bm25Queries.flatMap {
-            case (qid, ts) => ts.map(t0 => s"($qid, '$t0')")
-          }.mkString(", ")}),
-        tk AS (SELECT doc_id, $oToks AS t FROM documents),
-        dls AS (SELECT doc_id, len(t) AS dl FROM tk),
-        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dls),
-        tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
-          FROM (SELECT doc_id, UNNEST(t) AS tok FROM tk)
-          WHERE tok IN (SELECT term FROM q) GROUP BY 1, 2),
-        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-        scored AS (SELECT q.qid, tf.doc_id,
-            CAST(FLOOR(
-              (((2 * s.n_docs - 2 * d.df + 1) * 1000000.0) / (2 * d.df + 1))
-              * (22 * s.sum_dl * tf.tf)
-              / (10 * s.sum_dl * tf.tf + 3 * s.sum_dl + 9 * dls.dl * s.n_docs)
-            ) AS BIGINT) AS score_i
-          FROM tf JOIN q ON tf.term = q.term
-          JOIN dfreq d ON tf.term = d.term
-          JOIN dls ON tf.doc_id = dls.doc_id
-          CROSS JOIN stats s),
-        tot AS (SELECT qid, doc_id, CAST(SUM(score_i) AS BIGINT) AS score_scaled,
-            COUNT(*) AS n_terms FROM scored GROUP BY 1, 2)
-        SELECT qid, rank, doc_id, score_scaled, n_terms FROM (
-          SELECT qid, doc_id, score_scaled, n_terms,
-            CAST(ROW_NUMBER() OVER (PARTITION BY qid
-              ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS rank
-          FROM tot)
-        WHERE rank <= 10 ORDER BY qid, rank""")),
+      Some(oBm25(""))),
+
+    // The maintained-BM25-index LIFECYCLE (r9) — the lexical twin of
+    // l84's ANN lifecycle: stream the corpus in two micro-batched slices
+    // through startBm25Maintenance (postings land term-bucketed per
+    // ingest_batch; corpus stats land as per-batch partials),
+    // size-tier-compact the partitions, then SERVE the l35 workload from
+    // the maintained table — and the answers must be bit-for-bit the
+    // inline l35 computation's (the oracle is l35's, verbatim). Unlike
+    // ANN there is nothing to freeze: df/N/S derive from the index at
+    // serve time, so the index is always current with the corpus.
+    "l92_bm25_maintained" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val name = "graft_l92_bm25"
+        Seq(name, s"${name}_stats").foreach { tb =>
+          s.sql(s"DROP TABLE IF EXISTS $tb")
+          val loc = new java.net.URI(
+            s.conf.get("spark.sql.warehouse.dir")).getPath + s"/$tb"
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(loc))
+        }
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val work = java.nio.file.Files.createTempDirectory("graft_l92")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        Seq((0L, maxId / 2), (maxId / 2 + 1, maxId)).zipWithIndex.foreach {
+          case ((lo, hi), i) =>
+            docs.filter(col("doc_id").between(lo, hi))
+              .coalesce(1).write.parquet(s"$work/in/s$i")
+            new java.io.File(s"$work/in/s$i").listFiles()
+              .foreach(f => { f.setLastModified(1700000000000L + i * 60000L); () })
+        }
+        val stream = s.readStream
+          .schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
+        val q = graft.ops.Retrieval.startBm25Maintenance(s, stream,
+          "doc_id", "text", name, s"$work/ckpt",
+          trigger = Trigger.ProcessingTime("50 milliseconds"))
+        try { q.processAllAvailable() } finally q.stop()
+        graft.ops.Retrieval.compactBm25Index(s, name)
+        graft.ops.Retrieval.bm25Serve(s, name, bm25Queries, k = 10)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(oBm25(""))),
+
+    // BM25-index TAKEDOWN (r9): removal requests land as (id, dl)
+    // tombstones through the idempotent partition protocol; the serve
+    // path anti-joins the broadcast removal set (which corrects df — df
+    // counts surviving postings) and subtracts its (count, Σdl) from the
+    // maintained corpus stats. No bucket is rewritten per request. The
+    // oracle is the inline computation over the REMAINING corpus only —
+    // serve-after-takedown ≡ index-never-contained-them, bit for bit
+    // (n_docs/sum_dl/df shifts included, which any per-posting filter
+    // short of real stats correction would get wrong).
+    "l93_bm25_takedown" -> Def(
+      (s, d) => {
+        val name = "graft_l93_bm25"
+        Seq(name, s"${name}_stats", s"${name}_tombstones").foreach { tb =>
+          s.sql(s"DROP TABLE IF EXISTS $tb")
+          val loc = new java.net.URI(
+            s.conf.get("spark.sql.warehouse.dir")).getPath + s"/$tb"
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(loc))
+        }
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        graft.ops.Retrieval.buildBm25Index(s, docs, "doc_id", "text", name)
+        graft.ops.Retrieval.retractBm25Docs(s, name,
+          docs.filter(col("doc_id") % 9 === 4), "doc_id", "text",
+          opId = 1000L)
+        graft.ops.Retrieval.bm25Serve(s, name, bm25Queries, k = 10)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(oBm25("WHERE doc_id % 9 != 4"))),
+
+    // PHRASE search (r9) over the POSITIONAL maintained index: postings
+    // carry sorted token positions; a phrase-word-k posting at position p
+    // proposes anchor p−k, and an anchor with ALL slots proposed is a
+    // consecutive-token match (query 3's repeated-word phrase "batch
+    // batch" exercises slot-by-index matching — overlapping occurrences
+    // count, same as the oracle's sliding window). Serve prunes the scan
+    // to the phrase vocabulary's term buckets; the corpus is never
+    // rescanned.
+    "l95_phrase_search" -> Def(
+      (s, d) => {
+        val name = "graft_l95_bm25"
+        Seq(name, s"${name}_stats").foreach { tb =>
+          s.sql(s"DROP TABLE IF EXISTS $tb")
+          val loc = new java.net.URI(
+            s.conf.get("spark.sql.warehouse.dir")).getPath + s"/$tb"
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(loc))
+        }
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        graft.ops.Retrieval.buildBm25Index(s, docs, "doc_id", "text", name,
+          positional = true)
+        graft.ops.Retrieval.phraseServe(s, name, Seq(
+            1 -> Seq("table", "scan"),
+            2 -> Seq("join", "order"),
+            3 -> Seq("batch", "batch"),
+            4 -> Seq("merge", "slow", "join")))
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("qid"), col("doc_id"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $oToks AS t FROM documents),
+        m1 AS (SELECT 1 AS qid, doc_id, COUNT(*) AS n_matches FROM tk,
+          UNNEST(generate_series(1, len(t) - 1)) g(i)
+          WHERE t[i] = 'table' AND t[i+1] = 'scan' GROUP BY doc_id),
+        m2 AS (SELECT 2 AS qid, doc_id, COUNT(*) AS n_matches FROM tk,
+          UNNEST(generate_series(1, len(t) - 1)) g(i)
+          WHERE t[i] = 'join' AND t[i+1] = 'order' GROUP BY doc_id),
+        m3 AS (SELECT 3 AS qid, doc_id, COUNT(*) AS n_matches FROM tk,
+          UNNEST(generate_series(1, len(t) - 1)) g(i)
+          WHERE t[i] = 'batch' AND t[i+1] = 'batch' GROUP BY doc_id),
+        m4 AS (SELECT 4 AS qid, doc_id, COUNT(*) AS n_matches FROM tk,
+          UNNEST(generate_series(1, len(t) - 2)) g(i)
+          WHERE t[i] = 'merge' AND t[i+1] = 'slow' AND t[i+2] = 'join'
+          GROUP BY doc_id)
+        SELECT qid, doc_id, n_matches FROM (
+          SELECT * FROM m1 UNION ALL SELECT * FROM m2
+          UNION ALL SELECT * FROM m3 UNION ALL SELECT * FROM m4)
+        ORDER BY qid, doc_id""")),
 
     // Fixed-window chunking with overlap (RAG / context-window prep):
     // zero-shuffle narrow generator — window 32 tokens, stride 24.

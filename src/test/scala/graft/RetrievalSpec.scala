@@ -91,4 +91,64 @@ class RetrievalSpec extends SparkSpec {
       "Exchange rangepartitioning".r.findAllIn(plan).length
     assert(shuffles == 0, s"chunking must not shuffle:\n${plan.take(800)}")
   }
+
+  private def ranked(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy($"qid", $"rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList
+
+  test("maintained index: build + serve answers exactly like the inline plan") {
+    val name = "graft_rspec_bm25"
+    Seq(name, s"${name}_stats", s"${name}_tombstones")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      Retrieval.buildBm25Index(spark, docs, "doc_id", "text", name)
+      val q = Seq(1 -> Seq("a", "c"), 2 -> Seq("b"))
+      assert(ranked(Retrieval.bm25Serve(spark, name, q, k = 10)) ==
+        ranked(Retrieval.bm25TopK(docs, "doc_id", "text", q, k = 10)))
+    } finally Seq(name, s"${name}_stats", s"${name}_tombstones")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("phraseServe: overlapping and repeated-word phrases over the positional index") {
+    val name = "graft_rspec_phrase"
+    Seq(name, s"${name}_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val pdocs = Seq((1L, "b a b a b"), (2L, "x b a y")).toDF("doc_id", "text")
+    try {
+      Retrieval.buildBm25Index(spark, pdocs, "doc_id", "text", name,
+        positional = true)
+      val out = Retrieval.phraseServe(spark, name,
+          Seq(1 -> Seq("b", "a", "b"), 2 -> Seq("b", "a")))
+        .orderBy($"qid", $"id").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toList
+      assert(out == List(
+        (1, 1L, 2L), // "b a b a b": anchors 0 and 2 — overlap counts
+        (2, 1L, 2L),
+        (2, 2L, 1L)))
+    } finally Seq(name, s"${name}_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("maintained index takedown: df and corpus stats correct to the surviving corpus") {
+    val name = "graft_rspec_bm25_td"
+    Seq(name, s"${name}_stats", s"${name}_tombstones")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      Retrieval.buildBm25Index(spark, docs, "doc_id", "text", name)
+      // removing d3 changes N (3->2), S (9->5) and df('c') (2->1) — a
+      // serve that only filtered d3's postings without the stats/df
+      // corrections would score the survivors differently than this
+      Retrieval.retractBm25Docs(spark, name,
+        docs.filter($"doc_id" === 3L), "doc_id", "text", opId = 1L)
+      val q = Seq(1 -> Seq("a", "b", "c"))
+      val after = ranked(Retrieval.bm25Serve(spark, name, q, k = 10))
+      assert(after ==
+        ranked(Retrieval.bm25TopK(docs.filter($"doc_id" =!= 3L),
+          "doc_id", "text", q, k = 10)),
+        "serve-after-takedown ≡ inline over the remaining corpus")
+      assert(after.forall(_._3 != 3L), "the removed doc is never served")
+    } finally Seq(name, s"${name}_stats", s"${name}_tombstones")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }

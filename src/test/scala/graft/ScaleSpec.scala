@@ -393,6 +393,72 @@ class ScaleSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("maintained BM25 lifecycle: streamed postings + compaction + takedown serve the inline answers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx = spark.sqlContext
+    import spark.implicits._
+    val name = "graft_maint_bm25"
+    Seq(name, s"${name}_stats", s"${name}_tombstones")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text")
+    val workload = graft.queries.LlmQueries.bm25Queries
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    try {
+      // corpus arrives as two micro-batches
+      val rows = docs.as[(Long, String)].collect().toSeq
+      val input = MemoryStream[(Long, String)]
+      val work = java.nio.file.Files.createTempDirectory("graft_maint_bm25")
+      val q = graft.ops.Retrieval.startBm25Maintenance(spark,
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        name, s"$work/ck")
+      try {
+        rows.grouped(math.max(1, (rows.size + 1) / 2)).foreach { slice =>
+          input.addData(slice); q.processAllAvailable()
+        }
+      } finally q.stop()
+      graft.ops.Retrieval.compactBm25Index(spark, name)
+      val served = graft.ops.Retrieval.bm25Serve(spark, name, workload,
+        k = 10).orderBy($"qid", $"rank")
+      val inline = graft.ops.Retrieval.bm25TopK(docs, "doc_id", "text",
+        workload, k = 10).orderBy($"qid", $"rank")
+      assert(served.collect().map(key).toSeq ==
+        inline.collect().map(key).toSeq,
+        "the maintained, compacted index answers exactly like the inline plan")
+      // scale shape: a query's vocabulary prunes the postings scan to the
+      // buckets its terms hash into — at 100 TB of postings a 1-term query
+      // reads 1/buckets of index bytes, never the corpus
+      val one = graft.ops.Retrieval.bm25Serve(spark, name,
+        Seq(1 -> Seq("spark")), k = 10)
+      val plan1 = finalPlan(one)
+      assert(plan1.contains("SelectedBucketsCount: 1 out of 8"),
+        s"single-term serve must prune to one term bucket:\n$plan1")
+      // TAKEDOWN: retract a slice TWICE under different opIds (replayed /
+      // duplicate removal requests must not double-subtract the stats);
+      // serving then equals an index never containing those docs —
+      // including the df/N/S shifts a mere posting filter would miss
+      val gone = docs.filter($"doc_id" % 7 === 2)
+      graft.ops.Retrieval.retractBm25Docs(spark, name, gone,
+        "doc_id", "text", opId = 1000L)
+      graft.ops.Retrieval.retractBm25Docs(spark, name, gone,
+        "doc_id", "text", opId = 1001L)
+      val after = graft.ops.Retrieval.bm25Serve(spark, name, workload,
+        k = 10).orderBy($"qid", $"rank")
+      val cleanInline = graft.ops.Retrieval.bm25TopK(
+        docs.filter($"doc_id" % 7 =!= 2), "doc_id", "text",
+        workload, k = 10).orderBy($"qid", $"rank")
+      assert(after.collect().map(key).toSeq ==
+        cleanInline.collect().map(key).toSeq,
+        "serve-after-takedown ≡ index-never-contained-them, bit for bit")
+      val planAfter = finalPlan(after)
+      assert(planAfter.contains("BroadcastHashJoin") &&
+        planAfter.contains("LeftAnti"),
+        s"the tombstone set must broadcast into the anti-join:\n$planAfter")
+    } finally Seq(name, s"${name}_stats", s"${name}_tombstones")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("semanticDedup hot-cell guard: sub-split bounds the per-task pair block on a skewed corpus") {
     // the adversarial shape SemDeDup is actually run on: one dense
     // near-dup cluster (480 identical embeddings — identical quantized
