@@ -220,6 +220,38 @@ object Retrieval {
         .withColumn("ingest_batch", lit(opId)),
       s"${name}_tombstones", opId, bucketed = false, 8)
 
+  /** Reciprocal-rank fusion (the published RRF recipe: score(d) =
+    * Σ_legs 1/(K + rank_leg(d)), K = 60) of N ranked retrieval legs —
+    * the standard hybrid-retrieval combiner for a lexical ([[bm25Serve]])
+    * plus a vector ([[Similarity.ivfPqServe]]) leg. Each leg is
+    * (qid, id, rank); contributions are floor(1e9 / (K + rank)) — one
+    * IEEE division of exact small integers, so the fused ordering is
+    * engine-exact like the BM25 scores themselves.
+    *
+    * Scale shape: legs are top-k frames (|queries| × k rows — the
+    * corpus-sized work already happened inside each index's serve), so
+    * fusion is a union + one tiny aggregation; cost is independent of
+    * corpus size by construction.
+    */
+  def rrfFuse(legs: Seq[DataFrame], k: Int = 10, kRrf: Int = 60)
+      : DataFrame = {
+    require(legs.nonEmpty, "need at least one ranked leg")
+    val all = legs.map(_.select(col("qid").cast("long").as("qid"),
+        col("id").cast("long").as("id"), col("rank").cast("long").as("rank")))
+      .reduce(_ unionByName _)
+      .withColumn("rrf_i",
+        floor(lit(1000000000.0) / (lit(kRrf.toLong) + col("rank")))
+          .cast("long"))
+    val tot = all.groupBy("qid", "id")
+      .agg(sum("rrf_i").as("rrf_score"), count(lit(1)).as("n_legs"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_score").desc, col("id"))
+    tot.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("rrf_score"),
+        col("n_legs"))
+  }
+
   /** Serve BM25 top-k from the MAINTAINED index. The scan reads only the
     * term buckets the query vocabulary hashes into (bucket pruning on the
     * `isin`); df aggregates the pruned candidate postings (tiny — query

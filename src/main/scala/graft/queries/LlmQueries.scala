@@ -2883,6 +2883,144 @@ object LlmQueries {
       },
       Some(oBm25("WHERE doc_id % 9 != 4"))),
 
+    // HYBRID retrieval (r9): reciprocal-rank fusion of the two maintained
+    // indexes — the lexical BM25 layout (l92's) and the vector IVF×PQ
+    // layout (l91's) serve the same four queries (terms + the query's
+    // embedding), k=20 per leg, fused by the published RRF recipe
+    // score(d) = Σ 1/(60+rank) as engine-exact floor(1e9/(60+rank)).
+    // The oracle replays BOTH serve pipelines (l35's BM25 SQL at k=20 +
+    // l81's IVF×PQ SQL for queries 1..4 at k=20) and fuses them the same
+    // way — the fusion layer must be bit-for-bit, not just "similar".
+    "l94_hybrid_rrf" -> Def(
+      (s, d) => {
+        val nameB = "graft_l94_bm25"; val nameV = "graft_l94_idx"
+        Seq(nameB, s"${nameB}_stats", nameV, s"${nameV}_cells",
+            s"${nameV}_codebook").foreach { tb =>
+          s.sql(s"DROP TABLE IF EXISTS $tb")
+          val loc = new java.net.URI(
+            s.conf.get("spark.sql.warehouse.dir")).getPath + s"/$tb"
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(loc))
+        }
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        graft.ops.Retrieval.buildBm25Index(s, docs, "doc_id", "text", nameB)
+        val prep = Similarity.prepare(
+          t(s, d, "embeddings").withColumnRenamed("vec_id", "id"),
+          "embedding")
+        Similarity.saveIvfPqQuantizer(s, prep, nameV, nCells = 16)
+        graft.ops.DedupIndex.landBatch(s, s,
+          Similarity.ivfPqEncodeWith(s, prep, nameV)
+            .withColumn("ingest_batch", lit(0L)),
+          nameV, 0L, bucketed = true, 8, bucketCol = "cell")
+        val lex = graft.ops.Retrieval.bm25Serve(s, nameB, bm25Queries,
+          k = 20)
+        val vec = Similarity.ivfPqServe(s, nameV,
+            prep.filter(col("id").between(1, 4)), nProbe = 4, k = 20)
+          .select(col("query_id").as("qid"), col("neighbor_id").as("id"),
+            col("rank"))
+        graft.ops.Retrieval.rrfFuse(Seq(lex, vec), k = 10)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH $oQuant,
+        cseeds0 AS (SELECT vec_id AS seed_id, q AS sq, norm_sq AS sn,
+            md5(CAST(vec_id AS VARCHAR)) AS h
+          FROM qn ORDER BY h, seed_id LIMIT 16),
+        cseeds AS (SELECT seed_id, sq, sn,
+            CAST(ROW_NUMBER() OVER (ORDER BY h, seed_id) AS BIGINT) AS cell
+          FROM cseeds0),
+        pseeds0 AS (SELECT vec_id AS seed_id, q AS sq,
+            md5(CAST(vec_id AS VARCHAR)) AS h
+          FROM qn ORDER BY h, seed_id LIMIT 256),
+        pseeds AS (SELECT seed_id, sq,
+            CAST(ROW_NUMBER() OVER (ORDER BY h, seed_id) AS BIGINT) AS cent
+          FROM pseeds0),
+        cells AS (SELECT vec_id, cell FROM (
+            SELECT x.vec_id, s.cell, ROW_NUMBER() OVER (PARTITION BY x.vec_id
+              ORDER BY x.norm_sq - 2 * ${oDot("x.q", "s.sq")} + s.sn, s.cell)
+              AS rn
+            FROM qn x CROSS JOIN cseeds s) WHERE rn = 1),
+        enc0 AS (SELECT x.vec_id, s.cent, g.j,
+            CAST(list_sum(list_transform(generate_series(1, 8), i ->
+              (x.q[(g.j-1)*8+i] - s.sq[(g.j-1)*8+i]) *
+              (x.q[(g.j-1)*8+i] - s.sq[(g.j-1)*8+i]))) AS BIGINT) AS d2
+          FROM qn x CROSS JOIN pseeds s,
+            UNNEST(generate_series(1, 8)) AS g(j)),
+        codes AS (SELECT vec_id, j, cent FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+              ORDER BY d2, cent) AS rn FROM enc0) WHERE rn = 1),
+        probes AS (SELECT qid, cell FROM (
+            SELECT q.vec_id AS qid, s.cell, ROW_NUMBER() OVER (
+              PARTITION BY q.vec_id
+              ORDER BY q.norm_sq - 2 * ${oDot("q.q", "s.sq")} + s.sn, s.cell)
+              AS rn
+            FROM qn q CROSS JOIN cseeds s
+            WHERE q.vec_id BETWEEN 1 AND 4) WHERE rn <= 4),
+        qpd AS (SELECT q.vec_id AS qid, s.cent, g.j,
+            CAST(list_sum(list_transform(generate_series(1, 8), i ->
+              q.q[(g.j-1)*8+i] * s.sq[(g.j-1)*8+i])) AS BIGINT) AS pd
+          FROM qn q CROSS JOIN pseeds s,
+            UNNEST(generate_series(1, 8)) AS g(j)
+          WHERE q.vec_id BETWEEN 1 AND 4),
+        cand AS (SELECT p.qid, c.vec_id AS cid
+          FROM probes p JOIN cells c ON c.cell = p.cell
+          WHERE p.qid <> c.vec_id),
+        vscore AS (SELECT cand.qid, cand.cid,
+            CAST(SUM(pd) AS DOUBLE) /
+              sqrt(CAST(qn1.norm_sq AS DOUBLE) * CAST(cn1.norm_sq AS DOUBLE))
+              AS adc_cosine
+          FROM cand
+          JOIN codes k2 ON k2.vec_id = cand.cid
+          JOIN qpd ON qpd.qid = cand.qid AND qpd.j = k2.j
+            AND qpd.cent = k2.cent
+          JOIN qn qn1 ON qn1.vec_id = cand.qid
+          JOIN qn cn1 ON cn1.vec_id = cand.cid
+          GROUP BY cand.qid, cand.cid, qn1.norm_sq, cn1.norm_sq),
+        vrank AS (SELECT qid, cid AS id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY adc_cosine DESC, cid) AS BIGINT) AS rank
+          FROM vscore),
+        bq(qid, term) AS (VALUES ${bm25Queries.flatMap {
+            case (qid, ts) => ts.map(t0 => s"($qid, '$t0')")
+          }.mkString(", ")}),
+        tk AS (SELECT doc_id, $oToks AS t FROM documents),
+        dls AS (SELECT doc_id, len(t) AS dl FROM tk),
+        bstats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dls),
+        tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+          FROM (SELECT doc_id, UNNEST(t) AS tok FROM tk)
+          WHERE tok IN (SELECT term FROM bq) GROUP BY 1, 2),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        bscored AS (SELECT bq.qid, tf.doc_id,
+            CAST(FLOOR(
+              (((2 * s.n_docs - 2 * d.df + 1) * 1000000.0) / (2 * d.df + 1))
+              * (22 * s.sum_dl * tf.tf)
+              / (10 * s.sum_dl * tf.tf + 3 * s.sum_dl + 9 * dls.dl * s.n_docs)
+            ) AS BIGINT) AS score_i
+          FROM tf JOIN bq ON tf.term = bq.term
+          JOIN dfreq d ON tf.term = d.term
+          JOIN dls ON tf.doc_id = dls.doc_id
+          CROSS JOIN bstats s),
+        btot AS (SELECT qid, doc_id,
+            CAST(SUM(score_i) AS BIGINT) AS score_scaled FROM bscored
+          GROUP BY 1, 2),
+        lrank AS (SELECT qid, doc_id AS id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS rank
+          FROM btot),
+        fused AS (SELECT qid, id,
+            CAST(FLOOR(1000000000.0 / (60 + rank)) AS BIGINT) AS rrf_i
+          FROM (SELECT qid, id, rank FROM lrank WHERE rank <= 20
+                UNION ALL SELECT qid, id, rank FROM vrank WHERE rank <= 20)),
+        ftot AS (SELECT qid, id, CAST(SUM(rrf_i) AS BIGINT) AS rrf_score,
+            COUNT(*) AS n_legs FROM fused GROUP BY 1, 2)
+        SELECT qid, rank, id, rrf_score, n_legs FROM (
+          SELECT qid, id, rrf_score, n_legs,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY rrf_score DESC, id) AS BIGINT) AS rank
+          FROM ftot)
+        WHERE rank <= 10 ORDER BY qid, rank""")),
+
     // PHRASE search (r9) over the POSITIONAL maintained index: postings
     // carry sorted token positions; a phrase-word-k posting at position p
     // proposes anchor p−k, and an anchor with ALL slots proposed is a

@@ -110,6 +110,20 @@ class RetrievalSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("rrfFuse: hand-computed fusion, overlap doc wins on two legs") {
+    // floor(1e9/61) = 16393442, floor(1e9/62) = 16129032
+    val lex = Seq((1, 10L, 1L), (1, 20L, 2L)).toDF("qid", "id", "rank")
+    val vec = Seq((1, 20L, 1L), (1, 30L, 2L)).toDF("qid", "id", "rank")
+    val out = graft.ops.Retrieval.rrfFuse(Seq(lex, vec), k = 10)
+      .orderBy($"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList
+    assert(out == List(
+      (1L, 1L, 20L, 16393442L + 16129032L, 2L), // both legs
+      (1L, 2L, 10L, 16393442L, 1L),
+      (1L, 3L, 30L, 16129032L, 1L)))
+  }
+
   test("phraseServe: overlapping and repeated-word phrases over the positional index") {
     val name = "graft_rspec_phrase"
     Seq(name, s"${name}_stats")
