@@ -3239,6 +3239,96 @@ object LlmQueries {
         SELECT pair, COUNT(*) AS cnt FROM p GROUP BY 1
         ORDER BY cnt DESC, pair LIMIT 100""")),
 
+    // Link-graph centrality as a curation prior (the web-corpus recipe:
+    // rank sources by their position in the link graph, feed the rank
+    // into the quality score). Graph: the customer<->supplier
+    // co-occurrence graph derived from orders |><| lineitem (the
+    // edges-from-facts pattern — at 100 TB the link graph IS a join
+    // away, never a stored table), symmetrized so nothing dangles.
+    // Integer-exact PageRank (Graph.pageRank): ranks are BIGINTs scaled
+    // by 1e9, each step floor-divides before damping, so six unrolled
+    // oracle iterations reproduce the Spark loop bit-for-bit. Scale
+    // shape: edges deduped + hash-partitioned by src ONCE; per
+    // iteration one |V| rank shuffle + one |E|->|V| map-side-combined
+    // aggregation; lineage truncated per step (localCheckpoint — the
+    // iterative-DataFrame pattern, data never touches the driver).
+    "l96_pagerank" -> Def(
+      (s, d) => {
+        val pairs = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").cast("long").as("src"),
+            (col("l_suppkey").cast("long") + lit(1000000L)).as("dst"))
+          .distinct()
+        val edges = pairs.union(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        graft.ops.Graph.pageRank(edges, iters = 6, scale = 1000000000L)
+          .orderBy(col("r").desc, col("node")).limit(100)
+      },
+      Some {
+        val stages = (1 to 6).map { k =>
+          s"""pr$k AS (
+            SELECT n.node,
+              150000000 + (85 * COALESCE(SUM(p.r // dg.deg), 0)) // 100 AS r
+            FROM nodes n
+            LEFT JOIN edges e ON e.dst = n.node
+            LEFT JOIN pr${k - 1} p ON p.node = e.src
+            LEFT JOIN deg dg ON dg.src = e.src
+            GROUP BY n.node)"""
+        }.mkString(",\n")
+        s"""WITH pairs AS (
+          SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+            CAST(l_suppkey AS BIGINT) + 1000000 AS dst
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        edges AS (SELECT src, dst FROM pairs
+          UNION ALL SELECT dst, src FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+        pr0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+        $stages
+        SELECT node, CAST(r AS BIGINT) AS r FROM pr6
+        ORDER BY r DESC, node LIMIT 100"""
+      }),
+
+    // Triangle counting with degree orientation over the market-basket
+    // graph (parts co-ordered at high quantity): the projection's edge
+    // set is derived by one self-join, then every edge is directed from
+    // its (degree, id)-smaller endpoint — each triangle counted exactly
+    // once and the wedge join's fan-out drops from the hub-node Σ deg²
+    // blow-up to Σ outdeg² ≤ |E|^1.5 (the "last reducer" fix; hub tasks
+    // can't exist by construction). Oracle replays the identical
+    // orientation, so the gate is an exact per-node count match.
+    "l97_triangle_counts" -> Def(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .filter(col("l_quantity") >= 40)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+        graft.ops.Graph.triangleCounts(pairs)
+          .orderBy(col("triangles").desc, col("node")).limit(100)
+      },
+      Some(s"""WITH e AS (
+          SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+            greatest(a.l_partkey, b.l_partkey) AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          WHERE a.l_quantity >= 40 AND b.l_quantity >= 40),
+        und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        deg AS (SELECT u AS n, COUNT(*) AS c FROM und GROUP BY 1),
+        o AS (SELECT und.u AS s, und.v AS t FROM und
+          JOIN deg du ON du.n = und.u JOIN deg dv ON dv.n = und.v
+          WHERE du.c < dv.c OR (du.c = dv.c AND und.u < und.v)),
+        w AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+          FROM o e1 JOIN o e2 ON e1.t = e2.s),
+        tri AS (SELECT a, b, c FROM w JOIN o ON w.a = o.s AND w.c = o.t),
+        n AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        SELECT node, COUNT(*) AS triangles FROM n GROUP BY 1
+        ORDER BY triangles DESC, node LIMIT 100""")),
+
     // Rank-based per-source quota (governance cap: at most N docs per
     // Count-min sketch heavy hitters: vocabulary frequency mining
     // without an exact groupBy over the key space. d×w counters (4×512

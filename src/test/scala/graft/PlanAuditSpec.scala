@@ -28,7 +28,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     Set("l20_dedup_clusters", "l44_survivor_by_rank", "l45_dedup_clusters_star",
       "l61_dedup_savings", "l68_cluster_purity",
       "l83_semantic_dedup", // components() inside semanticDedup
-      "l87_survivor_changelog") // components() twice: before + contracted
+      "l87_survivor_changelog", // components() twice: before + contracted
+      "l96_pagerank") // per-iteration lineage truncation in Graph.pageRank
 
   test("no query plan contains a CartesianProduct or driver RDD round-trip") {
     val offenders = SparkEntry.all.toSeq.sortBy(_._1).flatMap { case (name, d) =>
