@@ -328,4 +328,48 @@ object Retrieval {
       .groupBy("qid", "id").agg(count(lit(1)).as("n_matches"))
       .select(col("qid"), col("id"), col("n_matches"))
   }
+
+  /** Keyword-in-context snippets for the top-k BM25 results: serve the
+    * queries from the maintained POSITIONAL index, pick each hit's most
+    * distinctive matching term (lowest df, term tie-break — the rarest
+    * word is the one worth showing), and cut a ±`window`-token extract
+    * around its first occurrence. Returns (qid, rank, id, snippet).
+    *
+    * Scale shape: ranking, df and first-positions all come from the
+    * bucket-pruned index (the corpus is only touched to read the
+    * |queries|·k winning texts — the tiny winners frame BROADCASTS into
+    * one corpus scan, no shuffle of `docs`); the per-hit term choice is
+    * a window over ≤ |vocab| rows per hit. The snippet slice is
+    * token-arithmetic only — start/length are clamped identically to
+    * the oracle's list slice, so the extract is engine-exact.
+    */
+  def snippets(spark: SparkSession, name: String,
+      queries: Seq[(Int, Seq[String])], docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 5, window: Int = 3): DataFrame = {
+    val served = bm25Serve(spark, name, queries, k)
+      .select(col("qid"), col("rank"), col("id"))
+    val terms = queries.flatMap(_._2).distinct
+    val post = spark.table(name).drop("ingest_batch")
+      .filter(col("term").isin(terms: _*))
+      .select(col("id"), col("term"),
+        element_at(col("positions"), 1).as("p"))
+    val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
+    import spark.implicits._
+    val qdf = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("qid", "term")
+    val pick = Window.partitionBy(col("qid"), col("id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val best = post
+      .join(broadcast(served), Seq("id"))
+      .join(broadcast(qdf), Seq("qid", "term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .withColumn("_rk", row_number().over(pick)).filter(col("_rk") === 1)
+      .select(col("qid"), col("rank"), col("id"), col("p"))
+    val start1 = greatest(lit(1), col("p") + lit(1 - window))
+    val len = col("p") + lit(1 + window) - start1 + lit(1)
+    docs.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+      .join(broadcast(best), Seq("id"))
+      .select(col("qid"), col("rank"), col("id"),
+        concat_ws(" ", slice(col("t"), start1, len)).as("snippet"))
+  }
 }

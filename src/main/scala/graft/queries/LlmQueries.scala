@@ -3071,6 +3071,76 @@ object LlmQueries {
           UNION ALL SELECT * FROM m3 UNION ALL SELECT * FROM m4)
         ORDER BY qid, doc_id""")),
 
+    // Keyword-in-context snippets: the display layer of the retrieval
+    // stack. Top-5 BM25 hits served from the maintained POSITIONAL
+    // index, each hit's rarest matching term chosen (df asc, term
+    // tie-break) and a ±3-token extract cut around its FIRST occurrence
+    // — ranking, df and positions all come from the bucket-pruned
+    // index; the corpus is touched once, to read the 20 winning texts
+    // (winners broadcast into the scan). Slice clamping is mirrored by
+    // the oracle's list slice, so the extracts match byte-for-byte.
+    "l98_snippets" -> Def(
+      (s, d) => {
+        val name = "graft_l98_bm25"
+        Seq(name, s"${name}_stats").foreach { tb =>
+          s.sql(s"DROP TABLE IF EXISTS $tb")
+          val loc = new java.net.URI(
+            s.conf.get("spark.sql.warehouse.dir")).getPath + s"/$tb"
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(loc))
+        }
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        graft.ops.Retrieval.buildBm25Index(s, docs, "doc_id", "text", name,
+          positional = true)
+        graft.ops.Retrieval.snippets(s, name, bm25Queries, docs,
+            "doc_id", "text", k = 5, window = 3)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH q(qid, term) AS (VALUES ${bm25Queries.flatMap {
+            case (qid, ts) => ts.map(t0 => s"($qid, '$t0')")
+          }.mkString(", ")}),
+        tk AS (SELECT doc_id, $oToks AS t FROM documents),
+        dls AS (SELECT doc_id, len(t) AS dl FROM tk),
+        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dls),
+        tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+          FROM (SELECT doc_id, UNNEST(t) AS tok FROM tk)
+          WHERE tok IN (SELECT term FROM q) GROUP BY 1, 2),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        scored AS (SELECT q.qid, tf.doc_id,
+            CAST(FLOOR(
+              (((2 * s.n_docs - 2 * d.df + 1) * 1000000.0) / (2 * d.df + 1))
+              * (22 * s.sum_dl * tf.tf)
+              / (10 * s.sum_dl * tf.tf + 3 * s.sum_dl + 9 * dls.dl * s.n_docs)
+            ) AS BIGINT) AS score_i
+          FROM tf JOIN q ON tf.term = q.term
+          JOIN dfreq d ON tf.term = d.term
+          JOIN dls ON tf.doc_id = dls.doc_id
+          CROSS JOIN stats s),
+        tot AS (SELECT qid, doc_id,
+            CAST(SUM(score_i) AS BIGINT) AS score_scaled
+          FROM scored GROUP BY 1, 2),
+        topk AS (SELECT qid, doc_id, rank FROM (
+          SELECT qid, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS rank
+          FROM tot) WHERE rank <= 5),
+        best AS (SELECT qid, doc_id, rank, term FROM (
+          SELECT k.qid, k.doc_id, k.rank, t2.term,
+            ROW_NUMBER() OVER (PARTITION BY k.qid, k.doc_id
+              ORDER BY d.df, t2.term) AS rn
+          FROM topk k JOIN tf t2 ON t2.doc_id = k.doc_id
+          JOIN q ON q.qid = k.qid AND q.term = t2.term
+          JOIN dfreq d ON d.term = t2.term) WHERE rn = 1),
+        pos AS (SELECT b.qid, b.rank, b.doc_id,
+            list_position(tk.t, b.term) - 1 AS p, tk.t AS t
+          FROM best b JOIN tk ON tk.doc_id = b.doc_id)
+        SELECT qid, rank, doc_id,
+          array_to_string(t[GREATEST(1, p + 1 - 3) : p + 1 + 3], ' ')
+            AS snippet
+        FROM pos ORDER BY qid, rank""")),
+
     // Fixed-window chunking with overlap (RAG / context-window prep):
     // zero-shuffle narrow generator — window 32 tokens, stride 24.
     "l36_chunk_overlap" -> Def(

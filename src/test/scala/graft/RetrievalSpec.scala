@@ -144,6 +144,32 @@ class RetrievalSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("snippets: rarest-term choice and boundary clamping") {
+    val name = "graft_rspec_snip"
+    Seq(name, s"${name}_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // 'b' is everywhere (df=3), 'z' only in d1 (df=1) — the d1 snippet
+    // must center on z's FIRST occurrence (position 1), clamped at the
+    // left edge; d2 centers on its only query term.
+    val sdocs = Seq(
+      (1L, "b z c d e f g z b"),
+      (2L, "p q r b s t u v w"),
+      (3L, "b b b")).toDF("doc_id", "text")
+    try {
+      Retrieval.buildBm25Index(spark, sdocs, "doc_id", "text", name,
+        positional = true)
+      val out = Retrieval.snippets(spark, name,
+          Seq(1 -> Seq("z", "b")), sdocs, "doc_id", "text",
+          k = 3, window = 2)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("snippet"))
+        .toMap
+      assert(out(1L) == "b z c d") // p=1, start clamps to token 1
+      assert(out(2L) == "q r b s t") // full +-2 window around b
+      assert(out(3L) == "b b b") // right edge clamps
+    } finally Seq(name, s"${name}_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("maintained index takedown: df and corpus stats correct to the surviving corpus") {
     val name = "graft_rspec_bm25_td"
     Seq(name, s"${name}_stats", s"${name}_tombstones")
