@@ -252,8 +252,80 @@ final class KafkaClient(bootstrap: String,
   /** Drop the topic's cached leadership so the next use re-resolves. */
   def invalidate(topic: String): Unit = synchronized { leaders.remove(topic); () }
 
+  // ---------- consumer-group offsets (checkpoint mirror / import) ----------
+
+  private val coordinators = mutable.Map.empty[String, (String, Int)]
+
+  /** The broker hosting `groupId`'s offsets — resolved once via
+    * FindCoordinator v2 and cached; every OffsetCommit/OffsetFetch must
+    * target it (any other broker answers NOT_COORDINATOR).
+    */
+  def coordinator(groupId: String): (String, Int) = {
+    synchronized(coordinators.get(groupId)).getOrElse {
+      val id = nextCorr()
+      val (err, _, host, port) = KafkaWire.parseFindCoordinatorV2(
+        roundTrip(bootstrapEndpoint,
+          KafkaWire.findCoordinatorRequestV2(id, clientId, groupId), id))
+      if (err != 0)
+        throw new IOException(s"find-coordinator($groupId): error $err")
+      val hp = (host, port)
+      synchronized { coordinators(groupId) = hp }
+      hp
+    }
+  }
+
+  /** Drop the group's cached coordinator (a coordinator move answers
+    * NOT_COORDINATOR=16 until re-resolved).
+    */
+  def invalidateCoordinator(groupId: String): Unit =
+    synchronized { coordinators.remove(groupId); () }
+
+  /** Commit `offsets` under `groupId` as a STANDALONE consumer — one
+    * batched OffsetCommit v2 to the group's coordinator. Throws
+    * IOException on any per-partition error (after dropping the
+    * coordinator cache, so the retry re-resolves a moved coordinator).
+    */
+  def commitOffsets(groupId: String,
+      offsets: Map[(String, Int), Long]): Unit = {
+    if (offsets.isEmpty) return
+    val byTopic = offsets.groupBy(_._1._1).map { case (t, m) =>
+      t -> m.toSeq.map { case ((_, p), off) => (p, off) }.sortBy(_._1)
+    }
+    val id = nextCorr()
+    val errs = KafkaWire.parseOffsetCommitV2(roundTrip(coordinator(groupId),
+      KafkaWire.offsetCommitRequestV2(id, clientId, groupId, byTopic), id))
+    val bad = errs.filter(_._2 != 0)
+    if (bad.nonEmpty) {
+      invalidateCoordinator(groupId)
+      throw new IOException(s"offset-commit($groupId) failed: " +
+        bad.map { case ((t, p), e) => s"$t/$p=$e" }.mkString(","))
+    }
+  }
+
+  /** The group's committed offset per (topic, partition) — one batched
+    * OffsetFetch v1 to the coordinator. Partitions with no commit are
+    * ABSENT from the result (the broker answers them as -1).
+    */
+  def fetchCommitted(groupId: String,
+      tps: Seq[(String, Int)]): Map[(String, Int), Long] = {
+    if (tps.isEmpty) return Map.empty
+    val byTopic = tps.groupBy(_._1).map { case (t, ps) =>
+      t -> ps.map(_._2).sorted
+    }
+    val id = nextCorr()
+    val got = KafkaWire.parseOffsetFetchV1(roundTrip(coordinator(groupId),
+      KafkaWire.offsetFetchRequestV1(id, clientId, groupId, byTopic), id))
+    val bad = got.filter(_._2._1 != 0)
+    if (bad.nonEmpty) {
+      invalidateCoordinator(groupId)
+      throw new IOException(s"offset-fetch($groupId) failed: " +
+        bad.map { case ((t, p), (e, _)) => s"$t/$p=$e" }.mkString(","))
+    }
+    got.collect { case (tp, (_, off)) if off >= 0 => tp -> off }
+  }
+
   def close(): Unit = {
     synchronized(conns.keys.toSeq).foreach(dropConn)
-    synchronized { leaders.clear() }
+    synchronized { leaders.clear(); coordinators.clear() }
   }
 }

@@ -28,6 +28,9 @@ object KafkaWire {
   val ApiFetch: Short = 1
   val ApiListOffsets: Short = 2
   val ApiMetadata: Short = 3
+  val ApiOffsetCommit: Short = 8
+  val ApiOffsetFetch: Short = 9
+  val ApiFindCoordinator: Short = 10
   val ApiSaslHandshake: Short = 17
   val ApiInitProducerId: Short = 22
   val ApiSaslAuthenticate: Short = 36
@@ -402,6 +405,103 @@ object KafkaWire {
         val err = b.getShort()
         b.getLong()       // timestamp
         out += ((topic, partition) -> ((err, b.getLong())))
+      }
+    }
+    out.result()
+  }
+
+  // ---------- consumer-group offsets (the checkpoint's broker mirror) ----------
+
+  /** FindCoordinator v2 for a consumer GROUP (key_type 0): which broker
+    * hosts the group's offsets topic partition — OffsetCommit/OffsetFetch
+    * must go THERE, not to an arbitrary broker. v2 rides the same layout
+    * as v1 (KIP-320 bumped it without a wire change) and sits in every
+    * broker's 2.0 → 4.x supported range.
+    */
+  def findCoordinatorRequestV2(corrId: Int, clientId: String,
+      groupId: String): Array[Byte] =
+    frame(header(ApiFindCoordinator, 2, corrId, clientId).str(groupId).i8(0))
+
+  /** (error_code, node_id, host, port). */
+  def parseFindCoordinatorV2(body: Array[Byte]): (Short, Int, String, Int) = {
+    val b = ByteBuffer.wrap(body)
+    b.getInt()            // throttle_time_ms
+    val err = b.getShort()
+    readStr(b)            // error_message
+    (err, b.getInt(), readStr(b), b.getInt())
+  }
+
+  /** OffsetCommit v2 as a STANDALONE consumer (generation -1, empty
+    * member id — no group-membership protocol, the commit is a mirror of
+    * offsets owned elsewhere; the Spark checkpoint stays the source of
+    * truth). Batched `[topics][partitions]` like ListOffsets: one RPC to
+    * the coordinator commits every subscribed partition. v2 is the
+    * oldest version Kafka 4.0 still accepts (KIP-896) and every 0.9+
+    * broker speaks it; retention_time -1 = the broker's default.
+    */
+  def offsetCommitRequestV2(corrId: Int, clientId: String, groupId: String,
+      offsets: Map[String, Seq[(Int, Long)]],
+      metadata: String = "graft-cdc"): Array[Byte] = {
+    val b = header(ApiOffsetCommit, 2, corrId, clientId)
+    b.str(groupId)
+    b.i32(-1)             // generation_id: standalone (no consumer group protocol)
+    b.str("")             // member_id
+    b.i64(-1L)            // retention_time_ms: broker default
+    b.i32(offsets.size)
+    offsets.toSeq.sortBy(_._1).foreach { case (t, parts) =>
+      b.str(t)
+      b.i32(parts.size)
+      parts.foreach { case (p, off) => b.i32(p).i64(off).str(metadata) }
+    }
+    frame(b)
+  }
+
+  /** Every (topic, partition) → error_code of an OffsetCommit v2
+    * response (v2 carries no throttle field — that arrived in v3).
+    */
+  def parseOffsetCommitV2(body: Array[Byte]): Map[(String, Int), Short] = {
+    val b = ByteBuffer.wrap(body)
+    val out = Map.newBuilder[(String, Int), Short]
+    (0 until b.getInt()).foreach { _ =>
+      val topic = readStr(b)
+      (0 until b.getInt()).foreach { _ =>
+        out += ((topic, b.getInt()) -> b.getShort())
+      }
+    }
+    out.result()
+  }
+
+  /** OffsetFetch v1 (the first broker-backed version; v0 read ZooKeeper)
+    * — batched `[topics][partitions]`, one RPC to the coordinator reads
+    * every subscribed partition's committed offset. A partition with no
+    * commit answers offset -1, error 0.
+    */
+  def offsetFetchRequestV1(corrId: Int, clientId: String, groupId: String,
+      topics: Map[String, Seq[Int]]): Array[Byte] = {
+    val b = header(ApiOffsetFetch, 1, corrId, clientId)
+    b.str(groupId)
+    b.i32(topics.size)
+    topics.toSeq.sortBy(_._1).foreach { case (t, parts) =>
+      b.str(t)
+      b.i32(parts.size)
+      parts.foreach(b.i32)
+    }
+    frame(b)
+  }
+
+  /** Every (topic, partition) → (error_code, committed offset; -1 = no
+    * commit) of an OffsetFetch v1 response.
+    */
+  def parseOffsetFetchV1(body: Array[Byte]): Map[(String, Int), (Short, Long)] = {
+    val b = ByteBuffer.wrap(body)
+    val out = Map.newBuilder[(String, Int), (Short, Long)]
+    (0 until b.getInt()).foreach { _ =>
+      val topic = readStr(b)
+      (0 until b.getInt()).foreach { _ =>
+        val partition = b.getInt()
+        val off = b.getLong()
+        readStr(b)        // metadata
+        out += ((topic, partition) -> ((b.getShort(), off)))
       }
     }
     out.result()

@@ -70,8 +70,11 @@ final class KafkaEnvelopeStream(bootstrap: String, topics: Seq[String],
     user: Option[String] = None, password: Option[String] = None,
     mechanism: String = "PLAIN", maxOffsetsPerTrigger: Option[Long] = None,
     tls: Boolean = false, tlsTruststore: Option[String] = None,
-    tlsTruststorePassword: Option[String] = None)
+    tlsTruststorePassword: Option[String] = None,
+    groupId: Option[String] = None, startGroup: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
+
+  private lazy val log = graft.logging.Log(getClass)
 
   private val client = new KafkaClient(bootstrap, clientId = "graft-consumer",
     user = user, password = password, mechanism = mechanism, tls = tls,
@@ -153,7 +156,25 @@ final class KafkaEnvelopeStream(bootstrap: String, topics: Seq[String],
   private val earliestFloor = mutable.Map.empty[(String, Int), Long]
 
   override def initialOffset(): Offset =
-    snapshot(if (startLatest) KafkaWire.TsLatest else KafkaWire.TsEarliest)
+    if (startGroup) {
+      // startingOffsets=group: begin from the offsets an ECOSYSTEM
+      // consumer committed under `groupId` (OffsetFetch to the group's
+      // coordinator — the migration path from any existing consumer:
+      // point this source at the same group and it picks up exactly
+      // where that consumer stopped). Partitions the group never
+      // committed fall back to their log start.
+      val g = groupId.getOrElse(throw new IllegalArgumentException(
+        "startingOffsets=group requires the groupId option"))
+      val ts0 = resolveTopics()
+      client.prefetchLeaders(ts0)
+      val tps = ts0.flatMap(t =>
+        client.partitionLeaders(t).keys.toSeq.sorted.map(t -> _))
+      val committed = client.fetchCommitted(g, tps)
+      val uncommitted = tps.filterNot(committed.contains)
+      KafkaPartitionOffsets(committed ++
+        batchedOffsets(uncommitted, KafkaWire.TsEarliest))
+    } else
+      snapshot(if (startLatest) KafkaWire.TsLatest else KafkaWire.TsEarliest)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
@@ -172,6 +193,13 @@ final class KafkaEnvelopeStream(bootstrap: String, topics: Seq[String],
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val latest = snapshot(KafkaWire.TsLatest)
     val lo = start.asInstanceOf[KafkaPartitionOffsets].positions
+    // `start` is durably COMMITTED progress (the engine constructs batch
+    // N only after batch N-1's commit log write), and this method fires
+    // on every trigger tick including idle ones — so mirroring here
+    // converges the broker-side lag view to 0 after the final batch,
+    // where the engine's own commit(end) callback lags one batch (it
+    // runs during the NEXT batch's cleanup). Deduped by lastMirrored.
+    mirror(lo)
     // partitions absent from the start offset consume from the LOG
     // START, not 0: a retention-truncated log (or a pattern-matched
     // topic joining mid-stream with a truncated history) has
@@ -225,7 +253,39 @@ final class KafkaEnvelopeStream(bootstrap: String, topics: Seq[String],
         new KafkaRangeReader(p.asInstanceOf[KafkaRangePartition])
     }
 
-  override def commit(end: Offset): Unit = () // checkpoint is the group
+  /** The Spark checkpoint IS the consumer group — but with `groupId`
+    * set, each completed batch's end offsets are additionally MIRRORED
+    * to the broker (one batched OffsetCommit v2 to the coordinator, as a
+    * standalone member). That makes progress visible to the ecosystem's
+    * lag tooling (`kafka-consumer-groups --describe`, Burrow, exporter
+    * dashboards) and lets an ecosystem consumer take over from the
+    * mirrored position. The mirror is OBSERVABILITY, not correctness:
+    * a failed commit logs a warning and the stream continues — the
+    * checkpoint stays the source of truth, and the next trigger's
+    * commit (freshly re-resolving a moved coordinator) self-heals the
+    * lag view.
+    */
+  override def commit(end: Offset): Unit =
+    mirror(end.asInstanceOf[KafkaPartitionOffsets].positions)
+
+  /** Last offsets mirrored to the broker — the commit RPC fires only on
+    * CHANGE, so an idle stream costs zero group-commit round trips.
+    */
+  private var lastMirrored: Map[(String, Int), Long] = Map.empty
+
+  private def mirror(pos: Map[(String, Int), Long]): Unit =
+    groupId.foreach { g =>
+      if (pos.nonEmpty && pos != lastMirrored) {
+        try { client.commitOffsets(g, pos); lastMirrored = pos }
+        catch {
+          case e: IOException =>
+            client.invalidateCoordinator(g)
+            log.warn("offset mirror commit failed; checkpoint remains " +
+              "the source of truth", "group" -> g, "error" -> e.getMessage)
+        }
+      }
+    }
+
   override def stop(): Unit = client.close()
 }
 
@@ -303,9 +363,17 @@ final class KafkaRangeReader(part: KafkaRangePartition)
   *     .option("bootstrap", "host:9092")
   *     .option("topic", "cdc.db.public.users")      // one or comma-list, and/or
   *     .option("topicPattern", "cdc\\.db\\..*")     // regex over broker topics
-  *     .option("startingOffsets", "earliest"|"latest")  // default earliest
+  *     .option("startingOffsets", "earliest"|"latest"|"group") // default earliest
   *     .option("maxOffsetsPerTrigger", n)   // per-trigger admission cap
+  *     .option("groupId", "graft-cdc")      // mirror commits to the broker
   *     .load()
+  *
+  * With `groupId` set, each completed micro-batch's end offsets are
+  * mirrored to the broker under that consumer group (standalone-member
+  * OffsetCommit) so ecosystem lag tooling sees the stream's progress;
+  * `startingOffsets=group` starts a FRESH checkpoint from the group's
+  * broker-committed offsets (the handover path from an ecosystem
+  * consumer), falling back to each uncommitted partition's log start.
   *
   * `topicPattern` is the reference's wildcard-subject subscription
   * (consumers bind `cdc.db.>`): re-resolved against broker metadata
@@ -331,8 +399,12 @@ class KafkaEnvelopeSource extends TableProvider {
     require(topics.nonEmpty || pattern.nonEmpty,
       "either topic or topicPattern is required")
     val topicLabel = (topics ++ pattern).mkString(",")
-    val startLatest = "latest".equalsIgnoreCase(
-      properties.getOrDefault("startingOffsets", "earliest"))
+    val startingOffsets = properties.getOrDefault("startingOffsets", "earliest")
+    val startLatest = "latest".equalsIgnoreCase(startingOffsets)
+    val startGroup = "group".equalsIgnoreCase(startingOffsets)
+    val groupId = Option(properties.get("groupId")).filter(_.nonEmpty)
+    require(!startGroup || groupId.nonEmpty,
+      "startingOffsets=group requires the groupId option")
     val user = Option(properties.get("user")).filter(_.nonEmpty)
     val pw = Option(properties.get("password")).filter(_.nonEmpty)
     val mech = properties.getOrDefault("mechanism", "PLAIN")
@@ -353,7 +425,8 @@ class KafkaEnvelopeSource extends TableProvider {
             override def readSchema(): StructType = KafkaEnvelopeSource.schema
             override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
               new KafkaEnvelopeStream(bootstrap, topics, pattern, startLatest,
-                user, pw, mech, maxOffsets, tls, tlsStore, tlsStorePw)
+                user, pw, mech, maxOffsets, tls, tlsStore, tlsStorePw,
+                groupId, startGroup)
           }
         }
     }

@@ -265,6 +265,14 @@ object Main {
               pattern.foreach(pt => r = r.option("topicPattern", pt))
               env.get("KAFKA_MAX_OFFSETS_PER_TRIGGER")
                 .foreach(n => r = r.option("maxOffsetsPerTrigger", n))
+              // KAFKA_GROUP_ID mirrors each batch's end offsets to the
+              // broker (ecosystem lag visibility); KAFKA_STARTING_OFFSETS
+              // = earliest|latest|group — `group` starts a fresh
+              // checkpoint from that group's broker-committed offsets
+              // (handover from an ecosystem consumer)
+              env.get("KAFKA_GROUP_ID").foreach(g => r = r.option("groupId", g))
+              env.get("KAFKA_STARTING_OFFSETS")
+                .foreach(v => r = r.option("startingOffsets", v))
               env.get("KAFKA_USER").foreach(u => r = r.option("user", u))
               env.get("KAFKA_PASSWORD")
                 .foreach(pw => r = r.option("password", pw))

@@ -278,6 +278,87 @@ class KafkaConsumeSpec extends SparkSpec {
       s"broker-fed view converges to the WAL's final state: $got")
   }
 
+  test("groupId mirrors each batch's end offsets to the broker: ecosystem " +
+      "lag tooling sees the checkpoint's progress") {
+    val broker = new InProcessKafkaBroker(nPartitions = 2)
+    val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}")
+    val out = Files.createTempDirectory("kgroup_out").toString
+    val ck = Files.createTempDirectory("kgroup_ck").toString
+    try {
+      (1 to 6).foreach(i =>
+        w.publish(PublishItem(s"t.grp.${i % 2}", s"e$i", s"v$i", i.toLong)))
+      val q = spark.readStream
+        .format("graft.sources.KafkaEnvelopeSource")
+        .option("bootstrap", s"127.0.0.1:${broker.port}")
+        .option("topic", "t.grp.0,t.grp.1")
+        .option("groupId", "graft-mirror")
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+      try q.processAllAvailable() finally q.stop()
+      assert(spark.read.parquet(out).count() == 6, "all six records consumed")
+      // the mirrored commits must equal the high watermark per consumed
+      // partition — what `kafka-consumer-groups --describe` reports as
+      // lag 0 for the group
+      val subjects = Seq("t.grp.0", "t.grp.1")
+      val mirrored = (for (t <- subjects; p <- 0 to 1)
+        yield (t, p) -> broker.committedOffset("graft-mirror", t, p)).toMap
+      // the producer keys by subject, so each topic's records land on one
+      // partition; every partition that RECEIVED data must be mirrored at
+      // its end offset (3 records per topic)
+      import scala.jdk.CollectionConverters._
+      val hw = broker.received.asScala.groupBy(r => (r.topic, r.partition))
+        .map { case (tp, rs) => tp -> (rs.map(_.baseOffset).max + 1) }
+      assert(hw.nonEmpty && hw.forall { case (tp, end) =>
+        mirrored.get(tp).flatten.contains(end) },
+        s"mirror must match the consumed high watermarks: hw=$hw mirrored=$mirrored")
+      // coordinator resolution is cached: ONE FindCoordinator for the run
+      assert(broker.apiCount(graft.sinks.KafkaWire.ApiFindCoordinator) == 1,
+        "coordinator resolved once and cached")
+      assert(broker.apiCount(graft.sinks.KafkaWire.ApiOffsetCommit) >= 1,
+        "at least one batched commit")
+    } finally { w.close(); broker.close() }
+  }
+
+  test("startingOffsets=group takes over from an ecosystem consumer's " +
+      "committed position; uncommitted partitions fall back to the log start") {
+    val broker = new InProcessKafkaBroker(nPartitions = 1)
+    val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}")
+    val out = Files.createTempDirectory("khandover_out").toString
+    val ck = Files.createTempDirectory("khandover_ck").toString
+    try {
+      (1 to 5).foreach(i =>
+        w.publish(PublishItem("t.hand.a", s"a$i", s"a$i", i.toLong)))
+      (1 to 2).foreach(i =>
+        w.publish(PublishItem("t.hand.b", s"b$i", s"b$i", i.toLong)))
+      // the previous (ecosystem) consumer of t.hand.a stopped at offset 3;
+      // t.hand.b has no commit under the group
+      broker.seedCommit("legacy-app", "t.hand.a", 0, 3L)
+      val q = spark.readStream
+        .format("graft.sources.KafkaEnvelopeSource")
+        .option("bootstrap", s"127.0.0.1:${broker.port}")
+        .option("topic", "t.hand.a,t.hand.b")
+        .option("groupId", "legacy-app")
+        .option("startingOffsets", "group")
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.read.parquet(out).selectExpr("topic", "value")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set(("t.hand.a", "a4"), ("t.hand.a", "a5"),
+        ("t.hand.b", "b1"), ("t.hand.b", "b2")),
+        s"resume from the committed position on a, the log start on b: $got")
+      // and the takeover keeps mirroring: both partitions now committed
+      // at their ends under the same group
+      assert(broker.committedOffset("legacy-app", "t.hand.a", 0).contains(5L) &&
+        broker.committedOffset("legacy-app", "t.hand.b", 0).contains(2L),
+        "handover continues the group's lag view")
+    } finally { w.close(); broker.close() }
+  }
+
   test("trigger cadence cost: 256 subscribed partitions, steady-state " +
       "driver overhead measured per trigger (the O(1)-RPC evidence)") {
     // the scale shape the batched ListOffsets exists for: many

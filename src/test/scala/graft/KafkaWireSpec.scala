@@ -77,6 +77,20 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
 
   /** Per-partition log-start offsets (0 until truncated). */
   private val logStarts = mutable.Map.empty[(String, Int), Long]
+
+  /** Consumer-group committed offsets: (group, topic, partition) →
+    * (offset, metadata) — what OffsetCommit writes and OffsetFetch /
+    * the ecosystem's lag tooling read.
+    */
+  private val groupOffsets =
+    mutable.Map.empty[(String, String, Int), (Long, String)]
+  def committedOffset(group: String, topic: String,
+      partition: Int): Option[Long] =
+    synchronized(groupOffsets.get((group, topic, partition)).map(_._1))
+  /** Pre-seed a commit, the way an ecosystem consumer would have. */
+  def seedCommit(group: String, topic: String, partition: Int,
+      offset: Long): Unit =
+    synchronized { groupOffsets((group, topic, partition)) = (offset, "seed") }
   /** Simulate retention/compaction: delete every record below `offset`
     * and raise the partition's log-start (earliest) to it. Appended
     * offsets keep counting from the old high watermark, exactly like a
@@ -396,6 +410,54 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
           resp.i32(1).i32(partition).i16(0).i64(hw).i64(hw)
           resp.i32(0)                             // aborted_transactions
           resp.bytes(set)
+        case KafkaWire.ApiFindCoordinator =>
+          require(version == 2, s"mock speaks FindCoordinator v2, got $version")
+          readStr(b)                              // group id
+          require(b.get() == 0, "key_type must be GROUP (0)")
+          // single-broker cluster: the coordinator is this broker
+          resp.i32(0).i16(0).str(null)            // throttle, error, message
+          resp.i32(1).str("127.0.0.1").i32(port)  // node, host, port
+        case KafkaWire.ApiOffsetCommit =>
+          require(version == 2, s"mock speaks OffsetCommit v2, got $version")
+          val group = readStr(b)
+          require(b.getInt() == -1, "standalone commit: generation must be -1")
+          readStr(b)                              // member_id
+          b.getLong()                             // retention_time_ms
+          val perTopic = (0 until b.getInt()).map { _ =>
+            val topic = readStr(b)
+            topic -> (0 until b.getInt()).map { _ =>
+              val partition = b.getInt()
+              val off = b.getLong()
+              val meta = readStr(b)
+              synchronized {
+                groupOffsets((group, topic, partition)) = (off, meta)
+              }
+              partition
+            }
+          }
+          resp.i32(perTopic.size)
+          perTopic.foreach { case (topic, parts) =>
+            resp.str(topic)
+            resp.i32(parts.size)
+            parts.foreach(p => resp.i32(p).i16(0))
+          }
+        case KafkaWire.ApiOffsetFetch =>
+          require(version == 1, s"mock speaks OffsetFetch v1, got $version")
+          val group = readStr(b)
+          val perTopic = (0 until b.getInt()).map { _ =>
+            val topic = readStr(b)
+            topic -> (0 until b.getInt()).map(_ => b.getInt())
+          }
+          resp.i32(perTopic.size)
+          perTopic.foreach { case (topic, parts) =>
+            resp.str(topic)
+            resp.i32(parts.size)
+            parts.foreach { p =>
+              val (off, meta) = synchronized(
+                groupOffsets.getOrElse((group, topic, p), (-1L, "")))
+              resp.i32(p).i64(off).str(meta).i16(0)
+            }
+          }
         case other => throw new IOException(s"unexpected api key $other")
       }
       val framed = resp.toBytes
