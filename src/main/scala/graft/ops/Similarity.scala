@@ -204,6 +204,44 @@ object Similarity {
       prepared.withColumn("bucket", signBucket(col("embedding"), bits)),
       queryPred, k)
 
+  /** Hard-negative mining for contrastive retrieval training: for each
+    * anchor (rows matching `queryPred`), the k most-cosine-similar corpus
+    * vectors with a DIFFERENT label — the "close but wrong" examples
+    * that carry training signal random negatives don't (the DPR/ANCE
+    * recipe: negatives are mined from the current index's near
+    * neighbors, not sampled uniformly).
+    *
+    * Scale shape: candidate generation is the sign-LSH bucket join (the
+    * same per-bucket blocks as [[bucketedTopK]] — never n² pairs), and
+    * the anti-label predicate sits IN the join condition, so
+    * similar-but-same-label pairs (the positives — usually the densest
+    * neighborhood of any anchor) are dropped before the rank window ever
+    * sees them. Ranking is exact within the candidate set, ties broken
+    * by id; everything integer-quantized, so an external engine
+    * reproduces it bit-for-bit.
+    */
+  def hardNegatives(prepared: DataFrame, queryPred: Column,
+      labelCol: String, bits: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed =
+      prepared.withColumn("bucket", signBucket(col("embedding"), bits))
+    val joined = bucketed.filter(queryPred).alias("q")
+      .join(bucketed.alias("c"),
+        col("q.bucket") === col("c.bucket") &&
+          col(s"q.$labelCol") =!= col(s"c.$labelCol"))
+      .withColumn("dot", dotQ(col("q.qvec"), col("c.qvec")))
+      .withColumn("cosine", pairCosine)
+    val w = Window.partitionBy(col("q.id"))
+      .orderBy(col("cosine").desc, col("c.id"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q.id").as("query_id"),
+        col(s"q.$labelCol").as("anchor_label"),
+        col("c.id").as("negative_id"),
+        col(s"c.$labelCol").as("negative_label"),
+        col("cosine"), col("rank"))
+  }
+
   /** ANN top-k with random-hyperplane buckets (the production variant of
     * [[bucketedTopK]] — basis-independent collision probability).
     */

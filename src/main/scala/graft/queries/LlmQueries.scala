@@ -3141,6 +3141,40 @@ object LlmQueries {
             AS snippet
         FROM pos ORDER BY qid, rank""")),
 
+    // Hard-negative mining for contrastive retrieval training (the
+    // DPR/ANCE data recipe: each anchor's top-k most-similar vectors
+    // with a DIFFERENT label — "close but wrong" training pairs).
+    // Candidates come from the sign-LSH bucket join (per-bucket blocks,
+    // never n² pairs) with the anti-label predicate INSIDE the join, so
+    // the positives — the densest neighborhood of any anchor — are
+    // dropped before the rank window sees them. Integer-quantized dots;
+    // the oracle replays the identical bucketing, so the gate is exact.
+    "l99_hard_negatives" -> Def(
+      (s, d) => {
+        val prep = Similarity.prepare(
+          t(s, d, "embeddings").withColumnRenamed("vec_id", "id"), "embedding")
+        Similarity.hardNegatives(prep, col("id") < 32, "label",
+            bits = 8, k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $oQuant,
+        b AS (SELECT vec_id, qn.label, q, norm_sq,
+            ${oBucket(8, "embedding")} AS bucket
+          FROM qn JOIN embeddings USING (vec_id))
+        SELECT query_id, anchor_label, negative_id, negative_label,
+          cosine, rank FROM (
+          SELECT q.vec_id AS query_id, q.label AS anchor_label,
+            c.vec_id AS negative_id, c.label AS negative_label,
+            CAST(${oDot("q.q", "c.q")} AS DOUBLE) /
+              sqrt(CAST(q.norm_sq AS DOUBLE) * CAST(c.norm_sq AS DOUBLE)) AS cosine,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY CAST(${oDot("q.q", "c.q")} AS DOUBLE) /
+                sqrt(CAST(q.norm_sq AS DOUBLE) * CAST(c.norm_sq AS DOUBLE)) DESC,
+              c.vec_id) AS BIGINT) AS rank
+          FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 32
+            AND q.label <> c.label)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // Fixed-window chunking with overlap (RAG / context-window prep):
     // zero-shuffle narrow generator — window 32 tokens, stride 24.
     "l36_chunk_overlap" -> Def(

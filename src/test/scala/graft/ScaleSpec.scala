@@ -230,6 +230,43 @@ class ScaleSpec extends SparkSpec {
       s"seed pick must be distributed top-k:\n$plan")
   }
 
+  test("hard negatives: label-disjoint by construction, ranking matches an " +
+      "independent driver-side re-rank of the same candidates") {
+    val prep = Similarity.prepare(
+      spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .withColumnRenamed("vec_id", "id"), "embedding")
+    val res = Similarity.hardNegatives(prep, col("id") < 8, "label",
+      bits = 8, k = 5).orderBy($"query_id", $"rank").collect()
+    assert(res.nonEmpty, "anchors must yield negatives on this corpus")
+    // the semantic guarantee: a hard negative NEVER shares the anchor's
+    // label (a same-label near neighbor is a positive, not a negative)
+    assert(res.forall(r => r.getInt(1) != r.getInt(3)),
+      "no negative may share its anchor's label")
+    // independent re-rank: only quantization is shared with the
+    // implementation — bucketing, the anti-label filter, cosine ranking
+    // and tie-breaks are all re-derived in plain Scala on the driver
+    val all = prep.select($"id", $"label", $"qvec", $"norm_sq", $"embedding")
+      .collect().map { r =>
+        val emb = r.getSeq[Float](4)
+        val bucket = (0 until 8).map(j =>
+          if (emb(j) >= 0f) 1L << j else 0L).sum
+        (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray,
+          r.getLong(3), bucket)
+      }
+    val expected = all.filter(_._1 < 8).sortBy(_._1).flatMap {
+      case (qid, qlabel, qv, qn, qb) =>
+        all.filter(c => c._5 == qb && c._2 != qlabel)
+          .map { case (cid, _, cv, cn, _) =>
+            val dot = qv.zip(cv).map { case (a, b) => a * b }.sum
+            (cid, dot.toDouble / math.sqrt(qn.toDouble * cn.toDouble))
+          }
+          .sortBy { case (cid, cos) => (-cos, cid) }
+          .take(5).map { case (cid, _) => (qid, cid) }
+    }
+    assert(res.map(r => (r.getLong(0), r.getLong(2))).toList ==
+      expected.toList, "bucketed anti-label top-k must match the re-rank")
+  }
+
   test("PQ ANN: codebook broadcasts, ADC ranking is deterministic with usable recall") {
     val prep = Similarity.prepare(
       spark.read.parquet(s"$sf0001/embeddings.parquet")
