@@ -48,29 +48,11 @@ object Graph {
     */
   def pageRank(edges0: DataFrame, iters: Int = 6,
       scale: Long = 1000000000L): DataFrame = {
-    val sp = edges0.sparkSession
-    val nShuffle = sp.conf.get("spark.sql.shuffle.partitions").toInt
-    val edges = edges0.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-      .distinct()
-      .repartition(nShuffle, col("src"))
-      .persist()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    // deg rides the same src partitioning as edges, so this join is
-    // shuffle-free on the edge side; materialize the pair once.
-    val edgeDeg = edges.join(deg, "src").persist()
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct()
-      .persist()
+    val (edges, edgeDeg, nodes) = prepEdges(edges0)
     val base = (15L * scale) / 100L
     var r = nodes.withColumn("r", lit(scale))
     for (_ <- 1 to iters) {
-      val inflow = edgeDeg
-        .join(r.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("r div deg").as("c"))
-        .groupBy("node").agg(sum("c").as("inflow"))
-      r = nodes.join(inflow, Seq("node"), "left")
+      r = nodes.join(inflowOf(edgeDeg, r), Seq("node"), "left")
         .select(col("node"),
           (lit(base) +
             expr("(85 * coalesce(inflow, 0L)) div 100")).as("r"))
@@ -79,6 +61,83 @@ object Graph {
     edges.unpersist(); edgeDeg.unpersist(); nodes.unpersist()
     r
   }
+
+  /** Personalized (seed-teleport) PageRank, integer-exact like
+    * [[pageRank]] but with BOTH the initial mass and the per-step
+    * teleport term restricted to `seeds0` (one `node` column — e.g. a
+    * trusted-source allowlist):
+    *
+    *   r'(v) = [v ∈ S]·((15·scale) div 100)
+    *            + (85 · Σ_{u→v} (r(u) div deg(u))) div 100
+    *
+    * The fixed-point is proximity to the seed set through the link
+    * graph — the web-curation recipe for propagating quality from a
+    * hand-audited allowlist to the whole corpus (a page linked by
+    * trusted pages inherits trust; one hop dilutes it by the damping
+    * factor). Nodes unreachable from any seed in `iters` hops hold
+    * rank 0 exactly, so the result is naturally sparse — callers
+    * filter `r > 0`.
+    *
+    * Scale shape: identical per-iteration cost to [[pageRank]]; the
+    * seed set is tiny by nature and BROADCASTS into the node frame
+    * once — the iteration never touches it again.
+    */
+  def personalizedPageRank(edges0: DataFrame, seeds0: DataFrame,
+      iters: Int = 6, scale: Long = 1000000000L): DataFrame = {
+    val (edges, edgeDeg, nodes0) = prepEdges(edges0)
+    val seeds = broadcast(seeds0
+      .select(col("node").cast("long").as("node")).distinct()
+      .withColumn("is_seed", lit(true)))
+    val nodes = nodes0.join(seeds, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .persist()
+    val base = (15L * scale) / 100L
+    var r = nodes.select(col("node"),
+      when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      r = nodes.join(inflowOf(edgeDeg, r), Seq("node"), "left")
+        .select(col("node"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(inflow, 0L)) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    edges.unpersist(); edgeDeg.unpersist(); nodes0.unpersist()
+    nodes.unpersist()
+    r
+  }
+
+  /** Shared iteration prep: deduped edges hash-partitioned by src and
+    * cached, the (edge, out-degree) pair frame riding that partitioning
+    * (deg joins shuffle-free on the edge side), and the node set. All
+    * three persisted — callers unpersist after their loop.
+    */
+  private def prepEdges(
+      edges0: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val sp = edges0.sparkSession
+    val nShuffle = sp.conf.get("spark.sql.shuffle.partitions").toInt
+    val edges = edges0.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct()
+      .repartition(nShuffle, col("src"))
+      .persist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgeDeg = edges.join(deg, "src").persist()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    (edges, edgeDeg, nodes)
+  }
+
+  /** One rank-propagation step: each node's Σ over in-edges of the
+    * source's rank floor-divided by its out-degree.
+    */
+  private def inflowOf(edgeDeg: DataFrame, r: DataFrame): DataFrame =
+    edgeDeg
+      .join(r.select(col("node").as("src"), col("r")), "src")
+      .select(col("dst").as("node"), expr("r div deg").as("c"))
+      .groupBy("node").agg(sum("c").as("inflow"))
 
   /** Per-node triangle participation counts over an undirected graph,
     * via degree orientation (the published fix for "the curse of the

@@ -3395,6 +3395,63 @@ object LlmQueries {
         ORDER BY r DESC, node LIMIT 100"""
       }),
 
+    // Personalized PageRank from a trusted-seed allowlist (the
+    // quality-propagation recipe: a hand-audited seed set — here one
+    // nation's customers — teleports ALL the restart mass, so the
+    // fixed-point is proximity-to-trust through the co-occurrence
+    // graph; a node no seed reaches in 6 hops holds rank 0 exactly and
+    // drops out). Same integer-exact floor-division iteration as l96,
+    // so the oracle unrolls the identical six steps; the seed set
+    // broadcasts into the node frame once.
+    "l100_seed_quality_rank" -> Def(
+      (s, d) => {
+        val pairs = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").cast("long").as("src"),
+            (col("l_suppkey").cast("long") + lit(1000000L)).as("dst"))
+          .distinct()
+        val edges = pairs.union(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = t(s, d, "customer").filter(col("c_nationkey") === 1)
+          .select(col("c_custkey").cast("long").as("node"))
+        graft.ops.Graph.personalizedPageRank(edges, seeds,
+            iters = 6, scale = 1000000000L)
+          .filter(col("r") > 0)
+          .orderBy(col("r").desc, col("node")).limit(100)
+      },
+      Some {
+        val stages = (1 to 6).map { k =>
+          s"""pr$k AS (
+            SELECT n.node,
+              (CASE WHEN n.node IN (SELECT node FROM seeds)
+                THEN 150000000 ELSE 0 END)
+              + (85 * COALESCE(SUM(p.r // dg.deg), 0)) // 100 AS r
+            FROM nodes n
+            LEFT JOIN edges e ON e.dst = n.node
+            LEFT JOIN pr${k - 1} p ON p.node = e.src
+            LEFT JOIN deg dg ON dg.src = e.src
+            GROUP BY n.node)"""
+        }.mkString(",\n")
+        s"""WITH pairs AS (
+          SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+            CAST(l_suppkey AS BIGINT) + 1000000 AS dst
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        edges AS (SELECT src, dst FROM pairs
+          UNION ALL SELECT dst, src FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+        seeds AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS node
+          FROM customer WHERE c_nationkey = 1),
+        pr0 AS (SELECT node,
+          CAST(CASE WHEN node IN (SELECT node FROM seeds)
+            THEN 1000000000 ELSE 0 END AS BIGINT) AS r FROM nodes),
+        $stages
+        SELECT node, CAST(r AS BIGINT) AS r FROM pr6 WHERE r > 0
+        ORDER BY r DESC, node LIMIT 100"""
+      }),
+
     // Triangle counting with degree orientation over the market-basket
     // graph (parts co-ordered at high quantity): the projection's edge
     // set is derived by one self-join, then every edge is directed from

@@ -49,6 +49,34 @@ class GraphSpec extends SparkSpec {
     df.collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("triangles")).toMap
 
+  test("personalizedPageRank: seeding every node degenerates to pageRank " +
+      "bit-for-bit") {
+    val e = edges(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 2L)
+    val all = Seq(1L, 2L, 3L, 4L).toDF("node")
+    assert(ranks(Graph.personalizedPageRank(e, all, iters = 4, scale = 1000L))
+      == ranks(Graph.pageRank(e, iters = 4, scale = 1000L)),
+      "seeds = V must reproduce the uniform-teleport recurrence exactly")
+  }
+
+  test("personalizedPageRank: mass flows only FROM seeds; unreachable " +
+      "nodes hold exactly 0 and trust dilutes per hop") {
+    // chain 1 -> 2 -> 3 with a disconnected pair 8 <-> 9; seed = {1}.
+    // scale 1000, base 150: r(1) = 150 + 0 (no in-edges), r(2) inherits
+    // floor(85% of r(1)), r(3) floor(85% of r(2)) — strictly decaying;
+    // 8 and 9 are never reached and must be EXACTLY 0, not epsilon.
+    val e = edges(1L -> 2L, 2L -> 3L, 8L -> 9L, 9L -> 8L)
+    val out = ranks(Graph.personalizedPageRank(
+      e, Seq(1L).toDF("node"), iters = 6, scale = 1000L))
+    assert(out(8L) == 0L && out(9L) == 0L,
+      s"nodes unreachable from the seed set hold rank 0 exactly: $out")
+    assert(out(1L) > out(2L) && out(2L) > out(3L) && out(3L) > 0L,
+      s"trust must dilute monotonically with seed distance: $out")
+    // hand-check the fixed point: r1 = 150; r2 = (85*150) div 100 = 127;
+    // r3 = (85*127) div 100 = 107 (reached from iteration 3 on)
+    assert(out(1L) == 150L && out(2L) == 127L && out(3L) == 107L,
+      s"integer recurrence must match the hand computation: $out")
+  }
+
   test("triangleCounts: K4 puts every node on exactly 3 triangles") {
     val k4 = for {
       u <- 1L to 4L; v <- 1L to 4L if u < v
