@@ -557,10 +557,15 @@ object DedupIndex {
       opId: Long, threshold: Double = 0.8, buckets: Int = 8): Unit = {
     val cl = s"${name}_clusters"; val logT = s"${name}_changelog"
     recoverClusterRewrite(spark, cl)
+    spark.catalog.refreshTable(cl) // fresh resolution before the snapshot
     val rm = removeIds.select(col("id")).localCheckpoint(true)
     landBatch(spark, spark, rm.withColumn("ingest_batch", lit(opId)),
       s"${name}_tombstones", opId, bucketed = false, buckets)
+    // one materialized snapshot of the pre-takedown table, reused by
+    // every derivation below — the same single-read-point discipline as
+    // maintainClusters (no re-list can race the bucket rewrite)
     val cur = spark.table(cl)
+      .select(col("id"), col("cluster"), col("bucket")).localCheckpoint(true)
     val touched = cur.join(rm, Seq("id"), "left_semi")
       .select(col("cluster")).distinct().localCheckpoint(true)
     val oldSurv = cur.join(touched, Seq("cluster"), "left_semi")
@@ -630,6 +635,11 @@ object DedupIndex {
       batchId: Long, threshold: Double, n: Int, buckets: Int): Unit = {
     val cl = s"${name}_clusters"; val logT = s"${name}_changelog"
     recoverClusterRewrite(s, cl)
+    // evict any cached relation/file listing before the snapshot read:
+    // this session may hold a resolution from before the previous
+    // batch's bucket rewrite (or, in a shared-JVM harness, from a
+    // previous table incarnation at the same path)
+    if (s.catalog.tableExists(cl)) s.catalog.refreshTable(cl)
     // a cluster table without last_batch is a crashed CREATION — its
     // contents are this very batch's partial state, not a pre-state
     if (s.catalog.tableExists(cl) &&
@@ -683,9 +693,22 @@ object DedupIndex {
     // 3. cluster update + changelog, skipped wholesale on replay of an
     // applied batch (the pre-state no longer exists)
     if (applied >= batchId) return
-    val clusterOf =
-      if (s.catalog.tableExists(cl)) s.table(cl).select(col("id"), col("cluster"))
+    // ONE snapshot read of the pre-batch cluster table, materialized
+    // immediately (localCheckpoint) and reused by the delta, the
+    // affected-bucket scan and the keep-set below. Before r9 each of
+    // those re-listed and re-scanned the table's files independently;
+    // besides the redundant full scans, a re-list late in the batch
+    // raced file-level rewrites in the loaded bench JVM
+    // (FAILED_READ_FILE on files a fresh listing would not contain).
+    // With the snapshot, table files are read at exactly one
+    // well-defined point per batch.
+    val pre =
+      if (s.catalog.tableExists(cl))
+        s.table(cl).select(col("id"), col("cluster"), col("bucket"))
+          .localCheckpoint(true)
       else batchIds.limit(0).withColumn("cluster", col("id"))
+        .withColumn("bucket", pmod(col("cluster"), lit(buckets.toLong)))
+    val clusterOf = pre.select(col("id"), col("cluster"))
     val (changelog0, assign0) =
       Dedup.clusterDelta(clusterOf, newEdges, batchIds)
     val changelog = changelog0.localCheckpoint(true)
@@ -705,10 +728,10 @@ object DedupIndex {
     } else {
       // affected buckets: where reassigned rows LIVE now + where they GO
       val affected = (assign.select(col("bucket")) union
-          s.table(cl).join(assign.select(col("id")), Seq("id"), "left_semi")
+          pre.join(assign.select(col("id")), Seq("id"), "left_semi")
             .select(col("bucket")))
         .distinct().collect().map(_.getLong(0)).sorted
-      val keep = s.table(cl)
+      val keep = pre
         .filter(col("bucket").isin(affected: _*))
         .join(assign.select(col("id")), Seq("id"), "left_anti")
         .select(col("id"), col("cluster"), col("bucket"))
