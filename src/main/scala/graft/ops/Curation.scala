@@ -519,4 +519,79 @@ object Curation {
       .groupBy(col("id")).agg(count(lit(1)).as("shared_shingles"))
       .filter(col("shared_shingles") >= minShared)
   }
+
+  /** Vocabulary coverage curve (tokenizer vocab sizing): for each candidate
+    * vocab size V, how many corpus tokens the top-V most frequent token
+    * types cover. Rank order is (count DESC, token ASC) — fully
+    * deterministic, so the curve is engine-exact integer arithmetic.
+    *
+    * Scale shape: one explode + map-side-combinable type count, then
+    * `orderBy(...).limit(maxV)` — Spark plans that as
+    * TakeOrderedAndProject (per-partition top-k merged at the driver),
+    * NOT a global sort and NOT a single-partition window over the full
+    * type table (which is tens of millions of rows at 100 TB). Only the
+    * ≤ maxV surviving rows see a window, and maxV is a few thousand by
+    * construction (it is the tokenizer vocab being sized).
+    */
+  def vocabCoverage(df: DataFrame, textCol: String,
+      sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty, "at least one candidate vocab size")
+    val maxV = sizes.max
+    val toks = df.select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(maxV)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok"))))
+    val total = toks.agg(count(lit(1)).as("total_tokens"))
+    // a LocalRelation (not an RDD parallelize) so the plan stays
+    // driver-literal — LocalTableScan, broadcastable, no lineage
+    val szDf = df.sparkSession
+      .createDataset(sizes.map(_.toLong))(
+        org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("vocab_size")
+    // inequality join over ≤ |sizes| × maxV rows — both sides tiny
+    broadcast(szDf).join(top, col("rk") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .orderBy(col("vocab_size"))
+  }
+
+  /** Token-budget mixture solver (the pretraining-mix planning step):
+    * given integer target weights per source and a global token budget,
+    * derive per source the available tokens, the target token share
+    * `budget * w / Σw`, the number of epochs needed when the share
+    * oversubscribes the source (`ceil(target / avail)` — data repeats),
+    * and the sampling rate in basis points (> 10000 means repeat). All
+    * BIGINT arithmetic — the plan is engine-exact and auditable.
+    *
+    * Scale shape: one map-side-combinable per-source aggregation over the
+    * corpus; the weight lookup is a compiled CASE (no join); the output is
+    * |sources| rows.
+    */
+  def tokenBudget(df: DataFrame, sourceCol: Column, tokenCountCol: Column,
+      weights: Map[String, Int], budget: Long): DataFrame = {
+    require(weights.nonEmpty && weights.valuesIterator.forall(_ > 0),
+      "weights must be positive")
+    require(budget > 0, "budget must be positive")
+    val wsum = weights.valuesIterator.map(_.toLong).sum
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (src, wt)) => when(sourceCol === src, lit(wt.toLong))
+        .otherwise(acc)
+    }
+    df.select(sourceCol.as("source"), tokenCountCol.cast("long").as("_tc"))
+      .withColumn("_w", w).filter(col("_w") > 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_tc")).as("avail_tokens"),
+        first(col("_w")).as("_w"))
+      .withColumn("target_tokens",
+        expr(s"CAST($budget AS BIGINT) * _w DIV ${wsum}"))
+      .withColumn("epochs",
+        expr("(target_tokens + avail_tokens - 1) DIV avail_tokens"))
+      .withColumn("rate_bp",
+        expr("target_tokens * 10000 DIV avail_tokens"))
+      .select(col("source"), col("n_docs"), col("avail_tokens"),
+        col("target_tokens"), col("epochs"), col("rate_bp"))
+      .orderBy(col("source"))
+  }
 }

@@ -3754,6 +3754,53 @@ object LlmQueries {
           ROW_NUMBER() OVER (PARTITION BY source
             ORDER BY quality DESC, doc_id) AS rk FROM scored)
         SELECT doc_id, source, quality FROM ranked WHERE rk <= 10
-        ORDER BY source, doc_id"""))
+        ORDER BY source, doc_id""")),
+
+    // Vocabulary coverage curve (tokenizer vocab sizing): corpus tokens
+    // covered by the top-V token types for candidate vocab sizes V. Rank
+    // is (count DESC, token ASC) — deterministic ties, integer-exact
+    // curve. Scale shape: one explode + combinable type count, then
+    // TakeOrderedAndProject top-maxV (per-partition top-k, no global
+    // sort, no full-type-table window); only the ≤ maxV survivors see a
+    // window.
+    "l101_vocab_coverage" -> Def(
+      (s, d) => Curation.vocabCoverage(t(s, d, "documents"), "text",
+        Seq(100, 500, 1000, 2000, 5000)),
+      Some(s"""WITH tok AS (SELECT unnest($oToks) AS tok FROM documents),
+        cnts AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+        rk AS (SELECT cnt,
+            ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rk FROM cnts),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_tokens FROM tok),
+        sz AS (SELECT CAST(unnest([100, 500, 1000, 2000, 5000]) AS BIGINT)
+            AS vocab_size)
+        SELECT vocab_size, CAST(COUNT(*) AS BIGINT) AS n_types,
+          CAST(SUM(cnt) AS BIGINT) AS covered_tokens, tot.total_tokens
+        FROM sz JOIN rk ON rk.rk <= sz.vocab_size CROSS JOIN tot
+        GROUP BY vocab_size, tot.total_tokens ORDER BY vocab_size""")),
+
+    // Token-budget mixture solver (pretraining-mix planning): per source
+    // the available tokens, the budget share target = budget·w/Σw, the
+    // epochs needed when the share oversubscribes the source (data
+    // repeats), and the sampling rate in basis points. Pure BIGINT
+    // arithmetic over one combinable per-source aggregation — the plan a
+    // run publishes before touching 100 TB.
+    "l102_token_budget" -> Def(
+      (s, d) => Curation.tokenBudget(t(s, d, "documents"), col("source"),
+        TA.tokenCount(col("text")),
+        Map("src0" -> 4, "src1" -> 2, "src2" -> 1, "src3" -> 1),
+        budget = 500000L),
+      Some(s"""WITH agg AS (SELECT source,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len($oToks)) AS BIGINT) AS avail_tokens,
+          CAST(CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 2
+            WHEN 'src2' THEN 1 WHEN 'src3' THEN 1 END AS BIGINT) AS w
+        FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+        GROUP BY source),
+        tg AS (SELECT source, n_docs, avail_tokens,
+          (500000 * w) // 8 AS target_tokens FROM agg)
+        SELECT source, n_docs, avail_tokens, target_tokens,
+          (target_tokens + avail_tokens - 1) // avail_tokens AS epochs,
+          (target_tokens * 10000) // avail_tokens AS rate_bp
+        FROM tg ORDER BY source"""))
   )
 }

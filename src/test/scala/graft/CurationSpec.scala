@@ -342,4 +342,33 @@ class CurationSpec extends SparkSpec {
     assert(shared.filter(!Curation.bloomMightContain($"shingle", words, 3))
       .isEmpty, "a set bit can never be missed")
   }
+
+  test("vocabCoverage: exact cumulative curve with deterministic tie-break") {
+    // 4 types: "a"×6, "b"×3, "c"×3, "d"×1 — b/c tie broken by token ASC
+    val d = Seq("a a a b c", "a a a b b c c d").toDF("text")
+    val out = Curation.vocabCoverage(d, "text", Seq(1, 2, 3, 10))
+      .select($"vocab_size", $"n_types", $"covered_tokens", $"total_tokens")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(out == List((1L, 1L, 6L, 13L), (2L, 2L, 9L, 13L),
+      (3L, 3L, 12L, 13L), (10L, 4L, 13L, 13L)),
+      s"curve mismatch: $out")
+    // top-maxV truncation: sizes past maxV still see only maxV types
+    val trunc = Curation.vocabCoverage(d, "text", Seq(2))
+      .select($"n_types", $"covered_tokens").as[(Long, Long)].head()
+    assert(trunc == ((2L, 9L)))
+  }
+
+  test("tokenBudget: BIGINT-exact plan, oversubscription repeats") {
+    // src0: 2 docs × 2 tokens = 4 avail; src1: 1 doc × 4 tokens
+    val d = Seq(("x y", "src0"), ("p q", "src0"), ("a b c d", "src1"),
+      ("zz zz", "src9")).toDF("text", "source")
+    val out = Curation.tokenBudget(d, $"source",
+        graft.ops.TextAnalysis.tokenCount($"text"),
+        Map("src0" -> 3, "src1" -> 1), budget = 40L)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    // src0: target 40*3/4=30, avail 4 -> epochs ceil(30/4)=8, rate 75000bp
+    // src1: target 10, avail 4 -> epochs 3, rate 25000bp; src9 unlisted
+    assert(out == List(("src0", 2L, 4L, 30L, 8L, 75000L),
+      ("src1", 1L, 4L, 10L, 3L, 25000L)), s"plan mismatch: $out")
+  }
 }

@@ -29,7 +29,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "l61_dedup_savings", "l68_cluster_purity",
       "l83_semantic_dedup", // components() inside semanticDedup
       "l87_survivor_changelog", // components() twice: before + contracted
-      "l96_pagerank") // per-iteration lineage truncation in Graph.pageRank
+      "l96_pagerank", // per-iteration lineage truncation in Graph.pageRank
+      "l100_seed_quality_rank") // same truncation in personalizedPageRank
 
   test("no query plan contains a CartesianProduct or driver RDD round-trip") {
     val offenders = SparkEntry.all.toSeq.sortBy(_._1).flatMap { case (name, d) =>
