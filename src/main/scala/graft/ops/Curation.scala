@@ -520,6 +520,143 @@ object Curation {
       .filter(col("shared_shingles") >= minShared)
   }
 
+  /** Materialize a [[tokenBudget]] plan: emit each source's rows for
+    * `epochs - 1` full passes plus one PARTIAL pass sampled
+    * deterministically (hash48(id) against the residual rate in basis
+    * points) so the achieved token count tracks the target in
+    * expectation (the residual is rate-sampled, so it carries sampling
+    * variance — the audit reports the realized deviation).
+    * Undersubscribed sources (target < avail)
+    * get epochs = 1, i.e. the partial pass IS the sample; sources with a
+    * zero target emit nothing. One broadcast of the |sources|-row plan +
+    * a narrow generator — the epoch fan-out is exactly the intended
+    * replication, nothing shuffles.
+    */
+  def enforceBudget(df: DataFrame, sourceCol: Column, idCol: Column,
+      tokenCountCol: Column, weights: Map[String, Int],
+      budget: Long): DataFrame = {
+    val plan = tokenBudget(df, sourceCol, tokenCountCol, weights, budget)
+      .filter(col("target_tokens") > 0)
+      .withColumn("partial_bp", expr(
+        "(target_tokens - (epochs - 1) * avail_tokens) * 10000 DIV avail_tokens"))
+    df.select(sourceCol.as("source"), idCol.as("id"),
+        tokenCountCol.cast("long").as("n_tokens"))
+      .join(broadcast(plan.select(col("source"), col("epochs"),
+        col("partial_bp"))), "source")
+      .withColumn("epoch", explode(sequence(lit(1L), col("epochs"))))
+      .filter(col("epoch") < col("epochs") ||
+        hash48(col("id").cast("string")) % 10000L < col("partial_bp"))
+      .select(col("id"), col("source"), col("epoch"), col("n_tokens"))
+  }
+
+  /** Character symbolization for BPE: the word as space-joined chars plus
+    * an end-of-word marker (Sennrich's convention — word-final merges stay
+    * distinct from word-internal ones).
+    */
+  private def bpeSymExpr(wordCol: String): String =
+    s"""CASE WHEN length($wordCol) = 0 THEN '</w>'
+      ELSE concat(array_join(transform(sequence(1, length($wordCol)),
+        i -> substring($wordCol, i, 1)), ' '), ' </w>') END"""
+
+  /** One BPE merge applied to a symbol string (leftmost-first,
+    * non-overlapping — the BPE convention): a left fold over the symbols
+    * that replaces an (m_left, m_right) adjacency with the merged symbol.
+    * A fold (not a string replace) because replace() cannot guard BOTH
+    * symbol boundaries across back-to-back occurrences sharing a
+    * delimiter. `m_left`/`m_right` are row columns (broadcast from the
+    * argmax frame), so corpus text never round-trips through SQL literals.
+    */
+  private val bpeMergeExpr: String =
+    """aggregate(
+      slice(split(syms, ' '), 2, size(split(syms, ' ')) - 1),
+      element_at(split(syms, ' '), 1),
+      (acc, s) -> CASE WHEN s = m_right AND (acc = m_left OR
+          right(acc, length(m_left) + 1) = concat(' ', m_left))
+        THEN CASE WHEN acc = m_left THEN concat(m_left, m_right)
+          ELSE concat(left(acc, length(acc) - length(m_left) - 1),
+            ' ', m_left, m_right) END
+        ELSE concat(acc, ' ', s) END)"""
+
+  /** BPE tokenizer TRAINING (the distributed form of the standard
+    * algorithm): iterate `merges` times — count adjacent symbol pairs
+    * over the word-FREQUENCY table (vocabulary-sized, never the corpus),
+    * pick the most frequent pair (ties: count DESC, then pair ASC —
+    * deterministic), and apply it to every word's symbol sequence.
+    *
+    * Scale shape: the corpus is scanned ONCE (token explode into a
+    * combinable word count); every iteration then touches only the word
+    * table — pair counts are a map-side-combinable aggregation, the
+    * argmax is `orderBy(...).limit(1)` (TakeOrderedAndProject: per-
+    * partition top-1), and the merge application is one narrow map. The
+    * per-iteration `collect()` moves exactly ONE (left, right, count)
+    * row to the driver — the merge DECISION, same documented class as
+    * the engine's other ≤N-row driver decisions — and each iteration's
+    * word table is localCheckpoint'ed (the iterative-algorithm lineage
+    * pattern, vocabulary-sized, data stays on executors).
+    *
+    * Returns (merge table: step/m_left/m_right/merged/pair_n — the
+    * artifact a tokenizer build publishes, LocalRelation-backed;
+    * final word table: word/cnt/syms — for segmentation).
+    */
+  def bpeTrain(df: DataFrame, textCol: String,
+      merges: Int): (DataFrame, DataFrame) = {
+    require(merges > 0, "at least one merge")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Encoders
+    var words = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", expr(bpeSymExpr("word")))
+      .localCheckpoint(true)
+    val learned = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (k <- 1 to merges) {
+      val best = words
+        .select(col("cnt"), split(col("syms"), " ").as("l"))
+        .select(col("cnt"), expr(
+          """explode(CASE WHEN size(l) < 2 THEN array()
+            ELSE transform(sequence(1, size(l) - 1),
+              i -> named_struct(
+                'a', element_at(l, CAST(i AS INT)),
+                'b', element_at(l, CAST(i AS INT) + 1))) END)""").as("p"))
+        .groupBy(col("p.a").as("m_left"), col("p.b").as("m_right"))
+        .agg(sum(col("cnt")).as("pair_n"))
+        .orderBy(col("pair_n").desc, col("m_left"), col("m_right"))
+        .limit(1).collect()
+      require(best.nonEmpty, s"corpus exhausted before merge $k")
+      val (ma, mb, n) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      learned += ((k.toLong, ma, mb, ma + mb, n))
+      val bestDf = spark.createDataset(Seq((ma, mb)))(
+        Encoders.tuple(Encoders.STRING, Encoders.STRING))
+        .toDF("m_left", "m_right")
+      words = words.crossJoin(broadcast(bestDf))
+        .withColumn("syms", expr(bpeMergeExpr))
+        .drop("m_left", "m_right")
+        .localCheckpoint(true)
+    }
+    val mergeTable = spark.createDataset(learned.result())(
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.STRING,
+        Encoders.STRING, Encoders.scalaLong))
+      .toDF("step", "m_left", "m_right", "merged", "pair_n")
+    (mergeTable, words)
+  }
+
+  /** Segment the corpus under a trained BPE vocabulary: per document, the
+    * whitespace token count and the subword count after the learned
+    * merges — the compression audit a tokenizer build publishes. The
+    * merge work happened per unique WORD in [[bpeTrain]]; here the
+    * corpus just joins the vocabulary-sized word table (broadcast-able
+    * at any corpus scale — the word table grows sublinearly).
+    */
+  def bpeSegmentCounts(df: DataFrame, idCol: String, textCol: String,
+      finalWords: DataFrame): DataFrame =
+    df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .join(finalWords.select(col("word"),
+        size(split(col("syms"), " ")).cast("long").as("n_sub")), "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_sub")).as("n_subwords"))
+      .orderBy(col(idCol))
+
   /** Vocabulary coverage curve (tokenizer vocab sizing): for each candidate
     * vocab size V, how many corpus tokens the top-V most frequent token
     * types cover. Rank order is (count DESC, token ASC) — fully

@@ -92,12 +92,20 @@ object TextAnalysis {
     * mean-word-length band — the shape of a C4/Gopher-style filter with
     * deterministic arithmetic.
     */
-  def qualityScore(text: Column, nChars: Column): Column = {
+  def qualityScore(text: Column, nChars: Column): Column =
+    qualityLevel(text, nChars).cast("double") / 3
+
+  /** The integer rule-hit count behind [[qualityScore]] (0..3) — the
+    * natural BUCKETING key for calibration reports: the score is
+    * discrete, so grouping by level is exact and needs no global
+    * quantile pass.
+    */
+  def qualityLevel(text: Column, nChars: Column): Column = {
     val lenOk  = (nChars >= 100 && nChars <= 20000).cast("int")
     val stopOk = (stopwordRatio(text) > 0.001).cast("int")
     val mwl    = meanTokenLen(text)
     val mwlOk  = (mwl >= lit(3.0) && mwl <= lit(12.0)).cast("int")
-    (lenOk + stopOk + mwlOk).cast("double") / 3
+    (lenOk + stopOk + mwlOk).cast("long")
   }
 
   /** Duplicate-2-gram fraction (Gopher-style repetition signal): 1 -

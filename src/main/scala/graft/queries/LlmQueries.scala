@@ -89,6 +89,40 @@ object LlmQueries {
   private def oH48(e: String) = s"CAST(('0x' || substr(md5($e), 1, 12)) AS BIGINT)"
   private val oToks = "string_split(text, ' ')"
 
+  /** The BPE training loop unrolled as chained CTEs (w0 → pK/bK/wK …):
+    * char symbolization + </w>, pair counts from adjacencies, argmax with
+    * (count DESC, pair ASC) tie-break, merge applied by the same
+    * leftmost-first fold the Spark side runs (DuckDB list_reduce seeds
+    * the accumulator with the first element, matching the Spark
+    * aggregate's explicit init).
+    */
+  private def oBpeStages(k: Int): String = {
+    val w0 = s"""w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+      CASE WHEN length(word) = 0 THEN '</w>'
+        ELSE array_to_string(list_transform(generate_series(1, length(word)),
+          i -> word[i]), ' ') || ' </w>' END AS syms
+      FROM (SELECT unnest($oToks) AS word FROM documents) GROUP BY word)"""
+    val stages = (1 to k).map { i =>
+      s"""p$i AS (SELECT l[i] AS m_left, l[i + 1] AS m_right,
+          CAST(SUM(cnt) AS BIGINT) AS pair_n
+        FROM (SELECT cnt, string_split(syms, ' ') AS l FROM w${i - 1}),
+          UNNEST(generate_series(1, len(l) - 1)) AS g(i)
+        GROUP BY 1, 2),
+      b$i AS (SELECT m_left, m_right, pair_n FROM p$i
+        ORDER BY pair_n DESC, m_left, m_right LIMIT 1),
+      w$i AS (SELECT word, cnt, list_reduce(string_split(syms, ' '),
+          (acc, s) -> CASE WHEN s = b$i.m_right AND (acc = b$i.m_left OR
+              right(acc, length(b$i.m_left) + 1) = ' ' || b$i.m_left)
+            THEN CASE WHEN acc = b$i.m_left
+              THEN b$i.m_left || b$i.m_right
+              ELSE left(acc, length(acc) - length(b$i.m_left) - 1) ||
+                ' ' || b$i.m_left || b$i.m_right END
+            ELSE acc || ' ' || s END) AS syms
+        FROM w${i - 1}, b$i)"""
+    }
+    (w0 +: stages).mkString(",\n")
+  }
+
   /** DuckDB bigram-LM per-doc aggregate CTE chain (Curation.bigramLmScore):
     * corpus conditional counts floor-scaled by 1e6, summed per document.
     */
@@ -105,11 +139,14 @@ object LlmQueries {
          CAST(SUM(p) AS BIGINT) AS sum_scaled FROM sc GROUP BY 1)"""
 
   /** DuckDB equivalent of TextAnalysis.qualityScore (the l04 expression). */
-  private val oQuality =
-    s"""CAST((CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1 ELSE 0 END)
+  private val oQualityLevelSum =
+    s"""(CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1 ELSE 0 END)
        + (CASE WHEN CAST(len(list_filter($oToks, tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len($oToks) > 0.001 THEN 1 ELSE 0 END)
-       + (CASE WHEN CAST(list_sum(list_transform($oToks, tk -> LENGTH(tk))) AS DOUBLE) / len($oToks) BETWEEN 3.0 AND 12.0 THEN 1 ELSE 0 END)
-       AS DOUBLE) / 3"""
+       + (CASE WHEN CAST(list_sum(list_transform($oToks, tk -> LENGTH(tk))) AS DOUBLE) / len($oToks) BETWEEN 3.0 AND 12.0 THEN 1 ELSE 0 END)"""
+
+  private val oQuality = s"CAST($oQualityLevelSum AS DOUBLE) / 3"
+
+  private val oQualityLevel = s"CAST($oQualityLevelSum AS BIGINT)"
 
   /** DuckDB distinct 3-gram shingle CTE over documents. */
   private val oShingles =
@@ -3755,6 +3792,140 @@ object LlmQueries {
             ORDER BY quality DESC, doc_id) AS rk FROM scored)
         SELECT doc_id, source, quality FROM ranked WHERE rk <= 10
         ORDER BY source, doc_id""")),
+
+    // Quality-score CALIBRATION: does the cheap rule-based quality
+    // signal predict whether a document's embedding agrees with its
+    // label's centroid? Per integer quality LEVEL (the score is discrete
+    // — 0..3 rule hits — so bucketing is exact and needs NO global
+    // quantile pass or single-partition window): doc count, centroid-
+    // agreement count, and the agreement rate in basis points. The
+    // doc↔vector linkage is the row-aligned id convention
+    // (doc_id = vec_id). One broadcast-centroid classify + one
+    // combinable 4-group aggregation.
+    "l106_quality_calibration" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id").as("id"),
+            TA.qualityLevel(col("text"), col("n_chars")).as("quality_level"))
+        val cls = Similarity.centroidClassify(
+            Similarity.prepare(t(s, d, "embeddings"), "embedding"),
+            "vec_id", "label")
+          .select(col("id"),
+            (col("pred") === col("label")).cast("long").as("agree"))
+        docs.join(cls, "id")
+          .groupBy(col("quality_level"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("agree")).as("n_agree"))
+          .withColumn("agree_bp", expr("n_agree * 10000 DIV n_docs"))
+          .orderBy(col("quality_level"))
+      },
+      Some(s"""WITH $oQuant,
+        cs AS (SELECT label, j, CAST(SUM(q[j]) AS BIGINT) AS sj, COUNT(*) AS n
+          FROM qe, UNNEST(generate_series(1, 64)) AS g(j) GROUP BY 1, 2),
+        cent AS (SELECT label AS clabel, MAX(n) AS n, list(sj ORDER BY j) AS sv,
+          CAST(SUM(sj * sj) AS BIGINT) AS ss FROM cs GROUP BY 1),
+        pairs AS (SELECT qn.vec_id, qn.label, cent.clabel, cent.n,
+            cent.n * cent.n * qn.norm_sq
+              - 2 * cent.n * ${oDot("qn.q", "cent.sv")}
+              + cent.ss AS d2_num
+          FROM qn CROSS JOIN cent),
+        ranked AS (SELECT vec_id, label, clabel,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY CAST(d2_num AS DOUBLE) / (n * n), clabel) AS rk
+          FROM pairs),
+        ag AS (SELECT vec_id AS id,
+            CASE WHEN clabel = label THEN 1 ELSE 0 END AS agree
+          FROM ranked WHERE rk = 1),
+        ql AS (SELECT doc_id AS id, $oQualityLevel AS quality_level
+          FROM documents)
+        SELECT quality_level, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(agree) AS BIGINT) AS n_agree,
+          CAST(SUM(agree) AS BIGINT) * 10000 // COUNT(*) AS agree_bp
+        FROM ql JOIN ag USING (id)
+        GROUP BY quality_level ORDER BY quality_level""")),
+
+    // Budget ENFORCEMENT — the l102 plan materialized: full epochs plus
+    // a deterministically hash-sampled partial epoch per source, and the
+    // audit a run publishes — achieved vs target tokens with the
+    // realized deviation in basis points (the residual pass is
+    // rate-sampled, so the deviation is the sampling noise, reported
+    // not hidden). Everything BIGINT; the oracle replays the identical
+    // plan arithmetic, epoch fan-out and hash decisions.
+    "l105_budget_enforce" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val w = Map("src0" -> 4, "src1" -> 2, "src2" -> 1, "src3" -> 1)
+        val sample = Curation.enforceBudget(docs, col("source"),
+          col("doc_id"), TA.tokenCount(col("text")), w, budget = 500000L)
+        val plan = Curation.tokenBudget(docs, col("source"),
+          TA.tokenCount(col("text")), w, budget = 500000L)
+        sample.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_tokens")).as("achieved_tokens"))
+          .join(broadcast(plan.select(col("source"), col("target_tokens"))),
+            "source")
+          .withColumn("deviation_bp", expr(
+            "abs(achieved_tokens - target_tokens) * 10000 DIV target_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH agg AS (SELECT source,
+          CAST(SUM(len($oToks)) AS BIGINT) AS avail_tokens,
+          CAST(CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 2
+            WHEN 'src2' THEN 1 WHEN 'src3' THEN 1 END AS BIGINT) AS w
+        FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+        GROUP BY source),
+        pl AS (SELECT source, avail_tokens,
+          (500000 * w) // 8 AS target_tokens,
+          ((500000 * w) // 8 + avail_tokens - 1) // avail_tokens AS epochs
+        FROM agg WHERE (500000 * w) // 8 > 0),
+        pl2 AS (SELECT *, (target_tokens - (epochs - 1) * avail_tokens)
+            * 10000 // avail_tokens AS partial_bp FROM pl),
+        sample AS (SELECT d.source, d.doc_id, len($oToks) AS n_tokens, e
+          FROM documents d JOIN pl2 USING (source),
+            UNNEST(generate_series(1, epochs)) AS g(e)
+          WHERE e < epochs OR
+            ${oH48("CAST(doc_id AS VARCHAR)")} % 10000 < partial_bp)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(n_tokens) AS BIGINT) AS achieved_tokens,
+          pl2.target_tokens,
+          abs(CAST(SUM(n_tokens) AS BIGINT) - pl2.target_tokens) * 10000
+            // pl2.target_tokens AS deviation_bp
+        FROM sample JOIN pl2 USING (source)
+        GROUP BY source, pl2.target_tokens ORDER BY source""")),
+
+    // BPE tokenizer TRAINING — the real iterative algorithm, distributed:
+    // pair counts and merges run over the word-FREQUENCY table (the
+    // corpus is scanned once), argmax per step with deterministic
+    // tie-break, merges applied leftmost-first by a symbol fold. The
+    // oracle unrolls the identical six steps as chained CTEs (DuckDB
+    // list_reduce replays the same fold), so the learned merge table is
+    // gated bit-for-bit — not "a plausible vocab", THE vocab.
+    "l103_bpe_train" -> Def(
+      (s, d) => Curation.bpeTrain(t(s, d, "documents"), "text",
+        merges = 6)._1.orderBy(col("step")),
+      Some(s"""WITH ${oBpeStages(6)}
+        SELECT * FROM (${(1 to 6).map(i =>
+          s"""SELECT CAST($i AS BIGINT) AS step, m_left, m_right,
+            m_left || m_right AS merged, CAST(pair_n AS BIGINT) AS pair_n
+          FROM b$i""").mkString("\nUNION ALL\n")})
+        ORDER BY step""")),
+
+    // Segmentation audit under the trained BPE vocab: per document the
+    // whitespace token count vs the subword count after the six learned
+    // merges (the compression number a tokenizer build publishes). The
+    // per-word merge work happened in training; the corpus side is one
+    // explode + a vocabulary-sized join + a combinable aggregation.
+    "l104_bpe_segment" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val (_, words) = Curation.bpeTrain(docs, "text", merges = 6)
+        Curation.bpeSegmentCounts(docs, "doc_id", "text", words)
+      },
+      Some(s"""WITH ${oBpeStages(6)},
+        tk AS (SELECT doc_id, unnest($oToks) AS word FROM documents)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(SUM(len(string_split(w6.syms, ' '))) AS BIGINT) AS n_subwords
+        FROM tk JOIN w6 USING (word)
+        GROUP BY doc_id ORDER BY doc_id""")),
 
     // Vocabulary coverage curve (tokenizer vocab sizing): corpus tokens
     // covered by the top-V token types for candidate vocab sizes V. Rank

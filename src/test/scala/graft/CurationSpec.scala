@@ -343,6 +343,72 @@ class CurationSpec extends SparkSpec {
       .isEmpty, "a set bit can never be missed")
   }
 
+  test("enforceBudget: full epochs exact, partial pass rate-sampled, audit-consistent") {
+    // docs: 400 rows, 4 tokens each, sources src0..src3 (100 each,
+    // 400 tokens available per source)
+    val w = Map("src0" -> 2, "src1" -> 1)
+    // budget 2400: src0 target 1600 (epochs 4, residual 400*... exact:
+    // 1600 = 3 full epochs (1200) + partial 400 -> partial_bp 10000);
+    // src1 target 800 (epochs 2, residual 400 -> partial_bp 10000)
+    val full = Curation.enforceBudget(docs, $"source", $"doc_id",
+      lit(4), w, budget = 2400L)
+    val bySrcEpoch = full.groupBy($"source", $"epoch").count()
+      .as[(String, Long, Long)].collect()
+      .map { case (s, e, n) => (s, e) -> n }.toMap
+    assert(bySrcEpoch == Map(("src0", 1L) -> 100L, ("src0", 2L) -> 100L,
+      ("src0", 3L) -> 100L, ("src0", 4L) -> 100L,
+      ("src1", 1L) -> 100L, ("src1", 2L) -> 100L),
+      s"bp=10000 partials must keep every row: $bySrcEpoch")
+    // a genuine partial: budget 1200 -> src0 target 800 = 2 epochs,
+    // second at bp (800-400)*10000/400 = 10000 ... use budget 900:
+    // src0 target 600: epochs 2, partial_bp (600-400)*10000/400 = 5000
+    val part = Curation.enforceBudget(docs, $"source", $"doc_id",
+      lit(4), w, budget = 900L)
+    val e1 = part.filter($"source" === "src0" && $"epoch" === 1).count()
+    val e2c = part.filter($"source" === "src0" && $"epoch" === 2)
+      .select($"id").as[Long].collect().toSet
+    assert(e1 == 100L, "full epoch keeps every row")
+    assert(e2c.size > 20 && e2c.size < 80, s"~half sampled, got ${e2c.size}")
+    // deterministic: the partial pass is a pure function of the ids
+    val again = Curation.enforceBudget(docs, $"source", $"doc_id",
+      lit(4), w, budget = 900L)
+      .filter($"source" === "src0" && $"epoch" === 2)
+      .select($"id").as[Long].collect().toSet
+    assert(again == e2c, "hash sampling is reproducible")
+    assert(part.filter($"source" === "src2").isEmpty, "unweighted source dropped")
+  }
+
+  test("bpeTrain: hand-computed merges, fold composes learned symbols") {
+    // words: ab×3 ("a b </w>"), b×1 ("b </w>"), c×1 ("c </w>")
+    // pairs: (a,b)=3, (b,</w>)=4, (c,</w>)=1 → merge1 (b,</w>) n=4
+    // then (a,b</w>)=3 > (c,</w>)=1       → merge2 (a,b</w>) n=3
+    val d = Seq("ab ab b", "ab c").toDF("text")
+    val (merges, words) = Curation.bpeTrain(d, "text", merges = 2)
+    val m = merges.orderBy($"step")
+      .as[(Long, String, String, String, Long)].collect().toList
+    assert(m == List((1L, "b", "</w>", "b</w>", 4L),
+      (2L, "a", "b</w>", "ab</w>", 3L)), s"merge table: $m")
+    val w = words.select($"word", $"syms").as[(String, String)]
+      .collect().toMap
+    assert(w == Map("ab" -> "ab</w>", "b" -> "b</w>", "c" -> "c </w>"),
+      s"final symbols: $w")
+    val seg = Curation.bpeSegmentCounts(
+        d.withColumn("doc_id", monotonically_increasing_id()),
+        "doc_id", "text", words)
+      .select($"n_tokens", $"n_subwords").as[(Long, Long)].collect().toSet
+    assert(seg == Set((3L, 3L), (2L, 3L)), s"segment counts: $seg")
+  }
+
+  test("bpeTrain merge fold: leftmost-first on runs, boundary-guarded") {
+    // pair (x,x) over "x x x </w>" must give "xx x </w>" (leftmost
+    // first), and a merge (a,b) must not fire inside symbols "ca"/"bc"
+    val d = Seq("xxx", "xxx", "xxx", "xxx", "xxx", "xxx").toDF("text")
+    val (m1, w1) = Curation.bpeTrain(d, "text", merges = 1)
+    assert(m1.as[(Long, String, String, String, Long)].head() ==
+      (1L, "x", "x", "xx", 12L))
+    assert(w1.select($"syms").as[String].head() == "xx x </w>")
+  }
+
   test("vocabCoverage: exact cumulative curve with deterministic tie-break") {
     // 4 types: "a"×6, "b"×3, "c"×3, "d"×1 — b/c tie broken by token ASC
     val d = Seq("a a a b c", "a a a b b c c d").toDF("text")

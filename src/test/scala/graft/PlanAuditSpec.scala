@@ -30,7 +30,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "l83_semantic_dedup", // components() inside semanticDedup
       "l87_survivor_changelog", // components() twice: before + contracted
       "l96_pagerank", // per-iteration lineage truncation in Graph.pageRank
-      "l100_seed_quality_rank") // same truncation in personalizedPageRank
+      "l100_seed_quality_rank", // same truncation in personalizedPageRank
+      "l104_bpe_segment") // joins bpeTrain's per-iteration-checkpointed
+                          // word table (vocabulary-sized, executor-held)
 
   test("no query plan contains a CartesianProduct or driver RDD round-trip") {
     val offenders = SparkEntry.all.toSeq.sortBy(_._1).flatMap { case (name, d) =>
