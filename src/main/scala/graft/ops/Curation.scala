@@ -731,4 +731,71 @@ object Curation {
         col("target_tokens"), col("epochs"), col("rate_bp"))
       .orderBy(col("source"))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each RAW document
+    * by how much its hashed-n-gram profile looks drawn from the TARGET
+    * distribution rather than the raw pool's own. Features are unigrams
+    * plus space-joined bigrams, hashed into `buckets` integer buckets
+    * (hash48 mod B); both bucket distributions get add-one smoothing.
+    *
+    * Scoring rule: the paper ranks by Σ_b c_doc[b]·(log p[b] − log q[b]);
+    * logs are transcendental and engine-divergent in the last ulp, so —
+    * exactly like [[bigramLmScore]]'s treatment of KenLM perplexity — we
+    * rank by the RATIO-linearized form: per-bucket scaled likelihood ratio
+    * r[b] = (scale·(ct[b]+1)·(Nq+B)) div ((cq[b]+1)·(Nt+B)), per-doc
+    * weight = Σ occurrences r[bucket]. Integer-exact, portable, and
+    * monotone in p/q per bucket; the linearization weights high-ratio
+    * buckets more than the log form does (documented deviation — the
+    * selection it induces favors the same target-like docs).
+    *
+    * Scale shape: the bucket table is B rows — its aggregation map-side
+    * combines down to B entries per task, and the ratio frame broadcasts
+    * back to the occurrence stream. The per-doc weight is ONE shuffle
+    * (groupBy id, partially aggregated map-side). The corpus is scanned
+    * twice (once per consumer) rather than exchanged once: the feature
+    * stream is corpus×features wide, so a sharing repartition would move
+    * far more bytes than the second pruned scan reads. All products run
+    * in DECIMAL(38,0): at 100 TB, Nq ≈ 10^13 and scale·(ct+1)·(Nq+B)
+    * overflows int64.
+    *
+    * Output: one row per raw (non-target) doc — id, weight (BIGINT).
+    */
+  def dsirWeights(df: DataFrame, idCol: Column, textCol: Column,
+      isTarget: Column, buckets: Int = 512,
+      scale: Long = 1000000L): DataFrame = {
+    val feats = df.select(idCol.as("id"), isTarget.as("tgt"),
+        TextAnalysis.tokens(textCol).as("t"))
+      .select(col("id"), col("tgt"), explode(concat(col("t"), expr(
+        """CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2),
+             i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))
+           ELSE CAST(array() AS ARRAY<STRING>) END"""))).as("g"))
+      .select(col("id"), col("tgt"),
+        (hash48(col("g")) % buckets).as("b"))
+    val bc = feats.groupBy(col("b"))
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("tgt"), 0L).otherwise(1L)).as("cq"))
+    val tot = bc.agg(sum(col("ct")).as("nt"), sum(col("cq")).as("nq"))
+    val rb = bc.join(broadcast(tot))
+      .withColumn("r", expr(
+        s"""CAST((CAST($scale AS DECIMAL(38,0)) * (ct + 1) * (nq + $buckets))
+            DIV (CAST(cq + 1 AS DECIMAL(38,0)) * (nt + $buckets)) AS BIGINT)"""))
+      .select(col("b"), col("r"))
+    feats.filter(!col("tgt"))
+      .join(broadcast(rb), "b")
+      .groupBy(col("id"))
+      .agg(expr("CAST(sum(CAST(r AS DECIMAL(38,0))) AS BIGINT)").as("weight"))
+  }
+
+  /** Top-k DSIR selection — the paper's Gumbel-resampling step in its
+    * temperature→0 limit (deterministic: no seeded-noise portability
+    * hazard). Executes as TakeOrderedAndProject: per-partition partial
+    * top-k then a k-row driver merge — no global sort, no single-reducer
+    * window, k rows on the driver.
+    */
+  def dsirSelect(df: DataFrame, idCol: Column, textCol: Column,
+      isTarget: Column, k: Int, buckets: Int = 512): DataFrame =
+    dsirWeights(df, idCol, textCol, isTarget, buckets)
+      .orderBy(col("weight").desc, col("id"))
+      .limit(k)
 }

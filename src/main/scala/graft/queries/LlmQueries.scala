@@ -3843,6 +3843,49 @@ object LlmQueries {
         FROM ql JOIN ag USING (id)
         GROUP BY quality_level ORDER BY quality_level""")),
 
+    // DSIR data selection (Xie et al. 2023): pick the 100 raw documents
+    // whose hashed-n-gram profile best matches the TARGET distribution
+    // (here: the English sub-corpus). Unigram+bigram features hash into
+    // 512 buckets; add-one-smoothed target/raw bucket distributions give
+    // the per-bucket scaled likelihood ratio (integer DIV — the same
+    // ratio-linearization of the paper's log-ratio that l38 applies to
+    // KenLM perplexity, documented in Curation.dsirWeights); a doc's
+    // weight sums the ratio over its feature occurrences. Selection is
+    // the paper's resampling step at temperature→0: deterministic top-k,
+    // executed as TakeOrderedAndProject (per-partition partial top-k, no
+    // global sort). Scale shape: B-row bucket table (map-side combined,
+    // broadcast back), ONE corpus-keyed shuffle for the per-doc sum; all
+    // products in DECIMAL(38,0) / HUGEINT since Nq·scale overflows int64
+    // at corpus scale.
+    "l107_dsir_select" -> Def(
+      (s, d) => Curation.dsirSelect(t(s, d, "documents"), col("doc_id"),
+          col("text"), col("lang") === "en", k = 100)
+        .select(col("id").as("doc_id"), col("weight"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tk AS (SELECT doc_id, lang = 'en' AS tgt,
+          $oToks AS t FROM documents),
+        gs AS (SELECT doc_id, tgt, t[i] AS g
+            FROM tk, UNNEST(generate_series(1, len(t))) AS s(i)
+          UNION ALL
+          SELECT doc_id, tgt, t[i] || ' ' || t[i+1] AS g
+            FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+            WHERE len(t) >= 2),
+        fb AS (SELECT doc_id, tgt, ${oH48("g")} % 512 AS b FROM gs),
+        bc AS (SELECT b,
+            CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS HUGEINT) AS ct,
+            CAST(SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS HUGEINT) AS cq
+          FROM fb GROUP BY b),
+        tot AS (SELECT SUM(ct) AS nt, SUM(cq) AS nq FROM bc),
+        rb AS (SELECT b, CAST((1000000 * (ct + 1) * (nq + 512))
+            // ((cq + 1) * (nt + 512)) AS BIGINT) AS r FROM bc, tot),
+        w AS (SELECT doc_id, CAST(SUM(CAST(r AS HUGEINT)) AS BIGINT)
+            AS weight
+          FROM fb JOIN rb USING (b) WHERE NOT tgt GROUP BY doc_id),
+        sel AS (SELECT doc_id, weight,
+            ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id) AS rk FROM w)
+        SELECT doc_id, weight FROM sel WHERE rk <= 100
+        ORDER BY doc_id""")),
+
     // Budget ENFORCEMENT — the l102 plan materialized: full epochs plus
     // a deterministically hash-sampled partial epoch per source, and the
     // audit a run publishes — achieved vs target tokens with the

@@ -437,4 +437,35 @@ class CurationSpec extends SparkSpec {
     assert(out == List(("src0", 2L, 4L, 30L, 8L, 75000L),
       ("src1", 1L, 4L, 10L, 3L, 25000L)), s"plan mismatch: $out")
   }
+
+  test("DSIR: target-like raw docs outrank off-target, top-k plan, no sort") {
+    // Target vocabulary = {the quick brown fox}; raw docs 10-13 reuse it
+    // verbatim, raw docs 20-23 use disjoint vocabulary. DSIR must rank
+    // every target-like raw doc above every off-target one.
+    val d = (Seq((1L, "the quick brown fox", true),
+        (2L, "the quick brown fox jumps", true)) ++
+      (10L to 13L).map(i => (i, "the quick brown fox", false)) ++
+      (20L to 23L).map(i => (i, s"zebra$i yak$i emu$i ibis$i", false)))
+      .toDF("doc_id", "text", "tgt")
+    val sel = Curation.dsirSelect(d, $"doc_id", $"text", $"tgt", k = 6)
+    val rows = sel.select($"id", $"weight").as[(Long, Long)].collect()
+      .sortBy(r => (-r._2, r._1)).toList
+    // the 4 target-like docs must all survive k=6; WHICH 2 off-target
+    // docs fill the rest depends on bucket collisions (not pinned here)
+    assert(rows.size == 6 && Set(10L, 11L, 12L, 13L).subsetOf(
+      rows.map(_._1).toSet), s"k=6 keeps all 4 target-like docs: $rows")
+    val wByDoc = Curation.dsirWeights(d, $"doc_id", $"text", $"tgt")
+      .as[(Long, Long)].collect().toMap
+    assert(!wByDoc.contains(1L) && !wByDoc.contains(2L),
+      "target docs are never selection candidates")
+    val likeMin = (10L to 13L).map(wByDoc).min
+    val offMax = (20L to 23L).map(wByDoc).max
+    assert(likeMin > offMax,
+      s"target-like weight floor $likeMin must exceed off-target cap $offMax")
+    // identical texts -> identical weights (pure function of content)
+    assert((10L to 13L).map(wByDoc).toSet.size == 1)
+    // selection is top-k, not a global sort: TakeOrdered in the plan
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
 }
