@@ -787,6 +787,55 @@ object Curation {
       .agg(expr("CAST(sum(CAST(r AS DECIMAL(38,0))) AS BIGINT)").as("weight"))
   }
 
+  /** Distribution-drift monitor: per-group total-variation distance
+    * between the group's hashed-unigram bucket distribution and the
+    * corpus-wide one — the production check that a source feeding the
+    * pipeline hasn't silently changed character (scraper regression,
+    * language flip, spam flood). TV = ½·Σ_b |p_g[b] − p[b]|.
+    *
+    * Integer-exact portability: with c = group bucket counts, C = corpus
+    * bucket counts, N_g = Σc, N = ΣC, each term |c/N_g − C/N| equals
+    * |c·N − C·N_g| / (N_g·N), so TV·2·N_g·N is an INTEGER. Buckets the
+    * group never hits contribute Σ C[b]·N_g over the complement, folded
+    * in algebraically as N_g·(N − Σ_present C) — no dense G×B frame, no
+    * cross join. Reported as parts-per-million via integer DIV, the same
+    * rational-linearization discipline as [[dsirWeights]].
+    *
+    * Scale shape: ONE corpus shuffle (groupBy (g, b), map-side combined
+    * to ≤ G·B entries per task); everything after runs on the G·B-row
+    * count frame — group totals, bucket totals and the grand total are
+    * tiny aggregates broadcast back. DECIMAL(38,0) products: at 100 TB
+    * N ≈ 10^13 so c·N ≈ 10^26 and the ppm-scaled sum ≈ 10^35 — past
+    * int64, inside decimal-38. The reference distribution includes the
+    * group itself (corpus-as-reference monitoring frame; self-mass
+    * shrinks TV by (1 − N_g/N), immaterial for G ≫ 1 and irrelevant to
+    * threshold-crossing alerts, which compare a group to its own
+    * history).
+    *
+    * Output: one row per group — g, tv_ppm (BIGINT), 0 = identical to
+    * corpus, 1e6 = disjoint support.
+    */
+  def distributionDrift(df: DataFrame, groupCol: Column, textCol: Column,
+      buckets: Int = 512, scale: Long = 1000000L): DataFrame = {
+    val gb = df.select(groupCol.as("g"), TextAnalysis.tokens(textCol).as("t"))
+      .select(col("g"), explode(col("t")).as("w"))
+      .select(col("g"), (hash48(col("w")) % buckets).as("b"))
+      .groupBy(col("g"), col("b")).agg(count(lit(1)).as("c"))
+    val ng = gb.groupBy(col("g")).agg(sum(col("c")).as("ng"))
+    val cb = gb.groupBy(col("b")).agg(sum(col("c")).as("cb"))
+    val tot = gb.agg(sum(col("c")).as("n"))
+    gb.join(broadcast(cb), "b").join(broadcast(ng), "g")
+      .join(broadcast(tot))
+      .groupBy(col("g"))
+      .agg(expr(
+        s"""CAST((CAST($scale AS DECIMAL(38,0)) *
+              (sum(abs(CAST(c AS DECIMAL(38,0)) * n
+                       - CAST(cb AS DECIMAL(38,0)) * ng))
+               + max(CAST(ng AS DECIMAL(38,0))) * (max(n) - sum(cb))))
+            DIV (2 * max(CAST(ng AS DECIMAL(38,0))) * max(n))
+            AS BIGINT)""").as("tv_ppm"))
+  }
+
   /** Top-k DSIR selection — the paper's Gumbel-resampling step in its
     * temperature→0 limit (deterministic: no seeded-noise portability
     * hazard). Executes as TakeOrderedAndProject: per-partition partial

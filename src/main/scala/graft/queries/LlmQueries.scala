@@ -3886,6 +3886,35 @@ object LlmQueries {
         SELECT doc_id, weight FROM sel WHERE rk <= 100
         ORDER BY doc_id""")),
 
+    // Distribution-drift monitor: per-source total-variation distance
+    // between the source's hashed-unigram bucket distribution and the
+    // corpus-wide one — the alarm that a feed changed character
+    // (scraper regression, language flip, spam flood). Integer-exact:
+    // TV·2·Ng·N is an integer (|c/Ng − C/N| = |c·N − C·Ng|/(Ng·N));
+    // reported in ppm via integer DIV, absent-bucket mass folded in as
+    // Ng·(N − Σ_present C) so no dense source×bucket frame exists. One
+    // corpus shuffle (groupBy source,bucket — map-side combined to
+    // ≤ G·B rows/task); the tiny totals frames broadcast back. HUGEINT
+    // / DECIMAL(38,0): c·N ≈ 10^26 at 100 TB, past int64.
+    "l108_drift_monitor" -> Def(
+      (s, d) => Curation.distributionDrift(t(s, d, "documents"),
+          col("source"), col("text"))
+        .withColumnRenamed("g", "source")
+        .orderBy(col("source")),
+      Some(s"""WITH w AS (SELECT source AS g, ${oH48("word")} % 512 AS b
+          FROM (SELECT source, unnest($oToks) AS word FROM documents)),
+        gb AS (SELECT g, b, CAST(count(*) AS HUGEINT) AS c
+          FROM w GROUP BY g, b),
+        ng AS (SELECT g, SUM(c) AS ng FROM gb GROUP BY g),
+        cb AS (SELECT b, SUM(c) AS cb FROM gb GROUP BY b),
+        n AS (SELECT SUM(c) AS n FROM gb)
+        SELECT g AS source, CAST((1000000 *
+            (SUM(ABS(c * n.n - cb.cb * ng.ng))
+             + MAX(ng.ng) * (MAX(n.n) - SUM(cb.cb))))
+          // (2 * MAX(ng.ng) * MAX(n.n)) AS BIGINT) AS tv_ppm
+        FROM gb JOIN cb USING (b) JOIN ng USING (g) CROSS JOIN n
+        GROUP BY g ORDER BY source""")),
+
     // Budget ENFORCEMENT — the l102 plan materialized: full epochs plus
     // a deterministically hash-sampled partial epoch per source, and the
     // audit a run publishes — achieved vs target tokens with the

@@ -468,4 +468,29 @@ class CurationSpec extends SparkSpec {
     val plan = sel.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
   }
+
+  test("drift monitor: conforming sources near zero, outlier near 1e6") {
+    // srcA and srcB are the same text (each = half the corpus mass if
+    // alone); srcC uses fully disjoint vocabulary. Against the corpus
+    // mix, A and B should sit low and C high.
+    val d = ((1 to 8).map(i => (s"a$i", "the quick brown fox", "srcA")) ++
+      (1 to 8).map(i => (s"b$i", "the quick brown fox", "srcB")) ++
+      (1 to 2).map(i => (s"c$i", "zorp blix quux flem", "srcC")))
+      .toDF("doc_id", "text", "source")
+    val tv = Curation.distributionDrift(d, $"source", $"text")
+      .as[(String, Long)].collect().toMap
+    assert(tv.keySet == Set("srcA", "srcB", "srcC"))
+    // identical composition -> identical drift
+    assert(tv("srcA") == tv("srcB"))
+    // C's support is disjoint from 16/18 of the corpus: TV vs the mix is
+    // 1 - Ng/N = 1 - 2/18 ~ 888889 ppm; A/B overlap 16/18 of the mass
+    assert(tv("srcC") > 800000L, s"outlier should be near 1e6: $tv")
+    assert(tv("srcA") < 200000L, s"conforming should be near 0: $tv")
+    // single-source corpus drifts zero against itself
+    val solo = (1 to 4).map(i => (s"x$i", "alpha beta", "only"))
+      .toDF("doc_id", "text", "source")
+    val tvSolo = Curation.distributionDrift(solo, $"source", $"text")
+      .as[(String, Long)].collect().toMap
+    assert(tvSolo("only") == 0L, s"self-drift must be exactly 0: $tvSolo")
+  }
 }
