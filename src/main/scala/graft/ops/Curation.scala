@@ -804,7 +804,13 @@ object Curation {
     * Scale shape: ONE corpus shuffle (groupBy (g, b), map-side combined
     * to ≤ G·B entries per task); everything after runs on the G·B-row
     * count frame — group totals, bucket totals and the grand total are
-    * tiny aggregates broadcast back. DECIMAL(38,0) products: at 100 TB
+    * WINDOW sums over that frame, not separate aggregate-and-join
+    * consumers (four aggregation branches would each re-scan and
+    * re-shuffle the corpus: subplan fingerprints differ per branch, so
+    * ReusedExchange never fires — ScaleSpec pins scans == 1). The
+    * global-total window runs single-partition by construction — fine,
+    * the frame is ≤ G·B ≈ 10^6 rows however big the corpus is.
+    * DECIMAL(38,0) products: at 100 TB
     * N ≈ 10^13 so c·N ≈ 10^26 and the ppm-scaled sum ≈ 10^35 — past
     * int64, inside decimal-38. The reference distribution includes the
     * group itself (corpus-as-reference monitoring frame; self-mass
@@ -821,11 +827,9 @@ object Curation {
       .select(col("g"), explode(col("t")).as("w"))
       .select(col("g"), (hash48(col("w")) % buckets).as("b"))
       .groupBy(col("g"), col("b")).agg(count(lit(1)).as("c"))
-    val ng = gb.groupBy(col("g")).agg(sum(col("c")).as("ng"))
-    val cb = gb.groupBy(col("b")).agg(sum(col("c")).as("cb"))
-    val tot = gb.agg(sum(col("c")).as("n"))
-    gb.join(broadcast(cb), "b").join(broadcast(ng), "g")
-      .join(broadcast(tot))
+    gb.withColumn("cb", sum(col("c")).over(Window.partitionBy(col("b"))))
+      .withColumn("ng", sum(col("c")).over(Window.partitionBy(col("g"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
       .groupBy(col("g"))
       .agg(expr(
         s"""CAST((CAST($scale AS DECIMAL(38,0)) *

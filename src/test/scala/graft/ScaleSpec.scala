@@ -676,6 +676,38 @@ class ScaleSpec extends SparkSpec {
       s"want a (source, salt) exchange and a (source) exchange, got $keys:\n$plan")
   }
 
+  test("DSIR: ratio table broadcasts back, per-doc weight aggregates map-side") {
+    val df = SparkEntry.all("l107_dsir_select").fn(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the B-row ratio frame must come back as a broadcast, never a
+    // shuffle join against the corpus-wide feature stream
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket-ratio join must broadcast:\n${plan.take(1200)}")
+    // selection is top-k (TakeOrdered), not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k missing:\n$plan")
+    // per-doc weight: partial aggregation before the id exchange
+    val idx = plan.indexOf("Exchange hashpartitioning(id")
+    assert(idx > 0 && plan.substring(idx).contains("HashAggregate"),
+      s"doc-weight agg must map-side combine below the id exchange:\n$plan")
+  }
+
+  test("drift monitor: corpus shuffles once, totals broadcast back") {
+    val df = SparkEntry.all("l108_drift_monitor").fn(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // group/bucket/grand totals are windows over the tiny (g,b) count
+    // frame, never separate agg-and-join branches: one corpus scan, one
+    // corpus-wide exchange, zero joins
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"corpus must be scanned once, got $scans:\n${plan.take(1200)}")
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 3,
+      s"cb/ng/n are three window passes:\n${plan.take(1200)}")
+    assert(!plan.contains("Join"), s"drift has no joins:\n${plan.take(1200)}")
+  }
+
   test("q28 generator stays narrow: no exchange before the explode") {
     val df = SparkEntry.all("q28_explode_tokens").fn(spark, sf0001)
     df.collect()
