@@ -840,6 +840,54 @@ object Curation {
             AS BIGINT)""").as("tv_ppm"))
   }
 
+  /** Hashed-unigram bucket histogram of a corpus: (b, cb) — B rows
+    * however large the input. This is the FROZEN-REFERENCE artifact for
+    * [[driftAgainst]]: compute it once over the blessed corpus snapshot,
+    * persist/collect its B rows, and every later drift check is a
+    * broadcast against it — the reference is never rescanned (same
+    * freeze-once discipline as the ANN index's quantizer).
+    */
+  def bucketCounts(df: DataFrame, textCol: Column,
+      buckets: Int = 512): DataFrame =
+    df.select(TextAnalysis.tokens(textCol).as("t"))
+      .select(explode(col("t")).as("w"))
+      .select((hash48(col("w")) % buckets).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cb"))
+
+  /** Total-variation drift of each group against an EXTERNAL frozen
+    * reference histogram (`ref` = (b, cb) from [[bucketCounts]],
+    * `refTotal` = Σcb). Same integer-exact rationalization as
+    * [[distributionDrift]]: tv_ppm = scale·(Σ_present |c·Nr − cb·Ng| +
+    * Ng·(Nr − Σ_present cb)) DIV (2·Ng·Nr), where "present" = buckets
+    * the group actually hits; reference-only buckets fold in
+    * algebraically, batch-only buckets ride the left join's coalesce-0.
+    *
+    * Scale shape: one shuffle of the input (groupBy group cols + b,
+    * map-side combined), then a broadcast left join against the B-row
+    * reference — the reference corpus itself is NEVER touched here.
+    */
+  def driftAgainst(df: DataFrame, groupCols: Seq[String], textCol: Column,
+      ref: DataFrame, refTotal: Long, buckets: Int = 512,
+      scale: Long = 1000000L): DataFrame = {
+    val gs = groupCols.map(col)
+    val gb = df.select(gs :+ TextAnalysis.tokens(textCol).as("t"): _*)
+      .select(gs :+ explode(col("t")).as("w"): _*)
+      .select(gs :+ (hash48(col("w")) % buckets).as("b"): _*)
+      .groupBy(gs :+ col("b"): _*).agg(count(lit(1)).as("c"))
+      .withColumn("ng", sum(col("c")).over(Window.partitionBy(gs: _*)))
+    gb.join(broadcast(ref), Seq("b"), "left")
+      .withColumn("cb", coalesce(col("cb"), lit(0L)))
+      .groupBy(gs: _*)
+      .agg(expr(
+        s"""CAST((CAST($scale AS DECIMAL(38,0)) *
+              (sum(abs(CAST(c AS DECIMAL(38,0)) * $refTotal
+                       - CAST(cb AS DECIMAL(38,0)) * ng))
+               + max(CAST(ng AS DECIMAL(38,0)))
+                 * ($refTotal - sum(CAST(cb AS DECIMAL(38,0))))))
+            DIV (2 * max(CAST(ng AS DECIMAL(38,0))) * $refTotal)
+            AS BIGINT)""").as("tv_ppm"))
+  }
+
   /** Top-k DSIR selection — the paper's Gumbel-resampling step in its
     * temperature→0 limit (deterministic: no seeded-noise portability
     * hazard). Executes as TakeOrderedAndProject: per-partition partial

@@ -83,6 +83,43 @@ object LlmQueries {
       inDir.toString
     })
 
+  /** l109 staged input: the corpus split into thirds (doc_id % 3) as
+    * three arrival waves, plus a fourth wave of spam-vocabulary docs —
+    * one parquet file per wave with forced-increasing mtimes so
+    * maxFilesPerTrigger=1 replays them as ordered micro-batches. The
+    * oracle does not depend on the file→batch mapping: drift is grouped
+    * by the in-data `slice` column, so any batching yields the same rows.
+    */
+  private val l109Cache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def l109Input(s: SparkSession, d: String): String =
+    l109Cache.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+      val base = t(s, d, "documents")
+      val waves = (0 to 2).map { i =>
+        base.filter(col("doc_id") % 3 === i)
+          .select(col("doc_id"), col("source"), col("text"),
+            lit(i).as("slice"))
+      } :+ base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          lit("src_spam").as("source"),
+          concat(lit("spamA spamB spamC spam"),
+            col("doc_id").cast("string")).as("text"),
+          lit(3).as("slice"))
+      val work = java.nio.file.Files.createTempDirectory("graft_l109_in")
+      val inDir = new java.io.File(s"$work/in"); inDir.mkdirs()
+      waves.zipWithIndex.foreach { case (w, i) =>
+        val sliceDir = s"$work/slice$i"
+        w.coalesce(1).write.parquet(sliceDir)
+        val part = new java.io.File(sliceDir).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(inDir, f"wave-$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(1700000000000L + i * 60000L)
+      }
+      inDir.toString
+    })
+
   // ------------------------------------------------------- oracle helpers
 
   /** DuckDB equivalent of TextAnalysis.hash48. */
@@ -3914,6 +3951,68 @@ object LlmQueries {
           // (2 * MAX(ng.ng) * MAX(n.n)) AS BIGINT) AS tv_ppm
         FROM gb JOIN cb USING (b) JOIN ng USING (g) CROSS JOIN n
         GROUP BY g ORDER BY source""")),
+
+    // STREAMING drift alarm: the l108 monitor run for real against an
+    // arriving feed. Reference = the corpus's 512-bucket histogram,
+    // frozen ONCE (collected — 512 driver longs however large the
+    // reference was) before the stream starts; four micro-batches
+    // arrive (the corpus in thirds, then a spam-vocabulary wave) and
+    // foreachBatch scores each per (slice, source) against the frozen
+    // reference via broadcast — the reference corpus is never
+    // rescanned. Thirds of the corpus sit near the corpus mix (low TV,
+    // no alert); the spam wave's vocabulary is disjoint (TV → 1e6,
+    // alert fires). Output is grouped by the in-data slice column, so
+    // the oracle is independent of the file→batch mapping; alert
+    // threshold 500000 ppm separates the two regimes with wide margin.
+    "l109_streaming_drift" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val refCounts = Curation.bucketCounts(t(s, d, "documents"),
+            col("text")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val inDir = l109Input(s, d)
+        val work = java.nio.file.Files.createTempDirectory("graft_l109")
+        val raw = s.readStream
+          .schema("doc_id LONG, source STRING, text STRING, slice INT")
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        val out = s"$work/out"
+        val q = graft.streaming.StreamingCuration.driftMonitorStream(
+            s, raw, Seq("slice", "source"), "text", refCounts, out,
+            s"$work/ck", thresholdPpm = 500000L)
+          .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+        try { q.processAllAvailable() } finally q.stop()
+        s.read.parquet(out)
+          .select(col("slice"), col("source"), col("tv_ppm"), col("alert"))
+          .orderBy(col("slice"), col("source"))
+      },
+      Some(s"""WITH cand AS (
+          SELECT doc_id, source, text, CAST(doc_id % 3 AS INT) AS slice
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 500000, 'src_spam',
+            'spamA spamB spamC spam' || CAST(doc_id AS VARCHAR),
+            CAST(3 AS INT)
+          FROM documents WHERE doc_id % 11 = 0),
+        ref AS (SELECT ${oH48("word")} % 512 AS b,
+            CAST(count(*) AS HUGEINT) AS cb
+          FROM (SELECT unnest($oToks) AS word FROM documents) GROUP BY 1),
+        nr AS (SELECT SUM(cb) AS nr FROM ref),
+        gb AS (SELECT slice, source, ${oH48("word")} % 512 AS b,
+            CAST(count(*) AS HUGEINT) AS c
+          FROM (SELECT slice, source, unnest(string_split(text, ' '))
+              AS word FROM cand)
+          GROUP BY 1, 2, 3),
+        gn AS (SELECT slice, source, SUM(c) AS ng FROM gb GROUP BY 1, 2),
+        j AS (SELECT gb.slice, gb.source, gb.c,
+            COALESCE(ref.cb, CAST(0 AS HUGEINT)) AS cb, gn.ng
+          FROM gb LEFT JOIN ref USING (b) JOIN gn USING (slice, source)),
+        tv AS (SELECT slice, source, CAST((1000000 *
+              (SUM(ABS(c * nr.nr - cb * ng))
+               + MAX(ng) * (nr.nr - SUM(cb))))
+            // (2 * MAX(ng) * nr.nr) AS BIGINT) AS tv_ppm
+          FROM j CROSS JOIN nr GROUP BY slice, source, nr.nr)
+        SELECT slice, source, tv_ppm, tv_ppm > 500000 AS alert
+        FROM tv ORDER BY slice, source""")),
 
     // Budget ENFORCEMENT — the l102 plan materialized: full epochs plus
     // a deterministically hash-sampled partial epoch per source, and the

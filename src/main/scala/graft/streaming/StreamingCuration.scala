@@ -280,4 +280,41 @@ object StreamingCuration {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         checkShardQuota(quota))
   }
+
+  /** Streaming drift alarm: every micro-batch of the ingest feed is
+    * scored per group against a FROZEN reference histogram
+    * (`refCounts` = the collected B rows of
+    * [[graft.ops.Curation.bucketCounts]] over the blessed snapshot —
+    * B ≈ 512 driver-resident longs however big the reference corpus
+    * was, rebuilt as a broadcast local relation each batch; the
+    * reference data itself is never rescanned). Appends one row per
+    * (group values..., batch) to `outPath`: tv_ppm plus `alert` =
+    * tv_ppm > thresholdPpm — the feed-changed-character pager signal.
+    *
+    * foreachBatch, not a stateful operator: drift is a pure per-batch
+    * aggregate (no cross-batch state), and the per-batch frame after
+    * the group×bucket combine is tiny, so the batch-mode plan
+    * (map-side combined shuffle + broadcast reference join) is exactly
+    * the right physical shape — nothing for a state store to add.
+    */
+  def driftMonitorStream(spark: SparkSession, docs: DataFrame,
+      groupCols: Seq[String], textCol: String,
+      refCounts: Seq[(Long, Long)], outPath: String, checkpoint: String,
+      buckets: Int = 512, thresholdPpm: Long = 500000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    val refTotal = refCounts.map(_._2).sum
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ref = refCounts.toDF("b", "cb")
+        graft.ops.Curation.driftAgainst(batch, groupCols, col(textCol),
+            ref, refTotal, buckets)
+          .withColumn("batch", lit(batchId))
+          .withColumn("alert", col("tv_ppm") > thresholdPpm)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+  }
 }

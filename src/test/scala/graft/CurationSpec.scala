@@ -493,4 +493,21 @@ class CurationSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(tvSolo("only") == 0L, s"self-drift must be exactly 0: $tvSolo")
   }
+
+  test("driftAgainst frozen reference: exact match 0, disjoint vocab ~1e6") {
+    val ref0 = (1 to 8).map(i => (s"r$i", "the quick brown fox"))
+      .toDF("doc_id", "text")
+    val refCounts = Curation.bucketCounts(ref0, $"text")
+      .as[(Long, Long)].collect().toSeq
+    val nr = refCounts.map(_._2).sum
+    val batch = Seq(
+      ("m1", "the quick brown fox", "match"),   // same distribution
+      ("o1", "zorp blix quux flem", "off"))     // fully disjoint support
+      .toDF("doc_id", "text", "source")
+    val tv = Curation.driftAgainst(batch, Seq("source"), $"text",
+        refCounts.toDF("b", "cb"), nr)
+      .as[(String, Long)].collect().toMap
+    assert(tv("match") == 0L, s"same distribution must score 0: $tv")
+    assert(tv("off") == 1000000L, s"disjoint support must score 1e6: $tv")
+  }
 }
