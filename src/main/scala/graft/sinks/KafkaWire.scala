@@ -178,7 +178,9 @@ object KafkaWire {
   def recordBatch(records: Seq[(Array[Byte], Array[Byte], Seq[(String, Array[Byte])])],
       timestampMs: Long, baseOffset: Long = 0L,
       producerId: Long = -1L, producerEpoch: Short = -1,
-      baseSequence: Int = -1, compression: Int = CodecNone): Array[Byte] = {
+      baseSequence: Int = -1, compression: Int = CodecNone,
+      transactional: Boolean = false, controlBatch: Boolean = false)
+      : Array[Byte] = {
     require(records.nonEmpty, "empty record batch")
     require(compression == CodecNone || compression == CodecGzip,
       s"unsupported compression codec $compression (none | gzip)")
@@ -206,7 +208,11 @@ object KafkaWire {
       if (compression == CodecGzip) gzip(recs.toBytes) else recs.toBytes
     // everything after the crc field, crc'd with CRC32C per the spec
     val body = new Buf
-    body.i16(compression.toShort)  // attributes: codec bits 0-2, CreateTime
+    // attributes: codec bits 0-2, CreateTime; bit 4 = transactional,
+    // bit 5 = control (transaction marker)
+    val attrs = compression | (if (transactional) 0x10 else 0) |
+      (if (controlBatch) 0x20 else 0)
+    body.i16(attrs.toShort)
     body.i32(records.size - 1)     // lastOffsetDelta
     body.i64(timestampMs)          // baseTimestamp
     body.i64(timestampMs)          // maxTimestamp
@@ -226,6 +232,23 @@ object KafkaWire {
     out.i32(crc.getValue.toInt)                    // crc32c
     out.raw(bodyBytes)
     out.toBytes
+  }
+
+  /** A transaction control marker as the broker's transaction
+    * coordinator writes it: a control batch (attributes bits 4+5) whose
+    * single record's key is (int16 version=0, int16 type: 1 COMMIT /
+    * 0 ABORT) and whose value is (int16 version=0, int32
+    * coordinator_epoch). Occupies one offset.
+    */
+  def controlMarkerBatch(baseOffset: Long, producerId: Long,
+      producerEpoch: Short, commit: Boolean,
+      timestampMs: Long = 0L): Array[Byte] = {
+    val key = ByteBuffer.allocate(4)
+      .putShort(0).putShort(if (commit) 1 else 0).array()
+    val value = ByteBuffer.allocate(6).putShort(0).putInt(0).array()
+    recordBatch(Seq((key, value, Nil)), timestampMs, baseOffset,
+      producerId, producerEpoch, baseSequence = -1,
+      transactional = true, controlBatch = true)
   }
 
   // ---------- requests (header v1: key, version, corrId, clientId) ----------
@@ -371,10 +394,11 @@ object KafkaWire {
     * partition counts).
     */
   def listOffsetsRequestV2(corrId: Int, clientId: String,
-      topics: Map[String, Seq[(Int, Long)]]): Array[Byte] = {
+      topics: Map[String, Seq[(Int, Long)]],
+      isolation: Byte = 0): Array[Byte] = {
     val b = header(ApiListOffsets, 2, corrId, clientId)
     b.i32(-1)             // replica_id (consumer)
-    b.i8(0)               // isolation_level: read_uncommitted
+    b.i8(isolation)       // 0 read_uncommitted (end = HW) / 1 read_committed (end = LSO)
     b.i32(topics.size)
     topics.toSeq.sortBy(_._1).foreach { case (t, parts) =>
       b.str(t)
@@ -507,25 +531,31 @@ object KafkaWire {
     out.result()
   }
 
-  /** Fetch v4 for one partition (message-format-v2 record batches). */
+  /** Fetch v4 for one partition (message-format-v2 record batches).
+    * `isolation` 0 = read_uncommitted, 1 = read_committed (the broker
+    * then bounds the response at the last stable offset and attaches
+    * the overlapping aborted transactions).
+    */
   def fetchRequestV4(corrId: Int, clientId: String, topic: String,
       partition: Int, fetchOffset: Long, maxWaitMs: Int,
-      maxBytes: Int): Array[Byte] = {
+      maxBytes: Int, isolation: Byte = 0): Array[Byte] = {
     val b = header(ApiFetch, 4, corrId, clientId)
     b.i32(-1)             // replica_id
     b.i32(maxWaitMs)
     b.i32(1)              // min_bytes
     b.i32(maxBytes)
-    b.i8(0)               // isolation_level
+    b.i8(isolation)
     b.i32(1).str(topic)
     b.i32(1).i32(partition).i64(fetchOffset).i32(maxBytes)
     frame(b)
   }
 
-  /** (error_code, high_watermark, record_set) of a Fetch v4 response's
-    * first partition.
+  /** Full first-partition view of a Fetch v4 response: (error_code,
+    * high_watermark, last_stable_offset, aborted (producer_id,
+    * first_offset) pairs, record_set).
     */
-  def parseFetchV4(body: Array[Byte]): (Short, Long, Array[Byte]) = {
+  def parseFetchV4Txn(body: Array[Byte])
+      : (Short, Long, Long, Seq[(Long, Long)], Array[Byte]) = {
     val b = ByteBuffer.wrap(body)
     b.getInt()            // throttle_time_ms
     require(b.getInt() >= 1, "fetch response without topics")
@@ -534,14 +564,22 @@ object KafkaWire {
     b.getInt()            // partition index
     val err = b.getShort()
     val hw = b.getLong()
-    b.getLong()           // last_stable_offset
-    var aborted = b.getInt()
-    if (aborted < 0) aborted = 0
-    while (aborted > 0) { b.getLong(); b.getLong(); aborted -= 1 }
+    val lso = b.getLong()
+    var nAborted = b.getInt()
+    if (nAborted < 0) nAborted = 0
+    val aborted = (0 until nAborted).map(_ => (b.getLong(), b.getLong()))
     val setLen = b.getInt()
     val set =
       if (setLen <= 0) Array.emptyByteArray
       else { val a = new Array[Byte](setLen); b.get(a); a }
+    (err, hw, lso, aborted, set)
+  }
+
+  /** (error_code, high_watermark, record_set) of a Fetch v4 response's
+    * first partition.
+    */
+  def parseFetchV4(body: Array[Byte]): (Short, Long, Array[Byte]) = {
+    val (err, hw, _, _, set) = parseFetchV4Txn(body)
     (err, hw, set)
   }
 
@@ -564,15 +602,24 @@ object KafkaWire {
     val u = readUvarint(b); (u >>> 1) ^ -(u & 1)
   }
 
-  /** Decode a Fetch record_set: one or more CONCATENATED v2 record
-    * batches, CRC32C-verified. A partial trailing batch (the broker may
-    * cut the set at max_bytes mid-batch) is dropped, per the protocol's
-    * "clients should ignore a truncated final record" rule. Compressed
-    * batches are rejected with a clear message (this engine produces
-    * uncompressed; transparent codec support sits below the seam).
+  /** One decoded v2 batch with the metadata transactional consumption
+    * needs: `control` is the marker type when attributes bit 5 is set
+    * (0 = ABORT, 1 = COMMIT, parsed from the control record's key;
+    * `records` is empty then), `lastOffset` = baseOffset +
+    * lastOffsetDelta (the advance point even when the batch's records
+    * are filtered out).
     */
-  def decodeRecordSet(set: Array[Byte]): Seq[FetchedRecord] = {
-    val out = Seq.newBuilder[FetchedRecord]
+  final case class DecodedBatch(baseOffset: Long, lastOffset: Long,
+      transactional: Boolean, producerId: Long, control: Option[Short],
+      records: Seq[FetchedRecord])
+
+  /** Decode a Fetch record_set into its CONCATENATED v2 batches,
+    * CRC32C-verified. A partial trailing batch (the broker may cut the
+    * set at max_bytes mid-batch) is dropped, per the protocol's
+    * "clients should ignore a truncated final record" rule.
+    */
+  def decodeBatches(set: Array[Byte]): Seq[DecodedBatch] = {
+    val out = Seq.newBuilder[DecodedBatch]
     val b = ByteBuffer.wrap(set)
     while (b.remaining() >= 12 + 49) { // header through first record possible
       val baseOffset = b.getLong()
@@ -591,20 +638,16 @@ object KafkaWire {
         require(c.getValue.toInt == crc, "record batch CRC32C mismatch")
         val d = ByteBuffer.wrap(body)
         val attributes = d.getShort()
-        // control batches (attributes bit 5) carry transaction
-        // commit/abort markers, not data — a transactional producer on a
-        // consumed topic writes them interleaved with records; decoding
-        // them as records would surface junk key/value rows downstream.
-        // The protocol's rule is: clients skip them.
-        if ((attributes & 0x20) != 0) { () } // skip whole batch
-        else {
+        val isControl = (attributes & 0x20) != 0
+        val isTxn = (attributes & 0x10) != 0
         val codec = attributes & 0x7
         require(codec == CodecNone || codec == CodecGzip,
           s"compressed record batch (codec $codec) not supported (gzip only)")
-        d.getInt()                     // lastOffsetDelta
+        val lastOffsetDelta = d.getInt()
         val baseTs = d.getLong()
         d.getLong()                    // maxTimestamp
-        d.getLong(); d.getShort(); d.getInt() // producer id/epoch/sequence
+        val pid = d.getLong()
+        d.getShort(); d.getInt()       // producer epoch / base sequence
         val n = d.getInt()
         // the records block is what compression covers; inflate AFTER
         // the CRC check above so corruption never reaches the inflater
@@ -612,30 +655,95 @@ object KafkaWire {
           val comp = new Array[Byte](d.remaining()); d.get(comp)
           ByteBuffer.wrap(gunzip(comp))
         }
-        var i = 0
-        while (i < n) {
-          readVarint(r)                // record length
-          r.get()                      // record attributes
-          val tsDelta = readVarint(r)
-          val offDelta = readVarint(r)
-          def blob(): Array[Byte] = {
-            val len = readVarint(r).toInt
-            if (len < 0) null
-            else { val a = new Array[Byte](len); r.get(a); a }
-          }
-          val key = blob(); val value = blob()
-          val headers = (0 until readVarint(r).toInt).map { _ =>
-            val hk = new String(blob(), UTF_8); hk -> blob()
-          }
-          out += FetchedRecord(baseOffset + offDelta, baseTs + tsDelta,
-            key, value, headers)
-          i += 1
+        def blob(): Array[Byte] = {
+          val len = readVarint(r).toInt
+          if (len < 0) null
+          else { val a = new Array[Byte](len); r.get(a); a }
         }
+        if (isControl) {
+          // control batches (attributes bit 5) carry transaction
+          // commit/abort markers, not data — never surfaced as records.
+          // The marker TYPE rides the single control record's key
+          // (int16 version, int16 type: 0 abort / 1 commit); an
+          // unparseable key degrades to "unknown marker" (None-like -1),
+          // which read_committed treats as neither commit nor abort.
+          var ctype: Short = -1
+          if (n >= 1) {
+            readVarint(r); r.get(); readVarint(r); readVarint(r)
+            val key = blob()
+            if (key != null && key.length >= 4)
+              ctype = ByteBuffer.wrap(key).getShort(2)
+          }
+          out += DecodedBatch(baseOffset, baseOffset + lastOffsetDelta,
+            isTxn, pid, Some(ctype), Seq.empty)
+        } else {
+          val recs = Seq.newBuilder[FetchedRecord]
+          var i = 0
+          while (i < n) {
+            readVarint(r)                // record length
+            r.get()                      // record attributes
+            val tsDelta = readVarint(r)
+            val offDelta = readVarint(r)
+            val key = blob(); val value = blob()
+            val headers = (0 until readVarint(r).toInt).map { _ =>
+              val hk = new String(blob(), UTF_8); hk -> blob()
+            }
+            recs += FetchedRecord(baseOffset + offDelta, baseTs + tsDelta,
+              key, value, headers)
+            i += 1
+          }
+          out += DecodedBatch(baseOffset, baseOffset + lastOffsetDelta,
+            isTxn, pid, None, recs.result())
         }
       }
     }
     out.result()
   }
+
+  /** Decode a Fetch record_set's data records — read_uncommitted view:
+    * control batches are skipped (the protocol's rule for clients),
+    * transactional records surface whether or not their transaction
+    * committed.
+    */
+  def decodeRecordSet(set: Array[Byte]): Seq[FetchedRecord] =
+    decodeBatches(set).filter(_.control.isEmpty).flatMap(_.records)
+
+  /** The read_committed filter — the ecosystem consumer's aborted-
+    * transaction algorithm over decoded batches: walking batches in
+    * offset order, a producer id becomes "aborted" when the fetch
+    * response's aborted-transactions list holds an entry whose
+    * first_offset ≤ the batch's base offset, and stops being aborted at
+    * its ABORT control marker; transactional data batches from a
+    * currently-aborted pid are dropped whole. COMMIT markers need no
+    * action (a committed transaction's pid was never activated), and
+    * non-transactional batches always pass.
+    */
+  def committedRecords(batches: Seq[DecodedBatch],
+      aborted: Seq[(Long, Long)]): Seq[FetchedRecord] = {
+    val byFirst = aborted.sortBy(_._2)
+    var ai = 0
+    val abortedPids = scala.collection.mutable.Set.empty[Long]
+    val out = Seq.newBuilder[FetchedRecord]
+    batches.foreach { bt =>
+      while (ai < byFirst.length && byFirst(ai)._2 <= bt.baseOffset) {
+        abortedPids += byFirst(ai)._1; ai += 1
+      }
+      bt.control match {
+        case Some(t) => if (t == 0) { abortedPids -= bt.producerId; () }
+        case None =>
+          if (!(bt.transactional && abortedPids.contains(bt.producerId)))
+            out ++= bt.records
+      }
+    }
+    out.result()
+  }
+
+  /** read_committed view of a record_set given the Fetch response's
+    * aborted-transactions list ((producer_id, first_offset) pairs).
+    */
+  def decodeRecordSetCommitted(set: Array[Byte],
+      aborted: Seq[(Long, Long)]): Seq[FetchedRecord] =
+    committedRecords(decodeBatches(set), aborted)
 
   // ---------- responses ----------
 

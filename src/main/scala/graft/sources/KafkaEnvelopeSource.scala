@@ -45,7 +45,8 @@ final case class KafkaRangePartition(bootstrap: String, topic: String,
     user: Option[String] = None, password: Option[String] = None,
     mechanism: String = "PLAIN", tls: Boolean = false,
     tlsTruststore: Option[String] = None,
-    tlsTruststorePassword: Option[String] = None) extends InputPartition
+    tlsTruststorePassword: Option[String] = None,
+    readCommitted: Boolean = false) extends InputPartition
 
 /** Consume a topic the [[graft.sinks.KafkaSinkWriter]] (or any producer)
   * wrote — the SUBSCRIBER half of the reference's pub/sub deployment
@@ -71,7 +72,8 @@ final class KafkaEnvelopeStream(bootstrap: String, topics: Seq[String],
     mechanism: String = "PLAIN", maxOffsetsPerTrigger: Option[Long] = None,
     tls: Boolean = false, tlsTruststore: Option[String] = None,
     tlsTruststorePassword: Option[String] = None,
-    groupId: Option[String] = None, startGroup: Boolean = false)
+    groupId: Option[String] = None, startGroup: Boolean = false,
+    readCommitted: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private lazy val log = graft.logging.Log(getClass)
@@ -115,8 +117,12 @@ final class KafkaEnvelopeStream(bootstrap: String, topics: Seq[String],
       val req = group.groupBy(_._1).map { case (t, ps) =>
         t -> ps.map { case (_, p) => (p, ts) }
       }
+      // under read_committed, TsLatest resolves to the LAST STABLE
+      // offset — a trigger never plans into an open transaction, so a
+      // reader can't block on records the broker withholds
       val all = KafkaWire.parseListOffsetsV2All(client.roundTrip(hp,
-        KafkaWire.listOffsetsRequestV2(id, "graft-consumer", req), id))
+        KafkaWire.listOffsetsRequestV2(id, "graft-consumer", req,
+          isolation = if (readCommitted) 1 else 0), id))
       group.map { tp =>
         val (err, off) = all.getOrElse(tp, ((-1).toShort, -1L))
         if (err != 0) {
@@ -242,7 +248,7 @@ final class KafkaEnvelopeStream(bootstrap: String, topics: Seq[String],
         if (endOff > startOff)
           Some(KafkaRangePartition(bootstrap, t, p, startOff, endOff,
             user, password, mechanism, tls, tlsTruststore,
-            tlsTruststorePassword))
+            tlsTruststorePassword, readCommitted))
         else None
       }.toArray
   }
@@ -313,29 +319,38 @@ final class KafkaRangeReader(part: KafkaRangePartition)
       val leaders = client.partitionLeaders(part.topic)
       val hp = client.endpointOf(leaders(part.partition), part.topic)
       val id = client.nextCorr()
-      val (err, _, set) = KafkaWire.parseFetchV4(client.roundTrip(hp,
-        KafkaWire.fetchRequestV4(id, "graft-consumer", part.topic,
-          part.partition, pos, maxWaitMs = 500, maxBytes = 4 * 1024 * 1024),
-        id))
+      val (err, _, _, abortedTxns, set) =
+        KafkaWire.parseFetchV4Txn(client.roundTrip(hp,
+          KafkaWire.fetchRequestV4(id, "graft-consumer", part.topic,
+            part.partition, pos, maxWaitMs = 500,
+            maxBytes = 4 * 1024 * 1024,
+            isolation = if (part.readCommitted) 1 else 0),
+          id))
       if (err != 0) {
         client.invalidate(part.topic)
         throw new IOException(
           s"fetch ${part.topic}/${part.partition}@$pos: error $err")
       }
-      val decoded = KafkaWire.decodeRecordSet(set)
+      val batches = KafkaWire.decodeBatches(set)
+      val decoded =
+        if (part.readCommitted)
+          KafkaWire.committedRecords(batches, abortedTxns)
+        else batches.filter(_.control.isEmpty).flatMap(_.records)
       val recs = decoded
         .filter(r => r.offset >= pos && r.offset < part.endOffset)
       queue.enqueueAll(recs)
-      // advance pos from the UNFILTERED response, capped at endOffset: a
+      // advance pos from the UNFILTERED batch set (control markers and
+      // aborted-transaction batches included), capped at endOffset: a
       // range whose offsets no longer exist (log compaction / retention
-      // removed them) fetches only records >= endOffset — advancing on
-      // the in-range set alone would spin to the 60 s deadline and
+      // removed them), or one holding only aborted data under
+      // read_committed, yields zero surfaced records — advancing on the
+      // surfaced set alone would spin to the 60 s deadline and
       // permanently fail the stream (replay hits the same gap). Capped
       // advance completes the planned range with zero rows instead.
       val before = pos
-      if (decoded.nonEmpty)
+      if (batches.nonEmpty)
         pos = math.min(part.endOffset,
-          math.max(pos, decoded.map(_.offset).max + 1))
+          math.max(pos, batches.map(_.lastOffset).max + 1))
       if (recs.isEmpty && pos == before) Thread.sleep(10)
     }
   }
@@ -366,6 +381,7 @@ final class KafkaRangeReader(part: KafkaRangePartition)
   *     .option("startingOffsets", "earliest"|"latest"|"group") // default earliest
   *     .option("maxOffsetsPerTrigger", n)   // per-trigger admission cap
   *     .option("groupId", "graft-cdc")      // mirror commits to the broker
+  *     .option("isolation", "read_committed") // default read_uncommitted
   *     .load()
   *
   * With `groupId` set, each completed micro-batch's end offsets are
@@ -414,6 +430,10 @@ class KafkaEnvelopeSource extends TableProvider {
     val tlsStore = Option(properties.get("tlsTruststore")).filter(_.nonEmpty)
     val tlsStorePw = Option(properties.get("tlsTruststorePassword"))
       .filter(_.nonEmpty)
+    val isolation = properties.getOrDefault("isolation", "read_uncommitted")
+    val readCommitted = "read_committed".equalsIgnoreCase(isolation)
+    require(readCommitted || "read_uncommitted".equalsIgnoreCase(isolation),
+      s"isolation must be read_uncommitted or read_committed, got $isolation")
     new Table with SupportsRead {
       override def name(): String = s"kafka:$topicLabel"
       override def schema(): StructType = KafkaEnvelopeSource.schema
@@ -426,7 +446,7 @@ class KafkaEnvelopeSource extends TableProvider {
             override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
               new KafkaEnvelopeStream(bootstrap, topics, pattern, startLatest,
                 user, pw, mech, maxOffsets, tls, tlsStore, tlsStorePw,
-                groupId, startGroup)
+                groupId, startGroup, readCommitted)
           }
         }
     }

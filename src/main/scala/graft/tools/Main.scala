@@ -273,6 +273,10 @@ object Main {
               env.get("KAFKA_GROUP_ID").foreach(g => r = r.option("groupId", g))
               env.get("KAFKA_STARTING_OFFSETS")
                 .foreach(v => r = r.option("startingOffsets", v))
+              // KAFKA_ISOLATION=read_committed skips other producers'
+              // aborted transactions (and plans triggers at the LSO)
+              env.get("KAFKA_ISOLATION")
+                .foreach(v => r = r.option("isolation", v))
               env.get("KAFKA_USER").foreach(u => r = r.option("user", u))
               env.get("KAFKA_PASSWORD")
                 .foreach(pw => r = r.option("password", pw))

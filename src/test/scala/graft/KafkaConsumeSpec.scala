@@ -406,4 +406,60 @@ class KafkaConsumeSpec extends SparkSpec {
       } finally stream.stop()
     } finally { w.close(); broker.close() }
   }
+
+  test("isolation=read_committed: aborted transactions never surface; " +
+      "read_uncommitted sees them; LSO halts planning before an open txn") {
+    val broker = new InProcessKafkaBroker(nPartitions = 1)
+    try {
+      // a transactional producer's log: committed txn, aborted txn,
+      // committed txn from another pid, one plain record
+      broker.appendTransactional("t.txn", 0, 100L,
+        Seq(("k1", "committed-1"), ("k2", "committed-2")))
+      broker.endTxn("t.txn", 0, 100L, commit = true)
+      broker.appendTransactional("t.txn", 0, 100L,
+        Seq(("k3", "aborted-1"), ("k4", "aborted-2")))
+      broker.endTxn("t.txn", 0, 100L, commit = false)
+      broker.appendTransactional("t.txn", 0, 200L, Seq(("k5", "committed-3")))
+      broker.endTxn("t.txn", 0, 200L, commit = true)
+      val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}")
+      try w.publish(PublishItem("t.txn", "k6", "plain", 1L)) finally w.close()
+
+      def consume(isolation: String): Seq[String] = {
+        val out = Files.createTempDirectory(s"ktxn_out_$isolation").toString
+        val ck = Files.createTempDirectory(s"ktxn_ck_$isolation").toString
+        val q = spark.readStream
+          .format("graft.sources.KafkaEnvelopeSource")
+          .option("bootstrap", s"127.0.0.1:${broker.port}")
+          .option("topic", "t.txn")
+          .option("isolation", isolation)
+          .load()
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+        try q.processAllAvailable() finally q.stop()
+        spark.read.parquet(out).select($"offset", $"value").collect()
+          .sortBy(_.getLong(0)).map(_.getString(1)).toSeq
+      }
+      assert(consume("read_committed") ==
+        Seq("committed-1", "committed-2", "committed-3", "plain"),
+        "aborted records and markers are invisible; offsets still advance " +
+          "through the aborted span")
+      assert(consume("read_uncommitted") ==
+        Seq("committed-1", "committed-2", "aborted-1", "aborted-2",
+          "committed-3", "plain"),
+        "the default view surfaces aborted data (markers still skipped)")
+
+      // an OPEN transaction caps the committed view at the LSO: nothing
+      // past the open txn's first offset is planned, so the trigger
+      // completes instead of blocking on withheld records
+      broker.appendTransactional("t.txn", 0, 300L, Seq(("k7", "open-1")))
+      assert(consume("read_committed") ==
+        Seq("committed-1", "committed-2", "committed-3", "plain"),
+        "open-txn records stay invisible and the stream still drains")
+      broker.endTxn("t.txn", 0, 300L, commit = true)
+      assert(consume("read_committed") ==
+        Seq("committed-1", "committed-2", "committed-3", "plain", "open-1"),
+        "once committed, the LSO advances and the records surface")
+    } finally broker.close()
+  }
 }

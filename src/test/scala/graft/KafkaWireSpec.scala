@@ -43,8 +43,48 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
 
   final case class Received(topic: String, partition: Int,
       key: String, value: String, headers: Map[String, String],
-      baseOffset: Long, gzip: Boolean = false)
+      baseOffset: Long, gzip: Boolean = false,
+      txnPid: Long = -1L, marker: Option[Boolean] = None)
   val received = new java.util.concurrent.CopyOnWriteArrayList[Received]()
+
+  // transaction-coordinator half of the mock: open-txn first offsets and
+  // the aborted ledger ((topic, partition, pid, firstOffset,
+  // markerOffset)) the fetch response serves under read_committed
+  private val openTxnFirst = mutable.Map.empty[(String, Int, Long), Long]
+  private val abortedLedger =
+    mutable.ArrayBuffer.empty[(String, Int, Long, Long, Long)]
+
+  /** Append records as part of an open TRANSACTION from `pid` — the
+    * mock's coordinator-side injection (this library's producer is
+    * idempotent-only; transactional topics exist because OTHER producers
+    * write them, which is exactly what read_committed consumption is
+    * for).
+    */
+  def appendTransactional(topic: String, partition: Int, pid: Long,
+      records: Seq[(String, String)]): Unit = synchronized {
+    val base = offsets.getOrElse((topic, partition), 0L)
+    records.zipWithIndex.foreach { case ((k, v), i) =>
+      received.add(Received(topic, partition, k, v, Map.empty,
+        base + i, txnPid = pid)); ()
+    }
+    offsets((topic, partition)) = base + records.size
+    if (!openTxnFirst.contains((topic, partition, pid)))
+      openTxnFirst((topic, partition, pid)) = base
+    ()
+  }
+
+  /** Write `pid`'s transaction marker (one offset); aborts land in the
+    * ledger.
+    */
+  def endTxn(topic: String, partition: Int, pid: Long,
+      commit: Boolean): Unit = synchronized {
+    val off = offsets.getOrElse((topic, partition), 0L)
+    received.add(Received(topic, partition, null, null, Map.empty,
+      off, txnPid = pid, marker = Some(commit)))
+    offsets((topic, partition)) = off + 1
+    val first = openTxnFirst.remove((topic, partition, pid)).getOrElse(off)
+    if (!commit) { abortedLedger += ((topic, partition, pid, first, off)); () }
+  }
   private val errorQueue =
     new java.util.concurrent.ConcurrentLinkedQueue[Short]()
   private val offsets = mutable.Map.empty[(String, Int), Long]
@@ -361,7 +401,8 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
           resp.i32(0).i16(0).i64(nextPid).i16(0)  // throttle, err, pid, epoch
         case KafkaWire.ApiListOffsets =>
           require(version == 2, s"mock speaks ListOffsets v2, got $version")
-          b.getInt(); b.get()                     // replica_id, isolation
+          b.getInt()                              // replica_id
+          val listIso = b.get()                   // isolation
           // batched body by spec: [topics][partitions] — a real broker
           // answers every (topic, partition) of one request in one frame
           val topics = (0 until b.getInt()).map { _ =>
@@ -377,38 +418,78 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
             resp.i32(parts.size)
             parts.foreach { case (partition, ts) =>
               val hw = offsets.getOrElse((topic, partition), 0L)
+              // read_committed resolves "latest" to the last stable
+              // offset, so consumers never plan into an open transaction
+              val end = if (listIso == 1) synchronized {
+                val open = openTxnFirst.collect {
+                  case ((t, p, _), first) if t == topic && p == partition =>
+                    first
+                }
+                if (open.isEmpty) hw else open.min
+              } else hw
               val off = if (ts == KafkaWire.TsEarliest)
-                logStarts.getOrElse((topic, partition), 0L) else hw
+                logStarts.getOrElse((topic, partition), 0L) else end
               resp.i32(partition).i16(0).i64(-1L).i64(off)
             }
           }
         case KafkaWire.ApiFetch =>
           require(version == 4, s"mock speaks Fetch v4, got $version")
-          b.getInt(); b.getInt(); b.getInt(); b.getInt(); b.get()
+          b.getInt(); b.getInt(); b.getInt(); b.getInt()
+          val iso = b.get()
           require(b.getInt() == 1); val topic = readStr(b)
           require(b.getInt() == 1)
           val partition = b.getInt(); val fo = b.getLong(); b.getInt()
           import scala.jdk.CollectionConverters._
+          val hw = offsets.getOrElse((topic, partition), 0L)
+          // last stable offset: the first offset of the earliest still-
+          // open transaction (read_committed never sees past it)
+          val lso = synchronized {
+            val open = openTxnFirst.collect {
+              case ((t, p, _), first) if t == topic && p == partition =>
+                first
+            }
+            if (open.isEmpty) hw else open.min
+          }
+          val bound = if (iso == 1) lso else hw
           val recs = received.asScala
             .filter(r => r.topic == topic && r.partition == partition &&
-              r.baseOffset >= fo)
+              r.baseOffset >= fo && r.baseOffset < bound)
             .toSeq.sortBy(_.baseOffset)
           // one re-encoded v2 batch per record at its own base offset —
-          // concatenated, the way a real log serves contiguous batches
+          // concatenated, the way a real log serves contiguous batches;
+          // transactional records keep their producer id + txn bit and
+          // markers re-encode as real control batches
           val set = recs.map { r =>
-            KafkaWire.recordBatch(Seq((
-              if (r.key == null) null else r.key.getBytes(UTF_8),
-              if (r.value == null) null else r.value.getBytes(UTF_8),
-              r.headers.toSeq.map { case (k, v) => k -> v.getBytes(UTF_8) })),
-              timestampMs = 0L, baseOffset = r.baseOffset,
-              compression = if (r.gzip) KafkaWire.CodecGzip
-                else KafkaWire.CodecNone)
+            r.marker match {
+              case Some(commit) =>
+                KafkaWire.controlMarkerBatch(r.baseOffset, r.txnPid,
+                  producerEpoch = 0, commit = commit)
+              case None =>
+                KafkaWire.recordBatch(Seq((
+                  if (r.key == null) null else r.key.getBytes(UTF_8),
+                  if (r.value == null) null else r.value.getBytes(UTF_8),
+                  r.headers.toSeq.map { case (k, v) =>
+                    k -> v.getBytes(UTF_8) })),
+                  timestampMs = 0L, baseOffset = r.baseOffset,
+                  producerId = r.txnPid,
+                  transactional = r.txnPid >= 0,
+                  compression = if (r.gzip) KafkaWire.CodecGzip
+                    else KafkaWire.CodecNone)
+            }
           }.foldLeft(Array.emptyByteArray)(_ ++ _)
-          val hw = offsets.getOrElse((topic, partition), 0L)
+          val aborted =
+            if (iso == 1) synchronized {
+              abortedLedger.filter { case (t, p, _, _, markerOff) =>
+                t == topic && p == partition && markerOff >= fo
+              }.toSeq
+            } else Seq.empty
           resp.i32(0)                             // throttle
           resp.i32(1).str(topic)
-          resp.i32(1).i32(partition).i16(0).i64(hw).i64(hw)
-          resp.i32(0)                             // aborted_transactions
+          resp.i32(1).i32(partition).i16(0).i64(hw).i64(lso)
+          resp.i32(aborted.size)
+          aborted.foreach { case (_, _, pid, first, _) =>
+            resp.i64(pid).i64(first)
+          }
           resp.bytes(set)
         case KafkaWire.ApiFindCoordinator =>
           require(version == 2, s"mock speaks FindCoordinator v2, got $version")
@@ -644,6 +725,38 @@ class KafkaWireSpec extends SparkSpec {
     assert(out.map(r => new String(r.value, UTF_8)) == Seq("real"),
       s"only the data batch's records surface: $out")
     assert(out.head.offset == 7L)
+  }
+
+  test("read_committed filter: aborted txns drop, committed and plain records stay") {
+    def data(off: Long, pid: Long, v: String) = KafkaWire.recordBatch(
+      Seq((null, v.getBytes(UTF_8), Nil)), timestampMs = 0L,
+      baseOffset = off, producerId = pid, transactional = pid >= 0)
+    // log: pid7 commits [0], marker@1; pid7 aborts [2,3], marker@4;
+    //      pid8 commits [5], marker@6; plain producer [7]
+    val set = data(0, 7, "c1") ++
+      KafkaWire.controlMarkerBatch(1, 7, 0, commit = true) ++
+      data(2, 7, "a1") ++ data(3, 7, "a2") ++
+      KafkaWire.controlMarkerBatch(4, 7, 0, commit = false) ++
+      data(5, 8, "c2") ++
+      KafkaWire.controlMarkerBatch(6, 8, 0, commit = true) ++
+      data(7, -1, "plain")
+    val aborted = Seq((7L, 2L))
+    val committed = KafkaWire.decodeRecordSetCommitted(set, aborted)
+      .map(r => new String(r.value, UTF_8))
+    assert(committed == Seq("c1", "c2", "plain"),
+      s"pid7's SECOND txn is the aborted one — its records drop, the " +
+        s"first txn's records survive: $committed")
+    // read_uncommitted view surfaces everything but markers
+    val uncommitted = KafkaWire.decodeRecordSet(set)
+      .map(r => new String(r.value, UTF_8))
+    assert(uncommitted == Seq("c1", "a1", "a2", "c2", "plain"))
+    // batch metadata drives the reader's offset advance even when every
+    // record is filtered: the abort-span-only slice still lands on 5
+    val slice = data(2, 7, "a1") ++ data(3, 7, "a2") ++
+      KafkaWire.controlMarkerBatch(4, 7, 0, commit = false)
+    val batches = KafkaWire.decodeBatches(slice)
+    assert(KafkaWire.committedRecords(batches, aborted).isEmpty)
+    assert(batches.map(_.lastOffset).max + 1 == 5L)
   }
 
   test("sequence errors (45/46) reset the producer id; the retry re-registers and lands") {
