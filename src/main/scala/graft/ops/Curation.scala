@@ -840,6 +840,29 @@ object Curation {
             AS BIGINT)""").as("tv_ppm"))
   }
 
+  /** Corpus snapshot diff: the delta between two corpus versions — the
+    * regression check an incremental curation pipeline runs after every
+    * rebuild (did the refresh add/drop/rewrite what the changelog says
+    * it should?). One row per DIFFERING doc: id, verdict ∈ {added,
+    * removed, changed}; unchanged docs are filtered OUT before the
+    * result materializes, so output is |delta|, not |corpus| — the only
+    * corpus-sized work is the two scans and one co-partitioned
+    * full-outer join on id (content compares by md5 digest computed at
+    * the scan, so the join carries 32-byte digests, never text).
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: Column,
+      textCol: Column): DataFrame = {
+    val o = oldDf.select(idCol.as("id"), md5(textCol).as("od"))
+    val n = newDf.select(idCol.as("id"), md5(textCol).as("nd"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("verdict",
+        when(col("od").isNull, "added")
+          .when(col("nd").isNull, "removed")
+          .when(col("od") =!= col("nd"), "changed"))
+      .filter(col("verdict").isNotNull)
+      .select(col("id"), col("verdict"))
+  }
+
   /** Hashed-unigram bucket histogram of a corpus: (b, cb) — B rows
     * however large the input. This is the FROZEN-REFERENCE artifact for
     * [[driftAgainst]]: compute it once over the blessed corpus snapshot,

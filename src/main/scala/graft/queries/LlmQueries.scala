@@ -4014,6 +4014,45 @@ object LlmQueries {
         SELECT slice, source, tv_ppm, tv_ppm > 500000 AS alert
         FROM tv ORDER BY slice, source""")),
 
+    // Corpus snapshot DIFF — the post-rebuild regression check of an
+    // incremental pipeline: old = documents; new = documents with every
+    // 13th doc dropped (removed), every 7th non-dropped doc's text
+    // rewritten (changed), and a shifted-id wave appended (added).
+    // corpusDiff emits ONLY the delta (unchanged docs filtered before
+    // materialization — output is |delta| not |corpus|), comparing
+    // 32-byte md5 digests computed at the scan so the co-partitioned
+    // full-outer id join never carries text.
+    "l110_corpus_diff" -> Def(
+      (s, d) => {
+        val base = t(s, d, "documents")
+        val next = base.filter(col("doc_id") % 13 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(base.filter(col("doc_id") % 17 === 0)
+            .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+        Curation.corpusDiff(base, next, col("doc_id"), col("text"))
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH next AS (
+          SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+              ELSE text END AS text
+            FROM documents WHERE doc_id % 13 <> 0
+          UNION ALL
+          SELECT doc_id + 700000, text FROM documents WHERE doc_id % 17 = 0),
+        o AS (SELECT doc_id, md5(text) AS od FROM documents),
+        n AS (SELECT doc_id, md5(text) AS nd FROM next),
+        j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, od, nd
+          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        SELECT doc_id,
+          CASE WHEN od IS NULL THEN 'added'
+               WHEN nd IS NULL THEN 'removed'
+               WHEN od <> nd THEN 'changed' END AS verdict
+        FROM j
+        WHERE od IS NULL OR nd IS NULL OR od <> nd
+        ORDER BY doc_id""")),
+
     // Budget ENFORCEMENT — the l102 plan materialized: full epochs plus
     // a deterministically hash-sampled partial epoch per source, and the
     // audit a run publishes — achieved vs target tokens with the

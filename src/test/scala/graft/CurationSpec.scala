@@ -494,6 +494,19 @@ class CurationSpec extends SparkSpec {
     assert(tvSolo("only") == 0L, s"self-drift must be exactly 0: $tvSolo")
   }
 
+  test("corpusDiff: delta-only output with added/removed/changed verdicts") {
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val next = Seq((2L, "beta"), (3L, "GAMMA-rewritten"), (4L, "delta"),
+      (9L, "epsilon")).toDF("doc_id", "text")
+    val diff = Curation.corpusDiff(old, next, $"doc_id", $"text")
+      .as[(Long, String)].collect().sortBy(_._1).toList
+    assert(diff == List((1L, "removed"), (3L, "changed"), (9L, "added")),
+      s"unchanged docs (2, 4) never materialize: $diff")
+    // identical snapshots -> empty delta
+    assert(Curation.corpusDiff(old, old, $"doc_id", $"text").count() == 0L)
+  }
+
   test("driftAgainst frozen reference: exact match 0, disjoint vocab ~1e6") {
     val ref0 = (1 to 8).map(i => (s"r$i", "the quick brown fox"))
       .toDF("doc_id", "text")
