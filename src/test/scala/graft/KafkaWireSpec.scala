@@ -759,6 +759,61 @@ class KafkaWireSpec extends SparkSpec {
     assert(batches.map(_.lastOffset).max + 1 == 5L)
   }
 
+  test("read_committed property: 200 random interleaved txn logs match a direct simulation") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { trial =>
+      // build a random log: 2-4 producers, each txn 1-3 records, txns
+      // interleave batch-wise (Kafka interleaves at batch granularity);
+      // ~20% plain (non-txn) batches mixed in
+      val nPids = 2 + rnd.nextInt(3)
+      val open = scala.collection.mutable.Map.empty[Long, Long] // pid -> firstOffset
+      val pendingRecs = scala.collection.mutable.Map.empty[Long, Vector[String]]
+      var off = 0L
+      val log = Vector.newBuilder[Array[Byte]]
+      val aborted = Vector.newBuilder[(Long, Long)]
+      val expect = Vector.newBuilder[(Long, String)] // (offset, value)
+      val committedVals = scala.collection.mutable.Map.empty[Long, Vector[(Long, String)]]
+      (1 to 10 + rnd.nextInt(15)).foreach { step =>
+        val pid = 100L + rnd.nextInt(nPids)
+        rnd.nextInt(5) match {
+          case 0 => // plain batch
+            val v = s"plain-$trial-$step"
+            log += KafkaWire.recordBatch(Seq((null, v.getBytes(UTF_8), Nil)),
+              0L, off)
+            expect += ((off, v)); off += 1
+          case 4 if open.contains(pid) => // end the txn
+            val commit = rnd.nextBoolean()
+            log += KafkaWire.controlMarkerBatch(off, pid, 0, commit)
+            if (commit) expect ++= committedVals.getOrElse(pid, Vector.empty)
+            else aborted += ((pid, open(pid)))
+            open -= pid; committedVals -= pid; off += 1
+          case _ => // txn data batch
+            val v = s"txn-$pid-$trial-$step"
+            log += KafkaWire.recordBatch(Seq((null, v.getBytes(UTF_8), Nil)),
+              0L, off, producerId = pid, transactional = true)
+            if (!open.contains(pid)) open(pid) = off
+            committedVals(pid) =
+              committedVals.getOrElse(pid, Vector.empty) :+ ((off, v))
+            off += 1
+        }
+      }
+      // close every still-open txn (a real LSO would hide them; here we
+      // close so the whole log is stable)
+      open.toSeq.sortBy(_._2).foreach { case (pid, first) =>
+        val commit = rnd.nextBoolean()
+        log += KafkaWire.controlMarkerBatch(off, pid, 0, commit)
+        if (commit) expect ++= committedVals.getOrElse(pid, Vector.empty)
+        else aborted += ((pid, first))
+        off += 1
+      }
+      val set = log.result().foldLeft(Array.emptyByteArray)(_ ++ _)
+      val got = KafkaWire.decodeRecordSetCommitted(set, aborted.result())
+        .map(r => (r.offset, new String(r.value, UTF_8)))
+      assert(got == expect.result().sortBy(_._1),
+        s"trial $trial: committed view diverged from the simulation")
+    }
+  }
+
   test("sequence errors (45/46) reset the producer id; the retry re-registers and lands") {
     val broker = new InProcessKafkaBroker(nPartitions = 1)
     val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}")
