@@ -507,6 +507,17 @@ class CurationSpec extends SparkSpec {
     assert(Curation.corpusDiff(old, old, $"doc_id", $"text").count() == 0L)
   }
 
+  test("DSIR weights and drift are partition-count invariant (integer-exact)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def dsir(parts: Int) = Curation.dsirWeights(docs.repartition(parts),
+        $"doc_id", $"text", $"lang" === "en")
+      .as[(Long, Long)].collect().toMap
+    assert(dsir(1) == dsir(13), "a repartition must not move any weight")
+    def tv(parts: Int) = Curation.distributionDrift(docs.repartition(parts),
+        $"source", $"text").as[(String, Long)].collect().toMap
+    assert(tv(1) == tv(13), "a repartition must not move any tv_ppm")
+  }
+
   test("driftAgainst frozen reference: exact match 0, disjoint vocab ~1e6") {
     val ref0 = (1 to 8).map(i => (s"r$i", "the quick brown fox"))
       .toDF("doc_id", "text")
