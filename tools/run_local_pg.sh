@@ -33,6 +33,12 @@ run_as_pg() {
 
 case "${1:-start}" in
   start)
+    # create the run user BEFORE any chown references it: on a fresh
+    # machine the first chown otherwise fails ("invalid user") and
+    # set -e aborts the whole start
+    if [ "$(id -u)" = "0" ]; then
+      id graftpg >/dev/null 2>&1 || useradd -m graftpg
+    fi
     if [ ! -f "$DATA/PG_VERSION" ]; then
       mkdir -p "$DATA" "$SOCK"
       [ "$(id -u)" = "0" ] && chown graftpg "$DATA" "$SOCK" 2>/dev/null || true
