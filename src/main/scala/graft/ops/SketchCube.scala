@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count cube: the "compute once, roll up forever"
+  * pre-aggregation pattern for 100 TB facts.
+  *
+  * A cardinality question (`distinct keys per <any dim subset>`) normally
+  * costs a full fact scan per question because COUNT(DISTINCT) is not
+  * additive. The cube fixes the cost at ONE scan total: aggregate the fact
+  * once at the finest useful grain into an HLL sketch per slice
+  * (Datasketches HLL via Spark's codegen'd `hll_sketch_agg`), then answer
+  * every coarser rollup by unioning sketches — register-wise max, so the
+  * union over any slice partition is EXACTLY the sketch of the union of
+  * their key sets (associative, commutative, idempotent). New data merges
+  * in the same way: sketch the increment, union into the cube — no rescan
+  * of history, the same landing discipline as [[DedupIndex]].
+  *
+  * Scale shape: the fact scan partial-aggregates map-side (one sketch per
+  * task per live slice, merged in the single slice-keyed shuffle); every
+  * question after that reads only the cube — #slices rows of ~2^lgK bytes,
+  * broadcastable. Exact additive measures (row counts here) ride along in
+  * the same pass.
+  *
+  * Determinism: Datasketches HLL hashing is seed-fixed and register union
+  * is order-independent, so estimates are bit-stable across partitionings
+  * and retries — safe to gate with the q23-style accuracy-band contract
+  * (lgK = 14 → RSE ≈ 0.8%, a 5% band is a firm bound, not a coin flip).
+  *
+  * Reference scope: the reference engine has no sketch module; this is the
+  * training-data/OLAP surface (per-source distinct-doc tracking, URL
+  * cardinality per crawl, token-vocab growth curves) at cube cost.
+  */
+object SketchCube {
+
+  val DefaultLgK = 14
+
+  /** One pass over the fact: fine-grain slices with the distinct-key
+    * sketch plus exact additive measures — `(dims..., key_sketch, n_rows)`.
+    */
+  def build(fact: DataFrame, dims: Seq[String], keyCol: String,
+      lgK: Int = DefaultLgK): DataFrame =
+    fact.groupBy(dims.map(col): _*)
+      .agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("key_sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Roll the cube up to a coarser dim subset (possibly empty = grand
+    * total): sketches union register-wise, exact measures add. Touches
+    * only the cube, never the fact.
+    */
+  def rollup(cube: DataFrame, dims: Seq[String]): DataFrame = {
+    val g = cube.groupBy(dims.map(col): _*)
+      .agg(hll_union_agg(col("key_sketch")).as("key_sketch"),
+        sum(col("n_rows")).as("n_rows"))
+    g
+  }
+
+  /** Merge an increment cube into a base cube (same grain): the landing
+    * step for new data — union sketches, add counts, slice-keyed only.
+    */
+  def merge(base: DataFrame, increment: DataFrame, dims: Seq[String]): DataFrame =
+    rollup(base.unionByName(increment), dims)
+
+  /** Read the estimates off a cube/rollup frame. */
+  def estimate(cube: DataFrame): DataFrame =
+    cube.withColumn("distinct_est",
+      hll_sketch_estimate(col("key_sketch")).cast("bigint"))
+}

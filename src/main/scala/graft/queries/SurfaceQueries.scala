@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import Q.{Def, dec, t}
+import graft.ops.{Expectations, HistogramCube, Layout, SketchCube}
 
 /** Second tranche of the relational surface (SURVEY.md §2.2): pivot,
   * generator/UDTF-shape (explode with ordinality), JSON functions, the
@@ -855,6 +856,171 @@ object SurfaceQueries {
         '{"k":' || json_extract(props, '$.k') || '}' AS canon_json,
         CAST(SUM(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1))
           OVER (PARTITION BY event_type) AS BIGINT) AS k_sum_type
-        FROM events ORDER BY event_id"""))
+        FROM events ORDER BY event_id""")),
+
+    // Mergeable distinct-count cube (SketchCube): the fact is scanned ONCE
+    // into per-(flag, status) HLL sketches; BOTH rollups below (per-flag and
+    // grand-total) are answered by register-union over the cube — at 100 TB
+    // every later cardinality question touches #slices rows, not the fact.
+    // Sketch estimates are engine-specific, so the oracle gates the q23
+    // contract: exact count + a within-5%-of-exact flag (lgK=14 → RSE≈0.8%,
+    // the band is firm); a drifting estimate flips the flag and fails the
+    // hash.
+    "q58_sketch_cube" -> Def(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val cube = SketchCube.build(li,
+          Seq("l_returnflag", "l_linestatus"), "l_orderkey")
+        val flagEst = SketchCube.estimate(
+            SketchCube.rollup(cube, Seq("l_returnflag")))
+          .select(col("l_returnflag"), col("n_rows"), col("distinct_est"))
+        val globalEst = SketchCube.estimate(SketchCube.rollup(cube, Nil))
+          .select(lit("ALL").as("l_returnflag"), col("n_rows"),
+            col("distinct_est"))
+        val exact = li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+          .unionByName(li.agg(countDistinct(col("l_orderkey"))
+            .as("exact_orders"))
+            .select(lit("ALL").as("l_returnflag"), col("exact_orders")))
+        flagEst.unionByName(globalEst).join(exact, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("exact_orders"), col("n_rows"),
+            (abs(col("distinct_est") - col("exact_orders")).cast("double") <=
+              lit(0.05) * col("exact_orders")).cast("bigint").as("within_5pct"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+          COUNT(DISTINCT l_orderkey) AS exact_orders,
+          COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS within_5pct
+        FROM lineitem GROUP BY 1
+        UNION ALL
+        SELECT 'ALL', COUNT(DISTINCT l_orderkey), COUNT(*), CAST(1 AS BIGINT)
+        FROM lineitem
+        ORDER BY l_returnflag""")),
+
+    // Z-order layout cells: the Morton interleave is pure integer
+    // shift/mask arithmetic (Layout.zvalue2 — codegen'd, and the SAME
+    // masks generate the DuckDB oracle expression, so the gate is an
+    // exact hash). Each z-cell (top 6 interleaved bits) is a 128×128
+    // rectangle in (custkey-bucket, price-cents-bucket) space — the
+    // min/max spans emitted per cell ARE the file-skipping bound a
+    // z-clustered layout gives a 2-D box predicate.
+    "q59_zorder_cells" -> Def(
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .withColumn("xb", pmod(col("o_custkey"), lit(1024L)))
+          .withColumn("yb", pmod(expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"),
+            lit(1024L)))
+        o.withColumn("zv", Layout.zvalue2(col("xb"), col("yb")))
+          .groupBy(shiftright(col("zv"), 14).as("zcell"))
+          .agg(count(lit(1)).as("n"),
+            min(col("xb")).as("x_min"), max(col("xb")).as("x_max"),
+            min(col("yb")).as("y_min"), max(col("yb")).as("y_max"))
+          .orderBy(col("zcell"))
+      },
+      Some(s"""WITH b AS (SELECT (o_custkey % 1024) AS xb,
+          ((CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) % 1024)
+            AS yb FROM orders),
+        z AS (SELECT xb, yb, ${Layout.zvalue2Sql("xb", "yb")} AS zv FROM b)
+        SELECT (zv >> 14) AS zcell, COUNT(*) AS n,
+          MIN(xb) AS x_min, MAX(xb) AS x_max,
+          MIN(yb) AS y_min, MAX(yb) AS y_max
+        FROM z GROUP BY 1 ORDER BY 1""")),
+
+    // Mergeable quantile cube (HistogramCube): one fact scan into
+    // per-(priority, $1000-bucket) counts; p50/p95/p99 for every priority
+    // AND the grand total are answered from the CUBE via a window cumsum
+    // (the 'ALL' slice is a count-addition rollup — no fact rescan, no
+    // sort). Unlike GK/KLL sketches the estimate is deterministic BIGINT
+    // arithmetic (ceil-rank + uniform in-bucket interpolation), so the
+    // oracle is an exact hash match, max error = one bucket width by
+    // construction.
+    "q61_histogram_quantiles" -> Def(
+      (s, d) => {
+        val f = t(s, d, "orders").select(
+          col("o_orderpriority").as("prio"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        val cube = HistogramCube.build(f, Seq("prio"), col("cents"), 100000L)
+        val globalSlice = HistogramCube.rollup(cube, Nil)
+          .select(lit("ALL").as("prio"), col("bucket"), col("n"))
+        HistogramCube.quantiles(cube.unionByName(globalSlice),
+            Seq("prio"), 100000L, Seq(50, 95, 99))
+          .select(col("prio"), col("q_pct"), col("est"))
+          .orderBy(col("prio"), col("q_pct"))
+      },
+      Some("""WITH f AS (SELECT o_orderpriority AS prio,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          FROM orders),
+        h AS (SELECT prio, cents // 100000 AS bucket, COUNT(*) AS n
+          FROM f GROUP BY 1, 2),
+        hall AS (SELECT prio, bucket, n FROM h
+          UNION ALL
+          SELECT 'ALL' AS prio, bucket, SUM(n) AS n FROM h GROUP BY bucket),
+        t AS (SELECT prio, bucket, n,
+            SUM(n) OVER (PARTITION BY prio ORDER BY bucket) AS cum,
+            SUM(n) OVER (PARTITION BY prio) AS total FROM hall),
+        j AS (SELECT prio, q_pct, bucket, n, cum, total,
+            GREATEST((total * q_pct + 99) // 100, 1) AS rk
+          FROM t CROSS JOIN (SELECT * FROM (VALUES (50), (95), (99))
+            AS v(q_pct)))
+        SELECT prio, CAST(q_pct AS BIGINT) AS q_pct,
+          CAST(bucket * 100000 + ((rk - (cum - n)) * 100000) // n AS BIGINT)
+            AS est
+        FROM j WHERE cum - n < rk AND rk <= cum
+        ORDER BY prio, q_pct""")),
+
+    // Data-quality expectation suite (Expectations): three row-level
+    // predicates + key uniqueness in ONE scan of orders (each check is a
+    // map-side-partial SUM of a boolean cast), plus referential integrity
+    // as a broadcast anti-join against the customer key set — the landed-
+    // batch gate a corpus pipeline runs before data joins the corpus.
+    "q60_expectations" -> Def(
+      (s, d) => {
+        import Expectations.RowCheck
+        val o = t(s, d, "orders")
+        val rowChecks = Expectations.audit(o, Seq(
+            RowCheck("custkey_present",
+              col("o_custkey").isNotNull && col("o_custkey") > 0L),
+            RowCheck("price_bounds",
+              col("o_totalprice") > 0.0 && col("o_totalprice") < 1000000.0),
+            RowCheck("status_domain",
+              col("o_orderstatus").isin("F", "O", "P"))),
+          uniqueCols = Seq("o_orderkey"))
+        val fk = Expectations.fkAudit(o, "o_custkey",
+          t(s, d, "customer"), "c_custkey", "fk_customer")
+        rowChecks.unionByName(fk)
+          .select(col("check").as("check_name"), col("total"),
+            col("violations"), col("passed").cast("bigint").as("passed"))
+          .orderBy(col("check_name"))
+      },
+      Some("""WITH tot AS (SELECT COUNT(*) AS total FROM orders)
+        SELECT check_name, total, violations,
+          CAST(violations = 0 AS BIGINT) AS passed FROM (
+          SELECT 'custkey_present' AS check_name, total,
+            (SELECT COUNT(*) FROM orders WHERE NOT COALESCE(
+              o_custkey IS NOT NULL AND o_custkey > 0, FALSE)) AS violations
+          FROM tot
+          UNION ALL
+          SELECT 'price_bounds', total,
+            (SELECT COUNT(*) FROM orders WHERE NOT COALESCE(
+              o_totalprice > 0 AND o_totalprice < 1000000, FALSE))
+          FROM tot
+          UNION ALL
+          SELECT 'status_domain', total,
+            (SELECT COUNT(*) FROM orders WHERE NOT COALESCE(
+              o_orderstatus IN ('F', 'O', 'P'), FALSE))
+          FROM tot
+          UNION ALL
+          SELECT 'unique_o_orderkey', total,
+            (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+          FROM tot
+          UNION ALL
+          SELECT 'fk_customer', total,
+            (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NULL OR
+              NOT EXISTS (SELECT 1 FROM customer c
+                WHERE c.c_custkey = o.o_custkey))
+          FROM tot)
+        ORDER BY check_name"""))
   )
 }

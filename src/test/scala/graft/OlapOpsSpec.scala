@@ -1,0 +1,231 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Expectations, HistogramCube, Layout, SketchCube}
+
+/** SketchCube / Layout / Expectations semantics: sketch-merge exactness
+  * (shard-then-union ≡ whole-corpus), Morton tiling bounds, and the
+  * one-pass audit's violation arithmetic.
+  */
+class OlapOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- SketchCube -------------------------------------------------------
+
+  test("sketch cube: union of shard cubes equals the whole-corpus cube") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val dims = Seq("l_returnflag")
+    val whole = SketchCube.estimate(
+        SketchCube.build(li, dims, "l_orderkey"))
+      .select($"l_returnflag", $"n_rows", $"distinct_est")
+      .orderBy($"l_returnflag").collect().toList
+    // shard on an arbitrary row attribute — shards sketch independently,
+    // then merge; HLL register union makes the result EXACTLY the
+    // whole-corpus sketch, the no-rescan landing contract.
+    val s1 = SketchCube.build(li.filter($"l_orderkey" % 2 === 0), dims, "l_orderkey")
+    val s2 = SketchCube.build(li.filter($"l_orderkey" % 2 === 1), dims, "l_orderkey")
+    val merged = SketchCube.estimate(SketchCube.merge(s1, s2, dims))
+      .select($"l_returnflag", $"n_rows", $"distinct_est")
+      .orderBy($"l_returnflag").collect().toList
+    assert(merged.map(_.toSeq) == whole.map(_.toSeq))
+  }
+
+  test("sketch cube: estimates sit inside the 5% contract band vs exact") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val cube = SketchCube.build(li, Seq("l_returnflag", "l_linestatus"), "l_orderkey")
+    val est = SketchCube.estimate(SketchCube.rollup(cube, Seq("l_returnflag")))
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("exact"))
+    val off = est.join(exact, "l_returnflag")
+      .filter(abs($"distinct_est" - $"exact").cast("double") > lit(0.05) * $"exact")
+      .count()
+    assert(off == 0L)
+  }
+
+  test("sketch cube: rollup to the grand total touches only the cube") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val cube = SketchCube.build(li, Seq("l_returnflag", "l_linestatus"), "l_orderkey")
+    val total = SketchCube.estimate(SketchCube.rollup(cube, Nil)).collect()(0)
+    val exactTotal = li.select(countDistinct($"l_orderkey")).as[Long].head()
+    assert(math.abs(total.getAs[Long]("distinct_est") - exactTotal).toDouble
+      <= 0.05 * exactTotal)
+    assert(total.getAs[Long]("n_rows") == li.count())
+  }
+
+  // --- HistogramCube ----------------------------------------------------
+
+  test("histogram cube: shard-merged cube is bit-identical to whole-corpus") {
+    val o = spark.read.parquet(s"$sf0001/orders.parquet").select(
+      $"o_orderpriority".as("prio"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        .as("cents"), $"o_orderkey")
+    val whole = HistogramCube.build(o, Seq("prio"), $"cents", 100000L)
+      .orderBy($"prio", $"bucket").collect().map(_.toSeq).toList
+    val s1 = HistogramCube.build(o.filter($"o_orderkey" % 2 === 0),
+      Seq("prio"), $"cents", 100000L)
+    val s2 = HistogramCube.build(o.filter($"o_orderkey" % 2 === 1),
+      Seq("prio"), $"cents", 100000L)
+    val merged = HistogramCube.merge(s1, s2, Seq("prio"))
+      .orderBy($"prio", $"bucket").collect().map(_.toSeq).toList
+    assert(merged == whole)
+  }
+
+  test("histogram cube: quantile estimates within one bucket of exact") {
+    val w = 100000L
+    val o = spark.read.parquet(s"$sf0001/orders.parquet").select(
+      $"o_orderpriority".as("prio"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        .as("cents"))
+    val cube = HistogramCube.build(o, Seq("prio"), $"cents", w)
+    val est = HistogramCube.quantiles(cube, Seq("prio"), w, Seq(50, 95))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // exact ceil-rank percentiles, same definition
+    val exact = o.collect().groupBy(_.getString(0)).flatMap { case (p, rows) =>
+      val sorted = rows.map(_.getLong(1)).sorted
+      Seq(50, 95).map { q =>
+        val rk = math.max(1, (sorted.length * q + 99) / 100)
+        (p, q.toLong) -> sorted(rk - 1)
+      }
+    }
+    exact.foreach { case (k, ex) =>
+      val e = est(k)
+      assert(math.abs(e - ex) <= w, s"$k est=$e exact=$ex")
+    }
+  }
+
+  test("histogram cube: quantiles read only the cube (no fact rescan)") {
+    val o = spark.read.parquet(s"$sf0001/orders.parquet").select(
+      $"o_orderpriority".as("prio"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        .as("cents"))
+    val cube = HistogramCube.build(o, Seq("prio"), $"cents", 100000L)
+      .cache()
+    cube.count()
+    val q = HistogramCube.quantiles(cube, Seq("prio"), 100000L, Seq(99))
+    // plan scans the cached cube, not the orders parquet
+    // (the InMemoryRelation node embeds its recorded BUILD plan — only the
+    // part above it is what this query executes)
+    val plan = q.queryExecution.executedPlan.toString
+    val live = plan.split("InMemoryRelation")(0)
+    assert(live.contains("InMemoryTableScan") && !live.contains("FileScan"),
+      live)
+    cube.unpersist()
+  }
+
+  // --- Layout -----------------------------------------------------------
+
+  test("zvalue2 matches the reference Morton interleave") {
+    def mortonRef(x: Int, y: Int): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(64)((rnd.nextInt(65536), rnd.nextInt(65536))) ++
+      Seq((0, 0), (65535, 65535), (1, 0), (0, 1), (65535, 0), (0, 65535))
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y",
+        Layout.zvalue2($"x".cast("long"), $"y".cast("long")).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == mortonRef(r.getInt(0), r.getInt(1)),
+        s"(${r.getInt(0)}, ${r.getInt(1)})")
+    }
+  }
+
+  test("z-cells tile: every aligned cell is a 128x128 rectangle") {
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .withColumn("xb", pmod($"o_custkey", lit(1024L)))
+      .withColumn("yb", pmod(
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"),
+        lit(1024L)))
+    val cells = o.withColumn("zv", Layout.zvalue2($"xb", $"yb"))
+      .groupBy(shiftright($"zv", 14).as("zcell"))
+      .agg(min($"xb").as("x0"), max($"xb").as("x1"),
+        min($"yb").as("y0"), max($"yb").as("y1"))
+      .collect()
+    assert(cells.nonEmpty)
+    cells.foreach { c =>
+      val cell = c.getLong(0)
+      val (x0, x1) = (c.getLong(1), c.getLong(2))
+      val (y0, y1) = (c.getLong(3), c.getLong(4))
+      assert(x1 - x0 < 128 && y1 - y0 < 128, s"cell $cell spans too far")
+      // and the box is the cell's OWN aligned tile (top 3 bits of each dim)
+      assert(x0 >> 7 == x1 >> 7 && y0 >> 7 == y1 >> 7, s"cell $cell crosses tiles")
+    }
+  }
+
+  test("cluster() is one range exchange and preserves the rows") {
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .withColumn("xb", pmod($"o_custkey", lit(1024L)))
+      .withColumn("yb", pmod($"o_orderkey", lit(1024L)))
+    val clustered = Layout.cluster(o, "xb", "yb", 8)
+    val plan = clustered.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning")
+      || plan.toLowerCase.contains("range"), plan.take(500))
+    assert(clustered.count() == o.count())
+    // the layout actually clusters: mean per-partition span on EACH dim is
+    // well under the full 1024 range (an x-only sort would leave the mean
+    // y-span at ~full range — no pruning on y)
+    val boxes = Layout.boundingBoxes(clustered, "xb", "yb")
+      .filter($"n_rows" > 0).collect()
+    val meanXSpan = boxes.map(b =>
+      b.getAs[Long]("x_max") - b.getAs[Long]("x_min")).sum.toDouble / boxes.length
+    val meanYSpan = boxes.map(b =>
+      b.getAs[Long]("y_max") - b.getAs[Long]("y_min")).sum.toDouble / boxes.length
+    assert(meanXSpan < 768, s"meanXSpan=$meanXSpan")
+    assert(meanYSpan < 768, s"meanYSpan=$meanYSpan")
+  }
+
+  // --- Expectations -----------------------------------------------------
+
+  test("audit counts violations exactly, NULL predicate = violation") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "ok"), (2L, "ok"), (null, "ok"), (-5L, "bad"), (2L, "ok"))
+      .toDF("k", "s")
+    val out = Expectations.audit(df, Seq(
+        Expectations.RowCheck("k_positive", $"k" > 0L),
+        Expectations.RowCheck("s_domain", $"s".isin("ok"))),
+      uniqueCols = Seq("k"))
+      .orderBy($"check").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // k_positive: null -> violation, -5 -> violation = 2
+    // s_domain: one 'bad' = 1; unique_k: 5 rows, 4 distinct (null counts
+    // as a distinct group dropped by countDistinct -> 3 non-null distinct
+    // + nulls excluded => violations = 5 - 3 = 2
+    assert(out.toList == List(
+      ("k_positive", 5L, 2L, false),
+      ("s_domain", 5L, 1L, false),
+      ("unique_k", 5L, 2L, false)))
+  }
+
+  test("fkAudit: orphans and null child keys, parent broadcast") {
+    val child = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (99L, "orphan"), (null, "nullkey"))
+      .toDF("fk", "v")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val audit = Expectations.fkAudit(child, "fk", parent, "pk", "fk_check")
+    val plan = audit.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(800))
+    val r = audit.collect()(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)) ==
+      ("fk_check", 4L, 2L, false))
+    // allowNull mode: the null child key is not an orphan
+    val r2 = Expectations.fkAudit(child, "fk", parent, "pk", "fk_check",
+      allowNull = true).collect()(0)
+    assert(r2.getLong(2) == 1L && !r2.getBoolean(3))
+  }
+
+  test("audit of a clean table passes every check") {
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+    val out = Expectations.audit(o, Seq(
+        Expectations.RowCheck("status_domain",
+          $"o_orderstatus".isin("F", "O", "P"))),
+      uniqueCols = Seq("o_orderkey")).collect()
+    assert(out.forall(_.getBoolean(3)))
+  }
+}
