@@ -246,7 +246,8 @@ object DedupIndex {
 
   private def runFold(spark: SparkSession, t: String, bucketed: Boolean,
       buckets: Int, dest: Long, span: Long, horizon: Long,
-      sources: Seq[Long], bucketCol: String): Unit = {
+      sources: Seq[Long], bucketCol: String,
+      foldAgg: DataFrame => DataFrame = identity): Unit = {
     val present = partitionIds(spark, t).toSet
     val live = sources.filter(present)
     if (live.size == sources.size) {
@@ -257,9 +258,9 @@ object DedupIndex {
         else sources.map(b => s"graft.fold.fp.$b" -> fingerprint(
           spark.table(t).where(col("ingest_batch") === b)
             .drop("ingest_batch")))
-      val folded = spark.table(t)
+      val folded = foldAgg(spark.table(t)
         .where(col("ingest_batch").isin(sources: _*))
-        .drop("ingest_batch").withColumn("ingest_batch", lit(dest))
+        .drop("ingest_batch")).withColumn("ingest_batch", lit(dest))
       spark.sql(s"ALTER TABLE $t DROP IF EXISTS " +
         s"PARTITION (ingest_batch=$dest)")
       val w = folded.write.mode("append").partitionBy("ingest_batch")
@@ -286,10 +287,12 @@ object DedupIndex {
     * it deleted) is never re-executed.
     */
   private def recoverFold(spark: SparkSession, t: String, bucketed: Boolean,
-      buckets: Int, bucketCol: String = "shingle"): Unit =
+      buckets: Int, bucketCol: String = "shingle",
+      foldAgg: DataFrame => DataFrame = identity): Unit =
     foldLock(t).synchronized {
       readManifest(spark, t).foreach { case (dest, span, hor, srcs) =>
-        runFold(spark, t, bucketed, buckets, dest, span, hor, srcs, bucketCol)
+        runFold(spark, t, bucketed, buckets, dest, span, hor, srcs, bucketCol,
+          foldAgg)
       }
     }
 
@@ -342,13 +345,22 @@ object DedupIndex {
     * index, [[Similarity.compactIvfPqIndex]]) reuse the identical
     * manifest-crash-safe, fingerprint-guarded lifecycle.
     */
+  /** `foldAgg` (optional): a row-compression step applied to the fold's
+    * source rows — e.g. a cube's sketch-union rollup, so folding merges
+    * per-batch partials instead of concatenating them. It must be a pure
+    * semantic no-op for the table's serve path (serve results identical
+    * whether or not any fold applied it): a crashed fold healed by the
+    * maintenance stream's own landBatch recovery runs WITHOUT it (the
+    * manifest does not record transforms), which is then correct but
+    * uncompressed until the next compact call.
+    */
   private[graft] def compactTable(spark: SparkSession, t: String,
       bucketed: Boolean, bucketCol: String, buckets: Int,
-      tierFanout: Int): Unit = {
+      tierFanout: Int, foldAgg: DataFrame => DataFrame = identity): Unit = {
     require(tierFanout >= 2, "tierFanout must be >= 2")
     recoverCompaction(spark, t) // heal a legacy (r7 swap-style) crash
     require(spark.catalog.tableExists(t), s"no index table $t")
-    recoverFold(spark, t, bucketed, buckets, bucketCol)
+    recoverFold(spark, t, bucketed, buckets, bucketCol, foldAgg)
     def nextDest: Long =
       (partitionIds(spark, t).filter(_ < 0L) :+ 0L).min - 1L
     // tier 0 -> 1: fold the per-batch partitions. Each manifest-write +
@@ -360,7 +372,7 @@ object DedupIndex {
       val batches = partitionIds(spark, t).filter(_ >= 0L).sorted
       if (batches.size >= 2) {
         writeManifest(spark, t, nextDest, batches.size, batches.max, batches)
-        recoverFold(spark, t, bucketed, buckets, bucketCol)
+        recoverFold(spark, t, bucketed, buckets, bucketCol, foldAgg)
       }
     }
     // tiered merges: repeat while any tier is at fanout
@@ -377,7 +389,7 @@ object DedupIndex {
             // rows — no new batch ids, no fingerprints to record
             writeManifest(spark, t, nextDest, group.map(_._2).sum,
               Long.MinValue, group.map(_._1))
-            recoverFold(spark, t, bucketed, buckets, bucketCol)
+            recoverFold(spark, t, bucketed, buckets, bucketCol, foldAgg)
           case None => go = false
         }
       }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Mergeable distinct-count cube: the "compute once, roll up forever"
@@ -66,4 +66,54 @@ object SketchCube {
   def estimate(cube: DataFrame): DataFrame =
     cube.withColumn("distinct_est",
       hll_sketch_estimate(col("key_sketch")).cast("bigint"))
+
+  // ---------- maintained lifecycle (the no-rescan landing loop) ----------
+
+  /** STREAMING maintenance of the cube: each micro-batch is pre-aggregated
+    * to its own fine-grain cube (≤ #slices rows however large the batch)
+    * and lands as an `ingest_batch` partition through the dedup index's
+    * replay-idempotent drop+append protocol — the cardinality-tracking
+    * twin of [[graft.ops.Retrieval.startBm25Maintenance]]. Serve-time
+    * results are independent of how many batches have landed or folded:
+    * HLL register union is associative/commutative/idempotent, so
+    * [[serve]] over any partition state is bit-identical to the inline
+    * build over the same rows.
+    */
+  def startMaintenance(spark: SparkSession, fact: DataFrame,
+      dims: Seq[String], keyCol: String, name: String,
+      checkpointPath: String, lgK: Int = DefaultLgK,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    fact.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val cube = build(batch.toDF(), dims, keyCol, lgK)
+          .withColumn("ingest_batch", lit(batchId))
+        DedupIndex.landBatch(s, spark, cube, name, batchId,
+          bucketed = false, buckets = 8)
+      }.start()
+
+  /** Size-tiered compaction of the maintained cube — the same manifest-
+    * crash-safe, fingerprint-guarded fold lifecycle as every maintained
+    * index, PLUS row compression: the fold's `foldAgg` is the cube
+    * rollup itself (sketch register-union per slice), so a fold of M
+    * batch partials is ≤ #slices rows, not M × #slices. Compression is
+    * semantically invisible (union associativity) — a crash-recovered
+    * fold that ran without it serves identical results.
+    */
+  def compactMaintained(spark: SparkSession, name: String,
+      dims: Seq[String], tierFanout: Int = 8): Unit =
+    DedupIndex.compactTable(spark, name, bucketed = false,
+      bucketCol = "bucket_unused", buckets = 8, tierFanout,
+      foldAgg = df => rollup(df, dims))
+
+  /** Estimates off the maintained cube at any rollup grain — reads only
+    * the cube table, never the fact stream's data.
+    */
+  def serve(spark: SparkSession, name: String, dims: Seq[String]): DataFrame =
+    estimate(rollup(spark.table(name).drop("ingest_batch"), dims))
 }

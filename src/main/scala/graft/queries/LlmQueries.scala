@@ -4053,6 +4053,71 @@ object LlmQueries {
         WHERE od IS NULL OR nd IS NULL OR od <> nd
         ORDER BY doc_id""")),
 
+    // MAINTAINED distinct-count cube (r9): the cardinality-tracking twin
+    // of the l92/l84 lifecycles — lineitem streams in two real micro-
+    // batches, each pre-aggregated to a fine-grain HLL cube (≤ #slices
+    // rows per batch) and landed through the replay-idempotent partition
+    // protocol; compaction folds the partials via sketch register-union
+    // (the foldAgg row-compression hook); serve answers per-flag AND
+    // grand-total distinct-order counts from the CUBE table only. HLL
+    // union associativity makes serve independent of land/fold state, so
+    // the q58 gate (exact + within-5% flag) holds bit-for-bit.
+    "l111_cube_maintained" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val name = "graft_l111_cube"
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val loc = new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath + s"/$name"
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+        }
+        rm(new java.io.File(loc))
+        val dims = Seq("l_returnflag", "l_linestatus")
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"))
+        val work = java.nio.file.Files.createTempDirectory("graft_l111")
+        val maxId = li.agg(max(col("l_orderkey"))).head().getLong(0)
+        Seq((0L, maxId / 2), (maxId / 2 + 1, maxId)).zipWithIndex.foreach {
+          case ((lo, hi), i) =>
+            li.filter(col("l_orderkey").between(lo, hi))
+              .coalesce(1).write.parquet(s"$work/in/s$i")
+            new java.io.File(s"$work/in/s$i").listFiles()
+              .foreach(f => { f.setLastModified(1700000000000L + i * 60000L); () })
+        }
+        val stream = s.readStream
+          .schema("l_orderkey LONG, l_returnflag STRING, l_linestatus STRING")
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
+        val q = graft.ops.SketchCube.startMaintenance(s, stream, dims,
+          "l_orderkey", name, s"$work/ckpt",
+          trigger = Trigger.ProcessingTime("50 milliseconds"))
+        try { q.processAllAvailable() } finally q.stop()
+        graft.ops.SketchCube.compactMaintained(s, name, dims)
+        val flagEst = graft.ops.SketchCube.serve(s, name, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n_rows"), col("distinct_est"))
+        val globalEst = graft.ops.SketchCube.serve(s, name, Nil)
+          .select(lit("ALL").as("l_returnflag"), col("n_rows"),
+            col("distinct_est"))
+        val exact = li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+          .unionByName(li.agg(countDistinct(col("l_orderkey"))
+            .as("exact_orders"))
+            .select(lit("ALL").as("l_returnflag"), col("exact_orders")))
+        flagEst.unionByName(globalEst).join(exact, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("exact_orders"), col("n_rows"),
+            (abs(col("distinct_est") - col("exact_orders")).cast("double") <=
+              lit(0.05) * col("exact_orders")).cast("bigint").as("within_5pct"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+          COUNT(DISTINCT l_orderkey) AS exact_orders,
+          COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS within_5pct
+        FROM lineitem GROUP BY 1
+        UNION ALL
+        SELECT 'ALL', COUNT(DISTINCT l_orderkey), COUNT(*), CAST(1 AS BIGINT)
+        FROM lineitem
+        ORDER BY l_returnflag""")),
+
     // Budget ENFORCEMENT — the l102 plan materialized: full epochs plus
     // a deterministically hash-sampled partial epoch per source, and the
     // audit a run publishes — achieved vs target tokens with the

@@ -52,6 +52,53 @@ class OlapOpsSpec extends SparkSpec {
     assert(total.getAs[Long]("n_rows") == li.count())
   }
 
+  test("maintained sketch cube: land, compact, serve equals inline build") {
+    val name = "graft_test_cube_m"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$name"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(loc))
+    val dims = Seq("l_returnflag", "l_linestatus")
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_orderkey", $"l_returnflag", $"l_linestatus")
+    try {
+      // land three batches through the idempotent protocol (batch form of
+      // the maintenance stream's foreachBatch body)
+      Seq(0L, 1L, 2L).foreach { b =>
+        val part = li.filter(pmod($"l_orderkey", lit(3L)) === b)
+        val cube = SketchCube.build(part, dims, "l_orderkey")
+          .withColumn("ingest_batch", lit(b))
+        graft.ops.DedupIndex.landBatch(spark, spark, cube, name, b,
+          bucketed = false, buckets = 8)
+      }
+      val inline = SketchCube.estimate(
+          SketchCube.rollup(SketchCube.build(li, dims, "l_orderkey"),
+            Seq("l_returnflag")))
+        .select($"l_returnflag", $"n_rows", $"distinct_est")
+        .orderBy($"l_returnflag").collect().map(_.toSeq).toList
+      val served = SketchCube.serve(spark, name, Seq("l_returnflag"))
+        .select($"l_returnflag", $"n_rows", $"distinct_est")
+        .orderBy($"l_returnflag").collect().map(_.toSeq).toList
+      assert(served == inline)
+      // compact: folds merge per-batch partials via the cube rollup —
+      // the table compresses to <= #slices rows, all in negative folds,
+      // and serve is unchanged bit-for-bit
+      SketchCube.compactMaintained(spark, name, dims)
+      val slices = SketchCube.build(li, dims, "l_orderkey").count()
+      assert(spark.table(name).count() <= slices)
+      val parts = spark.sql(s"SHOW PARTITIONS $name").collect()
+        .map(_.getString(0).split("=")(1).toLong)
+      assert(parts.forall(_ < 0L), parts.mkString(","))
+      val servedAfter = SketchCube.serve(spark, name, Seq("l_returnflag"))
+        .select($"l_returnflag", $"n_rows", $"distinct_est")
+        .orderBy($"l_returnflag").collect().map(_.toSeq).toList
+      assert(servedAfter == inline)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   // --- HistogramCube ----------------------------------------------------
 
   test("histogram cube: shard-merged cube is bit-identical to whole-corpus") {
