@@ -221,10 +221,35 @@ object PgOutput {
                 rel.schema, rel.table, Map.empty, Map.empty, currentXid, currentTs)
             }
           }
+        // Logical decoding message (pg_logical_emit_message) — the
+        // transactional-OUTBOX frame. The reference's dispatch has no arm
+        // for it (pgoutput.go:214-330 switch); here it decodes into a
+        // routable event under the synthetic "pg_message" namespace with
+        // the prefix as the table (the Debezium outbox-routing shape): a
+        // transactional message rides its surrounding transaction's
+        // xid/ts through assembly, a non-transactional one stands alone
+        // (xid 0, no tx timestamp — it can arrive outside any B..C span).
+        case 'M' =>
+          val transactional = (b.get() & 1) == 1
+          b.getLong() // message LSN
+          val prefix = readCString(b)
+          val len = b.getInt()
+          if (len < 0 || len > b.remaining())
+            corrupt(s"MESSAGE content length $len exceeds frame")
+          val content = new Array[Byte](len)
+          b.get(content)
+          Seq(DecodedWalEvent(walStart, "MESSAGE", is_begin = false,
+            is_commit = false, "pg_message", prefix, null,
+            Map("prefix" -> prefix,
+              "content" -> new String(content,
+                java.nio.charset.StandardCharsets.UTF_8),
+              "transactional" -> transactional.toString),
+            if (transactional) currentXid else 0L,
+            if (transactional) currentTs else null))
         // parseable-but-unhandled message types are ignored like the
-        // reference's switch without a default arm (origin 'O', logical
-        // message 'M', type metadata 'Y')
-        case 'O' | 'M' | 'Y' => Nil
+        // reference's switch without a default arm (origin 'O', type
+        // metadata 'Y')
+        case 'O' | 'Y' => Nil
         // protocol v2 streaming frames (Stream Start/Stop/Commit/Abort) are
         // VALID pgoutput messages, but this decoder assumes proto_version 1
         // — the version the reference pins in its START_REPLICATION options

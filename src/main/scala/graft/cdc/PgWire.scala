@@ -88,4 +88,18 @@ object PgWire {
     relIds.foreach(b.putInt)
     fin(b)
   }
+
+  /** Logical decoding message frame ('M', pg_logical_emit_message) —
+    * flags bit 0 = transactional, message LSN, prefix cstring, sized
+    * content bytes.
+    */
+  def logicalMessage(transactional: Boolean, lsn: Long, prefix: String,
+      content: Array[Byte]): Array[Byte] = {
+    val b = buf()
+    b.put('M'.toByte).put(if (transactional) 1.toByte else 0.toByte)
+      .putLong(lsn)
+    cstr(b, prefix)
+    b.putInt(content.length).put(content)
+    fin(b)
+  }
 }

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Behavioral analytics over event streams: ordered funnels and cohort
+  * retention — the product-analytics query class, shaped for one event
+  * scan each.
+  *
+  * Scale shape: both operators shuffle the events ONCE on the entity key
+  * (the window partition); everything downstream (per-entity flags, the
+  * final stage/cohort rollup) partial-aggregates map-side. No self-joins,
+  * no per-stage re-scans — the textbook funnel-as-N-joins plan rescans
+  * the events table once per stage and is quadratic in stages; the
+  * running-min formulation here is one pass however many stages.
+  */
+object Behavior {
+
+  /** Ordered funnel: for each entity, stage k is reached when an event of
+    * `stages(k)` occurs AT OR AFTER the first time stage k−1 was reached
+    * (strictly ordered by (tsCol, tieCol) — deterministic under ties).
+    * Returns one row per stage: `(stage, stage_name, n_entities,
+    * conversion_ppm)` with conversion relative to stage 1.
+    *
+    * One window over (entity, time) computes a running first-reach
+    * timestamp per stage — running mins compose: an event qualifies for
+    * stage k exactly when the stage-(k−1) running reach is already set —
+    * then one aggregation rolls entities up to stages.
+    */
+  def funnel(events: DataFrame, entityCol: String, typeCol: String,
+      tsCol: String, tieCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "at least one funnel stage")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // reach(k) on each row = ts of the row completing stage k, null until
+    // qualified; cum(k) = running min of reach(k) — set once stage k has
+    // been reached at or before this row
+    var df = events.toDF()
+    var prevCum: Option[Column] = None
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val qualified = prevCum match {
+        case None => col(typeCol) === st
+        case Some(_) => col(typeCol) === st && col(s"__cum${i - 1}").isNotNull
+      }
+      df = df.withColumn(s"__reach$i", when(qualified, col(tsCol)))
+      df = df.withColumn(s"__cum$i", min(col(s"__reach$i")).over(w))
+      prevCum = Some(col(s"__cum$i"))
+    }
+    val hitCols = stages.indices.map(i =>
+      max(col(s"__reach$i").isNotNull).as(s"__hit$i"))
+    val perEntity = df.groupBy(col(entityCol))
+      .agg(hitCols.head, hitCols.tail: _*)
+    val sums = stages.indices.map(i =>
+      sum(when(col(s"__hit$i"), 1L).otherwise(0L)).as(s"n_$i"))
+    val hits = perEntity.agg(sums.head, sums.tail: _*)
+    val rows = stages.zipWithIndex.map { case (st, i) =>
+      struct(lit(i + 1L).as("stage"), lit(st).as("stage_name"),
+        col(s"n_$i").as("n_entities"),
+        floor(col(s"n_$i").cast("decimal(20,0)") * 1000000 /
+          greatest(col("n_0"), lit(1L))).cast("bigint").as("conversion_ppm"))
+    }
+    hits.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Weekly cohort retention: entities are cohorted by the week of their
+    * first event; `(cohort_week, week_offset, n_entities)` counts the
+    * cohort's entities active (any event) `week_offset` weeks later.
+    * Week arithmetic is date_trunc('week') + day-difference div 7 —
+    * integer-exact and engine-portable.
+    */
+  def cohortRetention(events: DataFrame, entityCol: String,
+      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+    val withCohort = events
+      .withColumn("__cohort", date_trunc("week", min(col(tsCol)).over(w)))
+      .withColumn("__week", date_trunc("week", col(tsCol)))
+    withCohort
+      .select(col(entityCol), col("__cohort").cast("date").as("cohort_week"),
+        floor(datediff(col("__week"), col("__cohort")) / 7).cast("bigint")
+          .as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col(entityCol)).as("n_entities"))
+  }
+}

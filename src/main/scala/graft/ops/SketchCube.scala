@@ -67,6 +67,31 @@ object SketchCube {
     cube.withColumn("distinct_est",
       hll_sketch_estimate(col("key_sketch")).cast("bigint"))
 
+  /** Distinct-key overlap of two slices by inclusion–exclusion over the
+    * cube's sketches: `|A∩B| ≈ est(A) + est(B) − est(A∪B)` — the
+    * join-cardinality estimate (will this key join prune or explode?)
+    * answered in ONE pass over the cube (three conditional register
+    * unions), with the fact never re-scanned. Caveat, documented where
+    * it bites: the error is HLL RSE relative to the UNION, not the
+    * intersection — trustworthy when the overlap is a non-trivial
+    * fraction of the union, useless for near-disjoint slices.
+    */
+  def overlapEstimate(cube: DataFrame, sliceCol: String,
+      a: String, b: String): DataFrame =
+    cube.agg(
+      hll_sketch_estimate(hll_union_agg(
+        when(col(sliceCol) === a, col("key_sketch"))))
+        .cast("bigint").as("est_a"),
+      hll_sketch_estimate(hll_union_agg(
+        when(col(sliceCol) === b, col("key_sketch"))))
+        .cast("bigint").as("est_b"),
+      hll_sketch_estimate(hll_union_agg(
+        when(col(sliceCol).isin(a, b), col("key_sketch"))))
+        .cast("bigint").as("est_union"))
+      .select(lit(a).as("slice_a"), lit(b).as("slice_b"),
+        col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("overlap_est"))
+
   // ---------- maintained lifecycle (the no-rescan landing loop) ----------
 
   /** STREAMING maintenance of the cube: each micro-batch is pre-aggregated

@@ -717,6 +717,62 @@ object CdcQueries {
         CASE WHEN event_id % 3 = 0 THEN 'b' || event_id END AS blob_after
         FROM events ORDER BY src_event_id""")),
 
+    // Logical decoding messages (r9 — BEYOND the reference, whose
+    // dispatch has no 'M' arm): the transactional-outbox pattern through
+    // real pgoutput wire bytes. Every tx carries a DML insert AND an
+    // in-tx outbox message (the pattern's whole point: the message
+    // commits or vanishes WITH the data); every 10th event also emits a
+    // standalone NON-transactional heartbeat outside any B..C span.
+    // Outbox messages ride their tx's xid through assembly; heartbeats
+    // stand alone (txid 0). Both route under the synthetic pg_message
+    // namespace with the prefix as the table — subject
+    // cdc.<db>.pg_message.<prefix>, the Debezium outbox-routing shape.
+    "c34_outbox_message" -> Def(
+      (s, d) => {
+        import s.implicits._
+        val src = t(s, d, "events").select(col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .as[(Long, String, Long)]
+        val raw = src.flatMap { case (id, tbl, us) =>
+          val relId = tbl.hashCode & 0x7fffffff
+          val ws = id * 10
+          val payload = s"""{"src":$id}""".getBytes("UTF-8")
+          val base = Seq(
+            (ws, PgWire.relation(relId, "public", tbl,
+              Seq("src_event_id" -> 20))),
+            (ws + 1, PgWire.begin(ws + 4, us, id.toInt)),
+            (ws + 2, PgWire.insert(relId, Seq(Some(id.toString)))),
+            (ws + 3, PgWire.logicalMessage(transactional = true, ws + 3,
+              "outbox", payload)),
+            (ws + 4, PgWire.commit(ws + 4, ws + 5, us)))
+          val heartbeat =
+            if (id % 10 == 0)
+              Seq((ws + 5, PgWire.logicalMessage(transactional = false,
+                ws + 5, "heartbeat", payload)))
+            else Seq.empty
+          base ++ heartbeat
+        }.toDF("wal_start", "data")
+        Transform.normalize(TxAssembly.assemble(PgOutput.decode(s, raw)), Db)
+          .filter(col("operation") === "MESSAGE")
+          .select(col("table").as("tbl"),
+            get_json_object(element_at(col("after"), "content"), "$.src")
+              .cast("long").as("src"),
+            col("event_type"), col("txid"),
+            element_at(col("after"), "transactional").as("transactional"),
+            col("subject"))
+          .orderBy(col("tbl"), col("src"))
+      },
+      Some("""SELECT 'heartbeat' AS tbl, event_id AS src,
+          'cdc.message' AS event_type, CAST(0 AS BIGINT) AS txid,
+          'false' AS transactional,
+          'cdc.testdb.pg_message.heartbeat' AS subject
+        FROM events WHERE event_id % 10 = 0
+        UNION ALL
+        SELECT 'outbox', event_id, 'cdc.message', event_id, 'true',
+          'cdc.testdb.pg_message.outbox'
+        FROM events
+        ORDER BY tbl, src""")),
+
     // TRUNCATE -> DDL event (wal2json T action): empty before AND after
     // images (not null — the reference's cdc_truncate_test invariant),
     // cdc.ddl event type, routed like any change. One truncate tx per

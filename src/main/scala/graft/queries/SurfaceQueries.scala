@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import Q.{Def, dec, t}
-import graft.ops.{Expectations, HistogramCube, Layout, SketchCube}
+import graft.ops.{Behavior, Expectations, HistogramCube, Layout, SketchCube}
 
 /** Second tranche of the relational surface (SURVEY.md §2.2): pivot,
   * generator/UDTF-shape (explode with ordinality), JSON functions, the
@@ -969,6 +969,109 @@ object SurfaceQueries {
             AS est
         FROM j WHERE cum - n < rk AND rk <= cum
         ORDER BY prio, q_pct""")),
+
+    // Join-cardinality estimation off the sketch cube: inclusion-
+    // exclusion over three conditional register-unions answers "how many
+    // distinct orders appear under BOTH flags" without touching the fact
+    // (the pre-join sizing question a planner asks). The exact overlap
+    // (one groupBy for the gate) confirms the estimate within 10% —
+    // A/R overlap is ~73% of either set here, so the union-relative HLL
+    // error (~0.8% RSE) is ~5 sigma inside the band, firm at every SF.
+    "q62_join_cardinality" -> Def(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val cube = SketchCube.build(li, Seq("l_returnflag"), "l_orderkey")
+        val est = SketchCube.overlapEstimate(cube, "l_returnflag", "A", "R")
+        val exact = li.groupBy(col("l_orderkey"))
+          .agg(max((col("l_returnflag") === "A").cast("int")).as("ia"),
+            max((col("l_returnflag") === "R").cast("int")).as("ir"))
+          .agg(sum(col("ia").cast("long")).as("exact_a"),
+            sum(col("ir").cast("long")).as("exact_r"),
+            sum((col("ia") * col("ir")).cast("long")).as("exact_overlap"))
+        est.crossJoin(broadcast(exact))
+          .select(col("slice_a"), col("slice_b"), col("exact_a"),
+            col("exact_r"), col("exact_overlap"),
+            (abs(col("overlap_est") - col("exact_overlap")).cast("double") <=
+              lit(0.10) * col("exact_overlap")).cast("bigint")
+              .as("within_10pct"))
+          .orderBy(col("slice_a"))
+      },
+      Some("""WITH f AS (SELECT l_orderkey,
+          MAX(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS ia,
+          MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ir
+        FROM lineitem GROUP BY 1)
+        SELECT 'A' AS slice_a, 'R' AS slice_b,
+          CAST(SUM(ia) AS BIGINT) AS exact_a,
+          CAST(SUM(ir) AS BIGINT) AS exact_r,
+          CAST(SUM(ia * ir) AS BIGINT) AS exact_overlap,
+          CAST(1 AS BIGINT) AS within_10pct
+        FROM f ORDER BY slice_a""")),
+
+    // Ordered funnel (Behavior.funnel): signup -> view -> purchase, each
+    // stage qualified only AT OR AFTER the previous stage's first reach
+    // (running-min composition inside ONE entity-partitioned window —
+    // one events shuffle however many stages, vs the textbook
+    // N-self-joins plan that rescans events per stage). Deterministic
+    // under ts ties via the event_id tiebreak, so the oracle replays the
+    // identical window program and the gate is an exact hash.
+    "q63_funnel" -> Def(
+      (s, d) => Behavior.funnel(t(s, d, "events"), "user_id", "event_type",
+          "ts", "event_id", Seq("signup", "view", "purchase"))
+        .orderBy(col("stage")),
+      Some("""WITH r AS (SELECT user_id, ts, event_id, event_type,
+            MIN(CASE WHEN event_type = 'signup' THEN ts END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum0
+          FROM events),
+        r2 AS (SELECT *, CASE WHEN event_type = 'view' AND cum0 IS NOT NULL
+            THEN ts END AS reach1 FROM r),
+        r3 AS (SELECT *, MIN(reach1)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1
+          FROM r2),
+        r4 AS (SELECT *, CASE WHEN event_type = 'purchase'
+            AND cum1 IS NOT NULL THEN ts END AS reach2 FROM r3),
+        hits AS (SELECT user_id,
+            MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS h0,
+            MAX(CASE WHEN reach1 IS NOT NULL THEN 1 ELSE 0 END) AS h1,
+            MAX(CASE WHEN reach2 IS NOT NULL THEN 1 ELSE 0 END) AS h2
+          FROM r4 GROUP BY 1),
+        s AS (SELECT CAST(SUM(h0) AS BIGINT) AS n0,
+            CAST(SUM(h1) AS BIGINT) AS n1,
+            CAST(SUM(h2) AS BIGINT) AS n2 FROM hits)
+        SELECT stage, stage_name, n_entities,
+          CAST((n_entities * 1000000) // GREATEST(n0, 1) AS BIGINT)
+            AS conversion_ppm
+        FROM (
+          SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS stage_name,
+            n0 AS n_entities, n0 FROM s
+          UNION ALL SELECT CAST(2 AS BIGINT), 'view', n1, n0 FROM s
+          UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', n2, n0 FROM s)
+        ORDER BY stage""")),
+
+    // Weekly cohort retention (Behavior.cohortRetention): entities
+    // cohorted by first-event week (one entity-partitioned window), then
+    // (cohort, offset) activity rollup — the second behavioral-analytics
+    // staple, one events shuffle + one count-distinct aggregation. Week
+    // arithmetic is date_trunc('week') + day-diff div 7: integer-exact
+    // and identical in both engines.
+    "q64_cohort_retention" -> Def(
+      (s, d) => Behavior.cohortRetention(t(s, d, "events"), "user_id", "ts")
+        .orderBy(col("cohort_week"), col("week_offset")),
+      Some("""WITH c AS (SELECT user_id,
+            CAST(date_trunc('week', MIN(ts) OVER (PARTITION BY user_id))
+              AS DATE) AS cohort_week,
+            date_trunc('week', MIN(ts) OVER (PARTITION BY user_id))
+              AS cohort_ts,
+            date_trunc('week', ts) AS wk
+          FROM events),
+        d AS (SELECT DISTINCT user_id, cohort_week,
+            CAST(datediff('day', cohort_ts, wk) // 7 AS BIGINT)
+              AS week_offset
+          FROM c)
+        SELECT cohort_week, week_offset,
+          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_entities
+        FROM d GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // Data-quality expectation suite (Expectations): three row-level
     // predicates + key uniqueness in ONE scan of orders (each check is a

@@ -157,13 +157,12 @@ class PgOutputSpec extends SparkSpec {
   }
 
   test("unhandled-but-valid message types ignored; garbage frames fatal") {
-    // 'O' (origin) and 'M' (logical message) frames flow through a real
-    // stream when publications enable them — the reference's dispatch has
-    // no arm for them and silently continues; garbage is a parse error
-    // and fatal
+    // 'O' (origin) frames flow through a real stream when publications
+    // enable them — the reference's dispatch has no arm for them and
+    // silently continues; garbage is a parse error and fatal ('M' is now
+    // a decoded outbox event, tested separately)
     val origin = Array[Byte]('O'.toByte, 1, 2, 3)
-    val logical = Array[Byte]('M'.toByte, 9, 9)
-    val evts = decode(Seq(relMsg, PgWire.begin(10L, t0, 777), origin, logical,
+    val evts = decode(Seq(relMsg, PgWire.begin(10L, t0, 777), origin,
       PgWire.commit(11L, 12L, t0)))
     assert(evts.map(_.operation) == List("B", "C"))
     val garbage = Array[Byte]('z'.toByte, 0, 0)
@@ -174,6 +173,37 @@ class PgOutputSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unparseable message type 0x7a"))
     assert(e.getMessage.contains("wal_start="), "carries the WAL position")
+  }
+
+  test("logical message 'M': transactional rides the tx, standalone does not") {
+    val inTx = PgWire.logicalMessage(transactional = true, 55L, "outbox",
+      """{"order":42}""".getBytes("UTF-8"))
+    val standalone = PgWire.logicalMessage(transactional = false, 66L,
+      "heartbeat", Array.empty[Byte])
+    val evts = decode(Seq(relMsg, standalone,
+      PgWire.begin(10L, t0, 777), inTx, PgWire.commit(11L, 12L, t0)))
+    assert(evts.map(_.operation) == List("MESSAGE", "B", "MESSAGE", "C"))
+    val solo = evts.head
+    assert(solo.schema_name == "pg_message" && solo.table_name == "heartbeat")
+    assert(solo.txid == 0L && solo.action_time == null)
+    assert(solo.new_values == Map("prefix" -> "heartbeat", "content" -> "",
+      "transactional" -> "false"))
+    val tx = evts(2)
+    assert(tx.table_name == "outbox" && tx.txid == 777L)
+    assert(tx.action_time != null, "transactional message carries the tx ts")
+    assert(tx.new_values("content") == """{"order":42}""")
+    assert(tx.old_values == null)
+  }
+
+  test("logical message 'M': content length past the frame is rejected") {
+    val good = PgWire.logicalMessage(transactional = false, 55L, "p",
+      "abc".getBytes("UTF-8"))
+    // corrupt the declared length (last 4 bytes before content start)
+    val bad = good.clone()
+    val lenOffset = good.length - 3 - 4
+    bad(lenOffset) = 0x7f.toByte
+    val e = intercept[PgOutput.CorruptFrameException] { decode(Seq(bad)) }
+    assert(e.getMessage.contains("exceeds frame"), e.getMessage)
   }
 
   test("protocol v2 streaming frames are a config error, not garbage") {
