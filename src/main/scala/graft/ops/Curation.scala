@@ -421,6 +421,49 @@ object Curation {
       .drop("_rk", "_cap")
   }
 
+  /** Systematic probability-proportional-to-size (PPS) sampling, per
+    * shard: within each shard the docs are laid out on a weight line in
+    * id order (a prefix-sum window), and every `stride = W div k`-th
+    * position is a sampling point (offset stride div 2) — a doc is drawn
+    * with probability proportional to its weight, heavy docs (weight >
+    * stride) drawn with multiplicity `n_points`. The classical
+    * token-weighted selection that [[weightedSample]]'s Bernoulli form
+    * cannot give an EXACT-k guarantee for.
+    *
+    * Determinism + portability: pure BIGINT arithmetic (the engine-parity
+    * trap is floor-vs-truncate division on negatives — all numerators are
+    * kept non-negative by a +stride shift, where truncation ≡ floor).
+    * Scale shape: the prefix sum is a window ORDERED WITHIN EACH SHARD —
+    * one shuffle on the shard key, no global sort; at 100 TB shards are
+    * the natural sampling domains (per-source budgets) and a global
+    * systematic pass would need a range exchange instead.
+    */
+  def ppsSample(df: DataFrame, shardCol: Column, idCol: Column,
+      weightCol: Column, k: Long): DataFrame = {
+    require(k > 0, "k must be positive")
+    val byShard = Window.partitionBy(shardCol)
+    val run = byShard.orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def floorDivNN(a: Column, b: Column): Column = // non-negative domain
+      floor(a.cast("decimal(38,0)").divide(b.cast("decimal(19,0)")))
+        .cast("bigint")
+    df.withColumn("__w", weightCol.cast("bigint"))
+      .withColumn("__c", sum(col("__w")).over(run))
+      .withColumn("__total", sum(col("__w")).over(byShard))
+      .withColumn("__stride",
+        greatest(floorDivNN(col("__total"), lit(k)), lit(1L)))
+      .withColumn("__off", floorDivNN(col("__stride"), lit(2L)))
+      // points at positions off+1+j*stride; doc covers (__c-__w, __c];
+      // +stride keeps both numerators >= 0 and cancels in the difference
+      .withColumn("n_points",
+        floorDivNN(col("__c") - col("__off") - 1 + col("__stride"),
+          col("__stride")) -
+        floorDivNN(col("__c") - col("__w") - col("__off") - 1 + col("__stride"),
+          col("__stride")))
+      .filter(col("n_points") >= 1L)
+      .drop("__w", "__c", "__total", "__stride", "__off")
+  }
+
   /** Epoch replication: repeat each source's documents `epochs(source)`
     * times (default 1), tagging each copy with its epoch ordinal — the
     * "high-quality sources get N epochs" half of a training-mix recipe

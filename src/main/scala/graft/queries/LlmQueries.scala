@@ -4118,6 +4118,38 @@ object LlmQueries {
         FROM lineitem
         ORDER BY l_returnflag""")),
 
+    // Systematic PPS sampling (r9): token-weighted EXACT-ish-k selection
+    // per source — each shard's docs laid on a weight line (per-shard
+    // prefix-sum window, one shuffle, no global sort), every stride-th
+    // position a sampling point; heavy docs carry their multiplicity in
+    // n_points. Pure BIGINT arithmetic with all division numerators kept
+    // non-negative (+stride shift), where DuckDB's truncating // and
+    // Spark's floor division agree — exact hash gate.
+    "l112_pps_sample" -> Def(
+      (s, d) => Curation.ppsSample(
+          t(s, d, "documents").select(col("source"), col("doc_id"),
+            TA.tokenCount(col("text")).cast("bigint").as("weight")),
+          col("source"), col("doc_id"), col("weight"), k = 50L)
+        .select(col("source"), col("doc_id"), col("weight"), col("n_points"))
+        .orderBy(col("source"), col("doc_id")),
+      Some(s"""WITH w AS (SELECT source, doc_id,
+          CAST(len($oToks) AS BIGINT) AS weight FROM documents),
+        c AS (SELECT source, doc_id, weight,
+            CAST(SUM(weight) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cw,
+            CAST(SUM(weight) OVER (PARTITION BY source) AS BIGINT) AS total
+          FROM w),
+        st AS (SELECT source, doc_id, weight, cw,
+            GREATEST(total // 50, 1) AS stride FROM c),
+        p AS (SELECT source, doc_id, weight,
+            ((cw - (stride // 2) - 1 + stride) // stride) -
+            ((cw - weight - (stride // 2) - 1 + stride) // stride)
+              AS n_points
+          FROM st)
+        SELECT source, doc_id, weight, CAST(n_points AS BIGINT) AS n_points
+        FROM p WHERE n_points >= 1 ORDER BY source, doc_id""")),
+
     // Budget ENFORCEMENT — the l102 plan materialized: full epochs plus
     // a deterministically hash-sampled partial epoch per source, and the
     // audit a run publishes — achieved vs target tokens with the

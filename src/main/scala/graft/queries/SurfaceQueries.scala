@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import Q.{Def, dec, t}
-import graft.ops.{Behavior, Expectations, HistogramCube, Layout, SketchCube}
+import graft.ops.{Anomaly, Behavior, Expectations, HistogramCube, Layout, SketchCube}
 
 /** Second tranche of the relational surface (SURVEY.md §2.2): pivot,
   * generator/UDTF-shape (explode with ordinality), JSON functions, the
@@ -1072,6 +1072,44 @@ object SurfaceQueries {
         SELECT cohort_week, week_offset,
           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_entities
         FROM d GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Robust anomaly detection (Anomaly.madOutliers): per-event-type
+    // minute-count series flagged by the median/MAD test — the
+    // monitoring op where mean/stddev z-scores are wrecked by the very
+    // spikes they hunt. Medians are ceil-rank order statistics over
+    // integers (two key-partitioned sort windows + broadcast med/mad
+    // joins), deterministic in both engines, so the oracle is an exact
+    // hash — no sketch, no band.
+    "q65_anomaly_mad" -> Def(
+      (s, d) => {
+        val series = t(s, d, "events")
+          .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
+          .agg(count(lit(1)).as("v"))
+        Anomaly.madOutliers(series, Seq("event_type"), "v", 3)
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH m AS (SELECT event_type, date_trunc('minute', ts) AS mn,
+          CAST(COUNT(*) AS BIGINT) AS v FROM events GROUP BY 1, 2),
+        r AS (SELECT event_type, v,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n FROM m),
+        med AS (SELECT event_type,
+            MAX(CASE WHEN rn * 2 = n + (n % 2) THEN v END) AS med
+          FROM r GROUP BY 1),
+        d AS (SELECT m.event_type, v, med, ABS(v - med) AS dd
+          FROM m JOIN med USING (event_type)),
+        r2 AS (SELECT event_type, dd,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dd) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n FROM d),
+        mad AS (SELECT event_type,
+            MAX(CASE WHEN rn * 2 = n + (n % 2) THEN dd END) AS mad
+          FROM r2 GROUP BY 1)
+        SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(MAX(med) AS BIGINT) AS med, CAST(MAX(mad) AS BIGINT) AS mad,
+          CAST(SUM(CASE WHEN dd > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_outliers
+        FROM d JOIN mad USING (event_type)
+        GROUP BY 1 ORDER BY 1""")),
 
     // Data-quality expectation suite (Expectations): three row-level
     // predicates + key uniqueness in ONE scan of orders (each check is a

@@ -534,4 +534,43 @@ class CurationSpec extends SparkSpec {
     assert(tv("match") == 0L, s"same distribution must score 0: $tv")
     assert(tv("off") == 1000000L, s"disjoint support must score 1e6: $tv")
   }
+
+  test("ppsSample: point count per shard = k, heavy docs carry multiplicity") {
+    // shard a: 100 docs x weight 10 -> total 1000, k=10 -> stride 100,
+    // points at 51,151,...,951 -> exactly 10 docs, one point each
+    val a = (1L to 100L).map(i => ("a", i, 10L))
+    // shard b: one heavy doc (weight 550) + light tail; stride 100 ->
+    // the heavy doc spans >5 strides and carries n_points >= 5
+    val b = Seq(("b", 1L, 550L)) ++ (2L to 46L).map(i => ("b", i, 10L))
+    val out = Curation.ppsSample((a ++ b).toDF("source", "doc_id", "w"),
+        $"source", $"doc_id", $"w", k = 10L)
+      .select($"source", $"doc_id", $"n_points")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byShard = out.groupBy(_._1)
+    // total points per shard == k exactly (weights sum to a stride
+    // multiple in shard a; shard b floors to 10 strides over 1000 total)
+    assert(byShard("a").map(_._3).sum == 10L, byShard("a").toList)
+    assert(byShard("a").size == 10 && byShard("a").forall(_._3 == 1L))
+    assert(byShard("b").map(_._3).sum == 10L, byShard("b").toList)
+    val heavy = byShard("b").find(_._2 == 1L).get
+    assert(heavy._3 >= 5L, s"heavy doc multiplicity: $heavy")
+    // deterministic: a second run selects the identical rows
+    val again = Curation.ppsSample((a ++ b).toDF("source", "doc_id", "w"),
+        $"source", $"doc_id", $"w", k = 10L)
+      .select($"source", $"doc_id", $"n_points")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.sorted.toList == again.sorted.toList)
+  }
+
+  test("ppsSample: selection probability tracks weight") {
+    // doc weights 1 vs 99 in many shards: the 99-weight doc should be
+    // picked in (nearly) every shard, the 1-weight doc rarely
+    val rows = (1L to 50L).flatMap(s =>
+      Seq((s"s$s", 1L, 1L), (s"s$s", 2L, 99L)))
+    val out = Curation.ppsSample(rows.toDF("source", "doc_id", "w"),
+        $"source", $"doc_id", $"w", k = 1L)
+      .select($"doc_id").as[Long].collect()
+    assert(out.count(_ == 2L) == 50, "heavy doc picked in every shard")
+    assert(out.count(_ == 1L) == 0, "light doc never holds the midpoint")
+  }
 }

@@ -227,6 +227,38 @@ class OlapOpsSpec extends SparkSpec {
     assert(meanYSpan < 768, s"meanYSpan=$meanYSpan")
   }
 
+  // --- Anomaly ----------------------------------------------------------
+
+  test("madOutliers: exact median/MAD and spike flagging") {
+    // series 10,10,10,12,12,14,100 -> med=12 (ceil-rank 4 of 7),
+    // devs 2,2,2,0,0,2,88 -> mad=2, outliers (>3*2): only 100
+    val s1 = Seq(10L, 10L, 10L, 12L, 12L, 14L, 100L).map(("a", _))
+    // flat series: med=5, mad=0 -> ANY deviation flags (documented
+    // degeneration): 5,5,5,6 -> 1 outlier
+    val s2 = Seq(5L, 5L, 5L, 6L).map(("b", _))
+    val out = graft.ops.Anomaly.madOutliers(
+        (s1 ++ s2).toDF("k", "v"), Seq("k"), "v", 3)
+      .orderBy($"k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toList == List(
+      ("a", 7L, 12L, 2L, 1L),
+      ("b", 4L, 5L, 0L, 1L)))
+  }
+
+  test("madOutliers: mean-based z-score would miss what MAD catches") {
+    // one huge spike inflates stddev enough that 3-sigma misses a second,
+    // smaller anomaly; MAD flags both
+    val vs = Seq.fill(20)(10L) ++ Seq(40L, 1000L)
+    val out = graft.ops.Anomaly.madOutliers(
+      vs.map(("m", _)).toDF("k", "v"), Seq("k"), "v", 3).collect()(0)
+    assert(out.getAs[Long]("n_outliers") == 2L)
+    val mean = vs.sum.toDouble / vs.size
+    val sd = math.sqrt(vs.map(v => (v - mean) * (v - mean)).sum / vs.size)
+    assert(vs.count(v => math.abs(v - mean) > 3 * sd) < 2,
+      "3-sigma should have missed the 40 spike for this test to mean anything")
+  }
+
   // --- Expectations -----------------------------------------------------
 
   test("audit counts violations exactly, NULL predicate = violation") {
