@@ -28,7 +28,12 @@ object Behavior {
     * stage k exactly when the stage-(k−1) running reach is already set —
     * then one aggregation rolls entities up to stages.
     */
-  def funnel(events: DataFrame, entityCol: String, typeCol: String,
+  /** Per-entity first-reach timestamp of each funnel stage:
+    * `(entity, t0, t1, …)` — tK is null until stage K has been reached
+    * IN ORDER. The building block [[funnel]] aggregates and
+    * time-to-convert analyses subtract.
+    */
+  def stageTimes(events: DataFrame, entityCol: String, typeCol: String,
       tsCol: String, tieCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "at least one funnel stage")
     val w = Window.partitionBy(col(entityCol))
@@ -48,12 +53,17 @@ object Behavior {
       df = df.withColumn(s"__cum$i", min(col(s"__reach$i")).over(w))
       prevCum = Some(col(s"__cum$i"))
     }
-    val hitCols = stages.indices.map(i =>
-      max(col(s"__reach$i").isNotNull).as(s"__hit$i"))
-    val perEntity = df.groupBy(col(entityCol))
-      .agg(hitCols.head, hitCols.tail: _*)
+    val firstReach = stages.indices.map(i =>
+      min(col(s"__reach$i")).as(s"t$i"))
+    df.groupBy(col(entityCol)).agg(firstReach.head, firstReach.tail: _*)
+  }
+
+  def funnel(events: DataFrame, entityCol: String, typeCol: String,
+      tsCol: String, tieCol: String, stages: Seq[String]): DataFrame = {
+    val perEntity = stageTimes(events, entityCol, typeCol, tsCol, tieCol,
+      stages)
     val sums = stages.indices.map(i =>
-      sum(when(col(s"__hit$i"), 1L).otherwise(0L)).as(s"n_$i"))
+      sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L)).as(s"n_$i"))
     val hits = perEntity.agg(sums.head, sums.tail: _*)
     val rows = stages.zipWithIndex.map { case (st, i) =>
       struct(lit(i + 1L).as("stage"), lit(st).as("stage_name"),

@@ -1049,6 +1049,48 @@ object SurfaceQueries {
           UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', n2, n0 FROM s)
         ORDER BY stage""")),
 
+    // Time-to-convert percentiles — operator COMPOSITION: the funnel's
+    // per-entity stage times (one entity window) feed the mergeable
+    // histogram cube (signup→purchase minutes, $60-minute buckets), and
+    // p50/p90 come off the cube — the conversion-latency SLA number.
+    // All BIGINT (epoch-micros difference, ceil-rank interpolation), so
+    // the oracle replays both programs and the gate is an exact hash.
+    "q66_time_to_convert" -> Def(
+      (s, d) => {
+        val st = Behavior.stageTimes(t(s, d, "events"), "user_id",
+          "event_type", "ts", "event_id", Seq("signup", "purchase"))
+        val deltas = st.filter(col("t1").isNotNull)
+          .select(floor(((unix_micros(col("t1")) - unix_micros(col("t0")))
+            .cast("decimal(38,0)")) / lit(60000000L)).cast("bigint").as("m"))
+        val cube = HistogramCube.build(deltas, Nil, col("m"), 60L)
+        HistogramCube.quantiles(cube, Nil, 60L, Seq(50, 90))
+          .select(col("q_pct"), col("est").as("est_minutes"))
+          .orderBy(col("q_pct"))
+      },
+      Some("""WITH r AS (SELECT user_id, ts, event_id, event_type,
+            MIN(CASE WHEN event_type = 'signup' THEN ts END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum0
+          FROM events),
+        r2 AS (SELECT *, CASE WHEN event_type = 'purchase'
+            AND cum0 IS NOT NULL THEN ts END AS reach1 FROM r),
+        st AS (SELECT user_id,
+            MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+            MIN(reach1) AS t1 FROM r2 GROUP BY 1),
+        delta AS (SELECT (epoch_us(t1) - epoch_us(t0)) // 60000000 AS m
+          FROM st WHERE t1 IS NOT NULL),
+        h AS (SELECT m // 60 AS bucket, COUNT(*) AS n FROM delta GROUP BY 1),
+        t AS (SELECT bucket, n, SUM(n) OVER (ORDER BY bucket) AS cum,
+            SUM(n) OVER () AS total FROM h),
+        j AS (SELECT q_pct, bucket, n, cum, total,
+            GREATEST((total * q_pct + 99) // 100, 1) AS rk
+          FROM t CROSS JOIN (SELECT * FROM (VALUES (50), (90)) v(q_pct)))
+        SELECT CAST(q_pct AS BIGINT) AS q_pct,
+          CAST(bucket * 60 + ((rk - (cum - n)) * 60) // n AS BIGINT)
+            AS est_minutes
+        FROM j WHERE cum - n < rk AND rk <= cum
+        ORDER BY q_pct""")),
+
     // Weekly cohort retention (Behavior.cohortRetention): entities
     // cohorted by first-event week (one entity-partitioned window), then
     // (cohort, offset) activity rollup — the second behavioral-analytics
