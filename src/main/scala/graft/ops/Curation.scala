@@ -464,6 +464,63 @@ object Curation {
       .drop("__w", "__c", "__total", "__stride", "__off")
   }
 
+  /** GLOBAL systematic PPS sampling — [[ppsSample]] without the shard
+    * crutch, shaped for 100 TB: a global prefix sum CANNOT be one window
+    * (that is a single-partition sort — the classic scale-killer), so it
+    * is the classic two-phase distributed prefix sum instead:
+    *
+    *  1. range-exchange + in-partition sort on the id (a sampled
+    *     RangePartitioning, no global sort buffer);
+    *  2. per-partition weight totals to the driver (O(partitions) longs —
+    *     the same driver-decision scale as the MV bucket lists) →
+    *     cumulative offsets broadcast back;
+    *  3. within-partition prefix sum + the partition's offset = the
+    *     global running position, exact.
+    *
+    * Output is deterministic despite the sampled partition BOUNDARIES:
+    * each row's global prefix depends only on the total id order, not on
+    * where the cuts fell, so the same rows are drawn on any cluster
+    * layout (and the DuckDB oracle replays it as one ordered window).
+    */
+  def ppsSampleGlobal(df: DataFrame, idCol: Column, weightCol: Column,
+      k: Long, partitions: Int = 0): DataFrame = {
+    require(k > 0, "k must be positive")
+    val base0 = df.withColumn("__w", weightCol.cast("bigint"))
+    // localCheckpoint (eager): phase-2's totals and phase-3's prefix must
+    // see the SAME partition cuts — the range exchange samples, and a
+    // recomputation could re-cut; the checkpoint pins the layout (and a
+    // lost block fails loudly instead of silently re-sampling)
+    val base = (if (partitions > 0) base0.repartitionByRange(partitions, idCol)
+                else base0.repartitionByRange(idCol))
+      .sortWithinPartitions(idCol)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val partSums = base.groupBy(col("__pid")).agg(sum(col("__w")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = partSums.keys.toSeq.sorted
+    val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + partSums(p)))
+      .toMap
+    val total = partSums.values.sum
+    val stride = math.max(total / k, 1L)
+    val off = stride / 2
+    val offCol = pids.foldLeft(lit(0L)) { (acc, p) =>
+      when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
+    }
+    val run = Window.partitionBy(col("__pid")).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def floorDivNN(a: Column, b: Column): Column =
+      floor(a.cast("decimal(38,0)").divide(b.cast("decimal(19,0)")))
+        .cast("bigint")
+    base
+      .withColumn("__c", sum(col("__w")).over(run) + offCol)
+      .withColumn("n_points",
+        floorDivNN(col("__c") - lit(off) - 1 + lit(stride), lit(stride)) -
+        floorDivNN(col("__c") - col("__w") - lit(off) - 1 + lit(stride),
+          lit(stride)))
+      .filter(col("n_points") >= 1L)
+      .drop("__w", "__pid", "__c")
+  }
+
   /** Epoch replication: repeat each source's documents `epochs(source)`
     * times (default 1), tagging each copy with its epoch ordinal — the
     * "high-quality sources get N epochs" half of a training-mix recipe

@@ -4150,6 +4150,36 @@ object LlmQueries {
         SELECT source, doc_id, weight, CAST(n_points AS BIGINT) AS n_points
         FROM p WHERE n_points >= 1 ORDER BY source, doc_id""")),
 
+    // GLOBAL systematic PPS (r9): the l112 draw without the shard crutch —
+    // the global prefix sum is the two-phase distributed form (range
+    // exchange + per-partition totals to the driver + broadcast offsets),
+    // NOT a single-partition window; output is cut-independent (each
+    // row's global prefix depends only on the total id order), so the
+    // oracle replays it as one ordered window and the gate is exact.
+    "l113_pps_global" -> Def(
+      (s, d) => Curation.ppsSampleGlobal(
+          t(s, d, "documents").select(col("doc_id"), col("source"),
+            TA.tokenCount(col("text")).cast("bigint").as("weight")),
+          col("doc_id"), col("weight"), k = 200L)
+        .select(col("doc_id"), col("source"), col("weight"), col("n_points"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH w AS (SELECT doc_id, source,
+          CAST(len($oToks) AS BIGINT) AS weight FROM documents),
+        c AS (SELECT doc_id, source, weight,
+            CAST(SUM(weight) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cw,
+            CAST(SUM(weight) OVER () AS BIGINT) AS total FROM w),
+        st AS (SELECT doc_id, source, weight, cw,
+            GREATEST(total // 200, 1) AS stride FROM c),
+        p AS (SELECT doc_id, source, weight,
+            ((cw - (stride // 2) - 1 + stride) // stride) -
+            ((cw - weight - (stride // 2) - 1 + stride) // stride)
+              AS n_points
+          FROM st)
+        SELECT doc_id, source, weight, CAST(n_points AS BIGINT) AS n_points
+        FROM p WHERE n_points >= 1 ORDER BY doc_id""")),
+
     // Budget ENFORCEMENT — the l102 plan materialized: full epochs plus
     // a deterministically hash-sampled partial epoch per source, and the
     // audit a run publishes — achieved vs target tokens with the

@@ -562,6 +562,50 @@ class CurationSpec extends SparkSpec {
     assert(out.sorted.toList == again.sorted.toList)
   }
 
+  test("ppsSample: per-shard point count matches the closed form") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 6).flatMap { s =>
+      val n = 20 + rnd.nextInt(30)
+      (1 to n).map(i => (s"s$s", i.toLong, (1 + rnd.nextInt(50)).toLong))
+    }
+    val k = 7L
+    val out = Curation.ppsSample(rows.toDF("source", "doc_id", "w"),
+        $"source", $"doc_id", $"w", k)
+      .groupBy($"source").agg(sum($"n_points").as("pts")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (s, rs) =>
+      val w = rs.map(_._3).sum
+      val stride = math.max(1L, w / k); val off = stride / 2
+      val expect = (w - off - 1) / stride + 1
+      assert(out(s) == expect, s"$s: ${out(s)} vs closed form $expect (W=$w)")
+      assert(out(s) >= k)
+    }
+  }
+
+  test("ppsSampleGlobal: equals the one-shard draw, without a global window") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 500L).map(i => (i, (1 + rnd.nextInt(40)).toLong))
+    val global = Curation.ppsSampleGlobal(
+        rows.toDF("doc_id", "w"), $"doc_id", $"w", k = 23L, partitions = 7)
+      .select($"doc_id", $"n_points")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+    // reference: the same draw as ONE shard through ppsSample
+    val oneShard = Curation.ppsSample(
+        rows.map { case (i, w) => ("all", i, w) }.toDF("s", "doc_id", "w"),
+        $"s", $"doc_id", $"w", k = 23L)
+      .select($"doc_id", $"n_points")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+    assert(global == oneShard)
+    // scale shape: the prefix window is partitioned (by __pid), never a
+    // single global partition
+    val plan = Curation.ppsSampleGlobal(
+        rows.toDF("doc_id", "w"), $"doc_id", $"w", k = 23L, partitions = 7)
+      .queryExecution.executedPlan.toString
+    val globalWindows = "windowspecdefinition\\(doc_id".r.findAllIn(plan).size
+    assert(globalWindows == 0, s"global window found:\n${plan.take(1000)}")
+    assert(plan.contains("windowspecdefinition(__pid"), plan.take(1000))
+  }
+
   test("ppsSample: selection probability tracks weight") {
     // doc weights 1 vs 99 in many shards: the 99-weight doc should be
     // picked in (nearly) every shard, the 1-weight doc rarely
