@@ -55,6 +55,37 @@ object Layout {
   def zvalue2Sql(x: String, y: String): String =
     s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"
 
+  /** 3-way bit-spread masks: 10-bit values to every-3rd-bit positions. */
+  private val rounds3: Seq[(Int, Long)] = Seq(
+    16 -> 0x030000FFL,
+    8 -> 0x0300F00FL,
+    4 -> 0x030C30C3L,
+    2 -> 0x09249249L)
+
+  /** Spread a 10-bit value's bits 3 apart (30-bit lane). */
+  def spread10x3(v: Column): Column =
+    rounds3.foldLeft(v.bitwiseAND(lit(0x3FFL))) { case (acc, (s, m)) =>
+      acc.bitwiseOR(shiftleft(acc, s)).bitwiseAND(lit(m))
+    }
+
+  def spread10x3Sql(e: String): String =
+    rounds3.foldLeft(s"($e & 1023)") { case (acc, (s, m)) =>
+      s"(($acc | ($acc << $s)) & $m)"
+    }
+
+  /** 3-D Morton code over 10-bit dims (30 significant bits) — the same
+    * min/max-skipping layout as [[zvalue2]] when a THIRD column (a time
+    * bucket, typically) must also prune.
+    */
+  def zvalue3(x: Column, y: Column, z: Column): Column =
+    spread10x3(x)
+      .bitwiseOR(shiftleft(spread10x3(y), 1))
+      .bitwiseOR(shiftleft(spread10x3(z), 2))
+
+  def zvalue3Sql(x: String, y: String, z: String): String =
+    s"(${spread10x3Sql(x)} | (${spread10x3Sql(y)} << 1) | " +
+      s"(${spread10x3Sql(z)} << 2))"
+
   /** Cluster a frame for 2-D skipping: one sampled range exchange on the
     * z-value + an in-partition sort, so each output file's (x, y)
     * bounding box is a small z-curve segment. Columns `xCol`/`yCol` must

@@ -927,6 +927,41 @@ object SurfaceQueries {
           MIN(yb) AS y_min, MAX(yb) AS y_max
         FROM z GROUP BY 1 ORDER BY 1""")),
 
+    // 3-D Z-order cells: q59's layout with a TIME dimension added — the
+    // common real shape (entity × measure × day) where a box predicate
+    // must prune on any of the three. Top 9 interleaved bits = 512 cells,
+    // each a 128×128×128 box; same mask-generated oracle, exact hash.
+    "q67_zorder3_cells" -> Def(
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .withColumn("xb", pmod(col("o_custkey"), lit(1024L)))
+          .withColumn("yb", pmod(expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"),
+            lit(1024L)))
+          .withColumn("zb", pmod(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("bigint"), lit(1024L)))
+        o.withColumn("zv", Layout.zvalue3(col("xb"), col("yb"), col("zb")))
+          .groupBy(shiftright(col("zv"), 21).as("zcell"))
+          .agg(count(lit(1)).as("n"),
+            min(col("xb")).as("x_min"), max(col("xb")).as("x_max"),
+            min(col("yb")).as("y_min"), max(col("yb")).as("y_max"),
+            min(col("zb")).as("z_min"), max(col("zb")).as("z_max"))
+          .orderBy(col("zcell"))
+      },
+      Some(s"""WITH b AS (SELECT (o_custkey % 1024) AS xb,
+          ((CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) % 1024)
+            AS yb,
+          (datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+            % 1024) AS zb
+          FROM orders),
+        z AS (SELECT xb, yb, zb,
+          ${Layout.zvalue3Sql("xb", "yb", "zb")} AS zv FROM b)
+        SELECT (zv >> 21) AS zcell, COUNT(*) AS n,
+          MIN(xb) AS x_min, MAX(xb) AS x_max,
+          MIN(yb) AS y_min, MAX(yb) AS y_max,
+          MIN(zb) AS z_min, MAX(zb) AS z_max
+        FROM z GROUP BY 1 ORDER BY 1""")),
+
     // Mergeable quantile cube (HistogramCube): one fact scan into
     // per-(priority, $1000-bucket) counts; p50/p95/p99 for every priority
     // AND the grand total are answered from the CUBE via a window cumsum

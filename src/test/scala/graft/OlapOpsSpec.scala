@@ -183,6 +183,30 @@ class OlapOpsSpec extends SparkSpec {
     }
   }
 
+  test("zvalue3 matches the reference 3-way interleave") {
+    def morton3Ref(x: Int, y: Int, z: Int): Long = {
+      var v = 0L
+      for (i <- 0 until 10) {
+        v |= ((x >> i) & 1L) << (3 * i)
+        v |= ((y >> i) & 1L) << (3 * i + 1)
+        v |= ((z >> i) & 1L) << (3 * i + 2)
+      }
+      v
+    }
+    val rnd = new scala.util.Random(9)
+    val pts = Seq.fill(64)((rnd.nextInt(1024), rnd.nextInt(1024),
+      rnd.nextInt(1024))) ++
+      Seq((0, 0, 0), (1023, 1023, 1023), (1, 0, 0), (0, 1, 0), (0, 0, 1))
+    val got = pts.toDF("x", "y", "z")
+      .select($"x", $"y", $"z", Layout.zvalue3($"x".cast("long"),
+        $"y".cast("long"), $"z".cast("long")).as("zv"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(3) == morton3Ref(r.getInt(0), r.getInt(1), r.getInt(2)),
+        s"(${r.getInt(0)}, ${r.getInt(1)}, ${r.getInt(2)})")
+    }
+  }
+
   test("z-cells tile: every aligned cell is a 128x128 rectangle") {
     val o = spark.read.parquet(s"$sf0001/orders.parquet")
       .withColumn("xb", pmod($"o_custkey", lit(1024L)))
