@@ -4180,6 +4180,93 @@ object LlmQueries {
         SELECT doc_id, source, weight, CAST(n_points AS BIGINT) AS n_points
         FROM p WHERE n_points >= 1 ORDER BY doc_id""")),
 
+    // STREAMING funnel (r9): Behavior.funnel's incremental twin — per-
+    // entity progress is ONE integer in transformWithState keyed state,
+    // each event advances it at most one stage, each advancement emits a
+    // StageHit; per-trigger cost O(arrivals), history never re-scanned.
+    // Two real event-time-ordered micro-batches through a checkpointed
+    // stream; the post-stream rollup reproduces the BATCH funnel's
+    // output exactly, so the gate reuses q63's oracle program verbatim.
+    "l114_stream_funnel" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val prev = s.conf.getOption(
+          "spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        try {
+          val ev = t(s, d, "events")
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("ts"))
+          val work = java.nio.file.Files.createTempDirectory("graft_l114")
+          val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+          Seq((0L, maxId / 2), (maxId / 2 + 1, maxId)).zipWithIndex.foreach {
+            case ((lo, hi), i) =>
+              ev.filter(col("event_id").between(lo, hi))
+                .coalesce(1).write.parquet(s"$work/in/s$i")
+              new java.io.File(s"$work/in/s$i").listFiles()
+                .foreach(f => { f.setLastModified(1700000000000L + i * 60000L); () })
+          }
+          val stream = s.readStream
+            .schema("event_id LONG, user_id LONG, event_type STRING, " +
+              "ts TIMESTAMP")
+            .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
+          val hits = graft.streaming.StreamingFunnel.stageHits(s, stream.toDF(),
+            "user_id", "event_type", "ts", "event_id",
+            Seq("signup", "view", "purchase"))
+          val q = hits.writeStream.outputMode("append")
+            .option("checkpointLocation", s"$work/ckpt")
+            .trigger(Trigger.ProcessingTime("50 milliseconds"))
+            .format("parquet").option("path", s"$work/out").start()
+          try { q.processAllAvailable() } finally q.stop()
+          val out = s.read.parquet(s"$work/out")
+          val n0 = out.filter(col("stage") === 1L).count()
+          out.groupBy(col("stage"), col("stage_name"))
+            .agg(count(lit(1)).as("n_entities"))
+            .withColumn("conversion_ppm",
+              floor(col("n_entities").cast("decimal(20,0)") * 1000000 /
+                greatest(lit(n0), lit(1L))).cast("bigint"))
+            .orderBy(col("stage"))
+        } finally prev match {
+          case Some(p) => s.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset(
+            "spark.sql.streaming.stateStore.providerClass")
+        }
+      },
+      Some("""WITH r AS (SELECT user_id, ts, event_id, event_type,
+            MIN(CASE WHEN event_type = 'signup' THEN ts END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum0
+          FROM events),
+        r2 AS (SELECT *, CASE WHEN event_type = 'view' AND cum0 IS NOT NULL
+            THEN ts END AS reach1 FROM r),
+        r3 AS (SELECT *, MIN(reach1)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1
+          FROM r2),
+        r4 AS (SELECT *, CASE WHEN event_type = 'purchase'
+            AND cum1 IS NOT NULL THEN ts END AS reach2 FROM r3),
+        hits AS (SELECT user_id,
+            MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS h0,
+            MAX(CASE WHEN reach1 IS NOT NULL THEN 1 ELSE 0 END) AS h1,
+            MAX(CASE WHEN reach2 IS NOT NULL THEN 1 ELSE 0 END) AS h2
+          FROM r4 GROUP BY 1),
+        s AS (SELECT CAST(SUM(h0) AS BIGINT) AS n0,
+            CAST(SUM(h1) AS BIGINT) AS n1,
+            CAST(SUM(h2) AS BIGINT) AS n2 FROM hits)
+        SELECT stage, stage_name, n_entities,
+          CAST((n_entities * 1000000) // GREATEST(n0, 1) AS BIGINT)
+            AS conversion_ppm
+        FROM (
+          SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS stage_name,
+            n0 AS n_entities, n0 FROM s
+          UNION ALL SELECT CAST(2 AS BIGINT), 'view', n1, n0 FROM s
+          UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', n2, n0 FROM s)
+        WHERE n_entities > 0
+        ORDER BY stage""")),
+
     // Budget ENFORCEMENT — the l102 plan materialized: full epochs plus
     // a deterministically hash-sampled partial epoch per source, and the
     // audit a run publishes — achieved vs target tokens with the

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** One funnel input event (entity-keyed). */
+case class FunnelEvent(entity: Long, event_type: String,
+    ts: java.sql.Timestamp, tie: Long)
+
+/** A stage completion: `entity` reached `stage` (1-based) at `ts`. */
+case class StageHit(entity: Long, stage: Long, stage_name: String,
+    ts: java.sql.Timestamp)
+
+/** INCREMENTAL ordered funnel — [[graft.ops.Behavior.funnel]]'s streaming
+  * twin on `transformWithState`: per-entity progress is ONE integer in
+  * keyed state (stages reached so far), each arriving event advances it
+  * at most one stage, and every advancement emits a [[StageHit]]. At
+  * 100 TB the funnel is maintained this way — per-trigger cost is
+  * O(arrivals), the corpus of historical events is never re-scanned,
+  * and the per-entity state is 4 bytes however long the history.
+  *
+  * Ordering contract: within a micro-batch, an entity's events are
+  * folded in (ts, tie) order — identical to the batch operator. Across
+  * micro-batches, arrival order is processing order: an event-time
+  * straggler older than an already-taken stage cannot retroactively
+  * re-qualify later stages (the batch operator re-computes, the stream
+  * is monotone). Feed event-time-ordered input for exact batch parity.
+  */
+class FunnelProcessor(stages: Seq[String])
+    extends StatefulProcessor[Long, FunnelEvent, StageHit] {
+
+  @transient private var reached: ValueState[Int] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    reached = getHandle.getValueState[Int]("reached", Encoders.scalaInt,
+      TTLConfig.NONE)
+  }
+
+  override def handleInputRows(entity: Long, rows: Iterator[FunnelEvent],
+      timers: TimerValues): Iterator[StageHit] = {
+    var r = if (reached.exists()) reached.get() else 0
+    val hits = List.newBuilder[StageHit]
+    rows.toList.sortBy(e => (e.ts.getTime, e.tie)).foreach { e =>
+      if (r < stages.length && e.event_type == stages(r)) {
+        r += 1
+        hits += StageHit(entity, r.toLong, stages(r - 1), e.ts)
+      }
+    }
+    reached.update(r)
+    hits.result().iterator
+  }
+}
+
+object StreamingFunnel {
+
+  /** Stage-completion stream for `events` (columns: entityCol, typeCol,
+    * tsCol, tieCol). Requires the RocksDB state-store provider.
+    */
+  def stageHits(spark: SparkSession, events: DataFrame, entityCol: String,
+      typeCol: String, tsCol: String, tieCol: String,
+      stages: Seq[String]): Dataset[StageHit] = {
+    import spark.implicits._
+    events.select(
+        events(entityCol).cast("long").as("entity"),
+        events(typeCol).as("event_type"),
+        events(tsCol).as("ts"),
+        events(tieCol).cast("long").as("tie"))
+      .as[FunnelEvent]
+      .groupByKey(_.entity)
+      .transformWithState(new FunnelProcessor(stages), TimeMode.None(),
+        OutputMode.Append(), Encoders.product[StageHit])
+  }
+}

@@ -70,6 +70,50 @@ class BehaviorSpec extends SparkSpec {
     assert(!plan.contains("Join"), "funnel must not self-join")
   }
 
+  test("streaming funnel: state advances across micro-batches, monotone") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("funnel_ckpt")
+    try {
+      val input = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+      val hits = graft.streaming.StreamingFunnel.stageHits(spark,
+        input.toDF().toDF("u", "t", "tts", "id"),
+        "u", "t", "tts", "id", Seq("signup", "view", "purchase"))
+      val q = hits.writeStream.outputMode("append").format("memory")
+        .queryName("funnel_hits_t")
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        // batch 1: signup, then a purchase BEFORE any view — only the
+        // signup advances (stage state = 1 carried into batch 2)
+        input.addData((1L, "signup", ts("2024-01-01 10:00:00"), 1L),
+          (1L, "purchase", ts("2024-01-01 10:30:00"), 2L))
+        q.processAllAvailable()
+        val afterB1 = spark.table("funnel_hits_t").select($"stage")
+          .as[Long].collect().sorted.toList
+        assert(afterB1 == List(1L), s"batch 1 emitted $afterB1")
+        // batch 2: view then purchase — both advance, reading the state
+        // persisted by batch 1
+        input.addData((1L, "view", ts("2024-01-01 11:00:00"), 3L),
+          (1L, "purchase", ts("2024-01-01 12:00:00"), 4L))
+        q.processAllAvailable()
+        val all = spark.table("funnel_hits_t")
+          .select($"stage", $"stage_name").collect()
+          .map(r => (r.getLong(0), r.getString(1))).sorted.toList
+        assert(all == List((1L, "signup"), (2L, "view"), (3L, "purchase")))
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("cohort retention: week arithmetic and distinct entity counting") {
     val events = Seq(
       // u1 first seen Mon Jan 1 week; active that week and 2 weeks later
