@@ -1188,6 +1188,42 @@ object SurfaceQueries {
         FROM d JOIN mad USING (event_type)
         GROUP BY 1 ORDER BY 1""")),
 
+    // Event-sequence transition matrix: per-entity next-event via ONE
+    // lead() window (same single entity shuffle as the funnel), rolled to
+    // (from, to) counts with row probabilities in ppm — the Markov-chain
+    // view of user behavior (what follows what), the path-analysis
+    // staple next to q63's funnel. Deterministic under ts ties via the
+    // event_id tiebreak; all-integer output.
+    "q68_transitions" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = t(s, d, "events")
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val byFrom = Window.partitionBy(col("from_type"))
+        pairs
+          .withColumn("from_total", sum(col("n")).over(byFrom))
+          .withColumn("prob_ppm",
+            floor(col("n").cast("decimal(20,0)") * 1000000 /
+              col("from_total")).cast("bigint"))
+          .select(col("from_type"), col("to_type"), col("n"), col("prob_ppm"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH p AS (SELECT event_type AS from_type,
+            LEAD(event_type, 1) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS to_type
+          FROM events),
+        c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+          CAST((n * 1000000) // CAST(SUM(n) OVER (PARTITION BY from_type)
+            AS BIGINT) AS BIGINT) AS prob_ppm
+        FROM c ORDER BY from_type, to_type""")),
+
     // Data-quality expectation suite (Expectations): three row-level
     // predicates + key uniqueness in ONE scan of orders (each check is a
     // map-side-partial SUM of a boolean cast), plus referential integrity
