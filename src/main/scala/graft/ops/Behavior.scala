@@ -33,8 +33,13 @@ object Behavior {
     * IN ORDER. The building block [[funnel]] aggregates and
     * time-to-convert analyses subtract.
     */
+  /** `maxGapSeconds > 0` adds a CONVERSION DEADLINE: stage k only counts
+    * within that many seconds of stage k−1's first reach (the real
+    * product-funnel contract — "purchased within 24h of viewing").
+    */
   def stageTimes(events: DataFrame, entityCol: String, typeCol: String,
-      tsCol: String, tieCol: String, stages: Seq[String]): DataFrame = {
+      tsCol: String, tieCol: String, stages: Seq[String],
+      maxGapSeconds: Long = 0L): DataFrame = {
     require(stages.nonEmpty, "at least one funnel stage")
     val w = Window.partitionBy(col(entityCol))
       .orderBy(col(tsCol), col(tieCol))
@@ -47,7 +52,13 @@ object Behavior {
     stages.zipWithIndex.foreach { case (st, i) =>
       val qualified = prevCum match {
         case None => col(typeCol) === st
-        case Some(_) => col(typeCol) === st && col(s"__cum${i - 1}").isNotNull
+        case Some(_) =>
+          val inOrder = col(typeCol) === st && col(s"__cum${i - 1}").isNotNull
+          if (maxGapSeconds > 0)
+            inOrder && unix_micros(col(tsCol)) -
+              unix_micros(col(s"__cum${i - 1}")) <=
+              lit(maxGapSeconds * 1000000L)
+          else inOrder
       }
       df = df.withColumn(s"__reach$i", when(qualified, col(tsCol)))
       df = df.withColumn(s"__cum$i", min(col(s"__reach$i")).over(w))
@@ -59,9 +70,10 @@ object Behavior {
   }
 
   def funnel(events: DataFrame, entityCol: String, typeCol: String,
-      tsCol: String, tieCol: String, stages: Seq[String]): DataFrame = {
+      tsCol: String, tieCol: String, stages: Seq[String],
+      maxGapSeconds: Long = 0L): DataFrame = {
     val perEntity = stageTimes(events, entityCol, typeCol, tsCol, tieCol,
-      stages)
+      stages, maxGapSeconds)
     val sums = stages.indices.map(i =>
       sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L)).as(s"n_$i"))
     val hits = perEntity.agg(sums.head, sums.tail: _*)

@@ -1126,6 +1126,50 @@ object SurfaceQueries {
         FROM j WHERE cum - n < rk AND rk <= cum
         ORDER BY q_pct""")),
 
+    // Funnel with a CONVERSION DEADLINE: q63's program where each stage
+    // must land within 1 hour of the previous stage's first reach — the
+    // real product-funnel contract ("purchased within the hour"). Same
+    // single entity window; the deadline is one integer comparison
+    // inside the qualification predicate.
+    "q69_funnel_deadline" -> Def(
+      (s, d) => Behavior.funnel(t(s, d, "events"), "user_id", "event_type",
+          "ts", "event_id", Seq("signup", "view", "purchase"),
+          maxGapSeconds = 3600L)
+        .orderBy(col("stage")),
+      Some("""WITH r AS (SELECT user_id, ts, event_id, event_type,
+            MIN(CASE WHEN event_type = 'signup' THEN ts END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum0
+          FROM events),
+        r2 AS (SELECT *, CASE WHEN event_type = 'view' AND cum0 IS NOT NULL
+            AND epoch_us(ts) - epoch_us(cum0) <= 3600000000
+            THEN ts END AS reach1 FROM r),
+        r3 AS (SELECT *, MIN(reach1)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1
+          FROM r2),
+        r4 AS (SELECT *, CASE WHEN event_type = 'purchase'
+            AND cum1 IS NOT NULL
+            AND epoch_us(ts) - epoch_us(cum1) <= 3600000000
+            THEN ts END AS reach2 FROM r3),
+        hits AS (SELECT user_id,
+            MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS h0,
+            MAX(CASE WHEN reach1 IS NOT NULL THEN 1 ELSE 0 END) AS h1,
+            MAX(CASE WHEN reach2 IS NOT NULL THEN 1 ELSE 0 END) AS h2
+          FROM r4 GROUP BY 1),
+        s AS (SELECT CAST(SUM(h0) AS BIGINT) AS n0,
+            CAST(SUM(h1) AS BIGINT) AS n1,
+            CAST(SUM(h2) AS BIGINT) AS n2 FROM hits)
+        SELECT stage, stage_name, n_entities,
+          CAST((n_entities * 1000000) // GREATEST(n0, 1) AS BIGINT)
+            AS conversion_ppm
+        FROM (
+          SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS stage_name,
+            n0 AS n_entities, n0 FROM s
+          UNION ALL SELECT CAST(2 AS BIGINT), 'view', n1, n0 FROM s
+          UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', n2, n0 FROM s)
+        ORDER BY stage""")),
+
     // Weekly cohort retention (Behavior.cohortRetention): entities
     // cohorted by first-event week (one entity-partitioned window), then
     // (cohort, offset) activity rollup — the second behavioral-analytics

@@ -70,6 +70,27 @@ class BehaviorSpec extends SparkSpec {
     assert(!plan.contains("Join"), "funnel must not self-join")
   }
 
+  test("funnel deadline: late conversions don't count, on-time ones do") {
+    val events = Seq(
+      // u1 views 30 min after signup — inside a 1h deadline
+      (1L, "signup", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "view", ts("2024-01-01 10:30:00"), 2L),
+      // u2 views 2h after signup — outside; a later view is ALSO outside
+      (2L, "signup", ts("2024-01-02 10:00:00"), 3L),
+      (2L, "view", ts("2024-01-02 12:00:00"), 4L),
+      (2L, "view", ts("2024-01-02 13:00:00"), 5L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = Behavior.funnel(events, "user_id", "event_type", "ts",
+        "event_id", Seq("signup", "view"), maxGapSeconds = 3600L)
+      .orderBy($"stage").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toList == List((1L, 2L), (2L, 1L)))
+    // without the deadline u2 converts too
+    val noDl = Behavior.funnel(events, "user_id", "event_type", "ts",
+        "event_id", Seq("signup", "view"))
+      .orderBy($"stage").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(noDl.toList == List((1L, 2L), (2L, 2L)))
+  }
+
   test("streaming funnel: state advances across micro-batches, monotone") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sctx = spark.sqlContext
