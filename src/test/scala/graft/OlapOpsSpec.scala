@@ -251,6 +251,68 @@ class OlapOpsSpec extends SparkSpec {
     assert(meanYSpan < 768, s"meanYSpan=$meanYSpan")
   }
 
+  test("z-order layout prunes at REAL parquet footers; x-sort can't on y") {
+    // the actual file-skipping mechanism: write both layouts, read the
+    // column min/max back from the parquet footers, and count the files
+    // a predicate's range intersects — what any engine's scan consults
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .withColumn("xb", pmod($"o_custkey", lit(1024L)))
+      .withColumn("yb", pmod(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"),
+        lit(1024L)))
+      .select($"xb", $"yb", $"o_orderkey")
+    val zdir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val xdir = java.nio.file.Files.createTempDirectory("xsort").toString
+    Layout.cluster(o, "xb", "yb", 16).write.mode("overwrite").parquet(zdir)
+    o.repartitionByRange(16, $"xb").sortWithinPartitions($"xb")
+      .write.mode("overwrite").parquet(xdir)
+
+    def fileStats(dir: String): Seq[Map[String, (Long, Long)]] = {
+      val conf = spark.sessionState.newHadoopConf()
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val perCol = scala.collection.mutable.Map.empty[String, (Long, Long)]
+            r.getFooter.getBlocks.forEach { b =>
+              b.getColumns.forEach { c =>
+                val name = c.getPath.toDotString
+                if (name == "xb" || name == "yb") {
+                  val st = c.getStatistics
+                  val mn = st.genericGetMin.asInstanceOf[java.lang.Long].toLong
+                  val mx = st.genericGetMax.asInstanceOf[java.lang.Long].toLong
+                  val cur = perCol.getOrElse(name, (Long.MaxValue, Long.MinValue))
+                  perCol(name) = (math.min(cur._1, mn), math.max(cur._2, mx))
+                }
+              }
+            }
+            perCol.toMap
+          } finally r.close()
+        }
+    }
+    def candidates(stats: Seq[Map[String, (Long, Long)]],
+        pred: Map[String, (Long, Long)]): Int =
+      stats.count(s => pred.forall { case (c, (lo, hi)) =>
+        val (mn, mx) = s(c); mx >= lo && mn <= hi
+      })
+
+    val zStats = fileStats(zdir)
+    val xStats = fileStats(xdir)
+    assert(zStats.size >= 12 && xStats.size >= 12, "want many files")
+    val box = Map("xb" -> (0L, 127L), "yb" -> (0L, 127L))
+    val yOnly = Map("yb" -> (0L, 127L))
+    // a 2-D box touches a couple of z-curve segments, not the corpus
+    assert(candidates(zStats, box) <= 4,
+      s"z-layout box candidates: ${candidates(zStats, box)}/${zStats.size}")
+    // the x-sorted layout cannot prune a y predicate AT ALL...
+    assert(candidates(xStats, yOnly) == xStats.size)
+    // ...while the z-layout skips at least half the files on y alone
+    assert(candidates(zStats, yOnly) * 2 <= zStats.size,
+      s"z-layout y-only candidates: ${candidates(zStats, yOnly)}/${zStats.size}")
+  }
+
   // --- Anomaly ----------------------------------------------------------
 
   test("madOutliers: exact median/MAD and spike flagging") {
