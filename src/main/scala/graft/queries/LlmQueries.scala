@@ -4267,6 +4267,72 @@ object LlmQueries {
         WHERE n_entities > 0
         ORDER BY stage""")),
 
+    // STREAMING transition mining (r9): q68's Markov matrix maintained
+    // incrementally — keyed state is the entity's LAST event only, every
+    // arrival emits one edge, the matrix is a rollup of the edge stream.
+    // Two event-time-ordered micro-batches; the rollup reproduces the
+    // batch lead() program exactly, so the gate reuses q68's oracle.
+    "l115_stream_transitions" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val prev = s.conf.getOption(
+          "spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        try {
+          val ev = t(s, d, "events")
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("ts"))
+          val work = java.nio.file.Files.createTempDirectory("graft_l115")
+          val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+          Seq((0L, maxId / 2), (maxId / 2 + 1, maxId)).zipWithIndex.foreach {
+            case ((lo, hi), i) =>
+              ev.filter(col("event_id").between(lo, hi))
+                .coalesce(1).write.parquet(s"$work/in/s$i")
+              new java.io.File(s"$work/in/s$i").listFiles()
+                .foreach(f => { f.setLastModified(1700000000000L + i * 60000L); () })
+          }
+          val stream = s.readStream
+            .schema("event_id LONG, user_id LONG, event_type STRING, " +
+              "ts TIMESTAMP")
+            .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
+          val edges = graft.streaming.StreamingTransitions.edges(s,
+            stream.toDF(), "user_id", "event_type", "ts", "event_id")
+          val q = edges.writeStream.outputMode("append")
+            .option("checkpointLocation", s"$work/ckpt")
+            .trigger(Trigger.ProcessingTime("50 milliseconds"))
+            .format("parquet").option("path", s"$work/out").start()
+          try { q.processAllAvailable() } finally q.stop()
+          val out = s.read.parquet(s"$work/out")
+            .groupBy(col("from_type"), col("to_type"))
+            .agg(count(lit(1)).as("n"))
+          val byFrom = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("from_type"))
+          out.withColumn("prob_ppm",
+              floor(col("n").cast("decimal(20,0)") * 1000000 /
+                sum(col("n")).over(byFrom)).cast("bigint"))
+            .select(col("from_type"), col("to_type"), col("n"),
+              col("prob_ppm"))
+            .orderBy(col("from_type"), col("to_type"))
+        } finally prev match {
+          case Some(p) => s.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset(
+            "spark.sql.streaming.stateStore.providerClass")
+        }
+      },
+      Some("""WITH p AS (SELECT event_type AS from_type,
+            LEAD(event_type, 1) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS to_type
+          FROM events),
+        c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+          CAST((n * 1000000) // CAST(SUM(n) OVER (PARTITION BY from_type)
+            AS BIGINT) AS BIGINT) AS prob_ppm
+        FROM c ORDER BY from_type, to_type""")),
+
     // Budget ENFORCEMENT — the l102 plan materialized: full epochs plus
     // a deterministically hash-sampled partial epoch per source, and the
     // audit a run publishes — achieved vs target tokens with the
