@@ -135,6 +135,42 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("streaming transitions: the last event bridges micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("trans_ckpt")
+    try {
+      val input = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+      val edges = graft.streaming.StreamingTransitions.edges(spark,
+        input.toDF().toDF("u", "t", "tts", "id"), "u", "t", "tts", "id")
+      val q = edges.writeStream.outputMode("append").format("memory")
+        .queryName("trans_edges_t")
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        input.addData((1L, "view", ts("2024-01-01 10:00:00"), 1L),
+          (1L, "click", ts("2024-01-01 10:10:00"), 2L))
+        q.processAllAvailable()
+        // batch 2's first event pairs with batch 1's LAST (from state)
+        input.addData((1L, "purchase", ts("2024-01-01 10:20:00"), 3L))
+        q.processAllAvailable()
+        val out = spark.table("trans_edges_t")
+          .select($"from_type", $"to_type").collect()
+          .map(r => (r.getString(0), r.getString(1))).sorted.toList
+        assert(out == List(("click", "purchase"), ("view", "click")))
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("cohort retention: week arithmetic and distinct entity counting") {
     val events = Seq(
       // u1 first seen Mon Jan 1 week; active that week and 2 weeks later
