@@ -31,8 +31,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "l87_survivor_changelog", // components() twice: before + contracted
       "l96_pagerank", // per-iteration lineage truncation in Graph.pageRank
       "l100_seed_quality_rank", // same truncation in personalizedPageRank
-      "l104_bpe_segment") // joins bpeTrain's per-iteration-checkpointed
+      "l104_bpe_segment", // joins bpeTrain's per-iteration-checkpointed
                           // word table (vocabulary-sized, executor-held)
+      "l113_pps_global")  // ppsSampleGlobal's eager localCheckpoint pins
+                          // the range-exchange cuts so both prefix-sum
+                          // phases see one layout (executor-held, never
+                          // collected)
 
   test("no query plan contains a CartesianProduct or driver RDD round-trip") {
     val offenders = SparkEntry.all.toSeq.sortBy(_._1).flatMap { case (name, d) =>
