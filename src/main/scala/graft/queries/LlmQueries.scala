@@ -4333,6 +4333,68 @@ object LlmQueries {
             AS BIGINT) AS BIGINT) AS prob_ppm
         FROM c ORDER BY from_type, to_type""")),
 
+    // STREAMING cohort retention (r9): q64 maintained incrementally —
+    // per-entity state = the cohort week (ValueState long) + the offsets
+    // already emitted (MapState: per-entry point writes, never a whole-
+    // set round trip); each event costs O(1) state work and emits ≤1
+    // hit. Two event-time-ordered micro-batches; the hit-stream rollup
+    // reproduces the batch operator exactly → q64's oracle verbatim.
+    "l116_stream_cohort" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val prev = s.conf.getOption(
+          "spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        try {
+          val ev = t(s, d, "events")
+            .select(col("event_id"), col("user_id"), col("ts"))
+          val work = java.nio.file.Files.createTempDirectory("graft_l116")
+          val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+          Seq((0L, maxId / 2), (maxId / 2 + 1, maxId)).zipWithIndex.foreach {
+            case ((lo, hi), i) =>
+              ev.filter(col("event_id").between(lo, hi))
+                .coalesce(1).write.parquet(s"$work/in/s$i")
+              new java.io.File(s"$work/in/s$i").listFiles()
+                .foreach(f => { f.setLastModified(1700000000000L + i * 60000L); () })
+          }
+          val stream = s.readStream
+            .schema("event_id LONG, user_id LONG, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
+          val hits = graft.streaming.StreamingCohort.hits(s, stream.toDF(),
+            "user_id", "ts", "event_id")
+          val q = hits.writeStream.outputMode("append")
+            .option("checkpointLocation", s"$work/ckpt")
+            .trigger(Trigger.ProcessingTime("50 milliseconds"))
+            .format("parquet").option("path", s"$work/out").start()
+          try { q.processAllAvailable() } finally q.stop()
+          s.read.parquet(s"$work/out")
+            .groupBy(col("cohort_week"), col("week_offset"))
+            .agg(countDistinct(col("entity")).as("n_entities"))
+            .orderBy(col("cohort_week"), col("week_offset"))
+        } finally prev match {
+          case Some(p) => s.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset(
+            "spark.sql.streaming.stateStore.providerClass")
+        }
+      },
+      Some("""WITH c AS (SELECT user_id,
+            CAST(date_trunc('week', MIN(ts) OVER (PARTITION BY user_id))
+              AS DATE) AS cohort_week,
+            date_trunc('week', MIN(ts) OVER (PARTITION BY user_id))
+              AS cohort_ts,
+            date_trunc('week', ts) AS wk
+          FROM events),
+        d AS (SELECT DISTINCT user_id, cohort_week,
+            CAST(datediff('day', cohort_ts, wk) // 7 AS BIGINT)
+              AS week_offset
+          FROM c)
+        SELECT cohort_week, week_offset,
+          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_entities
+        FROM d GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Budget ENFORCEMENT — the l102 plan materialized: full epochs plus
     // a deterministically hash-sampled partial epoch per source, and the
     // audit a run publishes — achieved vs target tokens with the

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.time.{DayOfWeek, LocalDate, ZoneOffset}
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** One cohort-activity observation: `entity` (cohorted at `cohort_week`)
+  * was active `week_offset` weeks in. Emitted ONCE per (entity, offset).
+  */
+case class CohortHit(entity: Long, cohort_week: java.sql.Date,
+    week_offset: Long)
+
+/** INCREMENTAL cohort retention — [[graft.ops.Behavior.cohortRetention]]'s
+  * streaming twin: per-entity state is the cohort week (one long,
+  * ValueState) plus the set of week offsets already emitted (MapState —
+  * per-entry RocksDB point lookups/writes, never a whole-set round trip),
+  * so each arriving event costs O(1) state work and emits at most one
+  * [[CohortHit]]. The retention matrix is any rollup of the hit stream;
+  * history is never re-read.
+  *
+  * Ordering contract mirrors [[StreamingFunnel]]: the first event seen
+  * fixes the cohort (exact under event-time-ordered ingest); an
+  * out-of-order straggler OLDER than the recorded cohort cannot
+  * re-cohort the entity (monotone) and is dropped rather than emitted
+  * with a negative offset.
+  */
+class CohortProcessor
+    extends StatefulProcessor[Long, FunnelEvent, CohortHit] {
+
+  @transient private var cohortDay: ValueState[Long] = _
+  @transient private var weeksSeen: MapState[Long, Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    cohortDay = getHandle.getValueState[Long]("cohortDay",
+      Encoders.scalaLong, TTLConfig.NONE)
+    weeksSeen = getHandle.getMapState[Long, Boolean]("weeksSeen",
+      Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+  }
+
+  private def weekStartEpochDay(tsMillis: Long): Long = {
+    val ld = LocalDate.ofInstant(
+      java.time.Instant.ofEpochMilli(tsMillis), ZoneOffset.UTC)
+    ld.minusDays(ld.getDayOfWeek.getValue - DayOfWeek.MONDAY.getValue)
+      .toEpochDay
+  }
+
+  override def handleInputRows(entity: Long, rows: Iterator[FunnelEvent],
+      timers: TimerValues): Iterator[CohortHit] = {
+    val out = List.newBuilder[CohortHit]
+    rows.toList.sortBy(e => (e.ts.getTime, e.tie)).foreach { e =>
+      val wk = weekStartEpochDay(e.ts.getTime)
+      if (!cohortDay.exists()) cohortDay.update(wk)
+      val cohort = cohortDay.get()
+      val offset = (wk - cohort) / 7
+      if (wk >= cohort && !weeksSeen.containsKey(offset)) {
+        weeksSeen.updateValue(offset, true)
+        out += CohortHit(entity,
+          java.sql.Date.valueOf(LocalDate.ofEpochDay(cohort)), offset)
+      }
+    }
+    out.result().iterator
+  }
+}
+
+object StreamingCohort {
+
+  /** Cohort-activity stream (same column contract as
+    * [[StreamingFunnel.stageHits]]; typeCol unused but kept for the shared
+    * event shape). Requires the RocksDB provider.
+    */
+  def hits(spark: SparkSession, events: DataFrame, entityCol: String,
+      tsCol: String, tieCol: String): Dataset[CohortHit] = {
+    import spark.implicits._
+    events.select(
+        events(entityCol).cast("long").as("entity"),
+        lit("").as("event_type"),
+        events(tsCol).as("ts"),
+        events(tieCol).cast("long").as("tie"))
+      .as[FunnelEvent]
+      .groupByKey(_.entity)
+      .transformWithState(new CohortProcessor, TimeMode.None(),
+        OutputMode.Append(), Encoders.product[CohortHit])
+  }
+}
