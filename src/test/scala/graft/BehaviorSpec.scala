@@ -171,6 +171,16 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("cohort retention plan: one entity window + one rollup, no joins") {
+    val e = spark.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val plan = Behavior.cohortRetention(e, "user_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "cohort must not self-join")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"$exchanges exchanges:\n${plan.take(1200)}")
+  }
+
   test("cohort retention: week arithmetic and distinct entity counting") {
     val events = Seq(
       // u1 first seen Mon Jan 1 week; active that week and 2 weeks later

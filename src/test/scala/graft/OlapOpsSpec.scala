@@ -140,6 +140,26 @@ class OlapOpsSpec extends SparkSpec {
     }
   }
 
+  test("histogram cube: randomized quantile error stays within one bucket") {
+    val rnd = new scala.util.Random(5)
+    (1 to 3).foreach { round =>
+      val w = Seq(10L, 250L, 1000L)(round - 1)
+      val vals = Seq.fill(400)(rnd.nextInt(100000).toLong)
+      val cube = HistogramCube.build(vals.map(("k", _)).toDF("k", "v"),
+        Seq("k"), $"v", w)
+      val est = HistogramCube.quantiles(cube, Seq("k"), w,
+          Seq(1, 25, 50, 75, 99))
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val sorted = vals.sorted
+      Seq(1, 25, 50, 75, 99).foreach { q =>
+        val rk = math.max(1, (sorted.length * q + 99) / 100)
+        val exact = sorted(rk - 1)
+        assert(math.abs(est(q.toLong) - exact) <= w,
+          s"round $round w=$w q=$q est=${est(q.toLong)} exact=$exact")
+      }
+    }
+  }
+
   test("histogram cube: quantiles read only the cube (no fact rescan)") {
     val o = spark.read.parquet(s"$sf0001/orders.parquet").select(
       $"o_orderpriority".as("prio"),
