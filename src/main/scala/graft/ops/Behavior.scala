@@ -86,6 +86,66 @@ object Behavior {
     hits.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** RFM segmentation (recency / frequency / monetary) WITHOUT the
+    * textbook global-sort NTILE: per-entity metrics are one aggregation
+    * (entity-keyed shuffle), quartile THRESHOLDS come off a
+    * [[HistogramCube]] per metric (deterministic ceil-rank interpolation,
+    * three driver longs per metric — O(1), broadcast as literals), and
+    * bins are plain comparisons — no single-partition window anywhere,
+    * so the op survives a billion entities. Bins are ascending in the
+    * metric (bin 4 = most recent-inactive / most frequent / highest
+    * spend); returns `(r_bin, f_bin, m_bin, n_entities)` segment counts.
+    */
+  def rfmSegments(events: DataFrame, entityCol: String, tsCol: String,
+      valueExpr: String): DataFrame = {
+    val spark = events.sparkSession
+    val maxTs = events.agg(max(col(tsCol)).cast("date").as("corpus_max"))
+    val m = events.groupBy(col(entityCol))
+      .agg(max(col(tsCol)).cast("date").as("last_d"),
+        count(lit(1)).as("frequency"),
+        expr(s"CAST(SUM(CAST($valueExpr AS DECIMAL(12,2))) * 100 AS BIGINT)")
+          .as("monetary_cents"))
+      .crossJoin(broadcast(maxTs))
+      .withColumn("recency_days",
+        datediff(col("corpus_max"), col("last_d")).cast("long"))
+    m.cache()
+    def thresholds(c: String, w: Long): Map[Int, Long] =
+      HistogramCube.quantiles(HistogramCube.build(m, Nil, col(c), w),
+          Nil, w, Seq(25, 50, 75))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    def bin(c: String, t: Map[Int, Long]): Column =
+      lit(1L) + (col(c) > lit(t(25))).cast("long") +
+        (col(c) > lit(t(50))).cast("long") +
+        (col(c) > lit(t(75))).cast("long")
+    val tr = thresholds("recency_days", 1L)
+    val tf = thresholds("frequency", 1L)
+    val tm = thresholds("monetary_cents", 1000L)
+    val out = m.select(
+        bin("recency_days", tr).as("r_bin"),
+        bin("frequency", tf).as("f_bin"),
+        bin("monetary_cents", tm).as("m_bin"))
+      .groupBy(col("r_bin"), col("f_bin"), col("m_bin"))
+      .agg(count(lit(1)).as("n_entities"))
+    m.unpersist(blocking = false)
+    out
+  }
+
+  /** The quartile-threshold CTE as DuckDB SQL — the same histogram
+    * program [[HistogramCube.quantiles]] runs, emitted from one place so
+    * the oracle can never drift from the operator.
+    */
+  def rfmThresholdSql(metricsCte: String, metricCol: String, w: Long): String =
+    s"""(SELECT q_pct,
+        CAST(bucket * $w + ((rk - (cum - n)) * $w) // n AS BIGINT) AS thr
+      FROM (SELECT q_pct, bucket, n, cum,
+          GREATEST((total * q_pct + 99) // 100, 1) AS rk
+        FROM (SELECT bucket, n,
+            SUM(n) OVER (ORDER BY bucket) AS cum, SUM(n) OVER () AS total
+          FROM (SELECT ($metricCol // $w) AS bucket, COUNT(*) AS n
+            FROM $metricsCte GROUP BY 1))
+        CROSS JOIN (SELECT * FROM (VALUES (25), (50), (75)) v(q_pct)))
+      WHERE cum - n < rk AND rk <= cum)"""
+
   /** Weekly cohort retention: entities are cohorted by the week of their
     * first event; `(cohort_week, week_offset, n_entities)` counts the
     * cohort's entities active (any event) `week_offset` weeks later.

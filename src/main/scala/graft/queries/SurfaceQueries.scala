@@ -1268,6 +1268,50 @@ object SurfaceQueries {
             AS BIGINT) AS BIGINT) AS prob_ppm
         FROM c ORDER BY from_type, to_type""")),
 
+    // RFM segmentation (Behavior.rfmSegments): quartile bins WITHOUT the
+    // textbook global-sort NTILE — thresholds come off a HistogramCube
+    // per metric (three O(1) driver longs, broadcast as literals), bins
+    // are comparisons, so nothing in the plan is a single-partition
+    // window and the op survives a billion entities. The oracle's
+    // threshold CTEs are emitted by the SAME Scala helper the operator's
+    // semantics are written against, so they cannot drift.
+    "q70_rfm_segments" -> Def(
+      (s, d) => graft.ops.Behavior.rfmSegments(t(s, d, "events"),
+          "user_id", "ts", "value")
+        .orderBy(col("r_bin"), col("f_bin"), col("m_bin")),
+      Some(s"""WITH m AS (SELECT user_id,
+          datediff('day', CAST(MAX(ts) AS DATE),
+            (SELECT CAST(MAX(ts) AS DATE) FROM events)) AS recency_days,
+          CAST(COUNT(*) AS BIGINT) AS frequency,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)
+            AS monetary_cents
+        FROM events GROUP BY 1),
+        tr AS ${Behavior.rfmThresholdSql("m", "recency_days", 1L)},
+        tf AS ${Behavior.rfmThresholdSql("m", "frequency", 1L)},
+        tm AS ${Behavior.rfmThresholdSql("m", "monetary_cents", 1000L)}
+        SELECT r_bin, f_bin, m_bin, CAST(COUNT(*) AS BIGINT) AS n_entities
+        FROM (SELECT
+            1 + CAST(recency_days > (SELECT thr FROM tr WHERE q_pct = 25)
+                AS BIGINT)
+              + CAST(recency_days > (SELECT thr FROM tr WHERE q_pct = 50)
+                AS BIGINT)
+              + CAST(recency_days > (SELECT thr FROM tr WHERE q_pct = 75)
+                AS BIGINT) AS r_bin,
+            1 + CAST(frequency > (SELECT thr FROM tf WHERE q_pct = 25)
+                AS BIGINT)
+              + CAST(frequency > (SELECT thr FROM tf WHERE q_pct = 50)
+                AS BIGINT)
+              + CAST(frequency > (SELECT thr FROM tf WHERE q_pct = 75)
+                AS BIGINT) AS f_bin,
+            1 + CAST(monetary_cents > (SELECT thr FROM tm WHERE q_pct = 25)
+                AS BIGINT)
+              + CAST(monetary_cents > (SELECT thr FROM tm WHERE q_pct = 50)
+                AS BIGINT)
+              + CAST(monetary_cents > (SELECT thr FROM tm WHERE q_pct = 75)
+                AS BIGINT) AS m_bin
+          FROM m)
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
     // Data-quality expectation suite (Expectations): three row-level
     // predicates + key uniqueness in ONE scan of orders (each check is a
     // map-side-partial SUM of a boolean cast), plus referential integrity
