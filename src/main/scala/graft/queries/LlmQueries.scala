@@ -4395,6 +4395,84 @@ object LlmQueries {
           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_entities
         FROM d GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // STREAMING metric series + robust alarm (r9): the ops-monitoring
+    // loop — per-minute per-type event counts maintained INCREMENTALLY
+    // (each micro-batch lands its partial counts through the replay-
+    // idempotent partition protocol; a minute straddling a batch
+    // boundary just sums across partials, so no window-close problem),
+    // then the median/MAD test runs over the MAINTAINED series. The
+    // serve-side rollup is bit-equal to computing the series from the
+    // full corpus, so the gate is q65's oracle verbatim.
+    "l117_stream_metric_series" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val name = "graft_l117_series"
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val loc = new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath + s"/$name"
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+        }
+        rm(new java.io.File(loc))
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("event_type"), col("ts"))
+        val work = java.nio.file.Files.createTempDirectory("graft_l117")
+        val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+        Seq((0L, maxId / 2), (maxId / 2 + 1, maxId)).zipWithIndex.foreach {
+          case ((lo, hi), i) =>
+            ev.filter(col("event_id").between(lo, hi))
+              .coalesce(1).write.parquet(s"$work/in/s$i")
+            new java.io.File(s"$work/in/s$i").listFiles()
+              .foreach(f => { f.setLastModified(1700000000000L + i * 60000L); () })
+        }
+        val stream = s.readStream
+          .schema("event_id LONG, event_type STRING, ts TIMESTAMP")
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
+        val q = stream.writeStream.outputMode("append")
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(Trigger.ProcessingTime("50 milliseconds"))
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             batchId: Long) =>
+              val bs = batch.sparkSession
+              val partial = batch.toDF()
+                .groupBy(col("event_type"),
+                  date_trunc("minute", col("ts")).as("m"))
+                .agg(count(lit(1)).as("v"))
+                .withColumn("ingest_batch", lit(batchId))
+              graft.ops.DedupIndex.landBatch(bs, s, partial, name, batchId,
+                bucketed = false, buckets = 8)
+          }.start()
+        try { q.processAllAvailable() } finally q.stop()
+        val series = s.table(name)
+          .groupBy(col("event_type"), col("m"))
+          .agg(sum(col("v")).as("v"))
+        graft.ops.Anomaly.madOutliers(series, Seq("event_type"), "v", 3)
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH m AS (SELECT event_type, date_trunc('minute', ts) AS mn,
+          CAST(COUNT(*) AS BIGINT) AS v FROM events GROUP BY 1, 2),
+        r AS (SELECT event_type, v,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n FROM m),
+        med AS (SELECT event_type,
+            MAX(CASE WHEN rn * 2 = n + (n % 2) THEN v END) AS med
+          FROM r GROUP BY 1),
+        d AS (SELECT m.event_type, v, med, ABS(v - med) AS dd
+          FROM m JOIN med USING (event_type)),
+        r2 AS (SELECT event_type, dd,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dd) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n FROM d),
+        mad AS (SELECT event_type,
+            MAX(CASE WHEN rn * 2 = n + (n % 2) THEN dd END) AS mad
+          FROM r2 GROUP BY 1)
+        SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(MAX(med) AS BIGINT) AS med, CAST(MAX(mad) AS BIGINT) AS mad,
+          CAST(SUM(CASE WHEN dd > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_outliers
+        FROM d JOIN mad USING (event_type)
+        GROUP BY 1 ORDER BY 1""")),
+
     // Budget ENFORCEMENT — the l102 plan materialized: full epochs plus
     // a deterministically hash-sampled partial epoch per source, and the
     // audit a run publishes — achieved vs target tokens with the
