@@ -897,6 +897,55 @@ object SurfaceQueries {
         FROM lineitem
         ORDER BY l_returnflag""")),
 
+    // Time-range rollup off the sketch cube: the cube's finest grain
+    // includes the TIME dimension (order month), so "distinct customers
+    // in any month range" is a register-union over that range's slices —
+    // the time-travel cardinality question answered without ever
+    // re-scanning history (at 100 TB the months are immutable landed
+    // partitions; only the cube rows for the asked range are read).
+    // Gate: q23-contract (exact + within-5% flag) for two ranges + the
+    // full span.
+    "q71_cube_time_range" -> Def(
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+        val cube = SketchCube.build(o, Seq("month"), "o_custkey")
+        def estimateRange(label: String, from: String, to: String) =
+          SketchCube.estimate(
+              SketchCube.rollup(cube.filter(col("month").between(from, to)),
+                Nil))
+            .select(lit(label).as("range"), col("n_rows"),
+              col("distinct_est"))
+        val est = estimateRange("1995_h1", "1995-01", "1995-06")
+          .unionByName(estimateRange("1996_97", "1996-01", "1997-12"))
+          .unionByName(estimateRange("all", "0000-00", "9999-99"))
+        def exactRange(label: String, from: String, to: String) =
+          o.filter(col("month").between(from, to))
+            .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+            .select(lit(label).as("range"), col("exact_custs"))
+        val exact = exactRange("1995_h1", "1995-01", "1995-06")
+          .unionByName(exactRange("1996_97", "1996-01", "1997-12"))
+          .unionByName(exactRange("all", "0000-00", "9999-99"))
+        est.join(exact, Seq("range"))
+          .select(col("range"), col("exact_custs"), col("n_rows"),
+            (abs(col("distinct_est") - col("exact_custs")).cast("double") <=
+              lit(0.05) * col("exact_custs")).cast("bigint").as("within_5pct"))
+          .orderBy(col("range"))
+      },
+      Some("""WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+          o_custkey FROM orders)
+        SELECT '1995_h1' AS range,
+          COUNT(DISTINCT o_custkey) AS exact_custs,
+          COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS within_5pct
+        FROM m WHERE month BETWEEN '1995-01' AND '1995-06'
+        UNION ALL
+        SELECT '1996_97', COUNT(DISTINCT o_custkey), COUNT(*), CAST(1 AS BIGINT)
+        FROM m WHERE month BETWEEN '1996-01' AND '1997-12'
+        UNION ALL
+        SELECT 'all', COUNT(DISTINCT o_custkey), COUNT(*), CAST(1 AS BIGINT)
+        FROM m
+        ORDER BY range""")),
+
     // Z-order layout cells: the Morton interleave is pure integer
     // shift/mask arithmetic (Layout.zvalue2 — codegen'd, and the SAME
     // masks generate the DuckDB oracle expression, so the gate is an
