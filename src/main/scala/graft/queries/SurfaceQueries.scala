@@ -946,6 +946,42 @@ object SurfaceQueries {
         FROM m
         ORDER BY range""")),
 
+    // Distinct GROWTH CURVE off the cube: cumulative distinct customers
+    // by month = for each month, a register-union over the cube slices up
+    // to it — a tiny cube×months broadcast non-equi join (~80×80 sketch
+    // rows) instead of re-scanning the fact once per curve point (the
+    // cost that makes growth curves unaffordable computed naively at
+    // 100 TB: 80 curve points = 80 fact scans). Same q23-contract gate.
+    "q72_cube_growth_curve" -> Def(
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+        val cube = SketchCube.build(o, Seq("month"), "o_custkey")
+        val months = cube.select(col("month").as("upto")).distinct()
+        val cum = cube.join(broadcast(months), col("month") <= col("upto"))
+          .groupBy(col("upto"))
+          .agg(hll_union_agg(col("key_sketch")).as("key_sketch"),
+            sum(col("n_rows")).as("n_rows"))
+        val est = SketchCube.estimate(cum)
+          .select(col("upto"), col("n_rows"), col("distinct_est"))
+        val exact = o.select(col("month").as("m2"), col("o_custkey"))
+          .join(broadcast(months), col("m2") <= col("upto"))
+          .groupBy(col("upto"))
+          .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+        est.join(exact, Seq("upto"))
+          .select(col("upto"), col("exact_custs"), col("n_rows"),
+            (abs(col("distinct_est") - col("exact_custs")).cast("double") <=
+              lit(0.05) * col("exact_custs")).cast("bigint").as("within_5pct"))
+          .orderBy(col("upto"))
+      },
+      Some("""WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+          o_custkey FROM orders),
+        months AS (SELECT DISTINCT month AS upto FROM m)
+        SELECT upto, COUNT(DISTINCT o_custkey) AS exact_custs,
+          COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS within_5pct
+        FROM m JOIN months ON m.month <= months.upto
+        GROUP BY upto ORDER BY upto""")),
+
     // Z-order layout cells: the Morton interleave is pure integer
     // shift/mask arithmetic (Layout.zvalue2 — codegen'd, and the SAME
     // masks generate the DuckDB oracle expression, so the gate is an
