@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Mergeable quantile cube: fixed-width integer histograms per slice —
@@ -81,4 +81,48 @@ object HistogramCube {
 
   /** The same floor division as DuckDB SQL text (non-negative domain). */
   def floorDivSql(a: String, b: String): String = s"(($a) // ($b))"
+
+  // ---------- maintained lifecycle (count-addition folds) ----------
+
+  /** STREAMING maintenance — the quantile twin of
+    * [[SketchCube.startMaintenance]]: each micro-batch pre-aggregates to
+    * its own histogram (≤ #slices × #buckets rows) and lands through the
+    * replay-idempotent partition protocol. Serve-time results are
+    * independent of land/fold state: count addition is associative, so
+    * any partition layout sums to the same cube.
+    */
+  def startMaintenance(spark: SparkSession, fact: DataFrame,
+      dims: Seq[String], valueCol: String, bucketWidth: Long, name: String,
+      checkpointPath: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    fact.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val cube = build(batch.toDF(), dims, col(valueCol), bucketWidth)
+          .withColumn("ingest_batch", lit(batchId))
+        DedupIndex.landBatch(s, spark, cube, name, batchId,
+          bucketed = false, buckets = 8)
+      }.start()
+
+  /** Size-tiered compaction with count-addition row compression — the
+    * second instantiation of the generic `foldAgg` hook (the first is
+    * the HLL register-union in [[SketchCube.compactMaintained]]): a fold
+    * of M batch partials is ≤ #slices × #buckets rows, not M× that.
+    */
+  def compactMaintained(spark: SparkSession, name: String,
+      dims: Seq[String], tierFanout: Int = 8): Unit =
+    DedupIndex.compactTable(spark, name, bucketed = false,
+      bucketCol = "bucket_unused", buckets = 8, tierFanout,
+      foldAgg = df => rollup(df, dims))
+
+  /** Quantiles off the maintained cube at any rollup grain. */
+  def serve(spark: SparkSession, name: String, dims: Seq[String],
+      bucketWidth: Long, qPcts: Seq[Int]): DataFrame =
+    quantiles(rollup(spark.table(name).drop("ingest_batch"), dims),
+      dims, bucketWidth, qPcts)
 }

@@ -4473,6 +4473,75 @@ object LlmQueries {
         FROM d JOIN mad USING (event_type)
         GROUP BY 1 ORDER BY 1""")),
 
+    // MAINTAINED quantile cube (r9): the l111 lifecycle instantiated for
+    // the SECOND cube family — per-batch histograms land through the
+    // idempotent protocol, compaction folds with COUNT-ADDITION (the
+    // generic foldAgg hook's second aggregation after HLL union, proving
+    // it generalizes), and q61's p50/p95/p99 program runs off the
+    // maintained table. Count addition is associative → serve is
+    // land/fold-state independent → q61's oracle verbatim.
+    "l118_quantile_cube_maintained" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val name = "graft_l118_qcube"
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val loc = new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath + s"/$name"
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+        }
+        rm(new java.io.File(loc))
+        val f = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_orderpriority").as("prio"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        val work = java.nio.file.Files.createTempDirectory("graft_l118")
+        val maxId = f.agg(max(col("o_orderkey"))).head().getLong(0)
+        Seq((0L, maxId / 2), (maxId / 2 + 1, maxId)).zipWithIndex.foreach {
+          case ((lo, hi), i) =>
+            f.filter(col("o_orderkey").between(lo, hi))
+              .coalesce(1).write.parquet(s"$work/in/s$i")
+            new java.io.File(s"$work/in/s$i").listFiles()
+              .foreach(x => { x.setLastModified(1700000000000L + i * 60000L); () })
+        }
+        val stream = s.readStream
+          .schema("o_orderkey LONG, prio STRING, cents LONG")
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
+        val q = graft.ops.HistogramCube.startMaintenance(s, stream.toDF(),
+          Seq("prio"), "cents", 100000L, name, s"$work/ckpt",
+          trigger = Trigger.ProcessingTime("50 milliseconds"))
+        try { q.processAllAvailable() } finally q.stop()
+        graft.ops.HistogramCube.compactMaintained(s, name, Seq("prio"))
+        val cube = graft.ops.HistogramCube.rollup(
+          s.table(name).drop("ingest_batch"), Seq("prio"))
+        val globalSlice = graft.ops.HistogramCube.rollup(cube, Nil)
+          .select(lit("ALL").as("prio"), col("bucket"), col("n"))
+        graft.ops.HistogramCube.quantiles(cube.unionByName(globalSlice),
+            Seq("prio"), 100000L, Seq(50, 95, 99))
+          .select(col("prio"), col("q_pct"), col("est"))
+          .orderBy(col("prio"), col("q_pct"))
+      },
+      Some("""WITH f AS (SELECT o_orderpriority AS prio,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          FROM orders),
+        h AS (SELECT prio, cents // 100000 AS bucket, COUNT(*) AS n
+          FROM f GROUP BY 1, 2),
+        hall AS (SELECT prio, bucket, n FROM h
+          UNION ALL
+          SELECT 'ALL' AS prio, bucket, SUM(n) AS n FROM h GROUP BY bucket),
+        t AS (SELECT prio, bucket, n,
+            SUM(n) OVER (PARTITION BY prio ORDER BY bucket) AS cum,
+            SUM(n) OVER (PARTITION BY prio) AS total FROM hall),
+        j AS (SELECT prio, q_pct, bucket, n, cum, total,
+            GREATEST((total * q_pct + 99) // 100, 1) AS rk
+          FROM t CROSS JOIN (SELECT * FROM (VALUES (50), (95), (99))
+            AS v(q_pct)))
+        SELECT prio, CAST(q_pct AS BIGINT) AS q_pct,
+          CAST(bucket * 100000 + ((rk - (cum - n)) * 100000) // n AS BIGINT)
+            AS est
+        FROM j WHERE cum - n < rk AND rk <= cum
+        ORDER BY prio, q_pct""")),
+
     // Budget ENFORCEMENT — the l102 plan materialized: full epochs plus
     // a deterministically hash-sampled partial epoch per source, and the
     // audit a run publishes — achieved vs target tokens with the
