@@ -46,8 +46,14 @@ object Behavior {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // reach(k) on each row = ts of the row completing stage k, null until
     // qualified; cum(k) = running min of reach(k) — set once stage k has
-    // been reached at or before this row
-    var df = events.toDF()
+    // been reached at or before this row.
+    // Pre-filter to the stage alphabet AT THE SCAN: non-stage events can
+    // never qualify and contribute nothing to any running min, so this is
+    // semantics-free — and at 100 TB the funnel alphabet is a handful of
+    // types out of hundreds, shrinking the entity-window shuffle by that
+    // factor (the SCALE.md mitigation, now built in). Entities with zero
+    // stage events drop from the output (they hold no stage either way).
+    var df = events.toDF().filter(col(typeCol).isin(stages: _*))
     var prevCum: Option[Column] = None
     stages.zipWithIndex.foreach { case (st, i) =>
       val qualified = prevCum match {

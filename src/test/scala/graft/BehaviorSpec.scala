@@ -68,6 +68,10 @@ class BehaviorSpec extends SparkSpec {
     // partition exchange for the global stage rollup (tiny)
     assert(exchanges <= 2, s"$exchanges exchanges:\n${plan.take(1200)}")
     assert(!plan.contains("Join"), "funnel must not self-join")
+    // the stage-alphabet pre-filter reaches the parquet scan: at 100 TB
+    // the window shuffles only the funnel's event types, not the corpus
+    assert(plan.contains("PushedFilters") && plan.contains("In(event_type"),
+      plan.take(1500))
   }
 
   test("funnel deadline: late conversions don't count, on-time ones do") {
