@@ -61,7 +61,11 @@ object StreamingFunnel {
       typeCol: String, tsCol: String, tieCol: String,
       stages: Seq[String]): Dataset[StageHit] = {
     import spark.implicits._
-    events.select(
+    import org.apache.spark.sql.functions.col
+    // stage-alphabet filter at the source (same semantics-free shrink as
+    // the batch operator): non-stage events never advance the state, so
+    // they need not shuffle into it
+    events.filter(col(typeCol).isin(stages: _*)).select(
         events(entityCol).cast("long").as("entity"),
         events(typeCol).as("event_type"),
         events(tsCol).as("ts"),
