@@ -1397,6 +1397,55 @@ object SurfaceQueries {
           FROM m)
         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
+    // WITHIN-SESSION transition matrix: q68's Markov view restricted to
+    // 30-minute-gap sessions — the edge between a user's last event
+    // tonight and first event tomorrow is noise, not behavior, and
+    // cross-session edges systematically inflate self-transitions of
+    // common types. Sessionize (one lag + running sum, q20's program)
+    // and lead() inside (user, session): still ONE entity shuffle —
+    // the session window reuses the user partitioning.
+    "q73_session_transitions" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val sess = t(s, d, "events")
+          .withColumn("prev_us",
+            lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn("new_sess",
+            (col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > lit(1800000000L))
+              .cast("long"))
+          .withColumn("session_id", sum(col("new_sess")).over(byUser))
+        val bySession = Window
+          .partitionBy(col("user_id"), col("session_id"))
+          .orderBy(col("ts"), col("event_id"))
+        sess.withColumn("to_type", lead(col("event_type"), 1).over(bySession))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH s AS (SELECT user_id, ts, event_id, event_type,
+            CASE WHEN LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) IS NULL
+              OR epoch_us(ts) - LAG(epoch_us(ts), 1)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+          FROM events),
+        s2 AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM s),
+        p AS (SELECT event_type AS from_type,
+            LEAD(event_type, 1) OVER (PARTITION BY user_id, session_id
+              ORDER BY ts, event_id) AS to_type
+          FROM s2)
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM p WHERE to_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Data-quality expectation suite (Expectations): three row-level
     // predicates + key uniqueness in ONE scan of orders (each check is a
     // map-side-partial SUM of a boolean cast), plus referential integrity
