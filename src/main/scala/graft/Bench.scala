@@ -6,12 +6,39 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
   *
+  * The four THROUGHPUT sections (cdc / stream / stream-10x / mv / codec)
+  * each run in their OWN forked JVM (same flags, fresh heap): measured at
+  * the end of a 31-minute 224-query battery in the shared JVM, the r9
+  * artifact recorded 39.9k for a figure an isolated rerun of the same
+  * commit measures at 97k — the number was JVM history (tenured garbage,
+  * fragmented heap, accumulated native state), not the engine. A child
+  * JVM per section makes the recorded figure the isolated figure by
+  * construction. SPARK_GRAFT_SECTION=<name> selects child mode (the
+  * driver never sets it; the orchestrator spawns itself with it); if the
+  * spawn itself fails the section falls back to in-process execution
+  * rather than losing the figure.
+  *
   * A small untimed warmup absorbs JVM/codegen startup so per-query numbers
   * measure the queries, not first-run JIT.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  /** One throughput section's contribution to the final JSON line:
+    * `frag` is ready-to-splice `"key":value` pairs (no outer braces),
+    * `errors` merges into the top-level errors array.
+    */
+  private case class SectionResult(frag: String, errors: Seq[String])
+
+  private def sfDirEnv: String =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  def main(args: Array[String]): Unit =
+    sys.env.get("SPARK_GRAFT_SECTION") match {
+      case Some(section) => childMain(section)
+      case None => orchestrate()
+    }
+
+  private def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,6 +48,54 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Child mode: run ONE throughput section in this (fresh) JVM and print
+    * its fragment + errors on marked stdout lines for the parent to
+    * splice. Everything else goes to stderr.
+    */
+  private def childMain(section: String): Unit = {
+    val spark = buildSession()
+    // codegen + parquet reader + shuffle machinery warmup — same
+    // philosophy as the orchestrator's, scoped to what the section needs
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val r = runSection(spark, sfDirEnv, section)
+    // single marked lines; the parent splices frag verbatim
+    println("SECTION_FRAG " + r.frag)
+    println("SECTION_ERRS " + r.errors.map("\"" + _ + "\"").mkString(","))
+    stateStoreCall("stop")
+    spark.stop()
+  }
+
+  private def runSection(spark: SparkSession, sfDir: String,
+      section: String): SectionResult = section match {
+    case "cdc" => sectionCdc(spark, sfDir)
+    case "stream" => sectionStream(spark, sfDir)
+    case "stream10x" => sectionStream10x(spark, sfDir)
+    case "mv" => sectionMv(spark, sfDir)
+    case "codec" => sectionCodec()
+    case other =>
+      SectionResult("", Seq(s"unknown_section_$other"))
+  }
+
+  private def orchestrate(): Unit = {
+    val sfDir = sfDirEnv
+    val spark = buildSession()
+
+    // Throughput sections FIRST, each in a forked JVM: their figures are
+    // then doubly isolated — fresh heap by the fork, and nothing ahead of
+    // them in this process either. The parent's session stays near-idle
+    // (lazy heap) while children run, so peak RSS is one active 16g JVM
+    // plus a dormant one.
+    val sectionNames = Seq("cdc", "stream", "stream10x", "mv", "codec")
+    val sections = sectionNames.map { s =>
+      runForked(s, sfDir).getOrElse {
+        System.err.println(s"[bench] section $s: fork unavailable, " +
+          "running in-process (figure is then context-sensitive)")
+        runSection(spark, sfDir, s)
+      }
+    }
 
     // untimed warmup: codegen + parquet reader + shuffle machinery, plus
     // the shared caches — the synthesized raw WAL (every CDC query's
@@ -41,7 +116,7 @@ object Bench {
     // measures the engine rather than the neighbor's workload; 3 samples
     // halve the expected noise floor of 2 at ~50 s extra wall.
     // SPARK_GRAFT_STREAM_ONLY=1 skips the query loop — local iteration on
-    // the streaming section only (the driver never sets it).
+    // the throughput sections only (the driver never sets it).
     val streamOnly = sys.env.get("SPARK_GRAFT_STREAM_ONLY").contains("1")
     val names = if (streamOnly) Nil else SparkEntry.queries.toSeq.sortBy(_._1)
     val passes = (1 to 3).map { _ =>
@@ -71,257 +146,393 @@ object Bench {
     // head entries past the capture window in r8, and the query count
     // keeps growing. The sorted dict puts c*/l* first, so what must
     // survive the tail is the full q* region (~57 entries) plus the
-    // headline metrics: at 2dp that is ~1.9 KB and fits.
+    // headline metrics: at 2dp that is ~1.9 KB and fits. The section
+    // fragments keep the r9 key set exactly (no new tail bytes); the
+    // per-stage mv instrumentation goes to stderr, not the JSON.
     val qs = results.map { case (k, v, _) =>
       "\"" + k + "\":" + (math.rint(v * 100) / 100) }
       .mkString("{", ",", "}")
     val errors = results.flatMap(_._3)
     val total = results.map(_._2).sum
-    // Headline CDC throughput in the reference load-test's unit (ops/sec,
-    // scripts/e2e-load-test.sh): events pushed through the full
-    // decode -> tx-assemble -> normalize chain (c03) per second. At sf0.1
-    // the events table is ~100k rows — the reference harness's default op
-    // count.
-    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
-    val opsSec = results.find(_._1 == "c03_normalize").map(_._2)
-      .filter(_ > 0).map(t => (nEvents / t).round).getOrElse(0L)
 
-    // Streaming throughput — the reference's actual operating mode: a real
-    // Structured Streaming query (file source -> decode -> commit-gated
-    // fMGWS tx assembly -> normalize -> watermarked dedup -> ordered
-    // foreachBatch sink with checkpointing), multi-micro-batch via
-    // maxFilesPerTrigger. Input files are range-partitioned on wal_start so
-    // file admission order ≈ WAL order (commit markers never precede their
-    // events). Wall time includes query startup + state store — the honest
-    // end-to-end number.
-    val (streamOpsSec, streamErr, streamReps) = try {
-      import org.apache.spark.sql.functions.{col, ntile}
-      import org.apache.spark.sql.streaming.Trigger
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_stream")
-      val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
-      val outDir = s"$tmp/out"; val ckDir = s"$tmp/ck"
-      // The file source admits files in modification-time order — tied
-      // mtimes (one parallel write) make admission order nondeterministic
-      // and a commit marker admitted before its events strands that tx in
-      // state (a real WAL can never deliver post-commit events, so the
-      // operator rightly assumes order). Write the input as 8 WAL-ordered
-      // slices with strictly increasing mtimes instead — admission order
-      // IS WAL order, like segment files of an archived WAL.
-      val win = org.apache.spark.sql.expressions.Window.orderBy(col("wal_start"))
-      val filed = graft.queries.CdcQueries.walStream(spark, sfDir)
-        .withColumn("_f", ntile(8).over(win))
-      for (f <- 1 to 8) {
-        val sliceDir = s"$tmp/slice$f"
-        filed.filter(col("_f") === f).drop("_f")
-          .coalesce(1).sortWithinPartitions("wal_start")
-          .write.mode("overwrite").parquet(sliceDir)
-        val part = new java.io.File(sliceDir).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dest = new java.io.File(inDir, f"wal-$f%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        dest.setLastModified(1700000000000L + f * 60000L)
-      }
-      // State-store partition count is fixed at the query's first
-      // checkpoint from spark.sql.shuffle.partitions; 32 partitions × 2
-      // stateful operators is pure per-batch task overhead at this state
-      // size. 8 is the production-shaped setting for a per-key-state
-      // stream this size (scale UP with key cardinality, not core count).
-      // Best-of-3 like the batch queries (same ±45% scheduler-noise
-      // rationale); each rep gets fresh sink/checkpoint dirs.
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      // 8 slices at 4/trigger = 2 micro-batches: still multi-batch (state
-      // handoff across batches is exercised) without paying 4 batches of
-      // fixed per-trigger overhead. r2 ran 2/trigger; the per-batch
-      // machinery (state commits, offset/commit log, sink job) was ~45%
-      // of wall at this state size.
-      val stateParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
-      val mft = sys.env.getOrElse("SPARK_GRAFT_STREAM_MFT", "4")
-      val sinkParts = sys.env.getOrElse("SPARK_GRAFT_SINK_PARTS", "0").toInt
-      spark.conf.set("spark.sql.shuffle.partitions", stateParts)
-      // AvailableNow appends a trailing no-data batch for watermark
-      // bookkeeping; append-mode emission here does not depend on it
-      // (rows emit in their arrival batch, the watermark only evicts
-      // state), so it is pure per-run overhead.
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-      // AQE off for the streaming section: the stateful streaming plan
-      // bypasses AQE regardless, so its only consumer is the foreachBatch
-      // sink job — where runtime coalescing would serialize the parquet
-      // encode into 1-2 tasks at this batch size (the one AQE rewrite that
-      // could fire here) and each exchange pays a materialize-and-replan
-      // round-trip to the driver. Per-batch sink topology is static
-      // (repartition(subject) → sort → write), so AQE buys nothing and
-      // costs per-batch driver latency. Restored after the section.
-      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      // Optional RocksDB + changelog checkpointing (the pgoutput path's
-      // required store). A/B'd repeatedly against the HDFS-backed default
-      // at this state size: no reproducible difference above this
-      // environment's ±40% scheduler noise, so the default stays put.
-      if (sys.env.get("SPARK_GRAFT_STREAM_ROCKSDB").contains("1")) {
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        spark.conf.set(
-          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-        boundRocksDbMemory(spark)
-      }
-      val reps = try {
-        // rep 0 is UNTIMED — the batch section's warmup philosophy applied
-        // to streaming: the first run through IncrementalExecution, the
-        // state-store provider, and the sink's codegen pays JIT that no
-        // steady-state deployment pays per batch (observed addBatch
-        // 1354 ms cold → 866 ms warm on identical input). Timed reps then
-        // measure the pipeline, not first-run compilation.
-        (0 to 3).map { rep =>
-          val raw = spark.readStream.schema("wal_start LONG, data STRING")
-            .option("maxFilesPerTrigger", mft).parquet(inDir.toString)
-          val t0 = System.nanoTime()
-          val q = graft.streaming.CdcStream.start(spark, raw, "bench",
-            s"$outDir-$rep", s"$ckDir-$rep",
-            trigger = Trigger.AvailableNow(), dedupWatermark = "3650 days",
-            sinkPartitions = sinkParts)
-          q.awaitTermination()
-          val wall = (System.nanoTime() - t0) / 1e9
-          if (sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1"))
-            q.recentProgress.foreach(p => System.err.println(
-              s"[stream-debug] rep=$rep batch=${p.batchId} rows=${p.numInputRows} " +
-                s"durations=${p.durationMs}"))
-          // each rep's checkpoint is single-use: unload its providers so
-          // state (heap or RocksDB native) never accumulates across reps
-          unloadStateStores()
-          (spark.read.parquet(s"$outDir-$rep").count(), wall)
-        }.drop(1)
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      }
-      val badRows = reps.map(_._1).find(_ != nEvents)
-      val perRep = reps.map(r => (nEvents / r._2).round)
-      if (badRows.isDefined)
-        (0L, Some(s"stream_rows_mismatch:${badRows.get}/$nEvents"), perRep)
-      else (perRep.max, None, perRep)
+    val allErrors = errors ++ sections.flatMap(_.errors)
+    val allErrJson = allErrors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fragJson = sections.map(_.frag).filter(_.nonEmpty).mkString(",")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$allErrJson,$fragJson,"sf":"$sfDir"}""")
+    // tear down state-store machinery (maintenance thread pool + any
+    // still-loaded providers, incl. RocksDB native handles) BEFORE the
+    // session: freeing native memory at spark.stop() time is what the
+    // r6 run died on (std::bad_alloc inside teardown)
+    stateStoreCall("stop")
+    spark.stop()
+    if (allErrors.nonEmpty) sys.exit(1)
+  }
+
+  /** Spawn this class as a child JVM running ONE section: same java
+    * binary, same JVM flags (the RuntimeMXBean's input arguments carry
+    * the add-opens list and -Xmx verbatim), same classpath (run/fork is
+    * on, so java.class.path is the real application classpath, not an
+    * sbt launcher). Returns None only when the spawn MECHANISM fails
+    * (the caller then runs the section in-process); a child that starts
+    * but breaks or hangs yields an error result — re-running a hung
+    * section inline would hang the parent too.
+    */
+  private def runForked(section: String,
+      sfDir: String): Option[SectionResult] = {
+    import scala.jdk.CollectionConverters._
+    val proc = try {
+      val jvm = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") ||
+          a.startsWith("-javaagent") || a.startsWith("-Xdebug"))
+      val cp = System.getProperty("java.class.path")
+      val cmd = Seq(jvm) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_GRAFT_SECTION", section)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      // child stderr (Spark logs, stage instrumentation) flows straight
+      // through; only the two marked stdout lines are captured
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      pb.start()
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] streaming FAILED: $e")
-      (0L, Some("streaming_pipeline"), Seq.empty[Long])
+      System.err.println(s"[bench] section $section fork failed: $e")
+      return None
     }
-    // Amortization evidence (SCALE.md "streaming throughput" claim): the
-    // SAME pipeline fed 10× the events per trigger. The per-batch fixed
-    // machinery (state commit + offset/commit log + sink job scheduling)
-    // is constant per trigger, so if it dominates the 50k-events-per-batch
-    // number above, ops/sec here should rise sharply — the batch-size →
-    // throughput curve is the 100 TB design evidence (a production WAL
-    // burst delivers millions of events per trigger, not 50k). Input: 10
-    // id-shifted copies of the WAL (disjoint event ids, tx ids and WAL
-    // positions per copy — no dedup/assembly collisions), same 8 slices /
-    // 4-per-trigger admission = 2 micro-batches at 10× the size.
-    val (streamOpsSec10x, streamErr10x, streamReps10x) = try {
-      import org.apache.spark.sql.functions.{col, lit, ntile}
-      import org.apache.spark.sql.streaming.Trigger
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_stream10x")
-      val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
-      val outDir = s"$tmp/out"; val ckDir = s"$tmp/ck"
-      val e = graft.queries.Q.t(spark, sfDir, "events")
-      val e10 = (0 until 10).map { k =>
-        e.select((col("event_id") + lit(k * 1000000000L)).as("event_id"),
-          col("ts"), (col("user_id") + lit(k * 1000000000L)).as("user_id"),
-          col("event_type"), col("value"), col("props"))
-      }.reduce(_ unionByName _)
-      val win = org.apache.spark.sql.expressions.Window.orderBy(col("wal_start"))
-      val filed = graft.queries.CdcQueries.walStreamFrom(spark, e10)
-        .withColumn("_f", ntile(8).over(win))
-      for (f <- 1 to 8) {
-        val sliceDir = s"$tmp/slice$f"
-        filed.filter(col("_f") === f).drop("_f")
-          .coalesce(1).sortWithinPartitions("wal_start")
-          .write.mode("overwrite").parquet(sliceDir)
-        val part = new java.io.File(sliceDir).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dest = new java.io.File(inDir, f"wal-$f%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        dest.setLastModified(1700000000000L + f * 60000L)
+    try {
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      val reader = new Thread(() => {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        var l = br.readLine()
+        while (l != null) { lines.synchronized(lines += l); l = br.readLine() }
+      })
+      reader.setDaemon(true)
+      reader.start()
+      val finished = proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+      if (!finished) {
+        proc.destroyForcibly()
+        System.err.println(s"[bench] section $section child TIMED OUT")
+        return Some(SectionResult(zeroFrag(section),
+          Seq(s"${section}_child_timeout")))
       }
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-      val prevProvider = spark.conf.getOption(
-        "spark.sql.streaming.stateStore.providerClass")
-      spark.conf.set("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      // This figure exists to measure the 100 TB shape (big triggers), so
-      // it ALWAYS runs the at-scale state-store pairing: RocksDB with
-      // changelog checkpointing, whose per-commit cost is O(delta). The
-      // HDFS-backed default's per-commit snapshot is O(state) — the 10×
-      // input multiplies that too and flattens the curve to ~1.0× (both
-      // measured; see SCALE.md "Batch-size amortization"). The 1× figure
-      // above keeps the default store: both sides of the comparison stay
-      // in BENCH.
+      reader.join(5000)
+      val ls = lines.synchronized(lines.toList)
+      val frag = ls.collectFirst {
+        case l if l.startsWith("SECTION_FRAG ") =>
+          l.stripPrefix("SECTION_FRAG ") }
+      val errs = ls.collectFirst {
+        case l if l.startsWith("SECTION_ERRS ") =>
+          l.stripPrefix("SECTION_ERRS ") }
+        .map(_.split("\",\"").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty))
+        .getOrElse(Seq.empty)
+      frag match {
+        case Some(f) => Some(SectionResult(f,
+          errs ++ (if (proc.exitValue() != 0)
+            Seq(s"${section}_child_rc_${proc.exitValue()}") else Nil)))
+        case None =>
+          System.err.println(s"[bench] section $section child emitted no " +
+            s"fragment (rc ${proc.exitValue()})")
+          Some(SectionResult(zeroFrag(section),
+            Seq(s"${section}_child_no_fragment")))
+      }
+    } catch { case e: Throwable =>
+      proc.destroyForcibly()
+      System.err.println(s"[bench] section $section child failed: $e")
+      Some(SectionResult(zeroFrag(section), Seq(s"${section}_child_error")))
+    }
+  }
+
+  /** Keys a broken section still owes the artifact (the driver's parser
+    * and round-over-round diffs expect the full r9 key set).
+    */
+  private def zeroFrag(section: String): String = section match {
+    case "cdc" => "\"cdc_ops_sec\":0"
+    case "stream" => "\"stream_ops_sec\":0,\"stream_ops_sec_reps\":[]"
+    case "stream10x" =>
+      "\"stream_ops_sec_10x\":0,\"stream_ops_sec_10x_reps\":[]"
+    case "mv" => "\"mv_ops_sec\":0,\"mv_ops_sec_reps\":[]"
+    case "codec" => "\"kafka_codec_ops_sec\":0"
+    case _ => ""
+  }
+
+  private def countEvents(spark: SparkSession, sfDir: String): Long =
+    spark.read.parquet(s"$sfDir/events.parquet").count()
+
+  /** Headline CDC throughput in the reference load-test's unit (ops/sec,
+    * scripts/e2e-load-test.sh): events pushed through the full
+    * decode -> tx-assemble -> normalize chain (c03) per second. At sf0.1
+    * the events table is ~100k rows — the reference harness's default op
+    * count. Warmup = the shared WAL cache c03 reads through (exactly what
+    * the query loop's warmup provided when this figure was derived from
+    * the loop's c03 timing), then best-of-3 on the timed chain.
+    */
+  private def sectionCdc(spark: SparkSession, sfDir: String): SectionResult =
+    try {
+      graft.queries.CdcQueries.walStream(spark, sfDir).count()
+      val fn = SparkEntry.queries("c03_normalize")
+      fn(spark, sfDir).count() // untimed: codegen for this exact plan
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val nEvents = countEvents(spark, sfDir)
+      val opsSec = (nEvents / times.min).round
+      System.err.println(s"[bench-cdc] reps=${times.map(t =>
+        (nEvents / t).round).mkString(",")} ops/s")
+      SectionResult(s""""cdc_ops_sec":$opsSec""", Nil)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] cdc FAILED: $e")
+      SectionResult(zeroFrag("cdc"), Seq("cdc_ops_sec"))
+    }
+
+  /** Stage the WAL as 8 mtime-ordered parquet slices under `inDir`.
+    * The file source admits files in modification-time order — tied
+    * mtimes (one parallel write) make admission order nondeterministic
+    * and a commit marker admitted before its events strands that tx in
+    * state (a real WAL can never deliver post-commit events, so the
+    * operator rightly assumes order). Strictly increasing mtimes make
+    * admission order WAL order, like segment files of an archived WAL.
+    */
+  private def stageWalSlices(spark: SparkSession,
+      filed0: org.apache.spark.sql.DataFrame, tmp: java.nio.file.Path,
+      inDir: java.io.File): Unit = {
+    import org.apache.spark.sql.functions.{col, ntile}
+    val win = org.apache.spark.sql.expressions.Window.orderBy(col("wal_start"))
+    val filed = filed0.withColumn("_f", ntile(8).over(win))
+    for (f <- 1 to 8) {
+      val sliceDir = s"$tmp/slice$f"
+      filed.filter(col("_f") === f).drop("_f")
+        .coalesce(1).sortWithinPartitions("wal_start")
+        .write.mode("overwrite").parquet(sliceDir)
+      val part = new java.io.File(sliceDir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(inDir, f"wal-$f%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1700000000000L + f * 60000L)
+    }
+  }
+
+  /** Streaming throughput — the reference's actual operating mode: a real
+    * Structured Streaming query (file source -> decode -> commit-gated
+    * fMGWS tx assembly -> normalize -> watermarked dedup -> ordered
+    * foreachBatch sink with checkpointing), multi-micro-batch via
+    * maxFilesPerTrigger. Wall time includes query startup + state store —
+    * the honest end-to-end number.
+    */
+  private def sectionStream(spark: SparkSession,
+      sfDir: String): SectionResult = try {
+    import org.apache.spark.sql.streaming.Trigger
+    val nEvents = countEvents(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_stream")
+    val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+    val outDir = s"$tmp/out"; val ckDir = s"$tmp/ck"
+    stageWalSlices(spark, graft.queries.CdcQueries.walStream(spark, sfDir),
+      tmp, inDir)
+    // State-store partition count is fixed at the query's first
+    // checkpoint from spark.sql.shuffle.partitions; 32 partitions × 2
+    // stateful operators is pure per-batch task overhead at this state
+    // size. 8 is the production-shaped setting for a per-key-state
+    // stream this size (scale UP with key cardinality, not core count).
+    // Best-of-3 like the batch queries (same ±45% scheduler-noise
+    // rationale); each rep gets fresh sink/checkpoint dirs.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    // 8 slices at 4/trigger = 2 micro-batches: still multi-batch (state
+    // handoff across batches is exercised) without paying 4 batches of
+    // fixed per-trigger overhead. r2 ran 2/trigger; the per-batch
+    // machinery (state commits, offset/commit log, sink job) was ~45%
+    // of wall at this state size.
+    val stateParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+    val mft = sys.env.getOrElse("SPARK_GRAFT_STREAM_MFT", "4")
+    val sinkParts = sys.env.getOrElse("SPARK_GRAFT_SINK_PARTS", "0").toInt
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts)
+    // AvailableNow appends a trailing no-data batch for watermark
+    // bookkeeping; append-mode emission here does not depend on it
+    // (rows emit in their arrival batch, the watermark only evicts
+    // state), so it is pure per-run overhead.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // AQE off for the streaming section: the stateful streaming plan
+    // bypasses AQE regardless, so its only consumer is the foreachBatch
+    // sink job — where runtime coalescing would serialize the parquet
+    // encode into 1-2 tasks at this batch size (the one AQE rewrite that
+    // could fire here) and each exchange pays a materialize-and-replan
+    // round-trip to the driver. Per-batch sink topology is static
+    // (repartition(subject) → sort → write), so AQE buys nothing and
+    // costs per-batch driver latency. Restored after the section.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // Optional RocksDB + changelog checkpointing (the pgoutput path's
+    // required store). A/B'd repeatedly against the HDFS-backed default
+    // at this state size: no reproducible difference above this
+    // environment's ±40% scheduler noise, so the default stays put.
+    if (sys.env.get("SPARK_GRAFT_STREAM_ROCKSDB").contains("1")) {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       spark.conf.set(
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       boundRocksDbMemory(spark)
-      val mft = sys.env.getOrElse("SPARK_GRAFT_STREAM_MFT", "4")
-      val sinkParts = sys.env.getOrElse("SPARK_GRAFT_SINK_PARTS", "0").toInt
-      // the JVM/sink codegen is warm from the 1× section (identical
-      // operators); rep 1 additionally pays RocksDB provider init when
-      // the 1× section ran the default store, so best-of-2 keeps a rep
-      // that is warm on every axis
-      val reps = try {
-        (1 to 2).map { rep =>
-          val raw = spark.readStream.schema("wal_start LONG, data STRING")
-            .option("maxFilesPerTrigger", mft).parquet(inDir.toString)
-          val t0 = System.nanoTime()
-          val q = graft.streaming.CdcStream.start(spark, raw, "bench",
-            s"$outDir-$rep", s"$ckDir-$rep",
-            trigger = Trigger.AvailableNow(), dedupWatermark = "3650 days",
-            sinkPartitions = sinkParts)
-          q.awaitTermination()
-          val wall = (System.nanoTime() - t0) / 1e9
-          // close the rep's RocksDB instances: native memtables/caches
-          // are freed on unload, not GC — without this the reps' native
-          // footprints stack and C++ new can fail at teardown
-          unloadStateStores()
-          (spark.read.parquet(s"$outDir-$rep").count(), wall)
-        }
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-        prevProvider match {
-          case Some(p) =>
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-          case None =>
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        }
-      }
-      val badRows = reps.map(_._1).find(_ != 10L * nEvents)
-      val perRep = reps.map(r => ((10L * nEvents) / r._2).round)
-      if (badRows.isDefined)
-        (0L, Some(s"stream10x_rows_mismatch:${badRows.get}/${10L * nEvents}"),
-          perRep)
-      else (perRep.max, None, perRep)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] streaming 10x FAILED: $e")
-      (0L, Some("streaming_pipeline_10x"), Seq.empty[Long])
     }
-    // SCD2 maintenance throughput: the consumer-side loop (decode →
-    // commit-gated assembly → normalize → bucketed SCD2 fold with
-    // closed-log compaction at threshold 2) per event — the measured
-    // backing for SCALE.md's "per-batch cost is O(batch + touched
-    // buckets)" claim. Input is the c29 harness's staged WAL slices
-    // (one tx per event, 3 contiguous slices, maxFilesPerTrigger=1 → 3
-    // real micro-batches; folds run on the r8 compactEveryBatches
-    // cadence, off the per-trigger path). Best-of-3 with per-rep values
-    // in mv_ops_sec_reps (r7 advice: the 3× rep-2 spread coincided with
-    // inline compaction folds). Rep 0 is an UNTIMED warmup (page cache,
-    // codegen, state-store classes for THIS query shape — the query
-    // loop's c29/c31 warmth doesn't cover the bench's own input files),
-    // and each timed rep starts from a GC'd heap: this main runs the mv
-    // section after ~14 min of sf0.1 queries, and carrying the query
-    // loop's tenured garbage into a short (~6 s) measured rep taxed
-    // late reps up to 2× in r8 (reps [10412, 11881, 6762] end-of-round
-    // vs [16100, 17317, 18060] in an isolated run of the same code).
-    val (mvOpsSec, mvErr, mvReps) = try {
+    val reps = try {
+      // rep 0 is UNTIMED — the batch section's warmup philosophy applied
+      // to streaming: the first run through IncrementalExecution, the
+      // state-store provider, and the sink's codegen pays JIT that no
+      // steady-state deployment pays per batch (observed addBatch
+      // 1354 ms cold → 866 ms warm on identical input). Timed reps then
+      // measure the pipeline, not first-run compilation.
+      (0 to 3).map { rep =>
+        val raw = spark.readStream.schema("wal_start LONG, data STRING")
+          .option("maxFilesPerTrigger", mft).parquet(inDir.toString)
+        val t0 = System.nanoTime()
+        val q = graft.streaming.CdcStream.start(spark, raw, "bench",
+          s"$outDir-$rep", s"$ckDir-$rep",
+          trigger = Trigger.AvailableNow(), dedupWatermark = "3650 days",
+          sinkPartitions = sinkParts)
+        q.awaitTermination()
+        val wall = (System.nanoTime() - t0) / 1e9
+        if (sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1"))
+          q.recentProgress.foreach(p => System.err.println(
+            s"[stream-debug] rep=$rep batch=${p.batchId} rows=${p.numInputRows} " +
+              s"durations=${p.durationMs}"))
+        // each rep's checkpoint is single-use: unload its providers so
+        // state (heap or RocksDB native) never accumulates across reps
+        unloadStateStores()
+        (spark.read.parquet(s"$outDir-$rep").count(), wall)
+      }.drop(1)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    val badRows = reps.map(_._1).find(_ != nEvents)
+    val perRep = reps.map(r => (nEvents / r._2).round)
+    val repsJson = perRep.mkString("[", ",", "]")
+    val frag =
+      s""""stream_ops_sec":${perRep.max},"stream_ops_sec_reps":$repsJson"""
+    if (badRows.isDefined)
+      SectionResult(
+        s""""stream_ops_sec":0,"stream_ops_sec_reps":$repsJson""",
+        Seq(s"stream_rows_mismatch:${badRows.get}/$nEvents"))
+    else SectionResult(frag, Nil)
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] streaming FAILED: $e")
+    SectionResult(zeroFrag("stream"), Seq("streaming_pipeline"))
+  }
+
+  /** Amortization evidence (SCALE.md "streaming throughput" claim): the
+    * SAME pipeline fed 10× the events per trigger. The per-batch fixed
+    * machinery (state commit + offset/commit log + sink job scheduling)
+    * is constant per trigger, so if it dominates the 50k-events-per-batch
+    * number above, ops/sec here should rise sharply — the batch-size →
+    * throughput curve is the 100 TB design evidence (a production WAL
+    * burst delivers millions of events per trigger, not 50k). Input: 10
+    * id-shifted copies of the WAL (disjoint event ids, tx ids and WAL
+    * positions per copy — no dedup/assembly collisions), same 8 slices /
+    * 4-per-trigger admission = 2 micro-batches at 10× the size.
+    */
+  private def sectionStream10x(spark: SparkSession,
+      sfDir: String): SectionResult = try {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.streaming.Trigger
+    val nEvents = countEvents(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_stream10x")
+    val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+    val outDir = s"$tmp/out"; val ckDir = s"$tmp/ck"
+    val e = graft.queries.Q.t(spark, sfDir, "events")
+    val e10 = (0 until 10).map { k =>
+      e.select((col("event_id") + lit(k * 1000000000L)).as("event_id"),
+        col("ts"), (col("user_id") + lit(k * 1000000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+    stageWalSlices(spark,
+      graft.queries.CdcQueries.walStreamFrom(spark, e10), tmp, inDir)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // This figure exists to measure the 100 TB shape (big triggers), so
+    // it ALWAYS runs the at-scale state-store pairing: RocksDB with
+    // changelog checkpointing, whose per-commit cost is O(delta). The
+    // HDFS-backed default's per-commit snapshot is O(state) — the 10×
+    // input multiplies that too and flattens the curve to ~1.0× (both
+    // measured; see SCALE.md "Batch-size amortization"). The 1× figure
+    // above keeps the default store: both sides of the comparison stay
+    // in BENCH.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    boundRocksDbMemory(spark)
+    val mft = sys.env.getOrElse("SPARK_GRAFT_STREAM_MFT", "4")
+    val sinkParts = sys.env.getOrElse("SPARK_GRAFT_SINK_PARTS", "0").toInt
+    // rep 0 is an UNTIMED warmup at full size (this child JVM starts
+    // cold: IncrementalExecution, sink codegen, RocksDB provider init
+    // all land on it — r9's recorded [8746, 39863] rep pair shows
+    // exactly that first-rep cliff); timed reps then best-of-2.
+    val reps = try {
+      (0 to 2).map { rep =>
+        val raw = spark.readStream.schema("wal_start LONG, data STRING")
+          .option("maxFilesPerTrigger", mft).parquet(inDir.toString)
+        val t0 = System.nanoTime()
+        val q = graft.streaming.CdcStream.start(spark, raw, "bench",
+          s"$outDir-$rep", s"$ckDir-$rep",
+          trigger = Trigger.AvailableNow(), dedupWatermark = "3650 days",
+          sinkPartitions = sinkParts)
+        q.awaitTermination()
+        val wall = (System.nanoTime() - t0) / 1e9
+        // close the rep's RocksDB instances: native memtables/caches
+        // are freed on unload, not GC — without this the reps' native
+        // footprints stack and C++ new can fail at teardown
+        unloadStateStores()
+        (spark.read.parquet(s"$outDir-$rep").count(), wall)
+      }.drop(1)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val badRows = reps.map(_._1).find(_ != 10L * nEvents)
+    val perRep = reps.map(r => ((10L * nEvents) / r._2).round)
+    val repsJson = perRep.mkString("[", ",", "]")
+    if (badRows.isDefined)
+      SectionResult(
+        s""""stream_ops_sec_10x":0,"stream_ops_sec_10x_reps":$repsJson""",
+        Seq(s"stream10x_rows_mismatch:${badRows.get}/${10L * nEvents}"))
+    else SectionResult(
+      s""""stream_ops_sec_10x":${perRep.max},"stream_ops_sec_10x_reps":$repsJson""",
+      Nil)
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] streaming 10x FAILED: $e")
+    SectionResult(zeroFrag("stream10x"), Seq("streaming_pipeline_10x"))
+  }
+
+  /** SCD2 maintenance throughput: the consumer-side loop (decode →
+    * commit-gated assembly → normalize → bucketed SCD2 fold with
+    * closed-log compaction at threshold 2) per event — the measured
+    * backing for SCALE.md's "per-batch cost is O(batch + touched
+    * buckets)" claim. Input is the c29 harness's staged WAL slices
+    * (one tx per event, 3 contiguous slices, maxFilesPerTrigger=1 → 3
+    * real micro-batches; folds run on the r8 compactEveryBatches
+    * cadence, off the per-trigger path). Rep 0 is an UNTIMED warmup
+    * (page cache, codegen, state-store classes for THIS query shape),
+    * then best-of-3. Per-batch stage timing (the StreamingQueryListener
+    * progress durations + state-operator commit costs) prints to stderr
+    * every rep, so a drifting figure names its stage without a re-run.
+    */
+  private def sectionMv(spark: SparkSession, sfDir: String): SectionResult =
+    try {
       import org.apache.spark.sql.functions.{coalesce, col, element_at}
       import org.apache.spark.sql.streaming.Trigger
+      val nEvents = countEvents(spark, sfDir)
       val (srcDir, work) = graft.queries.CdcQueries.scd2StreamInput(spark, sfDir)
       val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
       val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -344,6 +555,17 @@ object Bench {
             compactClosedAfter = 2, trigger = Trigger.AvailableNow())
           q.awaitTermination()
           val wall = (System.nanoTime() - t0) / 1e9
+          // per-stage wall, per batch: where inside the loop the time
+          // went (addBatch = the chained decode→assemble→normalize→fold
+          // job; state commit costs under stateOperators)
+          q.recentProgress.foreach { p =>
+            val so = p.stateOperators.map(s =>
+              s"updates=${s.allUpdatesTimeMs}ms removals=" +
+                s"${s.allRemovalsTimeMs}ms commit=${s.commitTimeMs}ms")
+              .mkString(" | ")
+            System.err.println(s"[mv-stage] rep=$rep batch=${p.batchId} " +
+              s"rows=${p.numInputRows} durations=${p.durationMs} state[$so]")
+          }
           unloadStateStores()
           (nEvents / wall).round
         }.drop(1) // rep 0 = warmup, untimed in the artifact
@@ -351,65 +573,50 @@ object Bench {
         spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       }
-      (reps.max, None, reps)
+      SectionResult(s""""mv_ops_sec":${reps.max},"mv_ops_sec_reps":${
+        reps.mkString("[", ",", "]")}""", Nil)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] mv maintenance FAILED: $e")
-      (0L, Some("mv_maintenance"), Seq.empty[Long])
+      SectionResult(zeroFrag("mv"), Seq("mv_maintenance"))
     }
-    // Kafka wire-codec throughput: encode a subject-keyed v2 record
-    // batch (CRC32C) and decode it back, per event — the pure-JVM cost
-    // the broker sink adds on top of the publish loop (the network/ack
-    // half needs a broker; the codec is the part this library owns).
-    // Single-threaded figure; the sink runs it per executor partition.
-    // GC first: measured inside the end-of-bench JVM, the query loop's
-    // tenured garbage taxed this allocation-heavy loop 3× in r8 (286k
-    // recorded vs 863k in an isolated run of the same code).
-    val (kafkaCodecOps, codecErr) = try {
-      System.gc()
-      import java.nio.charset.StandardCharsets.UTF_8
-      val key = "cdc.bench.public.events".getBytes(UTF_8)
-      val value = ("""{"event_id":"0/1:1:INSERT:public.events:0",""" +
-        """"operation":"INSERT","after":{"id":"1","v":"x"}}""").getBytes(UTF_8)
-      val hdr = Seq("event-id" -> "e".getBytes(UTF_8))
-      val n = 200000
-      var i = 0 // warmup
-      while (i < 20000) {
-        graft.sinks.KafkaWire.decodeRecordSet(
-          graft.sinks.KafkaWire.recordBatch(Seq((key, value, hdr)), 0L, i.toLong))
-        i += 1
-      }
-      val t0 = System.nanoTime()
-      i = 0
-      var sink = 0L
-      while (i < n) {
-        val recs = graft.sinks.KafkaWire.decodeRecordSet(
-          graft.sinks.KafkaWire.recordBatch(Seq((key, value, hdr)), 0L, i.toLong))
-        sink += recs.head.offset // defeat dead-code elimination
-        i += 1
-      }
-      val wall = (System.nanoTime() - t0) / 1e9
-      require(sink != Long.MinValue)
-      ((n / wall).round, None)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] kafka codec FAILED: $e")
-      (0L, Some("kafka_codec"))
+
+  /** Kafka wire-codec throughput: encode a subject-keyed v2 record
+    * batch (CRC32C) and decode it back, per event — the pure-JVM cost
+    * the broker sink adds on top of the publish loop (the network/ack
+    * half needs a broker; the codec is the part this library owns).
+    * Single-threaded figure; the sink runs it per executor partition.
+    * Runs in its own child JVM: measured in the shared end-of-bench JVM,
+    * the query loop's tenured garbage taxed this allocation-heavy loop
+    * 3× in r8 (286k recorded vs 863k isolated, same code).
+    */
+  private def sectionCodec(): SectionResult = try {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val key = "cdc.bench.public.events".getBytes(UTF_8)
+    val value = ("""{"event_id":"0/1:1:INSERT:public.events:0",""" +
+      """"operation":"INSERT","after":{"id":"1","v":"x"}}""").getBytes(UTF_8)
+    val hdr = Seq("event-id" -> "e".getBytes(UTF_8))
+    val n = 200000
+    var i = 0 // warmup
+    while (i < 20000) {
+      graft.sinks.KafkaWire.decodeRecordSet(
+        graft.sinks.KafkaWire.recordBatch(Seq((key, value, hdr)), 0L, i.toLong))
+      i += 1
     }
-    val allErrors = errors ++ streamErr ++ streamErr10x ++ mvErr ++ codecErr
-    val allErrJson = allErrors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // per-rep ops/sec alongside the best-of-N headline: round-over-round
-    // comparisons get the in-run spread (this host's scheduler noise is
-    // documented at ±40%) instead of chasing single samples
-    val repsJson = streamReps.mkString("[", ",", "]")
-    val reps10xJson = streamReps10x.mkString("[", ",", "]")
-    val mvRepsJson = mvReps.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$allErrJson,"cdc_ops_sec":$opsSec,"stream_ops_sec":$streamOpsSec,"stream_ops_sec_reps":$repsJson,"stream_ops_sec_10x":$streamOpsSec10x,"stream_ops_sec_10x_reps":$reps10xJson,"mv_ops_sec":$mvOpsSec,"mv_ops_sec_reps":$mvRepsJson,"kafka_codec_ops_sec":$kafkaCodecOps,"sf":"$sfDir"}""")
-    // tear down state-store machinery (maintenance thread pool + any
-    // still-loaded providers, incl. RocksDB native handles) BEFORE the
-    // session: freeing native memory at spark.stop() time is what the
-    // r6 run died on (std::bad_alloc inside teardown)
-    stateStoreCall("stop")
-    spark.stop()
-    if (allErrors.nonEmpty) sys.exit(1)
+    val t0 = System.nanoTime()
+    i = 0
+    var sink = 0L
+    while (i < n) {
+      val recs = graft.sinks.KafkaWire.decodeRecordSet(
+        graft.sinks.KafkaWire.recordBatch(Seq((key, value, hdr)), 0L, i.toLong))
+      sink += recs.head.offset // defeat dead-code elimination
+      i += 1
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    require(sink != Long.MinValue)
+    SectionResult(s""""kafka_codec_ops_sec":${(n / wall).round}""", Nil)
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] kafka codec FAILED: $e")
+    SectionResult(zeroFrag("codec"), Seq("kafka_codec"))
   }
 
   /** `StateStore.unloadAll()` / `stop()` are `private[sql]` (the public

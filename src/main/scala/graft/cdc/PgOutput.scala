@@ -238,11 +238,18 @@ object PgOutput {
             corrupt(s"MESSAGE content length $len exceeds frame")
           val content = new Array[Byte](len)
           b.get(content)
+          // `content` is a UTF-8 TEXT RENDERING — convenient for the
+          // common JSON-outbox payload but lossy for arbitrary bytes
+          // (pg_logical_emit_message allows Avro/protobuf payloads).
+          // `content_base64` carries the exact bytes losslessly; binary
+          // consumers must decode THAT, never `content`.
           Seq(DecodedWalEvent(walStart, "MESSAGE", is_begin = false,
             is_commit = false, "pg_message", prefix, null,
             Map("prefix" -> prefix,
               "content" -> new String(content,
                 java.nio.charset.StandardCharsets.UTF_8),
+              "content_base64" ->
+                java.util.Base64.getEncoder.encodeToString(content),
               "transactional" -> transactional.toString),
             if (transactional) currentXid else 0L,
             if (transactional) currentTs else null))

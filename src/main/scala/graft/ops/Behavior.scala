@@ -41,6 +41,12 @@ object Behavior {
       tsCol: String, tieCol: String, stages: Seq[String],
       maxGapSeconds: Long = 0L): DataFrame = {
     require(stages.nonEmpty, "at least one funnel stage")
+    require(stages.distinct == stages,
+      s"funnel stages must be distinct (got $stages): with a repeated " +
+        "adjacent stage name the running-min window would let ONE event " +
+        "complete both copies (its own row already carries the previous " +
+        "stage's reach), diverging from the streaming FunnelProcessor, " +
+        "which advances at most one stage per event")
     val w = Window.partitionBy(col(entityCol))
       .orderBy(col(tsCol), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -101,6 +107,14 @@ object Behavior {
     * so the op survives a billion entities. Bins are ascending in the
     * metric (bin 4 = most recent-inactive / most frequent / highest
     * spend); returns `(r_bin, f_bin, m_bin, n_entities)` segment counts.
+    *
+    * Monetary values are clamped at zero before bucketing
+    * ([[HistogramCube.build]]'s buckets are non-negative by contract);
+    * net-refund entities land in the lowest spend bin. The output is ≤64
+    * rows by construction (three 4-way bins), so it is materialized
+    * through the cached per-entity aggregate — the events scan and
+    * entity groupBy run exactly once, after which the cache is released;
+    * callers get a driver-local DataFrame, never a recompute.
     */
   def rfmSegments(events: DataFrame, entityCol: String, tsCol: String,
       valueExpr: String): DataFrame = {
@@ -109,7 +123,8 @@ object Behavior {
     val m = events.groupBy(col(entityCol))
       .agg(max(col(tsCol)).cast("date").as("last_d"),
         count(lit(1)).as("frequency"),
-        expr(s"CAST(SUM(CAST($valueExpr AS DECIMAL(12,2))) * 100 AS BIGINT)")
+        greatest(lit(0L),
+          expr(s"CAST(SUM(CAST($valueExpr AS DECIMAL(12,2))) * 100 AS BIGINT)"))
           .as("monetary_cents"))
       .crossJoin(broadcast(maxTs))
       .withColumn("recency_days",
@@ -132,8 +147,12 @@ object Behavior {
         bin("monetary_cents", tm).as("m_bin"))
       .groupBy(col("r_bin"), col("f_bin"), col("m_bin"))
       .agg(count(lit(1)).as("n_entities"))
+    // ≤64 rows: materialize through the cache BEFORE releasing it, so the
+    // entity aggregation is never recomputed at the caller's action time
+    val rows = out.collect()
+    val schema = out.schema
     m.unpersist(blocking = false)
-    out
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** The quartile-threshold CTE as DuckDB SQL — the same histogram

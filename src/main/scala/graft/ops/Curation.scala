@@ -678,29 +678,54 @@ object Curation {
         ELSE concat(acc, ' ', s) END)"""
 
   /** BPE tokenizer TRAINING (the distributed form of the standard
-    * algorithm): iterate `merges` times — count adjacent symbol pairs
-    * over the word-FREQUENCY table (vocabulary-sized, never the corpus),
-    * pick the most frequent pair (ties: count DESC, then pair ASC —
-    * deterministic), and apply it to every word's symbol sequence.
+    * algorithm): count adjacent symbol pairs over the word-FREQUENCY
+    * table (vocabulary-sized, never the corpus), pick the most frequent
+    * pair (ties: count DESC, then pair ASC — deterministic), and apply
+    * it to every word's symbol sequence, `merges` times.
+    *
+    * BATCHED iterations (the 100 TB dial a serial one-job-per-merge loop
+    * lacks — a 32k vocab must not cost 32k driver round trips): each
+    * round collects the top pairs once and admits the maximal PREFIX of
+    * the sorted pair list (≤ `maxBatch`) that is provably serial-exact,
+    * then applies the whole batch in ONE Spark job. The admission proof:
+    *  - prefix + pairwise symbol-disjoint — disjoint merges commute, and
+    *    every pair outranking an admitted p_k is itself admitted (a
+    *    strictly-higher count sorts strictly earlier), so no shadowed
+    *    overlapping candidate can serially outrank p_k;
+    *  - new pairs created by an admitted (a,b)→ab are (x,ab) / (ab,y)
+    *    with counts bounded by the OLD counts of (x,a) / (b,y) — pairs
+    *    sharing a symbol with (a,b). Any such pair with count
+    *    > count(p_k) would sit in the (disjoint) prefix: contradiction.
+    *    Count TIES with p_k are rejected explicitly (the collected head
+    *    is certified complete down to count(p_k) first), because a tied
+    *    new pair could win the (left, right) ASC tie-break;
+    *  - a left==right merge ("x x"→"xx") closes its batch: its new
+    *    pairs ((xx,x) in an odd run) are bounded by its OWN count, which
+    *    the disjointness argument cannot certify against later admits.
+    * Rounds where the corpus admits only the top pair degrade to the
+    * serial algorithm — the batch is an optimization with an exactness
+    * proof, never an approximation (l103's oracle gates the learned
+    * table bit-for-bit).
     *
     * Scale shape: the corpus is scanned ONCE (token explode into a
-    * combinable word count); every iteration then touches only the word
+    * combinable word count); every round then touches only the word
     * table — pair counts are a map-side-combinable aggregation, the
-    * argmax is `orderBy(...).limit(1)` (TakeOrderedAndProject: per-
-    * partition top-1), and the merge application is one narrow map. The
-    * per-iteration `collect()` moves exactly ONE (left, right, count)
-    * row to the driver — the merge DECISION, same documented class as
-    * the engine's other ≤N-row driver decisions — and each iteration's
-    * word table is localCheckpoint'ed (the iterative-algorithm lineage
-    * pattern, vocabulary-sized, data stays on executors).
+    * candidate head is `orderBy(...).limit(K)` (TakeOrderedAndProject:
+    * per-partition top-K), and the batch application is R chained narrow
+    * maps riding one localCheckpoint job (the iterative-algorithm
+    * lineage pattern, vocabulary-sized, data stays on executors). The
+    * per-round `collect()` moves ≤ K (left, right, count) rows to the
+    * driver — the merge DECISION, same documented class as the engine's
+    * other ≤N-row driver decisions.
     *
     * Returns (merge table: step/m_left/m_right/merged/pair_n — the
     * artifact a tokenizer build publishes, LocalRelation-backed;
     * final word table: word/cnt/syms — for segmentation).
     */
-  def bpeTrain(df: DataFrame, textCol: String,
-      merges: Int): (DataFrame, DataFrame) = {
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int,
+      maxBatch: Int = 8): (DataFrame, DataFrame) = {
     require(merges > 0, "at least one merge")
+    require(maxBatch > 0, "maxBatch must be positive")
     val spark = df.sparkSession
     import org.apache.spark.sql.Encoders
     var words = df
@@ -709,8 +734,15 @@ object Curation {
       .withColumn("syms", expr(bpeSymExpr("word")))
       .localCheckpoint(true)
     val learned = Seq.newBuilder[(Long, String, String, String, Long)]
-    for (k <- 1 to merges) {
-      val best = words
+    var k = 0
+    while (k < merges) {
+      val want = math.min(maxBatch, merges - k)
+      // head size: enough slack that equal-count runs around the batch
+      // stay inside the collected window (the admission rule refuses any
+      // candidate the window cannot certify, so a short window costs
+      // batch width, never correctness)
+      val headN = math.max(2, 4 * want)
+      val head = words
         .select(col("cnt"), split(col("syms"), " ").as("l"))
         .select(col("cnt"), expr(
           """explode(CASE WHEN size(l) < 2 THEN array()
@@ -721,18 +753,48 @@ object Curation {
         .groupBy(col("p.a").as("m_left"), col("p.b").as("m_right"))
         .agg(sum(col("cnt")).as("pair_n"))
         .orderBy(col("pair_n").desc, col("m_left"), col("m_right"))
-        .limit(1).collect()
-      require(best.nonEmpty, s"corpus exhausted before merge $k")
-      val (ma, mb, n) =
-        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-      learned += ((k.toLong, ma, mb, ma + mb, n))
-      val bestDf = spark.createDataset(Seq((ma, mb)))(
-        Encoders.tuple(Encoders.STRING, Encoders.STRING))
-        .toDF("m_left", "m_right")
-      words = words.crossJoin(broadcast(bestDf))
-        .withColumn("syms", expr(bpeMergeExpr))
-        .drop("m_left", "m_right")
-        .localCheckpoint(true)
+        .limit(headN).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      require(head.nonEmpty, s"corpus exhausted before merge ${k + 1}")
+      // complete = the window holds EVERY pair with count ≥ n (needed to
+      // certify tie-safety for a candidate of count n)
+      val sawAll = head.length < headN
+      def completeDownTo(n: Long): Boolean = sawAll || n > head.last._3
+      val admitted = scala.collection.mutable.ArrayBuffer(head.head)
+      val used = scala.collection.mutable.Set(head.head._1, head.head._2)
+      var open = head.head._1 != head.head._2 // self-merge closes the batch
+      var i = 1
+      while (open && admitted.size < want && i < head.length) {
+        val (a, b, n) = head(i)
+        val disjoint = !used(a) && !used(b)
+        // equal-count ADMITTED pairs are disjoint by construction and no
+        // threat; the check targets non-admitted count ties that overlap
+        // an admitted merge (their spawned pairs could tie-break-win)
+        val tieSafe = completeDownTo(n) && head.forall { case q@(qa, qb, qn) =>
+          qn != n || admitted.contains(q) || (!used(qa) && !used(qb))
+        }
+        if (disjoint && tieSafe) {
+          admitted += head(i); used += a; used += b
+          if (a == b) open = false
+        } else open = false
+        i += 1
+      }
+      admitted.foreach { case (ma, mb, n) =>
+        k += 1
+        learned += ((k.toLong, ma, mb, ma + mb, n))
+      }
+      // the whole batch rides ONE eager checkpoint job: R chained folds,
+      // each keyed off its own broadcast single-row frame
+      var w = words
+      admitted.foreach { case (ma, mb, _) =>
+        val bestDf = spark.createDataset(Seq((ma, mb)))(
+          Encoders.tuple(Encoders.STRING, Encoders.STRING))
+          .toDF("m_left", "m_right")
+        w = w.crossJoin(broadcast(bestDf))
+          .withColumn("syms", expr(bpeMergeExpr))
+          .drop("m_left", "m_right")
+      }
+      words = w.localCheckpoint(true)
     }
     val mergeTable = spark.createDataset(learned.result())(
       Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.STRING,

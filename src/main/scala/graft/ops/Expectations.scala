@@ -28,6 +28,12 @@ object Expectations {
     */
   def audit(df: DataFrame, checks: Seq[RowCheck],
       uniqueCols: Seq[String] = Nil): DataFrame = {
+    val names = checks.map(_.name) ++ uniqueCols.map(u => s"unique_$u")
+    require(names.distinct == names,
+      s"expectation names collide (${names.diff(names.distinct).distinct
+        .mkString(", ")}): a RowCheck named 'unique_X' alongside " +
+        "uniqueCols('X') would produce two v_unique_X agg columns — " +
+        "ambiguous reference or a wrong verdict mapping")
     val aggs =
       checks.map(c =>
         sum(when(coalesce(c.holds, lit(false)), 0L).otherwise(1L))
@@ -35,7 +41,6 @@ object Expectations {
       uniqueCols.map(u =>
         (count(lit(1)) - countDistinct(col(u))).as(s"v_unique_$u"))
     val totals = df.agg(count(lit(1)).as("total"), aggs: _*)
-    val names = checks.map(_.name) ++ uniqueCols.map(u => s"unique_$u")
     val verdicts = names.map { n =>
       struct(lit(n).as("check"), col("total"),
         col(s"v_$n").as("violations"))

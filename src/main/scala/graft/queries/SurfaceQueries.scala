@@ -1368,7 +1368,7 @@ object SurfaceQueries {
           datediff('day', CAST(MAX(ts) AS DATE),
             (SELECT CAST(MAX(ts) AS DATE) FROM events)) AS recency_days,
           CAST(COUNT(*) AS BIGINT) AS frequency,
-          CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)
+          GREATEST(0, CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT))
             AS monetary_cents
         FROM events GROUP BY 1),
         tr AS ${Behavior.rfmThresholdSql("m", "recency_days", 1L)},

@@ -190,11 +190,16 @@ final class KafkaEnvelopeStream(bootstrap: String, topics: Seq[String],
       .getOrElse(ReadLimit.allAvailable())
 
   /** Admission control — the consumer's backpressure (the source-side
-    * bounded-channel analog): a per-trigger offset budget split evenly
-    * across the subscribed partitions, so one trigger can never pull an
+    * bounded-channel analog): a per-trigger offset budget prorated by
+    * each partition's LAG (end − from), so one trigger can never pull an
     * unbounded catch-up range (first start against a long-retained
     * topic, or recovery after downtime, would otherwise materialize the
-    * whole backlog as one micro-batch).
+    * whole backlog as one micro-batch) and a skewed backlog spends the
+    * whole budget on the partitions that actually have data — an even
+    * split wastes the caught-up partitions' shares and drains a hot
+    * partition N× slower. Every lagging partition keeps a ≥1-offset
+    * floor so proration can never starve a trickle partition behind one
+    * huge backlog.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val latest = snapshot(KafkaWire.TsLatest)
@@ -216,13 +221,29 @@ final class KafkaEnvelopeStream(bootstrap: String, topics: Seq[String],
     val born = latest.positions.keys
       .filterNot(tp => lo.contains(tp) || earliestFloor.contains(tp)).toSeq
     earliestFloor ++= batchedOffsets(born, KafkaWire.TsEarliest)
+    // partitions that left the subscription (pattern-matched topic
+    // deleted/recreated) never come back under the same key — drop their
+    // floors so the map tracks the LIVE subscription, not every
+    // partition ever seen
+    earliestFloor.filterInPlace((tp, _) => latest.positions.contains(tp))
     limit match {
       case r: ReadMaxRows =>
-        val n = math.max(1L, latest.positions.size.toLong)
-        val perPartition = math.max(1L, r.maxRows() / n)
-        KafkaPartitionOffsets(latest.positions.map { case (tp, end) =>
-          val from = lo.getOrElse(tp, earliestFloor.getOrElse(tp, 0L))
-          tp -> math.min(end, from + perPartition)
+        val from = latest.positions.keys.map(tp =>
+          tp -> lo.getOrElse(tp, earliestFloor.getOrElse(tp, 0L))).toMap
+        val lag = latest.positions.map { case (tp, end) =>
+          tp -> math.max(0L, end - from(tp)) }
+        val totalLag = lag.values.sum
+        if (totalLag <= r.maxRows()) latest
+        else KafkaPartitionOffsets(latest.positions.map { case (tp, end) =>
+          // integer proration floors each share; the ≥1 floor on lagging
+          // partitions means the admitted total can exceed the budget by
+          // at most #partitions − 1 — the same rounding slop the
+          // ecosystem connector accepts
+          val share =
+            if (lag(tp) == 0L) 0L
+            else math.max(1L,
+              (r.maxRows().toDouble * lag(tp) / totalLag).toLong)
+          tp -> math.min(end, from(tp) + share)
         })
       case _ => latest
     }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.time.{DayOfWeek, LocalDate, ZoneOffset}
+import java.time.{DayOfWeek, LocalDate, ZoneId}
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions.lit
@@ -27,22 +27,32 @@ case class CohortHit(entity: Long, cohort_week: java.sql.Date,
   * re-cohort the entity (monotone) and is dropped rather than emitted
   * with a negative offset.
   */
-class CohortProcessor
+class CohortProcessor(zoneId: String = "UTC", ttlMs: Long = 0L)
     extends StatefulProcessor[Long, FunnelEvent, CohortHit] {
 
   @transient private var cohortDay: ValueState[Long] = _
   @transient private var weeksSeen: MapState[Long, Boolean] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    // ttlMs > 0 expires churned entities: a re-entering entity is
+    // RE-COHORTED at its next event (its prior hits stand — append-only
+    // output), bounding state for unbounded visitor populations. Same
+    // knob shape as TxAssemblyProcessor, default NONE.
+    val ttl = if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+      else TTLConfig.NONE
     cohortDay = getHandle.getValueState[Long]("cohortDay",
-      Encoders.scalaLong, TTLConfig.NONE)
+      Encoders.scalaLong, ttl)
     weeksSeen = getHandle.getMapState[Long, Boolean]("weeksSeen",
-      Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+      Encoders.scalaLong, Encoders.scalaBoolean, ttl)
   }
 
+  // Week truncation follows the SESSION zone (passed in by hits()), not a
+  // hardcoded UTC, so batch parity with Behavior.cohortRetention — whose
+  // date_trunc follows spark.sql.session.timeZone — holds for any session
+  // zone, not only UTC-pinned ones.
   private def weekStartEpochDay(tsMillis: Long): Long = {
     val ld = LocalDate.ofInstant(
-      java.time.Instant.ofEpochMilli(tsMillis), ZoneOffset.UTC)
+      java.time.Instant.ofEpochMilli(tsMillis), ZoneId.of(zoneId))
     ld.minusDays(ld.getDayOfWeek.getValue - DayOfWeek.MONDAY.getValue)
       .toEpochDay
   }
@@ -72,8 +82,10 @@ object StreamingCohort {
     * event shape). Requires the RocksDB provider.
     */
   def hits(spark: SparkSession, events: DataFrame, entityCol: String,
-      tsCol: String, tieCol: String): Dataset[CohortHit] = {
+      tsCol: String, tieCol: String, ttlMs: Long = 0L): Dataset[CohortHit] = {
     import spark.implicits._
+    val zone = spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
     events.select(
         events(entityCol).cast("long").as("entity"),
         lit("").as("event_type"),
@@ -81,7 +93,8 @@ object StreamingCohort {
         events(tieCol).cast("long").as("tie"))
       .as[FunnelEvent]
       .groupByKey(_.entity)
-      .transformWithState(new CohortProcessor, TimeMode.None(),
+      .transformWithState(new CohortProcessor(zone, ttlMs),
+        if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Append(), Encoders.product[CohortHit])
   }
 }

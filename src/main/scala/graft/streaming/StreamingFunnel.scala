@@ -27,14 +27,24 @@ case class StageHit(entity: Long, stage: Long, stage_name: String,
   * re-qualify later stages (the batch operator re-computes, the stream
   * is monotone). Feed event-time-ordered input for exact batch parity.
   */
-class FunnelProcessor(stages: Seq[String])
+class FunnelProcessor(stages: Seq[String], ttlMs: Long = 0L)
     extends StatefulProcessor[Long, FunnelEvent, StageHit] {
+  require(stages.distinct == stages,
+    s"funnel stages must be distinct (got $stages): the batch operator's " +
+      "running-min window and this one-stage-per-event processor diverge " +
+      "on repeated stage names")
 
   @transient private var reached: ValueState[Int] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    // ttlMs > 0 bounds state for churned entities (visitors who never
+    // return): an expired entity re-entering restarts at stage 1 — the
+    // same knob shape as TxAssemblyProcessor. Default NONE preserves the
+    // exact-forever contract for bounded entity populations.
+    val ttl = if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+      else TTLConfig.NONE
     reached = getHandle.getValueState[Int]("reached", Encoders.scalaInt,
-      TTLConfig.NONE)
+      ttl)
   }
 
   override def handleInputRows(entity: Long, rows: Iterator[FunnelEvent],
@@ -59,7 +69,7 @@ object StreamingFunnel {
     */
   def stageHits(spark: SparkSession, events: DataFrame, entityCol: String,
       typeCol: String, tsCol: String, tieCol: String,
-      stages: Seq[String]): Dataset[StageHit] = {
+      stages: Seq[String], ttlMs: Long = 0L): Dataset[StageHit] = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     // stage-alphabet filter at the source (same semantics-free shrink as
@@ -72,7 +82,8 @@ object StreamingFunnel {
         events(tieCol).cast("long").as("tie"))
       .as[FunnelEvent]
       .groupByKey(_.entity)
-      .transformWithState(new FunnelProcessor(stages), TimeMode.None(),
+      .transformWithState(new FunnelProcessor(stages, ttlMs),
+        if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Append(), Encoders.product[StageHit])
   }
 }

@@ -21,14 +21,19 @@ case class Transition(entity: Long, from_type: String, to_type: String,
   * across batches arrival order is processing order, so event-time-
   * ordered input gives exact batch parity.
   */
-class TransitionProcessor
+class TransitionProcessor(ttlMs: Long = 0L)
     extends StatefulProcessor[Long, FunnelEvent, Transition] {
 
   @transient private var last: ValueState[(String, Long)] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    // ttlMs > 0 expires churned entities' last-event state: a re-entering
+    // entity starts a fresh path (its first new event emits no edge) —
+    // same knob shape as TxAssemblyProcessor, default NONE.
+    val ttl = if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+      else TTLConfig.NONE
     last = getHandle.getValueState[(String, Long)]("last",
-      Encoders.tuple(Encoders.STRING, Encoders.scalaLong), TTLConfig.NONE)
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong), ttl)
   }
 
   override def handleInputRows(entity: Long, rows: Iterator[FunnelEvent],
@@ -53,7 +58,8 @@ object StreamingTransitions {
     * [[StreamingFunnel.stageHits]]). Requires the RocksDB provider.
     */
   def edges(spark: SparkSession, events: DataFrame, entityCol: String,
-      typeCol: String, tsCol: String, tieCol: String): Dataset[Transition] = {
+      typeCol: String, tsCol: String, tieCol: String,
+      ttlMs: Long = 0L): Dataset[Transition] = {
     import spark.implicits._
     events.select(
         events(entityCol).cast("long").as("entity"),
@@ -62,7 +68,8 @@ object StreamingTransitions {
         events(tieCol).cast("long").as("tie"))
       .as[FunnelEvent]
       .groupByKey(_.entity)
-      .transformWithState(new TransitionProcessor, TimeMode.None(),
+      .transformWithState(new TransitionProcessor(ttlMs),
+        if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Append(), Encoders.product[Transition])
   }
 }

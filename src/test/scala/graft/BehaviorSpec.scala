@@ -206,4 +206,176 @@ class BehaviorSpec extends SparkSpec {
       ("2024-01-08", 0L, 1L),
       ("2024-01-08", 1L, 1L)))
   }
+
+  private def withRocksDb(body: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Run one AvailableNow pass of `df` against a persistent checkpoint
+    * + parquet sink (the file sink supports checkpoint recovery; the
+    * memory sink refuses it) and return ALL rows emitted so far. Two
+    * passes over one checkpoint exercise TTL deterministically — state
+    * written by pass 1 is read by pass 2 through RocksDB with the clock
+    * advanced — without a live ProcessingTime trigger (whose TTL mode
+    * schedules continuous no-data maintenance batches: a spin loop
+    * inside processAllAvailable, not a usable test harness).
+    */
+  private def runPass[T](df: org.apache.spark.sql.Dataset[T],
+      out: String, ckpt: String): Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.streaming.Trigger
+    // processing-time TTL state makes the engine schedule no-data
+    // maintenance batches CONTINUOUSLY (AvailableNow never terminates);
+    // TTL filtering itself is lazy-on-read, so turning the no-data
+    // batches off changes nothing these passes assert
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val q = df.writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      spark.read.parquet(out).collect().toSeq
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("behavior-state TTL: expired entities reset — funnel restarts at " +
+      "stage 1, cohort re-cohorts, transition path re-anchors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx = spark.sqlContext
+    withRocksDb {
+      val base = java.nio.file.Files.createTempDirectory("bttl")
+      // funnel: stage-1 state expires between passes → the second signup
+      // re-advances to stage 1 (live state would swallow it)
+      val fIn = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+      val fHits = graft.streaming.StreamingFunnel.stageHits(spark,
+        fIn.toDF().toDF("u", "t", "tts", "id"),
+        "u", "t", "tts", "id", Seq("signup", "view"), ttlMs = 500L)
+      fIn.addData((1L, "signup", ts("2024-01-01 10:00:00"), 1L))
+      val f1 = runPass(fHits, s"$base/fo", s"$base/f").map(_.getLong(1))
+      assert(f1 == Seq(1L), s"pass 1 reaches stage 1: $f1")
+
+      // transitions: the (view→click) path's last-event state expires →
+      // the purchase anchors a fresh path instead of bridging
+      val tIn = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+      val tEdges = graft.streaming.StreamingTransitions.edges(spark,
+        tIn.toDF().toDF("u", "t", "tts", "id"),
+        "u", "t", "tts", "id", ttlMs = 500L)
+      tIn.addData((1L, "view", ts("2024-01-01 10:00:00"), 1L),
+        (1L, "click", ts("2024-01-01 10:10:00"), 2L))
+      val t1 = runPass(tEdges, s"$base/to", s"$base/t")
+        .map(r => (r.getString(1), r.getString(2)))
+      assert(t1 == Seq(("view", "click")), s"pass 1 edge: $t1")
+
+      // cohort: the cohort-week state expires → the entity is
+      // RE-COHORTED at its next event (live state would emit offset 2)
+      val cIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val cHits = graft.streaming.StreamingCohort.hits(spark,
+        cIn.toDF().toDF("u", "tts", "id"), "u", "tts", "id", ttlMs = 500L)
+      cIn.addData((1L, ts("2024-01-02 10:00:00"), 1L)) // week of Jan 1
+      val c1 = runPass(cHits, s"$base/co", s"$base/c")
+        .map(r => (r.getDate(1).toString, r.getLong(2)))
+      assert(c1 == Seq(("2024-01-01", 0L)), s"pass 1 cohort: $c1")
+
+      Thread.sleep(1200L) // > ttlMs: all three entities' state expires
+
+      fIn.addData((1L, "signup", ts("2024-03-01 10:00:00"), 2L))
+      val f2 = runPass(fHits, s"$base/fo", s"$base/f").map(_.getLong(1))
+      assert(f2 == Seq(1L, 1L), // cumulative: a SECOND stage-1 hit
+        s"expired entity must restart at stage 1, got $f2")
+
+      tIn.addData((1L, "purchase", ts("2024-03-01 10:00:00"), 3L))
+      val t2 = runPass(tEdges, s"$base/to", s"$base/t")
+        .map(r => (r.getString(1), r.getString(2)))
+      assert(t2 == Seq(("view", "click")), // cumulative: NO new edge
+        s"expired entity must not bridge click→purchase, got $t2")
+
+      cIn.addData((1L, ts("2024-01-16 10:00:00"), 2L)) // two weeks later
+      val c2 = runPass(cHits, s"$base/co", s"$base/c")
+        .map(r => (r.getDate(1).toString, r.getLong(2))).sorted
+      assert(c2 == Seq(("2024-01-01", 0L), ("2024-01-15", 0L)),
+        s"expired entity must re-cohort at offset 0, got $c2")
+    }
+  }
+
+  test("cross-batch disorder: funnel monotone, cohort never negative") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx = spark.sqlContext
+    withRocksDb {
+      // The documented ordering boundary (doc comments on all three
+      // processors), pinned: event-time stragglers arriving a batch LATE
+      // degrade monotonically — no retroactive stage re-qualification, no
+      // negative cohort offsets — rather than corrupting state.
+      val fCkpt = java.nio.file.Files.createTempDirectory("funnel_ooo_ckpt")
+      val fIn = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+      val fHits = graft.streaming.StreamingFunnel.stageHits(spark,
+        fIn.toDF().toDF("u", "t", "tts", "id"),
+        "u", "t", "tts", "id", Seq("signup", "view", "purchase"))
+      val fq = fHits.writeStream.outputMode("append").format("memory")
+        .queryName("funnel_ooo_t")
+        .option("checkpointLocation", fCkpt.toString).start()
+      try {
+        // the view arrives a batch EARLY (event-time 11:00, before the
+        // signup is known): no stage taken, and it is gone for good
+        fIn.addData((1L, "view", ts("2024-01-01 11:00:00"), 2L))
+        fq.processAllAvailable()
+        assert(spark.table("funnel_ooo_t").isEmpty)
+        // the signup (event-time 10:00) and purchase (12:00) arrive next
+        // batch: signup advances to stage 1; the purchase cannot take
+        // stage 2 (that is the view's slot, already consumed unseen) —
+        // monotone: the batch recompute would say stage 3, the stream
+        // says stage 1 and NEVER retroactively re-qualifies
+        fIn.addData((1L, "signup", ts("2024-01-01 10:00:00"), 1L),
+          (1L, "purchase", ts("2024-01-01 12:00:00"), 3L))
+        fq.processAllAvailable()
+        val stages = spark.table("funnel_ooo_t").select($"stage")
+          .as[Long].collect().toList
+        assert(stages == List(1L), s"disorder must degrade monotone: $stages")
+      } finally fq.stop()
+
+      val cCkpt = java.nio.file.Files.createTempDirectory("cohort_ooo_ckpt")
+      val cIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val cHits = graft.streaming.StreamingCohort.hits(spark,
+        cIn.toDF().toDF("u", "tts", "id"), "u", "tts", "id")
+      val cq = cHits.writeStream.outputMode("append").format("memory")
+        .queryName("cohort_ooo_t")
+        .option("checkpointLocation", cCkpt.toString).start()
+      try {
+        cIn.addData((1L, ts("2024-01-16 10:00:00"), 2L)) // week of Jan 15
+        cq.processAllAvailable()
+        // a straggler OLDER than the recorded cohort: dropped, not
+        // emitted with a negative offset, and the cohort stands
+        cIn.addData((1L, ts("2024-01-02 10:00:00"), 1L),
+          (1L, ts("2024-01-23 10:00:00"), 3L))
+        cq.processAllAvailable()
+        val out = spark.table("cohort_ooo_t")
+          .select($"cohort_week", $"week_offset").collect()
+          .map(r => (r.getDate(0).toString, r.getLong(1))).sorted.toList
+        assert(out == List(("2024-01-15", 0L), ("2024-01-15", 1L)),
+          s"straggler must drop, cohort must stand: $out")
+      } finally cq.stop()
+    }
+  }
+
+  test("duplicate stage names are rejected in batch and streaming funnels") {
+    val events = Seq((1L, "a", ts("2024-01-01 10:00:00"), 1L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    intercept[IllegalArgumentException] {
+      Behavior.stageTimes(events, "user_id", "event_type", "ts",
+        "event_id", Seq("a", "a", "b"))
+    }
+    intercept[IllegalArgumentException] {
+      new graft.streaming.FunnelProcessor(Seq("a", "a", "b"))
+    }
+  }
 }

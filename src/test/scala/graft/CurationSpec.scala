@@ -409,6 +409,55 @@ class CurationSpec extends SparkSpec {
     assert(w1.select($"syms").as[String].head() == "xx x </w>")
   }
 
+  test("bpeTrain batching: one job round per disjoint batch, output " +
+      "bit-identical to the serial loop") {
+    // Four target merges with strictly separated counts and disjoint
+    // symbols — (a,b)=50 > (c,d)=40 > (e,f)=30 > (g,h)=20 — each carried
+    // by its own wrapper letters so every other pair counts exactly 10.
+    // The admission proof then certifies the whole prefix in ONE round.
+    val line = Seq("AabB", "CabD", "EabF", "GabH", "IabJ",
+      "KcdL", "McdN", "OcdP", "QcdR",
+      "SefT", "UefV", "WefX",
+      "YghZ", "0gh1").mkString(" ")
+    val d = Seq.fill(10)(line).toDF("text")
+    val sc = spark.sparkContext
+    def jobsFor(group: String, maxBatch: Int) = {
+      sc.setJobGroup(group, group, interruptOnCancel = false)
+      val (m, _) = try Curation.bpeTrain(d, "text", merges = 4,
+        maxBatch = maxBatch)
+      finally sc.clearJobGroup()
+      (sc.statusTracker.getJobIdsForGroup(group).length,
+        m.orderBy($"step")
+          .as[(Long, String, String, String, Long)].collect().toList)
+    }
+    val (serialJobs, serialMerges) = jobsFor("bpe_serial", 1)
+    val (batchedJobs, batchedMerges) = jobsFor("bpe_batched", 4)
+    assert(serialMerges == List(
+      (1L, "a", "b", "ab", 50L), (2L, "c", "d", "cd", 40L),
+      (3L, "e", "f", "ef", 30L), (4L, "g", "h", "gh", 20L)),
+      s"serial merge table: $serialMerges")
+    assert(batchedMerges == serialMerges,
+      "batched training must learn the EXACT serial vocab " +
+        s"(got $batchedMerges)")
+    // serial = 4 rounds of (argmax collect + checkpoint); batched = 1
+    // round — the driver round-trip count drops by ~the batch width
+    assert(batchedJobs * 2 <= serialJobs,
+      s"4 disjoint merges in one round must cut jobs ~4x: " +
+        s"batched=$batchedJobs vs serial=$serialJobs")
+  }
+
+  test("bpeTrain batching refuses unsafe batches: overlap and count ties " +
+      "fall back to serial order") {
+    // (b,</w>) and (a,b) share a symbol AND every pair of a 2-letter
+    // word ties with its own end pair — the maximal safe batch is 1, so
+    // batched output must equal the serial hand-computed table
+    val d = Seq("ab ab b", "ab c").toDF("text")
+    val (m, _) = Curation.bpeTrain(d, "text", merges = 2, maxBatch = 8)
+    assert(m.orderBy($"step")
+      .as[(Long, String, String, String, Long)].collect().toList ==
+      List((1L, "b", "</w>", "b</w>", 4L), (2L, "a", "b</w>", "ab</w>", 3L)))
+  }
+
   test("vocabCoverage: exact cumulative curve with deterministic tie-break") {
     // 4 types: "a"×6, "b"×3, "c"×3, "d"×1 — b/c tie broken by token ASC
     val d = Seq("a a a b c", "a a a b b c c d").toDF("text")

@@ -462,4 +462,42 @@ class KafkaConsumeSpec extends SparkSpec {
         "once committed, the LSO advances and the records surface")
     } finally broker.close()
   }
+
+  test("admission prorates by lag: a hot partition drains in fewer " +
+      "triggers than an even split would allow") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val broker = new InProcessKafkaBroker(nPartitions = 2)
+    val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}")
+    try {
+      // one subject = one partition (murmur2 keying): 12 records pile on
+      // a single HOT partition, the other stays caught up at lag 0
+      (1 to 12).foreach(i =>
+        w.publish(PublishItem("t.skew", s"e$i", s"v$i", i.toLong)))
+      val stream = new graft.sources.KafkaEnvelopeStream(
+        s"127.0.0.1:${broker.port}", Seq("t.skew"), None,
+        startLatest = false, maxOffsetsPerTrigger = Some(6L))
+      try {
+        val start = stream.initialOffset()
+          .asInstanceOf[graft.sources.KafkaPartitionOffsets]
+        val full = stream.latestOffset(start, ReadLimit.allAvailable())
+          .asInstanceOf[graft.sources.KafkaPartitionOffsets]
+        val hot = full.positions.maxBy(_._2)._1
+        assert(full.positions(hot) == 12L && full.positions.size == 2,
+          s"all 12 records on one partition: ${full.positions}")
+        // trigger 1: the whole 6-offset budget goes to the hot partition
+        // (even split would hand 3 to each and waste the cold one's half)
+        val end1 = stream.latestOffset(start, ReadLimit.maxRows(6L))
+          .asInstanceOf[graft.sources.KafkaPartitionOffsets]
+        assert(end1.positions(hot) == 6L,
+          s"lag-prorated budget must all land on the hot partition: " +
+            s"${end1.positions}")
+        // trigger 2 finishes the backlog: 2 triggers total where the
+        // even split needed 4 (12 records at 3 per trigger)
+        val end2 = stream.latestOffset(end1, ReadLimit.maxRows(6L))
+          .asInstanceOf[graft.sources.KafkaPartitionOffsets]
+        assert(end2.positions(hot) == 12L,
+          s"hot partition drained by trigger 2: ${end2.positions}")
+      } finally stream.stop()
+    } finally { w.close(); broker.close() }
+  }
 }
