@@ -38,6 +38,31 @@ object Bench {
       case None => orchestrate()
     }
 
+  /** Host-speed calibration pair, run inside every bench JVM: a
+    * single-thread xorshift chain (CPU-steal sensitive, allocation-free)
+    * and one Spark whole-stage-codegen range sum (parallel CPU +
+    * scheduler). This virtualized host's absolute throughput swings
+    * 1.5–2.5× between runs HOURS apart (r10 measured the byte-identical
+    * codec loop at 351k/483k/704k ops/s in one afternoon), so absolute
+    * figures chase the neighbor's workload; the engine claims in
+    * SCALE.md are pinned as RATIOS to these calibrations, which cancel
+    * the steal. Printed per section to stderr and once into the
+    * artifact.
+    */
+  private def calibrate(spark: SparkSession): (Long, Long) = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    val n = 200000000L
+    val t0 = System.nanoTime()
+    while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    val st = (n / ((System.nanoTime() - t0) / 1e9)).round
+    require(x != 0L) // keep the chain live
+    val t1 = System.nanoTime()
+    spark.range(2000000000L).selectExpr("sum(id ^ 2654435761L)").collect()
+    val mt = (2000000000L / ((System.nanoTime() - t1) / 1e9)).round
+    (st, mt)
+  }
+
   private def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -60,6 +85,8 @@ object Bench {
     // codegen + parquet reader + shuffle machinery warmup — same
     // philosophy as the orchestrator's, scoped to what the section needs
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    val (st, mt) = calibrate(spark)
+    System.err.println(s"[calib] section=$section st=$st mt=$mt")
     val r = runSection(spark, sfDirEnv, section)
     // single marked lines; the parent splices frag verbatim
     println("SECTION_FRAG " + r.frag)
@@ -158,7 +185,15 @@ object Bench {
     val allErrors = errors ++ sections.flatMap(_.errors)
     val allErrJson = allErrors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fragJson = sections.map(_.frag).filter(_.nonEmpty).mkString(",")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$allErrJson,$fragJson,"sf":"$sfDir"}""")
+    // the parent's own host-speed reading, taken right after the query
+    // loop — SCALE.md states throughput claims against it. Placed BEFORE
+    // the queries dict: the driver's artifact keeps only the last 2000
+    // stdout bytes, and that tail budget belongs to the q-query region +
+    // headline metrics (the [calib] stderr lines carry the per-section
+    // readings regardless).
+    val (st, mt) = calibrate(spark)
+    System.err.println(s"[calib] section=main st=$st mt=$mt")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib_st":$st,"calib_mt":$mt,"queries":$qs,"errors":$allErrJson,$fragJson,"sf":"$sfDir"}""")
     // tear down state-store machinery (maintenance thread pool + any
     // still-loaded providers, incl. RocksDB native handles) BEFORE the
     // session: freeing native memory at spark.stop() time is what the

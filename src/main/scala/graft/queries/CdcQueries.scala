@@ -773,6 +773,56 @@ object CdcQueries {
         FROM events
         ORDER BY tbl, src""")),
 
+    // ONLINE SCHEMA EVOLUTION (r10): the same relation id flips between
+    // two column sets INTERLEAVED within a partition — pgoutput's
+    // Relation frames replace registry entries at any point
+    // (pgoutput.go:216-230), so each INSERT must decode under the
+    // relation version most recently announced BEFORE it, never a stale
+    // or future one. Even events ride schema v1 (one column), odd events
+    // v2 (adds `note`): a decoder that caches the first Relation, or the
+    // last, fails half the rows; the driver hash-gates the full add-a-
+    // column migration end to end (decode → assembly → normalize).
+    "c35_schema_evolution" -> Def(
+      (s, d) => {
+        import s.implicits._
+        val src = t(s, d, "events").select(col("event_id"),
+            unix_micros(col("ts")).as("us"))
+          .as[(Long, Long)]
+        val raw = src.flatMap { case (id, us) =>
+          val relId = 777001
+          val ws = id * 10
+          val rel =
+            if (id % 2 == 0)
+              PgWire.relation(relId, "public", "evo",
+                Seq("src_event_id" -> 20))
+            else
+              PgWire.relation(relId, "public", "evo",
+                Seq("src_event_id" -> 20, "note" -> 25))
+          val ins =
+            if (id % 2 == 0) PgWire.insert(relId, Seq(Some(id.toString)))
+            else PgWire.insert(relId,
+              Seq(Some(id.toString), Some(s"n$id")))
+          Seq(
+            (ws, rel),
+            (ws + 1, PgWire.begin(ws + 3, us, id.toInt)),
+            (ws + 2, ins),
+            (ws + 3, PgWire.commit(ws + 3, ws + 4, us)))
+        }.toDF("wal_start", "data")
+        Transform.normalize(TxAssembly.assemble(PgOutput.decode(s, raw)), Db)
+          .filter(col("operation") === "INSERT")
+          .select(
+            element_at(col("after"), "src_event_id").cast("long")
+              .as("src_event_id"),
+            size(col("after")).as("n_after"),
+            element_at(col("after"), "note").as("note"))
+          .orderBy(col("src_event_id"))
+      },
+      Some("""SELECT event_id AS src_event_id,
+          CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER)
+            AS n_after,
+          CASE WHEN event_id % 2 = 1 THEN 'n' || event_id END AS note
+        FROM events ORDER BY src_event_id""")),
+
     // TRUNCATE -> DDL event (wal2json T action): empty before AND after
     // images (not null — the reference's cdc_truncate_test invariant),
     // cdc.ddl event type, routed like any change. One truncate tx per

@@ -187,12 +187,27 @@ class PgOutputSpec extends SparkSpec {
     assert(solo.schema_name == "pg_message" && solo.table_name == "heartbeat")
     assert(solo.txid == 0L && solo.action_time == null)
     assert(solo.new_values == Map("prefix" -> "heartbeat", "content" -> "",
-      "transactional" -> "false"))
+      "content_base64" -> "", "transactional" -> "false"))
     val tx = evts(2)
     assert(tx.table_name == "outbox" && tx.txid == 777L)
     assert(tx.action_time != null, "transactional message carries the tx ts")
     assert(tx.new_values("content") == """{"order":42}""")
+    // binary payloads survive ONLY through content_base64 — the UTF-8
+    // `content` rendering is lossy for non-text bytes
+    assert(java.util.Base64.getDecoder.decode(
+      tx.new_values("content_base64")).sameElements(
+      """{"order":42}""".getBytes("UTF-8")))
     assert(tx.old_values == null)
+  }
+
+  test("logical message 'M': arbitrary binary payload round-trips via base64") {
+    val payload = Array[Byte](0, -1, -2, 127, 10, 0, 65) // not valid UTF-8 text
+    val evts = decode(Seq(relMsg,
+      PgWire.logicalMessage(transactional = false, 70L, "avro", payload)))
+    val m = evts.head.new_values
+    assert(java.util.Base64.getDecoder.decode(m("content_base64"))
+      .sameElements(payload),
+      "the exact bytes must survive the envelope")
   }
 
   test("logical message 'M': content length past the frame is rejected") {
