@@ -4671,6 +4671,89 @@ object LlmQueries {
         SELECT source, n_docs, avail_tokens, target_tokens,
           (target_tokens + avail_tokens - 1) // avail_tokens AS epochs,
           (target_tokens * 10000) // avail_tokens AS rate_bp
-        FROM tg ORDER BY source"""))
+        FROM tg ORDER BY source""")),
+
+    // STREAM-STREAM interval join (r10) — the last stateful Structured
+    // Streaming operator class the surface lacked: click→impression
+    // attribution, two unbounded inputs joined on the entity plus an
+    // event-time band, each side watermarked so state stays bounded by
+    // rate × window. Clicks derive from the events table (every 3rd
+    // event clicks 10 min later — inside the 30-min window; every 5th
+    // clicks 2 h later — outside, matching nothing), both sides staged
+    // as three event-time-ordered slices per side admitted one file per
+    // trigger — so matches SPAN micro-batches (a slice-1 click reaching
+    // a slice-0 impression proves retained join state, not within-batch
+    // luck) while the ordered admission keeps the append-mode inner
+    // join exactly the batch interval join the oracle computes.
+    "l119_stream_stream_join" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val e = t(s, d, "events")
+        val imps = e.select(col("event_id").as("imp_id"),
+          col("user_id"), col("ts").as("imp_ts"))
+        val clicks = e.filter(col("event_id") % 3 === 0)
+          .select((col("event_id") + 10000000L).as("click_id"),
+            col("user_id").as("c_user"),
+            (col("ts") + expr("INTERVAL 10 MINUTES")).as("click_ts"))
+          .unionByName(e.filter(col("event_id") % 5 === 0)
+            .select((col("event_id") + 20000000L).as("click_id"),
+              col("user_id").as("c_user"),
+              (col("ts") + expr("INTERVAL 2 HOURS")).as("click_ts")))
+        val work = java.nio.file.Files.createTempDirectory("graft_l119")
+        // shared absolute cut points: admission is event-time-ordered on
+        // BOTH sides, so a batch never carries a row older than a prior
+        // batch's rows (the exactness precondition in StreamingJoins)
+        val (tMin, tMax) = {
+          val r = e.agg(min(unix_micros(col("ts"))),
+            max(unix_micros(col("ts")))).head()
+          (r.getLong(0), r.getLong(1) + 1L)
+        }
+        val cut1 = tMin + (tMax - tMin) / 3
+        val cut2 = tMin + 2L * (tMax - tMin) / 3
+        def stage(df: DataFrame, tsCol: String, dir: String): String = {
+          val us = unix_micros(col(tsCol))
+          Seq(us < cut1, us >= cut1 && us < cut2, us >= cut2)
+            .zipWithIndex.foreach { case (pred, i) =>
+              df.filter(pred).coalesce(1)
+                .write.parquet(s"$work/$dir/s$i")
+              new java.io.File(s"$work/$dir/s$i").listFiles()
+                .foreach(x => {
+                  x.setLastModified(1700000000000L + i * 60000L); ()
+                })
+            }
+          s"$work/$dir"
+        }
+        val impDir = stage(imps, "imp_ts", "imp")
+        val clkDir = stage(clicks, "click_ts", "clk")
+        def src(dir: String, schema: String) = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/s*")
+        val joined = graft.streaming.StreamingJoins.intervalJoin(
+          src(impDir, "imp_id LONG, user_id LONG, imp_ts TIMESTAMP")
+            .withColumnRenamed("user_id", "entity"),
+          src(clkDir, "click_id LONG, c_user LONG, click_ts TIMESTAMP")
+            .withColumnRenamed("c_user", "entity"),
+          keyCol = "entity", leftTs = "imp_ts", rightTs = "click_ts",
+          windowMinutes = 30L, watermarkDelay = "45 minutes")
+        val out = s"$work/out"
+        val q = joined.select(col("click_id"), col("imp_id"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$work/ck")
+          .trigger(Trigger.ProcessingTime("50 milliseconds"))
+          .start(out)
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(out).orderBy(col("click_id"), col("imp_id"))
+      },
+      Some("""WITH clk AS (
+          SELECT event_id + 10000000 AS click_id, user_id,
+            ts + INTERVAL 10 MINUTE AS click_ts
+          FROM events WHERE event_id % 3 = 0
+          UNION ALL
+          SELECT event_id + 20000000, user_id, ts + INTERVAL 2 HOUR
+          FROM events WHERE event_id % 5 = 0)
+        SELECT c.click_id, i.event_id AS imp_id
+        FROM clk c JOIN events i ON c.user_id = i.user_id
+          AND c.click_ts >= i.ts
+          AND c.click_ts <= i.ts + INTERVAL 30 MINUTE
+        ORDER BY click_id, imp_id"""))
   )
 }
