@@ -12,7 +12,10 @@ import graft.streaming.DecodedWalEvent
   * public PostgreSQL logical-replication protocol (message formats
   * documented in the PostgreSQL "Logical Replication Message Formats"
   * chapter): Relation / Begin / Commit / Insert / Update / Delete /
-  * Truncate, with text-format tuple data.
+  * Truncate, with text-format tuple data — plus the protocol v2
+  * streamed-transaction frames (Stream Start/Stop/Commit/Abort) a
+  * streaming=on slot emits for large in-progress transactions, which the
+  * reference (proto_version 1 pinned) cannot consume at all.
   *
   * Semantics preserved from the reference:
   *  - a per-stream relation registry updated by Relation messages at any
@@ -128,6 +131,23 @@ object PgOutput {
     var currentXid: Long = 0L
     var currentTs: Timestamp = null
 
+    // ---- protocol v2 streamed-transaction cursor (streaming=on slots) ----
+    // The open segment's top-level xid (-1 = between segments) and, per
+    // in-flight streamed top-level tx, the (sub)transaction xids whose
+    // changes were observed — StreamCommit fans its commit marker out to
+    // every surviving member so each (sub)xid's rows assemble with the
+    // commit metadata, and StreamAbort retracts one member (or the whole
+    // tx). A streaming caller persists these across batches the same way
+    // it persists currentXid/currentTs (the segment bracket and the
+    // in-flight set both outlive a micro-batch); `removedStreamTops`
+    // records commits/full aborts so persisted entries can be deleted.
+    var streamTop: Long = -1L
+    val streamXids: scala.collection.mutable.Map[Long,
+      scala.collection.mutable.LinkedHashSet[Long]] =
+      scala.collection.mutable.Map.empty
+    val removedStreamTops: scala.collection.mutable.Set[Long] =
+      scala.collection.mutable.Set.empty
+
     private def relation(b: ByteBuffer, walStart: Long): RelationInfo = {
       val id = b.getInt()
       getRel(id).getOrElse(throw new IllegalStateException(
@@ -151,7 +171,21 @@ object PgOutput {
     private def decodeFrame(walStart: Long, data: Array[Byte]): Seq[DecodedWalEvent] = {
       val b = ByteBuffer.wrap(data)
       if (!b.hasRemaining) corrupt("empty frame")
-      b.get().toChar match {
+      val msgType = b.get().toChar
+      // protocol v2: every transactional message between StreamStart and
+      // StreamStop carries its own Int32 (sub)transaction xid right after
+      // the type byte; outside segments the v1 layout applies and data
+      // rows stamp the Begin cursor
+      val inSeg = streamTop >= 0L
+      val evXid: Long =
+        if (inSeg && "RIUDTM".indexOf(msgType) >= 0) {
+          val x = b.getInt().toLong & 0xffffffffL
+          streamXids.getOrElseUpdate(streamTop,
+            scala.collection.mutable.LinkedHashSet(streamTop)) += x
+          x
+        } else currentXid
+      val evTs: Timestamp = if (inSeg) null else currentTs
+      msgType match {
         case 'R' =>
           val id = b.getInt()
           val schema0 = readCString(b)
@@ -190,7 +224,7 @@ object PgOutput {
           if (ik != 'N') corrupt(s"INSERT expects new tuple 'N', got '$ik'")
           val nv = readTuple(b, rel)
           Seq(DecodedWalEvent(walStart, "INSERT", is_begin = false, is_commit = false,
-            rel.schema, rel.table, null, nv, currentXid, currentTs))
+            rel.schema, rel.table, null, nv, evXid, evTs))
         case 'U' =>
           val rel = relation(b, walStart)
           var old: Map[String, String] = null
@@ -202,7 +236,7 @@ object PgOutput {
           if (kind != 'N') corrupt(s"UPDATE expects new tuple 'N', got '$kind'")
           val nv = readTuple(b, rel)
           Seq(DecodedWalEvent(walStart, "UPDATE", is_begin = false, is_commit = false,
-            rel.schema, rel.table, old, nv, currentXid, currentTs))
+            rel.schema, rel.table, old, nv, evXid, evTs))
         case 'D' =>
           val rel = relation(b, walStart)
           val kind = b.get().toChar
@@ -210,7 +244,7 @@ object PgOutput {
             corrupt(s"DELETE expects key/old tuple 'K'/'O', got '$kind'")
           val ov = readTuple(b, rel)
           Seq(DecodedWalEvent(walStart, "DELETE", is_begin = false, is_commit = false,
-            rel.schema, rel.table, ov, null, currentXid, currentTs))
+            rel.schema, rel.table, ov, null, evXid, evTs))
         case 'T' =>
           val nrels = b.getInt()
           b.get() // options (cascade/restart identity)
@@ -218,7 +252,7 @@ object PgOutput {
             getRel(b.getInt()).map { rel =>
               // truncate -> DDL with empty before AND after images
               DecodedWalEvent(walStart, "DDL", is_begin = false, is_commit = false,
-                rel.schema, rel.table, Map.empty, Map.empty, currentXid, currentTs)
+                rel.schema, rel.table, Map.empty, Map.empty, evXid, evTs)
             }
           }
         // Logical decoding message (pg_logical_emit_message) — the
@@ -251,23 +285,58 @@ object PgOutput {
               "content_base64" ->
                 java.util.Base64.getEncoder.encodeToString(content),
               "transactional" -> transactional.toString),
-            if (transactional) currentXid else 0L,
-            if (transactional) currentTs else null))
+            if (transactional) evXid else 0L,
+            if (transactional) evTs else null))
         // parseable-but-unhandled message types are ignored like the
         // reference's switch without a default arm (origin 'O', type
         // metadata 'Y')
         case 'O' | 'Y' => Nil
-        // protocol v2 streaming frames (Stream Start/Stop/Commit/Abort) are
-        // VALID pgoutput messages, but this decoder assumes proto_version 1
-        // — the version the reference pins in its START_REPLICATION options
-        // — because v2 interleaves in-progress transactions and prefixes
-        // in-stream DML with an extra xid this decoder does not read. Seeing
-        // one means the slot was opened with streaming=on: a configuration
-        // error, reported as such rather than as an unparseable frame.
-        case st @ ('S' | 'E' | 'c' | 'A') => throw new UnsupportedOperationException(
-          s"pgoutput protocol v2 streaming frame '$st' at " +
-            s"wal_start=$walStart: this decoder speaks proto_version 1 " +
-            "(no streaming) — open the slot with streaming=off")
+        // ---- protocol v2 streamed in-progress transactions (r10 —
+        // BEYOND the reference, which pins proto_version 1): a slot
+        // opened with streaming=on delivers large transactions BEFORE
+        // commit as interleaved segments, each bracketed by
+        // StreamStart('S')/StreamStop('E'), with every in-segment
+        // message carrying its own (sub)transaction xid (parsed above).
+        // StreamCommit('c') fans a commit marker out to every observed
+        // surviving (sub)xid so each group assembles with the commit
+        // metadata; StreamAbort('A') emits an ABORT marker for the
+        // aborted (sub)xid — assembly drops that group's rows (the
+        // apply-worker file-truncation analog, expressed relationally).
+        case 'S' =>
+          if (inSeg) corrupt(
+            s"StreamStart inside an open segment (top=$streamTop)")
+          val xid = b.getInt().toLong & 0xffffffffL
+          b.get() // first-segment flag
+          streamTop = xid
+          streamXids.getOrElseUpdate(xid,
+            scala.collection.mutable.LinkedHashSet(xid))
+          Nil
+        case 'E' =>
+          if (!inSeg) corrupt("StreamStop without an open segment")
+          streamTop = -1L
+          Nil
+        case 'c' =>
+          val xid = b.getInt().toLong & 0xffffffffL
+          b.get() // flags
+          b.getLong() // commit LSN
+          b.getLong() // end LSN
+          val ts = pgTimestamp(b.getLong())
+          val members = streamXids.remove(xid)
+            .map(_.toSeq)
+            .getOrElse(Seq(xid))
+          removedStreamTops += xid
+          members.map(x => DecodedWalEvent(walStart, "C", is_begin = false,
+            is_commit = true, null, null, null, null, x, ts))
+        case 'A' =>
+          val xid = b.getInt().toLong & 0xffffffffL
+          val subXid = b.getInt().toLong & 0xffffffffL
+          streamXids.get(xid).foreach(_ -= subXid)
+          if (subXid == xid) {
+            streamXids.remove(xid)
+            removedStreamTops += xid
+          }
+          Seq(DecodedWalEvent(walStart, "ABORT", is_begin = false,
+            is_commit = false, null, null, null, null, subXid, null))
         // anything else is an unparseable frame — the reference's
         // pglogrepl.Parse would error and the stream would classify it
         // fatal (parser.go:33-38); CorruptFrameException keeps it under

@@ -102,4 +102,47 @@ object PgWire {
     b.putInt(content.length).put(content)
     fin(b)
   }
+
+  // ---- protocol v2 streamed-transaction frames (streaming=on slots) ----
+
+  /** Stream Start ('S'): the (sub)segment opener — top-level xid + a
+    * first-segment flag (1 on the xid's first segment).
+    */
+  def streamStart(xid: Int, firstSegment: Boolean): Array[Byte] = {
+    val b = buf(16)
+    b.put('S'.toByte).putInt(xid)
+      .put(if (firstSegment) 1.toByte else 0.toByte)
+    fin(b)
+  }
+
+  /** Stream Stop ('E'): closes the open segment; no body. */
+  def streamStop(): Array[Byte] = fin(buf(4).put('E'.toByte))
+
+  /** Stream Commit ('c'): xid, flags, commit LSN, end LSN, commit ts. */
+  def streamCommit(xid: Int, commitLsn: Long, endLsn: Long,
+      unixMicros: Long): Array[Byte] = {
+    val b = buf(64)
+    b.put('c'.toByte).putInt(xid).put(0.toByte).putLong(commitLsn)
+      .putLong(endLsn).putLong(unixMicros - PgEpochMicros)
+    fin(b)
+  }
+
+  /** Stream Abort ('A'): top xid + aborted subtransaction xid (equal to
+    * the top xid when the whole transaction rolls back).
+    */
+  def streamAbort(xid: Int, subXid: Int): Array[Byte] = {
+    val b = buf(16)
+    b.put('A'.toByte).putInt(xid).putInt(subXid)
+    fin(b)
+  }
+
+  /** Prefix a v1 data frame with the Int32 xid that in-stream messages
+    * carry in protocol v2 (every transactional message between
+    * StreamStart..StreamStop names its own (sub)transaction).
+    */
+  def streamed(xid: Int, frame: Array[Byte]): Array[Byte] = {
+    val b = buf(frame.length + 8)
+    b.put(frame(0)).putInt(xid).put(frame, 1, frame.length - 1)
+    fin(b)
+  }
 }

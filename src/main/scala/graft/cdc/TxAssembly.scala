@@ -46,7 +46,16 @@ object TxAssembly {
         max(when(col("is_commit"), col("action_time"))).over(byTx))
       .withColumn("commit_lsn",
         max(when(col("is_commit"), col("wal_start"))).over(byTx))
-      .filter(!col("is_begin") && !col("is_commit"))
+      // protocol v2 StreamAbort: an ABORT marker retracts its whole
+      // (sub)transaction — the no-commit-marker action_time fallback below
+      // must never resurrect rolled-back rows, so aborted groups are
+      // dropped wholesale (rides the same txid window, no extra shuffle)
+      .withColumn("__aborted",
+        max(when(col("operation") === "ABORT", lit(true))).over(byTx))
+      .filter(!col("is_begin") && !col("is_commit") &&
+        col("operation") =!= "ABORT" &&
+        !coalesce(col("__aborted"), lit(false)))
+      .drop("__aborted")
       .withColumn("seq_in_tx", row_number().over(seqW).cast("long") - 1)
       .withColumn("commit_time", coalesce(col("commit_time"), col("action_time")))
       .withColumn("commit_lsn", coalesce(col("commit_lsn"), col("wal_start")))

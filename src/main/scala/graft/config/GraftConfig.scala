@@ -43,7 +43,12 @@ final case class GraftConfig(
     streamMaxAge: FiniteDuration = 72.hours,
     duplicateWindow: FiniteDuration = 2.minutes,
     publishFailurePolicy: String = "dlq",
-    dlqSubjectPrefix: String = "cdc.dlq") {
+    dlqSubjectPrefix: String = "cdc.dlq",
+    // pgoutput protocol version for START_REPLICATION: 1 (the reference's
+    // pin) or 2 (streaming=on — large in-progress transactions arrive as
+    // interleaved StreamStart..StreamStop segments; the decoder speaks
+    // both)
+    protoVersion: Int = 1) {
 
   /** First validation error, or None (config.go:107-166). Failure-policy
     * "dlq" additionally requires the DLQ subject shape to be covered by
@@ -55,6 +60,8 @@ final case class GraftConfig(
     val policy = publishFailurePolicy
     bad(!Seq("", "wal2json", "pgoutput").contains(plugin),
         "CDC_PLUGIN must be pgoutput or wal2json")
+      .orElse(bad(!Seq(1, 2).contains(protoVersion),
+        "CDC_PROTO_VERSION must be 1 or 2"))
       .orElse(bad(batchSize < 0, "BATCH_SIZE must be >= 0"))
       .orElse(bad(batchTimeout <= Duration.Zero, "BATCH_TIMEOUT must be > 0"))
       .orElse(bad(publishAsyncMaxPending < 0, "PUBLISH_ASYNC_MAX_PENDING must be >= 0"))
@@ -129,6 +136,7 @@ object GraftConfig {
         .getOrElse(d.database)
       slotName <- str("CDC_SLOT_NAME", d.slotName)
       plugin <- str("CDC_PLUGIN", d.plugin)
+      protoVersion <- int("CDC_PROTO_VERSION", d.protoVersion)
       batchSize <- int("BATCH_SIZE", d.batchSize)
       asyncMax <- int("PUBLISH_ASYNC_MAX_PENDING", d.publishAsyncMaxPending)
       retries <- int("MAX_PUBLISH_RETRIES", d.maxPublishRetries)
@@ -166,7 +174,8 @@ object GraftConfig {
       publishFailurePolicy = env.get("PUBLISH_FAILURE_POLICY").filter(_.nonEmpty)
         .map(_.trim.toLowerCase).getOrElse(d.publishFailurePolicy),
       dlqSubjectPrefix = env.get("DLQ_SUBJECT_PREFIX").filter(_.nonEmpty)
-        .map(_.trim).getOrElse(d.dlqSubjectPrefix))
+        .map(_.trim).getOrElse(d.dlqSubjectPrefix),
+      protoVersion = protoVersion)
   }
 
   private[config] def parseBool(v: String): Option[Boolean] =

@@ -823,6 +823,64 @@ object CdcQueries {
           CASE WHEN event_id % 2 = 1 THEN 'n' || event_id END AS note
         FROM events ORDER BY src_event_id""")),
 
+    // PROTOCOL V2 STREAMED TRANSACTIONS (r10 — BEYOND the reference,
+    // which pins proto_version 1): a streaming=on slot delivers large
+    // transactions BEFORE commit as interleaved StreamStart..StreamStop
+    // segments whose every message carries its own xid. Per event, a
+    // MAIN tx streams two rows across two segments with a SHADOW tx's
+    // segment interleaved between them; the shadow always StreamAborts
+    // (its rows must vanish), the main StreamCommits — except every 10th
+    // event, whose main also aborts. Gates: per-frame xid parse, segment
+    // bracketing, cross-segment reassembly in WAL order (seq 0/1 across
+    // the interleave), commit stamping (commit_lsn = the StreamCommit
+    // frame's position), and abort retraction through assembly.
+    "c36_streamed_tx" -> Def(
+      (s, d) => {
+        import s.implicits._
+        val src = t(s, d, "events").select(col("event_id"),
+            unix_micros(col("ts")).as("us"))
+          .as[(Long, Long)]
+        val raw = src.flatMap { case (id, us) =>
+          val main = id.toInt
+          val shadow = (id + 900000000L).toInt
+          val relId = 777002
+          val ws = id * 20
+          val rel = PgWire.relation(relId, "public", "evt_stream",
+            Seq("src_event_id" -> 20, "part" -> 25))
+          def ins(xid: Int, part: String) = PgWire.streamed(xid,
+            PgWire.insert(relId, Seq(Some(id.toString), Some(part))))
+          Seq(
+            (ws, PgWire.streamStart(main, firstSegment = true)),
+            (ws + 1, PgWire.streamed(main, rel)),
+            (ws + 2, ins(main, "a")),
+            (ws + 3, PgWire.streamStop()),
+            (ws + 4, PgWire.streamStart(shadow, firstSegment = true)),
+            (ws + 5, ins(shadow, "x")),
+            (ws + 6, PgWire.streamStop()),
+            (ws + 7, PgWire.streamStart(main, firstSegment = false)),
+            (ws + 8, ins(main, "b")),
+            (ws + 9, PgWire.streamStop()),
+            (ws + 10, PgWire.streamAbort(shadow, shadow)),
+            (ws + 11,
+              if (id % 10 == 0) PgWire.streamAbort(main, main)
+              else PgWire.streamCommit(main, ws + 11, ws + 12, us)))
+        }.toDF("wal_start", "data")
+        TxAssembly.assemble(PgOutput.decode(s, raw))
+          .select(
+            element_at(col("new_values"), "src_event_id").cast("long")
+              .as("src_event_id"),
+            element_at(col("new_values"), "part").as("part"),
+            col("seq_in_tx"), col("txid"), col("commit_lsn"))
+          .orderBy(col("src_event_id"), col("seq_in_tx"))
+      },
+      Some("""SELECT event_id AS src_event_id, part,
+          CAST(seq AS BIGINT) AS seq_in_tx,
+          event_id AS txid,
+          event_id * 20 + 11 AS commit_lsn
+        FROM events, (VALUES ('a', 0), ('b', 1)) v(part, seq)
+        WHERE event_id % 10 <> 0
+        ORDER BY src_event_id, seq_in_tx""")),
+
     // TRUNCATE -> DDL event (wal2json T action): empty before AND after
     // images (not null — the reference's cdc_truncate_test invariant),
     // cdc.ddl event type, routed like any change. One truncate tx per

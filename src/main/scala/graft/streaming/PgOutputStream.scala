@@ -16,9 +16,17 @@ case class PgOutputFrame(slot: String, wal_start: Long, data: Array[Byte])
 /** The decoder's cross-batch transaction cursor: txid + commit timestamp of
   * the last Begin seen, carried so a transaction split across micro-batches
   * keeps stamping its data messages (pgoutput carries xid only on Begin).
-  * `tsMicros` Long.MinValue = no Begin seen yet.
+  * `tsMicros` Long.MinValue = no Begin seen yet. `streamTop` is the open
+  * protocol-v2 segment's top-level xid (-1 between segments) — a segment
+  * can span a micro-batch boundary like a v1 transaction can.
   */
-case class PgTxCursor(xid: Long, tsMicros: Long)
+case class PgTxCursor(xid: Long, tsMicros: Long, streamTop: Long = -1L)
+
+/** Per in-flight streamed (protocol v2) top-level tx: the (sub)xids whose
+  * changes were observed, persisted so StreamCommit in a later micro-batch
+  * still fans out to every member.
+  */
+case class StreamTxMembers(xids: Seq[Long])
 
 /** Streaming pgoutput decode on `transformWithState`, keyed by SLOT: the
   * per-stream relation registry that the batch path keeps in a
@@ -42,14 +50,18 @@ class PgOutputStreamDecoder(corruptPolicy: String = "crash")
 
   @transient private var registry: MapState[Int, PgOutput.RelationInfo] = _
   @transient private var cursor: ValueState[PgTxCursor] = _
+  @transient private var streamReg: MapState[Long, StreamTxMembers] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-    // no TTL on either state: relations and the tx cursor are stream-
-    // lifetime metadata (a few rows per slot), not per-event state
+    // no TTL on any state: relations, the tx cursor and the in-flight
+    // streamed-tx set are stream-lifetime metadata (a few rows per slot),
+    // not per-event state
     registry = getHandle.getMapState[Int, PgOutput.RelationInfo]("relreg",
       Encoders.scalaInt, Encoders.product[PgOutput.RelationInfo], TTLConfig.NONE)
     cursor = getHandle.getValueState[PgTxCursor]("txcursor",
       Encoders.product[PgTxCursor], TTLConfig.NONE)
+    streamReg = getHandle.getMapState[Long, StreamTxMembers]("streamreg",
+      Encoders.scalaLong, Encoders.product[StreamTxMembers], TTLConfig.NONE)
   }
 
   private def tsToMicros(ts: Timestamp): Long =
@@ -80,6 +92,13 @@ class PgOutputStreamDecoder(corruptPolicy: String = "crash")
     Option(cursor.get()).foreach { c =>
       session.currentXid = c.xid
       session.currentTs = microsToTs(c.tsMicros)
+      session.streamTop = c.streamTop
+    }
+    // restore the in-flight streamed-tx membership (protocol v2): a
+    // handful of entries per slot — only large, still-open streamed txs
+    streamReg.iterator().foreach { case (top, members) =>
+      session.streamXids(top) =
+        scala.collection.mutable.LinkedHashSet(members.xids: _*)
     }
     // a slot's WAL is serial: decode in wal_start order whatever the
     // batch's arrival order was. Corrupt frames follow the parser-fatal
@@ -88,7 +107,7 @@ class PgOutputStreamDecoder(corruptPolicy: String = "crash")
     // config.go:101): crash propagates the NAMED error (task fails, the
     // micro-batch replays — never a bare BufferUnderflow), dlq emits a
     // CORRUPT marker row the pipeline routes to the dead-letter subject,
-    // skip drops the frame. Config errors (proto v2 frames) always crash.
+    // skip drops the frame.
     val out = rows.toArray.sortBy(_.wal_start).flatMap { f =>
       try session.decode(f.wal_start, f.data)
       catch {
@@ -105,7 +124,14 @@ class PgOutputStreamDecoder(corruptPolicy: String = "crash")
             session.currentXid, session.currentTs))
       }
     }
-    cursor.update(PgTxCursor(session.currentXid, tsToMicros(session.currentTs)))
+    cursor.update(PgTxCursor(session.currentXid, tsToMicros(session.currentTs),
+      session.streamTop))
+    // write back the streamed-tx membership delta: commits/full aborts
+    // delete their entry, everything still in flight is (re)written
+    session.removedStreamTops.foreach(streamReg.removeKey)
+    session.streamXids.foreach { case (top, xids) =>
+      streamReg.updateValue(top, StreamTxMembers(xids.toSeq))
+    }
     out.iterator
   }
 }

@@ -110,6 +110,12 @@ object StreamingTxAssembly {
     } else {
       val prior = state.getOption.map(_.events).getOrElse(Nil)
       val arrived = it.toList
+      // protocol v2 StreamAbort: the marker retracts the whole
+      // (sub)transaction — drop the buffer and everything arriving with it
+      if (arrived.exists(_.operation == "ABORT")) {
+        state.remove()
+        return Iterator.empty
+      }
       val commit = arrived.find(_.is_commit)
       val data = prior ++ arrived.filterNot(e => e.is_begin || e.is_commit)
       commit match {

@@ -37,6 +37,12 @@ class TxAssemblyProcessor(ttlMs: Long)
   override def handleInputRows(txid: Long, rows: Iterator[DecodedWalEvent],
       timers: TimerValues): Iterator[SequencedWalEvent] = {
     val arrived = rows.toList
+    // protocol v2 StreamAbort: the marker retracts the whole
+    // (sub)transaction — drop the buffer and everything arriving with it
+    if (arrived.exists(_.operation == "ABORT")) {
+      buf.clear()
+      return Iterator.empty
+    }
     val commit = arrived.find(_.is_commit)
     val data = arrived.filterNot(e => e.is_begin || e.is_commit)
     commit match {

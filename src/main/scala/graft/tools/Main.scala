@@ -128,7 +128,12 @@ object Main {
     */
   private[graft] def pluginStartOptions(cfg: GraftConfig): String =
     if (cfg.plugin == "pgoutput")
-      "proto_version=1;publication_names=" + cfg.publications.mkString(",")
+      s"proto_version=${cfg.protoVersion};publication_names=" +
+        cfg.publications.mkString(",") +
+        // CDC_PROTO_VERSION=2 opts into streamed in-progress transactions
+        // (interleaved StreamStart..StreamStop segments); the decoder
+        // speaks both versions, v1 stays the reference-parity default
+        (if (cfg.protoVersion >= 2) ";streaming=on" else "")
     else "format-version=2;include-xids=1;include-timestamp=1"
 
   /** Build the raw frame stream for the configured source kind. */

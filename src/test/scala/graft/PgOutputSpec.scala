@@ -221,17 +221,82 @@ class PgOutputSpec extends SparkSpec {
     assert(e.getMessage.contains("exceeds frame"), e.getMessage)
   }
 
-  test("protocol v2 streaming frames are a config error, not garbage") {
-    // 'S' (Stream Start) is a VALID pgoutput message under proto_version 2
-    // — the decoder pins v1 (like the reference's START_REPLICATION
-    // options), so it reports a streaming=on misconfiguration rather than
-    // an unparseable frame
-    val streamStart = Array[Byte]('S'.toByte, 0, 0, 1, 0, 1)
-    val e = intercept[UnsupportedOperationException] {
-      decode(Seq(streamStart))
+  test("protocol v2: interleaved streamed segments decode with per-frame " +
+      "xids; StreamCommit stamps, StreamAbort retracts") {
+    // two large transactions streamed BEFORE commit, their segments
+    // interleaved — xid 500 commits, xid 600 aborts wholesale
+    val out = decode(Seq(
+      PgWire.streamStart(500, firstSegment = true),
+      PgWire.streamed(500, relMsg),
+      PgWire.streamed(500, PgWire.insert(relUsers,
+        Seq(Some("1"), Some("a"), None))),
+      PgWire.streamStop(),
+      PgWire.streamStart(600, firstSegment = true),
+      PgWire.streamed(600, PgWire.insert(relUsers,
+        Seq(Some("2"), Some("b"), None))),
+      PgWire.streamStop(),
+      PgWire.streamStart(500, firstSegment = false),
+      PgWire.streamed(500, PgWire.insert(relUsers,
+        Seq(Some("3"), Some("c"), None))),
+      PgWire.streamStop(),
+      PgWire.streamCommit(500, 900L, 901L, t0),
+      PgWire.streamAbort(600, 600)))
+    val ops = out.map(e => (e.operation, e.txid))
+    assert(ops == List(("INSERT", 500L), ("INSERT", 600L), ("INSERT", 500L),
+      ("C", 500L), ("ABORT", 600L)), s"decoded stream: $ops")
+    // in-segment data rows carry no Begin timestamp; the commit marker does
+    assert(out.filter(_.operation == "INSERT").forall(_.action_time == null))
+    assert(out.find(_.is_commit).get.action_time != null)
+    // assembly drops the aborted tx and stamps the committed one
+    import spark.implicits._
+    val assembled = graft.cdc.TxAssembly.assemble(
+        spark.createDataset(out).toDF())
+      .select($"txid", $"seq_in_tx",
+        $"new_values".getItem("id").as("id"), $"commit_lsn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(x => (x._1, x._2)).toList
+    assert(assembled == List((500L, 0L, "1"), (500L, 1L, "3")),
+      s"aborted xid 600 must vanish, xid 500 keeps WAL order: $assembled")
+  }
+
+  test("protocol v2: StreamAbort of a SUBtransaction retracts only its " +
+      "rows; StreamCommit fans out to surviving subxacts") {
+    // top tx 700 streams changes from subxact 701 (aborted via savepoint
+    // rollback) and subxact 702 (survives): the commit must cover 702's
+    // rows, 701's must vanish
+    val out = decode(Seq(
+      PgWire.streamStart(700, firstSegment = true),
+      PgWire.streamed(700, relMsg),
+      PgWire.streamed(700, PgWire.insert(relUsers,
+        Seq(Some("10"), Some("top"), None))),
+      PgWire.streamed(701, PgWire.insert(relUsers,
+        Seq(Some("11"), Some("rolled-back"), None))),
+      PgWire.streamed(702, PgWire.insert(relUsers,
+        Seq(Some("12"), Some("kept"), None))),
+      PgWire.streamStop(),
+      PgWire.streamAbort(700, 701),
+      PgWire.streamCommit(700, 900L, 901L, t0)))
+    // one commit marker per SURVIVING member (700 itself + 702), in
+    // observation order; 701 gets only the abort marker
+    val commits = out.filter(_.is_commit).map(_.txid)
+    assert(commits == List(700L, 702L), s"commit fan-out: $commits")
+    import spark.implicits._
+    val ids = graft.cdc.TxAssembly.assemble(spark.createDataset(out).toDF())
+      .select($"new_values".getItem("id").as(""))
+      .as[String].collect().sorted.toList
+    assert(ids == List("10", "12"),
+      s"subxact 701's row must vanish, 700/702 survive: $ids")
+  }
+
+  test("protocol v2: a segment spanning the partition keeps bracketing; " +
+      "stray StreamStop and nested StreamStart are corrupt") {
+    intercept[PgOutput.CorruptFrameException] {
+      decode(Seq(PgWire.streamStop()))
     }
-    assert(e.getMessage.contains("proto_version 1"))
-    assert(e.getMessage.contains("streaming"))
+    intercept[PgOutput.CorruptFrameException] {
+      decode(Seq(PgWire.streamStart(800, firstSegment = true),
+        PgWire.streamStart(801, firstSegment = true)))
+    }
   }
 
   test("distributed decode through the DataFrame API") {

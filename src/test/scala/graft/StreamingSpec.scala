@@ -154,6 +154,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("pgoutput v2: a streamed tx spans micro-batches — segment bracket " +
+      "and membership persist; StreamAbort retracts, StreamCommit releases") {
+    implicit val sctx = spark.sqlContext
+    import graft.cdc.PgWire
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val t0 = 1705314600123456L
+    val input = MemoryStream[(Long, Array[Byte])]
+    val events = CdcStream.pipelinePgOutput(spark,
+      input.toDF().toDF("wal_start", "data"), "testdb")
+    val q = events.writeStream.outputMode("append")
+      .format("memory").queryName("pgout_v2_stream").start()
+    try {
+      // batch 1 ends with the segment still OPEN: the v2 cursor
+      // (streamTop) must persist for batch 2's in-stream frame to parse
+      // its xid prefix
+      input.addData(
+        (10L, PgWire.relation(100, "public", "users", Seq("id" -> 20, "name" -> 25))),
+        (20L, PgWire.streamStart(21, firstSegment = true)),
+        (30L, PgWire.streamed(21, PgWire.insert(100, Seq(Some("1"), Some("early"))))))
+      q.processAllAvailable()
+      assert(spark.table("pgout_v2_stream").isEmpty, "uncommitted stream must not emit")
+      // batch 2 continues and closes the same segment
+      input.addData(
+        (40L, PgWire.streamed(21, PgWire.insert(100, Seq(Some("2"), Some("late"))))),
+        (50L, PgWire.streamStop()))
+      q.processAllAvailable()
+      assert(spark.table("pgout_v2_stream").isEmpty)
+      // batch 3: an interleaved second streamed tx ABORTS; the first
+      // COMMITS — membership for xid 21 was persisted across batches
+      input.addData(
+        (60L, PgWire.streamStart(22, firstSegment = true)),
+        (70L, PgWire.streamed(22, PgWire.insert(100, Seq(Some("3"), Some("doomed"))))),
+        (80L, PgWire.streamStop()),
+        (90L, PgWire.streamAbort(22, 22)),
+        (100L, PgWire.streamCommit(21, 900L, 901L, t0)))
+      q.processAllAvailable()
+      val out = spark.table("pgout_v2_stream")
+        .select($"txid", $"after", $"operation")
+        .as[(Long, Map[String, String], String)].collect()
+        .sortBy(_._2("id"))
+      assert(out.map(_._1).toList == List(21L, 21L),
+        s"only the committed streamed tx emits: ${out.toList}")
+      assert(out.map(_._2("name")).toList == List("early", "late"),
+        "both segments' rows release on StreamCommit, WAL-ordered")
+      assert(out.forall(_._3 == "INSERT"))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("pgoutput streaming: corrupt frame mid-stream — named error (crash) / dead-letter record (dlq)") {
     // streaming parity with the batch decoder's corrupt-frame taxonomy:
     // under the default crash policy the query fails with the NAMED

@@ -221,6 +221,14 @@ class ToolsMainSpec extends SparkSpec {
     assert(Main.pluginStartOptions(cfg("CDC_PLUGIN" -> "pgoutput",
       "CDC_PUBLICATIONS" -> "pub_a,pub_b")) ==
       "proto_version=1;publication_names=pub_a,pub_b")
+    // CDC_PROTO_VERSION=2 opts into streamed in-progress transactions
+    assert(Main.pluginStartOptions(cfg("CDC_PLUGIN" -> "pgoutput",
+      "CDC_PUBLICATIONS" -> "pub_a", "CDC_PROTO_VERSION" -> "2")) ==
+      "proto_version=2;publication_names=pub_a;streaming=on")
+    assert(graft.config.GraftConfig.load(Map("GRAFT_WAL_DIR" -> "/tmp",
+        "CDC_PROTO_VERSION" -> "3")).flatMap(_.validated)
+      .fold(identity, _ => "").contains("CDC_PROTO_VERSION"),
+      "proto versions other than 1/2 are a config error")
   }
 
   test("Running.await supervises: a transient socket error restarts from the checkpoint") {
