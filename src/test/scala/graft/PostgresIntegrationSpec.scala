@@ -280,6 +280,83 @@ class PostgresIntegrationSpec extends SparkSpec {
     (java.lang.Long.parseLong(hi, 16) << 32) | java.lang.Long.parseLong(lo, 16)
   }
 
+  test("pgoutput v2 live: a work_mem-spilling tx arrives STREAMED " +
+      "(real StreamStart/Commit frames); a rolled-back big tx vanishes") {
+    assume(enabled, "set GRAFT_IT_PG=1 (and docker compose up -d) to run")
+    import spark.implicits._
+    val slot = "graft_it_pgv2"
+    val pub = "graft_it_pub_v2"
+    withAdmin { pg =>
+      pg.execIgnoring(s"SELECT pg_drop_replication_slot('$slot')")
+      pg.execIgnoring(s"DROP PUBLICATION IF EXISTS $pub")
+      pg.exec("DROP TABLE IF EXISTS graft_it_big")
+      pg.exec("CREATE TABLE graft_it_big (id bigint PRIMARY KEY, pad text)")
+      pg.exec(s"CREATE PUBLICATION $pub FOR TABLE graft_it_big")
+      pg.exec(s"SELECT pg_create_logical_replication_slot('$slot', 'pgoutput')")
+      // force the reorderbuffer to spill-to-stream on test-sized txs
+      // (64kB is the GUC's floor; the txs below decode to ~400kB)
+      pg.exec("ALTER SYSTEM SET logical_decoding_work_mem = '64kB'")
+      pg.exec("SELECT pg_reload_conf()")
+    }
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val out = java.nio.file.Files.createTempDirectory("it_pgv2_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("it_pgv2_ckpt").toString
+    val raw = spark.readStream.format("graft.sources.CopyBothSource")
+      .option("host", host).option("port", port.toString)
+      .option("slot", slot).option("user", user)
+      .option("database", db).option("password", pw)
+      .option("payload", "binary")
+      .option("startOptions",
+        s"proto_version=2;publication_names=$pub;streaming=on")
+      .load()
+    val q = graft.streaming.CdcStream.start(spark, raw, db, out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"),
+      plugin = "pgoutput")
+    try {
+      withAdmin { pg =>
+        // big COMMITTED tx: 3000 rows × ~110 B decoded ≫ 64kB → streamed
+        pg.exec("BEGIN; INSERT INTO graft_it_big " +
+          "SELECT g, repeat('x', 100) FROM generate_series(1, 3000) g; COMMIT")
+        // big ROLLED-BACK tx: its (possibly already-streamed) changes
+        // must be retracted by StreamAbort, never reaching the sink
+        pg.exec("BEGIN; INSERT INTO graft_it_big " +
+          "SELECT g, repeat('y', 100) FROM generate_series(5001, 8000) g; ROLLBACK")
+        // small tail tx: still plain v1-style Begin..Commit under v2
+        pg.exec("INSERT INTO graft_it_big VALUES (9999, 'tail')")
+      }
+      assert(pollSink(out, 3001, q) >= 3001,
+        "streamed + plain txs decode end to end")
+      val ids = spark.read.parquet(out)
+        .filter($"table" === "graft_it_big")
+        .select($"after".getItem("id").cast("long")).as[Long].collect()
+      assert(ids.length == 3001, s"got ${ids.length} rows")
+      assert(ids.count(_ <= 3000) == 3000 && ids.contains(9999L))
+      assert(!ids.exists(id => id >= 5001 && id <= 8000),
+        "rolled-back streamed rows must never land")
+      // server-side proof the v2 path actually fired: the slot's
+      // streamed-transaction counter moved
+      val streamed = withAdmin(_.queryFirst("SELECT stream_txns FROM " +
+        s"pg_stat_replication_slots WHERE slot_name = '$slot'"))
+      assert(streamed.exists(_.toLong >= 1),
+        s"stream_txns must count the spilled tx, got $streamed")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      withAdmin { pg =>
+        pg.execIgnoring("ALTER SYSTEM RESET logical_decoding_work_mem")
+        pg.execIgnoring("SELECT pg_reload_conf()")
+        pg.execIgnoring(s"SELECT pg_drop_replication_slot('$slot')")
+        pg.execIgnoring(s"DROP PUBLICATION IF EXISTS $pub")
+        pg.execIgnoring("DROP TABLE IF EXISTS graft_it_big")
+      }
+    }
+  }
+
   test("standby feedback advances the real slot's confirmed_flush_lsn") {
     assume(enabled, "set GRAFT_IT_PG=1 (and docker compose up -d) to run")
     // feedback semantics are plugin-independent: prefer wal2json (the
