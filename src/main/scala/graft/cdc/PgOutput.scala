@@ -330,13 +330,25 @@ object PgOutput {
         case 'A' =>
           val xid = b.getInt().toLong & 0xffffffffL
           val subXid = b.getInt().toLong & 0xffffffffL
-          streamXids.get(xid).foreach(_ -= subXid)
           if (subXid == xid) {
-            streamXids.remove(xid)
+            // Whole-transaction abort: fan the ABORT out to EVERY
+            // observed member, mirroring StreamCommit — rows streamed
+            // under subtransaction xids were emitted stamped with their
+            // own subxid, so retracting only the top xid would leave
+            // those groups with neither marker and assembly's coalesce
+            // fallback would emit the rolled-back rows as committed.
+            val members = streamXids.remove(xid)
+              .map(_.toSeq)
+              .getOrElse(Seq(xid))
             removedStreamTops += xid
+            members.map(x => DecodedWalEvent(walStart, "ABORT",
+              is_begin = false, is_commit = false,
+              null, null, null, null, x, null))
+          } else {
+            streamXids.get(xid).foreach(_ -= subXid)
+            Seq(DecodedWalEvent(walStart, "ABORT", is_begin = false,
+              is_commit = false, null, null, null, null, subXid, null))
           }
-          Seq(DecodedWalEvent(walStart, "ABORT", is_begin = false,
-            is_commit = false, null, null, null, null, subXid, null))
         // anything else is an unparseable frame — the reference's
         // pglogrepl.Parse would error and the stream would classify it
         // fatal (parser.go:33-38); CorruptFrameException keeps it under

@@ -734,6 +734,16 @@ object Curation {
       .withColumn("syms", expr(bpeSymExpr("word")))
       .localCheckpoint(true)
     val learned = Seq.newBuilder[(Long, String, String, String, Long)]
+    // Every multi-character symbol the word table can contain: '</w>'
+    // from tokenization plus the output of each learned merge. Needed by
+    // the admission proof's symbol-collision guard — an admitted merge
+    // whose OUTPUT string equals a pre-existing symbol (e.g. 'xyz'
+    // created earlier via ('x','yz'), now ('xy','z') admitted) INCREASES
+    // that symbol's occurrence count, so pairs adjacent to it can grow
+    // past count(p_k) and a later admit could diverge from the serial
+    // algorithm despite disjointness/tie checks. Such an admit closes
+    // its batch (the serial algorithm then recounts — exactness holds).
+    val liveSyms = scala.collection.mutable.Set("</w>")
     var k = 0
     while (k < merges) {
       val want = math.min(maxBatch, merges - k)
@@ -763,6 +773,18 @@ object Curation {
       val admitted = scala.collection.mutable.ArrayBuffer(head.head)
       val used = scala.collection.mutable.Set(head.head._1, head.head._2)
       var open = head.head._1 != head.head._2 // self-merge closes the batch
+      // symbol-collision guard (see liveSyms above): track the admit's
+      // output as a used symbol so no later same-batch candidate can
+      // reference it with a stale count, and close the batch when the
+      // output re-creates a pre-existing symbol (unknown pairs adjacent
+      // to it may grow beyond any certification the window can give)
+      def admitOutput(a: String, b: String): Unit = {
+        val merged = a + b
+        used += merged
+        if (liveSyms(merged)) open = false
+        liveSyms += merged
+      }
+      admitOutput(head.head._1, head.head._2)
       var i = 1
       while (open && admitted.size < want && i < head.length) {
         val (a, b, n) = head(i)
@@ -775,6 +797,7 @@ object Curation {
         }
         if (disjoint && tieSafe) {
           admitted += head(i); used += a; used += b
+          admitOutput(a, b)
           if (a == b) open = false
         } else open = false
         i += 1

@@ -34,10 +34,13 @@ class CohortProcessor(zoneId: String = "UTC", ttlMs: Long = 0L)
   @transient private var weeksSeen: MapState[Long, Boolean] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-    // ttlMs > 0 expires churned entities: a re-entering entity is
-    // RE-COHORTED at its next event (its prior hits stand — append-only
-    // output), bounding state for unbounded visitor populations. Same
-    // knob shape as TxAssemblyProcessor, default NONE.
+    // ttlMs > 0 expires CHURNED entities — cohortDay is rewritten on
+    // every arrival (handleInputRows), so expiry fires only after ttlMs
+    // of true inactivity, never mid-life for an active entity. A
+    // re-entering entity is RE-COHORTED at its next event with a cleared
+    // weeksSeen (its prior hits stand — append-only output), bounding
+    // state for unbounded visitor populations. Same knob shape as
+    // TxAssemblyProcessor, default NONE.
     val ttl = if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
       else TTLConfig.NONE
     cohortDay = getHandle.getValueState[Long]("cohortDay",
@@ -60,15 +63,29 @@ class CohortProcessor(zoneId: String = "UTC", ttlMs: Long = 0L)
   override def handleInputRows(entity: Long, rows: Iterator[FunnelEvent],
       timers: TimerValues): Iterator[CohortHit] = {
     val out = List.newBuilder[CohortHit]
-    rows.toList.sortBy(e => (e.ts.getTime, e.tie)).foreach { e =>
-      val wk = weekStartEpochDay(e.ts.getTime)
-      if (!cohortDay.exists()) cohortDay.update(wk)
+    val sorted = rows.toList.sortBy(e => (e.ts.getTime, e.tie))
+    if (sorted.nonEmpty) {
+      if (!cohortDay.exists()) {
+        // (Re-)cohorting: MapState TTL is per-entry, so recently-touched
+        // weeksSeen entries can outlive an expired cohortDay — left in
+        // place they'd collide with the NEW cohort's offsets and
+        // silently suppress its hits. A fresh cohort starts clean.
+        weeksSeen.clear()
+        cohortDay.update(weekStartEpochDay(sorted.head.ts.getTime))
+      }
       val cohort = cohortDay.get()
-      val offset = (wk - cohort) / 7
-      if (wk >= cohort && !weeksSeen.containsKey(offset)) {
-        weeksSeen.updateValue(offset, true)
-        out += CohortHit(entity,
-          java.sql.Date.valueOf(LocalDate.ofEpochDay(cohort)), offset)
+      // Rewrite on every batch of arrivals (not only the first event) so
+      // TTL measures INACTIVITY: a continuously-active entity never
+      // expires mid-life and never gets spuriously re-cohorted.
+      cohortDay.update(cohort)
+      sorted.foreach { e =>
+        val wk = weekStartEpochDay(e.ts.getTime)
+        val offset = (wk - cohort) / 7
+        if (wk >= cohort && !weeksSeen.containsKey(offset)) {
+          weeksSeen.updateValue(offset, true)
+          out += CohortHit(entity,
+            java.sql.Date.valueOf(LocalDate.ofEpochDay(cohort)), offset)
+        }
       }
     }
     out.result().iterator

@@ -41,6 +41,19 @@ class FunnelProcessor(stages: Seq[String], ttlMs: Long = 0L)
     // return): an expired entity re-entering restarts at stage 1 — the
     // same knob shape as TxAssemblyProcessor. Default NONE preserves the
     // exact-forever contract for bounded entity populations.
+    //
+    // TTL clock boundary: handleInputRows rewrites `reached` on EVERY
+    // row that reaches the processor — including stage-typed events
+    // that do NOT advance (a repeat of an already-taken stage refreshes
+    // the TTL). What does NOT refresh it is traffic outside the stage
+    // alphabet, which stageHits() filters at the source and never
+    // shuffles into state. So TTL measures "time since the entity's
+    // last stage-alphabet event", not "time since any activity" — an
+    // entity parked at stage k emitting only non-stage events for ttlMs
+    // is treated as churned and restarts at stage 1 on its next stage
+    // event (a duplicate StageHit in the append-only output, by
+    // design: the alternative — shuffling ALL traffic into state to
+    // keep it alive — costs the full event volume at 100 TB).
     val ttl = if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
       else TTLConfig.NONE
     reached = getHandle.getValueState[Int]("reached", Encoders.scalaInt,

@@ -367,6 +367,154 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  /** Manual-clock state harness: a fake StatefulProcessorHandle whose
+    * ValueState/MapState honor the declared TTLConfig against a clock the
+    * test advances — processors' TTL SEMANTICS (what refreshes the clock,
+    * what a re-entering entity sees) become deterministic assertions, not
+    * Thread.sleep races. Read-side-lazy expiry mirrors RocksDB TTL.
+    */
+  private class ManualClockHandle
+      extends org.apache.spark.sql.streaming.StatefulProcessorHandle {
+    import org.apache.spark.sql.streaming.{ListState, MapState, TTLConfig,
+      ValueState}
+    var now: Long = 0L
+    private def ttlMs(c: TTLConfig): Long = c.ttlDuration.toMillis
+
+    private class FakeValue[T](ttl: Long) extends ValueState[T] {
+      private var v: Option[(T, Long)] = None
+      private def live = v.exists { case (_, w) => ttl <= 0 || now < w + ttl }
+      override def exists(): Boolean = live
+      override def get(): T =
+        if (live) v.get._1 else null.asInstanceOf[T]
+      override def update(x: T): Unit = v = Some((x, now))
+      override def clear(): Unit = v = None
+    }
+    private class FakeMap[K, V](ttl: Long) extends MapState[K, V] {
+      private val m =
+        scala.collection.mutable.LinkedHashMap[K, (V, Long)]()
+      private def live(w: Long) = ttl <= 0 || now < w + ttl
+      override def exists(): Boolean =
+        m.exists { case (_, (_, w)) => live(w) }
+      override def getValue(k: K): V = m.get(k).collect {
+        case (v, w) if live(w) => v }.getOrElse(null.asInstanceOf[V])
+      override def containsKey(k: K): Boolean =
+        m.get(k).exists { case (_, w) => live(w) }
+      override def updateValue(k: K, v: V): Unit = m(k) = (v, now)
+      override def iterator(): Iterator[(K, V)] = m.iterator.collect {
+        case (k, (v, w)) if live(w) => (k, v) }
+      override def keys(): Iterator[K] = iterator().map(_._1)
+      override def values(): Iterator[V] = iterator().map(_._2)
+      override def removeKey(k: K): Unit = m.remove(k)
+      override def clear(): Unit = m.clear()
+    }
+
+    override def getValueState[T](name: String,
+        enc: org.apache.spark.sql.Encoder[T],
+        ttl: TTLConfig): ValueState[T] = new FakeValue[T](ttlMs(ttl))
+    override def getValueState[T](name: String, ttl: TTLConfig)(
+        implicit enc: org.apache.spark.sql.Encoder[T]): ValueState[T] =
+      new FakeValue[T](ttlMs(ttl))
+    override def getMapState[K, V](name: String,
+        kEnc: org.apache.spark.sql.Encoder[K],
+        vEnc: org.apache.spark.sql.Encoder[V],
+        ttl: TTLConfig): MapState[K, V] = new FakeMap[K, V](ttlMs(ttl))
+    override def getMapState[K, V](name: String, ttl: TTLConfig)(
+        implicit kEnc: org.apache.spark.sql.Encoder[K],
+        vEnc: org.apache.spark.sql.Encoder[V]): MapState[K, V] =
+      new FakeMap[K, V](ttlMs(ttl))
+    override def getListState[T](name: String,
+        enc: org.apache.spark.sql.Encoder[T],
+        ttl: TTLConfig): ListState[T] =
+      throw new UnsupportedOperationException("unused in these specs")
+    override def getListState[T](name: String, ttl: TTLConfig)(
+        implicit enc: org.apache.spark.sql.Encoder[T]): ListState[T] =
+      throw new UnsupportedOperationException("unused in these specs")
+    override def getQueryInfo(): org.apache.spark.sql.streaming.QueryInfo =
+      throw new UnsupportedOperationException("unused in these specs")
+    override def registerTimer(expiryTimestampMs: Long): Unit = ()
+    override def deleteTimer(expiryTimestampMs: Long): Unit = ()
+    override def listTimers(): Iterator[Long] = Iterator.empty
+    override def deleteIfExists(stateName: String): Unit = ()
+  }
+
+  private val noTimers = new org.apache.spark.sql.streaming.TimerValues {
+    override def getCurrentProcessingTimeInMs(): Long = 0L
+    override def getCurrentWatermarkInMs(): Long = 0L
+  }
+
+  test("cohort TTL measures INACTIVITY: a continuously-active entity is " +
+      "never re-cohorted, even past ttlMs from its first event") {
+    val h = new ManualClockHandle
+    val p = new graft.streaming.CohortProcessor("UTC", ttlMs = 1000L)
+    p.setHandle(h)
+    p.init(org.apache.spark.sql.streaming.OutputMode.Append(),
+      org.apache.spark.sql.streaming.TimeMode.ProcessingTime())
+    def feed(at: Long, when: String) = {
+      h.now = at
+      p.handleInputRows(1L, Iterator(
+          graft.streaming.FunnelEvent(1L, "", ts(when), at)), noTimers)
+        .map(c => (c.cohort_week.toString, c.week_offset)).toList
+    }
+    assert(feed(0L, "2024-01-02 10:00:00") == List(("2024-01-01", 0L)))
+    assert(feed(800L, "2024-01-16 10:00:00") == List(("2024-01-01", 2L)))
+    // 1600 ms is past ttl from the FIRST write (t=0) but within ttl of
+    // the last arrival (t=800): the entity has been active throughout,
+    // so it must continue its original cohort — the pre-fix code (write
+    // cohortDay once, guarded by !exists) re-cohorted here
+    assert(feed(1600L, "2024-01-23 10:00:00") == List(("2024-01-01", 3L)),
+      "active entity must not be re-cohorted mid-life")
+    // genuine churn: > ttl after the last arrival -> re-cohort at the
+    // new event's own week, offset 0, prior hits standing (append-only)
+    assert(feed(2700L, "2024-02-06 10:00:00") == List(("2024-02-05", 0L)))
+  }
+
+  test("cohort re-entry after expiry starts with a CLEAN weeksSeen — a " +
+      "surviving colliding offset entry cannot suppress the new cohort") {
+    val h = new ManualClockHandle
+    val p = new graft.streaming.CohortProcessor("UTC", ttlMs = 1000L)
+    p.setHandle(h)
+    p.init(org.apache.spark.sql.streaming.OutputMode.Append(),
+      org.apache.spark.sql.streaming.TimeMode.ProcessingTime())
+    def feed(at: Long, when: String) = {
+      h.now = at
+      p.handleInputRows(7L, Iterator(
+          graft.streaming.FunnelEvent(7L, "", ts(when), at)), noTimers)
+        .map(c => (c.cohort_week.toString, c.week_offset)).toList
+    }
+    assert(feed(0L, "2024-01-02 10:00:00") == List(("2024-01-01", 0L)))
+    // churned: re-enters at 2500 (> ttl since 0) two weeks later. The
+    // new cohort is the new week; its offset 0 must EMIT even though the
+    // expired life also emitted an offset-0 hit (clean weeksSeen).
+    assert(feed(2500L, "2024-01-16 10:00:00") == List(("2024-01-15", 0L)),
+      "re-cohorted entity must emit offset 0 for its new cohort")
+  }
+
+  test("funnel TTL refreshes on every stage-alphabet arrival, including " +
+      "non-advancing repeats; expiry restarts at stage 1") {
+    val h = new ManualClockHandle
+    val p = new graft.streaming.FunnelProcessor(
+      Seq("signup", "view"), ttlMs = 1000L)
+    p.setHandle(h)
+    p.init(org.apache.spark.sql.streaming.OutputMode.Append(),
+      org.apache.spark.sql.streaming.TimeMode.ProcessingTime())
+    def feed(at: Long, typ: String) = {
+      h.now = at
+      p.handleInputRows(1L, Iterator(graft.streaming.FunnelEvent(
+          1L, typ, ts("2024-01-01 10:00:00"), at)), noTimers)
+        .map(_.stage).toList
+    }
+    assert(feed(0L, "signup") == List(1L))
+    // a NON-advancing repeat (signup again at stage 1) still rewrites
+    // the state and refreshes the TTL clock — the documented boundary
+    assert(feed(800L, "signup") == Nil)
+    // 1600 is > ttl from the advance at 0 but within ttl of the repeat
+    // at 800: state must be alive, view advances to stage 2
+    assert(feed(1600L, "view") == List(2L),
+      "non-advancing arrivals must keep funnel state alive")
+    // true churn: past ttl from the last arrival -> restart at stage 1
+    assert(feed(2700L, "signup") == List(1L))
+  }
+
   test("duplicate stage names are rejected in batch and streaming funnels") {
     val events = Seq((1L, "a", ts("2024-01-01 10:00:00"), 1L))
       .toDF("user_id", "event_type", "ts", "event_id")

@@ -458,6 +458,35 @@ class CurationSpec extends SparkSpec {
       List((1L, "b", "</w>", "b</w>", 4L), (2L, "a", "b</w>", "ab</w>", 3L)))
   }
 
+  test("bpeTrain batching: an admit whose OUTPUT re-creates an existing " +
+      "symbol closes its batch (symbol-collision exactness)") {
+    // Merge 3 is ("</w", ">") -> "</w>", string-equal to the END-MARKER
+    // symbol every word already carries. Applying it INCREASES "</w>"
+    // occurrences, so (q, "</w>") grows from 12 to 17 and overtakes
+    // (p,q)=12 — which a naive batch would have admitted alongside merge
+    // 3 on pre-merge counts (disjoint AND tie-safe by the window alone).
+    // The collision guard must close the batch after merge 3 so merge 4
+    // is recounted; serial (maxBatch=1) is ground truth.
+    val d = (Seq.fill(10)("e</w>") ++ Seq.fill(2)("a</b") ++
+      Seq.fill(12)("pq") ++ Seq.fill(3)("ze") ++
+      Seq.fill(5)("q</w>v")).toDF("text")
+    def table(maxBatch: Int) =
+      Curation.bpeTrain(d, "text", merges = 4, maxBatch = maxBatch)._1
+        .orderBy($"step")
+        .as[(Long, String, String, String, Long)].collect().toList
+    val serial = table(1)
+    assert(serial == List(
+      (1L, "<", "/", "</", 17L),
+      (2L, "</", "w", "</w", 15L),
+      (3L, "</w", ">", "</w>", 15L),
+      (4L, "q", "</w>", "q</w>", 17L)),
+      s"serial ground truth: $serial")
+    assert(table(8) == serial,
+      "batched training must not admit past a symbol-colliding merge " +
+        "(merge 4 must be the recounted (q,</w>)=17, not the stale " +
+        "(p,q)=12)")
+  }
+
   test("vocabCoverage: exact cumulative curve with deterministic tie-break") {
     // 4 types: "a"×6, "b"×3, "c"×3, "d"×1 — b/c tie broken by token ASC
     val d = Seq("a a a b c", "a a a b b c c d").toDF("text")

@@ -288,6 +288,36 @@ class PgOutputSpec extends SparkSpec {
       s"subxact 701's row must vanish, 700/702 survive: $ids")
   }
 
+  test("protocol v2: whole-transaction StreamAbort fans out to every " +
+      "member subxact — none of their rows survive assembly") {
+    // top tx 800 streams rows under its own xid AND subxacts 801/802,
+    // then the WHOLE transaction rolls back: every member group must get
+    // an ABORT marker (not just the top xid), else assembly's coalesce
+    // fallback would emit the subxact rows as committed
+    val out = decode(Seq(
+      PgWire.streamStart(800, firstSegment = true),
+      PgWire.streamed(800, relMsg),
+      PgWire.streamed(800, PgWire.insert(relUsers,
+        Seq(Some("20"), Some("top"), None))),
+      PgWire.streamed(801, PgWire.insert(relUsers,
+        Seq(Some("21"), Some("sub1"), None))),
+      PgWire.streamed(802, PgWire.insert(relUsers,
+        Seq(Some("22"), Some("sub2"), None))),
+      PgWire.streamStop(),
+      PgWire.streamAbort(800, 800)))
+    val aborts = out.filter(_.operation == "ABORT").map(_.txid)
+    assert(aborts == List(800L, 801L, 802L),
+      s"abort must cover every observed member, got: $aborts")
+    assert(!out.exists(_.is_commit))
+    import spark.implicits._
+    val survivors = graft.cdc.TxAssembly.assemble(
+        spark.createDataset(out).toDF())
+      .select($"new_values".getItem("id").as(""))
+      .as[String].collect().toList
+    assert(survivors.isEmpty,
+      s"whole-tx rollback must retract subxact rows too: $survivors")
+  }
+
   test("protocol v2: a segment spanning the partition keeps bracketing; " +
       "stray StreamStop and nested StreamStart are corrupt") {
     intercept[PgOutput.CorruptFrameException] {
