@@ -503,22 +503,34 @@ object Curation {
     val total = partSums.values.sum
     val stride = math.max(total / k, 1L)
     val off = stride / 2
-    val offCol = pids.foldLeft(lit(0L)) { (acc, p) =>
-      when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
-    }
+    // The per-partition offsets go back as a BROADCAST JOIN on __pid —
+    // O(1) plan depth and an O(1) hash probe per row. (A foldLeft of
+    // `when(__pid === p, …)` literals would build a CaseWhen tree whose
+    // DEPTH equals the partition count: at 100 TB range-exchange counts,
+    // 10^4–10^5 partitions, that is expression-tree depth the planner
+    // either refuses to codegen or stack-overflows on. A typedLit(Map)
+    // + element_at has the same O(partitions) hazard per ROW: literal
+    // MapData lookup is a linear scan.)
+    val spark = df.sparkSession
+    val offDf = spark.createDataset(pids.map(p => (p, offsets(p))))(
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .toDF("__pid", "__poff")
     val run = Window.partitionBy(col("__pid")).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def floorDivNN(a: Column, b: Column): Column =
       floor(a.cast("decimal(38,0)").divide(b.cast("decimal(19,0)")))
         .cast("bigint")
     base
-      .withColumn("__c", sum(col("__w")).over(run) + offCol)
+      .join(broadcast(offDf), "__pid")
+      .withColumn("__c", sum(col("__w")).over(run) + col("__poff"))
       .withColumn("n_points",
         floorDivNN(col("__c") - lit(off) - 1 + lit(stride), lit(stride)) -
         floorDivNN(col("__c") - col("__w") - lit(off) - 1 + lit(stride),
           lit(stride)))
       .filter(col("n_points") >= 1L)
-      .drop("__w", "__pid", "__c")
+      .drop("__w", "__pid", "__c", "__poff")
   }
 
   /** Epoch replication: repeat each source's documents `epochs(source)`

@@ -684,6 +684,36 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(__pid"), plan.take(1000))
   }
 
+  test("ppsSampleGlobal plan shape at partitions=512: offsets come back " +
+      "as a broadcast join, never a partition-scaled CaseWhen") {
+    // At 100 TB a range exchange runs 10^4-10^5 partitions; an offset
+    // injection built as a when-chain is an expression tree whose DEPTH
+    // equals that count — interpreted fallback or stack overflow in the
+    // planner. The plan must carry O(1) expression depth regardless of
+    // the partition count: a BroadcastHashJoin on __pid and ZERO CASE
+    // WHEN branches scaling with partitions.
+    val rows = (1L to 600L).map(i => (i, 1L + (i % 5)))
+    val df = Curation.ppsSampleGlobal(
+      rows.toDF("doc_id", "w"), $"doc_id", $"w", k = 11L, partitions = 512)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"offset injection must be a broadcast join:\n${plan.take(1200)}")
+    val caseWhens = "CASE WHEN".r.findAllIn(plan).size
+    assert(caseWhens < 16,
+      s"plan has $caseWhens CASE WHEN branches — offset injection is " +
+        s"scaling with the partition count again:\n${plan.take(1200)}")
+    // and the draw itself still matches the one-shard reference
+    val got = df.select($"doc_id", $"n_points")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+    val ref = Curation.ppsSample(
+        rows.map { case (i, w) => ("all", i, w) }.toDF("s", "doc_id", "w"),
+        $"s", $"doc_id", $"w", k = 11L)
+      .select($"doc_id", $"n_points")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+    assert(got == ref, "512-partition draw must be bit-equal to one-shard")
+  }
+
   test("ppsSample: selection probability tracks weight") {
     // doc weights 1 vs 99 in many shards: the 99-weight doc should be
     // picked in (nearly) every shard, the 1-weight doc rarely
