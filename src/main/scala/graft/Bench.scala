@@ -25,9 +25,12 @@ object Bench {
 
   /** One throughput section's contribution to the final JSON line:
     * `frag` is ready-to-splice `"key":value` pairs (no outer braces),
-    * `errors` merges into the top-level errors array.
+    * `errors` merges into the top-level errors array, `calib` is the
+    * section child JVM's own (single-thread, multi-thread) host-speed
+    * calibration — the denominator its figure is normalized by.
     */
-  private case class SectionResult(frag: String, errors: Seq[String])
+  private case class SectionResult(frag: String, errors: Seq[String],
+      calib: Option[(Long, Long)] = None)
 
   private def sfDirEnv: String =
     sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -91,6 +94,7 @@ object Bench {
     // single marked lines; the parent splices frag verbatim
     println("SECTION_FRAG " + r.frag)
     println("SECTION_ERRS " + r.errors.map("\"" + _ + "\"").mkString(","))
+    println(s"SECTION_CALIB $st $mt")
     stateStoreCall("stop")
     spark.stop()
   }
@@ -194,6 +198,34 @@ object Bench {
     val (st, mt) = calibrate(spark)
     System.err.println(s"[calib] section=main st=$st mt=$mt")
     println(s"""{"metric":"total","value":$total,"unit":"sec","calib_st":$st,"calib_mt":$mt,"queries":$qs,"errors":$allErrJson,$fragJson,"sf":"$sfDir"}""")
+    // HEADLINE line, printed LAST on purpose: the driver's artifact
+    // snapshots only the tail of stdout, and the full-contract line
+    // above loses its head (metric/calib keys) behind the ~227-entry
+    // queries dict. This second line is a complete, self-contained JSON
+    // under the tail budget: calib keys, all five throughput sections
+    // with reps, each section child's OWN calibration pair, and the
+    // calibration-normalized ratios SCALE.md states its bands in
+    // (figure / the SAME child JVM's calib — denominators from the same
+    // host-minutes as the numerator, so rounds compare ratio-to-host).
+    val headlineKey = Map("cdc" -> "cdc_ops_sec",
+      "stream" -> "stream_ops_sec", "stream10x" -> "stream_ops_sec_10x",
+      "mv" -> "mv_ops_sec", "codec" -> "kafka_codec_ops_sec")
+    val ratioFrags = sectionNames.zip(sections).flatMap { case (name, r) =>
+      r.calib.toSeq.flatMap { case (cst, cmt) =>
+        val vOpt = ("\"" + headlineKey(name) + "\":(\\d+)").r
+          .findFirstMatchIn(r.frag).map(_.group(1).toLong)
+        vOpt.map { v =>
+          // codec is a single-threaded pure-JVM loop -> the ST chain is
+          // its host twin; the Spark pipelines track the MT codegen sum
+          val denom = if (name == "codec") cst else cmt
+          val ratio = if (denom > 0) v.toDouble / denom else 0.0
+          f""""${name}%s_calib_st":$cst%d,"${name}%s_calib_mt":$cmt%d,"${name}%s_per_calib":$ratio%.4g"""
+        }
+      }
+    }
+    println(s"""{"metric":"headline","value":$total,"unit":"sec","calib_st":$st,"calib_mt":$mt,${
+      (sections.map(_.frag).filter(_.nonEmpty) ++ ratioFrags).mkString(",")
+    },"errors":$allErrJson,"sf":"$sfDir"}""")
     // tear down state-store machinery (maintenance thread pool + any
     // still-loaded providers, incl. RocksDB native handles) BEFORE the
     // session: freeing native memory at spark.stop() time is what the
@@ -263,10 +295,15 @@ object Bench {
         .map(_.split("\",\"").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
           .filter(_.nonEmpty))
         .getOrElse(Seq.empty)
+      val calib = ls.collectFirst {
+        case l if l.startsWith("SECTION_CALIB ") =>
+          l.stripPrefix("SECTION_CALIB ").split(" ") }
+        .collect { case Array(st, mt) => (st.toLong, mt.toLong) }
       frag match {
         case Some(f) => Some(SectionResult(f,
           errs ++ (if (proc.exitValue() != 0)
-            Seq(s"${section}_child_rc_${proc.exitValue()}") else Nil)))
+            Seq(s"${section}_child_rc_${proc.exitValue()}") else Nil),
+          calib))
         case None =>
           System.err.println(s"[bench] section $section child emitted no " +
             s"fragment (rc ${proc.exitValue()})")

@@ -1566,10 +1566,15 @@ object LlmQueries {
     // dedup crossover): deterministic synthetic pictures — doc pairs
     // (2k, 2k+1) share a seed, the odd one perturbed in a corner — are
     // ImageIO-decoded, aHash64-hashed (integer pixel math), and paired by
-    // exact pigeonhole blocking within hamming radius 8. Rows-only gate:
-    // the oracle engine cannot decode PNG, but the synthesis is
-    // deterministic so the row count is stable. Scale shape: narrow
-    // hash map (payload bytes never shuffle) + corpus × (radius+1)
+    // exact pigeonhole blocking within hamming radius 8. FULL hash gate:
+    // the oracle cannot decode PNG, but it doesn't need to — the fixture
+    // is cell-quantized (every 8×8 cell solid black/white from a 64-bit
+    // mix of (seed, cell)), so the aHash IS the white-cell bitmask and
+    // the pair hamming IS the count of base-black corner cells, which
+    // DuckDB replays in exact HUGEINT mod-2^64 arithmetic. The PNG
+    // encode→ImageIO decode→luma→mean-threshold pipeline must reproduce
+    // that closed form bit-for-bit for the hash to match. Scale shape:
+    // narrow hash map (payload bytes never shuffle) + corpus × (radius+1)
     // block-key exchange — never n².
     "l70_image_phash_pairs" -> Def(
       (s, d) => {
@@ -1585,14 +1590,43 @@ object LlmQueries {
             maxHamming = 8, maxBucket = 10000)
           .orderBy(col("id_a"), col("id_b"))
       },
-      None),
+      // The synthesis hash chain (Multimodal.testPatternPng) in exact
+      // HUGEINT arithmetic: v=(seed*83492791)^(cell*73856093);
+      // v*=2654435761 (mod 2^64); v^=v>>>23; v*=0x2127599bf4325c37
+      // (mod 2^64); v^=v>>>47; cell is white iff v&1=1. All values stay
+      // in [0,2^64), so `//2^k` IS the logical shift and xor() matches
+      // Java. Pair hamming = #corner cells {0,1,8,9} black in the base
+      // (the flip forces them white; cell means are saturated so each
+      // aHash bit is exactly the cell color).
+      Some("""WITH pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.doc_id // 2 AS k
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id < 400 AND b.doc_id < 400 AND a.doc_id % 2 = 0),
+        v1 AS (
+          SELECT p.id_a, p.id_b, c.cell,
+            (xor(CAST(p.k * 83492791 AS HUGEINT),
+                 CAST(c.cell * 73856093 AS HUGEINT))
+              * 2654435761) % 18446744073709551616::HUGEINT AS v
+          FROM pairs p, (SELECT unnest([0, 1, 8, 9]) AS cell) c),
+        v3 AS (
+          SELECT id_a, id_b, cell,
+            (xor(v, v // 8388608) * 2388976653695081527)
+              % 18446744073709551616::HUGEINT AS v
+          FROM v1)
+        SELECT id_a, id_b,
+          CAST(SUM(CASE WHEN xor(v, v // 140737488355328) % 2 = 0
+            THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+        FROM v3 GROUP BY id_a, id_b ORDER BY id_a, id_b""")),
 
     // Audio PCM feature extraction over REAL WAV payloads: deterministic
     // square-wave fixtures (amplitude = f(doc_id)) are javax.sound-decoded
     // sample-by-sample and reduced to integer-exact peak/RMS — for a
-    // square wave both equal the amplitude, so the emitted rows are fully
-    // determined. Rows-only gate (the oracle engine cannot decode WAV);
-    // narrow map, payload bytes never shuffle.
+    // square wave both equal the amplitude exactly (sumSq = n·amp², the
+    // integer mean and isqrt are exact), so every output column is a
+    // CLOSED FORM of doc_id and the oracle replays it arithmetically:
+    // the WAV encode→javax.sound decode→sample walk must reproduce the
+    // closed form bit-for-bit for the hash to match. Full gate; narrow
+    // map, payload bytes never shuffle.
     "l72_audio_pcm_features" -> Def(
       (s, d) => {
         import s.implicits._
@@ -1605,15 +1639,22 @@ object LlmQueries {
         Multimodal.audioFeatureFrame(s, media)
           .orderBy(col("media_id"))
       },
-      None),
+      Some("""SELECT doc_id AS media_id,
+          CAST(16000 AS INTEGER) AS sample_rate,
+          CAST(64 + (doc_id % 5) * 16 AS BIGINT) AS n_samples,
+          CAST(500 + (doc_id % 1000) * 30 AS INTEGER) AS peak_abs,
+          CAST(500 + (doc_id % 1000) * 30 AS BIGINT) AS rms
+        FROM documents WHERE doc_id < 300 ORDER BY media_id""")),
 
     // Real MJPEG-AVI video decode + frame sampling over synthesized
     // containers: deterministic JPEG frames (testPatternPng re-encoded)
     // are packed into real RIFF/AVI files, demuxed back by the pure-JDK
     // container walk, and every 2nd frame's actual bytes are emitted with
-    // its decoded dimensions. Rows-only gate (the oracle engine cannot
-    // demux AVI); frame counts are a deterministic function of doc_id so
-    // the row count is pinned. Narrow map — container bytes never shuffle.
+    // its decoded dimensions. FULL gate: frame count (2 + doc_id%4),
+    // sampled indices (0,2,...), dimensions (64×64) and non-emptiness are
+    // all closed forms of doc_id the oracle replays arithmetically — the
+    // AVI mux→demux→JPEG decode round-trip must land exactly on them.
+    // Narrow map — container bytes never shuffle.
     "l73_video_frame_sample" -> Def(
       (s, d) => {
         import s.implicits._
@@ -1644,7 +1685,13 @@ object LlmQueries {
           }.toDF("media_id", "frame_idx", "width", "height", "nonempty")
           .orderBy(col("media_id"), col("frame_idx"))
       },
-      None),
+      Some("""SELECT d.doc_id AS media_id, CAST(t.f AS INTEGER) AS frame_idx,
+          CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
+          TRUE AS nonempty
+        FROM documents d,
+          UNNEST(generate_series(0, CAST(1 + d.doc_id % 4 AS BIGINT), 2))
+            AS t(f)
+        WHERE d.doc_id < 120 ORDER BY media_id, frame_idx""")),
 
     // Batch analog of the STREAMING ingest dedup (streaming/StreamingDedup
     // .nearDupStream): with every document in one batch, the stateful
