@@ -349,6 +349,65 @@ object PgOutput {
             Seq(DecodedWalEvent(walStart, "ABORT", is_begin = false,
               is_commit = false, null, null, null, null, subXid, null))
           }
+        // ---- two-phase commit (two_phase slots, PG 15+): a PREPARE
+        // TRANSACTION delivers BeginPrepare..changes..Prepare, then —
+        // possibly many micro-batches later — CommitPrepared or
+        // RollbackPrepared with the same xid resolves it. Relationally:
+        // BeginPrepare opens the transaction cursor exactly like Begin
+        // (rows buffer under the xid in assembly), Prepare emits NOTHING
+        // (the group stays pending — the same posture assembly already
+        // takes for any uncommitted tx), CommitPrepared emits the commit
+        // marker (stamping the group with the COMMIT PREPARED time) and
+        // RollbackPrepared an ABORT marker. A streamed transaction can
+        // also end in StreamPrepare ('p') instead of StreamCommit: its
+        // member set stays alive until the resolving K/r, which fans its
+        // marker out to every member like StreamCommit/whole-StreamAbort.
+        case 'b' =>
+          b.getLong() // prepare LSN
+          b.getLong() // end LSN
+          currentTs = pgTimestamp(b.getLong())
+          currentXid = b.getInt().toLong & 0xffffffffL
+          readCString(b) // gid
+          Seq(DecodedWalEvent(walStart, "B", is_begin = true,
+            is_commit = false, null, null, null, null, currentXid, currentTs))
+        case 'P' =>
+          b.get() // flags
+          b.getLong(); b.getLong(); b.getLong() // LSNs + prepare ts
+          b.getInt() // xid
+          readCString(b) // gid
+          Nil
+        case 'p' =>
+          b.get() // flags
+          b.getLong(); b.getLong(); b.getLong()
+          val xid = b.getInt().toLong & 0xffffffffL
+          readCString(b)
+          // keep streamXids(xid): the member set must survive until the
+          // resolving CommitPrepared/RollbackPrepared
+          if (!streamXids.contains(xid)) corrupt(
+            s"StreamPrepare for unknown streamed transaction $xid")
+          Nil
+        case 'K' =>
+          b.get() // flags
+          b.getLong(); b.getLong() // commit LSN, end LSN
+          val ts = pgTimestamp(b.getLong())
+          val xid = b.getInt().toLong & 0xffffffffL
+          readCString(b)
+          val members = streamXids.remove(xid).map { m =>
+            removedStreamTops += xid; m.toSeq
+          }.getOrElse(Seq(xid))
+          members.map(x => DecodedWalEvent(walStart, "C", is_begin = false,
+            is_commit = true, null, null, null, null, x, ts))
+        case 'r' =>
+          b.get() // flags
+          b.getLong(); b.getLong(); b.getLong(); b.getLong() // LSNs + both ts
+          val xid = b.getInt().toLong & 0xffffffffL
+          readCString(b)
+          val members = streamXids.remove(xid).map { m =>
+            removedStreamTops += xid; m.toSeq
+          }.getOrElse(Seq(xid))
+          members.map(x => DecodedWalEvent(walStart, "ABORT",
+            is_begin = false, is_commit = false, null, null, null, null,
+            x, null))
         // anything else is an unparseable frame — the reference's
         // pglogrepl.Parse would error and the stream would classify it
         // fatal (parser.go:33-38); CorruptFrameException keeps it under

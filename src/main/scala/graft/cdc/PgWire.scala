@@ -145,4 +145,68 @@ object PgWire {
     b.put(frame(0)).putInt(xid).put(frame, 1, frame.length - 1)
     fin(b)
   }
+
+  // ---- two-phase commit frames (two_phase slots, PG 15+): a PREPARE
+  // TRANSACTION arrives as BeginPrepare..changes..Prepare, then — any
+  // time later, possibly a different decode session — CommitPrepared or
+  // RollbackPrepared with the same xid/gid resolves it.
+
+  /** Begin Prepare ('b'): prepare LSN, end LSN, prepare ts, xid, gid. */
+  def beginPrepare(prepareLsn: Long, endLsn: Long, unixMicros: Long,
+      xid: Int, gid: String): Array[Byte] = {
+    val b = buf(128)
+    b.put('b'.toByte).putLong(prepareLsn).putLong(endLsn)
+      .putLong(unixMicros - PgEpochMicros).putInt(xid)
+    cstr(b, gid)
+    fin(b)
+  }
+
+  /** Prepare ('P'): flags, prepare LSN, end LSN, prepare ts, xid, gid. */
+  def prepare(prepareLsn: Long, endLsn: Long, unixMicros: Long,
+      xid: Int, gid: String): Array[Byte] = {
+    val b = buf(128)
+    b.put('P'.toByte).put(0.toByte).putLong(prepareLsn).putLong(endLsn)
+      .putLong(unixMicros - PgEpochMicros).putInt(xid)
+    cstr(b, gid)
+    fin(b)
+  }
+
+  /** Commit Prepared ('K'): flags, commit LSN, end LSN, commit ts, xid,
+    * gid.
+    */
+  def commitPrepared(commitLsn: Long, endLsn: Long, unixMicros: Long,
+      xid: Int, gid: String): Array[Byte] = {
+    val b = buf(128)
+    b.put('K'.toByte).put(0.toByte).putLong(commitLsn).putLong(endLsn)
+      .putLong(unixMicros - PgEpochMicros).putInt(xid)
+    cstr(b, gid)
+    fin(b)
+  }
+
+  /** Rollback Prepared ('r'): flags, prepare-end LSN, rollback-end LSN,
+    * prepare ts, rollback ts, xid, gid.
+    */
+  def rollbackPrepared(prepareEndLsn: Long, rollbackEndLsn: Long,
+      prepareMicros: Long, rollbackMicros: Long, xid: Int,
+      gid: String): Array[Byte] = {
+    val b = buf(128)
+    b.put('r'.toByte).put(0.toByte).putLong(prepareEndLsn)
+      .putLong(rollbackEndLsn).putLong(prepareMicros - PgEpochMicros)
+      .putLong(rollbackMicros - PgEpochMicros).putInt(xid)
+    cstr(b, gid)
+    fin(b)
+  }
+
+  /** Stream Prepare ('p'): a STREAMED transaction ends with PREPARE
+    * instead of StreamCommit — flags, prepare LSN, end LSN, prepare ts,
+    * xid, gid.
+    */
+  def streamPrepare(prepareLsn: Long, endLsn: Long, unixMicros: Long,
+      xid: Int, gid: String): Array[Byte] = {
+    val b = buf(128)
+    b.put('p'.toByte).put(0.toByte).putLong(prepareLsn).putLong(endLsn)
+      .putLong(unixMicros - PgEpochMicros).putInt(xid)
+    cstr(b, gid)
+    fin(b)
+  }
 }

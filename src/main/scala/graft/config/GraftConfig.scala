@@ -45,9 +45,11 @@ final case class GraftConfig(
     publishFailurePolicy: String = "dlq",
     dlqSubjectPrefix: String = "cdc.dlq",
     // pgoutput protocol version for START_REPLICATION: 1 (the reference's
-    // pin) or 2 (streaming=on — large in-progress transactions arrive as
-    // interleaved StreamStart..StreamStop segments; the decoder speaks
-    // both)
+    // pin), 2 (streaming=on — large in-progress transactions arrive as
+    // interleaved StreamStart..StreamStop segments), or 3 (additionally
+    // two_phase=on — PREPARE TRANSACTION arrives as BeginPrepare..Prepare
+    // resolved later by CommitPrepared/RollbackPrepared; PG 15+). The
+    // decoder speaks all three.
     protoVersion: Int = 1) {
 
   /** First validation error, or None (config.go:107-166). Failure-policy
@@ -60,8 +62,8 @@ final case class GraftConfig(
     val policy = publishFailurePolicy
     bad(!Seq("", "wal2json", "pgoutput").contains(plugin),
         "CDC_PLUGIN must be pgoutput or wal2json")
-      .orElse(bad(!Seq(1, 2).contains(protoVersion),
-        "CDC_PROTO_VERSION must be 1 or 2"))
+      .orElse(bad(!Seq(1, 2, 3).contains(protoVersion),
+        "CDC_PROTO_VERSION must be 1, 2 or 3"))
       .orElse(bad(batchSize < 0, "BATCH_SIZE must be >= 0"))
       .orElse(bad(batchTimeout <= Duration.Zero, "BATCH_TIMEOUT must be > 0"))
       .orElse(bad(publishAsyncMaxPending < 0, "PUBLISH_ASYNC_MAX_PENDING must be >= 0"))

@@ -881,6 +881,67 @@ object CdcQueries {
         WHERE event_id % 10 <> 0
         ORDER BY src_event_id, seq_in_tx""")),
 
+    // Two-phase commit frames (proto_version 3, two_phase=on, PG 15+):
+    // per event a PREPARE TRANSACTION delivers BeginPrepare..2 rows..
+    // Prepare, an unrelated plain transaction commits in between, and
+    // the prepared tx is resolved AFTERWARDS — CommitPrepared for 90% of
+    // events, RollbackPrepared for event_id % 10 == 0. Gate: resolved
+    // rows carry the resolution frame's wal_start as commit_lsn (the
+    // checkpoint position), rolled-back rows vanish entirely, and the
+    // interleaved plain transaction is untouched either way.
+    "c37_two_phase" -> Def(
+      (s, d) => {
+        import s.implicits._
+        val src = t(s, d, "events").select(col("event_id"),
+            unix_micros(col("ts")).as("us"))
+          .as[(Long, Long)]
+        val raw = src.flatMap { case (id, us) =>
+          val xidP = id.toInt
+          val xidQ = (id + 900000000L).toInt
+          val relId = 777003
+          val ws = id * 30
+          val gid = s"gid-$id"
+          val rel = PgWire.relation(relId, "public", "evt_2pc",
+            Seq("src_event_id" -> 20, "part" -> 25))
+          def ins(part: String) = PgWire.insert(relId,
+            Seq(Some(id.toString), Some(part)))
+          Seq(
+            (ws, rel),
+            (ws + 1, PgWire.beginPrepare(ws + 1, ws + 2, us - 60000000L,
+              xidP, gid)),
+            (ws + 2, ins("a")),
+            (ws + 3, ins("b")),
+            (ws + 4, PgWire.prepare(ws + 1, ws + 4, us - 60000000L,
+              xidP, gid)),
+            (ws + 5, PgWire.begin(ws + 5, us, xidQ)),
+            (ws + 6, ins("q")),
+            (ws + 7, PgWire.commit(ws + 7, ws + 8, us)),
+            (ws + 8,
+              if (id % 10 == 0)
+                PgWire.rollbackPrepared(ws + 4, ws + 8, us - 60000000L,
+                  us, xidP, gid)
+              else PgWire.commitPrepared(ws + 8, ws + 9, us, xidP, gid)))
+        }.toDF("wal_start", "data")
+        TxAssembly.assemble(PgOutput.decode(s, raw))
+          .select(
+            element_at(col("new_values"), "src_event_id").cast("long")
+              .as("src_event_id"),
+            element_at(col("new_values"), "part").as("part"),
+            col("seq_in_tx"), col("txid"), col("commit_lsn"))
+          .orderBy(col("src_event_id"), col("txid"), col("seq_in_tx"))
+      },
+      Some("""SELECT event_id AS src_event_id, part,
+          CAST(seq AS BIGINT) AS seq_in_tx,
+          event_id AS txid,
+          event_id * 30 + 8 AS commit_lsn
+        FROM events, (VALUES ('a', 0), ('b', 1)) v(part, seq)
+        WHERE event_id % 10 <> 0
+        UNION ALL
+        SELECT event_id, 'q', CAST(0 AS BIGINT),
+          event_id + 900000000, event_id * 30 + 7
+        FROM events
+        ORDER BY src_event_id, txid, seq_in_tx""")),
+
     // TRUNCATE -> DDL event (wal2json T action): empty before AND after
     // images (not null — the reference's cdc_truncate_test invariant),
     // cdc.ddl event type, routed like any change. One truncate tx per

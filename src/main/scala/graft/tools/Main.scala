@@ -131,9 +131,13 @@ object Main {
       s"proto_version=${cfg.protoVersion};publication_names=" +
         cfg.publications.mkString(",") +
         // CDC_PROTO_VERSION=2 opts into streamed in-progress transactions
-        // (interleaved StreamStart..StreamStop segments); the decoder
-        // speaks both versions, v1 stays the reference-parity default
-        (if (cfg.protoVersion >= 2) ";streaming=on" else "")
+        // (interleaved StreamStart..StreamStop segments); =3 additionally
+        // opts into two-phase frames (BeginPrepare/Prepare/CommitPrepared/
+        // RollbackPrepared/StreamPrepare for PREPARE TRANSACTION, PG 15+).
+        // The decoder speaks all three; v1 stays the reference-parity
+        // default.
+        (if (cfg.protoVersion >= 2) ";streaming=on" else "") +
+        (if (cfg.protoVersion >= 3) ";two_phase=on" else "")
     else "format-version=2;include-xids=1;include-timestamp=1"
 
   /** Build the raw frame stream for the configured source kind. */

@@ -329,6 +329,88 @@ class PgOutputSpec extends SparkSpec {
     }
   }
 
+  test("two-phase: PREPARE TRANSACTION buffers until CommitPrepared; " +
+      "RollbackPrepared retracts; interleaved work is unaffected") {
+    // xid 900 prepares and later commits (gets the COMMIT PREPARED
+    // timestamp); xid 901 prepares and rolls back; xid 902 is a plain
+    // tx committing between the prepares and their resolutions
+    val tPrep = t0 - 60000000L // one minute before the commit, in micros
+    val out = decode(Seq(
+      relMsg,
+      PgWire.beginPrepare(100L, 101L, tPrep, 900, "gid-a"),
+      PgWire.insert(relUsers, Seq(Some("30"), Some("prep-commit"), None)),
+      PgWire.prepare(100L, 101L, tPrep, 900, "gid-a"),
+      PgWire.beginPrepare(110L, 111L, tPrep, 901, "gid-b"),
+      PgWire.insert(relUsers, Seq(Some("31"), Some("prep-abort"), None)),
+      PgWire.prepare(110L, 111L, tPrep, 901, "gid-b"),
+      PgWire.begin(120L, t0, 902),
+      PgWire.insert(relUsers, Seq(Some("32"), Some("plain"), None)),
+      PgWire.commit(120L, 121L, t0),
+      PgWire.commitPrepared(130L, 131L, t0, 900, "gid-a"),
+      PgWire.rollbackPrepared(110L, 140L, tPrep,
+        t0, 901, "gid-b")))
+    val ops = out.map(e => (e.operation, e.txid))
+    assert(ops == List(("B", 900L), ("INSERT", 900L), ("B", 901L),
+      ("INSERT", 901L), ("B", 902L), ("INSERT", 902L), ("C", 902L),
+      ("C", 900L), ("ABORT", 901L)), s"decoded: $ops")
+    import spark.implicits._
+    val assembled = graft.cdc.TxAssembly.assemble(
+        spark.createDataset(out).toDF())
+      .select($"txid", $"new_values".getItem("id").as("id"), $"commit_time")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+      .sortBy(_._1).toList
+    assert(assembled.map(x => (x._1, x._2)) ==
+      List((900L, "30"), (902L, "32")),
+      s"prepared-committed + plain survive, prepared-rolled-back " +
+        s"vanishes: $assembled")
+    // the prepared tx's rows carry the COMMIT PREPARED time, not the
+    // prepare time — downstream sees when the tx became durable
+    assert(assembled.head._3.getTime == t0 / 1000,
+      s"commit-prepared ts expected, got ${assembled.head._3}")
+  }
+
+  test("two-phase: a STREAMED transaction ending in StreamPrepare " +
+      "resolves by CommitPrepared/RollbackPrepared with member fan-out") {
+    // tx 910 streams rows under itself + subxact 911, stream-prepares,
+    // and commits: every member gets the commit marker. tx 920 streams,
+    // stream-prepares, rolls back: every member gets an ABORT.
+    val out = decode(Seq(
+      PgWire.streamStart(910, firstSegment = true),
+      PgWire.streamed(910, relMsg),
+      PgWire.streamed(910, PgWire.insert(relUsers,
+        Seq(Some("40"), Some("top"), None))),
+      PgWire.streamed(911, PgWire.insert(relUsers,
+        Seq(Some("41"), Some("sub"), None))),
+      PgWire.streamStop(),
+      PgWire.streamPrepare(200L, 201L, t0, 910, "gid-s"),
+      PgWire.streamStart(920, firstSegment = true),
+      PgWire.streamed(920, PgWire.insert(relUsers,
+        Seq(Some("50"), Some("doomed"), None))),
+      PgWire.streamed(921, PgWire.insert(relUsers,
+        Seq(Some("51"), Some("doomed-sub"), None))),
+      PgWire.streamStop(),
+      PgWire.streamPrepare(210L, 211L, t0, 920, "gid-t"),
+      PgWire.commitPrepared(220L, 221L, t0, 910, "gid-s"),
+      PgWire.rollbackPrepared(210L, 230L, t0,
+        t0, 920, "gid-t")))
+    val commits = out.filter(_.is_commit).map(_.txid)
+    assert(commits == List(910L, 911L), s"commit fan-out: $commits")
+    val aborts = out.filter(_.operation == "ABORT").map(_.txid)
+    assert(aborts == List(920L, 921L), s"abort fan-out: $aborts")
+    import spark.implicits._
+    val ids = graft.cdc.TxAssembly.assemble(spark.createDataset(out).toDF())
+      .select($"new_values".getItem("id").as(""))
+      .as[String].collect().sorted.toList
+    assert(ids == List("40", "41"),
+      s"stream-prepared-committed members survive, rolled-back " +
+        s"members vanish: $ids")
+    // a StreamPrepare naming a transaction that never streamed is corrupt
+    intercept[PgOutput.CorruptFrameException] {
+      decode(Seq(PgWire.streamPrepare(300L, 301L, t0,
+        999, "gid-x")))
+    }
+  }
+
   test("distributed decode through the DataFrame API") {
     import spark.implicits._
     val msgs = Seq(relMsg, PgWire.begin(1000, t0, 42),

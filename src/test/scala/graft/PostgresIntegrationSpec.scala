@@ -357,6 +357,102 @@ class PostgresIntegrationSpec extends SparkSpec {
     }
   }
 
+  test("pgoutput two-phase live: PREPARE TRANSACTION stays pending in the " +
+      "sink until COMMIT PREPARED; ROLLBACK PREPARED never lands") {
+    assume(enabled, "set GRAFT_IT_PG=1 (and docker compose up -d) to run")
+    import spark.implicits._
+    val slot = "graft_it_2pc"
+    val pub = "graft_it_pub_2pc"
+    val canTwoPhase = withAdmin { pg =>
+      pg.execIgnoring(s"SELECT pg_drop_replication_slot('$slot')")
+      pg.execIgnoring("ROLLBACK PREPARED 'graft_2pc_a'")
+      pg.execIgnoring("ROLLBACK PREPARED 'graft_2pc_b'")
+      pg.execIgnoring(s"DROP PUBLICATION IF EXISTS $pub")
+      pg.exec("DROP TABLE IF EXISTS graft_it_2pc_t")
+      pg.exec("CREATE TABLE graft_it_2pc_t (id bigint PRIMARY KEY, v text)")
+      pg.exec(s"CREATE PUBLICATION $pub FOR TABLE graft_it_2pc_t")
+      // two_phase slots need PG 15+ AND max_prepared_transactions > 0
+      // (tools/run_local_pg.sh sets 10); probe both in one shot
+      try {
+        pg.exec("SELECT pg_create_logical_replication_slot(" +
+          s"'$slot', 'pgoutput', false, true)")
+        pg.exec("BEGIN; SELECT 1; PREPARE TRANSACTION 'graft_2pc_probe'")
+        pg.exec("ROLLBACK PREPARED 'graft_2pc_probe'")
+        true
+      } catch { case _: IOException => false }
+    }
+    assume(canTwoPhase, "server lacks two_phase slots or " +
+      "max_prepared_transactions=0 (restart-only GUC)")
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val out = java.nio.file.Files.createTempDirectory("it_2pc_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("it_2pc_ckpt").toString
+    val raw = spark.readStream.format("graft.sources.CopyBothSource")
+      .option("host", host).option("port", port.toString)
+      .option("slot", slot).option("user", user)
+      .option("database", db).option("password", pw)
+      .option("payload", "binary")
+      .option("startOptions",
+        s"proto_version=3;publication_names=$pub;streaming=on;two_phase=on")
+      .load()
+    val q = graft.streaming.CdcStream.start(spark, raw, db, out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"),
+      plugin = "pgoutput")
+    def sinkIds(): Set[Long] =
+      try spark.read.parquet(out).filter($"table" === "graft_it_2pc_t")
+        .select($"after".getItem("id").cast("long")).as[Long]
+        .collect().toSet
+      catch { case _: Exception => Set.empty }
+    try {
+      withAdmin { pg =>
+        pg.exec("BEGIN; INSERT INTO graft_it_2pc_t " +
+          "SELECT g, 'pending' FROM generate_series(1, 3) g; " +
+          "PREPARE TRANSACTION 'graft_2pc_a'")
+        pg.exec("INSERT INTO graft_it_2pc_t VALUES (99, 'plain')")
+      }
+      // the plain tx lands while the prepared one is HELD: the server
+      // has already sent BeginPrepare..rows..Prepare, and assembly must
+      // keep that group pending until its resolution arrives
+      assert(pollSink(out, 1, q) >= 1)
+      assert(sinkIds().contains(99L), "plain tx must land")
+      assert(!Seq(1L, 2L, 3L).exists(sinkIds()),
+        s"prepared-but-unresolved rows must stay pending: ${sinkIds()}")
+      withAdmin(_.exec("COMMIT PREPARED 'graft_2pc_a'"))
+      assert(pollSink(out, 4, q) >= 4,
+        "COMMIT PREPARED must release the held rows")
+      assert(Seq(1L, 2L, 3L).forall(sinkIds()), s"got ${sinkIds()}")
+      withAdmin { pg =>
+        pg.exec("BEGIN; INSERT INTO graft_it_2pc_t " +
+          "SELECT g, 'doomed' FROM generate_series(11, 13) g; " +
+          "PREPARE TRANSACTION 'graft_2pc_b'")
+        pg.exec("ROLLBACK PREPARED 'graft_2pc_b'")
+        pg.exec("INSERT INTO graft_it_2pc_t VALUES (100, 'tail')")
+      }
+      assert(pollSink(out, 5, q) >= 5)
+      assert(sinkIds().contains(100L))
+      assert(!Seq(11L, 12L, 13L).exists(sinkIds()),
+        s"ROLLBACK PREPARED rows must never land: ${sinkIds()}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      withAdmin { pg =>
+        pg.execIgnoring("ROLLBACK PREPARED 'graft_2pc_a'")
+        pg.execIgnoring("ROLLBACK PREPARED 'graft_2pc_b'")
+        pg.execIgnoring(s"SELECT pg_drop_replication_slot('$slot')")
+        pg.execIgnoring(s"DROP PUBLICATION IF EXISTS $pub")
+        pg.execIgnoring("DROP TABLE IF EXISTS graft_it_2pc_t")
+      }
+    }
+  }
+
   test("standby feedback advances the real slot's confirmed_flush_lsn") {
     assume(enabled, "set GRAFT_IT_PG=1 (and docker compose up -d) to run")
     // feedback semantics are plugin-independent: prefer wal2json (the

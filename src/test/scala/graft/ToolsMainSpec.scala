@@ -225,10 +225,14 @@ class ToolsMainSpec extends SparkSpec {
     assert(Main.pluginStartOptions(cfg("CDC_PLUGIN" -> "pgoutput",
       "CDC_PUBLICATIONS" -> "pub_a", "CDC_PROTO_VERSION" -> "2")) ==
       "proto_version=2;publication_names=pub_a;streaming=on")
+    // CDC_PROTO_VERSION=3 additionally opts into two-phase frames
+    assert(Main.pluginStartOptions(cfg("CDC_PLUGIN" -> "pgoutput",
+      "CDC_PUBLICATIONS" -> "pub_a", "CDC_PROTO_VERSION" -> "3")) ==
+      "proto_version=3;publication_names=pub_a;streaming=on;two_phase=on")
     assert(graft.config.GraftConfig.load(Map("GRAFT_WAL_DIR" -> "/tmp",
-        "CDC_PROTO_VERSION" -> "3")).flatMap(_.validated)
+        "CDC_PROTO_VERSION" -> "4")).flatMap(_.validated)
       .fold(identity, _ => "").contains("CDC_PROTO_VERSION"),
-      "proto versions other than 1/2 are a config error")
+      "proto versions other than 1/2/3 are a config error")
   }
 
   test("Running.await supervises: a transient socket error restarts from the checkpoint") {

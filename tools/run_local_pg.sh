@@ -52,10 +52,16 @@ case "${1:-start}" in
 wal_level = logical
 max_replication_slots = 8
 max_wal_senders = 8
+max_prepared_transactions = 10
 listen_addresses = '127.0.0.1'
 port = $PORT
 unix_socket_directories = '$SOCK'
 EOF
+    fi
+    # older data dirs predate the two-phase test: PREPARE TRANSACTION
+    # needs max_prepared_transactions > 0 (a restart-only GUC, default 0)
+    if ! grep -q '^max_prepared_transactions' "$DATA/postgresql.conf"; then
+      echo "max_prepared_transactions = 10" >> "$DATA/postgresql.conf"
     fi
     run_as_pg "$PGBIN/pg_ctl" -D "$DATA" -l "$LOG" -w start
     echo "postgres up on 127.0.0.1:$PORT (user postgres / postgres, wal_level=logical)"
