@@ -4734,61 +4734,9 @@ object LlmQueries {
     // join exactly the batch interval join the oracle computes.
     "l119_stream_stream_join" -> Def(
       (s, d) => {
-        import org.apache.spark.sql.streaming.Trigger
-        val e = t(s, d, "events")
-        val imps = e.select(col("event_id").as("imp_id"),
-          col("user_id"), col("ts").as("imp_ts"))
-        val clicks = e.filter(col("event_id") % 3 === 0)
-          .select((col("event_id") + 10000000L).as("click_id"),
-            col("user_id").as("c_user"),
-            (col("ts") + expr("INTERVAL 10 MINUTES")).as("click_ts"))
-          .unionByName(e.filter(col("event_id") % 5 === 0)
-            .select((col("event_id") + 20000000L).as("click_id"),
-              col("user_id").as("c_user"),
-              (col("ts") + expr("INTERVAL 2 HOURS")).as("click_ts")))
-        val work = java.nio.file.Files.createTempDirectory("graft_l119")
-        // shared absolute cut points: admission is event-time-ordered on
-        // BOTH sides, so a batch never carries a row older than a prior
-        // batch's rows (the exactness precondition in StreamingJoins)
-        val (tMin, tMax) = {
-          val r = e.agg(min(unix_micros(col("ts"))),
-            max(unix_micros(col("ts")))).head()
-          (r.getLong(0), r.getLong(1) + 1L)
-        }
-        val cut1 = tMin + (tMax - tMin) / 3
-        val cut2 = tMin + 2L * (tMax - tMin) / 3
-        def stage(df: DataFrame, tsCol: String, dir: String): String = {
-          val us = unix_micros(col(tsCol))
-          Seq(us < cut1, us >= cut1 && us < cut2, us >= cut2)
-            .zipWithIndex.foreach { case (pred, i) =>
-              df.filter(pred).coalesce(1)
-                .write.parquet(s"$work/$dir/s$i")
-              new java.io.File(s"$work/$dir/s$i").listFiles()
-                .foreach(x => {
-                  x.setLastModified(1700000000000L + i * 60000L); ()
-                })
-            }
-          s"$work/$dir"
-        }
-        val impDir = stage(imps, "imp_ts", "imp")
-        val clkDir = stage(clicks, "click_ts", "clk")
-        def src(dir: String, schema: String) = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$dir/s*")
-        val joined = graft.streaming.StreamingJoins.intervalJoin(
-          src(impDir, "imp_id LONG, user_id LONG, imp_ts TIMESTAMP")
-            .withColumnRenamed("user_id", "entity"),
-          src(clkDir, "click_id LONG, c_user LONG, click_ts TIMESTAMP")
-            .withColumnRenamed("c_user", "entity"),
-          keyCol = "entity", leftTs = "imp_ts", rightTs = "click_ts",
-          windowMinutes = 30L, watermarkDelay = "45 minutes")
-        val out = s"$work/out"
-        val q = joined.select(col("click_id"), col("imp_id"))
-          .writeStream.outputMode("append")
-          .option("checkpointLocation", s"$work/ck")
-          .trigger(Trigger.ProcessingTime("50 milliseconds"))
-          .start(out)
-        try q.processAllAvailable() finally q.stop()
-        s.read.parquet(out).orderBy(col("click_id"), col("imp_id"))
+        val joined = runIntervalJoinStream(s, d, "inner", "graft_l119")
+        joined.select(col("click_id"), col("imp_id"))
+          .orderBy(col("click_id"), col("imp_id"))
       },
       Some("""WITH clk AS (
           SELECT event_id + 10000000 AS click_id, user_id,
@@ -4801,6 +4749,125 @@ object LlmQueries {
         FROM clk c JOIN events i ON c.user_id = i.user_id
           AND c.click_ts >= i.ts
           AND c.click_ts <= i.ts + INTERVAL 30 MINUTE
+        ORDER BY click_id, imp_id""")),
+
+    // LEFT-OUTER stream-stream interval join (r11): the UNATTRIBUTED
+    // impression feed — an unmatched impression emits once, with a null
+    // click, when the watermark passes imp_ts + window. Emission timing
+    // is watermark-driven, so a drained run leaves the youngest tail
+    // pending in state; the gate therefore compares only null rows the
+    // final watermark (min of both sides' max event time − delay =
+    // max(ts) − 45 min, since the click side runs 2 h ahead) has
+    // DECIDED, with a one-minute guard band so the oracle never races
+    // Spark's eviction boundary on the regular synthetic timestamps.
+    // Matched pairs are compared exactly (same inner semantics as l119).
+    "l120_stream_join_outer" -> Def(
+      (s, d) => {
+        val joined = runIntervalJoinStream(s, d, "left_outer", "graft_l120",
+          extraCols = Seq("imp_ts"))
+        val mx = t(s, d, "events").agg(max(unix_micros(col("ts")))).head()
+          .getLong(0)
+        // decided boundary: wm = mx − 45 min; null rows with
+        // imp_ts + 30 min within 1 min of it are boundary-undecided on a
+        // drained run — excluded on BOTH sides
+        val decided = mx - (45L + 30L + 1L) * 60000000L
+        joined
+          .filter(col("click_id").isNotNull ||
+            unix_micros(col("imp_ts")) < decided)
+          .select(coalesce(col("click_id"), lit(-1L)).as("click_id"),
+            col("imp_id"))
+          .orderBy(col("click_id"), col("imp_id"))
+      },
+      Some("""WITH clk AS (
+          SELECT event_id + 10000000 AS click_id, user_id,
+            ts + INTERVAL 10 MINUTE AS click_ts
+          FROM events WHERE event_id % 3 = 0
+          UNION ALL
+          SELECT event_id + 20000000, user_id, ts + INTERVAL 2 HOUR
+          FROM events WHERE event_id % 5 = 0),
+        matched AS (
+          SELECT c.click_id, i.event_id AS imp_id
+          FROM clk c JOIN events i ON c.user_id = i.user_id
+            AND c.click_ts >= i.ts
+            AND c.click_ts <= i.ts + INTERVAL 30 MINUTE),
+        mxv AS (SELECT max(ts) AS mx FROM events)
+        SELECT click_id, imp_id FROM matched
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT) AS click_id, i.event_id AS imp_id
+        FROM events i, mxv
+        WHERE NOT EXISTS (SELECT 1 FROM matched m
+            WHERE m.imp_id = i.event_id)
+          AND i.ts < mx - INTERVAL 76 MINUTE
         ORDER BY click_id, imp_id"""))
   )
+
+  /** Shared harness for the stream-stream interval-join gates: derives
+    * impressions (all events) and clicks (every 3rd event +10 min —
+    * in-window; every 5th +2 h — out-of-window) from the events table,
+    * stages BOTH sides as three event-time-ordered slices admitted one
+    * file per trigger (matches span micro-batches; ordered admission is
+    * the exactness precondition in [[graft.streaming.StreamingJoins]]),
+    * runs the join to a parquet sink and returns the drained result.
+    */
+  private def runIntervalJoinStream(s: SparkSession, d: String,
+      joinType: String, tag: String,
+      extraCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val e = t(s, d, "events")
+    val imps = e.select(col("event_id").as("imp_id"),
+      col("user_id"), col("ts").as("imp_ts"))
+    val clicks = e.filter(col("event_id") % 3 === 0)
+      .select((col("event_id") + 10000000L).as("click_id"),
+        col("user_id").as("c_user"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("click_ts"))
+      .unionByName(e.filter(col("event_id") % 5 === 0)
+        .select((col("event_id") + 20000000L).as("click_id"),
+          col("user_id").as("c_user"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("click_ts")))
+    val work = java.nio.file.Files.createTempDirectory(tag)
+    // shared absolute cut points: admission is event-time-ordered on
+    // BOTH sides, so a batch never carries a row older than a prior
+    // batch's rows
+    val (tMin, tMax) = {
+      val r = e.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).head()
+      (r.getLong(0), r.getLong(1) + 1L)
+    }
+    val cut1 = tMin + (tMax - tMin) / 3
+    val cut2 = tMin + 2L * (tMax - tMin) / 3
+    def stage(df: DataFrame, tsCol: String, dir: String): String = {
+      val us = unix_micros(col(tsCol))
+      Seq(us < cut1, us >= cut1 && us < cut2, us >= cut2)
+        .zipWithIndex.foreach { case (pred, i) =>
+          df.filter(pred).coalesce(1)
+            .write.parquet(s"$work/$dir/s$i")
+          new java.io.File(s"$work/$dir/s$i").listFiles()
+            .foreach(x => {
+              x.setLastModified(1700000000000L + i * 60000L); ()
+            })
+        }
+      s"$work/$dir"
+    }
+    val impDir = stage(imps, "imp_ts", "imp")
+    val clkDir = stage(clicks, "click_ts", "clk")
+    def src(dir: String, schema: String) = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/s*")
+    val joined = graft.streaming.StreamingJoins.intervalJoin(
+      src(impDir, "imp_id LONG, user_id LONG, imp_ts TIMESTAMP")
+        .withColumnRenamed("user_id", "entity"),
+      src(clkDir, "click_id LONG, c_user LONG, click_ts TIMESTAMP")
+        .withColumnRenamed("c_user", "entity"),
+      keyCol = "entity", leftTs = "imp_ts", rightTs = "click_ts",
+      windowMinutes = 30L, watermarkDelay = "45 minutes",
+      joinType = joinType)
+    val out = s"$work/out"
+    val q = joined
+      .select((Seq("click_id", "imp_id") ++ extraCols).map(col): _*)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/ck")
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start(out)
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out)
+  }
 }

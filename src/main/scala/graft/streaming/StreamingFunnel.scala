@@ -54,6 +54,21 @@ class FunnelProcessor(stages: Seq[String], ttlMs: Long = 0L)
     // event (a duplicate StageHit in the append-only output, by
     // design: the alternative — shuffling ALL traffic into state to
     // keep it alive — costs the full event volume at 100 TB).
+    //
+    // Restart/replay boundary (applies to ALL the behavior processors —
+    // cohort and transitions carry the same knob): the TTL clock is
+    // PROCESSING time, anchored at state-write wall-time and persisted
+    // in the store, so a checkpoint restart neither clears live state
+    // nor refreshes expired state — expiry depends only on wall-clock
+    // elapsed since the last write, however many restarts happen in
+    // between. The corollary for checkpoint REPLAY after downtime: a
+    // stream resumed after more than ttlMs of downtime finds entities
+    // expired that a live run would have kept alive (their events were
+    // waiting in the source, not absent). Degradation is the documented
+    // churn path — re-emission from stage 1 / re-cohorting at next
+    // event, monotone and append-only — never a wrong join of old and
+    // new state. Pin: BehaviorSpec "TTL state survives a restart within
+    // ttl; stays expired across restarts after ttl".
     val ttl = if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
       else TTLConfig.NONE
     reached = getHandle.getValueState[Int]("reached", Encoders.scalaInt,

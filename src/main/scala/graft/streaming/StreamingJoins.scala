@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   */
 object StreamingJoins {
 
-  /** Inner interval join: one output row per (right row, left row) pair
+  /** Interval join: one output row per (right row, left row) pair
     * with equal `keyCol` and `right.tsCol` in
     * `[left.tsCol, left.tsCol + windowMinutes]`. Column names must be
     * disjoint apart from `keyCol` (rename upstream); the join key
@@ -39,16 +39,31 @@ object StreamingJoins {
     * `left` is the side being attributed TO (impressions — buffered the
     * full window), `right` the attributing side (clicks — buffered only
     * to the watermark slack).
+    *
+    * `joinType` "inner" (default) or "left_outer": the outer form
+    * additionally emits each UNMATCHED left row exactly once — with the
+    * right side null — at the moment the watermark passes
+    * `left.ts + window` (no future right row can reach it anymore).
+    * That is the unattributed-impression feed: at 100 TB the "which
+    * impressions never converted" table is maintained by state eviction,
+    * not recomputed by an anti-join over the corpus. Emission TIMING is
+    * watermark-driven: rows younger than the final watermark stay
+    * pending in state (a continuously-running stream emits them as the
+    * watermark advances; a drained run leaves the tail pending) —
+    * downstream must treat absence-of-null-row as "not yet decided",
+    * never "attributed".
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, windowMinutes: Long,
-      watermarkDelay: String): DataFrame = {
+      watermarkDelay: String, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"interval join supports inner/left_outer, got $joinType")
     val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
     val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
     val cond: Column = col(s"l.$keyCol") === col(s"r.$keyCol") &&
       col(s"r.$rightTs") >= col(s"l.$leftTs") &&
       col(s"r.$rightTs") <= col(s"l.$leftTs") +
         expr(s"INTERVAL $windowMinutes MINUTES")
-    l.join(r, cond, "inner").drop(col(s"r.$keyCol"))
+    l.join(r, cond, joinType).drop(col(s"r.$keyCol"))
   }
 }

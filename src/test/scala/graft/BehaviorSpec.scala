@@ -308,6 +308,53 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("TTL state survives a restart within ttl; stays expired across " +
+      "restarts after ttl (processing-time clock, restart-independent)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx = spark.sqlContext
+    withRocksDb {
+      val base = java.nio.file.Files.createTempDirectory("bttlr")
+      // generous ttl vs pass wall-time: the restart between passes must
+      // land well inside it
+      val aIn = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+      val aHits = graft.streaming.StreamingFunnel.stageHits(spark,
+        aIn.toDF().toDF("u", "t", "tts", "id"),
+        "u", "t", "tts", "id", Seq("signup", "view"), ttlMs = 120000L)
+      aIn.addData((1L, "signup", ts("2024-01-01 10:00:00"), 1L))
+      assert(runPass(aHits, s"$base/ao", s"$base/a").map(_.getLong(1))
+        == Seq(1L))
+      // RESTART from the checkpoint (runPass starts a fresh query): the
+      // persisted TTL state must still be live — the view advances to
+      // stage 2. A restart that cleared or ignored state would emit
+      // nothing; one that re-keyed it would re-emit stage 1.
+      aIn.addData((1L, "view", ts("2024-01-01 10:01:00"), 2L))
+      val a2 = runPass(aHits, s"$base/ao", s"$base/a").map(_.getLong(1))
+      assert(a2 == Seq(1L, 2L),
+        s"state must survive a within-ttl restart intact: $a2")
+
+      // expired entity: a later restart must NOT resurrect it — the TTL
+      // clock is wall-time anchored at write, not at query start
+      val bIn = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+      val bHits = graft.streaming.StreamingFunnel.stageHits(spark,
+        bIn.toDF().toDF("u", "t", "tts", "id"),
+        "u", "t", "tts", "id", Seq("signup", "view"), ttlMs = 500L)
+      bIn.addData((2L, "signup", ts("2024-01-01 10:00:00"), 1L))
+      assert(runPass(bHits, s"$base/bo", s"$base/b").map(_.getLong(1))
+        == Seq(1L))
+      Thread.sleep(1200L) // > ttl: entity 2's stage state expires
+      // a restart later, the view must find NO stage-1 state (emitting
+      // stage 2 here would mean the restart resurrected expired state)
+      bIn.addData((2L, "view", ts("2024-01-01 10:02:00"), 2L))
+      val b2 = runPass(bHits, s"$base/bo", s"$base/b").map(_.getLong(1))
+      assert(b2 == Seq(1L),
+        s"expired state must stay expired across restarts: $b2")
+      // and the churn path re-enters at stage 1, append-only
+      bIn.addData((2L, "signup", ts("2024-01-01 10:03:00"), 3L))
+      val b3 = runPass(bHits, s"$base/bo", s"$base/b").map(_.getLong(1))
+      assert(b3 == Seq(1L, 1L), s"churned entity restarts at stage 1: $b3")
+    }
+  }
+
   test("cross-batch disorder: funnel monotone, cohort never negative") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sctx = spark.sqlContext
