@@ -210,6 +210,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("pgoutput two-phase: a prepared tx stays pending across micro-" +
+      "batches until CommitPrepared; RollbackPrepared drops it") {
+    implicit val sctx = spark.sqlContext
+    import graft.cdc.PgWire
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val t0 = 1705314600123456L
+    val input = MemoryStream[(Long, Array[Byte])]
+    val events = CdcStream.pipelinePgOutput(spark,
+      input.toDF().toDF("wal_start", "data"), "testdb")
+    val q = events.writeStream.outputMode("append")
+      .format("memory").queryName("pgout_2pc_stream").start()
+    try {
+      // batch 1: two prepared txs (31 commits later, 32 rolls back) plus
+      // a PLAIN tx — only the plain one may emit this batch
+      input.addData(
+        (10L, PgWire.relation(100, "public", "users", Seq("id" -> 20, "name" -> 25))),
+        (20L, PgWire.beginPrepare(100L, 101L, t0 - 1000000L, 31, "g31")),
+        (30L, PgWire.insert(100, Seq(Some("1"), Some("held")))),
+        (40L, PgWire.prepare(100L, 101L, t0 - 1000000L, 31, "g31")),
+        (50L, PgWire.beginPrepare(110L, 111L, t0 - 1000000L, 32, "g32")),
+        (60L, PgWire.insert(100, Seq(Some("2"), Some("doomed")))),
+        (70L, PgWire.prepare(110L, 111L, t0 - 1000000L, 32, "g32")),
+        (80L, PgWire.begin(120L, t0, 33)),
+        (90L, PgWire.insert(100, Seq(Some("3"), Some("plain")))),
+        (100L, PgWire.commit(120L, 121L, t0)))
+      q.processAllAvailable()
+      val afterB1 = spark.table("pgout_2pc_stream")
+        .select($"txid").as[Long].collect().toList
+      assert(afterB1 == List(33L),
+        s"prepared txs must stay pending in assembly state: $afterB1")
+      // batch 2: resolutions arrive — 31 releases, 32 drops for good
+      input.addData(
+        (110L, PgWire.commitPrepared(130L, 131L, t0, 31, "g31")),
+        (120L, PgWire.rollbackPrepared(110L, 140L, t0 - 1000000L, t0, 32, "g32")))
+      q.processAllAvailable()
+      val out = spark.table("pgout_2pc_stream")
+        .select($"txid", $"after".getItem("name").as("name"))
+        .as[(Long, String)].collect().toList.sortBy(_._1)
+      assert(out == List((31L, "held"), (33L, "plain")),
+        s"CommitPrepared releases the cross-batch held tx, " +
+          s"RollbackPrepared drops its buffer: $out")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("pgoutput streaming: corrupt frame mid-stream — named error (crash) / dead-letter record (dlq)") {
     // streaming parity with the batch decoder's corrupt-frame taxonomy:
     // under the default crash policy the query fails with the NAMED
