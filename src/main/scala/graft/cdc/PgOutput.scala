@@ -330,6 +330,15 @@ object PgOutput {
         case 'A' =>
           val xid = b.getInt().toLong & 0xffffffffL
           val subXid = b.getInt().toLong & 0xffffffffL
+          // protocol v4 (streaming=parallel, PG 16+) appends two Int64s:
+          // abort LSN + abort timestamp.  Presence follows the negotiated
+          // version, which the frame length mirrors exactly — 9 bytes
+          // through v3, 25 bytes at v4; anything between is truncation.
+          val abortTs: Timestamp =
+            if (b.remaining() >= 16) { b.getLong(); pgTimestamp(b.getLong()) }
+            else if (b.remaining() == 0) null
+            else corrupt(s"StreamAbort with ${b.remaining()} trailing " +
+              "bytes (v4 layout appends 16)")
           if (subXid == xid) {
             // Whole-transaction abort: fan the ABORT out to EVERY
             // observed member, mirroring StreamCommit — rows streamed
@@ -343,11 +352,11 @@ object PgOutput {
             removedStreamTops += xid
             members.map(x => DecodedWalEvent(walStart, "ABORT",
               is_begin = false, is_commit = false,
-              null, null, null, null, x, null))
+              null, null, null, null, x, abortTs))
           } else {
             streamXids.get(xid).foreach(_ -= subXid)
             Seq(DecodedWalEvent(walStart, "ABORT", is_begin = false,
-              is_commit = false, null, null, null, null, subXid, null))
+              is_commit = false, null, null, null, null, subXid, abortTs))
           }
         // ---- two-phase commit (two_phase slots, PG 15+): a PREPARE
         // TRANSACTION delivers BeginPrepare..changes..Prepare, then —

@@ -136,6 +136,20 @@ object PgWire {
     fin(b)
   }
 
+  /** Stream Abort ('A'), protocol v4 (streaming=parallel slots, PG 16+):
+    * the v2/v3 layout plus abort LSN and abort timestamp — the fields a
+    * parallel apply worker needs to stamp the retraction position
+    * without round-tripping to the leader.  PG protocol.sgml marks both
+    * Int64s "available since protocol version 4".
+    */
+  def streamAbortV4(xid: Int, subXid: Int, abortLsn: Long,
+      unixMicros: Long): Array[Byte] = {
+    val b = buf(32)
+    b.put('A'.toByte).putInt(xid).putInt(subXid).putLong(abortLsn)
+      .putLong(unixMicros - PgEpochMicros)
+    fin(b)
+  }
+
   /** Prefix a v1 data frame with the Int32 xid that in-stream messages
     * carry in protocol v2 (every transactional message between
     * StreamStart..StreamStop names its own (sub)transaction).

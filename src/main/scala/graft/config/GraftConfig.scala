@@ -62,8 +62,8 @@ final case class GraftConfig(
     val policy = publishFailurePolicy
     bad(!Seq("", "wal2json", "pgoutput").contains(plugin),
         "CDC_PLUGIN must be pgoutput or wal2json")
-      .orElse(bad(!Seq(1, 2, 3).contains(protoVersion),
-        "CDC_PROTO_VERSION must be 1, 2 or 3"))
+      .orElse(bad(!Seq(1, 2, 3, 4).contains(protoVersion),
+        "CDC_PROTO_VERSION must be 1, 2, 3 or 4"))
       .orElse(bad(batchSize < 0, "BATCH_SIZE must be >= 0"))
       .orElse(bad(batchTimeout <= Duration.Zero, "BATCH_TIMEOUT must be > 0"))
       .orElse(bad(publishAsyncMaxPending < 0, "PUBLISH_ASYNC_MAX_PENDING must be >= 0"))

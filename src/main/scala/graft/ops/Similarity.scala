@@ -110,6 +110,109 @@ object Similarity {
         col("d2_num"), col("n"))
   }
 
+  /** Distributed Lloyd k-means over quantized vectors (the embedding-
+    * clustering pass of a curation pipeline — cluster-balanced sampling,
+    * per-cluster quality audits, SemDeDup-style cell assignment all start
+    * here).
+    *
+    * Exactness: centroids are never divided into floats — each is the
+    * exact rational sv/n carried as (member count `n`, elementwise BIGINT
+    * sum vector `sv`, its squared norm `ss`), so the assignment metric
+    * n²·|x|² − 2n·(x·sv) + |sv|² is an exact integer and the only IEEE
+    * step is one double division (÷n²) inside the cross-centroid
+    * comparison — deterministic regardless of partitioning or summation
+    * order, and replayable verbatim by any engine (the DuckDB oracle runs
+    * the identical unrolled iterations). Ties break to the lowest
+    * centroid id. Seeds are the k lowest ids. Empty clusters keep their
+    * previous centroid.
+    *
+    * Scale shape (the MLlib KMeans loop, re-expressed declaratively): per
+    * iteration one NARROW argmin pass — the k centroids ride along as a
+    * literal array folded per row, no crossJoin, no window, zero
+    * shuffle — then one map-side-combinable (cid, dim) partial
+    * aggregation whose shuffle volume is ≤ k·dims·partitions rows, and a
+    * k-row collect (centroids are driver-state between iterations exactly
+    * as in MLlib). Nothing scales with corpus size except the narrow
+    * scans.
+    *
+    * Output (one row per centroid, all stats exact BIGINTs): cluster_id,
+    * n_members, n_cent (the centroid's rational denominator), inertia_num
+    * (Σ members' n²-scaled squared distances), sv_checksum
+    * (Σ (j+1)·sv_j), ss.
+    */
+  def kMeans(prepared: DataFrame, idCol: String, k: Int,
+      iters: Int): DataFrame = {
+    val spark = prepared.sparkSession
+
+    def assign(cents: Array[(Int, Long, Array[Long], Long)]): DataFrame = {
+      val centArr = array(cents.map { case (cid, n, sv, ss) =>
+        struct(lit(cid).as("cid"), lit(n).as("n"),
+          array(sv.map(lit(_)): _*).as("sv"), lit(ss).as("ss"))
+      }: _*)
+      val init = struct(lit(Double.PositiveInfinity).as("d2"),
+        lit(-1).as("cid"), lit(0L).as("d2num"))
+      val best = aggregate(centArr, init, (acc, c) => {
+        val n = c.getField("n")
+        val d2num = n * n * col("norm_sq") -
+          lit(2L) * n * dotQ(col("qvec"), c.getField("sv")) +
+          c.getField("ss")
+        val d2 = d2num.cast("double") / (n * n)
+        when(d2 < acc.getField("d2"),
+          struct(d2.as("d2"), c.getField("cid").as("cid"),
+            d2num.as("d2num"))).otherwise(acc)
+      })
+      prepared.withColumn("best", best)
+        .withColumn("cid", col("best.cid"))
+        .withColumn("d2num", col("best.d2num"))
+        .drop("best")
+    }
+
+    def update(assigned: DataFrame,
+        prev: Array[(Int, Long, Array[Long], Long)])
+        : Array[(Int, Long, Array[Long], Long)] = {
+      val upd = assigned
+        .select(col("cid"), posexplode(col("qvec")).as(Seq("j", "qj")))
+        .groupBy(col("cid"), col("j"))
+        .agg(sum(col("qj")).as("sj"), count(lit(1)).as("cnt"))
+        .groupBy(col("cid"))
+        .agg(max(col("cnt")).as("n"),
+          transform(array_sort(collect_list(struct(col("j"), col("sj")))),
+            s => s.getField("sj")).as("sv"),
+          sum(col("sj") * col("sj")).as("ss"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          ((r.getLong(1), r.getSeq[Long](2).toArray, r.getLong(3))))
+        .toMap
+      prev.map { case (cid, n, sv, ss) =>
+        upd.get(cid).map { case (n2, sv2, ss2) => (cid, n2, sv2, ss2) }
+          .getOrElse((cid, n, sv, ss))
+      }
+    }
+
+    var cents: Array[(Int, Long, Array[Long], Long)] =
+      prepared.orderBy(col(idCol)).limit(k)
+        .select(col("qvec"), col("norm_sq")).collect()
+        .zipWithIndex.map { case (r, i) =>
+          (i, 1L, r.getSeq[Long](0).toArray, r.getLong(1))
+        }
+    for (_ <- 1 to iters) cents = update(assign(cents), cents)
+
+    val memberStats = assign(cents).groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("d2num")).as("inertia_num"))
+    val centRows = cents.toSeq.map { case (cid, n, sv, ss) =>
+      (cid, n, ss, sv.zipWithIndex.map { case (v, j) => (j + 1L) * v }.sum)
+    }
+    import spark.implicits._
+    val centDf = centRows.toDF("cluster_id", "n_cent", "ss", "sv_checksum")
+    centDf.join(memberStats.withColumnRenamed("cid", "cluster_id"),
+        Seq("cluster_id"), "left")
+      .select(col("cluster_id"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        col("n_cent"),
+        coalesce(col("inertia_num"), lit(0L)).as("inertia_num"),
+        col("sv_checksum"), col("ss"))
+  }
+
   private def pairCosine: Column =
     col("dot").cast("double") /
       sqrt(col("q.norm_sq").cast("double") * col("c.norm_sq").cast("double"))

@@ -942,6 +942,88 @@ object CdcQueries {
         FROM events
         ORDER BY src_event_id, txid, seq_in_tx""")),
 
+    // Protocol v4 StreamAbort (streaming=parallel slots, PG 16+): the
+    // abort frame carries abort LSN + abort timestamp, the fields a
+    // parallel apply worker stamps without round-tripping to the
+    // leader. Per event a streamed transaction inserts one row under
+    // the top xid and one under a subtransaction xid; 10% whole-abort
+    // (v4 frame — the retraction fans to BOTH members stamped with the
+    // abort time), 10% subxact-abort-then-commit (the sub row vanishes,
+    // its ABORT marker carries the v4 time, the top row commits), 80%
+    // plain commit. Gate: survivors assemble with the commit position
+    // AND the raw ABORT markers surface the v4 timestamp — unreadable
+    // without decoding the appended 16 bytes.
+    "c38_stream_abort_v4" -> Def(
+      (s, d) => {
+        import s.implicits._
+        val src = t(s, d, "events").select(col("event_id"),
+            unix_micros(col("ts")).as("us"))
+          .as[(Long, Long)]
+        val raw = src.flatMap { case (id, us) =>
+          val top = id.toInt
+          val sub = (id + 500000000L).toInt
+          val relId = 777005
+          val ws = id * 40
+          val rel = PgWire.relation(relId, "public", "evt_v4",
+            Seq("src_event_id" -> 20, "part" -> 25))
+          def ins(xid: Int, part: String) = PgWire.streamed(xid,
+            PgWire.insert(relId, Seq(Some(id.toString), Some(part))))
+          Seq(
+            (ws, PgWire.streamStart(top, firstSegment = true)),
+            (ws + 1, PgWire.streamed(top, rel)),
+            (ws + 2, ins(top, "t")),
+            (ws + 3, ins(sub, "s")),
+            (ws + 4, PgWire.streamStop())) ++
+          (id % 10 match {
+            case 0 => Seq(
+              (ws + 5, PgWire.streamAbortV4(top, top, ws + 5,
+                us - 2000000L)))
+            case 5 => Seq(
+              (ws + 5, PgWire.streamAbortV4(top, sub, ws + 5,
+                us - 1000000L)),
+              (ws + 6, PgWire.streamCommit(top, ws + 6, ws + 7, us)))
+            case _ => Seq(
+              (ws + 6, PgWire.streamCommit(top, ws + 6, ws + 7, us)))
+          })
+        }.toDF("wal_start", "data")
+        val dec = PgOutput.decode(s, raw)
+        val rows = TxAssembly.assemble(dec).select(
+          element_at(col("new_values"), "src_event_id").cast("long")
+            .as("src_event_id"),
+          lit("row").as("kind"),
+          element_at(col("new_values"), "part").as("part"),
+          col("txid"),
+          col("commit_lsn").as("pos"),
+          lit(null).cast("long").as("abort_us"))
+        val aborts = dec.filter(col("operation") === "ABORT").select(
+          when(col("txid") >= 500000000L, col("txid") - 500000000L)
+            .otherwise(col("txid")).as("src_event_id"),
+          lit("abort").as("kind"),
+          lit(null).cast("string").as("part"),
+          col("txid"),
+          col("wal_start").as("pos"),
+          unix_micros(col("action_time")).as("abort_us"))
+        rows.unionByName(aborts)
+          .orderBy(col("src_event_id"), col("kind"), col("txid"))
+      },
+      Some("""WITH e AS (SELECT event_id AS id, epoch_us(ts) AS us
+          FROM events)
+        SELECT * FROM (
+          SELECT id AS src_event_id, 'row' AS kind, 't' AS part,
+              id AS txid, id*40+6 AS pos, CAST(NULL AS BIGINT) AS abort_us
+            FROM e WHERE id % 10 <> 0
+          UNION ALL
+          SELECT id, 'row', 's', id+500000000, id*40+6, NULL
+            FROM e WHERE id % 10 NOT IN (0, 5)
+          UNION ALL
+          SELECT id, 'abort', NULL, id, id*40+5, us-2000000
+            FROM e WHERE id % 10 = 0
+          UNION ALL
+          SELECT id, 'abort', NULL, id+500000000, id*40+5,
+              CASE WHEN id % 10 = 0 THEN us-2000000 ELSE us-1000000 END
+            FROM e WHERE id % 10 IN (0, 5))
+        ORDER BY src_event_id, kind, txid""")),
+
     // TRUNCATE -> DDL event (wal2json T action): empty before AND after
     // images (not null — the reference's cdc_truncate_test invariant),
     // cdc.ddl event type, routed like any change. One truncate tx per

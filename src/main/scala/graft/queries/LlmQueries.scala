@@ -4798,8 +4798,76 @@ object LlmQueries {
         WHERE NOT EXISTS (SELECT 1 FROM matched m
             WHERE m.imp_id = i.event_id)
           AND i.ts < mx - INTERVAL 76 MINUTE
-        ORDER BY click_id, imp_id"""))
+        ORDER BY click_id, imp_id""")),
+
+    // Distributed Lloyd k-means over the embedding corpus (k=8 seeds =
+    // the 8 lowest vec_ids, 3 iterations) — the clustering pass behind
+    // cluster-balanced sampling / per-cluster curation audits. Centroids
+    // stay exact rationals (count n, BIGINT sum vector sv, its squared
+    // norm ss): the assignment metric n²|x|² − 2n(x·sv) + |sv|² is exact
+    // integer and the only IEEE step is one double ÷n² in the argmin, so
+    // the DuckDB oracle replays the identical unrolled iterations
+    // bit-for-bit. Per-cluster output stats are all exact BIGINTs
+    // (member count, n²-scaled inertia, centroid checksum). Scale: per
+    // iteration one narrow fold-argmin pass (centroids ride as an 8-
+    // element literal — no crossJoin, no window) + a (cid,dim) partial
+    // agg; only k rows ever reach the driver.
+    "l121_kmeans" -> Def(
+      (s, d) => {
+        val prep = Similarity.prepare(
+          t(s, d, "embeddings").withColumnRenamed("vec_id", "id"),
+          "embedding")
+        Similarity.kMeans(prep, "id", k = 8, iters = 3)
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""WITH $oQuant,
+        c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+              AS INTEGER) AS cid,
+            CAST(1 AS BIGINT) AS n, q AS sv, norm_sq AS ss
+          FROM qn WHERE vec_id IN
+            (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        ${kmAssign("a1", "c0")}, ${kmUpdate("s1", "a1", "c0", "c1")},
+        ${kmAssign("a2", "c1")}, ${kmUpdate("s2", "a2", "c1", "c2")},
+        ${kmAssign("a3", "c2")}, ${kmUpdate("s3", "a3", "c2", "c3")},
+        ${kmAssign("a4", "c3")}
+        SELECT c.cid AS cluster_id,
+          COALESCE(m.n_members, 0) AS n_members,
+          c.n AS n_cent,
+          CAST(COALESCE(m.inertia_num, 0) AS BIGINT) AS inertia_num,
+          CAST(list_sum(list_transform(generate_series(1, 64),
+            j -> j * c.sv[j])) AS BIGINT) AS sv_checksum,
+          CAST(c.ss AS BIGINT) AS ss
+        FROM c3 c LEFT JOIN (
+          SELECT cid, COUNT(*) AS n_members, SUM(d2num) AS inertia_num
+          FROM a4 GROUP BY cid) m USING (cid)
+        ORDER BY cluster_id"""))
   )
+
+  /** DuckDB k-means assignment round: nearest exact-rational centroid
+    * (n²|x|² − 2n(x·sv) + |sv|², one double ÷n², ties to lowest cid) —
+    * the verbatim replay of [[graft.ops.Similarity.kMeans]]'s fold.
+    */
+  private def kmAssign(a: String, cPrev: String): String =
+    s"""$a AS (SELECT vec_id, q, norm_sq, cid, n, d2num FROM (
+        SELECT v.vec_id, v.q, v.norm_sq, c.cid, c.n,
+          c.n*c.n*v.norm_sq - 2*c.n*${oDot("v.q", "c.sv")} + c.ss AS d2num,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+            CAST(c.n*c.n*v.norm_sq - 2*c.n*${oDot("v.q", "c.sv")} + c.ss
+              AS DOUBLE) / (c.n*c.n) ASC, c.cid ASC) AS rn
+        FROM qn v CROSS JOIN $cPrev c) WHERE rn = 1)"""
+
+  /** DuckDB k-means update round: per-(cid, dim) sums -> exact-rational
+    * centroids; empty clusters keep the previous centroid.
+    */
+  private def kmUpdate(u: String, a: String, cPrev: String,
+      cNew: String): String =
+    s"""$u AS (SELECT cid, i, SUM(q[i]) AS s, COUNT(*) AS cnt
+         FROM $a CROSS JOIN generate_series(1, 64) g(i) GROUP BY cid, i),
+       $cNew AS (SELECT p.cid, COALESCE(un.n, p.n) AS n,
+           COALESCE(un.sv, p.sv) AS sv, COALESCE(un.ss, p.ss) AS ss
+         FROM $cPrev p LEFT JOIN (
+           SELECT cid, MAX(cnt) AS n, list(s ORDER BY i) AS sv,
+             SUM(s*s) AS ss FROM $u GROUP BY cid) un USING (cid))"""
 
   /** Shared harness for the stream-stream interval-join gates: derives
     * impressions (all events) and clicks (every 3rd event +10 min —

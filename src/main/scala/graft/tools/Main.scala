@@ -133,10 +133,12 @@ object Main {
         // CDC_PROTO_VERSION=2 opts into streamed in-progress transactions
         // (interleaved StreamStart..StreamStop segments); =3 additionally
         // opts into two-phase frames (BeginPrepare/Prepare/CommitPrepared/
-        // RollbackPrepared/StreamPrepare for PREPARE TRANSACTION, PG 15+).
-        // The decoder speaks all three; v1 stays the reference-parity
-        // default.
-        (if (cfg.protoVersion >= 2) ";streaming=on" else "") +
+        // RollbackPrepared/StreamPrepare for PREPARE TRANSACTION, PG 15+);
+        // =4 requests streaming=parallel (PG 16+), whose StreamAbort
+        // frames additionally carry abort LSN + timestamp. The decoder
+        // speaks all four; v1 stays the reference-parity default.
+        (if (cfg.protoVersion >= 4) ";streaming=parallel"
+         else if (cfg.protoVersion >= 2) ";streaming=on" else "") +
         (if (cfg.protoVersion >= 3) ";two_phase=on" else "")
     else "format-version=2;include-xids=1;include-timestamp=1"
 

@@ -173,6 +173,51 @@ class DedupSpec extends SparkSpec {
       h >= 0 && h <= n && r >= 0 && r <= 100 })
   }
 
+  test("kMeans: partitions the corpus, conserves members, inertia is " +
+      "non-increasing in iterations, and reruns are bit-identical") {
+    val prep = Similarity.prepare(
+      spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .withColumnRenamed("vec_id", "id"), "embedding")
+    val n = prep.count()
+    def run(iters: Int) = Similarity.kMeans(prep, "id", k = 4, iters = iters)
+      .orderBy($"cluster_id")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toList
+    val r3 = run(3)
+    assert(r3.map(_._1) == List(0, 1, 2, 3))
+    assert(r3.map(_._2).sum == n, "every vector lands in exactly one cluster")
+    assert(r3 == run(3), "k-means must be deterministic across runs")
+    // Lloyd: total n²-normalized inertia never increases with more
+    // iterations (compare in exact rationals via doubles of exact ints)
+    def inertia(rows: List[(Int, Long, Long, Long, Long, Long)]) =
+      rows.map { case (_, _, nc, in, _, _) => in.toDouble / (nc * nc) }.sum
+    assert(inertia(r3) <= inertia(run(1)) + 1e-9,
+      s"inertia(3 iters) > inertia(1 iter)")
+  }
+
+  test("kMeans: a cluster that loses every member keeps its previous " +
+      "centroid and reports n_members = 0") {
+    // identical corpus + identical seeds: every tie breaks to cid 0, so
+    // cid 1 never receives a member and must carry its seed forward
+    val vecs = Seq(
+      (1L, Array(0.5f, 0.5f, 0.0f, 0.0f)),
+      (2L, Array(0.5f, 0.5f, 0.0f, 0.0f)),
+      (3L, Array(0.5f, 0.5f, 0.0f, 0.0f)))
+      .toDF("id", "embedding")
+    val prep = Similarity.prepare(vecs, "embedding")
+    val rows = Similarity.kMeans(prep, "id", k = 2, iters = 2)
+      .orderBy($"cluster_id")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toList
+    assert(rows.map(_._1) == List(0, 1))
+    val (full, empty) = (rows(0), rows(1))
+    assert(full._2 == 3L && empty._2 == 0L,
+      s"all members on cid 0, none on cid 1: $rows")
+    // seed (0.5, 0.5, 0, 0) quantizes to (5000, 5000, 0, 0): ss = 5e7
+    assert(empty._3 == 1L && empty._6 == 50000000L,
+      s"empty cluster keeps its seed (n=1, ss = seed norm): $empty")
+    assert(empty._4 == 0L, "empty cluster reports zero inertia")
+    assert(full._4 == 0L, "identical members sit on the centroid")
+  }
+
   test("portable hash48 is stable (matches DuckDB's md5-prefix arithmetic)") {
     // DuckDB: SELECT ('0x'||substr(md5('abc'),1,12))::BIGINT = 158335321521362
     val h = Seq("abc").toDF("s").select(TA.hash48($"s")).as[Long].collect()(0)

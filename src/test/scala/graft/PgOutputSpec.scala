@@ -318,6 +318,58 @@ class PgOutputSpec extends SparkSpec {
       s"whole-tx rollback must retract subxact rows too: $survivors")
   }
 
+  test("protocol v4: StreamAbort carries abort LSN + timestamp (streaming=" +
+      "parallel, PG 16+) — markers stamped; v3 frame still decodes ts-null") {
+    // subxact 901 aborts with the v4 fields; the commit covers 900
+    val abortUs = t0 - 5000000L
+    val out = decode(Seq(
+      PgWire.streamStart(900, firstSegment = true),
+      PgWire.streamed(900, relMsg),
+      PgWire.streamed(900, PgWire.insert(relUsers,
+        Seq(Some("30"), Some("top"), None))),
+      PgWire.streamed(901, PgWire.insert(relUsers,
+        Seq(Some("31"), Some("sub"), None))),
+      PgWire.streamStop(),
+      PgWire.streamAbortV4(900, 901, 950L, abortUs),
+      PgWire.streamCommit(900, 960L, 961L, t0)))
+    val ab = out.filter(_.operation == "ABORT")
+    assert(ab.map(_.txid) == List(901L), s"aborted member: ${ab.map(_.txid)}")
+    assert(ab.head.action_time != null &&
+      ab.head.action_time.toInstant.toString == "2024-01-15T10:29:55.123456Z",
+      s"v4 abort timestamp must surface: ${ab.head.action_time}")
+    assert(out.filter(_.is_commit).map(_.txid) == List(900L))
+
+    // whole-tx v4 abort fans the STAMPED marker to every member
+    val out2 = decode(Seq(
+      PgWire.streamStart(910, firstSegment = true),
+      PgWire.streamed(910, relMsg),
+      PgWire.streamed(911, PgWire.insert(relUsers,
+        Seq(Some("32"), Some("s"), None))),
+      PgWire.streamStop(),
+      PgWire.streamAbortV4(910, 910, 970L, abortUs)))
+    val ab2 = out2.filter(_.operation == "ABORT")
+    assert(ab2.map(_.txid) == List(910L, 911L))
+    assert(ab2.forall(_.action_time != null), "fan-out keeps the v4 ts")
+
+    // the 9-byte v2/v3 layout still decodes, with a null timestamp
+    val out3 = decode(Seq(
+      PgWire.streamStart(920, firstSegment = true),
+      PgWire.streamStop(),
+      PgWire.streamAbort(920, 920)))
+    assert(out3.filter(_.operation == "ABORT").forall(_.action_time == null))
+  }
+
+  test("protocol v4: StreamAbort with a truncated v4 tail is corrupt, " +
+      "not silently v3") {
+    val full = PgWire.streamAbortV4(930, 930, 980L, t0)
+    intercept[PgOutput.CorruptFrameException] {
+      decode(Seq(
+        PgWire.streamStart(930, firstSegment = true),
+        PgWire.streamStop(),
+        full.take(full.length - 3)))
+    }
+  }
+
   test("protocol v2: a segment spanning the partition keeps bracketing; " +
       "stray StreamStop and nested StreamStart are corrupt") {
     intercept[PgOutput.CorruptFrameException] {

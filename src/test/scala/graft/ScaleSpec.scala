@@ -628,6 +628,21 @@ class ScaleSpec extends SparkSpec {
       "the span explode must run on the scan side without a prior shuffle")
   }
 
+  test("l121 k-means: assignment is a narrow fold — no window, no " +
+      "cartesian, one hash exchange (the per-cluster stats agg)") {
+    val df = SparkEntry.all("l121_kmeans").fn(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("Window"),
+      s"argmin must be the fold, not a k-way explode+window:\n${plan.take(800)}")
+    // member stats aggregate on cid is the only hash shuffle; the k-row
+    // centroid side joins as a broadcast/local relation
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges <= 2,
+      s"assignment must not shuffle the corpus:\n${plan.take(1200)}")
+  }
+
   test("centroid classify: integer-exact distances, broadcast centroids") {
     // label 0: (0,0),(0,2e-4) -> n=2, sv=(0,2), ss=4
     // label 1: (1e-3,1e-3)    -> n=1, sv=(10,10), ss=200

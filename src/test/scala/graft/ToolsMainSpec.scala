@@ -229,10 +229,15 @@ class ToolsMainSpec extends SparkSpec {
     assert(Main.pluginStartOptions(cfg("CDC_PLUGIN" -> "pgoutput",
       "CDC_PUBLICATIONS" -> "pub_a", "CDC_PROTO_VERSION" -> "3")) ==
       "proto_version=3;publication_names=pub_a;streaming=on;two_phase=on")
+    // CDC_PROTO_VERSION=4 upgrades to parallel streaming (PG 16+) whose
+    // StreamAbort frames carry abort LSN + timestamp
+    assert(Main.pluginStartOptions(cfg("CDC_PLUGIN" -> "pgoutput",
+      "CDC_PUBLICATIONS" -> "pub_a", "CDC_PROTO_VERSION" -> "4")) ==
+      "proto_version=4;publication_names=pub_a;streaming=parallel;two_phase=on")
     assert(graft.config.GraftConfig.load(Map("GRAFT_WAL_DIR" -> "/tmp",
-        "CDC_PROTO_VERSION" -> "4")).flatMap(_.validated)
+        "CDC_PROTO_VERSION" -> "5")).flatMap(_.validated)
       .fold(identity, _ => "").contains("CDC_PROTO_VERSION"),
-      "proto versions other than 1/2/3 are a config error")
+      "proto versions other than 1/2/3/4 are a config error")
   }
 
   test("Running.await supervises: a transient socket error restarts from the checkpoint") {
