@@ -143,6 +143,38 @@ object Similarity {
   def kMeans(prepared: DataFrame, idCol: String, k: Int,
       iters: Int): DataFrame = {
     val spark = prepared.sparkSession
+    val (cents, finalAssign) = lloyd(prepared, idCol, k, iters)
+    val memberStats = finalAssign.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("d2num")).as("inertia_num"))
+    val centRows = cents.toSeq.map { case (cid, n, sv, ss) =>
+      (cid, n, ss, sv.zipWithIndex.map { case (v, j) => (j + 1L) * v }.sum)
+    }
+    import spark.implicits._
+    val centDf = centRows.toDF("cluster_id", "n_cent", "ss", "sv_checksum")
+    centDf.join(memberStats.withColumnRenamed("cid", "cluster_id"),
+        Seq("cluster_id"), "left")
+      .select(col("cluster_id"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        col("n_cent"),
+        coalesce(col("inertia_num"), lit(0L)).as("inertia_num"),
+        col("sv_checksum"), col("ss"))
+  }
+
+  /** The trained-assignment view of [[kMeans]] — identical seeds,
+    * iterations and tie rules, returning the final per-vector assignment
+    * (idCol, cid, d2num) instead of per-cluster stats: the stratum key
+    * for cluster-balanced sampling and per-cluster curation audits.
+    */
+  def kMeansAssign(prepared: DataFrame, idCol: String, k: Int,
+      iters: Int): DataFrame =
+    lloyd(prepared, idCol, k, iters)._2
+      .select(col(idCol), col("cid"), col("d2num"))
+
+  /** The shared Lloyd loop behind [[kMeans]]/[[kMeansAssign]]: returns the
+    * trained exact-rational centroids and the final assignment frame.
+    */
+  private def lloyd(prepared: DataFrame, idCol: String, k: Int,
+      iters: Int): (Array[(Int, Long, Array[Long], Long)], DataFrame) = {
 
     def assign(cents: Array[(Int, Long, Array[Long], Long)]): DataFrame = {
       val centArr = array(cents.map { case (cid, n, sv, ss) =>
@@ -196,21 +228,7 @@ object Similarity {
           (i, 1L, r.getSeq[Long](0).toArray, r.getLong(1))
         }
     for (_ <- 1 to iters) cents = update(assign(cents), cents)
-
-    val memberStats = assign(cents).groupBy(col("cid"))
-      .agg(count(lit(1)).as("n_members"), sum(col("d2num")).as("inertia_num"))
-    val centRows = cents.toSeq.map { case (cid, n, sv, ss) =>
-      (cid, n, ss, sv.zipWithIndex.map { case (v, j) => (j + 1L) * v }.sum)
-    }
-    import spark.implicits._
-    val centDf = centRows.toDF("cluster_id", "n_cent", "ss", "sv_checksum")
-    centDf.join(memberStats.withColumnRenamed("cid", "cluster_id"),
-        Seq("cluster_id"), "left")
-      .select(col("cluster_id"),
-        coalesce(col("n_members"), lit(0L)).as("n_members"),
-        col("n_cent"),
-        coalesce(col("inertia_num"), lit(0L)).as("inertia_num"),
-        col("sv_checksum"), col("ss"))
+    (cents, assign(cents))
   }
 
   private def pairCosine: Column =

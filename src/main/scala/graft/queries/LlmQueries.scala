@@ -4840,7 +4840,45 @@ object LlmQueries {
         FROM c3 c LEFT JOIN (
           SELECT cid, COUNT(*) AS n_members, SUM(d2num) AS inertia_num
           FROM a4 GROUP BY cid) m USING (cid)
-        ORDER BY cluster_id"""))
+        ORDER BY cluster_id""")),
+
+    // Cluster-balanced sampling: k-means strata (the l121 training, same
+    // seeds/ties) + an exact per-cluster quota — the diversity draw that
+    // keeps a curated mix from collapsing onto the dominant embedding
+    // mode (per-cluster caps are the DataComp/DCLM-style recipe;
+    // uniform-at-random WITHIN a cluster via ascending content hash).
+    // Composition of two already-gated pieces: kMeansAssign supplies the
+    // stratum key, stratifiedSample's hierarchical two-pass window takes
+    // exactly min(6, |cluster|) per cluster with no single-stratum task
+    // funnel. The oracle replays the full k-means chain, then ranks by
+    // the same md5-derived hash.
+    "l122_cluster_balanced_sample" -> Def(
+      (s, d) => {
+        val prep = Similarity.prepare(
+          t(s, d, "embeddings").withColumnRenamed("vec_id", "id"),
+          "embedding")
+        val asg = Similarity.kMeansAssign(prep, "id", k = 8, iters = 3)
+        Curation.stratifiedSample(asg, col("cid").cast("string"), col("id"),
+            (0 until 8).map(i => i.toString -> 6).toMap)
+          .select(col("id").as("vec_id"), col("cid").as("cluster_id"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $oQuant,
+        c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+              AS INTEGER) AS cid,
+            CAST(1 AS BIGINT) AS n, q AS sv, norm_sq AS ss
+          FROM qn WHERE vec_id IN
+            (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        ${kmAssign("a1", "c0")}, ${kmUpdate("s1", "a1", "c0", "c1")},
+        ${kmAssign("a2", "c1")}, ${kmUpdate("s2", "a2", "c1", "c2")},
+        ${kmAssign("a3", "c2")}, ${kmUpdate("s3", "a3", "c2", "c3")},
+        ${kmAssign("a4", "c3")}
+        SELECT vec_id, cluster_id FROM (
+          SELECT vec_id, cid AS cluster_id,
+            ROW_NUMBER() OVER (PARTITION BY cid
+              ORDER BY ${oH48("CAST(vec_id AS VARCHAR)")}, vec_id) AS rk
+          FROM a4)
+        WHERE rk <= 6 ORDER BY vec_id"""))
   )
 
   /** DuckDB k-means assignment round: nearest exact-rational centroid
