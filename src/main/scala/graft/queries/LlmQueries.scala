@@ -4878,7 +4878,49 @@ object LlmQueries {
             ROW_NUMBER() OVER (PARTITION BY cid
               ORDER BY ${oH48("CAST(vec_id AS VARCHAR)")}, vec_id) AS rk
           FROM a4)
-        WHERE rk <= 6 ORDER BY vec_id"""))
+        WHERE rk <= 6 ORDER BY vec_id""")),
+
+    // Cluster scorecard: the trained k-means strata joined back to the
+    // document metadata (vec_id ≡ doc_id in this corpus) — the audit a
+    // curation pipeline runs after clustering ("which sources/languages
+    // does each embedding mode hold, and how much text") before deciding
+    // per-cluster mixes. One co-partitioned equi-join on the id and a
+    // tiny (k × sources) aggregate; nothing but the scans grows at
+    // 100 TB.
+    "l123_cluster_scorecard" -> Def(
+      (s, d) => {
+        val prep = Similarity.prepare(
+          t(s, d, "embeddings").withColumnRenamed("vec_id", "id"),
+          "embedding")
+        val asg = Similarity.kMeansAssign(prep, "id", k = 8, iters = 3)
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        asg.join(docs, col("id") === col("doc_id"))
+          .groupBy(col("cid"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars_total"),
+            countDistinct(col("lang")).as("n_langs"))
+          .select(col("cid").as("cluster_id"), col("source"),
+            col("n_docs"), col("chars_total"), col("n_langs"))
+          .orderBy(col("cluster_id"), col("source"))
+      },
+      Some(s"""WITH $oQuant,
+        c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+              AS INTEGER) AS cid,
+            CAST(1 AS BIGINT) AS n, q AS sv, norm_sq AS ss
+          FROM qn WHERE vec_id IN
+            (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        ${kmAssign("a1", "c0")}, ${kmUpdate("s1", "a1", "c0", "c1")},
+        ${kmAssign("a2", "c1")}, ${kmUpdate("s2", "a2", "c1", "c2")},
+        ${kmAssign("a3", "c2")}, ${kmUpdate("s3", "a3", "c2", "c3")},
+        ${kmAssign("a4", "c3")}
+        SELECT a.cid AS cluster_id, doc.source,
+          COUNT(*) AS n_docs,
+          CAST(SUM(doc.n_chars) AS BIGINT) AS chars_total,
+          CAST(COUNT(DISTINCT doc.lang) AS BIGINT) AS n_langs
+        FROM a4 a JOIN documents doc ON a.vec_id = doc.doc_id
+        GROUP BY a.cid, doc.source
+        ORDER BY cluster_id, doc.source"""))
   )
 
   /** DuckDB k-means assignment round: nearest exact-rational centroid

@@ -280,6 +280,28 @@ final class KafkaClient(bootstrap: String,
   def invalidateCoordinator(groupId: String): Unit =
     synchronized { coordinators.remove(groupId); () }
 
+  /** The broker hosting `transactionalId`'s slice of the transaction-
+    * state topic — FindCoordinator with key_type 1; InitProducerId /
+    * AddPartitionsToTxn / EndTxn must target it. Cached under a
+    * type-disambiguated key so a group of the same name can't collide.
+    */
+  def txnCoordinator(transactionalId: String): (String, Int) = {
+    val key = s"txn $transactionalId"
+    synchronized(coordinators.get(key)).getOrElse {
+      val id = nextCorr()
+      val (err, _, host, port) = KafkaWire.parseFindCoordinatorV2(
+        roundTrip(bootstrapEndpoint,
+          KafkaWire.findCoordinatorRequestV2(id, clientId, transactionalId,
+            keyType = 1), id))
+      if (err != 0)
+        throw new IOException(s"find-txn-coordinator($transactionalId): " +
+          s"error $err")
+      val hp = (host, port)
+      synchronized { coordinators(key) = hp }
+      hp
+    }
+  }
+
   /** Commit `offsets` under `groupId` as a STANDALONE consumer — one
     * batched OffsetCommit v2 to the group's coordinator. Throws
     * IOException on any per-partition error (after dropping the

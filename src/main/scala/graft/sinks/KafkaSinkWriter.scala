@@ -41,6 +41,24 @@ import graft.streaming.{PermanentPublishException, PublishItem, SinkWriter}
   * that layer is covered by the event-id header (the broker-side
   * Msg-Id dedup key consumers filter on) exactly as in the reference.
   *
+  * Transactional mode (`transactionalId = Some(...)`) upgrades a
+  * partition task's publish to EXACTLY-ONCE: everything published since
+  * construction commits atomically at [[commit]] (one EndTxn — the
+  * coordinator writes a control marker to every partition declared via
+  * AddPartitionsToTxn), a failed task's partial publish aborts in
+  * [[close]], and a task RETRY re-registering the same id fences the
+  * zombie attempt (epoch bump: the old incarnation's produce/EndTxn
+  * fail INVALID_PRODUCER_EPOCH, surfaced as [[PermanentPublishException]]
+  * — never retried into an interleave). read_committed consumers — this
+  * library's own [[graft.sources.KafkaEnvelopeSource]] with
+  * `isolation=read_committed` included — therefore see each batch's
+  * items exactly once per successful attempt. Scope, honestly: a
+  * CROSS-RESTART batch replay is a NEW transaction (the WAL checkpoint,
+  * not the broker, owns input progress — there is no consume-offsets leg
+  * to commit inside the txn), so replay dedup stays on the event-id
+  * header as above; what transactions add is atomicity + zombie fencing
+  * within every attempt.
+  *
   * Construct per executor partition via factory (connections do not
   * serialize): `CdcStream.start(sinkWriter = Some(() => new
   * KafkaSinkWriter(bootstrap)))` — `tools.Main` wires exactly that for
@@ -57,7 +75,8 @@ final class KafkaSinkWriter(bootstrap: String,
     tls: Boolean = false,
     tlsTruststore: Option[String] = None,
     tlsTruststorePassword: Option[String] = None,
-    compression: String = "none") extends SinkWriter {
+    compression: String = "none",
+    transactionalId: Option[String] = None) extends SinkWriter {
 
   private val codec = compression.toLowerCase match {
     case "none" => KafkaWire.CodecNone
@@ -84,15 +103,96 @@ final class KafkaSinkWriter(bootstrap: String,
   private var producerEpoch: Short = -1
   private val nextSeq = scala.collection.mutable.Map.empty[(String, Int), Int]
 
+  // ---- transactional state (EXACTLY-ONCE publish): the partitions the
+  // open transaction has declared via AddPartitionsToTxn (EndTxn's
+  // markers reach exactly these) and whether anything was produced. A
+  // transaction opens implicitly at the first produce and closes at
+  // commit()/abortTransaction(); close() aborts anything left open, so
+  // a failed partition task never leaks a dangling visible-later txn.
+  private val txnPartitions = scala.collection.mutable.Set.empty[(String, Int)]
+  private var txnOpen = false
+
+  private def transactional: Boolean = transactionalId.isDefined
+
   private def ensureProducerId(): Unit =
-    if (idempotent && producerId < 0L) {
+    if ((idempotent || transactional) && producerId < 0L) {
       val id = client.nextCorr()
+      val req = transactionalId match {
+        case Some(tid) => KafkaWire.initProducerIdTxnRequestV0(id, clientId,
+          tid, requestTimeoutMs)
+        case None => KafkaWire.initProducerIdRequestV0(id, clientId)
+      }
+      val ep = transactionalId.map(client.txnCoordinator)
+        .getOrElse(client.bootstrapEndpoint)
       val (err, pid, epoch) = KafkaWire.parseInitProducerIdV0(
-        client.roundTrip(client.bootstrapEndpoint,
-          KafkaWire.initProducerIdRequestV0(id, clientId), id))
+        client.roundTrip(ep, req, id))
       if (err != 0)
         throw new java.io.IOException(s"InitProducerId failed: error $err")
       producerId = pid; producerEpoch = epoch
+    }
+
+  /** Declare any not-yet-declared partitions of the open transaction to
+    * the coordinator. INVALID_PRODUCER_EPOCH means a newer incarnation
+    * of this transactional_id fenced us — permanent by definition (no
+    * retry of THIS writer can ever succeed); coordinator-busy answers
+    * stay transient IOExceptions for the publish loops' retry.
+    */
+  private def ensurePartitionsInTxn(ps: Seq[(String, Int)]): Unit = {
+    val missing = ps.filterNot(txnPartitions.contains)
+    if (missing.isEmpty) return
+    val tid = transactionalId.get
+    val byTopic = missing.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (t, g) => (t, g.map(_._2)) }
+    val id = client.nextCorr()
+    val results = KafkaWire.parseAddPartitionsToTxnV0(
+      client.roundTrip(client.txnCoordinator(tid),
+        KafkaWire.addPartitionsToTxnRequestV0(id, clientId, tid,
+          producerId, producerEpoch, byTopic), id))
+    results.foreach { case ((t, p), err) =>
+      if (err == KafkaWire.ErrInvalidProducerEpoch ||
+          err == KafkaWire.ErrInvalidTxnState)
+        throw new PermanentPublishException(
+          s"transaction fenced adding $t/$p: error $err " +
+            s"(a newer '$tid' incarnation owns the id)")
+      else if (err != 0)
+        throw new java.io.IOException(
+          s"AddPartitionsToTxn $t/$p failed: error $err")
+      txnPartitions += ((t, p))
+      txnOpen = true
+    }
+  }
+
+  /** Commit the open transaction: one EndTxn(commit) — the coordinator
+    * writes a control marker to every declared partition, atomically
+    * flipping this writer's whole publish for read_committed consumers.
+    * No-op when nothing was produced or the writer is not transactional.
+    * Wired to [[graft.streaming.SinkPublisher.writeBatchVia]]'s success
+    * hook: a partition task that publishes everything commits once; a
+    * failed task aborts in close() and the retry's re-init fences it.
+    */
+  override def commit(): Unit = endOpenTxn(commitTxn = true)
+
+  /** Abort the open transaction (explicitly — close() also does this). */
+  def abortTransaction(): Unit = endOpenTxn(commitTxn = false)
+
+  private def endOpenTxn(commitTxn: Boolean): Unit =
+    if (transactional && txnOpen) {
+      val tid = transactionalId.get
+      val id = client.nextCorr()
+      val err = KafkaWire.parseEndTxnV0(
+        client.roundTrip(client.txnCoordinator(tid),
+          KafkaWire.endTxnRequestV0(id, clientId, tid, producerId,
+            producerEpoch, commitTxn), id))
+      if (err == KafkaWire.ErrInvalidProducerEpoch ||
+          err == KafkaWire.ErrInvalidTxnState)
+        throw new PermanentPublishException(
+          s"EndTxn(commit=$commitTxn) fenced: error $err " +
+            s"(a newer '$tid' incarnation owns the id)")
+      else if (err != 0)
+        throw new java.io.IOException(
+          s"EndTxn(commit=$commitTxn) failed: error $err")
+      txnPartitions.clear()
+      txnOpen = false
     }
 
   /** Kafka's legal topic charset; everything else maps to '_' (the
@@ -162,9 +262,11 @@ final class KafkaSinkWriter(bootstrap: String,
     */
   private def produceTo(leaderHp: (String, Int),
       gs: Seq[((String, Int), Seq[PublishItem])]): Unit = {
+    if (transactional) ensurePartitionsInTxn(gs.map(_._1))
     val entries = gs.groupBy(_._1._1).toSeq.sortBy(_._1).map {
       case (t, tg) => t -> tg.map { case ((_, p), group) =>
-        val seq = if (idempotent) nextSeq.getOrElse((t, p), 0) else -1
+        val seq = if (idempotent || transactional)
+          nextSeq.getOrElse((t, p), 0) else -1
         p -> KafkaWire.recordBatch(
           group.map(item =>
             (item.subject.getBytes(UTF_8), item.payload.getBytes(UTF_8),
@@ -172,12 +274,14 @@ final class KafkaSinkWriter(bootstrap: String,
                 "wal-position" -> item.position.toString.getBytes(UTF_8)))),
           timestampMs = System.currentTimeMillis(),
           producerId = producerId, producerEpoch = producerEpoch,
-          baseSequence = seq, compression = codec)
+          baseSequence = seq, compression = codec,
+          transactional = transactional)
       }
     }
     val id = client.nextCorr()
     val body = try client.roundTrip(leaderHp, KafkaWire.produceRequestV3(
-      id, clientId, entries, acks, requestTimeoutMs), id)
+      id, clientId, entries, acks, requestTimeoutMs,
+      transactionalId = transactionalId.orNull), id)
     catch { case e: IOException =>
       gs.foreach { case ((t, _), _) => client.invalidate(t) }; throw e }
     val results = KafkaWire.parseProduceResponseAll(body).toMap
@@ -186,13 +290,21 @@ final class KafkaSinkWriter(bootstrap: String,
       val (err, baseOffset) =
         results.getOrElse((topic, partition), ((-1).toShort, -1L))
       if (err == 0) {
-        if (idempotent) nextSeq((topic, partition)) =
+        if (idempotent || transactional) nextSeq((topic, partition)) =
           nextSeq.getOrElse((topic, partition), 0) + group.size
         lastBaseOffset = baseOffset
       } else {
         client.invalidate(topic) // leadership may have moved; re-resolve
         val e: Throwable =
-          if (err == KafkaWire.ErrOutOfOrderSequence ||
+          if (err == KafkaWire.ErrInvalidProducerEpoch ||
+              err == KafkaWire.ErrInvalidTxnState) {
+            // fenced: a newer incarnation of our transactional_id took
+            // over (task retry / failover) — permanently fatal for THIS
+            // writer, and exactly what must NOT be retried (the zombie
+            // would interleave with its successor)
+            new PermanentPublishException(s"produce to $topic/$partition " +
+              s"fenced: error $err (newer transactional incarnation)")
+          } else if (err == KafkaWire.ErrOutOfOrderSequence ||
               err == KafkaWire.ErrDuplicateSequence) {
             // the broker's producer-state for our pid is gone or
             // disagrees (state eviction, pid expiry): retrying the SAME
@@ -219,5 +331,13 @@ final class KafkaSinkWriter(bootstrap: String,
     if (firstFailure != null) throw firstFailure
   }
 
-  override def close(): Unit = client.close()
+  /** Abort any still-open transaction (best effort — the coordinator
+    * also times dangling transactions out, and a successor's re-init
+    * aborts them immediately), then drop the connections.
+    */
+  override def close(): Unit = {
+    try abortTransaction()
+    catch { case _: Throwable => () } // fenced/conn-lost: successor wins
+    client.close()
+  }
 }

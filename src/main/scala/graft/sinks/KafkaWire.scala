@@ -33,10 +33,15 @@ object KafkaWire {
   val ApiFindCoordinator: Short = 10
   val ApiSaslHandshake: Short = 17
   val ApiInitProducerId: Short = 22
+  val ApiAddPartitionsToTxn: Short = 24
+  val ApiEndTxn: Short = 26
   val ApiSaslAuthenticate: Short = 36
 
   val ErrOutOfOrderSequence: Short = 45
   val ErrDuplicateSequence: Short = 46
+  val ErrInvalidProducerEpoch: Short = 47
+  val ErrInvalidTxnState: Short = 48
+  val ErrConcurrentTransactions: Short = 51
 
   val TsEarliest: Long = -2L
   val TsLatest: Long = -1L
@@ -302,9 +307,9 @@ object KafkaWire {
     */
   def produceRequestV3(corrId: Int, clientId: String,
       entries: Seq[(String, Seq[(Int, Array[Byte])])], acks: Short,
-      timeoutMs: Int): Array[Byte] = {
+      timeoutMs: Int, transactionalId: String = null): Array[Byte] = {
     val b = header(ApiProduce, 3, corrId, clientId)
-    b.str(null)           // transactional_id
+    b.str(transactionalId) // non-null only for transactional batches
     b.i16(acks)
     b.i32(timeoutMs)
     b.i32(entries.size)   // topic_data[n]
@@ -340,6 +345,71 @@ object KafkaWire {
     b.getInt()           // throttle_time_ms
     val err = b.getShort()
     (err, b.getLong(), b.getShort())
+  }
+
+  // ---------- transactional producer (exactly-once publish) ----------
+
+  /** InitProducerId v0 with a TRANSACTIONAL id: registers — or, on
+    * re-registration of the same id, FENCES the previous incarnation
+    * of — this transactional_id. The coordinator bumps the epoch and
+    * aborts anything the old epoch left open; every later frame from the
+    * old (pid, epoch) fails INVALID_PRODUCER_EPOCH. The zombie-writer
+    * guard a task retry / failed-over executor needs.
+    */
+  def initProducerIdTxnRequestV0(corrId: Int, clientId: String,
+      transactionalId: String, timeoutMs: Int = 60000): Array[Byte] = {
+    val b = header(ApiInitProducerId, 0, corrId, clientId)
+    b.str(transactionalId)
+    b.i32(timeoutMs)
+    frame(b)
+  }
+
+  /** AddPartitionsToTxn v0: declare the partitions the open transaction
+    * will write BEFORE producing to them — this is what lets EndTxn's
+    * control markers reach every touched partition.
+    */
+  def addPartitionsToTxnRequestV0(corrId: Int, clientId: String,
+      transactionalId: String, producerId: Long, producerEpoch: Short,
+      partitions: Seq[(String, Seq[Int])]): Array[Byte] = {
+    val b = header(ApiAddPartitionsToTxn, 0, corrId, clientId)
+    b.str(transactionalId).i64(producerId).i16(producerEpoch)
+    b.i32(partitions.size)
+    partitions.foreach { case (t, ps) =>
+      b.str(t); b.i32(ps.size); ps.foreach(b.i32(_)); ()
+    }
+    frame(b)
+  }
+
+  /** Per-(topic, partition) error codes. */
+  def parseAddPartitionsToTxnV0(body: Array[Byte])
+      : Seq[((String, Int), Short)] = {
+    val b = ByteBuffer.wrap(body)
+    b.getInt()            // throttle_time_ms
+    (0 until b.getInt()).flatMap { _ =>
+      val topic = readStr(b)
+      (0 until b.getInt()).map { _ => ((topic, b.getInt()), b.getShort()) }
+    }
+  }
+
+  /** EndTxn v0: commit (true) or abort (false) the open transaction —
+    * the coordinator writes a control marker to every partition added
+    * via AddPartitionsToTxn, atomically flipping the whole publish for
+    * read_committed consumers.
+    */
+  def endTxnRequestV0(corrId: Int, clientId: String,
+      transactionalId: String, producerId: Long, producerEpoch: Short,
+      commit: Boolean): Array[Byte] = {
+    val b = header(ApiEndTxn, 0, corrId, clientId)
+    b.str(transactionalId).i64(producerId).i16(producerEpoch)
+      .i8(if (commit) 1 else 0)
+    frame(b)
+  }
+
+  /** error_code. */
+  def parseEndTxnV0(body: Array[Byte]): Short = {
+    val b = ByteBuffer.wrap(body)
+    b.getInt()            // throttle_time_ms
+    b.getShort()
   }
 
   // ---------- SASL (PLAIN + SCRAM ride the same two apis) ----------
@@ -444,7 +514,17 @@ object KafkaWire {
     */
   def findCoordinatorRequestV2(corrId: Int, clientId: String,
       groupId: String): Array[Byte] =
-    frame(header(ApiFindCoordinator, 2, corrId, clientId).str(groupId).i8(0))
+    findCoordinatorRequestV2(corrId, clientId, groupId, keyType = 0)
+
+  /** FindCoordinator v2 with an explicit key_type: 0 = consumer group,
+    * 1 = TRANSACTION coordinator (the broker hosting the
+    * transactional_id's slice of the transaction-state topic — every
+    * InitProducerId/AddPartitionsToTxn/EndTxn must go there).
+    */
+  def findCoordinatorRequestV2(corrId: Int, clientId: String,
+      key: String, keyType: Int): Array[Byte] =
+    frame(header(ApiFindCoordinator, 2, corrId, clientId).str(key)
+      .i8(keyType))
 
   /** (error_code, node_id, host, port). */
   def parseFindCoordinatorV2(body: Array[Byte]): (Short, Int, String, Int) = {

@@ -65,6 +65,16 @@ trait SinkWriter extends Serializable {
     */
   def batches: Boolean = false
 
+  /** End-of-partition SUCCESS hook: a transactional writer atomically
+    * commits everything published since construction (one control-marker
+    * write flips the whole partition's publish for read_committed
+    * consumers); non-transactional writers no-op. Called by
+    * [[SinkPublisher.writeBatchVia]] only after the partition's publish
+    * loop completed without error — [[close]] still runs either way and
+    * must roll back anything uncommitted.
+    */
+  def commit(): Unit = ()
+
   /** Flush/close any buffered broker state at end of partition. */
   def close(): Unit = ()
 }
@@ -254,6 +264,7 @@ object SinkPublisher {
         res.firstError.foreach(e => throw new RuntimeException(
           s"publish failed at ${res.succeeded}/${res.total} " +
             s"(lastSuccessPosition=${res.lastSuccessPosition})", e))
+        writer.commit() // transactional writers flip the partition atomically
       } finally writer.close()
     }
   }

@@ -231,10 +231,23 @@ object Main {
           // records block on the wire (none | gzip; gzip is the codec
           // the JDK provides)
           val kcomp = env.getOrElse("KAFKA_COMPRESSION", "none")
+          // KAFKA_TRANSACTIONAL_ID=<base> upgrades publish to EXACTLY-
+          // ONCE per partition task: each executor partition runs one
+          // transaction (id = base-<partitionId>, stable across task
+          // retries so a zombie attempt is fenced, its partial publish
+          // aborted, and the retry's commit is the only visible copy).
+          // Cross-restart batch REPLAY dedup stays on the event-id
+          // header, as documented on KafkaSinkWriter.
+          val ktid = env.get("KAFKA_TRANSACTIONAL_ID")
           Some(() => new graft.sinks.KafkaSinkWriter(bootstrap,
             user = ku, password = kp, mechanism = km, tls = ktls,
             tlsTruststore = kts, tlsTruststorePassword = ktsPw,
-            compression = kcomp))
+            compression = kcomp,
+            transactionalId = ktid.map { base =>
+              val pid = Option(org.apache.spark.TaskContext.get())
+                .map(_.partitionId()).getOrElse(0)
+              s"$base-$pid"
+            }))
         case other => sys.error(s"unknown GRAFT_SINK '$other' (parquet | kafka)")
       }
     val startQuery: () => StreamingQuery = mode match {

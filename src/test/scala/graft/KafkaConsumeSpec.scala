@@ -463,6 +463,54 @@ class KafkaConsumeSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("exactly-once publish: a zombie's uncommitted batch aborts; the " +
+      "successor's identical batch lands ONCE under read_committed") {
+    val broker = new InProcessKafkaBroker(nPartitions = 1)
+    try {
+      def writer(tag: String) = new KafkaSinkWriter(
+        s"127.0.0.1:${broker.port}", clientId = tag,
+        transactionalId = Some("graft-eos-p0"))
+      val batch = (1 to 3).map(i =>
+        PublishItem("t.eos", s"e$i", s"v$i", i.toLong))
+      // incarnation 1 (the task attempt that will fail) publishes the
+      // whole batch but dies before commit
+      val w1 = writer("w1")
+      batch.foreach(w1.publish)
+      // incarnation 2 (the task retry) registers the same transactional
+      // id — the coordinator aborts w1's dangling txn and fences it —
+      // then re-publishes the identical batch and commits
+      val w2 = writer("w2")
+      batch.foreach(w2.publish)
+      w2.commit(); w2.close()
+      // the zombie's late commit is rejected, not applied
+      intercept[graft.streaming.PermanentPublishException] { w1.commit() }
+      w1.close()
+
+      def consume(isolation: String): Seq[String] = {
+        val out = Files.createTempDirectory(s"keos_out_$isolation").toString
+        val ck = Files.createTempDirectory(s"keos_ck_$isolation").toString
+        val q = spark.readStream
+          .format("graft.sources.KafkaEnvelopeSource")
+          .option("bootstrap", s"127.0.0.1:${broker.port}")
+          .option("topic", "t.eos")
+          .option("isolation", isolation)
+          .load()
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+        try q.processAllAvailable() finally q.stop()
+        spark.read.parquet(out).select($"offset", $"value").collect()
+          .sortBy(_.getLong(0)).map(_.getString(1)).toSeq
+      }
+      assert(consume("read_committed") == Seq("v1", "v2", "v3"),
+        "exactly one copy of the batch is visible — the zombie attempt's " +
+          "copy sits inside an aborted span")
+      assert(consume("read_uncommitted") ==
+        Seq("v1", "v2", "v3", "v1", "v2", "v3"),
+        "the default view shows both attempts (markers still skipped)")
+    } finally broker.close()
+  }
+
   test("admission prorates by lag: a hot partition drains in fewer " +
       "triggers than an even split would allow") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit

@@ -85,6 +85,14 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
     val first = openTxnFirst.remove((topic, partition, pid)).getOrElse(off)
     if (!commit) { abortedLedger += ((topic, partition, pid, first, off)); () }
   }
+  // transaction-coordinator registry: transactional_id -> (pid, epoch)
+  // (a re-init of the same id bumps the epoch = fences the old writer)
+  // and the open transaction's declared partitions (EndTxn's markers go
+  // exactly there)
+  private val txnProducers = mutable.Map.empty[String, (Long, Short)]
+  private val txnAdded =
+    mutable.Map.empty[String, mutable.LinkedHashSet[(String, Int)]]
+
   private val errorQueue =
     new java.util.concurrent.ConcurrentLinkedQueue[Short]()
   private val offsets = mutable.Map.empty[(String, Int), Long]
@@ -325,7 +333,7 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
           }
         case KafkaWire.ApiProduce =>
           require(version == 3, s"mock speaks Produce v3, got $version")
-          readStr(b)                              // transactional_id
+          val txnId = readStr(b)                  // transactional_id
           b.getShort()                            // acks
           b.getInt()                              // timeout
           // [topic_data][partition_data] — any number of either, the
@@ -340,11 +348,18 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
               // the batch body (after attributes/offsets/timestamps)
               val hdr = ByteBuffer.wrap(batch)
               hdr.position(8 + 4 + 4 + 1 + 4 + 2 + 4 + 8 + 8)
-              val pid = hdr.getLong(); hdr.getShort()
+              val pid = hdr.getLong(); val pEpoch = hdr.getShort()
               val baseSeq = hdr.getInt()
+              // a transactional produce must come from the CURRENT
+              // (pid, epoch) of its transactional_id — anything else is
+              // a fenced zombie
+              val fenced = txnId != null && !synchronized(
+                txnProducers.get(txnId)).contains((pid, pEpoch))
               val injected = Option(errorQueue.poll())
               val (err, baseOffset) = injected match {
                 case Some(code) => (code, -1L)
+                case None if fenced =>
+                  (KafkaWire.ErrInvalidProducerEpoch, -1L)
                 case None =>
                   val seqKey = (pid, topic, partition)
                   val dup = pid >= 0 && baseSeq >= 0 &&
@@ -363,16 +378,21 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
                     // attributes sit at fixed offset 21 (after baseOffset,
                     // batchLength, partitionLeaderEpoch, magic, crc):
                     // remember the codec so fetch re-serves as produced
-                    val wasGzip =
-                      (ByteBuffer.wrap(batch).getShort(21) & 0x7) == 1
+                    val batchAttrs = ByteBuffer.wrap(batch).getShort(21)
+                    val wasGzip = (batchAttrs & 0x7) == 1
+                    val isTxn = (batchAttrs & 0x10) != 0
                     val base = offsets.getOrElse((topic, partition), 0L)
                     records.zipWithIndex.foreach { case ((k, v, h), i) =>
                       received.add(Received(topic, partition, k, v, h,
-                        base + i, wasGzip)); ()
+                        base + i, wasGzip,
+                        txnPid = if (isTxn) pid else -1L)); ()
                     }
                     offsets((topic, partition)) = base + records.size
                     if (pid >= 0 && baseSeq >= 0)
                       producerSeqs(seqKey) = (baseSeq + records.size - 1, base)
+                    if (isTxn && !openTxnFirst.contains(
+                        (topic, partition, pid)))
+                      openTxnFirst((topic, partition, pid)) = base
                     if (dropNextAck) {
                       dropNextAck = false
                       (KafkaWire.ErrRequestTimedOut, -1L) // appended, ack "lost"
@@ -395,10 +415,73 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
           resp.i32(0)                             // throttle (tail, v1+)
         case KafkaWire.ApiInitProducerId =>
           require(version == 0, s"mock speaks InitProducerId v0, got $version")
-          readStr(b)                              // transactional_id (null)
+          val txnId = readStr(b)                  // null = idempotent-only
           b.getInt()                              // timeout
-          nextPid += 1
-          resp.i32(0).i16(0).i64(nextPid).i16(0)  // throttle, err, pid, epoch
+          if (txnId == null) {
+            nextPid += 1
+            resp.i32(0).i16(0).i64(nextPid).i16(0) // throttle, err, pid, epoch
+          } else synchronized {
+            // transactional re-init: abort whatever the previous
+            // incarnation left open, keep its pid, bump the epoch — the
+            // coordinator-side fence a zombie writer hits on its next
+            // produce/AddPartitions/EndTxn
+            val prevPid = txnProducers.get(txnId).map(_._1)
+            txnAdded.remove(txnId).foreach(_.foreach { case (t, p) =>
+              prevPid.filter(pp => openTxnFirst.contains((t, p, pp)))
+                .foreach(pp => endTxn(t, p, pp, commit = false))
+            })
+            val (pid, epoch) = txnProducers.get(txnId) match {
+              case Some((p, e)) => (p, (e + 1).toShort)
+              case None => nextPid += 1; (nextPid, 0.toShort)
+            }
+            txnProducers(txnId) = (pid, epoch)
+            // a new epoch restarts the pid's batch sequences at 0 (the
+            // broker keys producer state by (pid, epoch))
+            producerSeqs.keys.filter(_._1 == pid).toSeq
+              .foreach(producerSeqs.remove)
+            resp.i32(0).i16(0).i64(pid).i16(epoch)
+          }
+        case KafkaWire.ApiAddPartitionsToTxn =>
+          require(version == 0,
+            s"mock speaks AddPartitionsToTxn v0, got $version")
+          val txnId = readStr(b)
+          val pid = b.getLong(); val epoch = b.getShort()
+          val topics = (0 until b.getInt()).map { _ =>
+            (readStr(b), (0 until b.getInt()).map(_ => b.getInt()))
+          }
+          val err: Short = synchronized(txnProducers.get(txnId)) match {
+            case Some((p, e)) if p == pid && e == epoch => 0
+            case Some(_) => KafkaWire.ErrInvalidProducerEpoch
+            case None => KafkaWire.ErrInvalidTxnState
+          }
+          if (err == 0) synchronized {
+            val set = txnAdded.getOrElseUpdate(txnId,
+              mutable.LinkedHashSet.empty)
+            topics.foreach { case (t, ps) => ps.foreach(p => set += ((t, p))) }
+          }
+          resp.i32(0)                             // throttle
+          resp.i32(topics.size)
+          topics.foreach { case (t, ps) =>
+            resp.str(t); resp.i32(ps.size)
+            ps.foreach(p => resp.i32(p).i16(err))
+          }
+        case KafkaWire.ApiEndTxn =>
+          require(version == 0, s"mock speaks EndTxn v0, got $version")
+          val txnId = readStr(b)
+          val pid = b.getLong(); val epoch = b.getShort()
+          val commitFlag = b.get() != 0
+          val err: Short = synchronized {
+            txnProducers.get(txnId) match {
+              case Some((p, e)) if p == pid && e == epoch =>
+                txnAdded.remove(txnId).foreach(_.foreach { case (t, part) =>
+                  endTxn(t, part, pid, commitFlag)
+                })
+                0
+              case Some(_) => KafkaWire.ErrInvalidProducerEpoch
+              case None => KafkaWire.ErrInvalidTxnState
+            }
+          }
+          resp.i32(0).i16(err)                    // throttle, error
         case KafkaWire.ApiListOffsets =>
           require(version == 2, s"mock speaks ListOffsets v2, got $version")
           b.getInt()                              // replica_id
@@ -493,8 +576,10 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
           resp.bytes(set)
         case KafkaWire.ApiFindCoordinator =>
           require(version == 2, s"mock speaks FindCoordinator v2, got $version")
-          readStr(b)                              // group id
-          require(b.get() == 0, "key_type must be GROUP (0)")
+          readStr(b)                              // group / transactional id
+          val kt = b.get()
+          require(kt == 0 || kt == 1,
+            s"key_type must be GROUP (0) or TRANSACTION (1), got $kt")
           // single-broker cluster: the coordinator is this broker
           resp.i32(0).i16(0).str(null)            // throttle, error, message
           resp.i32(1).str("127.0.0.1").i32(port)  // node, host, port
@@ -831,6 +916,89 @@ class KafkaWireSpec extends SparkSpec {
       assert(broker.received.asScala.map(_.headers("event-id")).toSeq ==
         Seq("e1", "e2"), "both events landed exactly once")
     } finally { w.close(); broker.close() }
+  }
+
+  test("transactional publish: batches carry the txn flag, AddPartitionsToTxn " +
+      "declares every touched partition, commit() writes markers to each") {
+    val broker = new InProcessKafkaBroker(nPartitions = 2)
+    val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}",
+      transactionalId = Some("graft-txn-1"))
+    try {
+      // two subjects landing on the two distinct partitions
+      val names = (0 to 20).map(i => s"t.txn.s$i")
+      val s0 = names.find(n =>
+        KafkaWire.partitionFor(n.getBytes(UTF_8), 2) == 0).get
+      val s1 = names.find(n =>
+        KafkaWire.partitionFor(n.getBytes(UTF_8), 2) == 1).get
+      w.publish(item(s0, "e1", 1L))
+      w.publish(item(s1, "e2", 2L))
+      val rows0 = broker.received
+      assert(rows0.size() == 2 && (0 to 1).forall(i =>
+        rows0.get(i).txnPid >= 0 && rows0.get(i).marker.isEmpty),
+        "both appends are transactional data rows, no marker yet")
+      assert(broker.apiCount(KafkaWire.ApiAddPartitionsToTxn) == 2,
+        "each new partition is declared once before its first produce")
+      assert(broker.apiCount(KafkaWire.ApiEndTxn) == 0)
+      w.commit()
+      assert(broker.apiCount(KafkaWire.ApiEndTxn) == 1)
+      val markers = (0 until broker.received.size())
+        .map(broker.received.get).filter(_.marker.isDefined)
+      assert(markers.map(_.partition).toSet == Set(0, 1) &&
+        markers.forall(_.marker.contains(true)),
+        s"one COMMIT marker per touched partition: $markers")
+      w.commit() // idempotent: nothing open -> no second EndTxn
+      assert(broker.apiCount(KafkaWire.ApiEndTxn) == 1)
+      // a new transaction under the same writer reuses the epoch
+      w.publish(item(s0, "e3", 3L))
+      w.commit()
+      assert(broker.apiCount(KafkaWire.ApiEndTxn) == 2)
+      assert(broker.apiCount(KafkaWire.ApiInitProducerId) == 1,
+        "one registration per writer lifetime, not per transaction")
+    } finally { w.close(); broker.close() }
+  }
+
+  test("transactional close() without commit aborts the open transaction") {
+    val broker = new InProcessKafkaBroker(nPartitions = 1)
+    val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}",
+      transactionalId = Some("graft-txn-drop"))
+    w.publish(item("t.txn.drop", "e1", 1L))
+    w.close()
+    val rows = (0 until broker.received.size()).map(broker.received.get)
+    assert(rows.exists(_.marker.contains(false)),
+      s"close() must write an ABORT marker for the dangling txn: $rows")
+    broker.close()
+  }
+
+  test("zombie fencing: re-initializing the transactional id bumps the " +
+      "epoch — the old writer's produce and commit fail permanently and " +
+      "its open transaction aborts") {
+    val broker = new InProcessKafkaBroker(nPartitions = 1)
+    val w1 = new KafkaSinkWriter(s"127.0.0.1:${broker.port}",
+      transactionalId = Some("graft-txn-f"), clientId = "incarnation-1")
+    val w2 = new KafkaSinkWriter(s"127.0.0.1:${broker.port}",
+      transactionalId = Some("graft-txn-f"), clientId = "incarnation-2")
+    try {
+      w1.publish(item("t.fence", "e1", 1L)) // opens txn, appends @0
+      w2.publish(item("t.fence", "e2", 2L)) // init fences w1, aborts its txn
+      val rows = (0 until broker.received.size()).map(broker.received.get)
+      assert(rows.map(_.marker) ==
+        Seq(None, Some(false), None),
+        s"w2's registration aborted w1's dangling txn first: $rows")
+      // w1 is now a zombie: both its produce and its commit are fatal
+      intercept[graft.streaming.PermanentPublishException] {
+        w1.publish(item("t.fence", "e3", 3L))
+      }
+      intercept[graft.streaming.PermanentPublishException] { w1.commit() }
+      w2.commit()
+      val all = (0 until broker.received.size()).map(broker.received.get)
+      assert(all.last.marker.contains(true), "w2's commit marker lands")
+      // the committed view holds exactly the successor's record: replay
+      // the read_committed filter over the simulated span structure
+      val committedValues = all.filter(r =>
+        r.marker.isEmpty && r.value == """{"eventId":"e2"}""")
+      assert(committedValues.size == 1,
+        "the zombie's row exists only inside an aborted span")
+    } finally { w1.close(); w2.close(); broker.close() }
   }
 
   test("unordered publishAll groups by partition into multi-record batches; sequences advance by batch size") {

@@ -148,6 +148,43 @@ class ToolsMainSpec extends SparkSpec {
     } finally { running.stop(); broker.close() }
   }
 
+  test("KAFKA_TRANSACTIONAL_ID: the pipeline publishes exactly-once — " +
+      "every data row rides a transaction and each batch commits") {
+    val broker = new InProcessKafkaBroker()
+    val tmp = Files.createTempDirectory("graft_main_ktxn").toString
+    val walDir = s"$tmp/wal"; Files.createDirectories(Paths.get(walDir))
+    Files.write(Paths.get(walDir, "wal-01.log"),
+      Seq(walLine("B", 1, 0), walLine("I", 1, 21),
+        walLine("I", 1, 22), walLine("C", 1, 0))
+        .mkString("\n").getBytes(UTF_8))
+    val env = Map(
+      "GRAFT_WAL_DIR" -> walDir,
+      "GRAFT_OUT_DIR" -> s"$tmp/out",
+      "GRAFT_CHECKPOINT_DIR" -> s"$tmp/ck",
+      "CDC_DATABASE_NAME" -> "kafkadb",
+      "GRAFT_SINK" -> "kafka",
+      "KAFKA_BOOTSTRAP" -> s"127.0.0.1:${broker.port}",
+      "KAFKA_TRANSACTIONAL_ID" -> "graft-cdc-eos",
+      "BATCH_TIMEOUT" -> "100ms")
+    val running = Main.start(spark, env, healthPortOverride = Some(0))
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      def commits = (0 until broker.received.size())
+        .map(broker.received.get).count(_.marker.contains(true))
+      while ((broker.received.size() < 3 || commits < 1) &&
+        running.query.exception.isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      running.query.exception.foreach(e => throw e)
+      val rows = (0 until broker.received.size()).map(broker.received.get)
+      val data = rows.filter(_.marker.isEmpty)
+      assert(data.size == 2 && data.forall(_.txnPid >= 0L),
+        s"both inserts publish INSIDE a transaction: $rows")
+      assert(commits >= 1 && !rows.exists(_.marker.contains(false)),
+        s"the batch commits (no aborts on the success path): $rows")
+      assert(broker.apiCount(graft.sinks.KafkaWire.ApiEndTxn) >= 1)
+    } finally { running.stop(); broker.close() }
+  }
+
   test("GRAFT_MODE=mv + CDC_SOURCE=kafka: the broker-fed consumer deployment") {
     // the reference's consumer process subscribes to the broker and
     // applies changes — here end to end through Main's config wiring:
