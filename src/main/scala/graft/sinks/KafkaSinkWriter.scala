@@ -162,6 +162,53 @@ final class KafkaSinkWriter(bootstrap: String,
     }
   }
 
+  /** Fold a consumer group's progress INTO the open transaction — the
+    * consume-transform-produce loop closure (Kafka Streams' EOS recipe):
+    * AddOffsetsToTxn enlists the group's offsets topic, TxnOffsetCommit
+    * stages the offsets at the group coordinator, and they become
+    * visible to OffsetFetch atomically with [[commit]] (discarded on
+    * abort). For kafka→kafka topologies where the input position IS a
+    * group offset; the WAL pipeline's input progress lives in the Spark
+    * checkpoint instead, which is why [[graft.tools.Main]] does not wire
+    * this by default.
+    */
+  def sendOffsetsToTransaction(groupId: String,
+      offsets: Map[(String, Int), Long]): Unit = {
+    require(transactional, "sendOffsetsToTransaction needs transactionalId")
+    if (offsets.isEmpty) return
+    ensureProducerId()
+    val tid = transactionalId.get
+    val id1 = client.nextCorr()
+    val err1 = KafkaWire.parseAddOffsetsToTxnV0(
+      client.roundTrip(client.txnCoordinator(tid),
+        KafkaWire.addOffsetsToTxnRequestV0(id1, clientId, tid,
+          producerId, producerEpoch, groupId), id1))
+    if (err1 == KafkaWire.ErrInvalidProducerEpoch ||
+        err1 == KafkaWire.ErrInvalidTxnState)
+      throw new PermanentPublishException(
+        s"AddOffsetsToTxn fenced: error $err1")
+    else if (err1 != 0)
+      throw new java.io.IOException(s"AddOffsetsToTxn failed: error $err1")
+    txnOpen = true
+    val byTopic = offsets.toSeq.groupBy(_._1._1).map { case (t, g) =>
+      t -> g.map { case ((_, p), off) => (p, off) }
+    }
+    val id2 = client.nextCorr()
+    val results = KafkaWire.parseTxnOffsetCommitV0(
+      client.roundTrip(client.coordinator(groupId),
+        KafkaWire.txnOffsetCommitRequestV0(id2, clientId, tid, groupId,
+          producerId, producerEpoch, byTopic), id2))
+    results.foreach { case ((t, p), err) =>
+      if (err == KafkaWire.ErrInvalidProducerEpoch ||
+          err == KafkaWire.ErrInvalidTxnState)
+        throw new PermanentPublishException(
+          s"TxnOffsetCommit $t/$p fenced: error $err")
+      else if (err != 0)
+        throw new java.io.IOException(
+          s"TxnOffsetCommit $t/$p failed: error $err")
+    }
+  }
+
   /** Commit the open transaction: one EndTxn(commit) — the coordinator
     * writes a control marker to every declared partition, atomically
     * flipping this writer's whole publish for read_committed consumers.

@@ -34,7 +34,9 @@ object KafkaWire {
   val ApiSaslHandshake: Short = 17
   val ApiInitProducerId: Short = 22
   val ApiAddPartitionsToTxn: Short = 24
+  val ApiAddOffsetsToTxn: Short = 25
   val ApiEndTxn: Short = 26
+  val ApiTxnOffsetCommit: Short = 28
   val ApiSaslAuthenticate: Short = 36
 
   val ErrOutOfOrderSequence: Short = 45
@@ -410,6 +412,56 @@ object KafkaWire {
     val b = ByteBuffer.wrap(body)
     b.getInt()            // throttle_time_ms
     b.getShort()
+  }
+
+  /** AddOffsetsToTxn v0: enlist a consumer GROUP's offsets topic in the
+    * open transaction — the first half of the consume-transform-produce
+    * loop closure (the offsets then ride TxnOffsetCommit and become
+    * visible atomically with the transaction's records).
+    */
+  def addOffsetsToTxnRequestV0(corrId: Int, clientId: String,
+      transactionalId: String, producerId: Long, producerEpoch: Short,
+      groupId: String): Array[Byte] = {
+    val b = header(ApiAddOffsetsToTxn, 0, corrId, clientId)
+    b.str(transactionalId).i64(producerId).i16(producerEpoch).str(groupId)
+    frame(b)
+  }
+
+  /** error_code. */
+  def parseAddOffsetsToTxnV0(body: Array[Byte]): Short = parseEndTxnV0(body)
+
+  /** TxnOffsetCommit v0: the group offsets that commit ATOMICALLY with
+    * the transaction — staged at the group coordinator and applied only
+    * when EndTxn commits (discarded on abort).
+    */
+  def txnOffsetCommitRequestV0(corrId: Int, clientId: String,
+      transactionalId: String, groupId: String, producerId: Long,
+      producerEpoch: Short, offsets: Map[String, Seq[(Int, Long)]],
+      metadata: String = "graft-cdc"): Array[Byte] = {
+    val b = header(ApiTxnOffsetCommit, 0, corrId, clientId)
+    b.str(transactionalId).str(groupId).i64(producerId).i16(producerEpoch)
+    b.i32(offsets.size)
+    offsets.toSeq.sortBy(_._1).foreach { case (t, parts) =>
+      b.str(t)
+      b.i32(parts.size)
+      parts.foreach { case (p, off) => b.i32(p).i64(off).str(metadata) }
+    }
+    frame(b)
+  }
+
+  /** Every (topic, partition) → error_code. */
+  def parseTxnOffsetCommitV0(body: Array[Byte])
+      : Map[(String, Int), Short] = {
+    val b = ByteBuffer.wrap(body)
+    b.getInt()            // throttle_time_ms
+    val out = Map.newBuilder[(String, Int), Short]
+    (0 until b.getInt()).foreach { _ =>
+      val topic = readStr(b)
+      (0 until b.getInt()).foreach { _ =>
+        out += ((topic, b.getInt())) -> b.getShort()
+      }
+    }
+    out.result()
   }
 
   // ---------- SASL (PLAIN + SCRAM ride the same two apis) ----------

@@ -92,6 +92,11 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
   private val txnProducers = mutable.Map.empty[String, (Long, Short)]
   private val txnAdded =
     mutable.Map.empty[String, mutable.LinkedHashSet[(String, Int)]]
+  // TxnOffsetCommit staging: offsets land in groupOffsets only when the
+  // transaction COMMITS (discarded on abort) — the atomic
+  // consume-transform-produce contract
+  private val txnPendingOffsets =
+    mutable.Map.empty[String, mutable.Map[(String, String, Int), (Long, String)]]
 
   private val errorQueue =
     new java.util.concurrent.ConcurrentLinkedQueue[Short]()
@@ -430,6 +435,7 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
               prevPid.filter(pp => openTxnFirst.contains((t, p, pp)))
                 .foreach(pp => endTxn(t, p, pp, commit = false))
             })
+            txnPendingOffsets.remove(txnId) // zombie's staged offsets die
             val (pid, epoch) = txnProducers.get(txnId) match {
               case Some((p, e)) => (p, (e + 1).toShort)
               case None => nextPid += 1; (nextPid, 0.toShort)
@@ -476,12 +482,62 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
                 txnAdded.remove(txnId).foreach(_.foreach { case (t, part) =>
                   endTxn(t, part, pid, commitFlag)
                 })
+                // staged group offsets apply on COMMIT, vanish on abort
+                txnPendingOffsets.remove(txnId).foreach { pend =>
+                  if (commitFlag) pend.foreach { case ((g, t, p2), om) =>
+                    groupOffsets((g, t, p2)) = om
+                  }
+                }
                 0
               case Some(_) => KafkaWire.ErrInvalidProducerEpoch
               case None => KafkaWire.ErrInvalidTxnState
             }
           }
           resp.i32(0).i16(err)                    // throttle, error
+        case KafkaWire.ApiAddOffsetsToTxn =>
+          require(version == 0,
+            s"mock speaks AddOffsetsToTxn v0, got $version")
+          val txnId = readStr(b)
+          val pid = b.getLong(); val epoch = b.getShort()
+          readStr(b)                              // group id
+          val err: Short = synchronized(txnProducers.get(txnId)) match {
+            case Some((p, e)) if p == pid && e == epoch => 0
+            case Some(_) => KafkaWire.ErrInvalidProducerEpoch
+            case None => KafkaWire.ErrInvalidTxnState
+          }
+          resp.i32(0).i16(err)                    // throttle, error
+        case KafkaWire.ApiTxnOffsetCommit =>
+          require(version == 0,
+            s"mock speaks TxnOffsetCommit v0, got $version")
+          val txnId = readStr(b)
+          val group = readStr(b)
+          val pid = b.getLong(); val epoch = b.getShort()
+          val topics = (0 until b.getInt()).map { _ =>
+            val t = readStr(b)
+            (t, (0 until b.getInt()).map { _ =>
+              (b.getInt(), b.getLong(), readStr(b))
+            })
+          }
+          val err: Short = synchronized(txnProducers.get(txnId)) match {
+            case Some((p, e)) if p == pid && e == epoch => 0
+            case Some(_) => KafkaWire.ErrInvalidProducerEpoch
+            case None => KafkaWire.ErrInvalidTxnState
+          }
+          if (err == 0) synchronized {
+            val pend = txnPendingOffsets.getOrElseUpdate(txnId,
+              mutable.Map.empty)
+            topics.foreach { case (t, ps) =>
+              ps.foreach { case (p, off, md) =>
+                pend((group, t, p)) = (off, md)
+              }
+            }
+          }
+          resp.i32(0)
+          resp.i32(topics.size)
+          topics.foreach { case (t, ps) =>
+            resp.str(t); resp.i32(ps.size)
+            ps.foreach { case (p, _, _) => resp.i32(p).i16(err) }
+          }
         case KafkaWire.ApiListOffsets =>
           require(version == 2, s"mock speaks ListOffsets v2, got $version")
           b.getInt()                              // replica_id
@@ -999,6 +1055,45 @@ class KafkaWireSpec extends SparkSpec {
       assert(committedValues.size == 1,
         "the zombie's row exists only inside an aborted span")
     } finally { w1.close(); w2.close(); broker.close() }
+  }
+
+  test("offsets-in-transaction: TxnOffsetCommit stages group offsets that " +
+      "apply atomically on commit, vanish on abort, and reject zombies") {
+    val broker = new InProcessKafkaBroker(nPartitions = 1)
+    val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}",
+      transactionalId = Some("graft-ctp"))
+    try {
+      // consume-transform-produce round: publish the transformed record
+      // AND the input position in ONE transaction
+      w.publish(item("t.ctp.out", "e1", 1L))
+      w.sendOffsetsToTransaction("ctp-group", Map(("t.ctp.in", 0) -> 42L))
+      assert(broker.committedOffset("ctp-group", "t.ctp.in", 0).isEmpty,
+        "staged offsets are invisible before the transaction commits")
+      w.commit()
+      assert(broker.committedOffset("ctp-group", "t.ctp.in", 0)
+        .contains(42L), "commit applies records AND offsets atomically")
+
+      // aborted round: neither the record nor the offset survives
+      w.publish(item("t.ctp.out", "e2", 2L))
+      w.sendOffsetsToTransaction("ctp-group", Map(("t.ctp.in", 0) -> 43L))
+      w.abortTransaction()
+      assert(broker.committedOffset("ctp-group", "t.ctp.in", 0)
+        .contains(42L), "aborted staged offsets are discarded")
+
+      // a fenced incarnation cannot stage offsets either
+      val w2 = new KafkaSinkWriter(s"127.0.0.1:${broker.port}",
+        transactionalId = Some("graft-ctp"), clientId = "successor")
+      try {
+        w2.publish(item("t.ctp.out", "e3", 3L)) // re-init fences w
+        intercept[graft.streaming.PermanentPublishException] {
+          w.sendOffsetsToTransaction("ctp-group",
+            Map(("t.ctp.in", 0) -> 99L))
+        }
+        w2.commit()
+      } finally w2.close()
+      assert(broker.committedOffset("ctp-group", "t.ctp.in", 0)
+        .contains(42L), "the zombie's offset never lands")
+    } finally { w.close(); broker.close() }
   }
 
   test("unordered publishAll groups by partition into multi-record batches; sequences advance by batch size") {
