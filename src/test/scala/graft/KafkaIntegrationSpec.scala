@@ -65,6 +65,38 @@ class KafkaIntegrationSpec extends SparkSpec {
       s"the real log serves back exactly what was produced: ${got.toSeq}")
   }
 
+  test("transactional EOS against the real broker: a zombie's uncommitted " +
+      "batch aborts, the successor's commit is the only read_committed copy") {
+    assume(enabled, "set GRAFT_IT_KAFKA=1 (and docker compose up -d kafka) to run")
+    val subject = s"graft.it.eos.${System.nanoTime()}"
+    val tid = s"graft-it-eos-${System.nanoTime()}"
+    def writer(tag: String) = new KafkaSinkWriter(bootstrap, clientId = tag,
+      transactionalId = Some(tid))
+    val batch = (1 to 3).map(i =>
+      PublishItem(subject, s"e$i", s"""{"n":$i}""", i.toLong))
+    val w1 = writer("it-w1")
+    batch.foreach(w1.publish) // dies before commit
+    val w2 = writer("it-w2") // real coordinator fences w1, aborts its txn
+    batch.foreach(w2.publish)
+    w2.commit(); w2.close()
+    intercept[graft.streaming.PermanentPublishException] { w1.commit() }
+    w1.close()
+    def consume(isolation: String): Seq[String] = {
+      val out = Files.createTempDirectory(s"it_keos_$isolation").toString
+      val q = spark.readStream
+        .format("graft.sources.KafkaEnvelopeSource")
+        .option("bootstrap", bootstrap).option("topic", subject)
+        .option("isolation", isolation).load()
+        .writeStream.format("parquet").option("path", s"$out/rows")
+        .option("checkpointLocation", s"$out/ck").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(s"$out/rows").selectExpr("offset", "value")
+        .collect().sortBy(_.getLong(0)).map(_.getString(1)).toSeq
+    }
+    assert(consume("read_committed") == (1 to 3).map(i => s"""{"n":$i}"""),
+      "exactly one committed copy on the real log")
+  }
+
   test("CdcStream with the Kafka sink: WAL lines flow decode -> assemble -> publish -> real acks") {
     assume(enabled, "set GRAFT_IT_KAFKA=1 (and docker compose up -d kafka) to run")
     val tmp = Files.createTempDirectory("graft_it_kafka").toString
