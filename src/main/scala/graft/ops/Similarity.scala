@@ -170,34 +170,51 @@ object Similarity {
     lloyd(prepared, idCol, k, iters)._2
       .select(col(idCol), col("cid"), col("d2num"))
 
+  /** The trained centroids alone — the FROZEN QUANTIZER to route later
+    * arrivals against (see [[routeToCentroids]]).
+    */
+  def kMeansCentroids(prepared: DataFrame, idCol: String, k: Int,
+      iters: Int): Array[(Int, Long, Array[Long], Long)] =
+    lloyd(prepared, idCol, k, iters)._1
+
+  /** Route prepared vectors to their nearest trained centroid — the
+    * stateless narrow argmin of [[kMeans]]'s fold, applicable to batch
+    * AND STREAMING frames (online ingestion cluster routing against a
+    * frozen quantizer: no state, no shuffle, so the streamed assignment
+    * is bit-identical to the batch one). Adds `cid` and `d2num`.
+    */
+  def routeToCentroids(df: DataFrame,
+      cents: Array[(Int, Long, Array[Long], Long)]): DataFrame = {
+    val centArr = array(cents.map { case (cid, n, sv, ss) =>
+      struct(lit(cid).as("cid"), lit(n).as("n"),
+        array(sv.map(lit(_)): _*).as("sv"), lit(ss).as("ss"))
+    }: _*)
+    val init = struct(lit(Double.PositiveInfinity).as("d2"),
+      lit(-1).as("cid"), lit(0L).as("d2num"))
+    val best = aggregate(centArr, init, (acc, c) => {
+      val n = c.getField("n")
+      val d2num = n * n * col("norm_sq") -
+        lit(2L) * n * dotQ(col("qvec"), c.getField("sv")) +
+        c.getField("ss")
+      val d2 = d2num.cast("double") / (n * n)
+      when(d2 < acc.getField("d2"),
+        struct(d2.as("d2"), c.getField("cid").as("cid"),
+          d2num.as("d2num"))).otherwise(acc)
+    })
+    df.withColumn("best", best)
+      .withColumn("cid", col("best.cid"))
+      .withColumn("d2num", col("best.d2num"))
+      .drop("best")
+  }
+
   /** The shared Lloyd loop behind [[kMeans]]/[[kMeansAssign]]: returns the
     * trained exact-rational centroids and the final assignment frame.
     */
   private def lloyd(prepared: DataFrame, idCol: String, k: Int,
       iters: Int): (Array[(Int, Long, Array[Long], Long)], DataFrame) = {
 
-    def assign(cents: Array[(Int, Long, Array[Long], Long)]): DataFrame = {
-      val centArr = array(cents.map { case (cid, n, sv, ss) =>
-        struct(lit(cid).as("cid"), lit(n).as("n"),
-          array(sv.map(lit(_)): _*).as("sv"), lit(ss).as("ss"))
-      }: _*)
-      val init = struct(lit(Double.PositiveInfinity).as("d2"),
-        lit(-1).as("cid"), lit(0L).as("d2num"))
-      val best = aggregate(centArr, init, (acc, c) => {
-        val n = c.getField("n")
-        val d2num = n * n * col("norm_sq") -
-          lit(2L) * n * dotQ(col("qvec"), c.getField("sv")) +
-          c.getField("ss")
-        val d2 = d2num.cast("double") / (n * n)
-        when(d2 < acc.getField("d2"),
-          struct(d2.as("d2"), c.getField("cid").as("cid"),
-            d2num.as("d2num"))).otherwise(acc)
-      })
-      prepared.withColumn("best", best)
-        .withColumn("cid", col("best.cid"))
-        .withColumn("d2num", col("best.d2num"))
-        .drop("best")
-    }
+    def assign(cents: Array[(Int, Long, Array[Long], Long)]): DataFrame =
+      routeToCentroids(prepared, cents)
 
     def update(assigned: DataFrame,
         prev: Array[(Int, Long, Array[Long], Long)])

@@ -4920,7 +4920,62 @@ object LlmQueries {
           CAST(COUNT(DISTINCT doc.lang) AS BIGINT) AS n_langs
         FROM a4 a JOIN documents doc ON a.vec_id = doc.doc_id
         GROUP BY a.cid, doc.source
-        ORDER BY cluster_id, doc.source"""))
+        ORDER BY cluster_id, doc.source""")),
+
+    // Streaming cluster routing against a FROZEN quantizer: the batch
+    // corpus trains the l121 centroids once, then the same vectors
+    // arrive as a STREAM (three file-slices, one per micro-batch) and
+    // are routed by the stateless narrow argmin — online ingestion
+    // assignment (route new documents to their embedding mode at
+    // arrival time). Exactness: routing carries no state and no
+    // shuffle, so the streamed assignment is bit-identical to the batch
+    // one — the oracle is literally the batch a4 assignment.
+    "l124_streaming_cluster_assign" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val emb = t(s, d, "embeddings")
+        val prep = Similarity.prepare(
+          emb.withColumnRenamed("vec_id", "id"), "embedding")
+        val cents = Similarity.kMeansCentroids(prep, "id", k = 8, iters = 3)
+        // stage the corpus as three vec_id-range slices with increasing
+        // mtimes; maxFilesPerTrigger=1 streams them in order
+        val work = java.nio.file.Files.createTempDirectory("graft_l124")
+        val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+        Seq((0L, maxId / 3), (maxId / 3 + 1, 2 * maxId / 3),
+            (2 * maxId / 3 + 1, maxId)).zipWithIndex.foreach {
+          case ((lo, hi), i) =>
+            emb.filter(col("vec_id").between(lo, hi))
+              .select(col("vec_id"), col("embedding"))
+              .coalesce(1).write.parquet(s"$work/in/s$i")
+            new java.io.File(s"$work/in/s$i").listFiles()
+              .foreach(f => { f.setLastModified(1700000000000L + i * 60000L); () })
+        }
+        val stream = s.readStream
+          .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
+        val routed = Similarity.routeToCentroids(
+          Similarity.prepare(stream, "embedding"), cents)
+          .select(col("vec_id"), col("cid"))
+        val q = routed.writeStream.format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+        try { q.processAllAvailable() } finally q.stop()
+        s.read.parquet(s"$work/out")
+          .select(col("vec_id"), col("cid").as("cluster_id"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $oQuant,
+        c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+              AS INTEGER) AS cid,
+            CAST(1 AS BIGINT) AS n, q AS sv, norm_sq AS ss
+          FROM qn WHERE vec_id IN
+            (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        ${kmAssign("a1", "c0")}, ${kmUpdate("s1", "a1", "c0", "c1")},
+        ${kmAssign("a2", "c1")}, ${kmUpdate("s2", "a2", "c1", "c2")},
+        ${kmAssign("a3", "c2")}, ${kmUpdate("s3", "a3", "c2", "c3")},
+        ${kmAssign("a4", "c3")}
+        SELECT vec_id, cid AS cluster_id FROM a4 ORDER BY vec_id"""))
   )
 
   /** DuckDB k-means assignment round: nearest exact-rational centroid
