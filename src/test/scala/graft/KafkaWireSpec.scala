@@ -1096,6 +1096,56 @@ class KafkaWireSpec extends SparkSpec {
     } finally { w.close(); broker.close() }
   }
 
+  test("transactional property: random publish/commit/abort/fence " +
+      "interleavings — the committed view is exactly the committed " +
+      "transactions' items, in order") {
+    val rnd = new scala.util.Random(7)
+    (1 to 12).foreach { trial =>
+      val broker = new InProcessKafkaBroker(nPartitions = 1)
+      def writer() = new KafkaSinkWriter(s"127.0.0.1:${broker.port}",
+        transactionalId = Some(s"prop-$trial"))
+      var cur = writer()
+      var expected = Vector.empty[String]
+      var pending = Vector.empty[String]
+      var k = 0
+      try {
+        (1 to 24).foreach { _ =>
+          rnd.nextInt(10) match {
+            case n if n < 5 => // publish into the open txn
+              k += 1; val v = s"t$trial-v$k"
+              cur.publish(PublishItem("t.prop", s"e$k", v, k.toLong))
+              pending :+= v
+            case 5 | 6 => // commit: pending becomes visible
+              cur.commit(); expected ++= pending; pending = Vector.empty
+            case 7 | 8 => // abort: pending vanishes
+              cur.abortTransaction(); pending = Vector.empty
+            case _ => // fence: a successor takes over; predecessor's
+              // dangling txn dies at the successor's registration
+              cur = writer(); pending = Vector.empty
+          }
+        }
+        cur.commit(); expected ++= pending // resolve the tail
+      } finally { cur.close(); broker.close() }
+      // reconstruct the read_committed view from the broker log: buffer
+      // data rows per pid, a COMMIT marker flushes that pid's span, an
+      // ABORT discards it (single partition -> the walk is total-ordered)
+      val buf = mutable.Map.empty[Long, Vector[String]]
+      var view = Vector.empty[String]
+      (0 until broker.received.size()).map(broker.received.get).foreach { r =>
+        r.marker match {
+          case None if r.txnPid >= 0 =>
+            buf(r.txnPid) = buf.getOrElse(r.txnPid, Vector.empty) :+ r.value
+          case None => view :+= r.value // plain record (none here)
+          case Some(true) =>
+            view ++= buf.remove(r.txnPid).getOrElse(Vector.empty)
+          case Some(false) => buf.remove(r.txnPid); ()
+        }
+      }
+      assert(view == expected,
+        s"trial $trial: committed view $view != expected $expected")
+    }
+  }
+
   test("unordered publishAll groups by partition into multi-record batches; sequences advance by batch size") {
     val broker = new InProcessKafkaBroker(nPartitions = 4)
     val w = new KafkaSinkWriter(s"127.0.0.1:${broker.port}")
