@@ -4975,7 +4975,47 @@ object LlmQueries {
         ${kmAssign("a2", "c1")}, ${kmUpdate("s2", "a2", "c1", "c2")},
         ${kmAssign("a3", "c2")}, ${kmUpdate("s3", "a3", "c2", "c3")},
         ${kmAssign("a4", "c3")}
-        SELECT vec_id, cid AS cluster_id FROM a4 ORDER BY vec_id"""))
+        SELECT vec_id, cid AS cluster_id FROM a4 ORDER BY vec_id""")),
+
+    // Embedding-space outlier detection: per trained cluster, the 3
+    // members FARTHEST from their centroid — the curation pass that
+    // surfaces mislabeled/garbage/off-distribution documents before
+    // they train (the prototype-distance filter of SemDeDup/CLIP-score
+    // pipelines, distance-to-centroid form). Exactness: within one
+    // cluster the denominator n is constant, so ranking by the
+    // n²-scaled integer d2num IS ranking by distance — no division, no
+    // doubles. Scale: reuses sourceQuota's salted two-pass window (rank
+    // within (cluster, salt-bucket) first), so 8 clusters at 100 TB
+    // never funnel into 8 tasks.
+    "l125_embedding_outliers" -> Def(
+      (s, d) => {
+        val prep = Similarity.prepare(
+          t(s, d, "embeddings").withColumnRenamed("vec_id", "id"),
+          "embedding")
+        val asg = Similarity.kMeansAssign(prep, "id", k = 8, iters = 3)
+        Curation.sourceQuota(asg, col("cid"), col("id"),
+            col("d2num"), n = 3)
+          .select(col("cid").as("cluster_id"), col("id").as("vec_id"),
+            col("d2num"))
+          .orderBy(col("cluster_id"), col("d2num").desc, col("vec_id"))
+      },
+      Some(s"""WITH $oQuant,
+        c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+              AS INTEGER) AS cid,
+            CAST(1 AS BIGINT) AS n, q AS sv, norm_sq AS ss
+          FROM qn WHERE vec_id IN
+            (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        ${kmAssign("a1", "c0")}, ${kmUpdate("s1", "a1", "c0", "c1")},
+        ${kmAssign("a2", "c1")}, ${kmUpdate("s2", "a2", "c1", "c2")},
+        ${kmAssign("a3", "c2")}, ${kmUpdate("s3", "a3", "c2", "c3")},
+        ${kmAssign("a4", "c3")}
+        SELECT cid AS cluster_id, vec_id, CAST(d2num AS BIGINT) AS d2num
+        FROM (SELECT cid, vec_id, d2num,
+            ROW_NUMBER() OVER (PARTITION BY cid
+              ORDER BY d2num DESC, vec_id ASC) AS rk
+          FROM a4)
+        WHERE rk <= 3
+        ORDER BY cluster_id, d2num DESC, vec_id"""))
   )
 
   /** DuckDB k-means assignment round: nearest exact-rational centroid
