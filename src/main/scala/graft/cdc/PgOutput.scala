@@ -335,10 +335,10 @@ object PgOutput {
           // version, which the frame length mirrors exactly — 9 bytes
           // through v3, 25 bytes at v4; anything between is truncation.
           val abortTs: Timestamp =
-            if (b.remaining() >= 16) { b.getLong(); pgTimestamp(b.getLong()) }
+            if (b.remaining() == 16) { b.getLong(); pgTimestamp(b.getLong()) }
             else if (b.remaining() == 0) null
             else corrupt(s"StreamAbort with ${b.remaining()} trailing " +
-              "bytes (v4 layout appends 16)")
+              "bytes (v2/v3 appends 0, v4 appends exactly 16)")
           if (subXid == xid) {
             // Whole-transaction abort: fan the ABORT out to EVERY
             // observed member, mirroring StreamCommit — rows streamed
@@ -390,10 +390,14 @@ object PgOutput {
           b.getLong(); b.getLong(); b.getLong()
           val xid = b.getInt().toLong & 0xffffffffL
           readCString(b)
-          // keep streamXids(xid): the member set must survive until the
-          // resolving CommitPrepared/RollbackPrepared
-          if (!streamXids.contains(xid)) corrupt(
-            s"StreamPrepare for unknown streamed transaction $xid")
+          // keep (or, after state loss, recreate) streamXids(xid): the
+          // member set must survive until the resolving CommitPrepared/
+          // RollbackPrepared. An unknown xid degrades to a singleton set
+          // — the same getOrElse(Seq(xid)) posture the resolution frames
+          // ('c'/'K'/'r') take for a slice that starts mid-transaction,
+          // NOT a corrupt frame.
+          streamXids.getOrElseUpdate(xid,
+            scala.collection.mutable.LinkedHashSet(xid))
           Nil
         case 'K' =>
           b.get() // flags

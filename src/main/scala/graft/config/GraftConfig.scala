@@ -46,10 +46,11 @@ final case class GraftConfig(
     dlqSubjectPrefix: String = "cdc.dlq",
     // pgoutput protocol version for START_REPLICATION: 1 (the reference's
     // pin), 2 (streaming=on — large in-progress transactions arrive as
-    // interleaved StreamStart..StreamStop segments), or 3 (additionally
+    // interleaved StreamStart..StreamStop segments), 3 (additionally
     // two_phase=on — PREPARE TRANSACTION arrives as BeginPrepare..Prepare
-    // resolved later by CommitPrepared/RollbackPrepared; PG 15+). The
-    // decoder speaks all three.
+    // resolved later by CommitPrepared/RollbackPrepared; PG 15+), or 4
+    // (streaming=parallel, PG 16+ — StreamAbort frames carry abort LSN +
+    // timestamp). The decoder speaks all four.
     protoVersion: Int = 1) {
 
   /** First validation error, or None (config.go:107-166). Failure-policy

@@ -210,8 +210,16 @@ object Similarity {
   /** The shared Lloyd loop behind [[kMeans]]/[[kMeansAssign]]: returns the
     * trained exact-rational centroids and the final assignment frame.
     */
-  private def lloyd(prepared: DataFrame, idCol: String, k: Int,
+  private def lloyd(prepared0: DataFrame, idCol: String, k: Int,
       iters: Int): (Array[(Int, Long, Array[Long], Long)], DataFrame) = {
+    // Lloyd re-reads the corpus 2·iters+2 times (seed collect, one
+    // assign scan + one (cid,dim) aggregation per iteration, the final
+    // assign): without this persist every pass would replay the
+    // upstream scan + quantization, the same reason ivfTopK persists
+    // its sample frame. Freed by the ContextCleaner when callers drop
+    // their references.
+    val prepared = prepared0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def assign(cents: Array[(Int, Long, Array[Long], Long)]): DataFrame =
       routeToCentroids(prepared, cents)

@@ -4820,16 +4820,7 @@ object LlmQueries {
         Similarity.kMeans(prep, "id", k = 8, iters = 3)
           .orderBy(col("cluster_id"))
       },
-      Some(s"""WITH $oQuant,
-        c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
-              AS INTEGER) AS cid,
-            CAST(1 AS BIGINT) AS n, q AS sv, norm_sq AS ss
-          FROM qn WHERE vec_id IN
-            (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
-        ${kmAssign("a1", "c0")}, ${kmUpdate("s1", "a1", "c0", "c1")},
-        ${kmAssign("a2", "c1")}, ${kmUpdate("s2", "a2", "c1", "c2")},
-        ${kmAssign("a3", "c2")}, ${kmUpdate("s3", "a3", "c2", "c3")},
-        ${kmAssign("a4", "c3")}
+      Some(s"""WITH $kmChain
         SELECT c.cid AS cluster_id,
           COALESCE(m.n_members, 0) AS n_members,
           c.n AS n_cent,
@@ -4863,16 +4854,7 @@ object LlmQueries {
           .select(col("id").as("vec_id"), col("cid").as("cluster_id"))
           .orderBy(col("vec_id"))
       },
-      Some(s"""WITH $oQuant,
-        c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
-              AS INTEGER) AS cid,
-            CAST(1 AS BIGINT) AS n, q AS sv, norm_sq AS ss
-          FROM qn WHERE vec_id IN
-            (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
-        ${kmAssign("a1", "c0")}, ${kmUpdate("s1", "a1", "c0", "c1")},
-        ${kmAssign("a2", "c1")}, ${kmUpdate("s2", "a2", "c1", "c2")},
-        ${kmAssign("a3", "c2")}, ${kmUpdate("s3", "a3", "c2", "c3")},
-        ${kmAssign("a4", "c3")}
+      Some(s"""WITH $kmChain
         SELECT vec_id, cluster_id FROM (
           SELECT vec_id, cid AS cluster_id,
             ROW_NUMBER() OVER (PARTITION BY cid
@@ -4904,16 +4886,7 @@ object LlmQueries {
             col("n_docs"), col("chars_total"), col("n_langs"))
           .orderBy(col("cluster_id"), col("source"))
       },
-      Some(s"""WITH $oQuant,
-        c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
-              AS INTEGER) AS cid,
-            CAST(1 AS BIGINT) AS n, q AS sv, norm_sq AS ss
-          FROM qn WHERE vec_id IN
-            (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
-        ${kmAssign("a1", "c0")}, ${kmUpdate("s1", "a1", "c0", "c1")},
-        ${kmAssign("a2", "c1")}, ${kmUpdate("s2", "a2", "c1", "c2")},
-        ${kmAssign("a3", "c2")}, ${kmUpdate("s3", "a3", "c2", "c3")},
-        ${kmAssign("a4", "c3")}
+      Some(s"""WITH $kmChain
         SELECT a.cid AS cluster_id, doc.source,
           COUNT(*) AS n_docs,
           CAST(SUM(doc.n_chars) AS BIGINT) AS chars_total,
@@ -4965,16 +4938,7 @@ object LlmQueries {
           .select(col("vec_id"), col("cid").as("cluster_id"))
           .orderBy(col("vec_id"))
       },
-      Some(s"""WITH $oQuant,
-        c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
-              AS INTEGER) AS cid,
-            CAST(1 AS BIGINT) AS n, q AS sv, norm_sq AS ss
-          FROM qn WHERE vec_id IN
-            (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
-        ${kmAssign("a1", "c0")}, ${kmUpdate("s1", "a1", "c0", "c1")},
-        ${kmAssign("a2", "c1")}, ${kmUpdate("s2", "a2", "c1", "c2")},
-        ${kmAssign("a3", "c2")}, ${kmUpdate("s3", "a3", "c2", "c3")},
-        ${kmAssign("a4", "c3")}
+      Some(s"""WITH $kmChain
         SELECT vec_id, cid AS cluster_id FROM a4 ORDER BY vec_id""")),
 
     // Embedding-space outlier detection: per trained cluster, the 3
@@ -4999,16 +4963,7 @@ object LlmQueries {
             col("d2num"))
           .orderBy(col("cluster_id"), col("d2num").desc, col("vec_id"))
       },
-      Some(s"""WITH $oQuant,
-        c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
-              AS INTEGER) AS cid,
-            CAST(1 AS BIGINT) AS n, q AS sv, norm_sq AS ss
-          FROM qn WHERE vec_id IN
-            (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
-        ${kmAssign("a1", "c0")}, ${kmUpdate("s1", "a1", "c0", "c1")},
-        ${kmAssign("a2", "c1")}, ${kmUpdate("s2", "a2", "c1", "c2")},
-        ${kmAssign("a3", "c2")}, ${kmUpdate("s3", "a3", "c2", "c3")},
-        ${kmAssign("a4", "c3")}
+      Some(s"""WITH $kmChain
         SELECT cid AS cluster_id, vec_id, CAST(d2num AS BIGINT) AS d2num
         FROM (SELECT cid, vec_id, d2num,
             ROW_NUMBER() OVER (PARTITION BY cid
@@ -5017,6 +4972,25 @@ object LlmQueries {
         WHERE rk <= 3
         ORDER BY cluster_id, d2num DESC, vec_id"""))
   )
+
+  /** The complete DuckDB k-means replay shared verbatim by the
+    * l121–l125 oracles: quantization, seeds = the 8 lowest vec_ids,
+    * three unrolled Lloyd rounds, ending in the final assignment CTE
+    * `a4`. One definition so a change to k / iterations / the seed rule
+    * can never desynchronize a subset of the oracles from
+    * [[graft.ops.Similarity.kMeans]].
+    */
+  private def kmChain: String =
+    s"""$oQuant,
+        c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+              AS INTEGER) AS cid,
+            CAST(1 AS BIGINT) AS n, q AS sv, norm_sq AS ss
+          FROM qn WHERE vec_id IN
+            (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        ${kmAssign("a1", "c0")}, ${kmUpdate("s1", "a1", "c0", "c1")},
+        ${kmAssign("a2", "c1")}, ${kmUpdate("s2", "a2", "c1", "c2")},
+        ${kmAssign("a3", "c2")}, ${kmUpdate("s3", "a3", "c2", "c3")},
+        ${kmAssign("a4", "c3")}"""
 
   /** DuckDB k-means assignment round: nearest exact-rational centroid
     * (n²|x|² − 2n(x·sv) + |sv|², one double ÷n², ties to lowest cid) —

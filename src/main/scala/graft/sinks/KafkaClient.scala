@@ -285,8 +285,16 @@ final class KafkaClient(bootstrap: String,
     * AddPartitionsToTxn / EndTxn must target it. Cached under a
     * type-disambiguated key so a group of the same name can't collide.
     */
+  /** Drop a transactional id's cached coordinator — coordinator-RPC
+    * failures call this so the retry re-resolves a moved coordinator
+    * instead of hammering the stale broker (the exact mirror of
+    * [[invalidateCoordinator]] on the group path).
+    */
+  def invalidateTxnCoordinator(transactionalId: String): Unit =
+    synchronized { coordinators.remove(s"txn:$transactionalId"); () }
+
   def txnCoordinator(transactionalId: String): (String, Int) = {
-    val key = s"txn $transactionalId"
+    val key = s"txn:$transactionalId"
     synchronized(coordinators.get(key)).getOrElse {
       val id = nextCorr()
       val (err, _, host, port) = KafkaWire.parseFindCoordinatorV2(

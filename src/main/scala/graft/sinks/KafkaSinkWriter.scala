@@ -114,18 +114,31 @@ final class KafkaSinkWriter(bootstrap: String,
 
   private def transactional: Boolean = transactionalId.isDefined
 
+  /** One RPC to the transaction coordinator; a connection/protocol
+    * failure drops the cached coordinator so the retry re-resolves a
+    * moved one (the exact posture of the group-offset path).
+    */
+  private def txnRoundTrip(tid: String,
+      framed: Int => Array[Byte]): Array[Byte] = {
+    val id = client.nextCorr()
+    try client.roundTrip(client.txnCoordinator(tid), framed(id), id)
+    catch { case e: java.io.IOException =>
+      client.invalidateTxnCoordinator(tid); throw e
+    }
+  }
+
   private def ensureProducerId(): Unit =
     if ((idempotent || transactional) && producerId < 0L) {
-      val id = client.nextCorr()
-      val req = transactionalId match {
-        case Some(tid) => KafkaWire.initProducerIdTxnRequestV0(id, clientId,
-          tid, requestTimeoutMs)
-        case None => KafkaWire.initProducerIdRequestV0(id, clientId)
-      }
-      val ep = transactionalId.map(client.txnCoordinator)
-        .getOrElse(client.bootstrapEndpoint)
       val (err, pid, epoch) = KafkaWire.parseInitProducerIdV0(
-        client.roundTrip(ep, req, id))
+        transactionalId match {
+          case Some(tid) => txnRoundTrip(tid, id =>
+            KafkaWire.initProducerIdTxnRequestV0(id, clientId, tid,
+              requestTimeoutMs))
+          case None =>
+            val id = client.nextCorr()
+            client.roundTrip(client.bootstrapEndpoint,
+              KafkaWire.initProducerIdRequestV0(id, clientId), id)
+        })
       if (err != 0)
         throw new java.io.IOException(s"InitProducerId failed: error $err")
       producerId = pid; producerEpoch = epoch
@@ -143,11 +156,15 @@ final class KafkaSinkWriter(bootstrap: String,
     val tid = transactionalId.get
     val byTopic = missing.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (t, g) => (t, g.map(_._2)) }
-    val id = client.nextCorr()
+    // open BEFORE the RPC: if the coordinator applied the add but the
+    // response was lost, close() must still send the abort — a falsely
+    // "open" empty txn aborts as a harmless INVALID_TXN_STATE, a falsely
+    // "closed" real one would dangle and hold the LSO until timeout
+    txnOpen = true
     val results = KafkaWire.parseAddPartitionsToTxnV0(
-      client.roundTrip(client.txnCoordinator(tid),
+      txnRoundTrip(tid, id =>
         KafkaWire.addPartitionsToTxnRequestV0(id, clientId, tid,
-          producerId, producerEpoch, byTopic), id))
+          producerId, producerEpoch, byTopic)))
     results.foreach { case ((t, p), err) =>
       if (err == KafkaWire.ErrInvalidProducerEpoch ||
           err == KafkaWire.ErrInvalidTxnState)
@@ -158,7 +175,6 @@ final class KafkaSinkWriter(bootstrap: String,
         throw new java.io.IOException(
           s"AddPartitionsToTxn $t/$p failed: error $err")
       txnPartitions += ((t, p))
-      txnOpen = true
     }
   }
 
@@ -178,26 +194,28 @@ final class KafkaSinkWriter(bootstrap: String,
     if (offsets.isEmpty) return
     ensureProducerId()
     val tid = transactionalId.get
-    val id1 = client.nextCorr()
+    txnOpen = true // pre-RPC, same lost-response posture as partitions
     val err1 = KafkaWire.parseAddOffsetsToTxnV0(
-      client.roundTrip(client.txnCoordinator(tid),
-        KafkaWire.addOffsetsToTxnRequestV0(id1, clientId, tid,
-          producerId, producerEpoch, groupId), id1))
+      txnRoundTrip(tid, id =>
+        KafkaWire.addOffsetsToTxnRequestV0(id, clientId, tid,
+          producerId, producerEpoch, groupId)))
     if (err1 == KafkaWire.ErrInvalidProducerEpoch ||
         err1 == KafkaWire.ErrInvalidTxnState)
       throw new PermanentPublishException(
         s"AddOffsetsToTxn fenced: error $err1")
     else if (err1 != 0)
       throw new java.io.IOException(s"AddOffsetsToTxn failed: error $err1")
-    txnOpen = true
     val byTopic = offsets.toSeq.groupBy(_._1._1).map { case (t, g) =>
       t -> g.map { case ((_, p), off) => (p, off) }
     }
     val id2 = client.nextCorr()
     val results = KafkaWire.parseTxnOffsetCommitV0(
-      client.roundTrip(client.coordinator(groupId),
+      try client.roundTrip(client.coordinator(groupId),
         KafkaWire.txnOffsetCommitRequestV0(id2, clientId, tid, groupId,
-          producerId, producerEpoch, byTopic), id2))
+          producerId, producerEpoch, byTopic), id2)
+      catch { case e: java.io.IOException =>
+        client.invalidateCoordinator(groupId); throw e
+      })
     results.foreach { case ((t, p), err) =>
       if (err == KafkaWire.ErrInvalidProducerEpoch ||
           err == KafkaWire.ErrInvalidTxnState)
@@ -225,11 +243,10 @@ final class KafkaSinkWriter(bootstrap: String,
   private def endOpenTxn(commitTxn: Boolean): Unit =
     if (transactional && txnOpen) {
       val tid = transactionalId.get
-      val id = client.nextCorr()
       val err = KafkaWire.parseEndTxnV0(
-        client.roundTrip(client.txnCoordinator(tid),
+        txnRoundTrip(tid, id =>
           KafkaWire.endTxnRequestV0(id, clientId, tid, producerId,
-            producerEpoch, commitTxn), id))
+            producerEpoch, commitTxn)))
       if (err == KafkaWire.ErrInvalidProducerEpoch ||
           err == KafkaWire.ErrInvalidTxnState)
         throw new PermanentPublishException(

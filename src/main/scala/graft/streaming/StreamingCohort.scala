@@ -81,10 +81,16 @@ class CohortProcessor(zoneId: String = "UTC", ttlMs: Long = 0L)
       sorted.foreach { e =>
         val wk = weekStartEpochDay(e.ts.getTime)
         val offset = (wk - cohort) / 7
-        if (wk >= cohort && !weeksSeen.containsKey(offset)) {
+        if (wk >= cohort) {
+          // test-then-REWRITE: MapState TTL is per-entry, so the current
+          // week's entry must be refreshed by every arrival or a
+          // continuously-active entity would see it expire mid-week and
+          // re-emit a duplicate hit for an already-emitted offset
+          val dup = weeksSeen.containsKey(offset)
           weeksSeen.updateValue(offset, true)
-          out += CohortHit(entity,
-            java.sql.Date.valueOf(LocalDate.ofEpochDay(cohort)), offset)
+          if (!dup)
+            out += CohortHit(entity,
+              java.sql.Date.valueOf(LocalDate.ofEpochDay(cohort)), offset)
         }
       }
     }

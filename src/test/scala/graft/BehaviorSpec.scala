@@ -515,6 +515,30 @@ class BehaviorSpec extends SparkSpec {
     assert(feed(2700L, "2024-02-06 10:00:00") == List(("2024-02-05", 0L)))
   }
 
+  test("cohort weeksSeen entries refresh on every same-week arrival — an " +
+      "active entity never re-emits an already-emitted offset") {
+    val h = new ManualClockHandle
+    val p = new graft.streaming.CohortProcessor("UTC", ttlMs = 1000L)
+    p.setHandle(h)
+    p.init(org.apache.spark.sql.streaming.OutputMode.Append(),
+      org.apache.spark.sql.streaming.TimeMode.ProcessingTime())
+    def feed(at: Long, when: String) = {
+      h.now = at
+      p.handleInputRows(3L, Iterator(
+          graft.streaming.FunnelEvent(3L, "", ts(when), at)), noTimers)
+        .map(c => (c.cohort_week.toString, c.week_offset)).toList
+    }
+    assert(feed(0L, "2024-01-02 10:00:00") == List(("2024-01-01", 0L)))
+    assert(feed(800L, "2024-01-03 10:00:00") == Nil, "same week: no re-emit")
+    // 1600 ms is past ttl from the FIRST weeksSeen(0) write (t=0) but
+    // within ttl of the t=800 arrival: test-then-REWRITE must have
+    // refreshed the entry, so this same-week event emits nothing — the
+    // pre-fix code (write-once, containsKey-guarded) re-emitted a
+    // duplicate offset-0 hit here
+    assert(feed(1600L, "2024-01-04 10:00:00") == Nil,
+      "an active entity must not re-emit an already-emitted week offset")
+  }
+
   test("cohort re-entry after expiry starts with a CLEAN weeksSeen — a " +
       "surviving colliding offset entry cannot suppress the new cohort") {
     val h = new ManualClockHandle

@@ -359,14 +359,22 @@ class PgOutputSpec extends SparkSpec {
     assert(out3.filter(_.operation == "ABORT").forall(_.action_time == null))
   }
 
-  test("protocol v4: StreamAbort with a truncated v4 tail is corrupt, " +
-      "not silently v3") {
+  test("protocol v4: StreamAbort with a truncated OR over-long v4 tail " +
+      "is corrupt, not silently v3/v4") {
     val full = PgWire.streamAbortV4(930, 930, 980L, t0)
     intercept[PgOutput.CorruptFrameException] {
       decode(Seq(
         PgWire.streamStart(930, firstSegment = true),
         PgWire.streamStop(),
         full.take(full.length - 3)))
+    }
+    // the length mirrors the version EXACTLY (0 or 16 trailing bytes):
+    // extra garbage after the v4 fields is a corrupt frame, not ignored
+    intercept[PgOutput.CorruptFrameException] {
+      decode(Seq(
+        PgWire.streamStart(931, firstSegment = true),
+        PgWire.streamStop(),
+        full ++ Array[Byte](1, 2, 3, 4)))
     }
   }
 
@@ -456,11 +464,17 @@ class PgOutputSpec extends SparkSpec {
     assert(ids == List("40", "41"),
       s"stream-prepared-committed members survive, rolled-back " +
         s"members vanish: $ids")
-    // a StreamPrepare naming a transaction that never streamed is corrupt
-    intercept[PgOutput.CorruptFrameException] {
-      decode(Seq(PgWire.streamPrepare(300L, 301L, t0,
-        999, "gid-x")))
-    }
+    // a StreamPrepare naming a transaction this session never saw
+    // stream (an archive slice starting mid-transaction) degrades to a
+    // singleton member set — the same state-loss posture as the other
+    // resolution frames ('c'/'K'/'r' getOrElse fallbacks) — so the
+    // later CommitPrepared still resolves it instead of the whole task
+    // dying on a structurally-valid frame
+    val sliced = decode(Seq(
+      PgWire.streamPrepare(300L, 301L, t0, 999, "gid-x"),
+      PgWire.commitPrepared(300L, 302L, t0, 999, "gid-x")))
+    assert(sliced.filter(_.is_commit).map(_.txid) == List(999L),
+      s"mid-transaction slice must still resolve: $sliced")
   }
 
   test("distributed decode through the DataFrame API") {
