@@ -52,6 +52,34 @@ object TextAnalysis {
     */
   def fingerprintMd5(text: Column): Column = md5(normalize(text))
 
+  /** Naive-but-engine-portable HTML → text extraction — the web-corpus
+    * cleaning stage (trafilatura-lite): drop script/style BLOCKS first
+    * (their bodies may contain stray '<'), strip remaining tags,
+    * unescape the XML entities + nbsp (&amp; deliberately LAST so
+    * double-escaped text resolves one level per pass, the standard
+    * order), collapse whitespace. A pure codegen'd regexp_replace
+    * chain — no UDF — restricted to the pattern subset (non-greedy
+    * dotall, character classes) on which Java regex and RE2 agree, so a
+    * DuckDB oracle replays it verbatim.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
+  /** The document's <title> content (raw — titles are short enough that
+    * entity unescaping is the caller's choice).
+    */
+  def htmlTitle(html: Column): Column =
+    regexp_extract(html, "(?s)<title>(.*?)</title>", 1)
+
   /** Order-sensitive rolling polynomial fingerprint over tokens:
     * fold(0, (acc, t) => (acc * 31 + hash48(t)) % P9). Detects permuted
     * copies that set-based (Jaccard) measures miss.

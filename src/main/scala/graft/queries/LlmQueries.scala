@@ -4970,8 +4970,67 @@ object LlmQueries {
               ORDER BY d2num DESC, vec_id ASC) AS rk
           FROM a4)
         WHERE rk <= 3
-        ORDER BY cluster_id, d2num DESC, vec_id"""))
+        ORDER BY cluster_id, d2num DESC, vec_id""")),
+
+    // HTML -> text extraction (the web-corpus cleaning stage): each doc
+    // is wrapped in a deterministic page — title, a style block, a
+    // script whose BODY contains a stray '<' (the case that forces
+    // block-removal before tag-stripping), the text in a <p>, and an
+    // entity-escaped nav footer — then TextAnalysis.htmlToText strips
+    // it back to clean text and htmlTitle pulls the title. The operator
+    // is a pure codegen'd regexp chain on the narrow scan path (no UDF,
+    // no shuffle); the oracle replays the identical pattern chain in
+    // DuckDB (the Java-regex/RE2-agreeing subset).
+    "l126_html_extract" -> Def(
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit(" - "), col("source"),
+          lit("</title><style>p{color:red}</style>"),
+          lit("<script>var x = 1 < 2 && true;</script></head>"),
+          lit("<body><h1>Doc "), col("doc_id").cast("string"),
+          lit("</h1><p>"), col("text"),
+          lit("</p><div class=\"nav\">HOME | ABOUT &amp; CONTACT</div>" +
+            "</body></html>"))
+        t(s, d, "documents").select(col("doc_id"),
+            TA.htmlTitle(html).as("title"),
+            md5(TA.htmlToText(html)).as("clean_md5"),
+            length(TA.htmlToText(html)).cast("long").as("clean_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH h AS (SELECT doc_id,
+          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' - '
+            || source || '</title><style>p{color:red}</style>'
+            || '<script>var x = 1 < 2 && true;</script></head>'
+            || '<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+            || text || '</p><div class="nav">HOME | ABOUT &amp; CONTACT'
+            || '</div></body></html>' AS html
+          FROM documents),
+        x AS (SELECT doc_id,
+          regexp_extract(html, '(?s)<title>(.*?)</title>', 1) AS title,
+          trim($oHtmlClean) AS clean
+          FROM h)
+        SELECT doc_id, title, md5(clean) AS clean_md5,
+          CAST(length(clean) AS BIGINT) AS clean_len
+        FROM x ORDER BY doc_id"""))
   )
+
+  /** The DuckDB replay of [[graft.ops.TextAnalysis.htmlToText]]'s
+    * regexp chain over a column named `html`, built by the same fold as
+    * the Scala side so the nesting can never desynchronize.
+    */
+  private def oHtmlClean: String = {
+    val steps = Seq(
+      ("'(?s)<script[^>]*>.*?</script>'", "' '"),
+      ("'(?s)<style[^>]*>.*?</style>'", "' '"),
+      ("'<[^>]+>'", "' '"),
+      ("'&lt;'", "'<'"), ("'&gt;'", "'>'"), ("'&quot;'", "'\"'"),
+      ("'&#39;'", "CHR(39)"), ("'&nbsp;'", "' '"), ("'&amp;'", "'&'"),
+      ("'\\s+'", "' '"))
+    steps.foldLeft("html") { case (acc, (p, r)) =>
+      s"regexp_replace($acc, $p, $r, 'g')"
+    }
+  }
 
   /** The complete DuckDB k-means replay shared verbatim by the
     * l121–l125 oracles: quantization, seeds = the 8 lowest vec_ids,

@@ -259,6 +259,30 @@ class PgOutputSpec extends SparkSpec {
       s"aborted xid 600 must vanish, xid 500 keeps WAL order: $assembled")
   }
 
+  test("protocol v2: a transactional logical message in a streamed " +
+      "segment rides its per-frame subxid and is retracted by that " +
+      "subxact's abort") {
+    val out = decode(Seq(
+      PgWire.streamStart(950, firstSegment = true),
+      PgWire.streamed(950, relMsg),
+      PgWire.streamed(950, PgWire.insert(relUsers,
+        Seq(Some("50"), Some("kept"), None))),
+      PgWire.streamed(951, PgWire.logicalMessage(transactional = true,
+        10L, "outbox", "m".getBytes("UTF-8"))),
+      PgWire.streamStop(),
+      PgWire.streamAbort(950, 951),
+      PgWire.streamCommit(950, 990L, 991L, t0)))
+    val msg = out.find(_.operation == "MESSAGE").get
+    assert(msg.txid == 951L,
+      "an in-segment message carries the per-frame (sub)transaction xid")
+    import spark.implicits._
+    val survivors = graft.cdc.TxAssembly.assemble(
+        spark.createDataset(out).toDF())
+      .select($"operation").as[String].collect().toList
+    assert(survivors == List("INSERT"),
+      s"the aborted subxact's message vanishes with it: $survivors")
+  }
+
   test("protocol v2: StreamAbort of a SUBtransaction retracts only its " +
       "rows; StreamCommit fans out to surviving subxacts") {
     // top tx 700 streams changes from subxact 701 (aborted via savepoint
