@@ -399,7 +399,7 @@ object Bench {
       sfDir: String): SectionResult = try {
     import org.apache.spark.sql.streaming.Trigger
     val nEvents = countEvents(spark, sfDir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_stream")
+    val tmp = graft.queries.TempDirs.workDir("graft_bench_stream")
     val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
     val outDir = s"$tmp/out"; val ckDir = s"$tmp/ck"
     stageWalSlices(spark, graft.queries.CdcQueries.walStream(spark, sfDir),
@@ -508,7 +508,7 @@ object Bench {
     import org.apache.spark.sql.functions.{col, lit}
     import org.apache.spark.sql.streaming.Trigger
     val nEvents = countEvents(spark, sfDir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_stream10x")
+    val tmp = graft.queries.TempDirs.workDir("graft_bench_stream10x")
     val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
     val outDir = s"$tmp/out"; val ckDir = s"$tmp/ck"
     val e = graft.queries.Q.t(spark, sfDir, "events")

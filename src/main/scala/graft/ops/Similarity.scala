@@ -212,12 +212,13 @@ object Similarity {
     */
   private def lloyd(prepared0: DataFrame, idCol: String, k: Int,
       iters: Int): (Array[(Int, Long, Array[Long], Long)], DataFrame) = {
-    // Lloyd re-reads the corpus 2·iters+2 times (seed collect, one
-    // assign scan + one (cid,dim) aggregation per iteration, the final
-    // assign): without this persist every pass would replay the
-    // upstream scan + quantization, the same reason ivfTopK persists
-    // its sample frame. Freed by the ContextCleaner when callers drop
-    // their references.
+    // Lloyd re-reads the corpus 2·iters+1 times (seed collect, one
+    // assign scan + one (cid,dim) aggregation per iteration): without
+    // this persist every pass would replay the upstream scan +
+    // quantization, the same reason ivfTopK persists its sample frame.
+    // Unpersisted EAGERLY below once training ends — repeated
+    // kMeans/kMeansAssign calls in a bench round would otherwise leave
+    // corpus-sized cached copies alive until the ContextCleaner runs.
     val prepared = prepared0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -253,7 +254,13 @@ object Similarity {
           (i, 1L, r.getSeq[Long](0).toArray, r.getLong(1))
         }
     for (_ <- 1 to iters) cents = update(assign(cents), cents)
-    (cents, assign(cents))
+    // training actions are done with the cache; free it now. The final
+    // assignment rides on the UNPERSISTED lineage (one extra upstream
+    // scan when the caller evaluates it — callers that iterate over the
+    // assignment further can persist it themselves), so no cached copy
+    // of the corpus outlives this call.
+    prepared.unpersist(blocking = false)
+    (cents, routeToCentroids(prepared0, cents))
   }
 
   private def pairCosine: Column =

@@ -159,7 +159,7 @@ object CdcQueries {
             lit("C").as("action"), col("event_id").as("xid"),
             tsFmt.as("timestamp"))).as("data")))).as("f"))
         .select(col("event_id"), col("f.wal_start"), col("f.data"))
-      val work = java.nio.file.Files.createTempDirectory("graft_cstream")
+      val work = graft.queries.TempDirs.workDir("graft_cstream")
       val src = s"$work/in"
       val maxId = e.agg(max(col("event_id"))).head().getLong(0)
       Seq((0L, maxId / 3), (maxId / 3 + 1, 2 * maxId / 3),

@@ -69,7 +69,7 @@ object LlmQueries {
       val day3 = wave(2000000L, lit(E + 3 * Day) + col("off"), d7)
         .unionByName(wave(3000000L, lit(E + 3 * Day) + col("off") + 1800L, d7))
       val waves = Seq(day0, filler(9000001L, 1L), filler(9000002L, 2L), day3)
-      val work = java.nio.file.Files.createTempDirectory("graft_l78_in")
+      val work = graft.queries.TempDirs.workDir("graft_l78_in")
       val inDir = new java.io.File(s"$work/in"); inDir.mkdirs()
       waves.zipWithIndex.foreach { case (w, i) =>
         val sliceDir = s"$work/slice$i"
@@ -106,7 +106,7 @@ object LlmQueries {
           concat(lit("spamA spamB spamC spam"),
             col("doc_id").cast("string")).as("text"),
           lit(3).as("slice"))
-      val work = java.nio.file.Files.createTempDirectory("graft_l109_in")
+      val work = graft.queries.TempDirs.workDir("graft_l109_in")
       val inDir = new java.io.File(s"$work/in"); inDir.mkdirs()
       waves.zipWithIndex.foreach { case (w, i) =>
         val sliceDir = s"$work/slice$i"
@@ -1178,7 +1178,7 @@ object LlmQueries {
           .select(col("doc_id"), col("text"))
         // stage the corpus as three id-range slices with increasing
         // mtimes; maxFilesPerTrigger=1 streams them in order
-        val work = java.nio.file.Files.createTempDirectory("graft_l79")
+        val work = graft.queries.TempDirs.workDir("graft_l79")
         val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
         Seq((0L, maxId / 3), (maxId / 3 + 1, 2 * maxId / 3),
             (2 * maxId / 3 + 1, maxId)).zipWithIndex.foreach {
@@ -1238,7 +1238,7 @@ object LlmQueries {
           rm(new java.io.File(loc))
         }
         val docs = t(s, d, "documents")
-        val work = java.nio.file.Files.createTempDirectory("graft_l82")
+        val work = graft.queries.TempDirs.workDir("graft_l82")
         val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
         // era 1: doc_id % 10 in 1..4; era 2: % 10 in 5..9 — together the
         // l79/l63 corpus (% 10 != 0); two id-range slices per era
@@ -1769,7 +1769,7 @@ object LlmQueries {
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
         val inDir = l78Input(s, d)
-        val work = java.nio.file.Files.createTempDirectory("graft_l78")
+        val work = graft.queries.TempDirs.workDir("graft_l78")
         val raw = s.readStream
           .schema("doc_id LONG, text STRING, source STRING, ts TIMESTAMP")
           .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
@@ -2758,7 +2758,7 @@ object LlmQueries {
         Similarity.saveIvfPqQuantizer(s, prep, name, nCells = 16, m = 8,
           nCent = 256)
         // two id-range slices arrive as separate micro-batches
-        val work = java.nio.file.Files.createTempDirectory("graft_l84")
+        val work = graft.queries.TempDirs.workDir("graft_l84")
         val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
         Seq((0L, maxId / 2), (maxId / 2 + 1, maxId)).zipWithIndex.foreach {
           case ((lo, hi), i) =>
@@ -2949,7 +2949,7 @@ object LlmQueries {
           rm(new java.io.File(loc))
         }
         val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-        val work = java.nio.file.Files.createTempDirectory("graft_l92")
+        val work = graft.queries.TempDirs.workDir("graft_l92")
         val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
         Seq((0L, maxId / 2), (maxId / 2 + 1, maxId)).zipWithIndex.foreach {
           case ((lo, hi), i) =>
@@ -3698,7 +3698,7 @@ object LlmQueries {
           rm(new java.io.File(s"${loc}__stage"))
         }
         val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-        val work = java.nio.file.Files.createTempDirectory("graft_l88")
+        val work = graft.queries.TempDirs.workDir("graft_l88")
         val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
         Seq((0L, maxId / 4), (maxId / 4 + 1, maxId / 2),
             (maxId / 2 + 1, 3 * maxId / 4), (3 * maxId / 4 + 1, maxId))
@@ -3753,7 +3753,7 @@ object LlmQueries {
           rm(new java.io.File(s"${loc}__stage"))
         }
         val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-        val work = java.nio.file.Files.createTempDirectory("graft_l90")
+        val work = graft.queries.TempDirs.workDir("graft_l90")
         val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
         Seq((0L, maxId / 2), (maxId / 2 + 1, maxId)).zipWithIndex.foreach {
           case ((lo, hi), i) =>
@@ -4018,7 +4018,7 @@ object LlmQueries {
             col("text")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSeq
         val inDir = l109Input(s, d)
-        val work = java.nio.file.Files.createTempDirectory("graft_l109")
+        val work = graft.queries.TempDirs.workDir("graft_l109")
         val raw = s.readStream
           .schema("doc_id LONG, source STRING, text STRING, slice INT")
           .option("maxFilesPerTrigger", 1).parquet(inDir)
@@ -4123,7 +4123,7 @@ object LlmQueries {
         val dims = Seq("l_returnflag", "l_linestatus")
         val li = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"))
-        val work = java.nio.file.Files.createTempDirectory("graft_l111")
+        val work = graft.queries.TempDirs.workDir("graft_l111")
         val maxId = li.agg(max(col("l_orderkey"))).head().getLong(0)
         Seq((0L, maxId / 2), (maxId / 2 + 1, maxId)).zipWithIndex.foreach {
           case ((lo, hi), i) =>
@@ -4246,7 +4246,7 @@ object LlmQueries {
           val ev = t(s, d, "events")
             .select(col("event_id"), col("user_id"), col("event_type"),
               col("ts"))
-          val work = java.nio.file.Files.createTempDirectory("graft_l114")
+          val work = graft.queries.TempDirs.workDir("graft_l114")
           val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
           Seq((0L, maxId / 2), (maxId / 2 + 1, maxId)).zipWithIndex.foreach {
             case ((lo, hi), i) =>
@@ -4331,7 +4331,7 @@ object LlmQueries {
           val ev = t(s, d, "events")
             .select(col("event_id"), col("user_id"), col("event_type"),
               col("ts"))
-          val work = java.nio.file.Files.createTempDirectory("graft_l115")
+          val work = graft.queries.TempDirs.workDir("graft_l115")
           val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
           Seq((0L, maxId / 2), (maxId / 2 + 1, maxId)).zipWithIndex.foreach {
             case ((lo, hi), i) =>
@@ -4397,7 +4397,7 @@ object LlmQueries {
         try {
           val ev = t(s, d, "events")
             .select(col("event_id"), col("user_id"), col("ts"))
-          val work = java.nio.file.Files.createTempDirectory("graft_l116")
+          val work = graft.queries.TempDirs.workDir("graft_l116")
           val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
           Seq((0L, maxId / 2), (maxId / 2 + 1, maxId)).zipWithIndex.foreach {
             case ((lo, hi), i) =>
@@ -4463,7 +4463,7 @@ object LlmQueries {
         rm(new java.io.File(loc))
         val ev = t(s, d, "events")
           .select(col("event_id"), col("event_type"), col("ts"))
-        val work = java.nio.file.Files.createTempDirectory("graft_l117")
+        val work = graft.queries.TempDirs.workDir("graft_l117")
         val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
         Seq((0L, maxId / 2), (maxId / 2 + 1, maxId)).zipWithIndex.foreach {
           case ((lo, hi), i) =>
@@ -4542,7 +4542,7 @@ object LlmQueries {
           col("o_orderpriority").as("prio"),
           expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
             .as("cents"))
-        val work = java.nio.file.Files.createTempDirectory("graft_l118")
+        val work = graft.queries.TempDirs.workDir("graft_l118")
         val maxId = f.agg(max(col("o_orderkey"))).head().getLong(0)
         Seq((0L, maxId / 2), (maxId / 2 + 1, maxId)).zipWithIndex.foreach {
           case ((lo, hi), i) =>
@@ -4912,7 +4912,7 @@ object LlmQueries {
         val cents = Similarity.kMeansCentroids(prep, "id", k = 8, iters = 3)
         // stage the corpus as three vec_id-range slices with increasing
         // mtimes; maxFilesPerTrigger=1 streams them in order
-        val work = java.nio.file.Files.createTempDirectory("graft_l124")
+        val work = graft.queries.TempDirs.workDir("graft_l124")
         val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
         Seq((0L, maxId / 3), (maxId / 3 + 1, 2 * maxId / 3),
             (2 * maxId / 3 + 1, maxId)).zipWithIndex.foreach {
@@ -5100,7 +5100,7 @@ object LlmQueries {
         .select((col("event_id") + 20000000L).as("click_id"),
           col("user_id").as("c_user"),
           (col("ts") + expr("INTERVAL 2 HOURS")).as("click_ts")))
-    val work = java.nio.file.Files.createTempDirectory(tag)
+    val work = graft.queries.TempDirs.workDir(tag)
     // shared absolute cut points: admission is event-time-ordered on
     // BOTH sides, so a batch never carries a row older than a prior
     // batch's rows

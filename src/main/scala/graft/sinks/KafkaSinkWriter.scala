@@ -48,8 +48,11 @@ import graft.streaming.{PermanentPublishException, PublishItem, SinkWriter}
   * AddPartitionsToTxn), a failed task's partial publish aborts in
   * [[close]], and a task RETRY re-registering the same id fences the
   * zombie attempt (epoch bump: the old incarnation's produce/EndTxn
-  * fail INVALID_PRODUCER_EPOCH, surfaced as [[PermanentPublishException]]
-  * — never retried into an interleave). read_committed consumers — this
+  * fail INVALID_PRODUCER_EPOCH, surfaced as
+  * [[graft.streaming.FencedWriterException]] — never retried into an
+  * interleave and never quarantined: the publish loops fail the whole
+  * task, because the zombie's remaining items are healthy and belong to
+  * the successor). read_committed consumers — this
   * library's own [[graft.sources.KafkaEnvelopeSource]] with
   * `isolation=read_committed` included — therefore see each batch's
   * items exactly once per successful attempt. Scope, honestly: a
@@ -76,7 +79,8 @@ final class KafkaSinkWriter(bootstrap: String,
     tlsTruststore: Option[String] = None,
     tlsTruststorePassword: Option[String] = None,
     compression: String = "none",
-    transactionalId: Option[String] = None) extends SinkWriter {
+    transactionalId: Option[String] = None,
+    transactionTimeoutMs: Int = 60000) extends SinkWriter {
 
   private val codec = compression.toLowerCase match {
     case "none" => KafkaWire.CodecNone
@@ -131,9 +135,14 @@ final class KafkaSinkWriter(bootstrap: String,
     if ((idempotent || transactional) && producerId < 0L) {
       val (err, pid, epoch) = KafkaWire.parseInitProducerIdV0(
         transactionalId match {
+          // transactionTimeoutMs is the COORDINATOR's abort deadline for
+          // an open txn (Kafka's transaction.timeout.ms, default 60s) —
+          // a different knob from the 30s RPC timeout: a publish+commit
+          // span longer than the value passed here gets coordinator-
+          // aborted mid-flight, and a task retry hits the same wall
           case Some(tid) => txnRoundTrip(tid, id =>
             KafkaWire.initProducerIdTxnRequestV0(id, clientId, tid,
-              requestTimeoutMs))
+              transactionTimeoutMs))
           case None =>
             val id = client.nextCorr()
             client.roundTrip(client.bootstrapEndpoint,
@@ -168,7 +177,7 @@ final class KafkaSinkWriter(bootstrap: String,
     results.foreach { case ((t, p), err) =>
       if (err == KafkaWire.ErrInvalidProducerEpoch ||
           err == KafkaWire.ErrInvalidTxnState)
-        throw new PermanentPublishException(
+        throw new graft.streaming.FencedWriterException(
           s"transaction fenced adding $t/$p: error $err " +
             s"(a newer '$tid' incarnation owns the id)")
       else if (err != 0)
@@ -201,7 +210,7 @@ final class KafkaSinkWriter(bootstrap: String,
           producerId, producerEpoch, groupId)))
     if (err1 == KafkaWire.ErrInvalidProducerEpoch ||
         err1 == KafkaWire.ErrInvalidTxnState)
-      throw new PermanentPublishException(
+      throw new graft.streaming.FencedWriterException(
         s"AddOffsetsToTxn fenced: error $err1")
     else if (err1 != 0)
       throw new java.io.IOException(s"AddOffsetsToTxn failed: error $err1")
@@ -219,7 +228,7 @@ final class KafkaSinkWriter(bootstrap: String,
     results.foreach { case ((t, p), err) =>
       if (err == KafkaWire.ErrInvalidProducerEpoch ||
           err == KafkaWire.ErrInvalidTxnState)
-        throw new PermanentPublishException(
+        throw new graft.streaming.FencedWriterException(
           s"TxnOffsetCommit $t/$p fenced: error $err")
       else if (err != 0)
         throw new java.io.IOException(
@@ -249,7 +258,7 @@ final class KafkaSinkWriter(bootstrap: String,
             producerEpoch, commitTxn)))
       if (err == KafkaWire.ErrInvalidProducerEpoch ||
           err == KafkaWire.ErrInvalidTxnState)
-        throw new PermanentPublishException(
+        throw new graft.streaming.FencedWriterException(
           s"EndTxn(commit=$commitTxn) fenced: error $err " +
             s"(a newer '$tid' incarnation owns the id)")
       else if (err != 0)
@@ -366,8 +375,9 @@ final class KafkaSinkWriter(bootstrap: String,
             // over (task retry / failover) — permanently fatal for THIS
             // writer, and exactly what must NOT be retried (the zombie
             // would interleave with its successor)
-            new PermanentPublishException(s"produce to $topic/$partition " +
-              s"fenced: error $err (newer transactional incarnation)")
+            new graft.streaming.FencedWriterException(
+              s"produce to $topic/$partition " +
+                s"fenced: error $err (newer transactional incarnation)")
           } else if (err == KafkaWire.ErrOutOfOrderSequence ||
               err == KafkaWire.ErrDuplicateSequence) {
             // the broker's producer-state for our pid is gone or

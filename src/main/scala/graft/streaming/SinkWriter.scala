@@ -32,6 +32,17 @@ final case class PublishBatchResult(total: Int, succeeded: Int, failed: Int,
 class PermanentPublishException(msg: String, cause: Throwable = null)
     extends RuntimeException(msg, cause)
 
+/** WRITER-level permanence, not ITEM-level poison: a transactional writer
+  * was fenced by a newer incarnation of its transactional id (task retry /
+  * failover took over). Every remaining item is healthy — the successor
+  * publishes them — so the publish loops must fail the task immediately
+  * and must NEVER consult the quarantine policy: under PolicyDlq a fenced
+  * zombie would otherwise DLQ-record the rest of its batch (a side effect
+  * OUTSIDE the aborted transaction) even though the items are fine.
+  */
+class FencedWriterException(msg: String, cause: Throwable = null)
+    extends PermanentPublishException(msg, cause)
+
 /** Broker-facing sink seam (reference E6, the JetStream publisher,
   * internal/publisher/jetstream.go:316-433). `publish` sends one item and
   * awaits its broker ack — the reference publishes async and awaits the
@@ -110,11 +121,14 @@ object SinkPublisher {
       var attempt = 0
       var lastErr: Throwable = null
       var permanent = false
+      var fenced = false
       var done = false
       while (!done && attempt <= maxRetries) {
         if (attempt > 0) { onRetry(); sleep(Reliability.backoffMillis(attempt)) }
         try { writer.publish(item); acked(i) = true; done = true }
         catch {
+          case e: FencedWriterException =>
+            lastErr = e; fenced = true; done = true
           case e: PermanentPublishException =>
             lastErr = e; permanent = true; done = true
           case e: Throwable =>
@@ -122,7 +136,9 @@ object SinkPublisher {
         }
       }
       if (!acked(i)) {
-        (if (permanent) quarantine else None) match {
+        // fencing fails the whole task unquarantined (see
+        // FencedWriterException — the items belong to the successor)
+        (if (permanent && !fenced) quarantine else None) match {
           case Some(q) =>
             try { q(item, lastErr); quarantined += i; acked(i) = true }
             catch { case qe: Throwable =>
@@ -154,6 +170,7 @@ object SinkPublisher {
     val quarantined = ArrayBuffer[Int]()
     var firstError: Option[Throwable] = None // unrecoverable failures only
     var lastTransient: Throwable = null
+    var fenced = false // writer-level: stop everything, quarantine nothing
     var pending = buf.indices.toVector
     // batching writers take the whole buffer in one grouped publishAll
     // first — one RPC per destination partition instead of per item. A
@@ -165,15 +182,25 @@ object SinkPublisher {
         writer.publishAll(pending.map(buf(_)))
         pending.foreach(acked(_) = true)
         pending = Vector.empty
-      } catch { case e: Throwable => lastTransient = e }
+      } catch {
+        case e: FencedWriterException => fenced = true; firstError = Some(e)
+        case e: Throwable => lastTransient = e
+      }
     }
     var round = 0
-    while (pending.nonEmpty && round <= maxRetries) {
+    while (pending.nonEmpty && round <= maxRetries && !fenced) {
       if (round > 0) { onRetry(); sleep(Reliability.backoffMillis(round)) }
       val stillFailed = ArrayBuffer[Int]()
       pending.foreach { idx =>
+        if (fenced) { stillFailed += idx } else
         try { writer.publish(buf(idx)); acked(idx) = true }
         catch {
+          case e: FencedWriterException =>
+            // a newer incarnation owns the id: every subsequent publish
+            // from this writer is fenced too — fail the task, never DLQ
+            fenced = true
+            if (firstError.isEmpty) firstError = Some(e)
+            stillFailed += idx
           case e: PermanentPublishException =>
             quarantine match {
               case Some(q) =>

@@ -22,7 +22,7 @@ object StreamProfile {
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
 
-    val tmp = java.nio.file.Files.createTempDirectory("graft_profile")
+    val tmp = graft.queries.TempDirs.workDir("graft_profile")
     val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
     val win = org.apache.spark.sql.expressions.Window.orderBy(col("wal_start"))
     val filed = graft.queries.CdcQueries.walStream(spark, sfDir)

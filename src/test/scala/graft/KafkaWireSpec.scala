@@ -105,6 +105,11 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
   // baseOffset of that batch) — what dedups a retransmitted sequence
   private val producerSeqs = mutable.Map.empty[(Long, String, Int), (Int, Long)]
   private var nextPid = 1000L
+  /** The transaction timeout the last transactional InitProducerId
+    * carried — the coordinator's abort deadline for an open txn
+    * (transaction.timeout.ms), a DIFFERENT knob from the RPC timeout.
+    */
+  @volatile var lastTxnTimeoutMs: Int = -1
   @volatile private var dropNextAck = false
   /** Produces that were append-DEDUPED by sequence (retries of appended
     * batches whose ack was lost).
@@ -421,7 +426,8 @@ final class InProcessKafkaBroker(nPartitions: Int = 2,
         case KafkaWire.ApiInitProducerId =>
           require(version == 0, s"mock speaks InitProducerId v0, got $version")
           val txnId = readStr(b)                  // null = idempotent-only
-          b.getInt()                              // timeout
+          val txnTimeout = b.getInt()
+          if (txnId != null) lastTxnTimeoutMs = txnTimeout
           if (txnId == null) {
             nextPid += 1
             resp.i32(0).i16(0).i64(nextPid).i16(0) // throttle, err, pid, epoch
@@ -1040,11 +1046,18 @@ class KafkaWireSpec extends SparkSpec {
       assert(rows.map(_.marker) ==
         Seq(None, Some(false), None),
         s"w2's registration aborted w1's dangling txn first: $rows")
-      // w1 is now a zombie: both its produce and its commit are fatal
-      intercept[graft.streaming.PermanentPublishException] {
+      // the transactional init carries the 60s transaction.timeout.ms
+      // default, NOT the 30s RPC timeout — two different knobs (a
+      // publish+commit span longer than this gets coordinator-aborted)
+      assert(broker.lastTxnTimeoutMs == 60000)
+      // w1 is now a zombie: both its produce and its commit are fatal —
+      // and surfaced as the WRITER-level FencedWriterException, which the
+      // publish loops rethrow instead of quarantining (the items are
+      // healthy; DLQ-recording them would escape the aborted txn)
+      intercept[graft.streaming.FencedWriterException] {
         w1.publish(item("t.fence", "e3", 3L))
       }
-      intercept[graft.streaming.PermanentPublishException] { w1.commit() }
+      intercept[graft.streaming.FencedWriterException] { w1.commit() }
       w2.commit()
       val all = (0 until broker.received.size()).map(broker.received.get)
       assert(all.last.marker.contains(true), "w2's commit marker lands")

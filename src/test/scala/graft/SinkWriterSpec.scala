@@ -24,6 +24,10 @@ final class MockBrokerSinkWriter(brokerId: String) extends SinkWriter {
     if (b.poison.contains(item.eventId))
       throw new PermanentPublishException(
         s"message size exceeds maximum for ${item.eventId}")
+    if (b.fencedFrom.contains(item.eventId) || b.fencedNow.get())
+      { b.fencedNow.set(true) // writer-level: every later publish fenced too
+        throw new FencedWriterException(
+          s"producer fenced at ${item.eventId} (newer incarnation)") }
     b.synchronized {
       if (b.seenMsgIds.add(item.eventId)) b.log += item // Msg-Id dedup (E7)
     }
@@ -36,6 +40,10 @@ object MockBroker {
     val seenMsgIds = scala.collection.mutable.Set[String]()
     val transientFails = new ConcurrentHashMap[String, AtomicInteger]()
     val poison = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    // first eventId at which the writer gets fenced by a successor; once
+    // tripped every subsequent publish is fenced (the Kafka epoch bump)
+    val fencedFrom = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val fencedNow = new java.util.concurrent.atomic.AtomicBoolean(false)
   }
   private val registry = new ConcurrentHashMap[String, State]()
   def get(id: String): State = registry.computeIfAbsent(id, _ => new State)
@@ -115,6 +123,45 @@ class SinkWriterSpec extends SparkSpec {
     assert(retries == 0, "permanent errors are never retried (errors.go:14-18)")
     assert(res.lastSuccessPosition.isEmpty)
     assert(res.firstError.exists(_.isInstanceOf[PermanentPublishException]))
+  }
+
+  test("FENCED writer fails the ordered batch WITHOUT quarantining: the " +
+      "remaining items are healthy and belong to the successor — a DLQ " +
+      "record would be a side effect outside the aborted transaction") {
+    val b = MockBroker.reset("fenced-ordered")
+    b.fencedFrom.add("ev1")
+    val dlq = ArrayBuffer[String]()
+    var retries = 0
+    val res = SinkPublisher.publishOrdered(items(4).iterator,
+      new MockBrokerSinkWriter("fenced-ordered"), maxRetries = 3,
+      sleep = noSleep, onRetry = () => retries += 1,
+      quarantine = Some((item, _) => dlq += item.eventId))
+    assert(!res.isComplete && res.succeeded == 1 && res.failed == 3)
+    assert(dlq.isEmpty, "fencing must NEVER consult the quarantine policy")
+    assert(res.quarantined.isEmpty)
+    assert(retries == 0, "fencing is permanent — never retried")
+    assert(res.firstError.exists(_.isInstanceOf[FencedWriterException]))
+    assert(b.log.map(_.eventId) == Seq("ev0"))
+  }
+
+  test("FENCED writer stops the unordered rounds immediately and " +
+      "quarantines nothing — every later publish from the zombie is " +
+      "fenced too, so re-driving the pending set is pure waste") {
+    val b = MockBroker.reset("fenced-unordered")
+    b.fencedFrom.add("ev2")
+    val dlq = ArrayBuffer[String]()
+    var retries = 0
+    val res = SinkPublisher.publishUnordered(items(5).iterator,
+      new MockBrokerSinkWriter("fenced-unordered"), maxRetries = 3,
+      sleep = noSleep, onRetry = () => retries += 1,
+      quarantine = Some((item, _) => dlq += item.eventId))
+    assert(!res.isComplete)
+    assert(dlq.isEmpty && res.quarantined.isEmpty,
+      "fencing must NEVER consult the quarantine policy")
+    assert(retries == 0, "no retry rounds after the fence")
+    assert(res.firstError.exists(_.isInstanceOf[FencedWriterException]))
+    assert(b.log.map(_.eventId) == Seq("ev0", "ev1"),
+      "publishes before the fence landed; nothing after it was attempted")
   }
 
   test("lastSuccessPosition is positional: a failed low-position item blocks the " +
