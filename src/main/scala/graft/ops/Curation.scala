@@ -1119,4 +1119,122 @@ object Curation {
     dsirWeights(df, idCol, textCol, isTarget, buckets)
       .orderBy(col("weight").desc, col("id"))
       .limit(k)
+
+  // ------------------------------------------------------ URL curation
+
+  /** Canonicalize an absolute http(s) URL — the crawl-curation FRONT DOOR
+    * (C4/RefinedWeb filter and dedup by URL before touching any text; the
+    * reference's subject sanitize is the analogous key-normalization
+    * step). Rules, in order:
+    *
+    *  - scheme and host lowercased (RFC 3986 §6.2.2.1); path/query case
+    *    is PRESERVED (it is significant on most origins);
+    *  - one leading `www.` label stripped from the host;
+    *  - the scheme's DEFAULT port stripped (`:80` for http, `:443` for
+    *    https) — a non-default port is kept;
+    *  - duplicate path slashes collapsed, the trailing slash stripped
+    *    (except the root path), empty path → `/`;
+    *  - tracking query params dropped (`utm_*`, gclid, fbclid, msclkid,
+    *    ref, mc_cid, mc_eid), the survivors SORTED (byte order) so
+    *    param-order variants collide, empty query dropped entirely;
+    *  - the fragment dropped (never sent to the server).
+    *
+    * A pure codegen'd regexp/HOF chain — no UDF, no shuffle, the narrow
+    * scan path — restricted to the pattern subset on which Java regex and
+    * RE2 agree, so a DuckDB oracle replays it verbatim (DuckDB needs the
+    * 'g' flag on its regexp_replace; Spark is global by default). Inputs
+    * without a `scheme://` prefix pass through trimmed-unchanged (relative
+    * URLs have no canonical absolute form without a base).
+    */
+  def urlCanonicalize(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth0 = lower(regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val noWww = regexp_replace(auth0, "^www\\.", "")
+    val auth = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+    val path0 = regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path1 = regexp_replace(path0, "/{2,}", "/")
+    val path = when(path1 === "", lit("/"))
+      .otherwise(regexp_replace(path1, "(.)/$", "$1"))
+    val q0 = regexp_extract(u, "^[^?#]*\\?([^#]*)", 1)
+    val params = filter(split(q0, "&", -1), p =>
+      p =!= "" && !p.rlike(
+        "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)(=|$)"))
+    val q = array_join(array_sort(params), "&")
+    when(scheme === "", u).otherwise(concat(scheme, lit("://"), auth, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q))))
+  }
+
+  /** The host of a canonical URL (port excluded). Feed the OUTPUT of
+    * [[urlCanonicalize]] (already lowercased, www/default-port stripped).
+    */
+  def urlHost(canonUrl: Column): Column =
+    regexp_extract(canonUrl, "^[a-z][a-z0-9+.-]*://([^/?#:]*)", 1)
+
+  /** A public-suffix-LITE table: enough of the real PSL's shape — one-,
+    * two- and three-label suffixes, including private-registry entries
+    * (github.io, blogspot.com, s3.amazonaws.com) — to exercise every rule
+    * of [[registrableDomain]]. Production swaps in the full list
+    * (publicsuffix.org, ~9k entries): the operator broadcasts whatever
+    * it is given and its join count depends only on the DEEPEST suffix,
+    * not the list size.
+    */
+  val DefaultPublicSuffixes: Seq[String] = Seq(
+    "com", "net", "org", "io", "dev", "edu", "gov",
+    "uk", "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "au", "com.au", "net.au",
+    "jp", "co.jp", "ne.jp",
+    "br", "com.br", "in", "co.in",
+    "github.io", "blogspot.com", "s3.amazonaws.com")
+
+  /** Registrable domain (eTLD+1): the label immediately left of the
+    * LONGEST matching public suffix, plus that suffix — the key crawl
+    * pipelines group by for per-site quotas and blocklists
+    * ("news.bbc.co.uk" → "bbc.co.uk", not "co.uk").
+    *
+    * Shape: label arithmetic (split + slice — narrow, codegen'd) plus one
+    * LEFT BROADCAST JOIN PER SUFFIX DEPTH (maxL = deepest suffix's label
+    * count: 2–3 for PSL-lite, 5 for the full PSL) against the broadcast
+    * suffix table. No explode, no re-aggregation, the row count never
+    * changes — zero exchanges at any corpus size. Longest match wins
+    * ("co.uk" beats "uk"); a host with no matching suffix falls back to
+    * its last two labels; a host EQUAL to a multi-label suffix degrades
+    * to the next-shorter rule (full-PSL "is itself a suffix" semantics
+    * out of scope for the lite table).
+    */
+  def registrableDomain(df: DataFrame, hostCol: Column,
+      suffixes: Seq[String] = DefaultPublicSuffixes,
+      out: String = "domain"): DataFrame = {
+    require(suffixes.nonEmpty, "suffix table must not be empty")
+    val spark = df.sparkSession
+    val maxL = suffixes.map(_.count(_ == '.') + 1).max
+    val labels = split(hostCol, "\\.")
+    val n = size(labels)
+    val joined = (1 to maxL).foldLeft(df) { case (acc, l) =>
+      val ofLen = suffixes.filter(_.count(_ == '.') + 1 == l)
+      if (ofLen.isEmpty) acc
+      else {
+        val sfx = spark.createDataset(ofLen)(
+          org.apache.spark.sql.Encoders.STRING).toDF(s"__sfx$l")
+        // candidate = the host's last l labels; n > l keeps at least one
+        // label LEFT of the suffix (a host that IS a suffix cannot match)
+        val cand = when(n > l, array_join(slice(labels, -l, l), "."))
+        acc.join(broadcast(sfx), cand === col(s"__sfx$l"), "left")
+      }
+    }
+    val present = (1 to maxL).filter(l =>
+      suffixes.exists(_.count(_ == '.') + 1 == l))
+    // foldLeft ascending ⇒ the OUTERMOST when tests the longest suffix
+    val matchLen = present.foldLeft(lit(0)) { case (acc, l) =>
+      when(col(s"__sfx$l").isNotNull, lit(l)).otherwise(acc)
+    }
+    val regLen = when(matchLen > 0, matchLen + 1).otherwise(least(n, lit(2)))
+    joined
+      .withColumn(out, array_join(slice(labels, -regLen, regLen), "."))
+      .drop(present.map(l => s"__sfx$l"): _*)
+  }
 }

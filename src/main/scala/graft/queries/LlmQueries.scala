@@ -124,6 +124,129 @@ object LlmQueries {
 
   /** DuckDB equivalent of TextAnalysis.hash48. */
   private def oH48(e: String) = s"CAST(('0x' || substr(md5($e), 1, 12)) AS BIGINT)"
+
+  /** Deterministic per-doc crawl URL (the l126 synthesis pattern,
+    * URL-shaped): mixed scheme/host case, www/CDN subdomains, default AND
+    * non-default ports (including http+:443, which canonicalization must
+    * KEEP), messy paths, tracking params, unsorted queries and fragments
+    * — every [[graft.ops.Curation.urlCanonicalize]] rule fires on real
+    * rows, and the suffix mix (github.io / co.uk / .weird /
+    * s3.amazonaws.com / .com) exercises every registrableDomain rule.
+    */
+  private def synthUrl: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    val scheme = when(id % 3 === 0, "HTTPS://")
+      .when(id % 3 === 1, "https://").otherwise("HTTP://")
+    val sub = when(id % 5 === 0, "WWW.").when(id % 5 === 1, "www.")
+      .when(id % 5 === 3, "blog.").when(id % 5 === 4, "CDN.").otherwise("")
+    val apex = when(id % 7 === 0, concat(col("source"), lit(".GitHub.IO")))
+      .when(id % 7 === 1, concat(col("source"), lit(".co.uk")))
+      .when(id % 7 === 2, concat(col("source"), lit(".weird")))
+      .when(id % 7 === 3, concat(col("source"), lit(".S3.AmazonAWS.com")))
+      .otherwise(concat(col("source"), lit(".com")))
+    val port = when(id % 4 === 1, ":443").when(id % 4 === 2, ":8080")
+      .otherwise("")
+    val path = when(id % 6 === 0, "/a//b/")
+      .when(id % 6 === 1, "")
+      .when(id % 6 === 2, concat(lit("/articles/"), (id % 50).cast("string")))
+      .when(id % 6 === 3, "/x/")
+      .when(id % 6 === 4, "/Mixed/Case")
+      .otherwise("/a/b")
+    val query = when(id % 8 === 0, "?z=9&a=1&utm_source=feed")
+      .when(id % 8 === 1, "?utm_campaign=x&utm_medium=y")
+      .when(id % 8 === 2, concat(lit("?id="), id.cast("string")))
+      .when(id % 8 === 3,
+        concat(lit("?fbclid=abc&id="), (id % 10).cast("string"), lit("&b=2")))
+      .otherwise("")
+    val frag = when(id % 2 === 0, "#sec-2").otherwise("")
+    concat(scheme, sub, apex, port, path, query, frag)
+  }
+
+  /** SQL twin of [[synthUrl]] over (doc_id, source). */
+  private val oSynthUrl: String =
+    """(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://'
+             WHEN doc_id % 3 = 1 THEN 'https://' ELSE 'HTTP://' END ||
+       CASE WHEN doc_id % 5 = 0 THEN 'WWW.' WHEN doc_id % 5 = 1 THEN 'www.'
+            WHEN doc_id % 5 = 3 THEN 'blog.'
+            WHEN doc_id % 5 = 4 THEN 'CDN.' ELSE '' END ||
+       CASE WHEN doc_id % 7 = 0 THEN source || '.GitHub.IO'
+            WHEN doc_id % 7 = 1 THEN source || '.co.uk'
+            WHEN doc_id % 7 = 2 THEN source || '.weird'
+            WHEN doc_id % 7 = 3 THEN source || '.S3.AmazonAWS.com'
+            ELSE source || '.com' END ||
+       CASE WHEN doc_id % 4 = 1 THEN ':443'
+            WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END ||
+       CASE WHEN doc_id % 6 = 0 THEN '/a//b/' WHEN doc_id % 6 = 1 THEN ''
+            WHEN doc_id % 6 = 2 THEN '/articles/' || CAST(doc_id % 50 AS VARCHAR)
+            WHEN doc_id % 6 = 3 THEN '/x/'
+            WHEN doc_id % 6 = 4 THEN '/Mixed/Case' ELSE '/a/b' END ||
+       CASE WHEN doc_id % 8 = 0 THEN '?z=9&a=1&utm_source=feed'
+            WHEN doc_id % 8 = 1 THEN '?utm_campaign=x&utm_medium=y'
+            WHEN doc_id % 8 = 2 THEN '?id=' || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 8 = 3 THEN '?fbclid=abc&id=' ||
+              CAST(doc_id % 10 AS VARCHAR) || '&b=2' ELSE '' END ||
+       CASE WHEN doc_id % 2 = 0 THEN '#sec-2' ELSE '' END)"""
+
+  /** DuckDB replay of Curation.urlCanonicalize as chained CTEs over
+    * `inRel` (must carry a `url` column; all other columns ride along).
+    * Exposes `url_canon` in `${p}4`. DuckDB's regexp_replace is
+    * first-match-only by default — the 'g' flag restores Spark's
+    * replace-all on the slash-collapse.
+    */
+  private def oUrlCanon(inRel: String, p: String): String = s"""
+    ${p}1 AS (SELECT *, trim(url) AS u FROM $inRel),
+    ${p}2 AS (SELECT *,
+        lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth0,
+        regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+        regexp_extract(u, '^[^?#]*\\?([^#]*)', 1) AS q0
+      FROM ${p}1),
+    ${p}3 AS (SELECT *,
+        CASE WHEN scheme = 'http' THEN
+               regexp_replace(regexp_replace(auth0, '^www\\.', ''), ':80$$', '')
+             WHEN scheme = 'https' THEN
+               regexp_replace(regexp_replace(auth0, '^www\\.', ''), ':443$$', '')
+             ELSE regexp_replace(auth0, '^www\\.', '') END AS auth,
+        regexp_replace(path0, '/{2,}', '/', 'g') AS path1,
+        COALESCE(array_to_string(list_sort(list_filter(string_split(q0, '&'),
+          pq -> pq <> '' AND NOT regexp_matches(pq,
+            '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)(=|$$)'))),
+          '&'), '') AS q
+      FROM ${p}2),
+    ${p}4 AS (SELECT *,
+        CASE WHEN scheme = '' THEN u
+             ELSE scheme || '://' || auth ||
+               (CASE WHEN path1 = '' THEN '/'
+                     ELSE regexp_replace(path1, '(.)/$$', '\\1') END) ||
+               (CASE WHEN q = '' THEN '' ELSE '?' || q END) END AS url_canon
+      FROM ${p}3)"""
+
+  /** DuckDB replay of Curation.urlHost over a canonical URL. */
+  private val oUrlHost =
+    "regexp_extract(url_canon, '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1)"
+
+  /** DuckDB replay of Curation.registrableDomain over `inRel` (must carry
+    * `host`): the IN lists are Curation.DefaultPublicSuffixes partitioned
+    * by label count. Exposes `domain` in `${p}4`.
+    */
+  private def oDomain(inRel: String, p: String): String = s"""
+    ${p}1 AS (SELECT *, string_split(host, '.') AS labs,
+        len(string_split(host, '.')) AS nl FROM $inRel),
+    ${p}2 AS (SELECT *,
+        CASE WHEN nl > 3 AND array_to_string(list_slice(labs, nl - 2, nl), '.')
+                 IN ('s3.amazonaws.com') THEN 3
+             WHEN nl > 2 AND array_to_string(list_slice(labs, nl - 1, nl), '.')
+                 IN ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+                     'co.jp','ne.jp','com.br','co.in','github.io',
+                     'blogspot.com') THEN 2
+             WHEN nl > 1 AND labs[nl] IN ('com','net','org','io','dev','edu',
+                     'gov','uk','au','jp','br','in') THEN 1
+             ELSE 0 END AS mlen FROM ${p}1),
+    ${p}3 AS (SELECT *, CASE WHEN mlen > 0 THEN mlen + 1
+        ELSE LEAST(nl, 2) END AS rlen FROM ${p}2),
+    ${p}4 AS (SELECT *,
+        array_to_string(list_slice(labs, nl - rlen + 1, nl), '.') AS domain
+      FROM ${p}3)"""
   private val oToks = "string_split(text, ' ')"
 
   /** The BPE training loop unrolled as chained CTEs (w0 → pK/bK/wK …):
@@ -5012,7 +5135,143 @@ object LlmQueries {
           FROM h)
         SELECT doc_id, title, md5(clean) AS clean_md5,
           CAST(length(clean) AS BIGINT) AS clean_len
-        FROM x ORDER BY doc_id"""))
+        FROM x ORDER BY doc_id""")),
+
+    // URL canonicalization — the crawl-curation FRONT DOOR's key
+    // normalization (C4/RefinedWeb filter and dedup by URL before
+    // touching any text). Each doc gets a deterministically messy URL
+    // (mixed case, www, default/non-default ports, duplicate slashes,
+    // tracking params, unsorted queries, fragments); the operator is a
+    // pure codegen'd regexp/HOF chain on the narrow scan path — zero
+    // shuffles, no UDF — and the oracle replays the identical pattern
+    // chain (the Java-regex/RE2-agreeing subset; DuckDB needs its 'g'
+    // flag where Spark replaces globally).
+    "l127_url_canonicalize" -> Def(
+      (s, d) => {
+        val withUrl = t(s, d, "documents").select(col("doc_id"), col("source"))
+          .withColumn("url", synthUrl)
+        withUrl.select(col("doc_id"), col("url"),
+            Curation.urlCanonicalize(col("url")).as("url_canon"))
+          .withColumn("host", Curation.urlHost(col("url_canon")))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH u0 AS (SELECT doc_id, source, $oSynthUrl AS url
+          FROM documents),
+        ${oUrlCanon("u0", "cx")}
+        SELECT doc_id, url, url_canon, $oUrlHost AS host
+        FROM cx4 ORDER BY doc_id""")),
+
+    // Registrable domain (eTLD+1) via the broadcast public-suffix table:
+    // the key crawl pipelines group by for per-site quotas and
+    // blocklists ("news.bbc.co.uk" -> "bbc.co.uk", not "co.uk"). Scale
+    // shape: label arithmetic + one LEFT BROADCAST JOIN per suffix
+    // depth — no explode, no re-aggregation, zero exchanges
+    // (CurationSpec pins the plan).
+    "l128_registrable_domain" -> Def(
+      (s, d) => {
+        val withHost = t(s, d, "documents").select(col("doc_id"), col("source"))
+          .withColumn("url", synthUrl)
+          .withColumn("host",
+            Curation.urlHost(Curation.urlCanonicalize(col("url"))))
+        Curation.registrableDomain(withHost, col("host"))
+          .select(col("doc_id"), col("host"), col("domain"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH u0 AS (SELECT doc_id, source, $oSynthUrl AS url
+          FROM documents),
+        ${oUrlCanon("u0", "cx")},
+        h0 AS (SELECT doc_id, $oUrlHost AS host FROM cx4),
+        ${oDomain("h0", "dx")}
+        SELECT doc_id, host, domain FROM dx4 ORDER BY doc_id""")),
+
+    // The composed URL front door: canonicalize -> URL-dedup (first
+    // crawl wins) -> domain blocklist -> per-domain cap, each doc
+    // labeled with its verdict — the whole pre-text admission pipeline
+    // a crawl curation pass runs BEFORE fetching/cleaning any body
+    // text. A re-crawl wave (every 9th page under a www/fragment
+    // variant of its URL) exercises the dedup stage; the stage order is
+    // the contract (a dup of a blocked page is reject_dup). The
+    // blocklist rides a BROADCAST join (the at-scale shape for a
+    // millions-of-domains list); the cap rank is one window per domain
+    // (small per-domain groups here — the production kept-set path is
+    // Curation.sourceQuota's salted two-pass rank).
+    "l129_url_front_door" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = t(s, d, "documents").select(col("doc_id"), col("source"))
+          .withColumn("url", synthUrl)
+        val copies = base
+          .withColumn("url_canon", Curation.urlCanonicalize(col("url")))
+          .filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
+            concat(regexp_replace(col("url_canon"),
+              "^(https?)://", "$1://www."), lit("#copy")).as("url"))
+        val all = base.select(col("doc_id"), col("source"), col("url"))
+          .unionByName(copies)
+          .withColumn("url_canon", Curation.urlCanonicalize(col("url")))
+          .withColumn("host", Curation.urlHost(col("url_canon")))
+        val dom = Curation.registrableDomain(all, col("host"))
+        val blockDf = s.createDataset(
+          Seq("src3.com", "src5.co.uk", "src7.github.io"))(
+          org.apache.spark.sql.Encoders.STRING).toDF("__blocked_domain")
+        val labeled = dom
+          .withColumn("first_seen",
+            min(col("doc_id")).over(Window.partitionBy(col("url_canon"))))
+          .join(broadcast(blockDf),
+            col("domain") === col("__blocked_domain"), "left")
+          .withColumn("is_dup", col("doc_id") > col("first_seen"))
+          .withColumn("is_blocked", col("__blocked_domain").isNotNull)
+        val rejects = labeled.filter(col("is_dup") || col("is_blocked"))
+          .select(col("doc_id"), col("domain"),
+            when(col("is_dup"), "reject_dup")
+              .otherwise("reject_blocked").as("verdict"),
+            when(col("is_dup"), col("first_seen"))
+              .otherwise(lit(null).cast("long")).as("dup_of"))
+        val capped = labeled.filter(!col("is_dup") && !col("is_blocked"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("domain")).orderBy(col("doc_id"))))
+          .select(col("doc_id"), col("domain"),
+            when(col("rk") <= 8, "admit")
+              .otherwise("reject_domain_cap").as("verdict"),
+            lit(null).cast("long").as("dup_of"))
+        rejects.unionByName(capped).orderBy(col("doc_id"))
+      },
+      Some(s"""WITH u0 AS (SELECT doc_id, source, $oSynthUrl AS url
+          FROM documents),
+        ${oUrlCanon("u0", "cx")},
+        cp AS (SELECT doc_id + 100000 AS doc_id, source,
+            regexp_replace(url_canon, '^(https?)://', '\\1://www.')
+              || '#copy' AS url
+          FROM cx4 WHERE doc_id % 9 = 0),
+        a0 AS (SELECT doc_id, source, url FROM u0
+          UNION ALL SELECT doc_id, source, url FROM cp),
+        ${oUrlCanon("a0", "bx")},
+        h0 AS (SELECT doc_id, url_canon, $oUrlHost AS host FROM bx4),
+        ${oDomain("h0", "dx")},
+        f0 AS (SELECT doc_id, url_canon, domain,
+            MIN(doc_id) OVER (PARTITION BY url_canon) AS first_seen,
+            domain IN ('src3.com', 'src5.co.uk', 'src7.github.io')
+              AS is_blocked
+          FROM dx4),
+        sv AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+              ORDER BY doc_id) AS rk
+          FROM f0 WHERE doc_id = first_seen AND NOT is_blocked),
+        res AS (
+          SELECT doc_id, domain, 'reject_dup' AS verdict,
+              first_seen AS dup_of
+            FROM f0 WHERE doc_id > first_seen
+          UNION ALL
+          SELECT doc_id, domain, 'reject_blocked' AS verdict,
+              CAST(NULL AS BIGINT) AS dup_of
+            FROM f0 WHERE doc_id = first_seen AND is_blocked
+          UNION ALL
+          SELECT doc_id, domain,
+              CASE WHEN rk <= 8 THEN 'admit'
+                ELSE 'reject_domain_cap' END AS verdict,
+              CAST(NULL AS BIGINT) AS dup_of
+            FROM sv)
+        SELECT doc_id, domain, verdict, CAST(dup_of AS BIGINT) AS dup_of
+        FROM res ORDER BY doc_id"""))
   )
 
   /** The DuckDB replay of [[graft.ops.TextAnalysis.htmlToText]]'s

@@ -725,4 +725,98 @@ class CurationSpec extends SparkSpec {
     assert(out.count(_ == 2L) == 50, "heavy doc picked in every shard")
     assert(out.count(_ == 1L) == 0, "light doc never holds the midpoint")
   }
+
+  // ------------------------------------------------------ URL curation
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(Curation.urlCanonicalize($"u").as("c"))
+      .as[String].collect().toSeq
+
+  test("urlCanonicalize: scheme/host case, www, default ports, fragment") {
+    assert(canon("HTTPS://WWW.Example.COM/Path") ==
+      Seq("https://example.com/Path"), "scheme+host lowered, www stripped, " +
+        "path case PRESERVED")
+    assert(canon("https://example.com:443/a", "http://example.com:80/a") ==
+      Seq("https://example.com/a", "http://example.com/a"),
+      "the scheme's default port is stripped")
+    assert(canon("http://example.com:443/a", "https://example.com:8080/a") ==
+      Seq("http://example.com:443/a", "https://example.com:8080/a"),
+      "non-default ports are KEPT — :443 is not http's default")
+    assert(canon("https://example.com/a#sec-2") == Seq("https://example.com/a"),
+      "fragment dropped")
+    assert(canon("  https://example.com/a  ") == Seq("https://example.com/a"),
+      "surrounding whitespace trimmed")
+  }
+
+  test("urlCanonicalize: path normalization") {
+    assert(canon("https://example.com") == Seq("https://example.com/"),
+      "empty path becomes /")
+    assert(canon("https://example.com/a//b///c/") ==
+      Seq("https://example.com/a/b/c"),
+      "duplicate slashes collapse, trailing slash stripped")
+    assert(canon("https://example.com/") == Seq("https://example.com/"),
+      "the root slash survives")
+  }
+
+  test("urlCanonicalize: tracking params stripped, survivors sorted") {
+    assert(canon("https://e.com/p?z=9&a=1&utm_source=feed&fbclid=x") ==
+      Seq("https://e.com/p?a=1&z=9"),
+      "utm_*/fbclid dropped; the rest byte-sorted")
+    assert(canon("https://e.com/p?utm_campaign=x&utm_medium=y&gclid=1&ref=tw") ==
+      Seq("https://e.com/p"), "all-tracking query vanishes entirely")
+    assert(canon("https://e.com/p?id=5&page=2") ==
+      Seq("https://e.com/p?id=5&page=2"), "real params survive")
+    assert(canon("https://e.com/p?refresh=1&referrer=x") ==
+      Seq("https://e.com/p?referrer=x&refresh=1"),
+      "param names merely PREFIXED by a tracking name are kept " +
+        "(the (=|$) anchor)")
+    assert(canon("https://e.com/p?utm_source&b=2") ==
+      Seq("https://e.com/p?b=2"), "valueless tracking param dropped too")
+  }
+
+  test("urlCanonicalize: param-order and variant collapse — the dedup key") {
+    val variants = canon(
+      "HTTPS://WWW.E.COM:443/a//b/?b=2&a=1&utm_source=x#frag",
+      "https://e.com/a/b?a=1&b=2",
+      "https://E.com/a/b/?utm_medium=y&b=2&a=1")
+    assert(variants.distinct == Seq("https://e.com/a/b?a=1&b=2"),
+      s"all variants collapse to one canonical form, got $variants")
+  }
+
+  test("urlCanonicalize: non-absolute input passes through trimmed") {
+    assert(canon(" /relative/path?x=1 ", "not a url") ==
+      Seq("/relative/path?x=1", "not a url"))
+  }
+
+  test("registrableDomain: longest suffix wins, fallbacks, private entries") {
+    val hosts = Seq("news.bbc.co.uk", "bbc.co.uk", "a.b.example.com",
+      "cdn.proj.github.io", "proj.github.io", "github.io",
+      "bucket.files.s3.amazonaws.com", "host.unknowntld", "localhost")
+      .toDF("host")
+    val got = Curation.registrableDomain(hosts, $"host")
+      .select($"host", $"domain").as[(String, String)].collect().toMap
+    assert(got("news.bbc.co.uk") == "bbc.co.uk", "co.uk beats uk (longest)")
+    assert(got("bbc.co.uk") == "bbc.co.uk")
+    assert(got("a.b.example.com") == "example.com")
+    assert(got("cdn.proj.github.io") == "proj.github.io",
+      "private-registry suffix github.io")
+    assert(got("proj.github.io") == "proj.github.io")
+    assert(got("github.io") == "github.io",
+      "a host EQUAL to a multi-label suffix degrades to the io rule")
+    assert(got("bucket.files.s3.amazonaws.com") == "files.s3.amazonaws.com",
+      "3-label suffix s3.amazonaws.com")
+    assert(got("host.unknowntld") == "host.unknowntld",
+      "no suffix match falls back to the last two labels")
+    assert(got("localhost") == "localhost", "single label passes through")
+  }
+
+  test("registrableDomain plan: broadcast joins only, no exchange") {
+    val hosts = (1L to 64L).map(i => s"sub$i.site$i.co.uk").toDF("host")
+    val plan = Curation.registrableDomain(hosts, $"host")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), s"suffix table broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"no shuffle on the domain-derivation path:\n$plan")
+  }
 }
