@@ -80,6 +80,57 @@ object TextAnalysis {
   def htmlTitle(html: Column): Column =
     regexp_extract(html, "(?s)<title>(.*?)</title>", 1)
 
+  /** HTML block-boundary tags (the elements that start/end a text block;
+    * inline markup like a/b/em/span stays INSIDE blocks). `\b` keeps `p`
+    * from matching the prefix of `pre` — supported identically by Java
+    * regex and RE2.
+    */
+  val blockTagPattern: String =
+    "(?i)</?(?:article|aside|blockquote|br|div|dl|dt|dd|fieldset|" +
+      "figcaption|figure|footer|form|h[1-6]|header|hr|li|main|nav|ol|p|" +
+      "pre|section|table|tbody|td|th|thead|tr|ul)\\b[^>]*>"
+
+  /** Strip tags, unescape entities, collapse whitespace — the per-block
+    * text view (the tail of [[htmlToText]], factored so the block scorer
+    * and the oracle share one definition).
+    */
+  private def blockClean(b: Column): Column = {
+    val noTags = regexp_replace(b, "<[^>]+>", " ")
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
+  /** Main-content extraction by block-level TEXT-DENSITY scoring — the
+    * trafilatura/boilerpipe-shape upgrade over [[htmlToText]]'s bare tag
+    * stripping (which keeps nav/footer/sidebar text that must not reach a
+    * training corpus). Head/script/style go first, the page splits at
+    * block-tag boundaries, and a block survives iff its visible text is
+    * long enough (≥ `minLen` chars) AND less than half of it is LINK
+    * text (link density < 0.5 — the classic boilerplate discriminator:
+    * nav bars, footers and link-list sidebars are mostly anchor text,
+    * body paragraphs are not, and a paragraph that merely CONTAINS a
+    * link passes). Survivors re-concatenate in document order.
+    *
+    * A pure regexp/HOF chain (split + filter/transform lambdas — narrow,
+    * no UDF, no shuffle), restricted to the Java-regex/RE2-agreeing
+    * subset so a DuckDB oracle replays it verbatim.
+    */
+  def extractMainContent(html: Column, minLen: Int = 20): Column = {
+    val noHead = regexp_replace(html, "(?is)<head[^>]*>.*?</head>", " ")
+    val noScript = regexp_replace(noHead, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val blocks = split(noStyle, blockTagPattern, -1)
+    def linkText(b: Column): Column = blockClean(array_join(
+      regexp_extract_all(b, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)), " "))
+    val kept = filter(blocks, b =>
+      length(blockClean(b)) >= minLen &&
+        length(linkText(b)) * 2 < length(blockClean(b)))
+    trim(regexp_replace(
+      array_join(transform(kept, b => blockClean(b)), " "), "\\s+", " "))
+  }
+
   /** Order-sensitive rolling polynomial fingerprint over tokens:
     * fold(0, (acc, t) => (acc * 31 + hash48(t)) % P9). Detects permuted
     * copies that set-based (Jaccard) measures miss.
@@ -165,14 +216,40 @@ object TextAnalysis {
     flags :+ ("kept" -> flags.map(_._2).reduce(_ && _))
   }
 
-  /** Deterministic PII-shaped redaction: emails and long digit runs replaced
-    * by fixed tokens (the masking pass of a training-data pipeline; the
-    * regexes are the contract, so results are engine-portable).
+  /** The PII redaction chain, applied IN ORDER (order is part of the
+    * contract — each rule must fire before a later, coarser rule can
+    * shred its shape): emails first (user parts contain dots/digits),
+    * UUIDs before the digit rules (hex segments contain digit runs),
+    * grouped credit-card digits before phones (a 4-4-4-4 group's tail
+    * would otherwise match the 3-3-4 phone shape), separator-tolerant
+    * phones, IPv4 before the bare digit-run rule (dots split octets),
+    * and long contiguous digit runs last (account numbers, unformatted
+    * cards/phones). Patterns are the RE2-compatible Java-regex subset
+    * (character classes, bounded quantifiers, `\b`, optional groups —
+    * no lookaround, no backrefs) so a DuckDB oracle replays the chain
+    * verbatim; the l18 oracle is BUILT from this Seq.
+    */
+  val redactionRules: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+      "[0-9a-fA-F]{12}\\b", "<UUID>"),
+    ("\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b", "<CC>"),
+    ("(\\+\\d{1,2}[ .-]?)?(\\(\\d{3}\\)[ .-]?|\\d{3}[ .-])\\d{3}[ .-]\\d{4}\\b",
+      "<PHONE>"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("[0-9]{7,}", "<NUM>"))
+
+  /** Deterministic PII-shaped redaction: emails, UUIDs, grouped card
+    * numbers, separator-tolerant phones, IPv4 addresses and long digit
+    * runs replaced by fixed tokens (the masking pass of a training-data
+    * pipeline; the regexes are the contract, so results are
+    * engine-portable). A pure codegen'd [[redactionRules]] fold — no
+    * UDF, narrow scan path.
     */
   def redact(text: Column): Column =
-    regexp_replace(
-      regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-      "[0-9]{7,}", "<NUM>")
+    redactionRules.foldLeft(text) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
 
   /** Language-ID marker vocabularies (function-word heuristic). */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

@@ -2136,19 +2136,32 @@ object LlmQueries {
               FROM (SELECT doc_id, $oToks AS t FROM documents))
         ORDER BY doc_id""")),
 
-    // Deterministic PII-shaped redaction (mask emails / long digit runs) —
-    // the text-cleaning pass; regexes are part of the contract.
+    // Deterministic PII-shaped redaction — the text-cleaning pass. Every
+    // rule of TextAnalysis.redactionRules fires on every row: email,
+    // UUID (hex segments must become <UUID>, never shredded into <NUM>),
+    // grouped card digits (<CC> — fires BEFORE the phone rule can take
+    // its 3-3-4 tail), separator-tolerant phones in all three shapes
+    // (555-123-4567 / (555) 123-4567 / +1 555 987 6543), IPv4, and the
+    // contiguous digit run. The oracle chain is BUILT from the same
+    // rule Seq, so the two sides cannot desynchronize.
     "l18_redact" -> Def(
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"),
           TA.redact(concat(col("text"), lit(" reach me at user"),
-            col("doc_id"), lit("@example.com or 12345678901"))).as("clean_text"))
+            col("doc_id"),
+            lit("@example.com or 12345678901, call 555-123-4567, " +
+              "(555) 123-4567 or +1 555 987 6543; host 10.0."),
+            (col("doc_id") % 256).cast("string"),
+            lit(".17, card 4111-1111-1111-1111, session " +
+              "123e4567-e89b-12d3-a456-426614174000 done"))).as("clean_text"))
         .orderBy(col("doc_id")),
-      Some("""SELECT doc_id,
-        regexp_replace(
-          regexp_replace(text || ' reach me at user' || doc_id || '@example.com or 12345678901',
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-          '[0-9]{7,}', '<NUM>', 'g') AS clean_text
+      Some(s"""SELECT doc_id,
+        ${oRedact("""text || ' reach me at user' || doc_id ||
+            '@example.com or 12345678901, call 555-123-4567, ' ||
+            '(555) 123-4567 or +1 555 987 6543; host 10.0.' ||
+            CAST(doc_id % 256 AS VARCHAR) ||
+            '.17, card 4111-1111-1111-1111, session ' ||
+            '123e4567-e89b-12d3-a456-426614174000 done'""")} AS clean_text
         FROM documents ORDER BY doc_id""")),
 
     // Multimodal plumbing: binary payload envelope + [STUB] decode through
@@ -5271,8 +5284,117 @@ object LlmQueries {
               CAST(NULL AS BIGINT) AS dup_of
             FROM sv)
         SELECT doc_id, domain, verdict, CAST(dup_of AS BIGINT) AS dup_of
-        FROM res ORDER BY doc_id"""))
+        FROM res ORDER BY doc_id""")),
+
+    // Main-content extraction by block text-density (the trafilatura/
+    // boilerpipe shape): each doc is wrapped in a full page — head with
+    // title/style/script, a link-only nav bar, a short h1, the body
+    // text in a <p>, a second paragraph CONTAINING a link, a link-list
+    // <aside> sidebar, a link-only footer — and extractMainContent must
+    // keep exactly the two paragraphs: blocks survive on length >= 20
+    // AND link-density < 0.5, so the nav/aside/footer (mostly anchor
+    // text) and the h1 (short) provably drop while tag-stripping
+    // htmlToText keeps them all (flat_len >> main_len). Pure
+    // regexp/HOF split-score-filter chain, no UDF, narrow scan path;
+    // the oracle replays block splitting + scoring verbatim.
+    "l130_main_content" -> Def(
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style>p{color:red}</style>" +
+            "<script>var x = 1 < 2;</script></head><body>" +
+            "<div class=\"nav\"><a href=\"/\">Home</a> | " +
+            "<a href=\"/a\">About</a> | <a href=\"/c\">Contact</a></div>" +
+            "<h1>Doc "), col("doc_id").cast("string"),
+          lit("</h1><p>"), col("text"),
+          lit("</p><p>Read the full <a href=\"/r\">annual report</a>" +
+            " for source "), col("source"),
+          lit(" details.</p><aside><ul><li><a href=\"/1\">Latest breaking" +
+            " news</a></li><li><a href=\"/2\">Top trending stories</a>" +
+            "</li></ul></aside><footer><a href=\"/p\">Privacy Policy</a>" +
+            " | <a href=\"/t\">Terms of Service</a></footer>" +
+            "</body></html>"))
+        val main = TA.extractMainContent(html)
+        t(s, d, "documents").select(col("doc_id"),
+            md5(main).as("main_md5"),
+            length(main).cast("long").as("main_len"),
+            length(TA.htmlToText(html)).cast("long").as("flat_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some({
+        val keep = s"length(${oBClean("b")}) >= 20 AND " +
+          s"2 * length(${oBClean(oLinkJoin("b"))}) < length(${oBClean("b")})"
+        s"""WITH h AS (SELECT doc_id,
+            '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+            '</title><style>p{color:red}</style>' ||
+            '<script>var x = 1 < 2;</script></head><body>' ||
+            '<div class="nav"><a href="/">Home</a> | ' ||
+            '<a href="/a">About</a> | <a href="/c">Contact</a></div>' ||
+            '<h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+            '</h1><p>' || text ||
+            '</p><p>Read the full <a href="/r">annual report</a>' ||
+            ' for source ' || source ||
+            ' details.</p><aside><ul><li><a href="/1">Latest breaking' ||
+            ' news</a></li><li><a href="/2">Top trending stories</a>' ||
+            '</li></ul></aside><footer><a href="/p">Privacy Policy</a>' ||
+            ' | <a href="/t">Terms of Service</a></footer>' ||
+            '</body></html>' AS html
+          FROM documents),
+        nh AS (SELECT doc_id, html,
+            regexp_replace(regexp_replace(regexp_replace(html,
+              '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS body
+          FROM h),
+        bl AS (SELECT doc_id, html,
+            list_filter(string_split_regex(body,
+              '${TA.blockTagPattern}'),
+              b -> $keep) AS kept
+          FROM nh),
+        m AS (SELECT doc_id, html,
+            trim(regexp_replace(COALESCE(array_to_string(
+              list_transform(kept, b -> ${oBClean("b")}), ' '), ''),
+              '\\s+', ' ', 'g')) AS main
+          FROM bl)
+        SELECT doc_id, md5(main) AS main_md5,
+          CAST(length(main) AS BIGINT) AS main_len,
+          CAST(length(trim($oHtmlClean)) AS BIGINT) AS flat_len
+        FROM m ORDER BY doc_id"""
+      }))
   )
+
+  /** DuckDB replay of TextAnalysis.blockClean over an arbitrary SQL
+    * expression: strip tags, unescape entities (&amp; last), collapse
+    * whitespace, trim — the per-block half of [[oHtmlClean]].
+    */
+  private def oBClean(v: String): String = {
+    val steps = Seq(
+      ("'<[^>]+>'", "' '"),
+      ("'&lt;'", "'<'"), ("'&gt;'", "'>'"), ("'&quot;'", "'\"'"),
+      ("'&#39;'", "CHR(39)"), ("'&nbsp;'", "' '"), ("'&amp;'", "'&'"),
+      ("'\\s+'", "' '"))
+    "trim(" + steps.foldLeft(v) { case (a, (p, r)) =>
+      s"regexp_replace($a, $p, $r, 'g')" } + ")"
+  }
+
+  /** DuckDB replay of the anchor-inner-text join (link-density numerator):
+    * Spark's array_join over regexp_extract_all is '' when no anchors
+    * match; DuckDB's array_to_string of an empty list is NULL — COALESCE
+    * restores the agreement (a link-free block must KEEP, not
+    * NULL-propagate to dropped).
+    */
+  private def oLinkJoin(v: String): String =
+    s"COALESCE(array_to_string(regexp_extract_all($v, " +
+      s"'(?is)<a\\b[^>]*>(.*?)</a>', 1), ' '), '')"
+
+  /** DuckDB replay of TextAnalysis.redact, generated from the SAME
+    * redactionRules Seq the Spark side folds (patterns are the
+    * RE2/Java-agreeing subset; 'g' restores Spark's replace-all).
+    */
+  private def oRedact(v: String): String =
+    TA.redactionRules.foldLeft(s"($v)") { case (a, (p, r)) =>
+      s"regexp_replace($a, '$p', '$r', 'g')"
+    }
 
   /** The DuckDB replay of [[graft.ops.TextAnalysis.htmlToText]]'s
     * regexp chain over a column named `html`, built by the same fold as
