@@ -141,9 +141,9 @@ object Similarity {
     * (Σ (j+1)·sv_j), ss.
     */
   def kMeans(prepared: DataFrame, idCol: String, k: Int,
-      iters: Int): DataFrame = {
+      iters: Int, seeding: Seeding = SeedLowestIds): DataFrame = {
     val spark = prepared.sparkSession
-    val (cents, finalAssign) = lloyd(prepared, idCol, k, iters)
+    val (cents, finalAssign) = lloyd(prepared, idCol, k, iters, seeding)
     val memberStats = finalAssign.groupBy(col("cid"))
       .agg(count(lit(1)).as("n_members"), sum(col("d2num")).as("inertia_num"))
     val centRows = cents.toSeq.map { case (cid, n, sv, ss) =>
@@ -166,32 +166,94 @@ object Similarity {
     * for cluster-balanced sampling and per-cluster curation audits.
     */
   def kMeansAssign(prepared: DataFrame, idCol: String, k: Int,
-      iters: Int): DataFrame =
-    lloyd(prepared, idCol, k, iters)._2
+      iters: Int, seeding: Seeding = SeedLowestIds): DataFrame =
+    lloyd(prepared, idCol, k, iters, seeding)._2
       .select(col(idCol), col("cid"), col("d2num"))
 
   /** The trained centroids alone — the FROZEN QUANTIZER to route later
     * arrivals against (see [[routeToCentroids]]).
     */
   def kMeansCentroids(prepared: DataFrame, idCol: String, k: Int,
-      iters: Int): Array[(Int, Long, Array[Long], Long)] =
-    lloyd(prepared, idCol, k, iters)._1
+      iters: Int, seeding: Seeding = SeedLowestIds): Array[(Int, Long, Array[Long], Long)] =
+    lloyd(prepared, idCol, k, iters, seeding)._1
 
-  /** Route prepared vectors to their nearest trained centroid — the
-    * stateless narrow argmin of [[kMeans]]'s fold, applicable to batch
-    * AND STREAMING frames (online ingestion cluster routing against a
-    * frozen quantizer: no state, no shuffle, so the streamed assignment
-    * is bit-identical to the batch one). Adds `cid` and `d2num`.
+  /** Seed-selection strategy for the Lloyd loop. Both are deterministic
+    * and RNG-free, so results reproduce bit-for-bit across runs,
+    * cluster layouts and engines (the property every op here keeps).
     */
-  def routeToCentroids(df: DataFrame,
-      cents: Array[(Int, Long, Array[Long], Long)]): DataFrame = {
-    val centArr = array(cents.map { case (cid, n, sv, ss) =>
-      struct(lit(cid).as("cid"), lit(n).as("n"),
-        array(sv.map(lit(_)): _*).as("sv"), lit(ss).as("ss"))
-    }: _*)
+  sealed trait Seeding
+
+  /** Seeds = the k lowest ids. Oracle-trivial and cheap (one TakeOrdered)
+    * but clusters poorly on skew: adjacent ids often share an embedding
+    * mode, so several seeds can land in one dense region.
+    */
+  case object SeedLowestIds extends Seeding
+
+  /** Deterministic farthest-point (k-center) seeding — the k-means++
+    * SHAPE without its RNG (D² sampling would need a seeded generator
+    * whose stream no other engine reproduces; the greedy max-min choice
+    * is the same spread-the-seeds idea, made exact): seed 1 is the row
+    * with the minimum (hash48(id), id) — a deterministic pseudo-random
+    * draw — and each next seed maximizes its distance to the chosen set
+    * (exact integer d² between quantized vectors, ties to the lowest
+    * id). Cost: k−1 extra corpus scans (each a TakeOrdered(1) — partial
+    * top-1 per partition, single-row driver merge) over the SAME cached
+    * frame the Lloyd loop re-reads, each scan a narrow fold over ≤ k
+    * seed literals. DedupSpec pins lower inertia than [[SeedLowestIds]]
+    * on a skewed fixture.
+    */
+  case object SeedFarthestPoint extends Seeding
+
+  /** The farthest-point seed set (see [[SeedFarthestPoint]]): k seeds as
+    * (cid-in-selection-order, n=1, sv, ss).
+    */
+  def farthestPointSeeds(prepared: DataFrame, idCol: String,
+      k: Int): Array[(Int, Long, Array[Long], Long)] = {
+    require(k >= 1, "k must be positive")
+    def seedOf(r: org.apache.spark.sql.Row): (Array[Long], Long) =
+      (r.getSeq[Long](0).toArray, r.getLong(1))
+    val first = prepared
+      .orderBy(TextAnalysis.hash48(col(idCol).cast("string")), col(idCol))
+      .select(col("qvec"), col("norm_sq")).limit(1).collect()
+    require(first.nonEmpty, "corpus must not be empty")
+    var seeds = Vector(seedOf(first(0)))
+    for (_ <- 2 to k) {
+      // min exact d² to the chosen set = the shared argmin fold's d2num
+      // (seeds have n = 1, so d2num IS the exact integer distance)
+      val centArr = array(seeds.zipWithIndex.map { case ((sv, ss), i) =>
+        struct(lit(i).as("cid"), lit(1L).as("n"),
+          array(sv.map(lit(_)): _*).as("sv"), lit(ss).as("ss"))
+      }: _*)
+      val next = prepared
+        .withColumn("__best", bestCentroid(centArr))
+        .orderBy(col("__best.d2num").desc, col(idCol).asc)
+        .select(col("qvec"), col("norm_sq")).limit(1).collect()
+      seeds :+= seedOf(next(0))
+    }
+    seeds.zipWithIndex.map { case ((sv, ss), i) => (i, 1L, sv, ss) }.toArray
+  }
+
+  /** Ceiling on the centroid VALUE COUNT (k·dims) inlined as plan
+    * literals by [[routeToCentroids]]. Below it, centroids ride in the
+    * expression tree — plan DEPTH is O(1) (one HOF fold) but plan SIZE
+    * is O(k·dims) literals: fine for the quantizer regime (k ≤ ~10²),
+    * a planner/codegen hazard at k ≳ 10⁴ (megabyte plans, constant-pool
+    * pressure). Above it, the centroids ride in a one-row BROADCAST
+    * RELATION instead (see below) — same arithmetic, O(1) plan size.
+    */
+  val RouteLiteralMaxValues: Int = 8192
+
+  /** One-row carrier for the broadcast-relation routing path. */
+  private case class CentroidRow(cid: Int, n: Long, sv: Array[Long], ss: Long)
+
+  /** The shared argmin fold over an array-of-centroid-structs column
+    * (fields cid/n/sv/ss): nearest exact-rational centroid, one double
+    * ÷n² per comparison, ties to the earlier (lower-cid) entry.
+    */
+  private def bestCentroid(centArr: Column): Column = {
     val init = struct(lit(Double.PositiveInfinity).as("d2"),
       lit(-1).as("cid"), lit(0L).as("d2num"))
-    val best = aggregate(centArr, init, (acc, c) => {
+    aggregate(centArr, init, (acc, c) => {
       val n = c.getField("n")
       val d2num = n * n * col("norm_sq") -
         lit(2L) * n * dotQ(col("qvec"), c.getField("sv")) +
@@ -201,7 +263,45 @@ object Similarity {
         struct(d2.as("d2"), c.getField("cid").as("cid"),
           d2num.as("d2num"))).otherwise(acc)
     })
-    df.withColumn("best", best)
+  }
+
+  /** Route prepared vectors to their nearest trained centroid — the
+    * stateless narrow argmin of [[kMeans]]'s fold, applicable to batch
+    * AND STREAMING frames (online ingestion cluster routing against a
+    * frozen quantizer: no state, no shuffle, so the streamed assignment
+    * is bit-identical to the batch one). Adds `cid` and `d2num`.
+    *
+    * Centroid transport picks itself by k·dims (override `literalMax`
+    * only in tests): at quantizer scale the centroids inline as plan
+    * literals; past [[RouteLiteralMaxValues]] they ride a ONE-ROW
+    * broadcast relation crossJoined in (BroadcastNestedLoopJoin of a
+    * single row: row count unchanged, no exchange) and the SAME fold
+    * reads the array column — identical assignments on either path
+    * (ScaleSpec pins equality and that the big-k path engages).
+    */
+  def routeToCentroids(df: DataFrame,
+      cents: Array[(Int, Long, Array[Long], Long)],
+      literalMax: Int = RouteLiteralMaxValues): DataFrame = {
+    val dims = if (cents.isEmpty) 0 else cents.head._3.length
+    val values = cents.length.toLong * math.max(dims, 1)
+    val withBest =
+      if (values <= literalMax) {
+        val centArr = array(cents.map { case (cid, n, sv, ss) =>
+          struct(lit(cid).as("cid"), lit(n).as("n"),
+            array(sv.map(lit(_)): _*).as("sv"), lit(ss).as("ss"))
+        }: _*)
+        df.withColumn("best", bestCentroid(centArr))
+      } else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val centDf = Seq(cents.toSeq.map { case (cid, n, sv, ss) =>
+          CentroidRow(cid, n, sv, ss)
+        }).toDF("__cents")
+        df.crossJoin(broadcast(centDf))
+          .withColumn("best", bestCentroid(col("__cents")))
+          .drop("__cents")
+      }
+    withBest
       .withColumn("cid", col("best.cid"))
       .withColumn("d2num", col("best.d2num"))
       .drop("best")
@@ -211,7 +311,8 @@ object Similarity {
     * trained exact-rational centroids and the final assignment frame.
     */
   private def lloyd(prepared0: DataFrame, idCol: String, k: Int,
-      iters: Int): (Array[(Int, Long, Array[Long], Long)], DataFrame) = {
+      iters: Int, seeding: Seeding = SeedLowestIds)
+      : (Array[(Int, Long, Array[Long], Long)], DataFrame) = {
     // Lloyd re-reads the corpus 2·iters+1 times (seed collect, one
     // assign scan + one (cid,dim) aggregation per iteration): without
     // this persist every pass would replay the upstream scan +
@@ -247,12 +348,15 @@ object Similarity {
       }
     }
 
-    var cents: Array[(Int, Long, Array[Long], Long)] =
-      prepared.orderBy(col(idCol)).limit(k)
-        .select(col("qvec"), col("norm_sq")).collect()
-        .zipWithIndex.map { case (r, i) =>
-          (i, 1L, r.getSeq[Long](0).toArray, r.getLong(1))
-        }
+    var cents: Array[(Int, Long, Array[Long], Long)] = seeding match {
+      case SeedLowestIds =>
+        prepared.orderBy(col(idCol)).limit(k)
+          .select(col("qvec"), col("norm_sq")).collect()
+          .zipWithIndex.map { case (r, i) =>
+            (i, 1L, r.getSeq[Long](0).toArray, r.getLong(1))
+          }
+      case SeedFarthestPoint => farthestPointSeeds(prepared, idCol, k)
+    }
     for (_ <- 1 to iters) cents = update(assign(cents), cents)
     // training actions are done with the cache; free it now. The final
     // assignment rides on the UNPERSISTED lineage (one extra upstream

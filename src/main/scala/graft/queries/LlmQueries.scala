@@ -5360,7 +5360,37 @@ object LlmQueries {
           CAST(length(main) AS BIGINT) AS main_len,
           CAST(length(trim($oHtmlClean)) AS BIGINT) AS flat_len
         FROM m ORDER BY doc_id"""
-      }))
+      })),
+
+    // K-means with deterministic FARTHEST-POINT seeding — the l121
+    // training with the k-means++-shape seed rule (greedy max-min
+    // spread instead of the k lowest ids, RNG-free so every engine
+    // reproduces it; DedupSpec pins the inertia win on skew). Same
+    // exact-rational Lloyd rounds, same output shape as l121; the
+    // oracle unrolls the 8 seed selections (each an exact-BIGINT
+    // min-d² argmax, ties to the lowest vec_id) and then reuses the
+    // l121 round replay verbatim.
+    "l131_kmeans_farthest_seeds" -> Def(
+      (s, d) => {
+        val prep = Similarity.prepare(
+          t(s, d, "embeddings").withColumnRenamed("vec_id", "id"),
+          "embedding")
+        Similarity.kMeans(prep, "id", k = 8, iters = 3,
+            seeding = Similarity.SeedFarthestPoint)
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""WITH $kmChainFp
+        SELECT c.cid AS cluster_id,
+          COALESCE(m.n_members, 0) AS n_members,
+          c.n AS n_cent,
+          CAST(COALESCE(m.inertia_num, 0) AS BIGINT) AS inertia_num,
+          CAST(list_sum(list_transform(generate_series(1, 64),
+            j -> j * c.sv[j])) AS BIGINT) AS sv_checksum,
+          CAST(c.ss AS BIGINT) AS ss
+        FROM c3 c LEFT JOIN (
+          SELECT cid, COUNT(*) AS n_members, SUM(d2num) AS inertia_num
+          FROM a4 GROUP BY cid) m USING (cid)
+        ORDER BY cluster_id"""))
   )
 
   /** DuckDB replay of TextAnalysis.blockClean over an arbitrary SQL
@@ -5420,17 +5450,57 @@ object LlmQueries {
     * can never desynchronize a subset of the oracles from
     * [[graft.ops.Similarity.kMeans]].
     */
-  private def kmChain: String =
-    s"""$oQuant,
-        c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+  private def kmChain: String = kmChainFrom("",
+    """SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
               AS INTEGER) AS cid,
             CAST(1 AS BIGINT) AS n, q AS sv, norm_sq AS ss
           FROM qn WHERE vec_id IN
-            (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
-        ${kmAssign("a1", "c0")}, ${kmUpdate("s1", "a1", "c0", "c1")},
-        ${kmAssign("a2", "c1")}, ${kmUpdate("s2", "a2", "c1", "c2")},
-        ${kmAssign("a3", "c2")}, ${kmUpdate("s3", "a3", "c2", "c3")},
+            (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)""")
+
+  /** [[kmChain]] with a pluggable seed rule: `preCtes` (extra CTEs after
+    * qn, empty or ", name AS (...)") feed a `c0` body producing
+    * (cid, n, sv, ss) — the three Lloyd rounds and the final assignment
+    * are shared verbatim, so seed variants can never diverge from the
+    * trained-round replay.
+    */
+  private def kmChainFrom(preCtes: String, c0: String): String =
+    s"""$oQuant$preCtes,
+        c0 AS ($c0),
+        ${kmAssign("a1", "c0")}, ${kmUpdate("u1", "a1", "c0", "c1")},
+        ${kmAssign("a2", "c1")}, ${kmUpdate("u2", "a2", "c1", "c2")},
+        ${kmAssign("a3", "c2")}, ${kmUpdate("u3", "a3", "c2", "c3")},
         ${kmAssign("a4", "c3")}"""
+
+  /** DuckDB replay of Similarity.farthestPointSeeds, unrolled: fs1 = the
+    * min-(hash48, id) row; round j computes every row's exact min-d² to
+    * the chosen set (fm_j) and takes the max (fs_j), accumulating into
+    * fsd_j with cid = selection ordinal. Seeds have n = 1, so d² =
+    * norm_sq − 2·(q·sv) + ss is exact BIGINT end to end.
+    */
+  private def fpSeedChain(k: Int): String = {
+    val b = new StringBuilder
+    b ++= s"""fs1 AS (SELECT q AS sv, norm_sq AS ss FROM qn
+        ORDER BY ${oH48("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 1),
+      fsd1 AS (SELECT 0 AS cid, sv, ss FROM fs1)"""
+    for (j <- 2 to k) {
+      b ++= s""",
+      fm$j AS (SELECT v.vec_id,
+          MIN(v.norm_sq - 2 * ${oDot("v.q", "s.sv")} + s.ss) AS md
+        FROM qn v CROSS JOIN fsd${j - 1} s GROUP BY v.vec_id),
+      fs$j AS (SELECT qn.q AS sv, qn.norm_sq AS ss FROM qn
+        JOIN fm$j USING (vec_id)
+        ORDER BY fm$j.md DESC, qn.vec_id ASC LIMIT 1),
+      fsd$j AS (SELECT * FROM fsd${j - 1}
+        UNION ALL SELECT ${j - 1} AS cid, sv, ss FROM fs$j)"""
+    }
+    b.toString
+  }
+
+  /** The k=8 farthest-point-seeded k-means chain (l131). */
+  private def kmChainFp: String = kmChainFrom(
+    s""",
+      ${fpSeedChain(8)}""",
+    "SELECT cid, CAST(1 AS BIGINT) AS n, sv, ss FROM fsd8")
 
   /** DuckDB k-means assignment round: nearest exact-rational centroid
     * (n²|x|² − 2n(x·sv) + |sv|², one double ÷n², ties to lowest cid) —

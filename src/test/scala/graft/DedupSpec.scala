@@ -194,6 +194,42 @@ class DedupSpec extends SparkSpec {
       s"inertia(3 iters) > inertia(1 iter)")
   }
 
+  test("kMeans farthest-point seeding: lower inertia than lowest-id seeds " +
+      "on a skewed fixture, and deterministic across runs") {
+    // three tight, far-apart modes; the 10 LOWEST ids all sit in mode A,
+    // so lowest-id seeding drops all 3 seeds into one region and a short
+    // Lloyd run cannot recover — farthest-point picks one seed per mode
+    // by construction
+    val vecs = ((1L to 10L).map(i =>
+        (i, Array(1.0f + 0.001f * i, 0.0f, 0.0f, 0.0f))) ++
+      (11L to 15L).map(i =>
+        (i, Array(0.0f, 1.0f + 0.001f * i, 0.0f, 0.0f))) ++
+      (16L to 20L).map(i =>
+        (i, Array(0.0f, 0.0f, 1.0f + 0.001f * i, 0.0f))))
+      .toDF("id", "embedding")
+    val prep = Similarity.prepare(vecs, "embedding")
+    def inertia(seeding: Similarity.Seeding): Double =
+      Similarity.kMeans(prep, "id", k = 3, iters = 1, seeding)
+        .select($"inertia_num", $"n_cent")
+        .as[(Long, Long)].collect()
+        .map { case (in, nc) => in.toDouble / (nc.toDouble * nc) }.sum
+    val low = inertia(Similarity.SeedLowestIds)
+    val fp = inertia(Similarity.SeedFarthestPoint)
+    assert(fp < low / 10,
+      s"farthest-point must beat lowest-id seeds on skew: fp=$fp low=$low")
+    val r1 = Similarity.kMeans(prep, "id", k = 3, iters = 1,
+      Similarity.SeedFarthestPoint).orderBy($"cluster_id").collect().toList
+    val r2 = Similarity.kMeans(prep, "id", k = 3, iters = 1,
+      Similarity.SeedFarthestPoint).orderBy($"cluster_id").collect().toList
+    assert(r1 == r2, "farthest-point seeding is deterministic")
+    // with one seed per mode, every member sits near its own centroid:
+    // the three clusters hold exactly the three modes
+    val sizes = Similarity.kMeans(prep, "id", k = 3, iters = 1,
+        Similarity.SeedFarthestPoint)
+      .select($"n_members").as[Long].collect().sorted.toList
+    assert(sizes == List(5L, 5L, 10L), s"one cluster per mode: $sizes")
+  }
+
   test("kMeans: a cluster that loses every member keeps its previous " +
       "centroid and reports n_members = 0") {
     // identical corpus + identical seeds: every tie breaks to cid 0, so

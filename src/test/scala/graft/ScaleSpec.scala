@@ -723,6 +723,41 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"drift has no joins:\n${plan.take(1200)}")
   }
 
+  test("routeToCentroids past the literal ceiling: centroids ride a " +
+      "one-row broadcast relation, assignments identical to the literal " +
+      "path, plan size O(1)") {
+    import graft.ops.Similarity
+    // k=1024, dims=100 -> 102,400 centroid values: the k·dims >= 1e5
+    // regime where plan literals are a planner/codegen hazard
+    val k = 1024; val dims = 100
+    val cents = Array.tabulate(k) { c =>
+      (c, (c % 7 + 1).toLong,
+        Array.tabulate(dims)(j => ((c * 31 + j * 17) % 2000 - 1000).toLong),
+        0L)
+    }.map { case (c, n, sv, _) => (c, n, sv, sv.map(v => v * v).sum) }
+    val rows = (1L to 40L).map { i =>
+      (i, Array.tabulate(dims)(j => ((i * 13 + j * 7) % 2000 - 1000).toLong))
+    }.toDF("id", "qvec")
+      .withColumn("norm_sq", aggregate($"qvec", lit(0L),
+        (acc, v) => acc + v * v))
+    val big = Similarity.routeToCentroids(rows, cents)
+    val plan = big.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"big-k path must broadcast the centroid relation:\n${plan.take(800)}")
+    assert(plan.length < 200 * 1000,
+      s"plan must not carry ${k * dims} literals (got ${plan.length} chars)")
+    // bit-identical to the literal path (forced via the test-only knob)
+    val lit_ = Similarity.routeToCentroids(rows, cents,
+      literalMax = Int.MaxValue)
+    val a = big.select($"id", $"cid", $"d2num")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val b = lit_.select($"id", $"cid", $"d2num")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(a.sameElements(b), "broadcast-relation routing must equal the " +
+      "plan-literal routing bit-for-bit")
+    assert(a.map(_._2).distinct.length > 1, "sanity: multiple clusters hit")
+  }
+
   test("q28 generator stays narrow: no exchange before the explode") {
     val df = SparkEntry.all("q28_explode_tokens").fn(spark, sf0001)
     df.collect()
