@@ -5390,7 +5390,137 @@ object LlmQueries {
         FROM c3 c LEFT JOIN (
           SELECT cid, COUNT(*) AS n_members, SUM(d2num) AS inertia_num
           FROM a4 GROUP BY cid) m USING (cid)
-        ORDER BY cluster_id"""))
+        ORDER BY cluster_id""")),
+
+    // CCNet-shape n-gram LM coverage filter: train a bigram LM on the
+    // clean reference slice (doc_id % 5 = 0), cap the vocabulary to the
+    // top 500 by (count desc, gram) — the cap that bounds the broadcast
+    // at any reference size, and it BINDS here (41% OOV) — then score
+    // every document by the exact-integer log2-magnitude sum of its
+    // bigram counts and cut head/middle/tail at the frozen quantile
+    // thresholds (280/242 = this corpus's quartiles). The portable
+    // stand-in for KenLM perplexity: ln() differs in the last ulp
+    // across libms, length(bin(cnt+1)) is the same ordering in exact
+    // integers both engines agree on. Shape: narrow per-doc bigram
+    // flatten, broadcast LM join, one map-side-combinable re-agg.
+    "l132_lm_coverage_filter" -> Def(
+      (s, d) => {
+        import graft.ops.LangModel
+        val docs = t(s, d, "documents")
+        val lm = LangModel.bigramLm(
+          docs.filter(col("doc_id") % 5 === 0), "text", vocab = 500)
+        LangModel.coverageScore(docs, "doc_id", "text", lm)
+          .withColumn("bucket",
+            LangModel.coverageBucket(col("fluency_x100"), 280L, 242L))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents),
+        bg AS (SELECT doc_id, CASE WHEN len(t) >= 2
+            THEN list_transform(generate_series(1, len(t) - 1),
+              i -> t[i] || ' ' || t[i+1])
+            ELSE CAST([] AS VARCHAR[]) END AS grams FROM tk),
+        lm AS (SELECT gram, COUNT(*) AS cnt FROM
+            (SELECT unnest(grams) AS gram FROM bg WHERE doc_id % 5 = 0)
+          GROUP BY gram ORDER BY cnt DESC, gram LIMIT 500),
+        ex AS (SELECT doc_id, unnest(grams) AS gram FROM bg),
+        sc0 AS (SELECT e.doc_id, COUNT(e.gram) AS n_bigrams,
+            SUM(CASE WHEN l.cnt IS NULL THEN 1 ELSE 0 END) AS oov,
+            SUM(length(bin(COALESCE(l.cnt, 0) + 1))) AS fl
+          FROM ex e LEFT JOIN lm l USING (gram) GROUP BY e.doc_id),
+        sc AS (SELECT d.doc_id,
+            CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+            CAST(COALESCE(s.oov, 0) AS BIGINT) AS oov_bigrams,
+            CAST(COALESCE(s.fl, 0) AS BIGINT) AS fluency_num,
+            CAST(COALESCE(s.fl, 0) * 100
+              // GREATEST(COALESCE(s.n_bigrams, 0), 1) AS BIGINT)
+              AS fluency_x100
+          FROM documents d LEFT JOIN sc0 s USING (doc_id))
+        SELECT doc_id, n_bigrams, oov_bigrams, fluency_num, fluency_x100,
+          CASE WHEN fluency_x100 >= 280 THEN 'head'
+               WHEN fluency_x100 >= 242 THEN 'middle'
+               ELSE 'tail' END AS bucket
+        FROM sc ORDER BY doc_id""")),
+
+    // fastText/DCLM-shape hashed linear classifier, trained and applied
+    // IN-ENGINE: tokens hash into 64 feature slots, per-slot weights are
+    // the exact integer cross-difference c_pos*N_neg - c_neg*N_pos over
+    // the labeled slices (positive = doc_id % 3 = 0 here — the labels
+    // are the harness, the OPERATOR is the contract), inference is a
+    // zero-shuffle narrow fold over the 64 inlined weights. The oracle
+    // retrains the same weights relationally and scores by join —
+    // structurally different plan, bit-identical integers.
+    "l133_hashed_classifier" -> Def(
+      (s, d) => {
+        import graft.ops.LangModel
+        val docs = t(s, d, "documents")
+        val w = LangModel.trainHashedClassifier(docs, "text",
+          col("doc_id") % 3 === 0, buckets = 64)
+        LangModel.linearScore(docs, "doc_id", "text", w)
+          .select(col("doc_id"), col("score_num"),
+            (col("score_num") > 0L).as("pred"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id,
+            unnest(string_split(text, ' ')) AS tok FROM documents),
+        st AS (SELECT doc_id, (doc_id % 3 = 0) AS pos,
+            ${oH48("tok")} % 64 AS slot FROM tk),
+        cnts AS (SELECT slot,
+            CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+            CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+          FROM st GROUP BY slot),
+        tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS np,
+            CAST(SUM(cn) AS BIGINT) AS nn FROM cnts),
+        w AS (SELECT slot, cp * (SELECT nn FROM tot)
+            - cn * (SELECT np FROM tot) AS wv FROM cnts),
+        sc AS (SELECT s.doc_id, SUM(w.wv) AS score
+          FROM st s JOIN w USING (slot) GROUP BY s.doc_id)
+        SELECT doc_id, CAST(score AS BIGINT) AS score_num,
+          score > 0 AS pred
+        FROM sc ORDER BY doc_id""")),
+
+    // STREAMING URL admission: the l127/l128 front-door derivation
+    // (canonicalize -> host -> registrable domain) applied at INGESTION
+    // time over a file stream (three doc_id-range slices, one per
+    // micro-batch) — how a crawl pipeline keys URLs as pages arrive,
+    // before anything lands. Exactness: the chain is stateless-narrow
+    // regexp/HOF work plus stream-static BROADCAST joins (the suffix
+    // table), so the streamed result is bit-identical to the batch one
+    // — the oracle is literally the batch chain.
+    "l134_streaming_url_admission" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+        val work = graft.queries.TempDirs.workDir("graft_l134")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        Seq((0L, maxId / 3), (maxId / 3 + 1, 2 * maxId / 3),
+            (2 * maxId / 3 + 1, maxId)).zipWithIndex.foreach {
+          case ((lo, hi), i) =>
+            docs.filter(col("doc_id").between(lo, hi))
+              .coalesce(1).write.parquet(s"$work/in/s$i")
+            new java.io.File(s"$work/in/s$i").listFiles()
+              .foreach(f => { f.setLastModified(1700000000000L + i * 60000L); () })
+        }
+        val stream = s.readStream.schema("doc_id LONG, source STRING")
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
+        val canon = stream.withColumn("url", synthUrl)
+          .withColumn("url_canon", Curation.urlCanonicalize(col("url")))
+          .withColumn("host", Curation.urlHost(col("url_canon")))
+        val out = Curation.registrableDomain(canon, col("host"))
+          .select(col("doc_id"), col("url_canon"), col("domain"))
+        val q = out.writeStream.format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+        try { q.processAllAvailable() } finally q.stop()
+        s.read.parquet(s"$work/out").orderBy(col("doc_id"))
+      },
+      Some(s"""WITH u0 AS (SELECT doc_id, source, $oSynthUrl AS url
+          FROM documents),
+        ${oUrlCanon("u0", "cx")},
+        h0 AS (SELECT doc_id, url_canon, $oUrlHost AS host FROM cx4),
+        ${oDomain("h0", "dx")}
+        SELECT doc_id, url_canon, domain FROM dx4 ORDER BY doc_id"""))
   )
 
   /** DuckDB replay of TextAnalysis.blockClean over an arbitrary SQL
