@@ -854,6 +854,95 @@ object Curation {
       .agg(count(lit(1)).as("n_tokens"), sum(col("n_sub")).as("n_subwords"))
       .orderBy(col(idCol))
 
+  /** BPE ENCODE — apply a TRAINED merge table to the corpus and emit the
+    * per-document TOKEN-ID SEQUENCE: the actual tokenization pass a
+    * training-data pipeline runs between curation and sequence packing
+    * ([[bpeTrain]] learns the table, [[bpeSegmentCounts]] audits
+    * compression; this produces the ids a trainer consumes).
+    *
+    * Algorithm: the corpus' UNIQUE words are symbolized exactly as in
+    * training and every merge is applied in learned step order by the
+    * SAME leftmost-first fold ([[bpeMergeExpr]]) — so words unseen at
+    * training time still encode correctly (the fold applies whatever
+    * merges their characters admit, the defining property of BPE
+    * inference). Vocabulary ids are then assigned over the encoded
+    * corpus' realized symbol set, `(sym ASC)` row-number — a
+    * deterministic, engine-replayable contract (a production deployment
+    * instead freezes the TRAINING vocab and maps stray symbols to an
+    * `<unk>` id; the assignment rule is a constant of the published
+    * tokenizer either way, and swapping it touches only the `vocab`
+    * join below).
+    *
+    * Scale shape: ALL merge work happens on the unique-WORD table
+    * (vocabulary-sized — grows sublinearly in corpus bytes), as R
+    * chained narrow maps with a `localCheckpoint` every
+    * `checkpointEvery` steps bounding plan depth (the iterative-lineage
+    * pattern [[bpeTrain]] uses); the merge table itself is a ≤R-row
+    * driver collect (the published artifact — same documented class as
+    * the engine's other bounded driver decisions). The corpus is
+    * touched exactly twice: one posexplode + word-table join (broadcast
+    * candidate at any corpus size) and one per-document re-aggregation
+    * whose collect_list is array_sort'ed for a deterministic token
+    * order — so the whole encode costs one exchange more than a word
+    * count, independent of merge count.
+    *
+    * Returns (encoded: idCol, n_tokens, n_ids, ids — ids `array<long>`
+    * in document token order; vocab: sym, tid).
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      mergeTable: DataFrame, checkpointEvery: Int = 8)
+      : (DataFrame, DataFrame) = {
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Encoders
+    val merges = mergeTable
+      .select(col("step").cast("long"), col("m_left"), col("m_right"))
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    var words = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .distinct()
+      .withColumn("syms", expr(bpeSymExpr("word")))
+    merges.grouped(checkpointEvery).foreach { batch =>
+      var w = words
+      batch.foreach { case (ma, mb) =>
+        val mDf = spark.createDataset(Seq((ma, mb)))(
+          Encoders.tuple(Encoders.STRING, Encoders.STRING))
+          .toDF("m_left", "m_right")
+        w = w.crossJoin(broadcast(mDf))
+          .withColumn("syms", expr(bpeMergeExpr))
+          .drop("m_left", "m_right")
+      }
+      words = w.localCheckpoint(true)
+    }
+    // realized symbol set -> ids: the window is over the VOCAB (bounded
+    // by construction, like vocabCoverage's top-maxV), never the corpus
+    val vocab = words
+      .select(explode(split(col("syms"), " ")).as("sym"))
+      .distinct()
+      .withColumn("tid",
+        row_number().over(Window.orderBy(col("sym"))).cast("long"))
+    val wordIds = words
+      .select(col("word"),
+        posexplode(split(col("syms"), " ")).as(Seq("pos", "sym")))
+      .join(broadcast(vocab), "sym")
+      .groupBy(col("word"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("tid")))),
+        x => x.getField("tid")).as("wids"))
+    val encoded = df
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("tpos", "word")))
+      .join(wordIds, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("tpos"), col("wids")))),
+          x => x.getField("wids"))).as("ids"))
+      .withColumn("n_ids", size(col("ids")).cast("long"))
+    (encoded, vocab)
+  }
+
   /** Vocabulary coverage curve (tokenizer vocab sizing): for each candidate
     * vocab size V, how many corpus tokens the top-V most frequent token
     * types cover. Rank order is (count DESC, token ASC) — fully
@@ -1127,15 +1216,19 @@ object Curation {
     * reference's subject sanitize is the analogous key-normalization
     * step). Rules, in order:
     *
-    *  - scheme and host lowercased (RFC 3986 §6.2.2.1); path/query case
-    *    is PRESERVED (it is significant on most origins);
+    *  - scheme and host[:port] lowercased (RFC 3986 §6.2.2.1); a
+    *    userinfo (anything before the authority's last `@`) keeps its
+    *    case — credentials are case-sensitive; path/query case is
+    *    PRESERVED (it is significant on most origins);
     *  - one leading `www.` label stripped from the host;
     *  - the scheme's DEFAULT port stripped (`:80` for http, `:443` for
     *    https) — a non-default port is kept;
     *  - duplicate path slashes collapsed, the trailing slash stripped
     *    (except the root path), empty path → `/`;
-    *  - tracking query params dropped (`utm_*`, gclid, fbclid, msclkid,
-    *    ref, mc_cid, mc_eid), the survivors SORTED (byte order) so
+    *  - UNAMBIGUOUS tracking query params dropped (`utm_*`, gclid,
+    *    fbclid, msclkid, mc_cid, mc_eid); functional params survive —
+    *    notably `ref`, which many origins use as a real selector
+    *    (GitHub `?ref=branch`) — the survivors SORTED (byte order) so
     *    param-order variants collide, empty query dropped entirely;
     *  - the fragment dropped (never sent to the server).
     *
@@ -1149,12 +1242,19 @@ object Curation {
   def urlCanonicalize(url: Column): Column = {
     val u = trim(url)
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val auth0 = lower(regexp_extract(u,
-      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    val noWww = regexp_replace(auth0, "^www\\.", "")
-    val auth = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+    val authRaw = regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    // userinfo (up to the LAST '@' — RFC 3986 authority grammar) keeps
+    // its case: only the host is case-insensitive; lowercasing a
+    // credential-bearing userinfo would conflate distinct URLs
+    val userinfo = regexp_extract(authRaw, "^(.*)@", 1)
+    val hostPort = lower(regexp_replace(authRaw, "^.*@", ""))
+    val noWww = regexp_replace(hostPort, "^www\\.", "")
+    val hp = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
       .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
       .otherwise(noWww)
+    val auth = when(userinfo === "", hp)
+      .otherwise(concat(userinfo, lit("@"), hp))
     val path0 = regexp_extract(u,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val path1 = regexp_replace(path0, "/{2,}", "/")
@@ -1163,17 +1263,20 @@ object Curation {
     val q0 = regexp_extract(u, "^[^?#]*\\?([^#]*)", 1)
     val params = filter(split(q0, "&", -1), p =>
       p =!= "" && !p.rlike(
-        "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)(=|$)"))
+        "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid)(=|$)"))
     val q = array_join(array_sort(params), "&")
     when(scheme === "", u).otherwise(concat(scheme, lit("://"), auth, path,
       when(q === "", lit("")).otherwise(concat(lit("?"), q))))
   }
 
-  /** The host of a canonical URL (port excluded). Feed the OUTPUT of
-    * [[urlCanonicalize]] (already lowercased, www/default-port stripped).
+  /** The host of a canonical URL (userinfo and port excluded). Feed the
+    * OUTPUT of [[urlCanonicalize]] (already lowercased,
+    * www/default-port stripped; a case-preserved userinfo may remain —
+    * the optional group skips it).
     */
   def urlHost(canonUrl: Column): Column =
-    regexp_extract(canonUrl, "^[a-z][a-z0-9+.-]*://([^/?#:]*)", 1)
+    regexp_extract(canonUrl,
+      "^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?([^/?#:]*)", 1)
 
   /** A public-suffix-LITE table: enough of the real PSL's shape — one-,
     * two- and three-label suffixes, including private-registry entries
@@ -1215,7 +1318,10 @@ object Curation {
     val labels = split(hostCol, "\\.")
     val n = size(labels)
     val joined = (1 to maxL).foldLeft(df) { case (acc, l) =>
-      val ofLen = suffixes.filter(_.count(_ == '.') + 1 == l)
+      // distinct per depth: a duplicated caller-supplied suffix would
+      // make the left join match multiple identical rows and silently
+      // DUPLICATE corpus rows downstream (suffix lists are set-valued)
+      val ofLen = suffixes.filter(_.count(_ == '.') + 1 == l).distinct
       if (ofLen.isEmpty) acc
       else {
         val sfx = spark.createDataset(ofLen)(

@@ -106,20 +106,31 @@ object LangModel {
     pmod(hash48(token), lit(buckets.toLong))
 
   /** Train the hashed linear classifier: per-slot exact integer weight
-    * w_j = c_pos_j·N_neg − c_neg_j·N_pos over the labeled slices
-    * (`isPos` rows are the positive class, everything else negative),
-    * where c_*_j are per-slot token counts and N_* the class token
-    * totals — the cross-multiplied frequency difference, positive ⇔
-    * the slot is relatively MORE frequent in the positive class. One
-    * aggregation into ≤ `buckets` rows (map-side combinable), then a
-    * `buckets`-sized driver collect (bounded by construction, like the
-    * bloom-filter word list): the weights return as a plain array ready
-    * to inline into [[linearScore]]'s narrow fold.
+    * w_j = c_pos_j·(N_neg/g) − c_neg_j·(N_pos/g) over the labeled
+    * slices (`isPos` rows are the positive class, everything else
+    * negative), where c_*_j are per-slot token counts, N_* the class
+    * token totals and g = gcd(N_pos, N_neg) — the cross-multiplied
+    * frequency difference divided by its common factor: same sign, same
+    * ordering, positive ⇔ the slot is relatively MORE frequent in the
+    * positive class. The gcd normalization plus an explicit magnitude
+    * guard make the arithmetic provably exact at corpus scale: every
+    * |w_j| ≤ N_pos·N_neg/g is required ≤ 2^43, so [[linearScore]]'s
+    * per-document sum stays inside a Long for documents up to 2^20
+    * tokens (Spark would WRAP on overflow where DuckDB raises — the
+    * silent-desync class this closes; re-bucket the labels or pre-chunk
+    * pathological documents if the require fires). One aggregation into
+    * ≤ `buckets` rows (map-side combinable), then a `buckets`-sized
+    * driver collect (bounded by construction, like the bloom-filter
+    * word list): the weights return as a plain array ready for
+    * [[linearScore]]'s narrow fold.
     */
-  def trainHashedClassifier(labeled: DataFrame, textCol: String,
-      isPos: Column, buckets: Int): Array[Long] = {
-    require(buckets > 0 && buckets <= 65536,
-      s"buckets must be in (0, 65536], got $buckets")
+  /** Per-slot (count_pos, count_neg) over the labeled slices plus class
+    * token totals — the shared training aggregation: one map-side
+    * combinable groupBy into ≤ `buckets` rows, then a bounded driver
+    * collect (the weights are the published artifact). */
+  private def slotCounts(labeled: DataFrame, textCol: String,
+      isPos: Column, buckets: Int)
+      : (Array[(Long, Long, Long)], Long, Long) = {
     val slots = labeled
       .select(isPos.as("pos"), explode(toks(col(textCol))).as("tk"))
       .select(col("pos"), featureSlot(col("tk"), buckets).as("slot"))
@@ -128,30 +139,124 @@ object LangModel {
         sum(when(col("pos"), 0L).otherwise(1L)).as("cn"))
     val rows = slots.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val nPos = rows.map(_._2).sum
-    val nNeg = rows.map(_._3).sum
+    (rows, rows.map(_._2).sum, rows.map(_._3).sum)
+  }
+
+  def trainHashedClassifier(labeled: DataFrame, textCol: String,
+      isPos: Column, buckets: Int): Array[Long] = {
+    require(buckets > 0 && buckets <= 65536,
+      s"buckets must be in (0, 65536], got $buckets")
+    val (rows, nPos, nNeg) = slotCounts(labeled, textCol, isPos, buckets)
+    @annotation.tailrec def gcd(a: Long, b: Long): Long =
+      if (b == 0L) a else gcd(b, a % b)
+    val g = math.max(gcd(nPos, nNeg), 1L)
+    val np = nPos / g
+    val nn = nNeg / g
+    // |w_j| ≤ max(cp·nn, cn·np) ≤ N_pos·N_neg/g = np·N_neg; the check
+    // itself is overflow-safe (division form)
+    require(np == 0L || nNeg <= (1L << 43) / np,
+      s"class token totals too large for exact Long scoring: " +
+        s"N_pos·N_neg/gcd = ${np}·$nNeg exceeds 2^43")
     val w = Array.fill(buckets)(0L)
     rows.foreach { case (slot, cp, cn) =>
-      w(slot.toInt) = cp * nNeg - cn * nPos
+      w(slot.toInt) = cp * nn - cn * np
     }
     w
   }
 
+  /** RATE-DIFFERENCE weights for multi-class routing: w_j =
+    * (c_pos_j·scale) div N_pos − (c_neg_j·scale) div N_neg — each
+    * class's slot frequency in fixed-point parts-per-`scale`. The
+    * binary classifier's cross-difference weights carry a per-class
+    * magnitude (N_pos·N_neg/gcd), fine for a SIGN decision but
+    * incomparable ACROSS one-vs-rest models; rate weights put every
+    * model on the same ppm scale so [[routeArgmax]]'s argmax is
+    * meaningful — still exact integer arithmetic, engine-replayable
+    * (non-negative operands, so Spark floor-div and DuckDB trunc-div
+    * agree). |w_j| ≤ scale bounds every score by doc_len·scale — no
+    * overflow for documents to 2^43/scale tokens. The c·scale products
+    * are guarded: at extreme class sizes (N·scale > Long.Max) sample
+    * the training slice or lower `scale`.
+    */
+  def trainRateWeights(labeled: DataFrame, textCol: String, isPos: Column,
+      buckets: Int, scale: Long = 1000000L): Array[Long] = {
+    require(buckets > 0 && buckets <= 65536,
+      s"buckets must be in (0, 65536], got $buckets")
+    require(scale > 0 && scale <= 1000000000L,
+      s"scale must be in (0, 1e9], got $scale")
+    val (rows, nPos, nNeg) = slotCounts(labeled, textCol, isPos, buckets)
+    require(nPos <= Long.MaxValue / scale && nNeg <= Long.MaxValue / scale,
+      s"class token totals ($nPos/$nNeg) overflow at scale=$scale — " +
+        "sample the training slice or lower the scale")
+    val w = Array.fill(buckets)(0L)
+    rows.foreach { case (slot, cp, cn) =>
+      val p = if (nPos > 0) cp * scale / nPos else 0L
+      val q = if (nNeg > 0) cn * scale / nNeg else 0L
+      w(slot.toInt) = p - q
+    }
+    w
+  }
+
+  /** Multi-class routing by argmax over one-vs-rest models (the learned
+    * language-ID shape — fastText's flagship use): each model's score is
+    * [[linearScore]]'s narrow fold (literal or broadcast transport by
+    * slot count), the winner is the FIRST listed class among the
+    * maxima — the same deterministic first-max-wins contract as the
+    * marker-based `TextAnalysis.langId`, computed via one array_max
+    * over (score, reversed-index) structs so no score expression is
+    * duplicated. Train the models with [[trainRateWeights]] (common
+    * scale); zero shuffles beyond the input's own.
+    *
+    * Adds `out` (the winning class label) and `<out>_score`.
+    */
+  def routeArgmax(docs: DataFrame, idCol: String, textCol: String,
+      models: Seq[(String, Array[Long])], out: String = "lang_pred"): DataFrame = {
+    require(models.nonEmpty, "at least one model")
+    val n = models.size
+    val scored = models.zipWithIndex.foldLeft(docs) {
+      case (acc, ((_, w), i)) => linearScore(acc, idCol, textCol, w, s"__s$i")
+    }
+    val entries = models.indices.map(i =>
+      struct(col(s"__s$i").as("s"), lit(n - 1 - i).as("ri")))
+    val best = array_max(array(entries: _*))
+    val codes = lit(models.map(_._1).toArray)
+    scored
+      .withColumn(out, element_at(codes, lit(n) - best.getField("ri")))
+      .withColumn(s"${out}_score", best.getField("s"))
+      .drop(models.indices.map(i => s"__s$i"): _*)
+  }
+
   /** Score documents with trained weights: score_num = Σ w[slot(token)]
-    * over the doc's tokens — a NARROW fold with the weight array inlined
-    * as literals (buckets ≤ 64k values by the train guard; the same
-    * plan-size ceiling discipline as routeToCentroids), zero shuffles,
-    * decision = score_num > 0. The magnitude is comparable across docs
-    * of similar length; callers wanting a length-normalized margin
-    * divide by token count exactly as [[coverageScore]] does.
+    * over the doc's tokens — a NARROW fold, zero shuffles, decision =
+    * score_num > 0. Weight transport picks itself by slot count exactly
+    * like `Similarity.routeToCentroids` (override `literalMax` only in
+    * tests): at ≤ [[Similarity.RouteLiteralMaxValues]] slots the array
+    * inlines as plan literals; above it the weights ride a ONE-ROW
+    * broadcast relation crossJoined in (BroadcastNestedLoopJoin of a
+    * single row — row count unchanged, no exchange, O(1) plan size) and
+    * the SAME fold reads the array column — identical scores on either
+    * path (ScaleSpec pins equality and the big-bucket engagement). The
+    * magnitude is comparable across docs of similar length; callers
+    * wanting a length-normalized margin divide by token count exactly
+    * as [[coverageScore]] does.
     */
   def linearScore(docs: DataFrame, idCol: String, textCol: String,
-      weights: Array[Long], out: String = "score_num"): DataFrame = {
-    val warr = array(weights.map(lit(_)): _*)
-    val score = aggregate(toks(col(textCol)), lit(0L),
-      (acc, tk) => acc +
-        element_at(warr, (pmod(hash48(tk), lit(weights.length.toLong)) + 1)
-          .cast("int")))
-    docs.withColumn(out, score)
+      weights: Array[Long], out: String = "score_num",
+      literalMax: Int = Similarity.RouteLiteralMaxValues): DataFrame = {
+    def score(warr: Column): Column =
+      aggregate(toks(col(textCol)), lit(0L),
+        (acc, tk) => acc +
+          element_at(warr, (pmod(hash48(tk), lit(weights.length.toLong)) + 1)
+            .cast("int")))
+    if (weights.length <= literalMax)
+      docs.withColumn(out, score(array(weights.map(lit(_)): _*)))
+    else {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val wDf = Seq(weights.toSeq).toDF("__w")
+      docs.crossJoin(broadcast(wDf))
+        .withColumn(out, score(col("__w")))
+        .drop("__w")
+    }
   }
 }

@@ -221,7 +221,9 @@ object TextAnalysis {
     * shred its shape): emails first (user parts contain dots/digits),
     * UUIDs before the digit rules (hex segments contain digit runs),
     * grouped credit-card digits before phones (a 4-4-4-4 group's tail
-    * would otherwise match the 3-3-4 phone shape), separator-tolerant
+    * would otherwise match the 3-3-4 phone shape; covers 4-4-4-4 with
+    * per-gap independent separators — mixed "1234-5678 9012-3456"
+    * included — and Amex's 4-6-5 grouping), separator-tolerant
     * phones, IPv4 before the bare digit-run rule (dots split octets),
     * and long contiguous digit runs last (account numbers, unformatted
     * cards/phones). Patterns are the RE2-compatible Java-regex subset
@@ -233,7 +235,7 @@ object TextAnalysis {
     ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("\\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
       "[0-9a-fA-F]{12}\\b", "<UUID>"),
-    ("\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b", "<CC>"),
+    ("\\b\\d{4}[- ](\\d{6}[- ]\\d{5}|\\d{4}[- ]\\d{4}[- ]\\d{4})\\b", "<CC>"),
     ("(\\+\\d{1,2}[ .-]?)?(\\(\\d{3}\\)[ .-]?|\\d{3}[ .-])\\d{3}[ .-]\\d{4}\\b",
       "<PHONE>"),
     ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),

@@ -197,22 +197,27 @@ object LlmQueries {
     ${p}1 AS (SELECT *, trim(url) AS u FROM $inRel),
     ${p}2 AS (SELECT *,
         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth0,
+        regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS araw,
         regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
         regexp_extract(u, '^[^?#]*\\?([^#]*)', 1) AS q0
       FROM ${p}1),
+    ${p}2u AS (SELECT *,
+        regexp_extract(araw, '^(.*)@', 1) AS uinfo,
+        lower(regexp_replace(araw, '^.*@', '')) AS hport
+      FROM ${p}2),
     ${p}3 AS (SELECT *,
-        CASE WHEN scheme = 'http' THEN
-               regexp_replace(regexp_replace(auth0, '^www\\.', ''), ':80$$', '')
+        (CASE WHEN uinfo = '' THEN '' ELSE uinfo || '@' END) ||
+        (CASE WHEN scheme = 'http' THEN
+               regexp_replace(regexp_replace(hport, '^www\\.', ''), ':80$$', '')
              WHEN scheme = 'https' THEN
-               regexp_replace(regexp_replace(auth0, '^www\\.', ''), ':443$$', '')
-             ELSE regexp_replace(auth0, '^www\\.', '') END AS auth,
+               regexp_replace(regexp_replace(hport, '^www\\.', ''), ':443$$', '')
+             ELSE regexp_replace(hport, '^www\\.', '') END) AS auth,
         regexp_replace(path0, '/{2,}', '/', 'g') AS path1,
         COALESCE(array_to_string(list_sort(list_filter(string_split(q0, '&'),
           pq -> pq <> '' AND NOT regexp_matches(pq,
-            '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)(=|$$)'))),
+            '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid)(=|$$)'))),
           '&'), '') AS q
-      FROM ${p}2),
+      FROM ${p}2u),
     ${p}4 AS (SELECT *,
         CASE WHEN scheme = '' THEN u
              ELSE scheme || '://' || auth ||
@@ -223,7 +228,8 @@ object LlmQueries {
 
   /** DuckDB replay of Curation.urlHost over a canonical URL. */
   private val oUrlHost =
-    "regexp_extract(url_canon, '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1)"
+    "regexp_extract(url_canon, " +
+      "'^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?([^/?#:]*)', 1)"
 
   /** DuckDB replay of Curation.registrableDomain over `inRel` (must carry
     * `host`): the IN lists are Curation.DefaultPublicSuffixes partitioned
@@ -282,6 +288,28 @@ object LlmQueries {
     }
     (w0 +: stages).mkString(",\n")
   }
+
+  /** DuckDB replay of Curation.bpeEncode on top of [[oBpeStages]](k)'s
+    * final word table `w$k`: realized-symbol vocab (sym ASC row-number),
+    * per-word id lists in symbol order, per-document flatten in token
+    * order. Exposes `dd(doc_id, n_tokens, ids)`.
+    */
+  private def oBpeEncode(k: Int): String = s"""
+    vb AS (SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY sym) AS BIGINT)
+        AS tid
+      FROM (SELECT DISTINCT unnest(string_split(syms, ' ')) AS sym
+        FROM w$k)),
+    wp AS (SELECT word, i, l[i] AS sym
+      FROM (SELECT word, string_split(syms, ' ') AS l FROM w$k),
+        UNNEST(generate_series(1, len(l))) AS g(i)),
+    wid AS (SELECT word, list(tid ORDER BY i) AS wids
+      FROM wp JOIN vb USING (sym) GROUP BY word),
+    dtk AS (SELECT doc_id, i, t[i] AS word
+      FROM (SELECT doc_id, $oToks AS t FROM documents),
+        UNNEST(generate_series(1, len(t))) AS g(i)),
+    dd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        flatten(list(wids ORDER BY i)) AS ids
+      FROM dtk JOIN wid USING (word) GROUP BY doc_id)"""
 
   /** DuckDB bigram-LM per-doc aggregate CTE chain (Curation.bigramLmScore):
     * corpus conditional counts floor-scaled by 1e6, summed per document.
@@ -2140,7 +2168,8 @@ object LlmQueries {
     // rule of TextAnalysis.redactionRules fires on every row: email,
     // UUID (hex segments must become <UUID>, never shredded into <NUM>),
     // grouped card digits (<CC> — fires BEFORE the phone rule can take
-    // its 3-3-4 tail), separator-tolerant phones in all three shapes
+    // its 3-3-4 tail; 4-4-4-4 with mixed separators and Amex 4-6-5
+    // both covered), separator-tolerant phones in all three shapes
     // (555-123-4567 / (555) 123-4567 / +1 555 987 6543), IPv4, and the
     // contiguous digit run. The oracle chain is BUILT from the same
     // rule Seq, so the two sides cannot desynchronize.
@@ -2152,7 +2181,8 @@ object LlmQueries {
             lit("@example.com or 12345678901, call 555-123-4567, " +
               "(555) 123-4567 or +1 555 987 6543; host 10.0."),
             (col("doc_id") % 256).cast("string"),
-            lit(".17, card 4111-1111-1111-1111, session " +
+            lit(".17, card 4111-1111-1111-1111, mixed 5500-0000 0000-0004, " +
+              "amex 3782 822463 10005, session " +
               "123e4567-e89b-12d3-a456-426614174000 done"))).as("clean_text"))
         .orderBy(col("doc_id")),
       Some(s"""SELECT doc_id,
@@ -2160,7 +2190,8 @@ object LlmQueries {
             '@example.com or 12345678901, call 555-123-4567, ' ||
             '(555) 123-4567 or +1 555 987 6543; host 10.0.' ||
             CAST(doc_id % 256 AS VARCHAR) ||
-            '.17, card 4111-1111-1111-1111, session ' ||
+            '.17, card 4111-1111-1111-1111, mixed 5500-0000 0000-0004, ' ||
+            'amex 3782 822463 10005, session ' ||
             '123e4567-e89b-12d3-a456-426614174000 done'""")} AS clean_text
         FROM documents ORDER BY doc_id""")),
 
@@ -4809,6 +4840,63 @@ object LlmQueries {
         FROM tk JOIN w6 USING (word)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // BPE ENCODE (r13) — the trained merge table APPLIED: per document
+    // the real token-id sequence (ids over the realized-symbol vocab,
+    // sym-ASC assignment — the deterministic contract), the pass a
+    // pipeline runs between curation and packing. All merge work rides
+    // the unique-WORD table; the corpus is touched twice (word join +
+    // per-doc ordered re-aggregation). The oracle replays training AND
+    // encoding relationally (list_reduce fold, row-number vocab,
+    // ordered flatten) — the id sequences are gated bit-for-bit as
+    // strings.
+    "l135_bpe_encode" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val (mt, _) = Curation.bpeTrain(docs, "text", merges = 6)
+        val (enc, _) = Curation.bpeEncode(docs, "doc_id", "text", mt)
+        enc.select(col("doc_id"), col("n_tokens"), col("n_ids"),
+            array_join(col("ids"), " ").as("ids_str"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${oBpeStages(6)},
+        ${oBpeEncode(6)}
+        SELECT doc_id, n_tokens, CAST(len(ids) AS BIGINT) AS n_ids,
+          COALESCE(array_to_string(ids, ' '), '') AS ids_str
+        FROM dd ORDER BY doc_id""")),
+
+    // TOKENIZE -> PACK end-to-end (r13): sequence packing driven by the
+    // REAL BPE id counts (l23 packs on whitespace counts; this is the
+    // actual pre-training layout pass — concat-then-chunk over encoded
+    // lengths). One window prefix-sum over the deterministic doc order
+    // on top of the encode chain; integer-exact everywhere (cum_start
+    // stays < 2^53 at any plausible corpus, and n_ids >= 1 keeps the
+    // span formula's numerator non-negative so Spark floor-div and
+    // DuckDB trunc-div agree).
+    "l136_bpe_pack" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val (mt, _) = Curation.bpeTrain(docs, "text", merges = 6)
+        val (enc, _) = Curation.bpeEncode(docs, "doc_id", "text", mt)
+        Curation.packSequences(enc, col("doc_id"), col("n_ids"), seqLen = 128)
+          .select(col("doc_id"), col("token_count"), col("cum_start"),
+            col("seq_id"), col("seq_offset"), col("n_spans"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${oBpeStages(6)},
+        ${oBpeEncode(6)},
+        cs AS (SELECT doc_id, CAST(len(ids) AS BIGINT) AS token_count,
+            CAST(COALESCE(SUM(CAST(len(ids) AS BIGINT)) OVER (
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_start
+          FROM dd)
+        SELECT doc_id, token_count, cum_start,
+          cum_start // 128 AS seq_id,
+          cum_start % 128 AS seq_offset,
+          (cum_start + token_count - 1) // 128 - cum_start // 128 + 1
+            AS n_spans
+        FROM cs ORDER BY doc_id""")),
+
     // Vocabulary coverage curve (tokenizer vocab sizing): corpus tokens
     // covered by the top-V token types for candidate vocab sizes V. Rank
     // is (count DESC, token ASC) — deterministic ties, integer-exact
@@ -5444,7 +5532,8 @@ object LlmQueries {
 
     // fastText/DCLM-shape hashed linear classifier, trained and applied
     // IN-ENGINE: tokens hash into 64 feature slots, per-slot weights are
-    // the exact integer cross-difference c_pos*N_neg - c_neg*N_pos over
+    // the exact integer gcd-normalized cross-difference
+    // c_pos*(N_neg/g) - c_neg*(N_pos/g) over
     // the labeled slices (positive = doc_id % 3 = 0 here — the labels
     // are the harness, the OPERATOR is the contract), inference is a
     // zero-shuffle narrow fold over the 64 inlined weights. The oracle
@@ -5469,15 +5558,89 @@ object LlmQueries {
             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
             CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
           FROM st GROUP BY slot),
-        tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS np,
-            CAST(SUM(cn) AS BIGINT) AS nn FROM cnts),
-        w AS (SELECT slot, cp * (SELECT nn FROM tot)
-            - cn * (SELECT np FROM tot) AS wv FROM cnts),
+        tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS np0,
+            CAST(SUM(cn) AS BIGINT) AS nn0 FROM cnts),
+        tg AS (SELECT np0 // GREATEST(gcd(np0, nn0), 1) AS np,
+            nn0 // GREATEST(gcd(np0, nn0), 1) AS nn FROM tot),
+        w AS (SELECT slot, cp * (SELECT nn FROM tg)
+            - cn * (SELECT np FROM tg) AS wv FROM cnts),
         sc AS (SELECT s.doc_id, SUM(w.wv) AS score
           FROM st s JOIN w USING (slot) GROUP BY s.doc_id)
         SELECT doc_id, CAST(score AS BIGINT) AS score_num,
           score > 0 AS pred
         FROM sc ORDER BY doc_id""")),
+
+    // LEARNED language ID (r13) — l133's hashed features composed into a
+    // multi-class router, fastText's flagship use: per-language
+    // one-vs-rest RATE-difference weights (fixed-point ppm — a COMMON
+    // scale across classes, unlike the binary cross-difference whose
+    // N_pos·N_neg magnitude differs per class) trained on the
+    // marker-labeled slices, routed by first-max-wins argmax. The output
+    // is the learned-vs-rule agreement audit every curation pass wants:
+    // marker label, learned label, winner score, agree flag. All
+    // integer arithmetic (non-negative division operands, so floor==
+    // trunc) — the oracle retrains all five models relationally.
+    "l137_learned_langid" -> Def(
+      (s, d) => {
+        import graft.ops.LangModel
+        val docs = t(s, d, "documents")
+        val labeled = docs.withColumn("lang_marker", TA.langId(col("text")))
+        val models = TA.langMarkers.map { case (code, _) =>
+          code -> LangModel.trainRateWeights(labeled, "text",
+            col("lang_marker") === code, buckets = 64)
+        }
+        LangModel.routeArgmax(labeled, "doc_id", "text", models,
+            out = "lang_learned")
+          .select(col("doc_id"), col("lang_marker"), col("lang_learned"),
+            col("lang_learned_score"),
+            (col("lang_marker") === col("lang_learned")).as("agree"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val codes = TA.langMarkers.map(_._1)
+        val mExprs = TA.langMarkers.map { case (c, ms) =>
+          c -> s"len(list_filter($oToks, tk -> tk IN (${
+            ms.map(m => s"'$m'").mkString(",")})))"
+        }
+        val allM = mExprs.map(e => s"m_${e._1}").mkString(", ")
+        val firstMaxM = mExprs.map { case (c, _) =>
+          s"WHEN m_$c >= GREATEST($allM) THEN '$c'"
+        }.mkString(" ")
+        val allS = codes.map(c => s"s_$c").mkString(", ")
+        val learnedCase = "CASE " + codes.map(c =>
+          s"WHEN s_$c >= GREATEST($allS) THEN '$c'").mkString(" ") + " END"
+        s"""WITH m0 AS (SELECT doc_id,
+            ${mExprs.map { case (c, e) => s"$e AS m_$c" }.mkString(", ")}
+          FROM documents),
+        lab AS (SELECT doc_id, CASE WHEN GREATEST($allM) = 0 THEN 'und'
+            $firstMaxM END AS lang_marker FROM m0),
+        tk AS (SELECT doc_id, unnest($oToks) AS tok FROM documents),
+        st AS (SELECT t.doc_id, lab.lang_marker AS lang,
+            ${oH48("tok")} % 64 AS slot
+          FROM tk t JOIN lab USING (doc_id)),
+        cnts AS (SELECT slot, CAST(COUNT(*) AS BIGINT) AS ct,
+            ${codes.map(c => s"CAST(SUM(CASE WHEN lang = '$c' THEN 1 " +
+              s"ELSE 0 END) AS BIGINT) AS cp_$c").mkString(", ")}
+          FROM st GROUP BY slot),
+        tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nall,
+            ${codes.map(c =>
+              s"CAST(SUM(cp_$c) AS BIGINT) AS np_$c").mkString(", ")}
+          FROM cnts),
+        w AS (SELECT slot, ${codes.map(c =>
+            s"""(CASE WHEN t.np_$c = 0 THEN 0
+              ELSE (cp_$c * 1000000) // t.np_$c END)
+            - (CASE WHEN t.nall - t.np_$c = 0 THEN 0
+              ELSE ((ct - cp_$c) * 1000000) // (t.nall - t.np_$c) END)
+            AS w_$c""").mkString(", ")}
+          FROM cnts, tot t),
+        sc AS (SELECT s.doc_id, ${codes.map(c =>
+            s"CAST(SUM(w.w_$c) AS BIGINT) AS s_$c").mkString(", ")}
+          FROM st s JOIN w USING (slot) GROUP BY s.doc_id)
+        SELECT doc_id, lang_marker, $learnedCase AS lang_learned,
+          GREATEST($allS) AS lang_learned_score,
+          (lang_marker = $learnedCase) AS agree
+        FROM sc JOIN lab USING (doc_id) ORDER BY doc_id"""
+      }),
 
     // STREAMING URL admission: the l127/l128 front-door derivation
     // (canonicalize -> host -> registrable domain) applied at INGESTION

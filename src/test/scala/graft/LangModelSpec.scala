@@ -74,6 +74,57 @@ class LangModelSpec extends SparkSpec {
       s"linearScore must be a narrow map stage:\n${plan.take(600)}")
   }
 
+  test("rate weights: hand-computed ppm values, common scale across " +
+      "classes") {
+    // pos class: 4 tokens (a a b c), neg class: 2 tokens (a d)
+    val docs = Seq((1L, "a a b c"), (2L, "a d")).toDF("doc_id", "text")
+    val w = LangModel.trainRateWeights(docs, "text", $"doc_id" === 1L,
+      buckets = 4096)
+    val slotOf = (tk: String) => Seq(tk).toDF("t")
+      .select(graft.ops.TextAnalysis.hash48($"t") % 4096).as[Long]
+      .head().toInt
+    // w(a) = 2e6/4 - 1e6/2 = 500000 - 500000 = 0 (equal rates cancel)
+    assert(w(slotOf("a")) == 0L, "equal RATES cancel even with unequal " +
+      "counts — the cross-class comparability property")
+    // w(b) = 1e6/4 - 0 = 250000; w(d) = 0 - 1e6/2 = -500000
+    assert(w(slotOf("b")) == 250000L)
+    assert(w(slotOf("d")) == -500000L)
+  }
+
+  test("argmax router catches a marker-method miss: no marker tokens " +
+      "(rule says 'und') but learned vocabulary routes correctly") {
+    import graft.ops.TextAnalysis
+    val de = (1L to 20L).map(i =>
+      (i, s"der hund und die katze ist nicht da nummer$i"))
+    val en = (21L to 40L).map(i =>
+      (i, s"the dog and a cat is not here number$i"))
+    val docs = (de ++ en).toDF("doc_id", "text")
+    val labeled = docs.withColumn("m", TextAnalysis.langId($"text"))
+    // sanity: the markers DO label the training slices
+    assert(labeled.filter($"m" === "de").count() == 20L)
+    assert(labeled.filter($"m" === "en").count() == 20L)
+    val models = Seq("de", "en").map(c =>
+      c -> LangModel.trainRateWeights(labeled, "text", $"m" === c,
+        buckets = 4096))
+    // marker-free German: every token is de-corpus vocabulary but none
+    // is a function-word marker -> the rule method returns 'und'
+    val probe = Seq((100L, "hund katze da nummer5")).toDF("doc_id", "text")
+    assert(probe.select(TextAnalysis.langId($"text")).as[String].head()
+      == "und", "precondition: the marker method misses this doc")
+    val routed = LangModel.routeArgmax(probe, "doc_id", "text", models,
+      out = "pred")
+    assert(routed.select($"pred").as[String].head() == "de",
+      "the learned router recognizes the non-marker vocabulary")
+    assert(routed.select($"pred_score").as[Long].head() > 0L)
+    // and the markered docs stay marker-consistent under the router
+    val full = LangModel.routeArgmax(docs, "doc_id", "text", models,
+      out = "pred")
+    val agree = full.withColumn("m", TextAnalysis.langId($"text"))
+      .filter($"pred" === $"m").count()
+    assert(agree == 40L, "learned router agrees with the marker rule " +
+      "on every markered training doc")
+  }
+
   test("classifier weights are exact integers: balanced slot weights " +
       "cancel, class-skewed slots carry the sign") {
     // one shared token (both classes, balanced), one pos-only token

@@ -758,6 +758,35 @@ class ScaleSpec extends SparkSpec {
     assert(a.map(_._2).distinct.length > 1, "sanity: multiple clusters hit")
   }
 
+  test("linearScore past the literal ceiling: weights ride a one-row " +
+      "broadcast relation, scores identical to the literal path, plan " +
+      "size O(1)") {
+    import graft.ops.LangModel
+    // buckets=65,536 — the trainer's own maximum, 8x past
+    // RouteLiteralMaxValues: the regime where 64k plan literals are a
+    // planner/codegen hazard
+    val buckets = 65536
+    val w = Array.tabulate(buckets)(j => ((j * 2654435761L) % 4001L) - 2000L)
+    val docs = (1L to 40L).map(i =>
+      (i, s"alpha beta gamma delta tok$i word${i % 7}"))
+      .toDF("doc_id", "text")
+    val big = LangModel.linearScore(docs, "doc_id", "text", w)
+    val plan = big.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"big-bucket path must broadcast the weight relation:\n${plan.take(800)}")
+    assert(plan.length < 200 * 1000,
+      s"plan must not carry $buckets literals (got ${plan.length} chars)")
+    val lit_ = LangModel.linearScore(docs, "doc_id", "text", w,
+      literalMax = Int.MaxValue)
+    val a = big.select($"doc_id", $"score_num")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = lit_.select($"doc_id", $"score_num")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.sameElements(b), "broadcast-relation scoring must equal the " +
+      "plan-literal scoring bit-for-bit")
+    assert(a.map(_._2).distinct.length > 1, "sanity: scores vary")
+  }
+
   test("q28 generator stays narrow: no exchange before the explode") {
     val df = SparkEntry.all("q28_explode_tokens").fn(spark, sf0001)
     df.collect()

@@ -100,6 +100,11 @@ class TextAnalysisSpec extends SparkSpec {
     assert(red("pay 4111-1111-1111-1111 thx") == "pay <CC> thx",
       "grouped card is <CC>, not a <PHONE> tail")
     assert(red("pay 4111 1111 1111 1111 thx") == "pay <CC> thx")
+    assert(red("pay 5500-0000 0000-0004 thx") == "pay <CC> thx",
+      "per-gap separators are independent — mixed '-'/' ' still one card")
+    assert(red("amex 3782 822463 10005 ok") == "amex <CC> ok",
+      "Amex 4-6-5 grouping is a card, not a phone/<NUM> shred")
+    assert(red("amex 3782-822463-10005 ok") == "amex <CC> ok")
   }
 
   test("redact rule order: UUID hex never shreds to <NUM>; every shape " +
