@@ -1026,6 +1026,144 @@ object Similarity {
     * MAINTAINED table too. Compact with [[compactIvfPqIndex]] (the same
     * size-tiered, manifest-crash-safe, fingerprint-guarded machinery).
     */
+  // ------------------------------------------ maintained k-means
+
+  /** Land one micro-batch's centroid DELTAS — the batch's vectors routed
+    * against the FROZEN `base` centroids, reduced to exact per-cid
+    * (count, per-dimension sum) integers — into `table`, partition
+    * `ingest_batch = batchId`, via the same idempotent
+    * drop-partition+append protocol every maintained index uses
+    * ([[DedupIndex.landBatch]]): a restart-replayed batch id lands
+    * exactly once. Routing against the frozen base (never the drifted
+    * version) is the EXACTNESS key: summed deltas are then
+    * order-independent, so the fold over any batch decomposition of the
+    * data equals ONE batch Lloyd iteration from `base` bit-for-bit.
+    * private[graft] so specs can drive the replay path directly.
+    */
+  private[graft] def landCentroidDeltas(s: SparkSession,
+      outer: SparkSession, prepared: DataFrame,
+      base: Array[(Int, Long, Array[Long], Long)], table: String,
+      batchId: Long): Unit = {
+    val deltas = routeToCentroids(prepared, base)
+      .select(col("cid"), posexplode(col("qvec")).as(Seq("j", "qj")))
+      .groupBy(col("cid"), col("j"))
+      .agg(sum(col("qj")).as("sj"), count(lit(1)).as("cnt"))
+      .groupBy(col("cid"))
+      .agg(max(col("cnt")).as("dn"),
+        transform(array_sort(collect_list(struct(col("j"), col("sj")))),
+          x => x.getField("sj")).as("dsv"))
+      .withColumn("ingest_batch", lit(batchId))
+    DedupIndex.landBatch(s, outer, deltas, table, batchId,
+      bucketed = false, buckets = 1)
+  }
+
+  /** MAINTAINED k-means — mini-batch centroid updates over a stream (the
+    * missing half of [[routeToCentroids]]'s frozen-quantizer story: real
+    * ingest drifts, so the quantizer must follow). Per micro-batch the
+    * arrivals are routed against the frozen `base` and their exact
+    * (n, Σ)-deltas land as a centroid VERSION increment
+    * ([[landCentroidDeltas]]); [[centroidsAt]] folds any prefix of the
+    * landed batches into that version's centroids and
+    * [[centroidDrift]] reports the per-cid shift each batch caused.
+    *
+    * Scale shape: the corpus-sized work (route + per-(cid,dim)
+    * aggregation, map-side combinable) happens once per batch inside
+    * the stream; everything downstream — versions, drift — reads only
+    * the delta table, which is k·dims rows PER BATCH regardless of
+    * corpus size.
+    */
+  def startCentroidMaintenance(spark: SparkSession, vecs: DataFrame,
+      idCol: String, vecCol: String,
+      base: Array[(Int, Long, Array[Long], Long)],
+      table: String, checkpointPath: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val prep = prepare(batch.toDF()
+          .withColumnRenamed(idCol, "id"), vecCol)
+        landCentroidDeltas(s, spark, prep, base, table, batchId)
+      }.start()
+
+  /** The centroid VERSION after folding every landed delta batch with
+    * id ≤ `upTo` (None = all): per cid, n = Σ counts, sv = elementwise
+    * Σ sums, ss recomputed from the folded sv; a cid no streamed vector
+    * has reached keeps its `base` centroid — exactly Lloyd's
+    * empty-cluster rule, so the all-batches version IS
+    * `update(assign(data, base), base)`: one batch Lloyd iteration,
+    * bit-for-bit (the l138 gate pins this against the relational
+    * replay). The collect is k-row bounded — the returned array is the
+    * next epoch's frozen quantizer.
+    */
+  def centroidsAt(spark: SparkSession, table: String,
+      base: Array[(Int, Long, Array[Long], Long)],
+      upTo: Option[Long] = None): Array[(Int, Long, Array[Long], Long)] = {
+    if (!spark.catalog.tableExists(table)) return base
+    val d0 = spark.table(table)
+    val d = upTo.map(b => d0.filter(col("ingest_batch") <= b)).getOrElse(d0)
+    val folded = d
+      .select(col("cid"), col("dn"), posexplode(col("dsv")).as(Seq("j", "dsj")))
+      .groupBy(col("cid"), col("j"))
+      .agg(sum(col("dsj")).as("sj"), sum(col("dn")).as("cn"))
+      .groupBy(col("cid"))
+      .agg(max(col("cn")).as("n"),
+        transform(array_sort(collect_list(struct(col("j"), col("sj")))),
+          x => x.getField("sj")).as("sv"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getSeq[Long](2).toArray)))
+      .toMap
+    base.map { case (cid, n0, sv0, ss0) =>
+      folded.get(cid).map { case (n, sv) =>
+        (cid, n, sv, sv.map(v => v * v).sum)
+      }.getOrElse((cid, n0, sv0, ss0))
+    }
+  }
+
+  /** Per-(batch, cid) DRIFT report — how far each landed batch moved
+    * each centroid: between consecutive versions v_prev = (n_p, sv_p)
+    * and v_cur = (n_c, sv_c) (positions sv/n), the exact integer L1
+    * shift numerator Σ_j |sv_c_j·n_p − sv_p_j·n_c| over the common
+    * denominator `denom` = n_p·n_c (also returned; consumers divide
+    * once, or rank by the pair — within one cid the ranking is exact).
+    * A cid's first landed batch shifts relative to its `base` centroid.
+    * Reads ONLY the delta table (k·dims rows per batch): cumulative
+    * window sums per (cid, dim), one lag, one re-aggregation — corpus
+    * size never appears. Products are exact while Σ|q| per centroid ×
+    * member count stays under 2^63 (quantized 1e4-scale unit vectors:
+    * safe past 10⁷ members per cid per maintained epoch; beyond that,
+    * re-freeze the base more often — the report is per-epoch by
+    * construction).
+    */
+  def centroidDrift(spark: SparkSession, table: String,
+      base: Array[(Int, Long, Array[Long], Long)]): DataFrame = {
+    import spark.implicits._
+    val baseE = base.toSeq.flatMap { case (cid, n0, sv0, _) =>
+      sv0.zipWithIndex.map { case (v, j) => (cid, j, n0, v) }
+    }.toDF("cid", "j", "n0", "sv0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid"), col("j")).orderBy(col("ingest_batch"))
+    spark.table(table)
+      .select(col("ingest_batch"), col("cid"), col("dn"),
+        posexplode(col("dsv")).as(Seq("j", "dsj")))
+      .withColumn("csj", sum(col("dsj")).over(w))
+      .withColumn("cn", sum(col("dn")).over(w))
+      .withColumn("sjp", lag(col("csj"), 1).over(w))
+      .withColumn("cnp", lag(col("cn"), 1).over(w))
+      .join(broadcast(baseE), Seq("cid", "j"))
+      .withColumn("sj_prev", coalesce(col("sjp"), col("sv0")))
+      .withColumn("n_prev", coalesce(col("cnp"), col("n0")))
+      .groupBy(col("ingest_batch"), col("cid"))
+      .agg(max(col("n_prev")).as("n_prev"), max(col("cn")).as("n_cur"),
+        sum(abs(col("csj") * col("n_prev") - col("sj_prev") * col("cn")))
+          .as("shift_l1_num"))
+      .withColumn("denom", col("n_prev") * col("n_cur"))
+  }
+
   def startIvfPqMaintenance(spark: SparkSession, vecs: DataFrame,
       idCol: String, vecCol: String, name: String, checkpointPath: String,
       buckets: Int = 8,

@@ -5134,19 +5134,7 @@ object LlmQueries {
         val prep = Similarity.prepare(
           emb.withColumnRenamed("vec_id", "id"), "embedding")
         val cents = Similarity.kMeansCentroids(prep, "id", k = 8, iters = 3)
-        // stage the corpus as three vec_id-range slices with increasing
-        // mtimes; maxFilesPerTrigger=1 streams them in order
-        val work = graft.queries.TempDirs.workDir("graft_l124")
-        val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
-        Seq((0L, maxId / 3), (maxId / 3 + 1, 2 * maxId / 3),
-            (2 * maxId / 3 + 1, maxId)).zipWithIndex.foreach {
-          case ((lo, hi), i) =>
-            emb.filter(col("vec_id").between(lo, hi))
-              .select(col("vec_id"), col("embedding"))
-              .coalesce(1).write.parquet(s"$work/in/s$i")
-            new java.io.File(s"$work/in/s$i").listFiles()
-              .foreach(f => { f.setLastModified(1700000000000L + i * 60000L); () })
-        }
+        val work = stageEmbSlices(s, d, "graft_l124")
         val stream = s.readStream
           .schema("vec_id LONG, embedding ARRAY<FLOAT>")
           .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
@@ -5642,6 +5630,102 @@ object LlmQueries {
         FROM sc JOIN lab USING (doc_id) ORDER BY doc_id"""
       }),
 
+    // MAINTAINED k-means (r13): the frozen l124 quantizer UPDATED over a
+    // stream — per micro-batch the arrivals route against the frozen
+    // base and land exact (n, Σ)-deltas as centroid versions via the
+    // idempotent partition protocol. Exactness: routing against the
+    // frozen base makes the deltas order-independent, so the fold over
+    // the three streamed slices equals one MORE batch Lloyd iteration
+    // bit-for-bit — the oracle simply extends the l17/l124 replay chain
+    // by a fourth update round (c4).
+    "l138_maintained_centroids" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val emb = t(s, d, "embeddings")
+        val prep = Similarity.prepare(
+          emb.withColumnRenamed("vec_id", "id"), "embedding")
+        val base = Similarity.kMeansCentroids(prep, "id", k = 8, iters = 3)
+        val work = stageEmbSlices(s, d, "graft_l138")
+        val tbl = freshTable(s, "graft_l138_cents")
+        val stream = s.readStream
+          .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
+        val q = Similarity.startCentroidMaintenance(s, stream, "vec_id",
+          "embedding", base, tbl, s"$work/ckpt",
+          Trigger.ProcessingTime("50 milliseconds"))
+        try { q.processAllAvailable() } finally q.stop()
+        val cents = Similarity.centroidsAt(s, tbl, base)
+        import s.implicits._
+        cents.toSeq.map { case (cid, n, sv, ss) =>
+          (cid, n, sv.zipWithIndex.map { case (v, j) => (j + 1L) * v }.sum,
+            ss)
+        }.toDF("cluster_id", "n", "sv_checksum", "ss")
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""WITH $kmChain, ${kmUpdate("u4", "a4", "c3", "c4")}
+        SELECT cid AS cluster_id, CAST(n AS BIGINT) AS n,
+          CAST(list_sum(list_transform(generate_series(1, 64),
+            j -> j * sv[j])) AS BIGINT) AS sv_checksum,
+          CAST(ss AS BIGINT) AS ss
+        FROM c4 ORDER BY cluster_id""")),
+
+    // Centroid DRIFT report (r13): per (landed batch, cid), the exact
+    // integer L1 shift between consecutive centroid versions —
+    // Σ_j |sv_cur_j·n_prev − sv_prev_j·n_cur| over denom n_prev·n_cur,
+    // a cid's first batch shifting relative to the frozen base. The
+    // report reads ONLY the k·dims-per-batch delta table (corpus size
+    // never appears); the oracle recomputes the per-slice cumulative
+    // versions relationally from the same assignment chain.
+    "l139_centroid_drift" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val emb = t(s, d, "embeddings")
+        val prep = Similarity.prepare(
+          emb.withColumnRenamed("vec_id", "id"), "embedding")
+        val base = Similarity.kMeansCentroids(prep, "id", k = 8, iters = 3)
+        val work = stageEmbSlices(s, d, "graft_l139")
+        val tbl = freshTable(s, "graft_l139_cents")
+        val stream = s.readStream
+          .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
+        val q = Similarity.startCentroidMaintenance(s, stream, "vec_id",
+          "embedding", base, tbl, s"$work/ckpt",
+          Trigger.ProcessingTime("50 milliseconds"))
+        try { q.processAllAvailable() } finally q.stop()
+        Similarity.centroidDrift(s, tbl, base)
+          .select(col("ingest_batch"), col("cid"), col("n_prev"),
+            col("n_cur"), col("shift_l1_num"), col("denom"))
+          .orderBy(col("ingest_batch"), col("cid"))
+      },
+      Some(s"""WITH $kmChain,
+        mx AS (SELECT MAX(vec_id) AS m FROM embeddings),
+        sl AS (SELECT vec_id, CASE WHEN vec_id <= m // 3 THEN 0
+            WHEN vec_id <= (2 * m) // 3 THEN 1 ELSE 2 END AS b
+          FROM embeddings CROSS JOIN mx),
+        ad AS (SELECT sl.b, a.cid, a.q FROM a4 a JOIN sl USING (vec_id)),
+        dx AS (SELECT b, cid, i AS j, SUM(q[i]) AS dsj, COUNT(*) AS dn
+          FROM ad CROSS JOIN generate_series(1, 64) g(i)
+          GROUP BY b, cid, i),
+        cm AS (SELECT b, cid, j, SUM(dsj) OVER w AS csj,
+            SUM(dn) OVER w AS cn
+          FROM dx WINDOW w AS (PARTITION BY cid, j ORDER BY b)),
+        lg AS (SELECT b, cid, j, csj, cn, LAG(csj) OVER w AS sjp,
+            LAG(cn) OVER w AS cnp
+          FROM cm WINDOW w AS (PARTITION BY cid, j ORDER BY b)),
+        ce AS (SELECT cid, i AS j, n AS n0, sv[i] AS sv0
+          FROM c3 CROSS JOIN generate_series(1, 64) g(i)),
+        dr AS (SELECT l.b, l.cid,
+            COALESCE(l.cnp, ce.n0) AS n_prev, l.cn AS n_cur,
+            ABS(l.csj * COALESCE(l.cnp, ce.n0)
+              - COALESCE(l.sjp, ce.sv0) * l.cn) AS t
+          FROM lg l JOIN ce ON l.cid = ce.cid AND l.j = ce.j)
+        SELECT CAST(b AS BIGINT) AS ingest_batch, cid,
+          CAST(MAX(n_prev) AS BIGINT) AS n_prev,
+          CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+          CAST(SUM(t) AS BIGINT) AS shift_l1_num,
+          CAST(MAX(n_prev) * MAX(n_cur) AS BIGINT) AS denom
+        FROM dr GROUP BY b, cid ORDER BY ingest_batch, cid""")),
+
     // STREAMING URL admission: the l127/l128 front-door derivation
     // (canonicalize -> host -> registrable domain) applied at INGESTION
     // time over a file stream (three doc_id-range slices, one per
@@ -5787,6 +5871,44 @@ object LlmQueries {
         UNION ALL SELECT ${j - 1} AS cid, sv, ss FROM fs$j)"""
     }
     b.toString
+  }
+
+  /** Drop a managed table AND its leftover warehouse directory: a fresh
+    * JVM's in-memory catalog forgets the table but the location
+    * survives, and a later saveAsTable would fail with
+    * LOCATION_ALREADY_EXISTS (the l138 lesson — every cross-run
+    * maintained-table gate needs this, not just DROP IF EXISTS).
+    */
+  private def freshTable(s: SparkSession, name: String): String = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = new java.io.File(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    if (wh.exists) rm(wh)
+    name
+  }
+
+  /** Stage the embeddings as three vec_id-range slices with strictly
+    * increasing mtimes, for one-file-per-trigger ordered stream
+    * admission (the l124/l138/l139 harness). Returns the work dir.
+    */
+  private def stageEmbSlices(s: SparkSession, d: String,
+      tag: String): String = {
+    val emb = t(s, d, "embeddings")
+    val work = graft.queries.TempDirs.workDir(tag)
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    Seq((0L, maxId / 3), (maxId / 3 + 1, 2 * maxId / 3),
+        (2 * maxId / 3 + 1, maxId)).zipWithIndex.foreach {
+      case ((lo, hi), i) =>
+        emb.filter(col("vec_id").between(lo, hi))
+          .select(col("vec_id"), col("embedding"))
+          .coalesce(1).write.parquet(s"$work/in/s$i")
+        new java.io.File(s"$work/in/s$i").listFiles()
+          .foreach(f => { f.setLastModified(1700000000000L + i * 60000L); () })
+    }
+    work.toString
   }
 
   /** The k=8 farthest-point-seeded k-means chain (l131). */

@@ -758,6 +758,65 @@ class ScaleSpec extends SparkSpec {
     assert(a.map(_._2).distinct.length > 1, "sanity: multiple clusters hit")
   }
 
+  test("maintained k-means: streamed delta fold ≡ one batch Lloyd " +
+      "iteration bit-for-bit; batch-id replay lands once; drift reports " +
+      "every touched (batch, cid)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx = spark.sqlContext
+    import spark.implicits._
+    val tbl = "graft_maint_cents"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val raw = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val prep = Similarity.prepare(
+      raw.withColumnRenamed("vec_id", "id"), "embedding")
+    val base = Similarity.kMeansCentroids(prep, "id", k = 8, iters = 3)
+    try {
+      val rows = raw.select($"vec_id", $"embedding")
+        .as[(Long, Array[Float])].collect().toSeq
+      val input = MemoryStream[(Long, Array[Float])]
+      val work = graft.queries.TempDirs.workDir("graft_maint_cents")
+      val q = Similarity.startCentroidMaintenance(spark,
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        base, tbl, s"$work/ck")
+      try {
+        rows.grouped(math.max(1, (rows.size + 1) / 2)).foreach { slice =>
+          input.addData(slice); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamed = Similarity.centroidsAt(spark, tbl, base)
+      // all data streamed from the iters=3 base == training one MORE
+      // batch iteration (route against frozen base is the exactness key)
+      val batch4 = Similarity.kMeansCentroids(prep, "id", k = 8, iters = 4)
+      assert(streamed.map { case (c, n, sv, ss) => (c, n, sv.toSeq, ss) }
+          .toSeq == batch4.map { case (c, n, sv, ss) =>
+          (c, n, sv.toSeq, ss) }.toSeq,
+        "streamed mini-batch fold must equal the batch Lloyd iteration")
+      // restart replay: re-land batch 0 with identical content — the
+      // idempotent partition protocol must leave every version unchanged
+      val slice0 = rows.take(math.max(1, (rows.size + 1) / 2))
+      val replay = Similarity.prepare(
+        slice0.toDF("vec_id", "embedding").withColumnRenamed("vec_id", "id"),
+        "embedding")
+      Similarity.landCentroidDeltas(spark, spark, replay, base, tbl, 0L)
+      val afterReplay = Similarity.centroidsAt(spark, tbl, base)
+      assert(afterReplay.map { case (c, n, sv, ss) =>
+          (c, n, sv.toSeq, ss) }.toSeq ==
+        streamed.map { case (c, n, sv, ss) => (c, n, sv.toSeq, ss) }.toSeq,
+        "replaying a landed batch id must not change any version")
+      // drift: every (batch, cid) touched by a batch has exactly one
+      // report row; versions moved (non-negative exact numerators)
+      val drift = Similarity.centroidDrift(spark, tbl, base)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(4)))
+      assert(drift.map(d => (d._1, d._2)).distinct.length == drift.length)
+      assert(drift.forall(_._3 >= 0L))
+      assert(drift.exists(_._3 > 0L), "some centroid must actually move")
+      // prefix version: upTo batch 0 only folds batch 0's deltas
+      val v0 = Similarity.centroidsAt(spark, tbl, base, upTo = Some(0L))
+      assert(v0.map(_._2).sum < streamed.map(_._2).sum,
+        "the prefix version carries only the first batch's mass")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("linearScore past the literal ceiling: weights ride a one-row " +
       "broadcast relation, scores identical to the literal path, plan " +
       "size O(1)") {
