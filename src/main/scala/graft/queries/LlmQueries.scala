@@ -5669,6 +5669,47 @@ object LlmQueries {
           CAST(ss AS BIGINT) AS ss
         FROM c4 ORDER BY cluster_id""")),
 
+    // Maintained-quantizer EPOCH LIFECYCLE (r13): fold epoch 1's
+    // streamed version, REFREEZE it as epoch 2's base, stream the
+    // corpus again — the epoch-2 fold must equal batch Lloyd ITERS+2,
+    // proving the maintained path composes: every refreeze is exactly
+    // one more batch iteration, so the streamed quantizer converges on
+    // the same trajectory the offline trainer walks (oracle: the replay
+    // chain extended to c5).
+    "l140_maintained_epoch2" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val emb = t(s, d, "embeddings")
+        val prep = Similarity.prepare(
+          emb.withColumnRenamed("vec_id", "id"), "embedding")
+        var base = Similarity.kMeansCentroids(prep, "id", k = 8, iters = 3)
+        val work = stageEmbSlices(s, d, "graft_l140")
+        (1 to 2).foreach { epoch =>
+          val tbl = freshTable(s, s"graft_l140_cents_e$epoch")
+          val stream = s.readStream
+            .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
+          val q = Similarity.startCentroidMaintenance(s, stream, "vec_id",
+            "embedding", base, tbl, s"$work/ckpt_e$epoch",
+            Trigger.ProcessingTime("50 milliseconds"))
+          try { q.processAllAvailable() } finally q.stop()
+          base = Similarity.centroidsAt(s, tbl, base) // the refreeze
+        }
+        import s.implicits._
+        base.toSeq.map { case (cid, n, sv, ss) =>
+          (cid, n, sv.zipWithIndex.map { case (v, j) => (j + 1L) * v }.sum,
+            ss)
+        }.toDF("cluster_id", "n", "sv_checksum", "ss")
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""WITH $kmChain, ${kmUpdate("u4", "a4", "c3", "c4")},
+        ${kmAssign("a5", "c4")}, ${kmUpdate("u5", "a5", "c4", "c5")}
+        SELECT cid AS cluster_id, CAST(n AS BIGINT) AS n,
+          CAST(list_sum(list_transform(generate_series(1, 64),
+            j -> j * sv[j])) AS BIGINT) AS sv_checksum,
+          CAST(ss AS BIGINT) AS ss
+        FROM c5 ORDER BY cluster_id""")),
+
     // Centroid DRIFT report (r13): per (landed batch, cid), the exact
     // integer L1 shift between consecutive centroid versions —
     // Σ_j |sv_cur_j·n_prev − sv_prev_j·n_cur| over denom n_prev·n_cur,
