@@ -33,6 +33,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "l100_seed_quality_rank", // same truncation in personalizedPageRank
       "l104_bpe_segment", // joins bpeTrain's per-iteration-checkpointed
                           // word table (vocabulary-sized, executor-held)
+      "l135_bpe_encode",  // same: bpeEncode folds merges over the
+                          // checkpointed unique-word table
+      "l136_bpe_pack",    // packSequences on top of the l135 chain
       "l113_pps_global")  // ppsSampleGlobal's eager localCheckpoint pins
                           // the range-exchange cuts so both prefix-sum
                           // phases see one layout (executor-held, never
