@@ -867,11 +867,11 @@ object Curation {
     * merges their characters admit, the defining property of BPE
     * inference). Vocabulary ids are then assigned over the encoded
     * corpus' realized symbol set, `(sym ASC)` row-number — a
-    * deterministic, engine-replayable contract (a production deployment
-    * instead freezes the TRAINING vocab and maps stray symbols to an
-    * `<unk>` id; the assignment rule is a constant of the published
-    * tokenizer either way, and swapping it touches only the `vocab`
-    * join below).
+    * deterministic, engine-replayable contract — or, when
+    * `frozenVocab` is given (the deployed-tokenizer path, see
+    * [[bpeVocab]]), looked up in the TRAINING-time vocab with stray
+    * symbols mapping to [[UnkId]]: tokenize-at-ingest encodes every
+    * batch under the same id space the trainer published.
     *
     * Scale shape: ALL merge work happens on the unique-WORD table
     * (vocabulary-sized — grows sublinearly in corpus bytes), as R
@@ -890,8 +890,8 @@ object Curation {
     * in document token order; vocab: sym, tid).
     */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
-      mergeTable: DataFrame, checkpointEvery: Int = 8)
-      : (DataFrame, DataFrame) = {
+      mergeTable: DataFrame, checkpointEvery: Int = 8,
+      frozenVocab: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     require(checkpointEvery > 0, "checkpointEvery must be positive")
     val spark = df.sparkSession
     import org.apache.spark.sql.Encoders
@@ -915,17 +915,21 @@ object Curation {
       }
       words = w.localCheckpoint(true)
     }
-    // realized symbol set -> ids: the window is over the VOCAB (bounded
-    // by construction, like vocabCoverage's top-maxV), never the corpus
-    val vocab = words
+    // ids come from the FROZEN vocab when given (the deployed-tokenizer
+    // contract: symbols outside it map to UnkId — see [[bpeVocab]]);
+    // otherwise from the realized symbol set (the window is over the
+    // VOCAB, bounded by construction like vocabCoverage's top-maxV,
+    // never the corpus)
+    val vocab = frozenVocab.getOrElse(words
       .select(explode(split(col("syms"), " ")).as("sym"))
       .distinct()
       .withColumn("tid",
-        row_number().over(Window.orderBy(col("sym"))).cast("long"))
+        row_number().over(Window.orderBy(col("sym"))).cast("long")))
     val wordIds = words
       .select(col("word"),
         posexplode(split(col("syms"), " ")).as(Seq("pos", "sym")))
-      .join(broadcast(vocab), "sym")
+      .join(broadcast(vocab), Seq("sym"), "left")
+      .withColumn("tid", coalesce(col("tid"), lit(UnkId)))
       .groupBy(col("word"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("tid")))),
@@ -941,6 +945,33 @@ object Curation {
           x => x.getField("wids"))).as("ids"))
       .withColumn("n_ids", size(col("ids")).cast("long"))
     (encoded, vocab)
+  }
+
+  /** The out-of-vocabulary token id under a FROZEN vocab (ids are
+    * 1-based row numbers, so 0 is free by construction). */
+  val UnkId: Long = 0L
+
+  /** Freeze the tokenizer's PUBLISHED vocab from the training corpus:
+    * the realized symbol set of the trained word table ([[bpeTrain]]'s
+    * second return) with sym-ASC row-number ids — exactly what
+    * [[bpeEncode]] derives when unconstrained, materialized as a
+    * LocalRelation (vocabulary-sized collect: broadcastable,
+    * lineage-free, the artifact a deployment ships next to the merge
+    * table). Feed it back as `frozenVocab` to encode LATER arrivals —
+    * batch or streaming — under the training-time id space, strays
+    * mapping to [[UnkId]].
+    */
+  def bpeVocab(trainedWords: DataFrame): DataFrame = {
+    val spark = trainedWords.sparkSession
+    val rows = trainedWords
+      .select(explode(split(col("syms"), " ")).as("sym"))
+      .distinct()
+      .withColumn("tid",
+        row_number().over(Window.orderBy(col("sym"))).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    spark.createDataset(rows)(org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong)).toDF("sym", "tid")
   }
 
   /** Vocabulary coverage curve (tokenizer vocab sizing): for each candidate

@@ -197,6 +197,50 @@ object LangModel {
     w
   }
 
+  /** ALL one-vs-rest rate-weight models in ONE corpus scan: the
+    * per-(slot, label) token counts aggregate once (map-side
+    * combinable, ≤ buckets·|labels| rows — labels are a bounded
+    * vocabulary, same driver-decision class as the weights themselves)
+    * and each class's [[trainRateWeights]] arithmetic replays from the
+    * collected counts — bit-identical weights (LangModelSpec pins
+    * equality), k× fewer corpus scans than k separate trainings: the
+    * shape that matters when the labeled slice is 100 TB wide.
+    */
+  def trainRateWeightsMulti(labeled: DataFrame, textCol: String,
+      labelCol: Column, classes: Seq[String], buckets: Int,
+      scale: Long = 1000000L): Seq[(String, Array[Long])] = {
+    require(classes.nonEmpty && classes.distinct == classes,
+      "classes must be non-empty and distinct")
+    require(buckets > 0 && buckets <= 65536,
+      s"buckets must be in (0, 65536], got $buckets")
+    require(scale > 0 && scale <= 1000000000L,
+      s"scale must be in (0, 1e9], got $scale")
+    val rows = labeled
+      .select(labelCol.as("lbl"), explode(toks(col(textCol))).as("tk"))
+      .select(col("lbl"), featureSlot(col("tk"), buckets).as("slot"))
+      .groupBy(col("slot"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getString(1), r.getLong(2)))
+    val total = rows.map(_._3).sum
+    val totalBySlot = Array.fill(buckets)(0L)
+    rows.foreach { case (slot, _, c) => totalBySlot(slot) += c }
+    classes.map { cls =>
+      val cp = Array.fill(buckets)(0L)
+      rows.foreach { case (slot, lbl, c) => if (lbl == cls) cp(slot) += c }
+      val nPos = cp.sum
+      val nNeg = total - nPos
+      require(nPos <= Long.MaxValue / scale && nNeg <= Long.MaxValue / scale,
+        s"class token totals ($nPos/$nNeg) overflow at scale=$scale")
+      val w = Array.tabulate(buckets) { j =>
+        val p = if (nPos > 0) cp(j) * scale / nPos else 0L
+        val q = if (nNeg > 0) (totalBySlot(j) - cp(j)) * scale / nNeg else 0L
+        p - q
+      }
+      cls -> w
+    }
+  }
+
   /** Multi-class routing by argmax over one-vs-rest models (the learned
     * language-ID shape — fastText's flagship use): each model's score is
     * [[linearScore]]'s narrow fold (literal or broadcast transport by

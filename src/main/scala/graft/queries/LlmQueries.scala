@@ -4864,6 +4864,67 @@ object LlmQueries {
           COALESCE(array_to_string(ids, ' '), '') AS ids_str
         FROM dd ORDER BY doc_id""")),
 
+    // TOKENIZE AT INGEST (r13): the deployed-tokenizer shape — train
+    // once, freeze the PUBLISHED artifacts (merge table + vocab, with
+    // strays mapping to the reserved unk id 0), then encode a STREAM of
+    // arriving documents per micro-batch under the frozen id space.
+    // Exactness: encoding is stateless per document and the frozen
+    // vocab covers the training corpus, so the streamed ids equal the
+    // batch encode bit-for-bit — the oracle is l135's chain verbatim.
+    // The artifacts cross into each batch's session as re-created
+    // LocalRelations from pre-collected rows (vocabulary-sized — the
+    // same bounded-driver-artifact class as the quantizer seeds).
+    "l141_streaming_tokenize" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import org.apache.spark.sql.Encoders
+        val docs = t(s, d, "documents")
+        val (mt, words) = Curation.bpeTrain(docs, "text", merges = 6)
+        val mergeRows = mt.select(col("step"), col("m_left"),
+            col("m_right")).orderBy(col("step")).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+        val vocabRows = Curation.bpeVocab(words)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val work = graft.queries.TempDirs.workDir("graft_l141")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        Seq((0L, maxId / 3), (maxId / 3 + 1, 2 * maxId / 3),
+            (2 * maxId / 3 + 1, maxId)).zipWithIndex.foreach {
+          case ((lo, hi), i) =>
+            docs.filter(col("doc_id").between(lo, hi))
+              .select(col("doc_id"), col("text"))
+              .coalesce(1).write.parquet(s"$work/in/s$i")
+            new java.io.File(s"$work/in/s$i").listFiles()
+              .foreach(f => { f.setLastModified(1700000000000L + i * 60000L); () })
+        }
+        val stream = s.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
+        val q = stream.writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(Trigger.ProcessingTime("50 milliseconds"))
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             batchId: Long) =>
+              val s2 = batch.sparkSession
+              val mtDf = s2.createDataset(mergeRows)(Encoders.tuple(
+                  Encoders.scalaLong, Encoders.STRING, Encoders.STRING))
+                .toDF("step", "m_left", "m_right")
+              val vbDf = s2.createDataset(vocabRows)(Encoders.tuple(
+                  Encoders.STRING, Encoders.scalaLong)).toDF("sym", "tid")
+              val (enc, _) = Curation.bpeEncode(batch.toDF(), "doc_id",
+                "text", mtDf, frozenVocab = Some(vbDf))
+              enc.select(col("doc_id"), col("n_tokens"), col("n_ids"),
+                  array_join(col("ids"), " ").as("ids_str"))
+                .write.mode("append").parquet(s"$work/out")
+          }.start()
+        try { q.processAllAvailable() } finally q.stop()
+        s.read.parquet(s"$work/out").orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${oBpeStages(6)},
+        ${oBpeEncode(6)}
+        SELECT doc_id, n_tokens, CAST(len(ids) AS BIGINT) AS n_ids,
+          COALESCE(array_to_string(ids, ' '), '') AS ids_str
+        FROM dd ORDER BY doc_id""")),
+
     // TOKENIZE -> PACK end-to-end (r13): sequence packing driven by the
     // REAL BPE id counts (l23 packs on whitespace counts; this is the
     // actual pre-training layout pass — concat-then-chunk over encoded
@@ -5573,10 +5634,10 @@ object LlmQueries {
         import graft.ops.LangModel
         val docs = t(s, d, "documents")
         val labeled = docs.withColumn("lang_marker", TA.langId(col("text")))
-        val models = TA.langMarkers.map { case (code, _) =>
-          code -> LangModel.trainRateWeights(labeled, "text",
-            col("lang_marker") === code, buckets = 64)
-        }
+        // all five one-vs-rest models trained in ONE corpus scan —
+        // bit-identical to five separate trainings (spec-pinned)
+        val models = LangModel.trainRateWeightsMulti(labeled, "text",
+          col("lang_marker"), TA.langMarkers.map(_._1), buckets = 64)
         LangModel.routeArgmax(labeled, "doc_id", "text", models,
             out = "lang_learned")
           .select(col("doc_id"), col("lang_marker"), col("lang_learned"),

@@ -446,6 +446,34 @@ class CurationSpec extends SparkSpec {
     assert(enc.select($"n_ids").as[Long].head() == ids.length.toLong)
   }
 
+  test("bpeEncode under a FROZEN vocab: known symbols keep training-time " +
+      "ids, strays map to UnkId, frozen ≡ realized on the training corpus") {
+    val train = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val (mt, words) = Curation.bpeTrain(train, "text", merges = 2)
+    val vocab = Curation.bpeVocab(words)
+    // same corpus: frozen-vocab encode must be bit-identical to the
+    // realized-vocab encode (the l141 streamed==batch precondition)
+    val (encR, _) = Curation.bpeEncode(train, "doc_id", "text", mt)
+    val (encF, _) = Curation.bpeEncode(train, "doc_id", "text", mt,
+      frozenVocab = Some(vocab))
+    assert(encF.select($"doc_id", $"ids").as[(Long, Seq[Long])]
+        .collect().toMap ==
+      encR.select($"doc_id", $"ids").as[(Long, Seq[Long])]
+        .collect().toMap)
+    // novel symbols at encode time: training realized {low, </w>, e, r},
+    // so 'b','o','x' of "box" are strays -> UnkId; "low" keeps its
+    // frozen ids exactly
+    val vmap = vocab.as[(String, Long)].collect().toMap
+    assert(vmap.keySet == Set("low", "</w>", "e", "r"), s"vocab: $vmap")
+    val probe = Seq((9L, "box low")).toDF("doc_id", "text")
+    val (encP, _) = Curation.bpeEncode(probe, "doc_id", "text", mt,
+      frozenVocab = Some(vocab))
+    val ids = encP.select($"ids").as[Seq[Long]].head()
+    assert(ids == Seq(Curation.UnkId, Curation.UnkId, Curation.UnkId,
+      vmap("</w>"), vmap("low"), vmap("</w>")),
+      s"'b o x </w>' -> three unks + known tail; 'low' -> frozen ids: $ids")
+  }
+
   test("bpeTrain merge fold: leftmost-first on runs, boundary-guarded") {
     // pair (x,x) over "x x x </w>" must give "xx x </w>" (leftmost
     // first), and a merge (a,b) must not fire inside symbols "ca"/"bc"

@@ -125,6 +125,24 @@ class LangModelSpec extends SparkSpec {
       "on every markered training doc")
   }
 
+  test("one-scan multi-class trainer ≡ per-class trainings, bit for bit") {
+    import graft.ops.TextAnalysis
+    val docs = ((1L to 10L).map(i => (i, s"der hund und die katze nr$i")) ++
+      (11L to 20L).map(i => (i, s"the dog and a cat num$i")) ++
+      (21L to 25L).map(i => (i, s"zzz qqq xxx $i"))).toDF("doc_id", "text")
+    val labeled = docs.withColumn("m", TextAnalysis.langId($"text"))
+    val classes = Seq("de", "en", "und")
+    val multi = LangModel.trainRateWeightsMulti(labeled, "text", $"m",
+      classes, buckets = 256)
+    classes.foreach { c =>
+      val single = LangModel.trainRateWeights(labeled, "text", $"m" === c,
+        buckets = 256)
+      assert(multi.toMap.apply(c).sameElements(single),
+        s"class $c: the one-scan trainer must replay the per-class " +
+          "arithmetic exactly")
+    }
+  }
+
   test("classifier weights are exact integers: balanced slot weights " +
       "cancel, class-skewed slots carry the sign") {
     // one shared token (both classes, balanced), one pos-only token
