@@ -1038,6 +1038,9 @@ object Similarity {
     * version) is the EXACTNESS key: summed deltas are then
     * order-independent, so the fold over any batch decomposition of the
     * data equals ONE batch Lloyd iteration from `base` bit-for-bit.
+    * The delta table is never compacted — it holds k·dims rows per
+    * batch, so folding buys nothing and the per-batch partitions are
+    * themselves the version history [[centroidDrift]] reads.
     * private[graft] so specs can drive the replay path directly.
     */
   private[graft] def landCentroidDeltas(s: SparkSession,

@@ -4912,12 +4912,15 @@ object LlmQueries {
                   Encoders.STRING, Encoders.scalaLong)).toDF("sym", "tid")
               val (enc, _) = Curation.bpeEncode(batch.toDF(), "doc_id",
                 "text", mtDf, frozenVocab = Some(vbDf))
+              // overwrite-per-batch-path: a crash-replayed batch id
+              // rewrites its own directory instead of appending twice —
+              // the foreachBatch analog of the partition land protocol
               enc.select(col("doc_id"), col("n_tokens"), col("n_ids"),
                   array_join(col("ids"), " ").as("ids_str"))
-                .write.mode("append").parquet(s"$work/out")
+                .write.mode("overwrite").parquet(s"$work/out/b=$batchId")
           }.start()
         try { q.processAllAvailable() } finally q.stop()
-        s.read.parquet(s"$work/out").orderBy(col("doc_id"))
+        s.read.parquet(s"$work/out").drop("b").orderBy(col("doc_id"))
       },
       Some(s"""WITH ${oBpeStages(6)},
         ${oBpeEncode(6)}
