@@ -389,6 +389,42 @@ object Similarity {
         col("cosine"), col("rank"))
   }
 
+  /** Embedding-cosine benchmark DECONTAMINATION — the cross-set
+    * (train × eval) form of semantic near-dup: flag every corpus
+    * vector whose cosine to ANY eval vector reaches τ = tauNum/tauDen.
+    * The verdict is EXACT RATIONAL arithmetic end to end: cos ≥ τ ⟺
+    * dot > 0 ∧ dot²·tauDen² ≥ tauNum²·‖c‖²·‖e‖², products riding
+    * DECIMAL(38,0) (dot² alone overflows int64 at the 1e4 quantize
+    * scale) — no IEEE rounding can flip a verdict on any engine. Like
+    * [[Dedup.simhashCrossPairs]] there is deliberately no self-pair
+    * guard: an eval vector present in the corpus IS the worst leak,
+    * and a positively-scaled copy (cos ≈ 1) is the paraphrase-leak
+    * shape n-gram decontamination misses. Shape: the eval side
+    * broadcasts (BroadcastNestedLoopJoin — |eval| ≪ corpus, the same
+    * bounded-build class as [[bruteForceTopK]]'s query side); per
+    * corpus row the work is |eval| exact dots, then one map-side
+    * combinable per-id aggregation. Output: contaminated ids only —
+    * (id, n_hits, first_eval_id = min matching eval id, the audit
+    * evidence). Both inputs are [[prepare]]-shaped.
+    */
+  def embedDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      tauNum: Long, tauDen: Long): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"tau must be a rational in (0, 1], got $tauNum/$tauDen")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = broadcast(evalSet.select(col("id").as("eid"),
+      col("qvec").as("evec"), col("norm_sq").as("en")))
+    corpus.crossJoin(e)
+      .withColumn("__d", dotQ(col("qvec"), col("evec")))
+      .filter(col("__d") > 0 &&
+        col("__d").cast(dec) * col("__d").cast(dec) *
+          lit(tauDen * tauDen).cast(dec) >=
+        lit(tauNum * tauNum).cast(dec) *
+          col("norm_sq").cast(dec) * col("en").cast(dec))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("eid")).as("first_eval_id"))
+  }
+
   /** Random-hyperplane sign-LSH bucket from the first `bits` dimensions:
     * bit j = (vec[j] >= 0). With unit-ish embeddings this is an 2^bits-way
     * partitioner whose collision probability rises with cosine similarity.

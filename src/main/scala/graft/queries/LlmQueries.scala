@@ -5694,6 +5694,60 @@ object LlmQueries {
         FROM sc JOIN lab USING (doc_id) ORDER BY doc_id"""
       }),
 
+    // Embedding-cosine DECONTAMINATION (r13): the cross-set semantic
+    // form — flag corpus vectors whose cosine to any eval vector
+    // reaches τ = 95/100, decided in exact rational arithmetic
+    // (dot²·den² vs num²·‖c‖²·‖e‖² on DECIMAL(38,0)/HUGEINT — zero
+    // floats in the verdict). The corpus carries PLANTED ×2-scaled
+    // copies of every vector (cosine ≈ 1 after quantization — the
+    // paraphrase-leak shape n-gram decontamination misses): the gate
+    // must flag each eval vector's literal presence AND its scaled
+    // double, and nothing else at this τ.
+    "l142_embed_decontaminate" -> Def(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val planted = emb.select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        val corpus = Similarity.prepare(
+          emb.select(col("vec_id"), col("embedding")).unionByName(planted)
+            .withColumnRenamed("vec_id", "id"), "embedding")
+        val evalSet = Similarity.prepare(
+          emb.filter(col("vec_id") % 17 === 3)
+            .select(col("vec_id").as("id"), col("embedding")), "embedding")
+        Similarity.embedDecontaminate(corpus, evalSet,
+            tauNum = 95, tauDen = 100)
+          .select(col("id").as("vec_id"), col("n_hits"),
+            col("first_eval_id"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH src AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000,
+            list_transform(embedding, x -> x * CAST(2 AS REAL))
+          FROM embeddings),
+        qe2 AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(CASE WHEN x >= 0
+              THEN FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5)
+              ELSE CEIL(CAST(x AS DOUBLE) * 10000 - 0.5) END AS BIGINT))
+            AS q
+          FROM src),
+        qn2 AS (SELECT vec_id, q,
+            CAST(list_sum(list_transform(generate_series(1, 64),
+              i -> q[i] * q[i])) AS BIGINT) AS norm_sq
+          FROM qe2),
+        ev AS (SELECT vec_id AS eid, q AS eq, norm_sq AS en FROM qn2
+          WHERE vec_id % 17 = 3 AND vec_id < 100000),
+        ht AS (SELECT c.vec_id AS id, ev.eid
+          FROM qn2 c CROSS JOIN ev
+          WHERE ${oDot("c.q", "ev.eq")} > 0
+            AND CAST(${oDot("c.q", "ev.eq")} AS HUGEINT)
+              * ${oDot("c.q", "ev.eq")} * 10000
+              >= CAST(9025 AS HUGEINT) * c.norm_sq * ev.en)
+        SELECT id AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+          MIN(eid) AS first_eval_id
+        FROM ht GROUP BY id ORDER BY vec_id""")),
+
     // MAINTAINED k-means (r13): the frozen l124 quantizer UPDATED over a
     // stream — per micro-batch the arrivals route against the frozen
     // base and land exact (n, Σ)-deltas as centroid versions via the

@@ -758,6 +758,33 @@ class ScaleSpec extends SparkSpec {
     assert(a.map(_._2).distinct.length > 1, "sanity: multiple clusters hit")
   }
 
+  test("embedDecontaminate: exact rational threshold (identical and " +
+      "scaled vectors flagged at τ=1 and τ=0.95, orthogonal not), eval " +
+      "side broadcasts") {
+    import graft.ops.Similarity
+    // a = e1; b = 2·e1 (cos 1 with a); c = e2 (orthogonal); eval = {a}
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(j => if (j == i) 1.0f else 0.0f)
+    val corpus = Similarity.prepare(Seq(
+      (1L, vec(0)), (2L, vec(0).map(_ * 2.0f)), (3L, vec(1)))
+      .toDF("id", "embedding"), "embedding")
+    val evalSet = Similarity.prepare(Seq((1L, vec(0)))
+      .toDF("id", "embedding"), "embedding")
+    val strict = Similarity.embedDecontaminate(corpus, evalSet, 1L, 1L)
+      .select($"id", $"n_hits", $"first_eval_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(strict == List((1L, 1L, 1L), (2L, 1L, 1L)),
+      "τ=1: the literal copy AND the ×2-scaled copy (cos exactly 1 on " +
+        s"exact integers) are flagged; the orthogonal vector is not: $strict")
+    val loose = Similarity.embedDecontaminate(corpus, evalSet, 95L, 100L)
+      .select($"id").as[Long].collect().sorted.toList
+    assert(loose == List(1L, 2L), s"τ=0.95 flags the same set here: $loose")
+    val plan = Similarity.embedDecontaminate(corpus, evalSet, 95L, 100L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the eval side must broadcast:\n${plan.take(600)}")
+  }
+
   test("maintained k-means: streamed delta fold ≡ one batch Lloyd " +
       "iteration bit-for-bit; batch-id replay lands once; drift reports " +
       "every touched (batch, cid)") {
