@@ -105,25 +105,6 @@ object LangModel {
   def featureSlot(token: Column, buckets: Int): Column =
     pmod(hash48(token), lit(buckets.toLong))
 
-  /** Train the hashed linear classifier: per-slot exact integer weight
-    * w_j = c_pos_j·(N_neg/g) − c_neg_j·(N_pos/g) over the labeled
-    * slices (`isPos` rows are the positive class, everything else
-    * negative), where c_*_j are per-slot token counts, N_* the class
-    * token totals and g = gcd(N_pos, N_neg) — the cross-multiplied
-    * frequency difference divided by its common factor: same sign, same
-    * ordering, positive ⇔ the slot is relatively MORE frequent in the
-    * positive class. The gcd normalization plus an explicit magnitude
-    * guard make the arithmetic provably exact at corpus scale: every
-    * |w_j| ≤ N_pos·N_neg/g is required ≤ 2^43, so [[linearScore]]'s
-    * per-document sum stays inside a Long for documents up to 2^20
-    * tokens (Spark would WRAP on overflow where DuckDB raises — the
-    * silent-desync class this closes; re-bucket the labels or pre-chunk
-    * pathological documents if the require fires). One aggregation into
-    * ≤ `buckets` rows (map-side combinable), then a `buckets`-sized
-    * driver collect (bounded by construction, like the bloom-filter
-    * word list): the weights return as a plain array ready for
-    * [[linearScore]]'s narrow fold.
-    */
   /** Per-slot (count_pos, count_neg) over the labeled slices plus class
     * token totals — the shared training aggregation: one map-side
     * combinable groupBy into ≤ `buckets` rows, then a bounded driver
@@ -142,6 +123,22 @@ object LangModel {
     (rows, rows.map(_._2).sum, rows.map(_._3).sum)
   }
 
+  /** Train the hashed linear classifier: per-slot exact integer weight
+    * w_j = c_pos_j·(N_neg/g) − c_neg_j·(N_pos/g) over the labeled
+    * slices (`isPos` rows are the positive class, everything else
+    * negative), where c_*_j are per-slot token counts, N_* the class
+    * token totals and g = gcd(N_pos, N_neg) — the cross-multiplied
+    * frequency difference divided by its common factor: same sign, same
+    * ordering, positive ⇔ the slot is relatively MORE frequent in the
+    * positive class. The gcd normalization plus an explicit magnitude
+    * guard make the arithmetic provably exact at corpus scale: every
+    * |w_j| ≤ N_pos·N_neg/g is required ≤ 2^43, so [[linearScore]]'s
+    * per-document sum stays inside a Long for documents up to 2^20
+    * tokens (Spark would WRAP on overflow where DuckDB raises — the
+    * silent-desync class this closes; re-bucket the labels or pre-chunk
+    * pathological documents if the require fires). The weights return
+    * as a plain array ready for [[linearScore]]'s narrow fold.
+    */
   def trainHashedClassifier(labeled: DataFrame, textCol: String,
       isPos: Column, buckets: Int): Array[Long] = {
     require(buckets > 0 && buckets <= 65536,
