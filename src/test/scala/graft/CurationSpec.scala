@@ -446,6 +446,25 @@ class CurationSpec extends SparkSpec {
     assert(enc.select($"n_ids").as[Long].head() == ids.length.toLong)
   }
 
+  test("bpeEncode: merge fold identical across checkpoint-group splits " +
+      "(the plan-depth dial cannot change results)") {
+    val d = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown cat naps under the busy dog"))
+      .toDF("doc_id", "text")
+    val (mt, _) = Curation.bpeTrain(d, "text", merges = 9)
+    assert(mt.count() == 9L, "nine merges trained")
+    // one group of 9 vs five groups of 2: the localCheckpoint cut
+    // points differ, the learned fold must not
+    val a = Curation.bpeEncode(d, "doc_id", "text", mt,
+      checkpointEvery = 100)._1
+      .select($"doc_id", $"ids").as[(Long, Seq[Long])].collect().toMap
+    val b = Curation.bpeEncode(d, "doc_id", "text", mt,
+      checkpointEvery = 2)._1
+      .select($"doc_id", $"ids").as[(Long, Seq[Long])].collect().toMap
+    assert(a == b, s"checkpoint grouping changed the encoding: $a vs $b")
+    assert(a(1L).nonEmpty && a(1L) != a(2L))
+  }
+
   test("bpeEncode under a FROZEN vocab: known symbols keep training-time " +
       "ids, strays map to UnkId, frozen ≡ realized on the training corpus") {
     val train = Seq((1L, "low low lower")).toDF("doc_id", "text")
