@@ -321,7 +321,7 @@ object Bench {
     * and round-over-round diffs expect the full r9 key set).
     */
   private def zeroFrag(section: String): String = section match {
-    case "cdc" => "\"cdc_ops_sec\":0"
+    case "cdc" => "\"cdc_ops_sec\":0,\"cdc_ops_sec_reps\":[]"
     case "stream" => "\"stream_ops_sec\":0,\"stream_ops_sec_reps\":[]"
     case "stream10x" =>
       "\"stream_ops_sec_10x\":0,\"stream_ops_sec_10x_reps\":[]"
@@ -352,10 +352,15 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val nEvents = countEvents(spark, sfDir)
-      val opsSec = (nEvents / times.min).round
-      System.err.println(s"[bench-cdc] reps=${times.map(t =>
-        (nEvents / t).round).mkString(",")} ops/s")
-      SectionResult(s""""cdc_ops_sec":$opsSec""", Nil)
+      val perRep = times.map(t => (nEvents / t).round)
+      val opsSec = perRep.max
+      System.err.println(s"[bench-cdc] reps=${perRep.mkString(",")} ops/s")
+      // reps ride the JSON fragment (not just stderr) so the driver's
+      // 2000-char tail capture carries the rep spread SCALE.md's
+      // below-floor adjudication protocol needs — same self-insurance
+      // the stream/mv sections have had since r9 (r13 verdict, Next #4)
+      SectionResult(s""""cdc_ops_sec":$opsSec,"cdc_ops_sec_reps":${
+        perRep.mkString("[", ",", "]")}""", Nil)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] cdc FAILED: $e")
       SectionResult(zeroFrag("cdc"), Seq("cdc_ops_sec"))

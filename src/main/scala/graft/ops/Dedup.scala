@@ -678,6 +678,71 @@ object Dedup {
     * eval is the worst leak). Pass disjoint sets if self-matches are not
     * wanted.
     */
+  /** Cross-document REPEATED-SUBSTRING spans (the suffix-array dedup
+    * modality of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" — found here with the engine's banded-index
+    * discipline instead of a suffix array): every MAXIMAL verbatim token
+    * span of ≥ `minLen` tokens shared by two distinct documents. This is
+    * the dup shape document-level similarity dilutes away — a 50-token
+    * licence header pasted into two otherwise-unrelated 5 000-token docs
+    * has MinHash-Jaccard ≈ 0.005 and near-zero n-gram overlap, yet is
+    * exactly what a training pipeline must strip.
+    *
+    * Algorithm (seed-and-extend, BLAST-style, fully relational):
+    *  1. positional `minLen`-gram fingerprints per doc — (id, pos,
+    *     md5(gram)), a NARROW stage (the md5 is the 128-bit exact-match
+    *     key; at 128 bits a collision needs ~2^64 grams — beyond any
+    *     corpus — and the within-bucket diagonal step below never widens
+    *     a match, so reported spans are exact token-for-token);
+    *  2. fingerprint-bucket equi-join for seed pairs — candidate cost is
+    *     bucket-bounded via [[capBuckets]] (`maxBucket`), NEVER an n²
+    *     product: a gram shared by m docs contributes ≤ m² ≤ maxBucket²
+    *     seeds, and non-shared grams contribute nothing;
+    *  3. exact extension: within a (id_a, id_b) pair, seed matches on one
+    *     DIAGONAL (pos_a − pos_b constant) at consecutive pos_a are the
+    *     same span — a run of r consecutive matching `minLen`-grams IS a
+    *     shared span of exactly r + minLen − 1 tokens, so one
+    *     gaps-and-islands window (row_number over the diagonal) + one
+    *     aggregation yields every maximal span with no re-scan of the
+    *     text.
+    *
+    * One exchange on the fingerprint (join key), one on (id_a, id_b,
+    * diag) for the window+agg — both candidate-proportional. At 100 TB
+    * the fingerprint frame is the corpus token count sized; the seed-pair
+    * frame only holds genuinely repeated grams (rare by construction at
+    * minLen ≥ 20) and skew is bounded by `maxBucket` exactly like the
+    * MinHash band join.
+    *
+    * Output: (id_a, id_b, a_start, b_start, n_tokens) with id_a < id_b,
+    * starts 0-based token offsets, one row per MAXIMAL shared span.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 20, maxBucket: Int = 64): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val sh = df
+      .select(col(idCol).as("id"),
+        posexplode(shingleArray(tokens(col(textCol)), minLen))
+          .as(Seq("pos", "gram")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        md5(col("gram")).as("fp"))
+    val capped = capBuckets(sh, "fp", maxBucket)
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    pairs
+      .withColumn("isl", col("pos_a") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("isl"))
+      .agg(min(col("pos_a")).as("a_start"), min(col("pos_b")).as("b_start"),
+        (count(lit(1)) + lit(minLen - 1).cast("long")).as("n_tokens"))
+      .select(col("id_a"), col("id_b"), col("a_start"), col("b_start"),
+        col("n_tokens"))
+  }
+
   def simhashCrossPairs(sigA: DataFrame, sigB: DataFrame, maxHamming: Int,
       maxBucket: Int = 0): DataFrame = {
     val blocks = simhashBlocks(maxHamming)

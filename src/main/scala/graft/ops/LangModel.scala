@@ -239,32 +239,66 @@ object LangModel {
   }
 
   /** Multi-class routing by argmax over one-vs-rest models (the learned
-    * language-ID shape — fastText's flagship use): each model's score is
-    * [[linearScore]]'s narrow fold (literal or broadcast transport by
-    * slot count), the winner is the FIRST listed class among the
-    * maxima — the same deterministic first-max-wins contract as the
-    * marker-based `TextAnalysis.langId`, computed via one array_max
-    * over (score, reversed-index) structs so no score expression is
-    * duplicated. Train the models with [[trainRateWeights]] (common
-    * scale); zero shuffles beyond the input's own.
+    * language-ID shape — fastText's flagship use), scored in a SINGLE
+    * pass: the token slots (hash48 + pmod) are computed once per
+    * document into one array column — not once per model — and ALL
+    * model weights travel as ONE matrix (array-of-arrays; plan literal
+    * at ≤ `literalMax` total values, else a one-row broadcast relation
+    * crossJoined in — ONE BroadcastNestedLoopJoin and O(1) plan size no
+    * matter how many classes). Every per-class score then lands in one
+    * fold over the slot array whose accumulator is the n-wide score
+    * vector (`zip_with` against the weight matrix per token), so a
+    * 100-language router costs one tokenization and one fold per row,
+    * not 100 of each stacked through 100 joins (the r13 shape). The
+    * adds per class happen in the same token order as [[linearScore]]'s
+    * single-model fold — Long arithmetic, so the scores are
+    * bit-identical to the per-model path (spec-pinned).
+    *
+    * The winner is the FIRST listed class among the maxima — the same
+    * deterministic first-max-wins contract as the marker-based
+    * `TextAnalysis.langId`, via one array_max over (score,
+    * reversed-index) structs. Train the models with
+    * [[trainRateWeights]]/[[trainRateWeightsMulti]] (common scale);
+    * zero shuffles beyond the input's own.
     *
     * Adds `out` (the winning class label) and `<out>_score`.
     */
   def routeArgmax(docs: DataFrame, idCol: String, textCol: String,
-      models: Seq[(String, Array[Long])], out: String = "lang_pred"): DataFrame = {
+      models: Seq[(String, Array[Long])], out: String = "lang_pred",
+      literalMax: Int = Similarity.RouteLiteralMaxValues): DataFrame = {
     require(models.nonEmpty, "at least one model")
     val n = models.size
-    val scored = models.zipWithIndex.foldLeft(docs) {
-      case (acc, ((_, w), i)) => linearScore(acc, idCol, textCol, w, s"__s$i")
-    }
+    val b = models.head._2.length
+    require(models.forall(_._2.length == b),
+      "all models must share one bucket space")
+    val slots = transform(toks(col(textCol)),
+      tk => (pmod(hash48(tk), lit(b.toLong)) + 1).cast("int"))
+    def scores(wmat: Column): Column =
+      aggregate(col("__slots"), array_repeat(lit(0L), n),
+        (acc, s) => zip_with(acc, wmat, (a, w) => a + element_at(w, s)))
+    val withScores =
+      if (n.toLong * b <= literalMax)
+        docs.withColumn("__slots", slots)
+          .withColumn("__sarr", scores(
+            array(models.map(m => array(m._2.map(lit(_)): _*)): _*)))
+      else {
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val wDf = Seq(models.map(_._2.toSeq)).toDF("__wmat")
+        docs.withColumn("__slots", slots)
+          .crossJoin(broadcast(wDf))
+          .withColumn("__sarr", scores(col("__wmat")))
+          .drop("__wmat")
+      }
     val entries = models.indices.map(i =>
-      struct(col(s"__s$i").as("s"), lit(n - 1 - i).as("ri")))
+      struct(element_at(col("__sarr"), i + 1).as("s"),
+        lit(n - 1 - i).as("ri")))
     val best = array_max(array(entries: _*))
     val codes = lit(models.map(_._1).toArray)
-    scored
+    withScores
       .withColumn(out, element_at(codes, lit(n) - best.getField("ri")))
       .withColumn(s"${out}_score", best.getField("s"))
-      .drop(models.indices.map(i => s"__s$i"): _*)
+      .drop("__slots", "__sarr")
   }
 
   /** Score documents with trained weights: score_num = Σ w[slot(token)]

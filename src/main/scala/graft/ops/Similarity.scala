@@ -399,30 +399,90 @@ object Similarity {
     * [[Dedup.simhashCrossPairs]] there is deliberately no self-pair
     * guard: an eval vector present in the corpus IS the worst leak,
     * and a positively-scaled copy (cos ≈ 1) is the paraphrase-leak
-    * shape n-gram decontamination misses. Shape: the eval side
-    * broadcasts (BroadcastNestedLoopJoin — |eval| ≪ corpus, the same
-    * bounded-build class as [[bruteForceTopK]]'s query side); per
-    * corpus row the work is |eval| exact dots, then one map-side
-    * combinable per-id aggregation. Output: contaminated ids only —
-    * (id, n_hits, first_eval_id = min matching eval id, the audit
-    * evidence). Both inputs are [[prepare]]-shaped.
+    * shape n-gram decontamination misses.
+    *
+    * Shape (default, `cellBits` > 0): the |corpus|×|eval| exact-dot
+    * product is PRUNED by a recall-complete cell prefilter before any
+    * dot is computed —
+    *  1. every corpus vector lands in one of 2^cellBits sign cells
+    *     (sign pattern of the first quantized dimensions — a narrow
+    *     projection);
+    *  2. per cell, one map-side-combinable aggregation collects the
+    *     exact INTEGER bounding box (component-wise min/max of qvec)
+    *     and the minimum ‖·‖² — 2^cellBits rows, broadcast class;
+    *  3. each eval vector is tested against each cell's box (|eval| ×
+    *     2^cellBits — the only nested-loop join left, on the two TINY
+    *     relations): interval arithmetic gives ub = Σⱼ max(mnⱼeⱼ, mxⱼeⱼ)
+    *     ≥ dot(x, e) for every x in the cell, so a cell survives for e
+    *     iff ub > 0 ∧ ub²·tauDen² ≥ tauNum²·min‖x‖²·‖e‖² — every
+    *     comparison in the same exact integer/DECIMAL arithmetic as the
+    *     verdict itself, hence PROVABLY recall-complete: x qualifying ⇒
+    *     dot ≤ ub and ‖x‖² ≥ min‖x‖² ⇒ its (cell, e) pair survives.
+    *     No float enters the prune, so no rounding can break the proof;
+    *  4. corpus joins the surviving (cell, eid) pairs on the cell key —
+    *     a BroadcastHashJoin, NOT a cross product — and only those
+    *     pairs pay the exact dot. Verdicts are bit-identical to the
+    *     unpruned form (spec-pinned); `cellBits = 0` keeps the plain
+    *     broadcast cross join (|eval| ≪ corpus, the same bounded-build
+    *     class as [[bruteForceTopK]]'s query side).
+    *
+    * Output: contaminated ids only — (id, n_hits, first_eval_id = min
+    * matching eval id, the audit evidence). Both inputs are
+    * [[prepare]]-shaped.
     */
   def embedDecontaminate(corpus: DataFrame, evalSet: DataFrame,
-      tauNum: Long, tauDen: Long): DataFrame = {
+      tauNum: Long, tauDen: Long, cellBits: Int = 6): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"tau must be a rational in (0, 1], got $tauNum/$tauDen")
+    require(cellBits >= 0 && cellBits <= 16,
+      s"cellBits must be in [0, 16], got $cellBits")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val e = broadcast(evalSet.select(col("id").as("eid"),
-      col("qvec").as("evec"), col("norm_sq").as("en")))
-    corpus.crossJoin(e)
+    // the τ squares are built in BigDecimal BEFORE becoming literals:
+    // squaring in Long silently wraps past tauDen > sqrt(Long.Max) ≈
+    // 3.037e9 and would flip verdicts — exactly the silent-desync class
+    // this operator exists to prevent (r13 advice)
+    val tauNum2 = lit(BigDecimal(tauNum) * BigDecimal(tauNum)).cast(dec)
+    val tauDen2 = lit(BigDecimal(tauDen) * BigDecimal(tauDen)).cast(dec)
+    def exact(pairs: DataFrame): DataFrame = pairs
       .withColumn("__d", dotQ(col("qvec"), col("evec")))
       .filter(col("__d") > 0 &&
-        col("__d").cast(dec) * col("__d").cast(dec) *
-          lit(tauDen * tauDen).cast(dec) >=
-        lit(tauNum * tauNum).cast(dec) *
-          col("norm_sq").cast(dec) * col("en").cast(dec))
+        col("__d").cast(dec) * col("__d").cast(dec) * tauDen2 >=
+        tauNum2 * col("norm_sq").cast(dec) * col("en").cast(dec))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_hits"), min(col("eid")).as("first_eval_id"))
+    val e = evalSet.select(col("id").as("eid"),
+      col("qvec").as("evec"), col("norm_sq").as("en"))
+    if (cellBits == 0) exact(corpus.crossJoin(broadcast(e)))
+    else {
+      // one-row bounded driver read: the vector dimensionality
+      val dim = corpus.select(size(col("qvec")).as("d")).head.getInt(0)
+      val cellOf = (0 until cellBits).map { j =>
+        when(element_at(col("qvec"), j + 1) >= 0L, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      val cells = corpus.withColumn("__cell", cellOf)
+      val boxAggs = (1 to dim).flatMap(j => Seq(
+        min(element_at(col("qvec"), j)).as(s"__mn$j"),
+        max(element_at(col("qvec"), j)).as(s"__mx$j"))) :+
+        min(col("norm_sq")).as("__mnn")
+      val stats = cells.groupBy(col("__cell"))
+        .agg(boxAggs.head, boxAggs.tail: _*)
+        .select(col("__cell"),
+          array((1 to dim).map(j => col(s"__mn$j")): _*).as("__mns"),
+          array((1 to dim).map(j => col(s"__mx$j")): _*).as("__mxs"),
+          col("__mnn"))
+      val ub = aggregate(sequence(lit(1), lit(dim)), lit(0L),
+        (acc, j) => acc + greatest(
+          element_at(col("__mns"), j) * element_at(col("evec"), j),
+          element_at(col("__mxs"), j) * element_at(col("evec"), j)))
+      val survivors = e.crossJoin(broadcast(stats))
+        .withColumn("__ub", ub)
+        .filter(col("__ub") > 0 &&
+          col("__ub").cast(dec) * col("__ub").cast(dec) * tauDen2 >=
+          tauNum2 * col("__mnn").cast(dec) * col("en").cast(dec))
+        .select(col("__cell"), col("eid"), col("evec"), col("en"))
+      exact(cells.join(broadcast(survivors), Seq("__cell")).drop("__cell"))
+    }
   }
 
   /** Random-hyperplane sign-LSH bucket from the first `bits` dimensions:

@@ -5687,11 +5687,17 @@ object LlmQueries {
           FROM cnts, tot t),
         sc AS (SELECT s.doc_id, ${codes.map(c =>
             s"CAST(SUM(w.w_$c) AS BIGINT) AS s_$c").mkString(", ")}
-          FROM st s JOIN w USING (slot) GROUP BY s.doc_id)
+          FROM st s JOIN w USING (slot) GROUP BY s.doc_id),
+        -- zero-token documents have no st rows: LEFT JOIN + COALESCE
+        -- keeps them scored 0, matching routeArgmax's withColumn
+        -- semantics (r13 advice — latent desync, no fixture hits it)
+        scf AS (SELECT lab.doc_id, lab.lang_marker, ${codes.map(c =>
+            s"CAST(COALESCE(s_$c, 0) AS BIGINT) AS s_$c").mkString(", ")}
+          FROM lab LEFT JOIN sc USING (doc_id))
         SELECT doc_id, lang_marker, $learnedCase AS lang_learned,
           GREATEST($allS) AS lang_learned_score,
           (lang_marker = $learnedCase) AS agree
-        FROM sc JOIN lab USING (doc_id) ORDER BY doc_id"""
+        FROM scf ORDER BY doc_id"""
       }),
 
     // Embedding-cosine DECONTAMINATION (r13): the cross-set semantic
@@ -5706,7 +5712,12 @@ object LlmQueries {
     "l142_embed_decontaminate" -> Def(
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val planted = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        // planted ids start at max(vec_id)+1 — derived, not hard-coded,
+        // so no fixture can ever collide planted with real ids (the
+        // oracle mirrors via a scalar subquery; r13 advice). One-row
+        // driver collect, the documented bounded class.
+        val off = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+        val planted = emb.select((col("vec_id") + off).as("vec_id"),
           transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
         val corpus = Similarity.prepare(
           emb.select(col("vec_id"), col("embedding")).unionByName(planted)
@@ -5723,7 +5734,7 @@ object LlmQueries {
       Some(s"""WITH src AS (
           SELECT vec_id, embedding FROM embeddings
           UNION ALL
-          SELECT vec_id + 100000,
+          SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings),
             list_transform(embedding, x -> x * CAST(2 AS REAL))
           FROM embeddings),
         qe2 AS (SELECT vec_id,
@@ -5737,7 +5748,8 @@ object LlmQueries {
               i -> q[i] * q[i])) AS BIGINT) AS norm_sq
           FROM qe2),
         ev AS (SELECT vec_id AS eid, q AS eq, norm_sq AS en FROM qn2
-          WHERE vec_id % 17 = 3 AND vec_id < 100000),
+          WHERE vec_id % 17 = 3
+            AND vec_id <= (SELECT MAX(vec_id) FROM embeddings)),
         ht AS (SELECT c.vec_id AS id, ev.eid
           FROM qn2 c CROSS JOIN ev
           WHERE ${oDot("c.q", "ev.eq")} > 0
@@ -5747,6 +5759,71 @@ object LlmQueries {
         SELECT id AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
           MIN(eid) AS first_eval_id
         FROM ht GROUP BY id ORDER BY vec_id""")),
+
+    // Cross-document REPEATED-SUBSTRING spans (r14): the suffix-array
+    // dedup modality (Lee et al.) — maximal verbatim token spans >= 20
+    // shared across documents, found by positional-fingerprint seeding +
+    // diagonal gaps-and-islands extension (never all-pairs). The corpus
+    // carries PLANTED 50-token spans: every doc_id % 7 == 2 with >= 60
+    // tokens donates tokens 11..60 into an otherwise-unrelated planted
+    // doc (unique junk words on both flanks) — document-level MinHash
+    // at the registered threshold misses these (Jaccard ~ 0.4 on 3-gram
+    // sets of a 70-token doc sharing 50 tokens — and far lower on
+    // realistic 5k-token docs), yet every plant must surface as one
+    // maximal span row with n_tokens >= 50. The fixture's natural
+    // near-dup docs contribute their own maximal spans; the oracle
+    // replays seed + extension exactly.
+    "l143_repeated_spans" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        // planted ids start at max(doc_id)+1 — derived, collision-free
+        // (same discipline as l142; one-row bounded driver collect)
+        val off = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+        val tks = split(col("text"), " ", -1)
+        def junk(tag: String) = array_join(
+          transform(sequence(lit(1), lit(10)),
+            k => concat_ws("", lit(tag), col("doc_id"), lit("x"), k)), " ")
+        val planted = docs
+          .filter(col("doc_id") % 7 === 2 && size(tks) >= 60)
+          .select((col("doc_id") + off).as("doc_id"),
+            concat_ws(" ", junk("ja"),
+              array_join(slice(tks, 11, 50), " "), junk("jb")).as("text"))
+        val corpus = docs.select(col("doc_id"), col("text"))
+          .unionByName(planted)
+        Dedup.repeatedSpans(corpus, "doc_id", "text", minLen = 20)
+          .orderBy(col("id_a"), col("id_b"), col("a_start"), col("b_start"))
+      },
+      Some(s"""WITH srcp AS (SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents
+          WHERE doc_id % 7 = 2 AND len(string_split(text, ' ')) >= 60),
+        pl AS (SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents)
+            AS doc_id,
+            array_to_string(list_transform(generate_series(1, 10),
+              k -> 'ja' || doc_id || 'x' || k), ' ')
+            || ' ' || array_to_string(t[11:60], ' ') || ' ' ||
+            array_to_string(list_transform(generate_series(1, 10),
+              k -> 'jb' || doc_id || 'x' || k), ' ') AS text
+          FROM srcp),
+        corpus AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id, text FROM pl),
+        tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        sh0 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+            md5(array_to_string(t[i:i+19], ' ')) AS fp
+          FROM tk, UNNEST(generate_series(1, GREATEST(len(t) - 19, 0)))
+            AS g(i)),
+        cap AS (SELECT doc_id, pos, fp FROM (SELECT *,
+            COUNT(*) OVER (PARTITION BY fp) AS nb FROM sh0)
+          WHERE nb <= 64),
+        pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+          FROM cap a JOIN cap b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        isl AS (SELECT *, pos_a - ROW_NUMBER()
+            OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
+          FROM pr)
+        SELECT id_a, id_b, MIN(pos_a) AS a_start, MIN(pos_b) AS b_start,
+          CAST(COUNT(*) + 19 AS BIGINT) AS n_tokens
+        FROM isl GROUP BY id_a, id_b, diag, grp
+        ORDER BY id_a, id_b, a_start, b_start""")),
 
     // MAINTAINED k-means (r13): the frozen l124 quantizer UPDATED over a
     // stream — per micro-batch the arrivals route against the frozen

@@ -395,6 +395,39 @@ class DedupSpec extends SparkSpec {
     // absorbed members (30, 50) and the untouched cluster 21 emit nothing
   }
 
+  test("repeatedSpans finds a cross-doc verbatim span MinHash misses") {
+    val span = (1 to 50).map(i => s"s$i").mkString(" ")
+    val a = ((1 to 20).map(i => s"a$i") :+ span) ++ (21 to 40).map(i => s"a$i")
+    val b = ((1 to 30).map(i => s"b$i") :+ span) ++ (31 to 45).map(i => s"b$i")
+    val df = Seq((1L, a.mkString(" ")), (2L, b.mkString(" "))).toDF("doc_id", "text")
+    // document-level n-gram Jaccard at the registered LSH threshold (0.8)
+    // misses this pair: shared shingles are only the span-internal ones
+    val sh = Dedup.shingles(df, "doc_id", "text", n = 3)
+    assert(Dedup.ngramJaccardPairs(sh, 0.8, maxDf = 1000000).count() == 0L)
+    // repeatedSpans reports exactly the one maximal 50-token span
+    val got = Dedup.repeatedSpans(df, "doc_id", "text", minLen = 20)
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq == Seq((1L, 2L, 20L, 30L, 50L)))
+    // plan discipline: fingerprint equi-join, never a cross product
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("repeatedSpans: one span at two positions = two maximal rows; " +
+      "short docs contribute nothing") {
+    val span = (1 to 50).map(i => s"s$i").mkString(" ")
+    val a = ((1 to 20).map(i => s"a$i") :+ span) ++ (21 to 40).map(i => s"a$i")
+    val c = ((1 to 10).map(i => s"c$i") :+ span) ++
+      ((11 to 20).map(i => s"c$i") :+ span) ++ (21 to 30).map(i => s"c$i")
+    val df = Seq((1L, a.mkString(" ")), (3L, c.mkString(" ")),
+      (4L, "tiny doc under min len")).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(df, "doc_id", "text", minLen = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(x => (x._1, x._2, x._4))
+    assert(got.toSeq == Seq((1L, 3L, 20L, 10L, 50L), (1L, 3L, 20L, 70L, 50L)))
+  }
+
   test("survivorChangelog: an edgeless batch is all adds (no components run)") {
     val clusterOf = Seq(11L -> 11L).toDF("id", "cluster")
     val batch = Seq(10L, 20L).toDF("id")

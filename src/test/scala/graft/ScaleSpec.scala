@@ -779,10 +779,42 @@ class ScaleSpec extends SparkSpec {
     val loose = Similarity.embedDecontaminate(corpus, evalSet, 95L, 100L)
       .select($"id").as[Long].collect().sorted.toList
     assert(loose == List(1L, 2L), s"τ=0.95 flags the same set here: $loose")
+    // τ terms past sqrt(Long.Max): 95e8/1e10 is the SAME rational 0.95,
+    // but its Long squares would wrap (9.025e19 > Long.Max) — the
+    // BigDecimal lift keeps the verdict identical (r13 advice #1)
+    val hugeTau = Similarity.embedDecontaminate(corpus, evalSet,
+      9_500_000_000L, 10_000_000_000L)
+      .select($"id").as[Long].collect().sorted.toList
+    assert(hugeTau == loose,
+      s"equal rationals must give equal verdicts at any denominator: $hugeTau")
+  }
+
+  test("embedDecontaminate cell prune: verdicts bit-identical to the " +
+      "unpruned path; corpus meets eval through a BroadcastHashJoin on " +
+      "the cell key, never a cross product") {
+    import graft.ops.Similarity
+    val raw = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = Similarity.prepare(raw.select($"vec_id".as("id"),
+      $"embedding"), "embedding")
+    val evalSet = Similarity.prepare(
+      raw.filter($"vec_id" % 17 === 3).select($"vec_id".as("id"),
+        $"embedding"), "embedding")
+    def rows(cellBits: Int) = Similarity.embedDecontaminate(
+        corpus, evalSet, 95L, 100L, cellBits = cellBits)
+      .select($"id", $"n_hits", $"first_eval_id")
+      .as[(Long, Long, Long)].collect().sorted.toList
+    val pruned = rows(6)
+    assert(pruned == rows(0),
+      "the cell prefilter must be invisible in the verdict set")
+    assert(pruned.nonEmpty, "sanity: eval vectors sit in the corpus")
     val plan = Similarity.embedDecontaminate(corpus, evalSet, 95L, 100L)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"the eval side must broadcast:\n${plan.take(600)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"corpus x survivors must be a hash join on the cell key:\n${
+        plan.take(800)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.split("BroadcastNestedLoopJoin").length - 1 == 1,
+      "the only nested loop is |eval| x 2^cellBits cell stats")
   }
 
   test("maintained k-means: streamed delta fold ≡ one batch Lloyd " +
@@ -871,6 +903,62 @@ class ScaleSpec extends SparkSpec {
     assert(a.sameElements(b), "broadcast-relation scoring must equal the " +
       "plan-literal scoring bit-for-bit")
     assert(a.map(_._2).distinct.length > 1, "sanity: scores vary")
+  }
+
+  test("routeArgmax single-pass: scores bit-equal the per-model " +
+      "linearScore path on both transports") {
+    import graft.ops.LangModel
+    val docs = (1L to 30L).map(i =>
+      (i, s"alpha beta tok$i word${i % 5} gamma")).toDF("doc_id", "text")
+    // 4 x 4096 = 16,384 values — past RouteLiteralMaxValues, so the
+    // default path broadcasts the weight MATRIX; literalMax override
+    // inlines it. Both must equal the old shape: one linearScore fold
+    // per model, first-max-wins argmax.
+    val b = 4096
+    val models = (0 until 4).map(m => s"c$m" -> Array.tabulate(b)(j =>
+      ((j * 2654435761L + m * 40503L) % 4001L) - 2000L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"pred", $"pred_score").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val bc = rows(LangModel.routeArgmax(docs, "doc_id", "text", models,
+      out = "pred"))
+    val lt = rows(LangModel.routeArgmax(docs, "doc_id", "text", models,
+      out = "pred", literalMax = Int.MaxValue))
+    assert(bc.sameElements(lt), "matrix transport must not change scores")
+    // per-model reference: n separate single-model folds + manual argmax
+    val scored = models.zipWithIndex.foldLeft(docs) {
+      case (acc, ((_, w), i)) =>
+        LangModel.linearScore(acc, "doc_id", "text", w, s"__s$i",
+          literalMax = Int.MaxValue)
+    }.collect().map { r =>
+      val ss = (0 until 4).map(i => r.getAs[Long](s"__s$i"))
+      val win = ss.indexOf(ss.max)
+      (r.getAs[Long]("doc_id"), s"c$win", ss.max)
+    }.sorted
+    assert(bc.sameElements(scored),
+      "single-pass scores must equal the per-model path bit-for-bit")
+    assert(bc.map(_._2).distinct.length > 1, "sanity: winners vary")
+  }
+
+  test("routeArgmax at 100 classes x 65,536 buckets: ONE " +
+      "BroadcastNestedLoopJoin, O(1) plan size, one slot array") {
+    import graft.ops.LangModel
+    val docs = (1L to 20L).map(i =>
+      (i, s"alpha beta tok$i word${i % 5}")).toDF("doc_id", "text")
+    val big = (0 until 100).map(m => s"g$m" -> Array.tabulate(65536)(j =>
+      ((j * 48271L + m * 7919L) % 1999L) - 999L))
+    val routed = LangModel.routeArgmax(docs, "doc_id", "text", big,
+      out = "pred")
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(plan.split("BroadcastNestedLoopJoin").length - 1 == 1,
+      s"exactly one one-row matrix join expected:\n${plan.take(800)}")
+    assert(plan.length < 200 * 1000,
+      s"plan must not scale with classes x buckets (${plan.length} chars)")
+    // the token slot projection appears once, not once per class
+    assert(plan.split("pmod").length - 1 <= 2,
+      "slots must be hoisted into one array, not re-derived per model")
+    val preds = routed.select($"pred").collect().map(_.getString(0))
+    assert(preds.distinct.length > 1, "sanity: 100-way routing varies")
   }
 
   test("q28 generator stays narrow: no exchange before the explode") {

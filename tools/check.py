@@ -113,7 +113,8 @@ def main():
     with open(f'{outdir}/CORRECTNESS_local.json', 'w') as f:
         f.write(art)
     if not only:  # full battery -> committable snapshot at the repo root
-        with open('/root/repo/CORRECTNESS_local.json', 'w') as f:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(repo_root, 'CORRECTNESS_local.json'), 'w') as f:
             f.write(art)
     n_pass = sum(1 for r in results.values()
                  if r['hash_match'] and not r['err'])
