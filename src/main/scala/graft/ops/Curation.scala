@@ -103,6 +103,97 @@ object Curation {
           - col("seq_id") + 1))
   }
 
+  /** Best-fit sequence packing, boundary-respecting semantics (the
+    * cross-document-attention-safe alternative to [[packSequences]]'s
+    * concat-then-chunk): documents are never split across sequences;
+    * within a shard they are placed FIRST-FIT-DECREASING — items sorted
+    * (token_count DESC, id ASC), each into the lowest-index bin with
+    * enough remaining capacity, a new bin otherwise. A document longer
+    * than `seqLen` gets its own bin, flagged `oversize` (the caller
+    * truncates or routes it to a longer-context bucket).
+    *
+    * Scale shape: packing is sharded — `shard = hash48(id) % nShards` —
+    * and each shard's items are collected into ONE array whose FFD fold
+    * runs as a codegen'd `aggregate` HOF on the executor (no UDF, no
+    * driver collect; the same executor-side fold discipline as the BPE
+    * merge). At 100 TB you size `nShards` so a shard is a few thousand
+    * documents: per-shard FFD is the standard distributed packing (the
+    * global-FFD bin count differs only by the per-shard boundary waste,
+    * which the [[packBestFitAudit]] columns quantify), and the whole op
+    * is one shuffle on the shard key. Determinism: `array_sort` pins the
+    * item order, so results are bit-stable under any partitioning.
+    *
+    * Output: id, token_count, shard, bin (within-shard 0-based),
+    * oversize.
+    */
+  def packBestFit(df: DataFrame, idCol: Column, tokenCountCol: Column,
+      seqLen: Int, nShards: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(nShards > 0, "nShards must be positive")
+    val base = df.select(idCol.cast("long").as("id"),
+        tokenCountCol.cast("long").as("cnt"))
+      .withColumn("shard",
+        TextAnalysis.hash48(col("id").cast("string")) % nShards.toLong)
+    // first index with rem >= cnt, as a SQL fragment reused by both the
+    // capacity update and the bin assignment (CASE guards keep the
+    // element_at reachable only when a fit exists — ANSI-safe)
+    val firstFit =
+      "element_at(filter(transform(acc.bins, (b2, i2) -> " +
+        "IF(b2 >= x.cnt, i2, -1)), v -> v >= 0), 1)"
+    val ffd = s"""aggregate(
+      items,
+      named_struct(
+        'bins', CAST(array() AS array<bigint>),
+        'asg', CAST(array() AS array<struct<id: bigint, bin: bigint,
+          cnt: bigint>>)),
+      (acc, x) -> CASE
+        WHEN x.cnt > ${seqLen}L
+          OR size(filter(acc.bins, b -> b >= x.cnt)) = 0 THEN
+          named_struct(
+            'bins', concat(acc.bins, array(${seqLen}L - x.cnt)),
+            'asg', concat(acc.asg, array(named_struct(
+              'id', x.id, 'bin', CAST(size(acc.bins) AS BIGINT),
+              'cnt', x.cnt))))
+        ELSE
+          named_struct(
+            'bins', transform(acc.bins, (b, i) ->
+              IF(i = $firstFit, b - x.cnt, b)),
+            'asg', concat(acc.asg, array(named_struct(
+              'id', x.id, 'bin', CAST($firstFit AS BIGINT),
+              'cnt', x.cnt))))
+      END)"""
+    base.groupBy(col("shard"))
+      .agg(array_sort(collect_list(struct(
+        (lit(0L) - col("cnt")).as("nc"), col("id").as("id"),
+        col("cnt").as("cnt")))).as("items"))
+      .withColumn("st", expr(ffd))
+      .select(col("shard"), explode(col("st.asg")).as("a"))
+      .select(col("a.id").as("id"), col("a.cnt").as("token_count"),
+        col("shard"), col("a.bin").as("bin"),
+        (col("a.cnt") > seqLen.toLong).as("oversize"))
+  }
+
+  /** Per-shard packing audit for [[packBestFit]]: bin count, total
+    * tokens, and the waste (empty bin capacity) of the best-fit layout
+    * vs what concat-then-chunk would leave on the same shard
+    * (`seqLen·ceil(total/seqLen) − total`) — the cost of refusing to
+    * split documents, published next to the layout. Two combinable
+    * aggregations; integer-exact.
+    */
+  def packBestFitAudit(asg: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    asg.groupBy(col("shard"), col("bin"))
+      .agg(sum(col("token_count")).as("fill"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("fill")).as("total_tokens"),
+        sum(greatest(lit(0L), lit(seqLen.toLong) - col("fill")))
+          .as("waste_bestfit"))
+      .withColumn("waste_concat", expr(
+        s"(total_tokens + ${seqLen - 1}L) DIV ${seqLen}L * ${seqLen}L" +
+          " - total_tokens"))
+  }
+
   /** Fixed-window chunking with overlap (the RAG / context-window prep
     * step): each document's token stream is cut into `window`-token chunks
     * every `stride` tokens (overlap = window - stride), the final chunk
@@ -891,8 +982,12 @@ object Curation {
     */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
       mergeTable: DataFrame, checkpointEvery: Int = 8,
-      frozenVocab: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+      frozenVocab: Option[DataFrame] = None,
+      byteFallback: Boolean = false): (DataFrame, DataFrame) = {
     require(checkpointEvery > 0, "checkpointEvery must be positive")
+    require(!byteFallback || frozenVocab.isDefined,
+      "byteFallback needs a frozen vocab (the unconstrained path realizes " +
+        "every symbol, so nothing is ever out-of-vocabulary)")
     val spark = df.sparkSession
     import org.apache.spark.sql.Encoders
     val merges = mergeTable
@@ -925,15 +1020,30 @@ object Curation {
       .distinct()
       .withColumn("tid",
         row_number().over(Window.orderBy(col("sym"))).cast("long")))
+    // per-(pos, sym) id LIST: in-vocab symbols are a 1-element list;
+    // under byteFallback a stray symbol decomposes to its UTF-8 bytes,
+    // each as a reserved id `byteBase + byteValue` ABOVE the frozen vocab
+    // (GPT-2 byte-level / SentencePiece byte_fallback semantics — every
+    // string encodes losslessly, see [[bpeDecode]]); otherwise a stray
+    // collapses to the single [[UnkId]]
+    val symIds: Column =
+      if (byteFallback) {
+        // bounded driver decision: one max over the vocab-sized frozen
+        // artifact pins the reserved byte-id range (published with it)
+        val byteBase = frozenVocab.get.agg(max(col("tid"))).head()
+          .getLong(0) + 1L
+        when(col("tid").isNotNull, array(col("tid")))
+          .otherwise(byteFallbackIds(col("sym"), byteBase))
+      } else array(coalesce(col("tid"), lit(UnkId)))
     val wordIds = words
       .select(col("word"),
         posexplode(split(col("syms"), " ")).as(Seq("pos", "sym")))
       .join(broadcast(vocab), Seq("sym"), "left")
-      .withColumn("tid", coalesce(col("tid"), lit(UnkId)))
+      .withColumn("sids", symIds)
       .groupBy(col("word"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("tid")))),
-        x => x.getField("tid")).as("wids"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("sids")))),
+        x => x.getField("sids"))).as("wids"))
     val encoded = df
       .select(col(idCol),
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("tpos", "word")))
@@ -972,6 +1082,58 @@ object Curation {
     spark.createDataset(rows)(org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.STRING,
       org.apache.spark.sql.Encoders.scalaLong)).toDF("sym", "tid")
+  }
+
+  /** A stray symbol's byte-fallback id list: the symbol's UTF-8 bytes,
+    * each mapped to the reserved id `byteBase + byteValue` (a 256-id
+    * block published alongside the frozen vocab). Pure codegen'd
+    * expression — hex + a bounded transform over the byte count; no UDF.
+    */
+  private def byteFallbackIds(sym: Column, byteBase: Long): Column = {
+    val hx = hex(encode(sym, "UTF-8"))
+    transform(sequence(lit(1), (length(hx) / 2).cast("int")),
+      i => lit(byteBase)
+        + conv(hx.substr((i - lit(1)) * 2 + 1, lit(2)), 16, 10).cast("long"))
+  }
+
+  /** BPE DECODE — invert [[bpeEncode]]'s frozen-vocab byte-fallback
+    * encoding back to (whitespace-normalized) text, proving the encode is
+    * LOSSLESS: in-vocab ids look up their symbol's UTF-8 hex, byte ids
+    * (`tid >= byteBase`) contribute their single byte, the per-document
+    * hex concatenates in token order, decodes as UTF-8, and the `</w>`
+    * end-of-word markers become spaces. Byte fallback makes the hex
+    * detour necessary AND sufficient: a multi-byte code point split
+    * across consecutive byte ids only reassembles correctly at the byte
+    * level, never by per-id string concat.
+    *
+    * Scale shape: one posexplode + broadcast vocab join + one per-doc
+    * re-aggregation — the same two-touch shape as the encode; no
+    * driver-side text, no UDFs.
+    *
+    * Input must carry (idCol, ids: array<long>); returns (idCol, text).
+    */
+  def bpeDecode(encoded: DataFrame, idCol: String, vocab: DataFrame,
+      byteBase: Long): DataFrame = {
+    val hexDigits = "0123456789ABCDEF"
+    encoded
+      .select(col(idCol), posexplode(col("ids")).as(Seq("pos", "tid")))
+      .join(broadcast(vocab), Seq("tid"), "left")
+      .withColumn("h",
+        when(col("tid") < byteBase, hex(encode(col("sym"), "UTF-8")))
+          .otherwise(concat(
+            lit(hexDigits).substr(
+              (((col("tid") - byteBase) / 16).cast("int") + 1).cast("int"),
+              lit(1)),
+            lit(hexDigits).substr(
+              (((col("tid") - byteBase) % 16).cast("int") + 1).cast("int"),
+              lit(1)))))
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("h")))),
+        x => x.getField("h")), "").as("hx"))
+      .withColumn("text",
+        rtrim(replace(decode(unhex(col("hx")), "UTF-8"), lit("</w>"), lit(" "))))
+      .drop("hx")
   }
 
   /** Vocabulary coverage curve (tokenizer vocab sizing): for each candidate

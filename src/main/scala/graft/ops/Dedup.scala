@@ -715,9 +715,19 @@ object Dedup {
     *
     * Output: (id_a, id_b, a_start, b_start, n_tokens) with id_a < id_b,
     * starts 0-based token offsets, one row per MAXIMAL shared span.
+    *
+    * `withinDoc = true` ADDITIONALLY reports spans a document repeats
+    * INSIDE ITSELF (Lee et al. dedup both forms): self rows have
+    * id_a = id_b and a_start < b_start — the (pos_a < pos_b) half of the
+    * self-join, so each internal repeat appears once, and the diagonal
+    * extension is unchanged (a run of consecutive matching grams at a
+    * fixed self-offset is one maximal internal repeat). Tandem repeats
+    * overlap naturally: "x"·30 with minLen 20 yields one maximal row per
+    * self-offset, each the longest run at that offset.
     */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 20, maxBucket: Int = 64): DataFrame = {
+      minLen: Int = 20, maxBucket: Int = 64,
+      withinDoc: Boolean = false): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     val sh = df
       .select(col(idCol).as("id"),
@@ -726,8 +736,13 @@ object Dedup {
       .select(col("id"), col("pos").cast("long").as("pos"),
         md5(col("gram")).as("fp"))
     val capped = capBuckets(sh, "fp", maxBucket)
+    val pairCond =
+      if (withinDoc)
+        col("a.id") < col("b.id") ||
+          (col("a.id") === col("b.id") && col("a.pos") < col("b.pos"))
+      else col("a.id") < col("b.id")
     val pairs = capped.as("a").join(capped.as("b"),
-        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+        col("a.fp") === col("b.fp") && pairCond)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
       .withColumn("diag", col("pos_a") - col("pos_b"))
@@ -741,6 +756,48 @@ object Dedup {
         (count(lit(1)) + lit(minLen - 1).cast("long")).as("n_tokens"))
       .select(col("id_a"), col("id_b"), col("a_start"), col("b_start"),
         col("n_tokens"))
+  }
+
+  /** Repeated-span EXCISION — the removal step of Lee et al.'s
+    * suffix-array dedup, completing [[repeatedSpans]]: rewrite the
+    * corpus with every shared span's LATER occurrence removed
+    * (keep-first: the copy in the lower doc id survives; each span row's
+    * id_b-side token range `[b_start, b_start + n_tokens)` is dropped).
+    * Overlapping ranges union naturally — a token goes when ANY range
+    * covers it — so the rewrite is independent of span row order and
+    * bit-deterministic.
+    *
+    * Scale shape: the span table is candidate-sized (genuinely repeated
+    * grams only — orders of magnitude smaller than the corpus), so its
+    * per-doc range aggregation broadcasts into ONE join against the
+    * corpus; the rewrite itself is a narrow codegen'd HOF pass (token
+    * filter by an `exists` over the doc's own ranges — ranges per doc
+    * are few, the filter is O(tokens · ranges_doc)). No shuffle of
+    * corpus bytes beyond that single broadcast join.
+    *
+    * Output: id, n_tokens (original), n_removed, text_clean.
+    */
+  def exciseSpans(df: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val ranges = spans
+      .groupBy(col("id_b").as("rid"))
+      .agg(collect_list(struct(col("b_start").as("s"),
+        (col("b_start") + col("n_tokens")).as("e"))).as("ranges"))
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .join(broadcast(ranges), col(idCol) === col("rid"), "left")
+      .withColumn("ranges", coalesce(col("ranges"),
+        expr("CAST(array() AS array<struct<s: bigint, e: bigint>>)")))
+      .withColumn("keep", expr(
+        """filter(
+          transform(toks, (tk, i) -> named_struct('tk', tk,
+            'i', CAST(i AS BIGINT))),
+          x -> NOT exists(ranges, r -> x.i >= r.s AND x.i < r.e))"""))
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("keep"))).cast("long")
+          .as("n_removed"),
+        expr("array_join(transform(keep, x -> x.tk), ' ')")
+          .as("text_clean"))
   }
 
   def simhashCrossPairs(sigA: DataFrame, sigB: DataFrame, maxHamming: Int,

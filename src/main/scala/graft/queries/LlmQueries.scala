@@ -311,6 +311,72 @@ object LlmQueries {
         flatten(list(wids ORDER BY i)) AS ids
       FROM dtk JOIN wid USING (word) GROUP BY doc_id)"""
 
+  /** DuckDB replay of Curation.bpeEncode(frozenVocab, byteFallback=true)
+    * + bpeDecode over the `aug` relation (doc_id, text), with merges
+    * b1..b$k and frozen vocab vb from [[oBpeStages]]($k)'s TRAINING
+    * chain: the learned merges are applied to aug's own unique words
+    * (v-chain — words unseen at training still fold), in-vocab symbols
+    * take their frozen tid, strays decompose to UTF-8 bytes at reserved
+    * ids `MAX(tid)+1+byte`, and the decode replays the hex-concat →
+    * from_hex → UTF-8 inversion. Exposes `dd(doc_id, n_tokens, ids)`
+    * and `dt(doc_id, decoded)`.
+    */
+  private def oBpeEncodeFb(k: Int): String = {
+    val hexd = "'0123456789ABCDEF'"
+    val v0 = s"""v0 AS (SELECT word,
+      CASE WHEN length(word) = 0 THEN '</w>'
+        ELSE array_to_string(list_transform(generate_series(1, length(word)),
+          i -> word[i]), ' ') || ' </w>' END AS syms
+      FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+        FROM aug))"""
+    val vstages = (1 to k).map { i =>
+      s"""v$i AS (SELECT word, list_reduce(string_split(syms, ' '),
+          (acc, s) -> CASE WHEN s = b$i.m_right AND (acc = b$i.m_left OR
+              right(acc, length(b$i.m_left) + 1) = ' ' || b$i.m_left)
+            THEN CASE WHEN acc = b$i.m_left
+              THEN b$i.m_left || b$i.m_right
+              ELSE left(acc, length(acc) - length(b$i.m_left) - 1) ||
+                ' ' || b$i.m_left || b$i.m_right END
+            ELSE acc || ' ' || s END) AS syms
+        FROM v${i - 1}, b$i)"""
+    }.mkString(",\n")
+    s"""$v0,
+    $vstages,
+    vb AS (SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY sym) AS BIGINT)
+        AS tid
+      FROM (SELECT DISTINCT unnest(string_split(syms, ' ')) AS sym
+        FROM w$k)),
+    mx AS (SELECT MAX(tid) + 1 AS bb FROM vb),
+    wp AS (SELECT word, i, l[i] AS sym
+      FROM (SELECT word, string_split(syms, ' ') AS l FROM v$k),
+        UNNEST(generate_series(1, len(l))) AS g(i)),
+    wph AS (SELECT word, i, sym, tid, hex(encode(sym)) AS h
+      FROM wp LEFT JOIN vb USING (sym)),
+    wpi AS (SELECT word, i, CASE WHEN tid IS NOT NULL THEN [tid]
+        ELSE list_transform(generate_series(1, length(h) // 2), j ->
+          mx.bb + CAST(16 * (strpos($hexd, h[2*j-1]) - 1)
+            + strpos($hexd, h[2*j]) - 1 AS BIGINT)) END AS sids
+      FROM wph CROSS JOIN mx),
+    wid AS (SELECT word, flatten(list(sids ORDER BY i)) AS wids
+      FROM wpi GROUP BY word),
+    dtk AS (SELECT doc_id, i, t[i] AS word
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+        UNNEST(generate_series(1, len(t))) AS g(i)),
+    dd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        flatten(list(wids ORDER BY i)) AS ids
+      FROM dtk JOIN wid USING (word) GROUP BY doc_id),
+    di AS (SELECT doc_id, j, ids[j] AS tid
+      FROM dd, UNNEST(generate_series(1, len(ids))) AS g(j)),
+    dih AS (SELECT doc_id, j, CASE WHEN di.tid < mx.bb
+          THEN hex(encode(vb.sym))
+          ELSE $hexd[CAST((di.tid - mx.bb) // 16 AS INTEGER) + 1] ||
+               $hexd[CAST((di.tid - mx.bb) % 16 AS INTEGER) + 1] END AS h
+      FROM di CROSS JOIN mx LEFT JOIN vb ON vb.tid = di.tid),
+    dt AS (SELECT doc_id, rtrim(replace(decode(from_hex(
+          string_agg(h, '' ORDER BY j))), '</w>', ' ')) AS decoded
+      FROM dih GROUP BY doc_id)"""
+  }
+
   /** DuckDB bigram-LM per-doc aggregate CTE chain (Curation.bigramLmScore):
     * corpus conditional counts floor-scaled by 1e6, summed per document.
     */
@@ -4961,6 +5027,133 @@ object LlmQueries {
             AS n_spans
         FROM cs ORDER BY doc_id""")),
 
+    // BYTE-FALLBACK BPE + LOSSLESS ROUND-TRIP (r14): the deployed-
+    // tokenizer guarantee production tokenizers make (GPT-2 byte-level,
+    // SentencePiece byte_fallback) — EVERY string encodes, strays
+    // decomposing to reserved per-byte ids above the frozen vocab
+    // instead of one lossy unk. Train on the (all-ASCII) corpus, freeze
+    // the artifacts, then encode the corpus PLUS planted multi-byte
+    // UTF-8 documents (ids derived from max(doc_id)+1 on both sides)
+    // and decode back: `roundtrip` proves encode∘decode = identity even
+    // where a code point's bytes split across consecutive ids — the
+    // case the hex-concat decode exists for.
+    "l144_byte_fallback" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.Encoders
+        val docs = t(s, d, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val planted = s.createDataset(Seq(
+          (maxId + 1, "café déjà vu naïve"),
+          (maxId + 2, "東京 žluťoučký kůň Ωmega"),
+          (maxId + 3, "plain words mixed café")))(Encoders.tuple(
+          Encoders.scalaLong, Encoders.STRING)).toDF("doc_id", "text")
+        val aug = docs.select(col("doc_id"), col("text"))
+          .unionByName(planted)
+        val (mt, words) = Curation.bpeTrain(docs, "text", merges = 6)
+        val vocab = Curation.bpeVocab(words)
+        val byteBase = vocab.agg(max(col("tid"))).head().getLong(0) + 1L
+        val (enc, _) = Curation.bpeEncode(aug, "doc_id", "text", mt,
+          frozenVocab = Some(vocab), byteFallback = true)
+        val dec = Curation.bpeDecode(enc, "doc_id", vocab, byteBase)
+          .withColumnRenamed("text", "decoded")
+        enc.join(dec, "doc_id").join(aug, "doc_id")
+          .select(col("doc_id"), col("n_tokens"), col("n_ids"),
+            array_join(col("ids"), " ").as("ids_str"), col("decoded"),
+            (col("decoded") === col("text")).as("roundtrip"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${oBpeStages(6)},
+        aug AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT (SELECT MAX(doc_id) FROM documents) + 1,
+            'café déjà vu naïve'
+          UNION ALL SELECT (SELECT MAX(doc_id) FROM documents) + 2,
+            '東京 žluťoučký kůň Ωmega'
+          UNION ALL SELECT (SELECT MAX(doc_id) FROM documents) + 3,
+            'plain words mixed café'),
+        ${oBpeEncodeFb(6)}
+        SELECT dd.doc_id, dd.n_tokens,
+          CAST(len(dd.ids) AS BIGINT) AS n_ids,
+          COALESCE(array_to_string(dd.ids, ' '), '') AS ids_str,
+          dt.decoded, dt.decoded = aug.text AS roundtrip
+        FROM dd JOIN dt USING (doc_id) JOIN aug USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // BEST-FIT SEQUENCE PACKING (r14): the boundary-respecting layout —
+    // documents never split across sequences (concat-then-chunk's
+    // cross-document attention contamination), placed first-fit-
+    // decreasing into seqLen-token bins within hash shards; docs longer
+    // than seqLen get their own bin, flagged oversize. The oracle
+    // replays the EXACT sequential FFD fold with a recursive CTE that
+    // admits one document per shard per step (depth = max per-shard
+    // rank), so bin indices — not just counts — are hash-gated; the
+    // per-shard audit quantifies the waste vs concat packing.
+    "l145_pack_bestfit" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val base = docs.select(col("doc_id"),
+          TA.tokenCount(col("text")).as("cnt"))
+        val asg = Curation.packBestFit(base, col("doc_id"), col("cnt"),
+          seqLen = 64, nShards = 4)
+        val audit = Curation.packBestFitAudit(asg, 64)
+        asg.join(audit, "shard")
+          .select(col("id").as("doc_id"), col("token_count"),
+            col("shard"), col("bin"), col("oversize"), col("n_bins"),
+            col("total_tokens"), col("waste_bestfit"), col("waste_concat"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE base AS (
+          SELECT doc_id, CAST(len($oToks) AS BIGINT) AS cnt,
+            ${oH48("CAST(doc_id AS VARCHAR)")} % 4 AS shard
+          FROM documents),
+        rk AS (SELECT doc_id, cnt, shard,
+            ROW_NUMBER() OVER (PARTITION BY shard
+              ORDER BY cnt DESC, doc_id) AS r
+          FROM base),
+        st AS (
+          SELECT shard, CAST(0 AS BIGINT) AS r,
+            CAST([] AS BIGINT[]) AS bins,
+            CAST([] AS STRUCT(doc_id BIGINT, bin BIGINT, cnt BIGINT)[])
+              AS asg
+          FROM (SELECT DISTINCT shard FROM rk)
+          UNION ALL
+          SELECT st.shard, st.r + 1,
+            CASE WHEN rk.cnt > 64
+                OR len(list_filter(st.bins, b -> b >= rk.cnt)) = 0
+              THEN list_append(st.bins, 64 - rk.cnt)
+              ELSE list_transform(generate_series(1, len(st.bins)), i ->
+                CASE WHEN i = list_filter(generate_series(1, len(st.bins)),
+                    i2 -> st.bins[i2] >= rk.cnt)[1]
+                  THEN st.bins[i] - rk.cnt ELSE st.bins[i] END) END,
+            list_append(st.asg, {'doc_id': rk.doc_id,
+              'bin': CASE WHEN rk.cnt > 64
+                  OR len(list_filter(st.bins, b -> b >= rk.cnt)) = 0
+                THEN CAST(len(st.bins) AS BIGINT)
+                ELSE CAST(list_filter(generate_series(1, len(st.bins)),
+                  i2 -> st.bins[i2] >= rk.cnt)[1] - 1 AS BIGINT) END,
+              'cnt': rk.cnt})
+          FROM st JOIN rk ON rk.shard = st.shard AND rk.r = st.r + 1),
+        fin AS (SELECT shard, bins, asg FROM st
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY shard ORDER BY r DESC)
+            = 1),
+        da AS (SELECT shard, u.doc_id, u.bin, u.cnt
+          FROM (SELECT shard, unnest(asg) AS u FROM fin)),
+        bt AS (SELECT shard, bins[i] AS rem
+          FROM (SELECT shard, bins FROM fin),
+            UNNEST(generate_series(1, len(bins))) AS g(i)),
+        aud AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_bins,
+            CAST(SUM(CASE WHEN rem > 0 THEN rem ELSE 0 END) AS BIGINT)
+              AS waste_bestfit
+          FROM bt GROUP BY shard),
+        tot AS (SELECT shard, CAST(SUM(cnt) AS BIGINT) AS total_tokens
+          FROM base GROUP BY shard),
+        aud2 AS (SELECT shard, n_bins, waste_bestfit, total_tokens,
+            (total_tokens + 63) // 64 * 64 - total_tokens AS waste_concat
+          FROM aud JOIN tot USING (shard))
+        SELECT da.doc_id, da.cnt AS token_count, da.shard, da.bin,
+          da.cnt > 64 AS oversize, aud2.n_bins, aud2.total_tokens,
+          aud2.waste_bestfit, aud2.waste_concat
+        FROM da JOIN aud2 USING (shard) ORDER BY doc_id""")),
+
     // Vocabulary coverage curve (tokenizer vocab sizing): corpus tokens
     // covered by the top-V token types for candidate vocab sizes V. Rank
     // is (count DESC, token ASC) — deterministic ties, integer-exact
@@ -5824,6 +6017,140 @@ object LlmQueries {
           CAST(COUNT(*) + 19 AS BIGINT) AS n_tokens
         FROM isl GROUP BY id_a, id_b, diag, grp
         ORDER BY id_a, id_b, a_start, b_start""")),
+
+    // REPEATED-SPAN EXCISION (r14): the removal step Lee et al. actually
+    // apply — l143 finds the maximal cross-document spans, this rewrites
+    // the corpus dropping each span's LATER occurrence (keep-first), so
+    // a planted doc keeps its unique junk flanks but loses the 50 tokens
+    // it shares with the lower-id original. Overlapping ranges union, so
+    // the rewrite is independent of span row order; the oracle replays
+    // the same chain and removal exactly, and every rewritten text —
+    // not just removal counts — is hash-gated.
+    "l146_excise_spans" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val off = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+        val tks = split(col("text"), " ", -1)
+        // junk flanks SURFACE in this query's output (unlike l143), so
+        // the planted id inside them is written explicitly — Spark 4's
+        // lateral column aliasing would otherwise resolve a bare
+        // `doc_id` to the just-aliased shifted id while DuckDB keeps
+        // the source column, a silent text divergence
+        def junk(tag: String) = array_join(
+          transform(sequence(lit(1), lit(10)),
+            k => concat_ws("", lit(tag), col("doc_id") + off,
+              lit("x"), k)), " ")
+        val planted = docs
+          .filter(col("doc_id") % 7 === 2 && size(tks) >= 60)
+          .select((col("doc_id") + off).as("pid"),
+            concat_ws(" ", junk("ja"),
+              array_join(slice(tks, 11, 50), " "), junk("jb")).as("text"))
+          .withColumnRenamed("pid", "doc_id")
+        val corpus = docs.select(col("doc_id"), col("text"))
+          .unionByName(planted)
+        val spans = Dedup.repeatedSpans(corpus, "doc_id", "text",
+          minLen = 20)
+        Dedup.exciseSpans(corpus, "doc_id", "text", spans)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH srcp AS (SELECT doc_id,
+            doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS pid,
+            string_split(text, ' ') AS t
+          FROM documents
+          WHERE doc_id % 7 = 2 AND len(string_split(text, ' ')) >= 60),
+        pl AS (SELECT pid AS doc_id,
+            array_to_string(list_transform(generate_series(1, 10),
+              k -> 'ja' || pid || 'x' || k), ' ')
+            || ' ' || array_to_string(t[11:60], ' ') || ' ' ||
+            array_to_string(list_transform(generate_series(1, 10),
+              k -> 'jb' || pid || 'x' || k), ' ') AS text
+          FROM srcp),
+        corpus AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id, text FROM pl),
+        tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        sh0 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+            md5(array_to_string(t[i:i+19], ' ')) AS fp
+          FROM tk, UNNEST(generate_series(1, GREATEST(len(t) - 19, 0)))
+            AS g(i)),
+        cap AS (SELECT doc_id, pos, fp FROM (SELECT *,
+            COUNT(*) OVER (PARTITION BY fp) AS nb FROM sh0)
+          WHERE nb <= 64),
+        pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+          FROM cap a JOIN cap b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        isl AS (SELECT *, pos_a - ROW_NUMBER()
+            OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
+          FROM pr),
+        sp AS (SELECT id_a, id_b, MIN(pos_a) AS a_start,
+            MIN(pos_b) AS b_start,
+            CAST(COUNT(*) + 19 AS BIGINT) AS n_tokens
+          FROM isl GROUP BY id_a, id_b, diag, grp),
+        rg AS (SELECT id_b AS doc_id, b_start AS s,
+            b_start + n_tokens AS e FROM sp),
+        tkx AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tk
+          FROM tk, UNNEST(generate_series(1, len(t))) AS g(i)),
+        rem AS (SELECT DISTINCT tkx.doc_id, tkx.pos
+          FROM tkx JOIN rg ON rg.doc_id = tkx.doc_id
+            AND tkx.pos >= rg.s AND tkx.pos < rg.e)
+        SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(COUNT(rem.pos) AS BIGINT) AS n_removed,
+          COALESCE(array_to_string(
+            list(x.tk ORDER BY x.pos) FILTER (WHERE rem.pos IS NULL),
+            ' '), '') AS text_clean
+        FROM tkx x LEFT JOIN rem
+          ON rem.doc_id = x.doc_id AND rem.pos = x.pos
+        GROUP BY x.doc_id ORDER BY x.doc_id""")),
+
+    // WITHIN-DOCUMENT REPEATED SPANS (r14): the self-repetition half of
+    // Lee et al.'s dedup — a document repeating a long span INSIDE
+    // itself (boilerplate pasted twice, scraper echo) is as much a
+    // training hazard as the cross-doc form, and document-LEVEL dedup
+    // can never see it. Every doc_id % 11 == 3 with >= 50 tokens gets
+    // tokens 5..34 of itself appended; each plant must surface as a
+    // maximal self row (id, a_start < b_start, n_tokens >= 30) from the
+    // SAME diagonal extension, restricted to the (pos_a < pos_b)
+    // self-join half so each internal repeat reports once.
+    "l147_self_spans" -> Def(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tks = split(col("text"), " ", -1)
+        val aug = docs.select(col("doc_id"),
+          when(col("doc_id") % 11 === 3 && size(tks) >= 50,
+            concat_ws(" ", col("text"), array_join(slice(tks, 6, 30), " ")))
+            .otherwise(col("text")).as("text"))
+        Dedup.repeatedSpans(aug, "doc_id", "text", minLen = 20,
+            withinDoc = true)
+          .filter(col("id_a") === col("id_b"))
+          .select(col("id_a").as("doc_id"), col("a_start"),
+            col("b_start"), col("n_tokens"))
+          .orderBy(col("doc_id"), col("a_start"), col("b_start"))
+      },
+      Some(s"""WITH corpus AS (SELECT doc_id,
+            CASE WHEN doc_id % 11 = 3
+                AND len(string_split(text, ' ')) >= 50
+              THEN text || ' ' ||
+                array_to_string(string_split(text, ' ')[6:35], ' ')
+              ELSE text END AS text
+          FROM documents),
+        tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        sh0 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+            md5(array_to_string(t[i:i+19], ' ')) AS fp
+          FROM tk, UNNEST(generate_series(1, GREATEST(len(t) - 19, 0)))
+            AS g(i)),
+        cap AS (SELECT doc_id, pos, fp FROM (SELECT *,
+            COUNT(*) OVER (PARTITION BY fp) AS nb FROM sh0)
+          WHERE nb <= 64),
+        pr AS (SELECT a.doc_id AS doc_id,
+            a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+          FROM cap a JOIN cap b ON a.fp = b.fp
+            AND a.doc_id = b.doc_id AND a.pos < b.pos),
+        isl AS (SELECT *, pos_a - ROW_NUMBER()
+            OVER (PARTITION BY doc_id, diag ORDER BY pos_a) AS grp
+          FROM pr)
+        SELECT doc_id, MIN(pos_a) AS a_start, MIN(pos_b) AS b_start,
+          CAST(COUNT(*) + 19 AS BIGINT) AS n_tokens
+        FROM isl GROUP BY doc_id, diag, grp
+        ORDER BY doc_id, a_start, b_start""")),
 
     // MAINTAINED k-means (r13): the frozen l124 quantizer UPDATED over a
     // stream — per micro-batch the arrivals route against the frozen

@@ -921,6 +921,86 @@ class CurationSpec extends SparkSpec {
     assert(got("localhost") == "localhost", "single label passes through")
   }
 
+  test("bpeEncode byteFallback: strays decompose to reserved per-byte " +
+      "ids and bpeDecode inverts the encode losslessly (multi-byte " +
+      "code points split across ids)") {
+    val train = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val (mt, words) = Curation.bpeTrain(train, "text", merges = 2)
+    val vocab = Curation.bpeVocab(words)
+    val vmap = vocab.as[(String, Long)].collect().toMap
+    val byteBase = vmap.values.max + 1
+    val probe = Seq((9L, "box low"), (10L, "café 東京"))
+      .toDF("doc_id", "text")
+    val (enc, _) = Curation.bpeEncode(probe, "doc_id", "text", mt,
+      frozenVocab = Some(vocab), byteFallback = true)
+    val ids = enc.orderBy($"doc_id").select($"doc_id", $"ids")
+      .as[(Long, Seq[Long])].collect().toMap
+    // 'b','o','x' are strays (vocab = {low, </w>, e, r}) -> their ASCII
+    // bytes at byteBase + value; 'low' keeps its frozen id
+    assert(ids(9L) == Seq(byteBase + 0x62, byteBase + 0x6F,
+      byteBase + 0x78, vmap("</w>"), vmap("low"), vmap("</w>")),
+      s"byte-fallback ids for 'box low': ${ids(9L)}")
+    // é = C3 A9 (two ids), 東 = E6 9D B1, 京 = E4 BA AC — a code point's
+    // bytes split across consecutive ids
+    assert(ids(10L) == Seq(0x63, 0x61, 0x66, 0xC3, 0xA9).map(byteBase + _)
+      ++ Seq(vmap("</w>"))
+      ++ Seq(0xE6, 0x9D, 0xB1, 0xE4, 0xBA, 0xAC).map(byteBase + _)
+      ++ Seq(vmap("</w>")), s"utf-8 byte ids for 'café 東京': ${ids(10L)}")
+    val dec = Curation.bpeDecode(enc, "doc_id", vocab, byteBase)
+      .as[(Long, String)].collect().toMap
+    assert(dec == Map(9L -> "box low", 10L -> "café 東京"),
+      s"encode∘decode must be the identity: $dec")
+    // the lossy path is untouched: without byteFallback the same strays
+    // collapse to UnkId
+    val (encU, _) = Curation.bpeEncode(probe, "doc_id", "text", mt,
+      frozenVocab = Some(vocab))
+    val u = Curation.UnkId
+    assert(encU.orderBy($"doc_id").select($"ids").as[Seq[Long]]
+      .head() == Seq(u, u, u, vmap("</w>"), vmap("low"), vmap("</w>")))
+  }
+
+  test("packBestFit: hand-checked FFD layout, no document split, " +
+      "oversize isolated, audit consistent, deterministic") {
+    val d = Seq((1L, 60L), (2L, 50L), (3L, 40L), (4L, 30L), (5L, 10L),
+      (6L, 100L)).toDF("id", "cnt")
+    val asg = Curation.packBestFit(d, $"id", $"cnt", seqLen = 64,
+      nShards = 1)
+    val m = asg.select($"id", $"bin", $"oversize")
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> (t._2, t._3))
+      .toMap
+    // FFD order (cnt DESC, id ASC): 100,60,50,40,30,10 —
+    // 100>64 -> own bin 0 (oversize); 60 -> bin 1 (rem 4); 50 -> bin 2
+    // (rem 14); 40 -> bin 3 (rem 24); 30 fits nothing (4,14,24<30) ->
+    // bin 4 (rem 34); 10 -> FIRST fitting bin = 2 (14>=10)
+    assert(m == Map(6L -> (0L, true), 1L -> (1L, false), 2L -> (2L, false),
+      3L -> (3L, false), 4L -> (4L, false), 5L -> (2L, false)),
+      s"FFD layout: $m")
+    val aud = Curation.packBestFitAudit(asg, 64)
+      .select($"n_bins", $"total_tokens", $"waste_bestfit", $"waste_concat")
+      .as[(Long, Long, Long, Long)].head()
+    assert(aud == ((5L, 290L, 66L, 30L)), s"audit: $aud")
+    // multi-shard: every id assigned exactly once (no split), oversize
+    // docs alone in their bin, non-oversize bins within capacity,
+    // bit-deterministic across runs
+    val big = (1L to 300L).map(i => (i, 1L + (i * 37) % 90))
+      .toDF("id", "cnt")
+    val a2 = Curation.packBestFit(big, $"id", $"cnt", seqLen = 64,
+      nShards = 4)
+    assert(a2.groupBy($"id").count().filter($"count" > 1).count() == 0)
+    assert(a2.count() == 300)
+    val fills = a2.groupBy($"shard", $"bin")
+      .agg(sum($"token_count").as("fill"), count(lit(1)).as("n"),
+        max($"oversize".cast("int")).as("ov"))
+    assert(fills.filter($"ov" === 0 && $"fill" > 64).count() == 0,
+      "non-oversize bins stay within seqLen")
+    assert(fills.filter($"ov" === 1 && $"n" > 1).count() == 0,
+      "an oversize document is alone in its bin")
+    val r1 = a2.orderBy($"id").collect().toSeq
+    val r2 = Curation.packBestFit(big, $"id", $"cnt", 64, 4)
+      .orderBy($"id").collect().toSeq
+    assert(r1 == r2, "packing is bit-deterministic")
+  }
+
   test("registrableDomain plan: broadcast joins only, no exchange") {
     val hosts = (1L to 64L).map(i => s"sub$i.site$i.co.uk").toDF("host")
     val plan = Curation.registrableDomain(hosts, $"host")

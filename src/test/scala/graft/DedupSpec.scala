@@ -428,6 +428,67 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 3L, 20L, 10L, 50L), (1L, 3L, 20L, 70L, 50L)))
   }
 
+  test("repeatedSpans withinDoc: internal repeats surface once per " +
+      "self-offset; cross-doc rows and the default path are unchanged") {
+    val span = (1 to 25).map(i => s"s$i").mkString(" ")
+    // doc 1 repeats a 25-token span internally at offset 35
+    val selfRep = ((1 to 10).map(i => s"a$i") :+ span) ++
+      (11 to 20).map(i => s"a$i") :+ span
+    val other = ((1 to 15).map(i => s"c$i") :+ span) ++
+      (16 to 20).map(i => s"c$i")
+    val df = Seq((1L, selfRep.mkString(" ")), (2L, other.mkString(" ")))
+      .toDF("doc_id", "text")
+    val all = Dedup.repeatedSpans(df, "doc_id", "text", minLen = 20,
+      withinDoc = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // self row: doc 1's copies at 10 and 45 (junk 10 + span 25 + junk 10)
+    assert(all.contains((1L, 1L, 10L, 45L, 25L)), s"self span: $all")
+    // cross rows still present for BOTH copies vs doc 2's single copy
+    assert(all.contains((1L, 2L, 10L, 15L, 25L)) &&
+      all.contains((1L, 2L, 45L, 15L, 25L)), s"cross spans: $all")
+    assert(all.size == 3, s"exactly one self + two cross rows: $all")
+    // default path: bit-identical to withinDoc=false (no self rows)
+    val dflt = Dedup.repeatedSpans(df, "doc_id", "text", minLen = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(dflt == all.filter(x => x._1 != x._2), s"default: $dflt")
+  }
+
+  test("exciseSpans: keep-first removal, overlap union, untouched docs " +
+      "bit-identical") {
+    val span = (1 to 50).map(i => s"s$i").mkString(" ")
+    val a = ((1 to 20).map(i => s"a$i") :+ span) ++ (21 to 40).map(i => s"a$i")
+    val b = ((1 to 30).map(i => s"b$i") :+ span) ++ (31 to 45).map(i => s"b$i")
+    val clean = (1 to 25).map(i => s"z$i")
+    val df = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")),
+      (5L, clean.mkString(" "))).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(df, "doc_id", "text", minLen = 20)
+    val got = Dedup.exciseSpans(df, "doc_id", "text", spans)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // keep-first: doc 1 (lower id) keeps its copy, doc 2 loses exactly
+    // the 50 shared tokens, the clean doc is untouched byte-for-byte
+    assert(got(1L) == ((90L, 0L, a.mkString(" "))))
+    assert(got(2L)._1 == 95L && got(2L)._2 == 50L)
+    assert(got(2L)._3 ==
+      (((1 to 30).map(i => s"b$i") ++ (31 to 45).map(i => s"b$i"))
+        .mkString(" ")), s"doc 2 keeps only its flanks: ${got(2L)._3}")
+    assert(got(5L) == ((25L, 0L, clean.mkString(" "))))
+    // overlap union: two hand-made overlapping ranges on one doc remove
+    // the union, not double-count
+    val handSpans = Seq((0L, 9L, 0L, 2L, 6L), (0L, 9L, 0L, 5L, 6L))
+      .toDF("id_a", "id_b", "a_start", "b_start", "n_tokens")
+    val nine = Seq((9L, (1 to 15).map(i => s"n$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val o = Dedup.exciseSpans(nine, "doc_id", "text", handSpans)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      .head
+    // ranges [2,8) ∪ [5,11) = [2,11): 9 tokens removed of 15
+    assert(o == ((15L, 9L,
+      ((1 to 2) ++ (12 to 15)).map(i => s"n$i").mkString(" "))), s"$o")
+  }
+
   test("survivorChangelog: an edgeless batch is all adds (no components run)") {
     val clusterOf = Seq(11L -> 11L).toDF("id", "cluster")
     val batch = Seq(10L, 20L).toDF("id")

@@ -961,6 +961,25 @@ class ScaleSpec extends SparkSpec {
     assert(preds.distinct.length > 1, "sanity: 100-way routing varies")
   }
 
+  test("packBestFit: ONE hash exchange (the shard key), executor-side " +
+      "FFD fold, no cartesian") {
+    import graft.ops.Curation
+    val d = (1L to 500L).map(i => (i, 1L + (i * 13) % 90))
+      .toDF("id", "cnt")
+    val asg = Curation.packBestFit(d, $"id", $"cnt", seqLen = 64,
+      nShards = 8)
+    asg.collect()
+    // AQE prints the plan twice (Final + Initial) — count the final only
+    val full = asg.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"per-shard packing is one shuffle on the shard key, got $shuffles:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"no join at all on the packing path:\n${plan.take(1200)}")
+  }
+
   test("q28 generator stays narrow: no exchange before the explode") {
     val df = SparkEntry.all("q28_explode_tokens").fn(spark, sf0001)
     df.collect()
