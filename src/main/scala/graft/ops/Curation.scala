@@ -113,10 +113,13 @@ object Curation {
     * truncates or routes it to a longer-context bucket).
     *
     * Scale shape: packing is sharded — `shard = hash48(id) % nShards` —
-    * and each shard's items are collected into ONE array whose FFD fold
-    * runs as a codegen'd `aggregate` HOF on the executor (no UDF, no
-    * driver collect; the same executor-side fold discipline as the BPE
-    * merge). At 100 TB you size `nShards` so a shard is a few thousand
+    * and each shard's items are collected into ONE array handed to the
+    * native [[graft.functions.FfdPack]] kernel (codegen'd Catalyst
+    * expression: the O(items·bins) first-fit loop as primitive long
+    * arithmetic on the executor; an `aggregate`-HOF fold of the same
+    * loop measured ~25 µs per interpreted lambda call — 88 s for 5,000
+    * docs — where the kernel is sub-millisecond). No UDF, no driver
+    * collect. At 100 TB you size `nShards` so a shard is a few thousand
     * documents: per-shard FFD is the standard distributed packing (the
     * global-FFD bin count differs only by the per-shard boundary waste,
     * which the [[packBestFitAudit]] columns quantify), and the whole op
@@ -134,40 +137,13 @@ object Curation {
         tokenCountCol.cast("long").as("cnt"))
       .withColumn("shard",
         TextAnalysis.hash48(col("id").cast("string")) % nShards.toLong)
-    // first index with rem >= cnt, as a SQL fragment reused by both the
-    // capacity update and the bin assignment (CASE guards keep the
-    // element_at reachable only when a fit exists — ANSI-safe)
-    val firstFit =
-      "element_at(filter(transform(acc.bins, (b2, i2) -> " +
-        "IF(b2 >= x.cnt, i2, -1)), v -> v >= 0), 1)"
-    val ffd = s"""aggregate(
-      items,
-      named_struct(
-        'bins', CAST(array() AS array<bigint>),
-        'asg', CAST(array() AS array<struct<id: bigint, bin: bigint,
-          cnt: bigint>>)),
-      (acc, x) -> CASE
-        WHEN x.cnt > ${seqLen}L
-          OR size(filter(acc.bins, b -> b >= x.cnt)) = 0 THEN
-          named_struct(
-            'bins', concat(acc.bins, array(${seqLen}L - x.cnt)),
-            'asg', concat(acc.asg, array(named_struct(
-              'id', x.id, 'bin', CAST(size(acc.bins) AS BIGINT),
-              'cnt', x.cnt))))
-        ELSE
-          named_struct(
-            'bins', transform(acc.bins, (b, i) ->
-              IF(i = $firstFit, b - x.cnt, b)),
-            'asg', concat(acc.asg, array(named_struct(
-              'id', x.id, 'bin', CAST($firstFit AS BIGINT),
-              'cnt', x.cnt))))
-      END)"""
     base.groupBy(col("shard"))
       .agg(array_sort(collect_list(struct(
         (lit(0L) - col("cnt")).as("nc"), col("id").as("id"),
         col("cnt").as("cnt")))).as("items"))
-      .withColumn("st", expr(ffd))
-      .select(col("shard"), explode(col("st.asg")).as("a"))
+      .withColumn("asg",
+        graft.functions.NativeFfd.ffdPack(col("items"), lit(seqLen.toLong)))
+      .select(col("shard"), explode(col("asg")).as("a"))
       .select(col("a.id").as("id"), col("a.cnt").as("token_count"),
         col("shard"), col("a.bin").as("bin"),
         (col("a.cnt") > seqLen.toLong).as("oversize"))

@@ -146,7 +146,7 @@ object Dedup {
     * follows adds no further exchange (the agg+semi variant measured a
     * second full exchange of the exploded frame, ~40% slower on l10).
     */
-  private def capBuckets(bucketed: DataFrame, keyCol: String, maxBucket: Int): DataFrame =
+  private[ops] def capBuckets(bucketed: DataFrame, keyCol: String, maxBucket: Int): DataFrame =
     if (maxBucket <= 0) bucketed
     else {
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
@@ -725,16 +725,42 @@ object Dedup {
     * overlap naturally: "x"·30 with minLen 20 yields one maximal row per
     * self-offset, each the longest run at that offset.
     */
-  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 20, maxBucket: Int = 64,
-      withinDoc: Boolean = false): DataFrame = {
+  /** Stage 1 of [[repeatedSpans]], shared with the incremental index
+    * ([[DedupIndex.buildSpanIndex]]): positional `minLen`-gram
+    * fingerprints — (id, pos, fp) with fp = md5 of the gram text.
+    */
+  private[ops] def spanFingerprints(df: DataFrame, idCol: String,
+      textCol: String, minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    val sh = df
-      .select(col(idCol).as("id"),
+    df.select(col(idCol).as("id"),
         posexplode(shingleArray(tokens(col(textCol)), minLen))
           .as(Seq("pos", "gram")))
       .select(col("id"), col("pos").cast("long").as("pos"),
         md5(col("gram")).as("fp"))
+  }
+
+  /** Diagonal gaps-and-islands extension shared by [[repeatedSpans]] and
+    * [[DedupIndex.incrementalSpans]]: seed matches (id_a, id_b, pos_a,
+    * pos_b) → one row per MAXIMAL shared span.
+    */
+  private[ops] def extendSeeds(pairs: DataFrame, minLen: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    pairs
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("isl", col("pos_a") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("isl"))
+      .agg(min(col("pos_a")).as("a_start"), min(col("pos_b")).as("b_start"),
+        (count(lit(1)) + lit(minLen - 1).cast("long")).as("n_tokens"))
+      .select(col("id_a"), col("id_b"), col("a_start"), col("b_start"),
+        col("n_tokens"))
+  }
+
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 20, maxBucket: Int = 64,
+      withinDoc: Boolean = false): DataFrame = {
+    val sh = spanFingerprints(df, idCol, textCol, minLen)
     val capped = capBuckets(sh, "fp", maxBucket)
     val pairCond =
       if (withinDoc)
@@ -745,17 +771,7 @@ object Dedup {
         col("a.fp") === col("b.fp") && pairCond)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
-      .withColumn("diag", col("pos_a") - col("pos_b"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id_a"), col("id_b"), col("diag"))
-      .orderBy(col("pos_a"))
-    pairs
-      .withColumn("isl", col("pos_a") - row_number().over(w))
-      .groupBy(col("id_a"), col("id_b"), col("diag"), col("isl"))
-      .agg(min(col("pos_a")).as("a_start"), min(col("pos_b")).as("b_start"),
-        (count(lit(1)) + lit(minLen - 1).cast("long")).as("n_tokens"))
-      .select(col("id_a"), col("id_b"), col("a_start"), col("b_start"),
-        col("n_tokens"))
+    extendSeeds(pairs, minLen)
   }
 
   /** Repeated-span EXCISION — the removal step of Lee et al.'s

@@ -465,6 +465,103 @@ object DedupIndex {
           bucketed = false, buckets)
       }.start()
 
+  // --------------------------------------------- repeated-span index
+
+  /** Materialize the POSITIONAL fingerprint index for incremental
+    * repeated-span dedup ([[Dedup.repeatedSpans]]'s stage 1 as a
+    * bucketed table): (id, pos, fp) bucketed+sorted on fp, so every
+    * later batch-vs-corpus seed join reads the corpus side with ZERO
+    * exchange — the ingest-time form of Lee et al.'s suffix-array scan.
+    * At 100 TB the index is corpus-token-count sized; bucket it like the
+    * shingle index (~128-256 MB of rows per bucket).
+    */
+  def buildSpanIndex(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, name: String, minLen: Int = 20,
+      buckets: Int = 8): Unit =
+    Dedup.spanFingerprints(docs, idCol, textCol, minLen)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "fp").sortBy("fp").saveAsTable(name)
+
+  /** Maximal verbatim spans between a NEW batch and the indexed corpus:
+    * the batch's positional fingerprints seed against the bucketed index
+    * and extend on diagonals exactly as [[Dedup.repeatedSpans]] —
+    * id_a = corpus doc, id_b = new doc, so the rows feed
+    * [[Dedup.exciseSpans]] keep-first: the corpus copy survives and the
+    * ARRIVAL is stripped. `maxBucket` df-caps the CORPUS side only (a
+    * fingerprint shared by more than maxBucket corpus docs is
+    * boilerplate; the batch side is small by the ingest contract).
+    *
+    * Scale shape: corpus side scans bucket-local (no exchange — the
+    * bucketed layout IS the join partitioning); only the batch
+    * fingerprints shuffle. The df-cap window rides the same fp
+    * clustering.
+    */
+  def incrementalSpans(spark: SparkSession, newDocs: DataFrame,
+      idCol: String, textCol: String, name: String, minLen: Int = 20,
+      maxBucket: Int = 64, beforeBatch: Option[Long] = None): DataFrame = {
+    val newFp = Dedup.spanFingerprints(newDocs, idCol, textCol, minLen)
+    // beforeBatch pins the index view to partitions strictly earlier —
+    // a crash-replayed batch whose own fingerprints already landed must
+    // not match ITSELF (the streaming path always passes it)
+    val t0 = spark.table(name)
+    val t1 = beforeBatch match {
+      case Some(b) if t0.columns.contains("ingest_batch") =>
+        t0.filter(col("ingest_batch") < b)
+      case _ => t0
+    }
+    val idx = Dedup.capBuckets(
+      t1.select(col("id"), col("pos"), col("fp")), "fp", maxBucket)
+    val pairs = idx.as("a").join(newFp.as("b"),
+        col("a.fp") === col("b.fp"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+    Dedup.extendSeeds(pairs, minLen)
+  }
+
+  /** STREAMING span-index maintenance: per micro-batch, detect each
+    * arrival's verbatim spans against the PRE-batch index (landed as the
+    * append-only `<name>_spans` changelog, one `ingest_batch` partition
+    * per batch), then fold the batch's own fingerprints into the index —
+    * both through [[landBatch]]'s idempotent drop-partition+append, so a
+    * crash-replayed batch re-lands identical contents and the span
+    * changelog never double-reports. Arrivals therefore never match
+    * LATER arrivals here (within-batch pairs are the caller's
+    * [[Dedup.repeatedSpans]] pass if wanted) — the keep-first direction
+    * is always corpus-or-earlier-batch → arrival.
+    */
+  def startSpanMaintenance(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, name: String, checkpointPath: String,
+      minLen: Int = 20, buckets: Int = 8, maxBucket: Int = 64,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val spans =
+          (if (s.catalog.tableExists(name))
+            incrementalSpans(s, batch.toDF(), idCol, textCol, name,
+              minLen, maxBucket, beforeBatch = Some(batchId))
+          else {
+            // first batch against an empty corpus: no spans by definition
+            import s.implicits._
+            Seq.empty[(Long, Long, Long, Long, Long)]
+              .toDF("id_a", "id_b", "a_start", "b_start", "n_tokens")
+          }).withColumn("ingest_batch", lit(batchId))
+        val fp = Dedup.spanFingerprints(batch.toDF(), idCol, textCol,
+          minLen).withColumn("ingest_batch", lit(batchId))
+        // spans FIRST (they are defined against the pre-batch index);
+        // on replay the fp partition is dropped and re-appended, so the
+        // re-computed spans see the same pre-batch corpus
+        landBatch(s, spark, spans, s"${name}_spans", batchId,
+          bucketed = false, buckets)
+        landBatch(s, spark, fp, name, batchId, bucketed = true, buckets,
+          bucketCol = "fp")
+      }.start()
+
   // --------------------------------------------- cluster maintenance
 
   /** STREAMING cluster maintenance — the full corpus-as-CDC loop: keep

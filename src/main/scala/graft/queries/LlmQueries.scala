@@ -6101,6 +6101,109 @@ object LlmQueries {
           ON rem.doc_id = x.doc_id AND rem.pos = x.pos
         GROUP BY x.doc_id ORDER BY x.doc_id""")),
 
+    // STREAMING SPAN-INDEX MAINTENANCE (r14): Lee et al.'s scan run AT
+    // INGEST — the corpus' positional fingerprints live in a bucketed
+    // table; each micro-batch seeds its arrivals against the PRE-batch
+    // index (zero corpus-side exchange), lands the detected spans as an
+    // append-only changelog partition, then folds its own fingerprints
+    // in (both replay-idempotent). Sources stream in two slices, the
+    // planted span-carriers third — every plant must surface when it
+    // ARRIVES, keep-first direction corpus→arrival; same-slice pairs
+    // are by-design absent (within-batch dedup is a separate pass). The
+    // oracle replays the per-batch index states exactly, including the
+    // df-cap evaluated against each batch's own pre-state.
+    "l148_streaming_span_index" -> Def(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val name = "graft_l148_idx"
+        Seq(name, s"${name}_spans").foreach { tb =>
+          s.sql(s"DROP TABLE IF EXISTS $tb")
+          val loc = new java.net.URI(
+            s.conf.get("spark.sql.warehouse.dir")).getPath + s"/$tb"
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(loc))
+          rm(new java.io.File(s"${loc}__stage"))
+        }
+        val docs = t(s, d, "documents")
+        val off = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+        val tks = split(col("text"), " ", -1)
+        def junk(tag: String) = array_join(
+          transform(sequence(lit(1), lit(10)),
+            k => concat_ws("", lit(tag), col("doc_id") + off,
+              lit("x"), k)), " ")
+        val planted = docs
+          .filter(col("doc_id") % 7 === 2 && size(tks) >= 60)
+          .select((col("doc_id") + off).as("pid"),
+            concat_ws(" ", junk("ja"),
+              array_join(slice(tks, 11, 50), " "), junk("jb")).as("text"))
+          .withColumnRenamed("pid", "doc_id")
+        val base = docs.select(col("doc_id"), col("text"))
+        val work = graft.queries.TempDirs.workDir("graft_l148")
+        val maxId = off - 1L
+        Seq(base.filter(col("doc_id") <= maxId / 2),
+            base.filter(col("doc_id") > maxId / 2),
+            planted).zipWithIndex.foreach { case (sl, i) =>
+          sl.coalesce(1).write.parquet(s"$work/in/s$i")
+          new java.io.File(s"$work/in/s$i").listFiles()
+            .foreach(f => { f.setLastModified(1700000000000L + i * 60000L); () })
+        }
+        val stream = s.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
+        val q = graft.ops.DedupIndex.startSpanMaintenance(s, stream,
+          "doc_id", "text", name, s"$work/ckpt", minLen = 20,
+          trigger = Trigger.ProcessingTime("50 milliseconds"))
+        try { q.processAllAvailable() } finally q.stop()
+        s.table(s"${name}_spans")
+          .select(col("id_a"), col("id_b"), col("a_start"),
+            col("b_start"), col("n_tokens"))
+          .orderBy(col("id_a"), col("id_b"), col("a_start"),
+            col("b_start"))
+      },
+      Some(s"""WITH srcp AS (SELECT doc_id,
+            doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS pid,
+            string_split(text, ' ') AS t
+          FROM documents
+          WHERE doc_id % 7 = 2 AND len(string_split(text, ' ')) >= 60),
+        pl AS (SELECT pid AS doc_id,
+            array_to_string(list_transform(generate_series(1, 10),
+              k -> 'ja' || pid || 'x' || k), ' ')
+            || ' ' || array_to_string(t[11:60], ' ') || ' ' ||
+            array_to_string(list_transform(generate_series(1, 10),
+              k -> 'jb' || pid || 'x' || k), ' ') AS text
+          FROM srcp),
+        corpus AS (SELECT doc_id, text,
+            CASE WHEN doc_id <= (SELECT MAX(doc_id) FROM documents) // 2
+              THEN 0
+              WHEN doc_id <= (SELECT MAX(doc_id) FROM documents) THEN 1
+              ELSE 2 END AS sl
+          FROM (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id, text FROM pl)),
+        tk AS (SELECT doc_id, sl, string_split(text, ' ') AS t
+          FROM corpus),
+        sh0 AS (SELECT doc_id, sl, CAST(i - 1 AS BIGINT) AS pos,
+            md5(array_to_string(t[i:i+19], ' ')) AS fp
+          FROM tk, UNNEST(generate_series(1, GREATEST(len(t) - 19, 0)))
+            AS g(i)),
+        fpc AS (SELECT fp,
+            COUNT(*) FILTER (WHERE sl = 0) AS c0,
+            COUNT(*) FILTER (WHERE sl <= 1) AS c01
+          FROM sh0 GROUP BY fp),
+        pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+          FROM sh0 a JOIN sh0 b ON a.fp = b.fp AND a.sl < b.sl
+          JOIN fpc ON fpc.fp = a.fp
+          WHERE (b.sl = 1 AND fpc.c0 <= 64)
+             OR (b.sl = 2 AND fpc.c01 <= 64)),
+        isl AS (SELECT *, pos_a - ROW_NUMBER()
+            OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
+          FROM pr)
+        SELECT id_a, id_b, MIN(pos_a) AS a_start, MIN(pos_b) AS b_start,
+          CAST(COUNT(*) + 19 AS BIGINT) AS n_tokens
+        FROM isl GROUP BY id_a, id_b, diag, grp
+        ORDER BY id_a, id_b, a_start, b_start""")),
+
     // WITHIN-DOCUMENT REPEATED SPANS (r14): the self-repetition half of
     // Lee et al.'s dedup — a document repeating a long span INSIDE
     // itself (boilerplate pasted twice, scraper echo) is as much a

@@ -139,6 +139,79 @@ class DedupIndexSpec extends SparkSpec {
     } finally { cleanup(name); () }
   }
 
+  test("span index: batch build + incrementalSpans match repeatedSpans; " +
+      "streaming changelog = batch-vs-earlier only; replay identical; " +
+      "corpus side stays bucketed") {
+    val name = "graft_test_spidx"
+    def cleanupSpan(): Unit = Seq(name, s"${name}_spans").foreach { tb =>
+      spark.sql(s"DROP TABLE IF EXISTS $tb")
+      val loc = new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$tb"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(loc))
+    }
+    cleanupSpan()
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val doc1 = (1L, ((1 to 5).map(i => s"a$i") :+ span).mkString(" "))
+    val doc2 = (2L, (((1 to 3).map(i => s"b$i") :+ span) :+ "b4").mkString(" "))
+    val doc3 = (3L, (1 to 10).map(i => s"c$i").mkString(" "))
+    val doc4 = (4L, (((1 to 2).map(i => s"d$i") :+ span)).mkString(" "))
+    try {
+      // batch form: index over doc1, probe doc2 — one keep-first row,
+      // identical to what repeatedSpans reports over the union
+      DedupIndex.buildSpanIndex(spark, Seq(doc1).toDF("doc_id", "text"),
+        "doc_id", "text", name, minLen = 5, buckets = 4)
+      val inc = DedupIndex.incrementalSpans(spark,
+        Seq(doc2).toDF("doc_id", "text"), "doc_id", "text", name,
+        minLen = 5)
+      val incRows = inc.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(incRows == Set((1L, 2L, 5L, 3L, 12L)), s"$incRows")
+      val batchRows = Dedup.repeatedSpans(
+        Seq(doc1, doc2).toDF("doc_id", "text"), "doc_id", "text",
+        minLen = 5).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(incRows == batchRows, "incremental == from-scratch spans")
+      // corpus side of the seed join reads the bucketed layout
+      val formatted = inc.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(formatted.contains("Bucketed: true"),
+        "index scan keeps the bucket layout")
+      cleanupSpan()
+
+      // streaming form: three batches; arrivals match EARLIER state only
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      def run(ckpt: String): Unit = {
+        implicit val sctx = spark.sqlContext
+        val input = MemoryStream[(Long, String)]
+        val q = DedupIndex.startSpanMaintenance(spark,
+          input.toDF().toDF("doc_id", "text"), "doc_id", "text", name,
+          ckpt, minLen = 5, buckets = 4)
+        try Seq(Seq(doc1), Seq(doc2, doc3), Seq(doc4)).foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
+      val work = java.nio.file.Files.createTempDirectory("graft_spidx")
+      run(s"$work/ck1")
+      val expected = Set((1L, 2L, 5L, 3L, 12L), (1L, 4L, 5L, 2L, 12L),
+        (2L, 4L, 3L, 2L, 12L))
+      def spansNow = spark.table(s"${name}_spans")
+        .select($"id_a", $"id_b", $"a_start", $"b_start", $"n_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      assert(spansNow.toSet == expected, s"changelog: $spansNow")
+      assert(spansNow.size == 3, "no duplicate changelog rows")
+      // fresh-checkpoint replay re-lands batches 0..2: the beforeBatch
+      // guard keeps a replayed batch from matching its own already-landed
+      // fingerprints, so contents are bit-identical (no self rows)
+      run(s"$work/ck2")
+      assert(spansNow.toSet == expected && spansNow.size == 3,
+        s"replay identical: $spansNow")
+    } finally { cleanupSpan(); () }
+  }
+
   test("compact folds per-batch partitions into one; contents, bucketing, appends survive") {
     val name = "graft_test_shidx4"
     cleanup(name)
