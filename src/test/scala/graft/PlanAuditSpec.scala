@@ -36,6 +36,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "l135_bpe_encode",  // same: bpeEncode folds merges over the
                           // checkpointed unique-word table
       "l136_bpe_pack",    // packSequences on top of the l135 chain
+      "l144_byte_fallback", // bpeEncode's checkpointed word table again
+                            // (frozen-vocab byte-fallback variant)
       "l113_pps_global")  // ppsSampleGlobal's eager localCheckpoint pins
                           // the range-exchange cuts so both prefix-sum
                           // phases see one layout (executor-held, never
