@@ -92,6 +92,11 @@ object TimeQuery {
           st.take(12).foreach { case (nm, tt, nt) =>
             println(f"[timeq]   stage taskTime=${tt / 1e3}%7.2fs tasks=$nt%4d ${nm.take(110)}")
           }
+          st.groupBy(_._1).toSeq
+            .map { case (nm, xs) => (nm, xs.size, xs.map(_._2).sum, xs.map(_._3).sum) }
+            .sortBy(-_._3).take(20).foreach { case (nm, c, tt, nt) =>
+              println(f"[timeq]   byname n=$c%3d taskTime=${tt / 1e3}%7.2fs tasks=$nt%5d ${nm.take(100)}")
+            }
         }
         sys.env.get("TIMEQ_PLAN_DIR").filter(_ => p == 1).foreach { dir =>
           val df = fn(spark, sfDir)

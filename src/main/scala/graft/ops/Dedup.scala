@@ -306,9 +306,26 @@ object Dedup {
     * `pairs` and thus not here — they are their own cluster by definition.
     */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
+    // Loop shuffle width derived from the MATERIALIZED edge count, not
+    // the session's core-count default (guide §2: make partitioning
+    // scale-adaptive). Every round is a join + groupBy + agg over
+    // frames bounded by the edge set; running a few-thousand-row
+    // contracted graph through 32-partition exchanges made each round
+    // ~0.65 s of stage scheduling for ~0.1 s of work (the l88/l90
+    // maintenance loops pay this per batch). ~2M edges per partition
+    // (~32 MB of long pairs); a corpus-scale edge set keeps the
+    // session width. The count job is free — edges are already
+    // checkpoint-materialized. Restored in finally; the returned frame
+    // is materialized inside the loop by the convergence action.
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuf = spark.conf.get(shufKey)
+    spark.conf.set(shufKey, math.min(prevShuf.toLong,
+      edges.count() / 2000000L + 1L).toString)
+    try {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
@@ -337,6 +354,7 @@ object Dedup {
           s"diameter exceeds the label-propagation budget) — raise maxIter " +
           "or use componentsStar, whose round count is diameter-independent")
     labels.select(col("id"), col("label").as("cluster"))
+    } finally spark.conf.set(shufKey, prevShuf)
   }
 
   /** Connected components via alternating large-star / small-star
@@ -391,6 +409,15 @@ object Dedup {
       .distinct().localCheckpoint(true)
     var edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    // size-derived loop shuffle width — same rationale and sizing as
+    // [[components]]; the edge set only SHRINKS across star rounds, so
+    // the initial count bounds every round's frames
+    val spark = pairs.sparkSession
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuf = spark.conf.get(shufKey)
+    spark.conf.set(shufKey, math.min(prevShuf.toLong,
+      edges.count() / 2000000L + 1L).toString)
+    try {
     var prev: (Long, String) = (-1L, "")
     var iter = 0
     var converged = false
@@ -420,6 +447,7 @@ object Dedup {
     // no star edge at all and are their own cluster (components() parity)
     nodes.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    } finally spark.conf.set(shufKey, prevShuf)
   }
 
   /** Dedup survivors: one representative (min id) per cluster, with the

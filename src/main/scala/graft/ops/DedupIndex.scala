@@ -766,6 +766,12 @@ object DedupIndex {
       if (s.catalog.tableExists(cl))
         tableProps(s, cl)("graft.cluster.last_batch").toLong
       else -1L
+    // Phase labels (optimization-guide §1.5): every job inside this
+    // foreachBatch otherwise reports the stream's start callsite, which
+    // makes the batch loop unattributable in the UI/listeners.
+    def phase(tag: String): Unit =
+      s.sparkContext.setJobDescription(s"maintainClusters[$batchId] $tag")
+    phase("edges")
     val batchIds = batch.select(col(idCol).cast("long").as("id"))
     val bSh = Dedup.shingles(batch, idCol, textCol, n)
     // 1. edges from the PRE-batch state (ingest_batch < batchId keeps a
@@ -800,6 +806,7 @@ object DedupIndex {
       } else within.limit(0)
     val newEdges = within.union(cross).localCheckpoint(true)
     // 2. the shingle index lands exactly as startMaintenance does
+    phase("land-index")
     landBatch(s, outer,
       bSh.withColumn("ingest_batch", lit(batchId)), name, batchId,
       bucketed = true, buckets)
@@ -810,6 +817,7 @@ object DedupIndex {
     // 3. cluster update + changelog, skipped wholesale on replay of an
     // applied batch (the pre-state no longer exists)
     if (applied >= batchId) return
+    phase("cluster-delta")
     // ONE snapshot read of the pre-batch cluster table, materialized
     // immediately (localCheckpoint) and reused by the delta, the
     // affected-bucket scan and the keep-set below. Before r9 each of
@@ -835,9 +843,11 @@ object DedupIndex {
     // the changelog lands BEFORE the cluster rewrite advances
     // last_batch: a crash after the advance skips this whole section on
     // replay, so everything the skip covers must already be durable
+    phase("land-changelog")
     landBatch(s, outer,
       changelog.withColumn("ingest_batch", lit(batchId)), logT, batchId,
       bucketed = false, buckets)
+    phase("cluster-rewrite")
     if (!s.catalog.tableExists(cl)) {
       assign.write.partitionBy("bucket").saveAsTable(cl)
       s.sql(s"ALTER TABLE $cl SET TBLPROPERTIES " +

@@ -1987,18 +1987,20 @@ object LlmQueries {
         import org.apache.spark.sql.streaming.Trigger
         val inDir = l78Input(s, d)
         val work = graft.queries.TempDirs.workDir("graft_l78")
-        val raw = s.readStream
-          .schema("doc_id LONG, text STRING, source STRING, ts TIMESTAMP")
-          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
         val out = s"$work/out"
-        val q = graft.streaming.StreamingCuration.exactDedupStream(
-            s, raw, "doc_id", "text", "source",
-            eventTimeCol = Some("ts"), dedupWindowMs = Some(3600 * 1000L))
-          .writeStream.outputMode("append")
-          .option("checkpointLocation", s"$work/ck")
-          .trigger(Trigger.ProcessingTime("50 milliseconds"))
-          .start(out)
-        try { q.processAllAvailable() } finally q.stop()
+        Q.withStreamParts(s, Q.dirBytes(inDir.toString)) {
+          val raw = s.readStream
+            .schema("doc_id LONG, text STRING, source STRING, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          val q = graft.streaming.StreamingCuration.exactDedupStream(
+              s, raw, "doc_id", "text", "source",
+              eventTimeCol = Some("ts"), dedupWindowMs = Some(3600 * 1000L))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$work/ck")
+            .trigger(Trigger.ProcessingTime("50 milliseconds"))
+            .start(out)
+          try { q.processAllAvailable() } finally q.stop()
+        }
         s.read.parquet(out)
           .select(col("doc_id"), col("source"), col("dup_of"))
           .orderBy(col("doc_id"))
@@ -4252,10 +4254,10 @@ object LlmQueries {
           .map(r => (r.getLong(0), r.getLong(1))).toSeq
         val inDir = l109Input(s, d)
         val work = graft.queries.TempDirs.workDir("graft_l109")
+        val out = s"$work/out"
         val raw = s.readStream
           .schema("doc_id LONG, source STRING, text STRING, slice INT")
           .option("maxFilesPerTrigger", 1).parquet(inDir)
-        val out = s"$work/out"
         val q = graft.streaming.StreamingCuration.driftMonitorStream(
             s, raw, Seq("slice", "source"), "text", refCounts, out,
             s"$work/ck", thresholdPpm = 500000L)
@@ -4488,18 +4490,20 @@ object LlmQueries {
               new java.io.File(s"$work/in/s$i").listFiles()
                 .foreach(f => { f.setLastModified(1700000000000L + i * 60000L); () })
           }
-          val stream = s.readStream
-            .schema("event_id LONG, user_id LONG, event_type STRING, " +
-              "ts TIMESTAMP")
-            .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
-          val hits = graft.streaming.StreamingFunnel.stageHits(s, stream.toDF(),
-            "user_id", "event_type", "ts", "event_id",
-            Seq("signup", "view", "purchase"))
-          val q = hits.writeStream.outputMode("append")
-            .option("checkpointLocation", s"$work/ckpt")
-            .trigger(Trigger.ProcessingTime("50 milliseconds"))
-            .format("parquet").option("path", s"$work/out").start()
-          try { q.processAllAvailable() } finally q.stop()
+          Q.withStreamParts(s, Q.dirBytes(s"$work/in")) {
+            val stream = s.readStream
+              .schema("event_id LONG, user_id LONG, event_type STRING, " +
+                "ts TIMESTAMP")
+              .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
+            val hits = graft.streaming.StreamingFunnel.stageHits(s, stream.toDF(),
+              "user_id", "event_type", "ts", "event_id",
+              Seq("signup", "view", "purchase"))
+            val q = hits.writeStream.outputMode("append")
+              .option("checkpointLocation", s"$work/ckpt")
+              .trigger(Trigger.ProcessingTime("50 milliseconds"))
+              .format("parquet").option("path", s"$work/out").start()
+            try { q.processAllAvailable() } finally q.stop()
+          }
           val out = s.read.parquet(s"$work/out")
           val n0 = out.filter(col("stage") === 1L).count()
           out.groupBy(col("stage"), col("stage_name"))
@@ -4573,17 +4577,19 @@ object LlmQueries {
               new java.io.File(s"$work/in/s$i").listFiles()
                 .foreach(f => { f.setLastModified(1700000000000L + i * 60000L); () })
           }
-          val stream = s.readStream
-            .schema("event_id LONG, user_id LONG, event_type STRING, " +
-              "ts TIMESTAMP")
-            .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
-          val edges = graft.streaming.StreamingTransitions.edges(s,
-            stream.toDF(), "user_id", "event_type", "ts", "event_id")
-          val q = edges.writeStream.outputMode("append")
-            .option("checkpointLocation", s"$work/ckpt")
-            .trigger(Trigger.ProcessingTime("50 milliseconds"))
-            .format("parquet").option("path", s"$work/out").start()
-          try { q.processAllAvailable() } finally q.stop()
+          Q.withStreamParts(s, Q.dirBytes(s"$work/in")) {
+            val stream = s.readStream
+              .schema("event_id LONG, user_id LONG, event_type STRING, " +
+                "ts TIMESTAMP")
+              .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
+            val edges = graft.streaming.StreamingTransitions.edges(s,
+              stream.toDF(), "user_id", "event_type", "ts", "event_id")
+            val q = edges.writeStream.outputMode("append")
+              .option("checkpointLocation", s"$work/ckpt")
+              .trigger(Trigger.ProcessingTime("50 milliseconds"))
+              .format("parquet").option("path", s"$work/out").start()
+            try { q.processAllAvailable() } finally q.stop()
+          }
           val out = s.read.parquet(s"$work/out")
             .groupBy(col("from_type"), col("to_type"))
             .agg(count(lit(1)).as("n"))
@@ -4639,16 +4645,18 @@ object LlmQueries {
               new java.io.File(s"$work/in/s$i").listFiles()
                 .foreach(f => { f.setLastModified(1700000000000L + i * 60000L); () })
           }
-          val stream = s.readStream
-            .schema("event_id LONG, user_id LONG, ts TIMESTAMP")
-            .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
-          val hits = graft.streaming.StreamingCohort.hits(s, stream.toDF(),
-            "user_id", "ts", "event_id")
-          val q = hits.writeStream.outputMode("append")
-            .option("checkpointLocation", s"$work/ckpt")
-            .trigger(Trigger.ProcessingTime("50 milliseconds"))
-            .format("parquet").option("path", s"$work/out").start()
-          try { q.processAllAvailable() } finally q.stop()
+          Q.withStreamParts(s, Q.dirBytes(s"$work/in")) {
+            val stream = s.readStream
+              .schema("event_id LONG, user_id LONG, ts TIMESTAMP")
+              .option("maxFilesPerTrigger", 1).parquet(s"$work/in/s*")
+            val hits = graft.streaming.StreamingCohort.hits(s, stream.toDF(),
+              "user_id", "ts", "event_id")
+            val q = hits.writeStream.outputMode("append")
+              .option("checkpointLocation", s"$work/ckpt")
+              .trigger(Trigger.ProcessingTime("50 milliseconds"))
+              .format("parquet").option("path", s"$work/out").start()
+            try { q.processAllAvailable() } finally q.stop()
+          }
           s.read.parquet(s"$work/out")
             .groupBy(col("cohort_week"), col("week_offset"))
             .agg(countDistinct(col("entity")).as("n_entities"))
@@ -6658,24 +6666,29 @@ object LlmQueries {
     }
     val impDir = stage(imps, "imp_ts", "imp")
     val clkDir = stage(clicks, "click_ts", "clk")
-    def src(dir: String, schema: String) = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$dir/s*")
-    val joined = graft.streaming.StreamingJoins.intervalJoin(
-      src(impDir, "imp_id LONG, user_id LONG, imp_ts TIMESTAMP")
-        .withColumnRenamed("user_id", "entity"),
-      src(clkDir, "click_id LONG, c_user LONG, click_ts TIMESTAMP")
-        .withColumnRenamed("c_user", "entity"),
-      keyCol = "entity", leftTs = "imp_ts", rightTs = "click_ts",
-      windowMinutes = 30L, watermarkDelay = "45 minutes",
-      joinType = joinType)
     val out = s"$work/out"
-    val q = joined
-      .select((Seq("click_id", "imp_id") ++ extraCols).map(col): _*)
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", s"$work/ck")
-      .trigger(Trigger.ProcessingTime("50 milliseconds"))
-      .start(out)
-    try q.processAllAvailable() finally q.stop()
+    // state partitions sized from the staged input, not core count —
+    // the stream-stream join pays 4 state stores per partition per
+    // micro-batch (see Q.withStreamParts)
+    Q.withStreamParts(s, Q.dirBytes(impDir) + Q.dirBytes(clkDir)) {
+      def src(dir: String, schema: String) = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/s*")
+      val joined = graft.streaming.StreamingJoins.intervalJoin(
+        src(impDir, "imp_id LONG, user_id LONG, imp_ts TIMESTAMP")
+          .withColumnRenamed("user_id", "entity"),
+        src(clkDir, "click_id LONG, c_user LONG, click_ts TIMESTAMP")
+          .withColumnRenamed("c_user", "entity"),
+        keyCol = "entity", leftTs = "imp_ts", rightTs = "click_ts",
+        windowMinutes = 30L, watermarkDelay = "45 minutes",
+        joinType = joinType)
+      val q = joined
+        .select((Seq("click_id", "imp_id") ++ extraCols).map(col): _*)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$work/ck")
+        .trigger(Trigger.ProcessingTime("50 milliseconds"))
+        .start(out)
+      try q.processAllAvailable() finally q.stop()
+    }
     s.read.parquet(out)
   }
 }
